@@ -1,0 +1,153 @@
+"""Path / filesystem helpers (driver-side).
+
+Parity target: reference ``fs.py:16-81`` — scheme dispatch (gcs/s3/local,
+plus the public https endpoints) and existence checks. On Spark the data
+plane goes through Hadoop-compatible connectors, so instead of fsspec
+filesystem *objects* we normalize URIs (``s3://`` → ``s3a://``, public
+https endpoints → their native scheme) and do tiny driver-side metadata
+I/O (metadata.json, catalog listing) through either ``os`` (local) or the
+JVM Hadoop FileSystem when a remote URI is used.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import json
+import os
+from typing import Any, Optional
+from urllib.parse import urlparse
+
+# Public endpoints recognized by the reference (fs.py:16-31).
+_GCS_HTTP_PREFIX = "https://storage.googleapis.com/"
+_S3_HTTP_PREFIX = "https://s3.amazonaws.com/"
+
+
+def normalize_uri(path: str) -> str:
+    """Rewrite a dataset URI to the scheme Spark's connectors expect."""
+    if path.startswith(_GCS_HTTP_PREFIX):
+        return "gs://" + path[len(_GCS_HTTP_PREFIX):]
+    if path.startswith(_S3_HTTP_PREFIX):
+        return "s3a://" + path[len(_S3_HTTP_PREFIX):]
+    if path.startswith("s3://"):
+        return "s3a://" + path[len("s3://"):]
+    return path
+
+
+def scheme_of(path: str) -> str:
+    parsed = urlparse(path)
+    return parsed.scheme if parsed.scheme not in ("", "file") else "file"
+
+
+def is_local(path: str) -> bool:
+    return scheme_of(path) == "file"
+
+
+def join(base: str, *parts: str) -> str:
+    base = base.rstrip("/")
+    tail = "/".join(p.strip("/") for p in parts if p)
+    return f"{base}/{tail}" if tail else base
+
+
+def _local_path(path: str) -> str:
+    if path.startswith("file://"):
+        return urlparse(path).path
+    return path
+
+
+class _HadoopFS:
+    """Thin wrapper over the JVM Hadoop FileSystem for remote URIs."""
+
+    def __init__(self, spark: Any, uri: str):
+        jvm = spark._jvm
+        jsc = spark._jsc
+        self._conf = jsc.hadoopConfiguration()
+        self._jvm = jvm
+        self._path_cls = jvm.org.apache.hadoop.fs.Path
+        self._fs = self._path_cls(uri).getFileSystem(self._conf)
+
+    def exists(self, path: str) -> bool:
+        return self._fs.exists(self._path_cls(path))
+
+    def glob(self, pattern: str) -> list[str]:
+        statuses = self._fs.globStatus(self._path_cls(pattern))
+        if statuses is None:
+            return []
+        return [s.getPath().toString() for s in statuses]
+
+    def read_text(self, path: str) -> str:
+        stream = self._fs.open(self._path_cls(path))
+        try:
+            out = bytearray()
+            buf_cls = getattr(self._jvm, "byte[]", None)
+            # Read via the JVM IOUtils to avoid byte[] plumbing from Python.
+            baos = self._jvm.java.io.ByteArrayOutputStream()
+            self._jvm.org.apache.hadoop.io.IOUtils.copyBytes(
+                stream, baos, self._conf, False
+            )
+            out = baos.toByteArray()
+            return bytes(out).decode("utf-8")
+        finally:
+            stream.close()
+
+    def write_text(self, path: str, text: str) -> None:
+        stream = self._fs.create(self._path_cls(path), True)
+        try:
+            stream.write(bytearray(text.encode("utf-8")))
+        finally:
+            stream.close()
+
+    def mkdirs(self, path: str) -> None:
+        self._fs.mkdirs(self._path_cls(path))
+
+
+class FS:
+    """Unified driver-side FS facade: local fast-path, Hadoop for remote."""
+
+    def __init__(self, spark: Optional[Any] = None):
+        self._spark = spark
+
+    def _hadoop(self, uri: str) -> _HadoopFS:
+        if self._spark is None:
+            raise ValueError(
+                f"remote URI {uri!r} requires an active SparkSession"
+            )
+        return _HadoopFS(self._spark, uri)
+
+    def exists(self, path: str) -> bool:
+        path = normalize_uri(path)
+        if is_local(path):
+            return os.path.exists(_local_path(path))
+        return self._hadoop(path).exists(path)
+
+    def glob(self, pattern: str) -> list[str]:
+        pattern = normalize_uri(pattern)
+        if is_local(pattern):
+            return sorted(_glob.glob(_local_path(pattern)))
+        return sorted(self._hadoop(pattern).glob(pattern))
+
+    def read_json(self, path: str) -> Any:
+        return json.loads(self.read_text(path))
+
+    def read_text(self, path: str) -> str:
+        path = normalize_uri(path)
+        if is_local(path):
+            with open(_local_path(path), "r", encoding="utf-8") as f:
+                return f.read()
+        return self._hadoop(path).read_text(path)
+
+    def write_text(self, path: str, text: str) -> None:
+        path = normalize_uri(path)
+        if is_local(path):
+            lp = _local_path(path)
+            os.makedirs(os.path.dirname(lp), exist_ok=True)
+            with open(lp, "w", encoding="utf-8") as f:
+                f.write(text)
+            return
+        self._hadoop(path).write_text(path, text)
+
+    def mkdirs(self, path: str) -> None:
+        path = normalize_uri(path)
+        if is_local(path):
+            os.makedirs(_local_path(path), exist_ok=True)
+            return
+        self._hadoop(path).mkdirs(path)

@@ -1,0 +1,125 @@
+"""Text-analysis scalar functions (Layer B, training-data pipeline ops).
+
+All built-in column expressions — no Python UDFs in the hot path — so they
+stay inside whole-stage codegen and are exactly reproducible by a SQL
+oracle. Target table: ``documents(doc_id, text, lang, source, n_chars)``.
+"""
+
+from __future__ import annotations
+
+from typing import Union
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+ColumnOrName = Union[Column, str]
+
+
+def _c(col: ColumnOrName) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def word_count(text: ColumnOrName) -> Column:
+    """Whitespace-token count, defined as spaces+1 on the trimmed string
+    (identical semantics in Spark and ANSI SQL — no regex dialect risk)."""
+    t = F.trim(_c(text))
+    spaces = F.length(t) - F.length(F.replace(t, F.lit(" "), F.lit("")))
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(spaces + 1)
+
+
+def token_count(text: ColumnOrName) -> Column:
+    """BPE-ish token estimate: ceil(chars/4) bounded below by word count —
+    a standard heuristic (≈4 chars/token for English-like text)."""
+    return F.greatest(
+        F.ceil(F.length(_c(text)) / F.lit(4.0)).cast("long"),
+        word_count(text).cast("long"),
+    )
+
+
+def punct_ratio(text: ColumnOrName) -> Column:
+    t = _c(text)
+    stripped = F.regexp_replace(t, r"[.,;:!?'\"()\[\]{}-]", "")
+    return (F.length(t) - F.length(stripped)) / F.greatest(
+        F.length(t), F.lit(1)
+    )
+
+
+def uppercase_ratio(text: ColumnOrName) -> Column:
+    t = _c(text)
+    stripped = F.regexp_replace(t, "[A-Z]", "")
+    return (F.length(t) - F.length(stripped)) / F.greatest(
+        F.length(t), F.lit(1)
+    )
+
+
+_STOPWORDS = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "was", "at", "by", "be",
+)
+
+
+def stopword_ratio(text: ColumnOrName) -> Column:
+    """Fraction of whitespace tokens that are English stopwords.
+    Built-ins only: split → filter → size."""
+    toks = F.split(F.lower(F.trim(_c(text))), r"\s+")
+    stop = F.size(
+        F.filter(toks, lambda w: w.isin(list(_STOPWORDS)))
+    )
+    return stop / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_score(text: ColumnOrName) -> Column:
+    """Composite [0,1] quality heuristic: length band + punctuation sanity
+    + stopword presence. Mirrors common LLM-corpus quality filters
+    (C4/Gopher-style rules) with engine-portable arithmetic."""
+    t = _c(text)
+    n = F.length(t)
+    len_score = F.when(n < 20, n / F.lit(20.0)).otherwise(
+        F.least(F.lit(1.0), F.lit(2000.0) / F.greatest(n, F.lit(1)))
+    )
+    p = punct_ratio(t)
+    punct_score = F.when(p > 0.2, F.lit(0.0)).otherwise(1 - p * 5)
+    stop_score = F.least(F.lit(1.0), stopword_ratio(t) * F.lit(4.0))
+    return (len_score + punct_score + stop_score) / F.lit(3.0)
+
+
+def detect_language(text: ColumnOrName) -> Column:
+    """Heuristic n-gram/stopword language ID over {en, de, fr, es}.
+
+    Scores each language by counting hits of its most frequent function
+    words inside the text; ties break deterministically by language code.
+    A real system would plug fastText here; the Spark plumbing (pure
+    column expressions, no shuffle) is the deliverable.
+    """
+    toks = F.split(F.lower(F.trim(_c(text))), r"\s+")
+    markers = {
+        "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+        "en": ("the", "and", "is", "of", "to", "in", "that", "it"),
+        "es": ("el", "la", "los", "las", "es", "y", "que", "un"),
+        "fr": ("le", "la", "les", "et", "est", "que", "une", "des"),
+    }
+    def _hits(words: tuple[str, ...]):
+        # Single-arg lambda required: F.filter treats a second parameter
+        # (even a defaulted one) as the element-index argument.
+        wordlist = list(words)
+        return lambda w: w.isin(wordlist)
+
+    scores = [
+        (lang, F.size(F.filter(toks, _hits(words))))
+        for lang, words in sorted(markers.items())
+    ]
+    best = scores[0][1]
+    for _, s in scores[1:]:
+        best = F.greatest(best, s)
+    result = F.lit("unknown")
+    # Deterministic: first language (alphabetical) with the max score wins.
+    for lang, s in reversed(scores):
+        result = F.when(s == best, F.lit(lang)).otherwise(result)
+    return F.when(best == 0, F.lit("unknown")).otherwise(result)
+
+
+def doc_fingerprint(text: ColumnOrName) -> Column:
+    """Content fingerprint: lowercase, collapse whitespace, md5.
+    Identical in any SQL engine; used as the exact-dedup key."""
+    normalized = F.regexp_replace(F.lower(F.trim(_c(text))), r"\s+", " ")
+    return F.md5(normalized)

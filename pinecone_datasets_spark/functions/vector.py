@@ -1,0 +1,132 @@
+"""Vector similarity primitives.
+
+Layer B (SURVEY.md §2.5/§2.9): the reference declares top-k semantics via
+``queries.top_k`` but delegates scoring to the external index. Here scoring
+is native Spark:
+
+* Default path: built-in array expressions (``zip_with`` + ``aggregate``)
+  — runs JVM-side, deterministic sequential float accumulation, exactly
+  reproducible by a SQL oracle (DuckDB ``list_dot_product``).
+* Fast path: Arrow-batched ``pandas_udf`` doing a NumPy matmul per batch —
+  the 100 TB scale option (SIMD, one Python crossing per ~10k rows instead
+  of per row).
+
+All built-in paths compute in ``double`` regardless of the (float32) input
+arrays: cross-engine reproducibility beats the 2× memory of the widened
+accumulator, and the accumulator is per-row scratch, not stored.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Union
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.pandas.functions import pandas_udf
+
+ColumnOrName = Union[Column, str]
+
+
+def _c(col: ColumnOrName) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def _as_double(col: ColumnOrName) -> Column:
+    return _c(col).cast("array<double>")
+
+
+def dot_product(a: ColumnOrName, b: ColumnOrName) -> Column:
+    """Sequential-order dot product in double precision (JVM codegen)."""
+    return F.aggregate(
+        F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: ColumnOrName) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(_as_double(a), lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_similarity(a: ColumnOrName, b: ColumnOrName) -> Column:
+    return dot_product(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def l2_distance(a: ColumnOrName, b: ColumnOrName) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                _as_double(a), _as_double(b), lambda x, y: (x - y) * (x - y)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def sparse_dot_product(a: ColumnOrName, b: ColumnOrName) -> Column:
+    """Dot product of two sparse vectors (struct{indices, values}).
+
+    Builds a map from the smaller-cardinality side and sums matches —
+    pure built-in expressions (``map_from_arrays`` + ``aggregate``), no UDF.
+    Sparse struct layout per reference ``MAINTAINERS.md:97``.
+    """
+    a, b = _c(a), _c(b)
+    a_map = F.map_from_arrays(
+        a["indices"], a["values"].cast("array<double>")
+    )
+    return F.aggregate(
+        F.zip_with(
+            b["indices"],
+            b["values"].cast("array<double>"),
+            lambda i, v: F.coalesce(F.element_at(a_map, i), F.lit(0.0)) * v,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fast path: Arrow-batched NumPy kernels. One Python crossing per Arrow
+# batch; inside the batch it's a BLAS matmul over a contiguous (n, dim)
+# block. Use when the query side is fixed (broadcast as a closure constant).
+# ---------------------------------------------------------------------------
+
+
+def make_batch_dot_udf(query_matrix: np.ndarray):
+    """Returns pandas_udf: array<float> column -> array<double> of scores
+    against every row of ``query_matrix`` (shape (q, dim))."""
+    q = np.ascontiguousarray(query_matrix, dtype=np.float64)
+
+    @pandas_udf("array<double>")
+    def batch_dot(vecs: pd.Series) -> pd.Series:
+        m = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        if len(m) == 0:
+            return pd.Series([], dtype=object)
+        scores = m @ q.T  # (batch, q)
+        return pd.Series(list(scores))
+
+    return batch_dot
+
+
+def make_batch_cosine_udf(query_matrix: np.ndarray):
+    q = np.ascontiguousarray(query_matrix, dtype=np.float64)
+    qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-30)
+
+    @pandas_udf("array<double>")
+    def batch_cosine(vecs: pd.Series) -> pd.Series:
+        m = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        if len(m) == 0:
+            return pd.Series([], dtype=object)
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        return pd.Series(list(mn @ qn.T))
+
+    return batch_cosine

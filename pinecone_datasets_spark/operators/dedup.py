@@ -1,0 +1,325 @@
+"""Deduplication operators (Layer B, training-data pipeline ops).
+
+Five families, each designed for the 100 TB shape:
+
+* exact: fingerprint → hash-aggregate. One shuffle on a 128-bit key,
+  map-side partial aggregation; no data movement beyond the key+id.
+* MinHash + LSH banding: shingle → minhash signature → band buckets →
+  bucket join. Candidates only — never the full pair matrix.
+* SimHash: 64-bit near-dup fingerprint; Hamming-adjacent buckets.
+* n-gram Jaccard: exact set overlap via an inverted shingle index
+  (explode + self-join on shingle + count) — relational, no UDF.
+* Embedding cosine near-dup: exact pair scoring over LSH candidates.
+
+All hot paths are built-in expressions; the only configurable hash is
+``xxhash64`` (fast, JVM) vs ``md5`` (portable: any SQL oracle reproduces
+it bit-for-bit — used by the correctness gate).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import doc_fingerprint
+from ..functions.vector import cosine_similarity
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the lowest-id representative of each normalized-content group.
+
+    groupBy(fingerprint).min(id) + semi-join back: two narrow shuffles on
+    (hash, id) pairs only; document payloads never shuffle.
+    """
+    fp = df.select(
+        F.col(id_col), doc_fingerprint(F.col(text_col)).alias("_fp")
+    )
+    keep = fp.groupBy("_fp").agg(F.min(id_col).alias(id_col))
+    return df.join(keep.select(id_col), on=id_col, how="left_semi")
+
+
+def exact_dup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Duplicate groups: fingerprint, member count, representative id."""
+    return (
+        df.select(doc_fingerprint(F.col(text_col)).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min(id_col).alias("representative"),
+        )
+        .where(F.col("n_members") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingling + MinHash
+# ---------------------------------------------------------------------------
+
+
+def char_shingles(text: Column, k: int = 5) -> Column:
+    """Distinct character k-shingles of the normalized text, as an array —
+    pure built-ins (sequence + transform + substring), evaluated JVM-side.
+    """
+    norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    n = F.length(norm)
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.substring(norm, i, k))
+    )
+
+
+def _shingle_hash(shingle: Column, seed: int, hash_fn: str) -> Column:
+    if hash_fn == "xxhash64":
+        return F.xxhash64(shingle, F.lit(seed))
+    if hash_fn == "md5":
+        # Portable: min over md5-hex strings is a lexicographic min any SQL
+        # engine reproduces exactly.
+        return F.md5(F.concat(F.lit(f"{seed}|"), shingle))
+    raise ValueError(f"unknown hash_fn: {hash_fn}")
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    shingle_k: int = 5,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """id → minhash signature (array of ``num_hashes`` minima).
+
+    Map-only: no shuffle. Cost is O(shingles × num_hashes) hash evals per
+    row, all inside whole-stage codegen.
+    """
+    shingles = char_shingles(F.col(text_col), shingle_k)
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    shingles, lambda s, i=i: _shingle_hash(s, i, hash_fn)
+                )
+            ).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    return df.select(F.col(id_col), sig.alias("signature"))
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 5,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) sharing ≥1 LSH band.
+
+    Banding: signature split into ``bands`` rows of ``num_hashes/bands``
+    values, hashed to a bucket key; self-join per bucket. The only shuffle
+    is on (band, bucket) — the classic MinHash-LSH plan at corpus scale.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(
+        df, text_col, id_col, num_hashes, shingle_k, hash_fn
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col("signature")[b * rows_per_band + r].cast(
+                                "string"
+                            )
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = sigs.select(
+        F.col(id_col), F.explode(band_structs).alias("bb")
+    ).select(
+        F.col(id_col),
+        F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col(f"a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return pairs
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard via inverted index (relational, oracle-friendly)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+) -> DataFrame:
+    """All pairs with exact shingle-set Jaccard ≥ threshold.
+
+    Inverted index: explode shingles → self-join on shingle → count common
+    → |A∪B| = |A|+|B|−common. Shuffles on the shingle key (skew-prone for
+    stopword-ish shingles; at scale add a document-frequency cap filter —
+    the standard trick — exposed as ``max_df`` in a later revision).
+    """
+    sh = df.select(
+        F.col(id_col),
+        F.explode(char_shingles(F.col(text_col), shingle_k)).alias("shingle"),
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a")
+    )
+    sb = sizes.select(
+        F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b")
+    )
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_common", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (64-bit near-dup fingerprint)
+# ---------------------------------------------------------------------------
+
+
+def simhash64(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash over whitespace tokens, entirely in built-ins:
+
+    token → xxhash64 → per-bit ±1 votes → element-wise sum across tokens
+    (aggregate+zip_with) → sign bits reassembled into one bigint.
+    Map-only; no shuffle.
+    """
+    toks = F.array_distinct(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    )
+    tok_hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def bit_vote(h: Column, i: int) -> Column:
+        # Bit masks must be Python literals (shift amount can't be a
+        # Column); bit 63 is the sign bit of the signed long.
+        if i == 63:
+            set_ = h < 0
+        else:
+            set_ = h.bitwiseAND(F.lit(1 << i)) != 0
+        return F.when(set_, F.lit(1)).otherwise(F.lit(-1))
+
+    # votes[i] = sum over tokens of (bit i set ? +1 : -1); one pass via
+    # element-wise zip_with accumulation.
+    zero = F.array_repeat(F.lit(0), 64)
+    votes = F.aggregate(
+        tok_hashes,
+        zero,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(*[bit_vote(h, i) for i in range(64)]),
+            lambda a, v: a + v,
+        ),
+    )
+    # Reassemble sign bits into one signed 64-bit fingerprint. Bit 63's
+    # contribution is the long's min value (two's complement).
+    contributions = [
+        F.when(votes[i] > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0))
+        for i in range(63)
+    ] + [
+        F.when(votes[63] > 0, F.lit(-(1 << 63)).cast("long")).otherwise(
+            F.lit(0)
+        )
+    ]
+    fingerprint = sum(contributions[1:], contributions[0])
+    return df.select(F.col(id_col), fingerprint.cast("long").alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    candidates: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Pairs of rows with cosine ≥ threshold.
+
+    With ``candidates`` (e.g. from LSH banding) the scoring join touches
+    candidate pairs only — the scale path. Without it, an O(N²/2) self
+    crossJoin: correct at test scale, the oracle twin of the LSH path.
+    """
+    left = df.select(
+        F.col(id_col).alias("id_a"), F.col(vector_col).alias("_va")
+    )
+    right = df.select(
+        F.col(id_col).alias("id_b"), F.col(vector_col).alias("_vb")
+    )
+    if candidates is not None:
+        pairs = candidates.join(left, "id_a").join(right, "id_b")
+    else:
+        pairs = left.crossJoin(right).where(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("cosine", cosine_similarity("_va", "_vb"))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,300 @@
+"""Top-k vector search operators (Layer B).
+
+The reference's data model declares these semantics — ``queries.vector``,
+``queries.filter``, ``queries.top_k`` (``cfg.py:30-36``) — and delegates
+execution to the Pinecone index. Here they are Spark plans:
+
+* ``topk_single``: one query vector → ``WHERE`` (compiled metadata filter)
+  → score → ``ORDER BY score DESC LIMIT k``. Catalyst turns the tail into
+  ``TakeOrderedAndProject`` — per-partition partial top-k, only k rows per
+  partition cross the wire. This is the shape that survives 100 TB.
+* ``topk_search``: replay a whole queries table → broadcast the (small)
+  queries side, crossJoin, score, then per-query
+  ``row_number() OVER (PARTITION BY query ORDER BY score DESC) <= top_k``.
+  Spark ≥3.5 inserts ``WindowGroupLimit`` (partial top-k before the
+  shuffle), so the full cross product never materializes post-shuffle.
+* ``ann_lsh_topk``: the approximate scale path — random-hyperplane LSH
+  (signed projections, banded) to bucket candidates, exact re-score inside
+  buckets. Turns O(N·Q) into O(candidates) with one shuffle join on
+  (band, signature).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Mapping, Optional, Union
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.filters import compile_filter
+from ..functions.vector import cosine_similarity, dot_product, l2_distance
+
+Metric = str  # "dot" | "cosine" | "euclidean"
+
+
+def _score(metric: Metric, doc_vec: Union[str, Column], q_vec: Union[str, Column]) -> Column:
+    if metric == "dot":
+        return dot_product(doc_vec, q_vec)
+    if metric == "cosine":
+        return cosine_similarity(doc_vec, q_vec)
+    if metric == "euclidean":
+        # Negated so "higher is better" uniformly.
+        return -l2_distance(doc_vec, q_vec)
+    raise ValueError(f"unknown metric: {metric}")
+
+
+def topk_single(
+    documents: DataFrame,
+    vector: list[float],
+    k: int = 5,
+    metric: Metric = "cosine",
+    filter: Optional[Mapping[str, Any]] = None,
+    id_col: str = "id",
+    vector_col: str = "values",
+    metadata_col: str = "metadata",
+) -> DataFrame:
+    """One query against the documents table.
+
+    Plan shape: scan → (pushed) filter → project(score) → TakeOrderedAndProject.
+    """
+    q = F.lit([float(x) for x in vector]).cast("array<double>")
+    df = documents
+    if filter is not None:
+        df = df.where(compile_filter(filter, metadata_col))
+    scored = df.select(
+        F.col(id_col),
+        _score(metric, F.col(vector_col), q).alias("score"),
+    )
+    # Deterministic tie-break on id.
+    return scored.orderBy(F.desc("score"), F.col(id_col)).limit(k)
+
+
+def topk_search(
+    documents: DataFrame,
+    queries: DataFrame,
+    metric: Metric = "cosine",
+    k: Optional[int] = None,
+    query_id_col: str = "query_id",
+    doc_id_col: str = "id",
+    doc_vector_col: str = "values",
+    query_vector_col: str = "vector",
+    metadata_col: Optional[str] = "metadata",
+    apply_stored_filters: bool = False,
+) -> DataFrame:
+    """Replay a queries table: per-query top-k over documents.
+
+    ``queries`` must carry ``query_id_col``; ``top_k`` per row is honored
+    unless a global ``k`` is given. The queries side is broadcast — it is
+    small by construction (a replay set), the documents side is the 100 TB
+    side and never shuffles: scoring is map-side, and the window's
+    partial-top-k (WindowGroupLimit) caps what the single shuffle carries.
+
+    ``apply_stored_filters=True`` evaluates each query's stored Pinecone
+    ``filter`` JSON against each document's ``metadata`` JSON. That is a
+    per-(doc, query) interpreted predicate — only expressible generically
+    via a Python kernel — so it uses an Arrow-batched pandas UDF off the
+    default path.
+    """
+    q = queries
+    if k is not None:
+        q = q.withColumn("top_k", F.lit(int(k)))
+    elif "top_k" not in q.columns:
+        q = q.withColumn("top_k", F.lit(5))
+
+    joined = documents.crossJoin(F.broadcast(q))
+
+    if apply_stored_filters and metadata_col is not None and "filter" in q.columns:
+        joined = joined.where(
+            _matches_filter_udf(F.col(metadata_col), F.col("filter"))
+        )
+
+    scored = joined.select(
+        F.col(query_id_col),
+        F.col(doc_id_col),
+        _score(metric, F.col(doc_vector_col), F.col(query_vector_col)).alias(
+            "score"
+        ),
+        F.col("top_k"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("score"), F.col(doc_id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= F.col("top_k"))
+        .drop("top_k")
+    )
+
+
+def _matches_filter_series(metadata: pd.Series, filt: pd.Series) -> pd.Series:
+    def match(m: Optional[str], f: Optional[str]) -> bool:
+        if f is None or f == "":
+            return True
+        try:
+            fd = json.loads(f)
+        except (TypeError, ValueError):
+            return True
+        md = {}
+        if m:
+            try:
+                md = json.loads(m)
+            except (TypeError, ValueError):
+                md = {}
+        return _eval_filter(fd, md)
+
+    return pd.Series(
+        [match(m, f) for m, f in zip(metadata, filt)], dtype=bool
+    )
+
+
+def _matches_filter_udf(metadata: Column, filt: Column) -> Column:
+    from pyspark.sql.types import BooleanType
+
+    udf = F.pandas_udf(_matches_filter_series, BooleanType())
+    return udf(metadata, filt)
+
+
+def _eval_filter(node: Mapping[str, Any], md: Mapping[str, Any]) -> bool:
+    """Interpreter twin of functions/filters.py:compile_filter (same
+    Pinecone semantics, evaluated against a parsed metadata dict)."""
+    for key, value in node.items():
+        if key == "$and":
+            if not all(_eval_filter(n, md) for n in value):
+                return False
+        elif key == "$or":
+            if not any(_eval_filter(n, md) for n in value):
+                return False
+        elif isinstance(value, Mapping):
+            field_val = md.get(key)
+            for op, rhs in value.items():
+                if not _eval_leaf(field_val, op, rhs):
+                    return False
+        else:
+            if md.get(key) != value:
+                return False
+    return True
+
+
+def _eval_leaf(val: Any, op: str, rhs: Any) -> bool:
+    if op == "$exists":
+        return (val is not None) == bool(rhs)
+    if op == "$in":
+        return val in rhs
+    if op == "$nin":
+        return val is not None and val not in rhs
+    if val is None:
+        return False
+    try:
+        if op == "$eq":
+            return val == rhs
+        if op == "$ne":
+            return val != rhs
+        if op == "$gt":
+            return val > rhs
+        if op == "$gte":
+            return val >= rhs
+        if op == "$lt":
+            return val < rhs
+        if op == "$lte":
+            return val <= rhs
+    except TypeError:
+        return False
+    raise ValueError(f"Unsupported filter operator: {op}")
+
+
+# ---------------------------------------------------------------------------
+# Approximate path: random-hyperplane LSH for cosine similarity.
+# ---------------------------------------------------------------------------
+
+
+def _band_signature_cols(
+    vec_col: str, planes: np.ndarray, bands: int, bits: int
+) -> list[Column]:
+    """Signed-projection signatures as built-in expressions: one bigint per
+    band, bit b set iff dot(vec, plane) > 0. JVM-side, no UDF."""
+    sigs = []
+    for band in range(bands):
+        bit_terms: Optional[Column] = None
+        for bit in range(bits):
+            plane = planes[band * bits + bit]
+            proj = dot_product(
+                F.col(vec_col), F.lit([float(x) for x in plane])
+            )
+            term = F.when(proj > 0, F.lit(1 << bit)).otherwise(F.lit(0))
+            bit_terms = term if bit_terms is None else (bit_terms + term)
+        sigs.append(bit_terms.cast("long").alias(f"_band_{band}"))
+    return sigs
+
+
+def ann_lsh_topk(
+    documents: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    bands: int = 8,
+    bits: int = 12,
+    dim: int = 64,
+    seed: int = 42,
+    query_id_col: str = "query_id",
+    doc_id_col: str = "id",
+    doc_vector_col: str = "values",
+    query_vector_col: str = "vector",
+) -> DataFrame:
+    """Approximate per-query cosine top-k via random-hyperplane LSH.
+
+    Candidates = pairs agreeing on at least one band signature. The join
+    key (band_id, signature) is a plain shuffle-hash join — at 100 TB this
+    is the path that replaces the O(N·Q) crossJoin: each side explodes to
+    ``bands`` rows, the join fans in only same-bucket pairs, and the exact
+    cosine re-score runs on candidates only. Recall is tuned by
+    (bands, bits): more bands → higher recall, more candidates.
+    """
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((bands * bits, dim))
+
+    d_sig = documents.select(
+        F.col(doc_id_col),
+        F.col(doc_vector_col),
+        *_band_signature_cols(doc_vector_col, planes, bands, bits),
+    )
+    q_sig = queries.select(
+        F.col(query_id_col),
+        F.col(query_vector_col),
+        *_band_signature_cols(query_vector_col, planes, bands, bits),
+    )
+
+    def explode_bands(df: DataFrame, keep: list[str]) -> DataFrame:
+        pairs = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"), F.col(f"_band_{b}").alias("sig")
+                )
+                for b in range(bands)
+            ]
+        )
+        return df.select(*keep, F.explode(pairs).alias("bs")).select(
+            *keep, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+        )
+
+    d_exp = explode_bands(d_sig, [doc_id_col, doc_vector_col])
+    q_exp = explode_bands(q_sig, [query_id_col, query_vector_col])
+
+    candidates = (
+        d_exp.join(F.broadcast(q_exp), on=["band", "sig"])
+        .select(query_id_col, doc_id_col, doc_vector_col, query_vector_col)
+        .dropDuplicates([query_id_col, doc_id_col])
+    )
+    scored = candidates.select(
+        F.col(query_id_col),
+        F.col(doc_id_col),
+        cosine_similarity(doc_vector_col, query_vector_col).alias("score"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("score"), F.col(doc_id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

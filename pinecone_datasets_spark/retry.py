@@ -1,0 +1,80 @@
+"""Driver-side retry with exponential backoff.
+
+Parity target: reference ``retry.py:16-150`` (tenacity: 3 attempts, 2–10 s
+exponential backoff, env-tunable, retryable-error classification). On Spark
+the *data plane* already retries (``spark.task.maxFailures`` + object-store
+connector retries), so this decorator only guards driver-side metadata I/O
+(metadata.json reads/writes, catalog globs) — the same scope split SURVEY.md
+§2.10 C7 calls for. Implemented without tenacity (not in this environment).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import time
+from typing import Any, Callable, TypeVar
+
+F = TypeVar("F", bound=Callable[..., Any])
+
+# Env knobs mirror the reference's (retry.py:34,42,50).
+ENV_MAX_ATTEMPTS = "PINECONE_DATASETS_RETRY_MAX_ATTEMPTS"
+ENV_BACKOFF_MIN = "PINECONE_DATASETS_RETRY_BACKOFF_MIN"
+ENV_BACKOFF_MAX = "PINECONE_DATASETS_RETRY_BACKOFF_MAX"
+ENV_DISABLE = "PINECONE_DATASETS_DISABLE_RETRY"
+
+# Never retried: caller bugs / permanent failures (reference retry.py:55-111).
+_NON_RETRYABLE = (
+    FileNotFoundError,
+    PermissionError,
+    IsADirectoryError,
+    NotADirectoryError,
+    ValueError,
+    TypeError,
+    KeyError,
+)
+
+_RETRYABLE_MESSAGE_HINTS = (
+    "connection",
+    "timeout",
+    "timed out",
+    "temporarily unavailable",
+    "reset by peer",
+    "broken pipe",
+    "503",
+    "429",
+)
+
+
+def is_retryable(exc: BaseException) -> bool:
+    if isinstance(exc, _NON_RETRYABLE):
+        return False
+    if isinstance(exc, (ConnectionError, TimeoutError, OSError)):
+        return True
+    msg = str(exc).lower()
+    return any(h in msg for h in _RETRYABLE_MESSAGE_HINTS)
+
+
+def with_retry(func: F) -> F:
+    """Retry ``func`` on transient errors with exponential backoff."""
+
+    @functools.wraps(func)
+    def wrapper(*args: Any, **kwargs: Any) -> Any:
+        if os.environ.get(ENV_DISABLE, "").lower() in ("1", "true", "yes"):
+            return func(*args, **kwargs)
+        attempts = int(os.environ.get(ENV_MAX_ATTEMPTS, "3"))
+        backoff_min = float(os.environ.get(ENV_BACKOFF_MIN, "2"))
+        backoff_max = float(os.environ.get(ENV_BACKOFF_MAX, "10"))
+        last: BaseException | None = None
+        for attempt in range(attempts):
+            try:
+                return func(*args, **kwargs)
+            except BaseException as exc:  # noqa: BLE001 - classified below
+                if not is_retryable(exc) or attempt == attempts - 1:
+                    raise
+                last = exc
+                delay = min(backoff_min * (2**attempt), backoff_max)
+                time.sleep(delay)
+        raise last  # pragma: no cover - loop always returns or raises
+
+    return wrapper  # type: ignore[return-value]

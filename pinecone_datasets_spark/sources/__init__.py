@@ -1,0 +1,21 @@
+"""Source/sink layer re-exports (SURVEY.md §2.1).
+
+Readers (S1-S6), sinks (S7-S10), FS connectors (S11), and the iteration
+egress live in the top-level modules; this package groups them for
+discoverability.
+"""
+
+from ..reader import read_documents, read_metadata, read_queries
+from ..writer import write_dataset, write_documents, write_queries
+from ..fs import FS, normalize_uri
+
+__all__ = [
+    "read_documents",
+    "read_metadata",
+    "read_queries",
+    "write_dataset",
+    "write_documents",
+    "write_queries",
+    "FS",
+    "normalize_uri",
+]

@@ -1,0 +1,64 @@
+"""Dataset writer (Spark-native).
+
+Parity target: reference ``dataset_fswriter.py`` — S7 (documents sink), S8
+(queries sink; warn+skip when empty), S9 (metadata.json sink), S10 ordering
+(documents → queries → metadata; metadata last acts as the commit marker,
+see the partial-write test ``test_error_scenarios.py:251-290``).
+
+Spark-first divergences (documented per SURVEY.md §7 hard-parts):
+* Multi-part output is the default — executors write parts in parallel.
+  ``single_file=True`` restores the reference's ``part-0.parquet`` layout
+  via ``coalesce(1)`` (kills write parallelism; compat only).
+* No caller-DataFrame mutation: Spark plans are immutable, so the
+  reference's mutate-then-restore-in-finally bug class
+  (``dataset_fswriter.py:40-55``) cannot occur here.
+"""
+
+from __future__ import annotations
+
+import warnings
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame
+
+from .fs import FS, join, normalize_uri
+from .retry import with_retry
+
+if TYPE_CHECKING:  # pragma: no cover
+    from .dataset import Dataset
+
+
+def _write_table(df: DataFrame, table_dir: str, single_file: bool) -> None:
+    out = df.coalesce(1) if single_file else df
+    out.write.mode("overwrite").parquet(table_dir)
+
+
+def write_documents(df: DataFrame, dataset_path: str, single_file: bool = False) -> None:
+    """S7. ``metadata``/``blob`` are already JSON strings in our model, so
+    the reference's dict→JSON encode step (F2) is a no-op here."""
+    _write_table(df, join(dataset_path, "documents"), single_file)
+
+
+def write_queries(df: DataFrame, dataset_path: str, single_file: bool = False) -> None:
+    """S8: skip + warn when empty (dataset_fswriter.py:60-61)."""
+    if df.isEmpty():
+        warnings.warn(
+            f"Queries dataframe is empty; skipping write to {dataset_path}"
+        )
+        return
+    _write_table(df, join(dataset_path, "queries"), single_file)
+
+
+@with_retry
+def _write_metadata_json(fs: FS, dataset_path: str, meta_json: str) -> None:
+    fs.write_text(join(dataset_path, "metadata.json"), meta_json)
+
+
+def write_dataset(dataset: "Dataset", dataset_path: str, single_file: bool = False) -> None:
+    """S10 orchestration: documents → queries → metadata (commit marker)."""
+    dataset_path = normalize_uri(dataset_path)
+    fs = FS(dataset._spark)
+    fs.mkdirs(dataset_path)
+    write_documents(dataset.documents, dataset_path, single_file)
+    write_queries(dataset.queries, dataset_path, single_file)
+    _write_metadata_json(fs, dataset_path, dataset.metadata.to_json())

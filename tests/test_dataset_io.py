@@ -1,0 +1,185 @@
+"""Dataset load / iterate / write round-trip (reference styles 3 & 5)."""
+
+from __future__ import annotations
+
+import json
+import warnings
+
+import pytest
+
+from pinecone_datasets_spark import Dataset, DatasetMetadata, DenseModelMetadata
+from pinecone_datasets_spark.reader import read_metadata
+
+from conftest import make_vector_dataset
+
+
+def test_from_path_missing_raises(spark, tmp_path):
+    with pytest.raises(FileNotFoundError):
+        Dataset.from_path(spark, str(tmp_path / "nope"))
+
+
+def test_load_and_count(spark, tmp_path):
+    path = make_vector_dataset(tmp_path, spark)
+    ds = Dataset.from_path(spark, path)
+    assert len(ds) == 6
+    assert ds["documents"].count() == 6
+    assert ds["queries"].count() == 2
+    with pytest.raises(KeyError):
+        ds["nope"]
+    assert ds.metadata.name == "unit-test-ds"
+    assert ds.metadata.dense_model.dimension == 4
+
+
+def test_head(spark, tmp_path):
+    path = make_vector_dataset(tmp_path, spark)
+    ds = Dataset.from_path(spark, path)
+    assert len(ds.head(3).collect()) == 3
+
+
+def test_missing_queries_dir_warns_empty(spark, tmp_path):
+    path = make_vector_dataset(tmp_path, spark, with_queries=False)
+    ds = Dataset.from_path(spark, path)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        q = ds.queries
+        assert q.count() == 0
+    assert any("No data found" in str(x.message) for x in w)
+    assert q.columns == ["vector", "sparse_vector", "filter", "top_k", "blob"]
+
+
+def test_empty_documents_dir_raises(spark, tmp_path):
+    base = tmp_path / "emptyds"
+    (base / "documents").mkdir(parents=True)
+    ds = Dataset.from_path(spark, str(base))
+    with pytest.raises(ValueError, match="No parquet files found"):
+        ds.documents.count()
+
+
+def test_iter_documents_batches(spark, tmp_path):
+    path = make_vector_dataset(tmp_path, spark)
+    ds = Dataset.from_path(spark, path)
+    batches = list(ds.iter_documents(batch_size=4))
+    assert [len(b) for b in batches] == [4, 2]
+    first = batches[0][0]
+    # metadata decoded to dict at the edge; blob (all-null) dropped (P6)
+    assert isinstance(first["metadata"], dict)
+    assert "blob" not in first
+    with pytest.raises(ValueError):
+        list(ds.iter_documents(batch_size=0))
+
+
+def test_iter_queries(spark, tmp_path):
+    path = make_vector_dataset(tmp_path, spark)
+    ds = Dataset.from_path(spark, path)
+    rows = list(ds.iter_queries())
+    assert len(rows) == 2
+    assert rows[0]["top_k"] in (2, 3)
+    filt = [r["filter"] for r in rows if r["filter"] is not None]
+    assert filt and isinstance(filt[0], dict)
+
+
+def test_golden_roundtrip(spark, tmp_path):
+    """write → read → exact equality on sorted collect (reference
+    tests/integration/test_io_local.py:54-79)."""
+    src = make_vector_dataset(tmp_path, spark)
+    ds = Dataset.from_path(spark, src)
+    out = str(tmp_path / "rt")
+    ds.to_path(out)
+    ds2 = Dataset.from_path(spark, out)
+    a = sorted(ds.documents.collect(), key=lambda r: r["id"])
+    b = sorted(ds2.documents.collect(), key=lambda r: r["id"])
+    assert a == b
+    qa = sorted(ds.queries.collect(), key=lambda r: str(r))
+    qb = sorted(ds2.queries.collect(), key=lambda r: str(r))
+    assert qa == qb
+    assert ds2.metadata.name == ds.metadata.name
+
+
+def test_empty_queries_write_skipped(spark, tmp_path):
+    src = make_vector_dataset(tmp_path, spark, with_queries=False)
+    ds = Dataset.from_path(spark, src)
+    out = str(tmp_path / "rt2")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        ds.to_path(out)
+    assert any("empty" in str(x.message).lower() for x in w)
+    import os
+
+    assert not os.path.exists(os.path.join(out, "queries"))
+    assert os.path.exists(os.path.join(out, "metadata.json"))
+
+
+def test_from_dataframe_conforms(spark):
+    import pandas as pd
+
+    docs = pd.DataFrame(
+        {"pk": ["a", "b"], "emb": [[0.1, 0.2], [0.3, 0.4]]}
+    )
+    meta = DatasetMetadata(
+        name="mem-ds",
+        documents=2,
+        queries=0,
+        dense_model=DenseModelMetadata(name="m", dimension=2),
+    )
+    ds = Dataset.from_dataframe(
+        spark, docs, meta, documents_column_mapping={"pk": "id", "emb": "values"}
+    )
+    assert ds.documents.count() == 2
+    assert ds.queries.count() == 0
+    assert ds.documents.columns == [
+        "id",
+        "values",
+        "sparse_values",
+        "metadata",
+        "blob",
+    ]
+
+
+def test_deprecated_stubs(spark, tmp_path):
+    path = make_vector_dataset(tmp_path, spark)
+    ds = Dataset.from_path(spark, path)
+    with pytest.raises(DeprecationWarning):
+        Dataset.from_catalog("x")
+    with pytest.raises(DeprecationWarning):
+        ds.to_catalog("x")
+    with pytest.raises(DeprecationWarning):
+        ds.to_pinecone_index("x")
+
+
+def test_schema_drift_parts(spark, tmp_path):
+    """part-1 has an extra column → loads, extra dropped (FIXTURES.md
+    schema-drift)."""
+    import pandas as pd
+
+    base = tmp_path / "drift"
+    ddir = base / "documents"
+    ddir.mkdir(parents=True)
+    pd.DataFrame(
+        {"id": ["1"], "values": [[0.1, 0.2]]}
+    ).to_parquet(ddir / "part-0.parquet", index=False)
+    pd.DataFrame(
+        {"id": ["2"], "values": [[0.3, 0.4]], "extra_field": ["x"]}
+    ).to_parquet(ddir / "part-1.parquet", index=False)
+    (base / "metadata.json").write_text(
+        json.dumps(
+            {
+                "name": "drift",
+                "documents": 2,
+                "queries": 0,
+                "dense_model": {"name": "m", "dimension": 2},
+            }
+        )
+    )
+    ds = Dataset.from_path(spark, str(base))
+    assert ds.documents.count() == 2
+    assert "extra_field" not in ds.documents.columns
+
+
+def test_metadata_validation(spark, tmp_path):
+    from pinecone_datasets_spark.metadata import MetadataValidationError
+
+    base = tmp_path / "badmeta"
+    (base / "documents").mkdir(parents=True)
+    (base / "metadata.json").write_text(json.dumps({"documents": 1}))
+    with pytest.raises(MetadataValidationError):
+        read_metadata(spark, str(base))

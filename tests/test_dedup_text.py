@@ -1,0 +1,161 @@
+"""Dedup + text-analysis operators against the driver documents fixture."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pinecone_datasets_spark.functions.text import (
+    detect_language,
+    doc_fingerprint,
+    quality_score,
+    token_count,
+    word_count,
+)
+from pinecone_datasets_spark.operators.dedup import (
+    char_shingles,
+    embedding_neardup_pairs,
+    exact_dedup,
+    exact_dup_groups,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash64,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "The  Quick Brown  Fox jumps over the lazy dog"),  # norm dup
+        (4, "the quick brown fox leaps over the lazy dog"),  # near dup
+        (5, "completely different text about spark engines"),
+    ]
+    return spark.createDataFrame(rows, schema="doc_id long, text string")
+
+
+def test_exact_dedup(dup_docs):
+    out = exact_dedup(dup_docs)
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert ids == [1, 4, 5]
+
+
+def test_exact_dup_groups(dup_docs):
+    groups = exact_dup_groups(dup_docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["n_members"] == 3
+    assert groups[0]["representative"] == 1
+
+
+def test_shingles():
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    df = spark.createDataFrame([("abcdef",)], schema="t string")
+    out = df.select(char_shingles(F.col("t"), 3).alias("s")).collect()[0]["s"]
+    assert out == ["abc", "bcd", "cde", "def"]
+
+
+def test_minhash_similar_docs_share_bands(dup_docs):
+    cands = minhash_lsh_candidates(
+        dup_docs, num_hashes=32, bands=16, shingle_k=3
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in cands.collect()}
+    assert (1, 2) in pairs  # exact dups always collide
+    assert (1, 3) in pairs  # normalization dups collide
+    assert (1, 4) in pairs  # near dup should collide at 16 bands
+    assert (1, 5) not in pairs
+
+
+def test_minhash_md5_portable_variant(dup_docs):
+    sigs = minhash_signatures(
+        dup_docs, num_hashes=8, shingle_k=3, hash_fn="md5"
+    ).collect()
+    by_id = {r["doc_id"]: r["signature"] for r in sigs}
+    assert by_id[1] == by_id[2]
+    assert by_id[1] != by_id[5]
+
+
+def test_ngram_jaccard(dup_docs):
+    out = ngram_jaccard_pairs(dup_docs, threshold=0.5, shingle_k=3)
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out.collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 4) in pairs and pairs[(1, 4)] < 1.0
+    assert (1, 5) not in pairs
+
+
+def test_simhash_near_dups_close(dup_docs):
+    out = {r["doc_id"]: r["simhash"] for r in simhash64(dup_docs).collect()}
+    assert out[1] == out[2]
+
+    def hamming(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert hamming(out[1], out[4]) < hamming(out[1], out[5])
+
+
+def test_embedding_neardup(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, schema="vec_id long, embedding array<float>")
+    out = embedding_neardup_pairs(df, threshold=0.99).collect()
+    assert [(r["id_a"], r["id_b"]) for r in out] == [(1, 2)]
+
+
+def test_text_functions(spark):
+    df = spark.createDataFrame(
+        [("the quick brown fox is in the yard",)], schema="text string"
+    )
+    row = df.select(
+        word_count("text").alias("wc"),
+        token_count("text").alias("tc"),
+        doc_fingerprint("text").alias("fp"),
+        quality_score("text").alias("q"),
+    ).collect()[0]
+    assert row["wc"] == 8
+    assert row["tc"] >= 8
+    assert len(row["fp"]) == 32
+    assert 0.0 <= row["q"] <= 1.0
+
+
+def test_word_count_edge_cases(spark):
+    df = spark.createDataFrame([("",), ("  ",), ("one",)], schema="text string")
+    out = [r[0] for r in df.select(word_count("text")).collect()]
+    assert out == [0, 0, 1]
+
+
+def test_detect_language(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat is on the mat and it is happy",),
+            ("der hund ist nicht in das haus und",),
+            ("el perro es un animal y que los gatos",),
+            ("le chat est une bete et les chiens des",),
+            ("zzz qqq xxx",),
+        ],
+        schema="text string",
+    )
+    out = [r[0] for r in df.select(detect_language("text")).collect()]
+    assert out == ["en", "de", "es", "fr", "unknown"]
+
+
+def test_corpus_stats_runs(docs):
+    out = (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.avg("n_chars").alias("avg_chars"),
+        )
+        .collect()
+    )
+    assert len(out) >= 1

@@ -1,0 +1,143 @@
+"""Top-k vector search: brute force vs NumPy oracle, LSH recall, plans."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pinecone_datasets_spark.operators.search import (
+    ann_lsh_topk,
+    topk_search,
+    topk_single,
+)
+
+N, DIM, NQ = 200, 16, 5
+
+
+@pytest.fixture(scope="module")
+def vectors():
+    rng = np.random.default_rng(7)
+    docs = rng.standard_normal((N, DIM)).astype(np.float32)
+    queries = rng.standard_normal((NQ, DIM)).astype(np.float32)
+    return docs, queries
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark, vectors):
+    docs, _ = vectors
+    return spark.createDataFrame(
+        [(str(i), [float(x) for x in docs[i]]) for i in range(N)],
+        schema="id string, values array<float>",
+    ).cache()
+
+
+@pytest.fixture(scope="module")
+def queries_df(spark, vectors):
+    _, queries = vectors
+    return spark.createDataFrame(
+        [
+            (i, [float(x) for x in queries[i]], 5)
+            for i in range(NQ)
+        ],
+        schema="query_id int, vector array<float>, top_k int",
+    )
+
+
+def numpy_topk(docs, q, k, metric):
+    d64, q64 = docs.astype(np.float64), q.astype(np.float64)
+    if metric == "dot":
+        scores = d64 @ q64
+    elif metric == "cosine":
+        scores = (d64 @ q64) / (
+            np.linalg.norm(d64, axis=1) * np.linalg.norm(q64)
+        )
+    else:
+        scores = -np.linalg.norm(d64 - q64, axis=1)
+    order = np.lexsort((np.arange(len(scores)), -scores))
+    return [str(i) for i in order[:k]]
+
+
+@pytest.mark.parametrize("metric", ["dot", "cosine", "euclidean"])
+def test_topk_search_matches_numpy(docs_df, queries_df, vectors, metric):
+    docs, queries = vectors
+    out = topk_search(docs_df, queries_df, metric=metric).collect()
+    by_q = {}
+    for r in sorted(out, key=lambda r: (r["query_id"], r["rank"])):
+        by_q.setdefault(r["query_id"], []).append(r["id"])
+    for qi in range(NQ):
+        expected = numpy_topk(docs, queries[qi], 5, metric)
+        # scores may tie at float noise level; compare sets then order of
+        # clearly-distinct scores via the numpy oracle's ordering
+        assert by_q[qi] == expected, f"query {qi} metric {metric}"
+
+
+def test_topk_single_matches_numpy(spark, docs_df, vectors):
+    docs, queries = vectors
+    out = topk_single(
+        docs_df, [float(x) for x in queries[0]], k=7, metric="cosine"
+    ).collect()
+    assert [r["id"] for r in out] == numpy_topk(docs, queries[0], 7, "cosine")
+
+
+def test_topk_honors_per_query_topk(spark, docs_df, vectors):
+    _, queries = vectors
+    qdf = spark.createDataFrame(
+        [(0, [float(x) for x in queries[0]], 2),
+         (1, [float(x) for x in queries[1]], 9)],
+        schema="query_id int, vector array<float>, top_k int",
+    )
+    out = topk_search(docs_df, qdf, metric="dot").collect()
+    counts = {}
+    for r in out:
+        counts[r["query_id"]] = counts.get(r["query_id"], 0) + 1
+    assert counts == {0: 2, 1: 9}
+
+
+def test_topk_with_stored_filters(spark):
+    import json
+
+    docs = spark.createDataFrame(
+        [
+            ("a", [1.0, 0.0], json.dumps({"lang": "en"})),
+            ("b", [0.9, 0.1], json.dumps({"lang": "de"})),
+            ("c", [0.8, 0.2], json.dumps({"lang": "en"})),
+        ],
+        schema="id string, values array<float>, metadata string",
+    )
+    qdf = spark.createDataFrame(
+        [(0, [1.0, 0.0], json.dumps({"lang": {"$eq": "en"}}), 5)],
+        schema="query_id int, vector array<float>, filter string, top_k int",
+    )
+    out = topk_search(
+        docs, qdf, metric="dot", apply_stored_filters=True
+    ).collect()
+    assert sorted(r["id"] for r in out) == ["a", "c"]
+
+
+def test_broadcast_in_plan(docs_df, queries_df):
+    out = topk_search(docs_df, queries_df, metric="dot")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan  # queries side broadcast, docs never shuffle
+
+
+def test_ann_lsh_recall(spark, docs_df, queries_df, vectors):
+    docs, queries = vectors
+    out = ann_lsh_topk(
+        docs_df,
+        queries_df,
+        k=5,
+        bands=16,
+        bits=4,
+        dim=DIM,
+        seed=1,
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], set()).add(r["id"])
+    recalls = []
+    for qi in range(NQ):
+        exact = set(numpy_topk(docs, queries[qi], 5, "cosine"))
+        got = by_q.get(qi, set())
+        recalls.append(len(exact & got) / 5)
+    assert sum(recalls) / len(recalls) >= 0.6, recalls
