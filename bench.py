@@ -1,0 +1,124 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line: {"metric": ..., "value": <total sec>, "unit": "sec",
+"queries": {name: sec}, "sf": <sf>}. Each query is forced through the
+``noop`` sink so the full plan (not a pruned count) is measured.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from pinecone_datasets_spark.operators.dedup import (
+        minhash_lsh_candidates,
+    )
+    from pinecone_datasets_spark.operators.search import (
+        ann_lsh_topk,
+        topk_search,
+    )
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("pinecone-datasets-spark-bench")
+        .config("spark.sql.shuffle.partitions", CPUS)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entrymod.queries()
+
+    def emb_queries(n: int):
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        docs = emb.select(
+            F.col("vec_id").alias("id"), F.col("embedding").alias("values")
+        )
+        queries = emb.where(F.col("vec_id") < n).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("vector"),
+        )
+        return docs, queries
+
+    def bench_vector_topk():
+        docs, queries = emb_queries(100)
+        return topk_search(docs, queries, metric="cosine", k=10,
+                           metadata_col=None)
+
+    def bench_ann_lsh():
+        docs, queries = emb_queries(100)
+        return ann_lsh_topk(docs, queries, k=10, bands=16, bits=8, dim=64)
+
+    def bench_minhash_fast():
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        return minhash_lsh_candidates(
+            docs, num_hashes=64, bands=16, hash_fn="xxhash64"
+        )
+
+    headline = {
+        "q01_scan_agg": lambda: qs["q01_pricing_summary"](spark, SF_DIR),
+        "q02_join_topn": lambda: qs["q02_top_customers"](spark, SF_DIR),
+        "q04_multi_join": lambda: qs["q04_region_revenue"](spark, SF_DIR),
+        "q05_window_topk": lambda: qs["q05_top_orders_per_segment"](
+            spark, SF_DIR
+        ),
+        "q07_events_hourly": lambda: qs["q07_events_hourly"](spark, SF_DIR),
+        "q12_filter_compile": lambda: qs["q12_filter_in_or"](spark, SF_DIR),
+        "q13_text_stats": lambda: qs["q13_text_stats"](spark, SF_DIR),
+        "q16_dedup_exact": lambda: qs["q16_dedup_exact_keep"](spark, SF_DIR),
+        "minhash_lsh_64x16": bench_minhash_fast,
+        "vector_topk_100q": bench_vector_topk,
+        "ann_lsh_100q": bench_ann_lsh,
+        "q09_docs_conform": lambda: qs["q09_docs_conform"](spark, SF_DIR),
+    }
+
+    # Warm the JVM/codegen once with a trivial job so the first measured
+    # query doesn't absorb session startup.
+    spark.range(1000).count()
+
+    results: dict[str, float] = {}
+    total = 0.0
+    for name, make in headline.items():
+        print(f"bench: {name} ...", file=sys.stderr, flush=True)
+        t0 = time.time()
+        df = make()
+        df.write.format("noop").mode("overwrite").save()
+        dt = round(time.time() - t0, 3)
+        print(f"bench: {name} {dt}s", file=sys.stderr, flush=True)
+        results[name] = dt
+        total += dt
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": results,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

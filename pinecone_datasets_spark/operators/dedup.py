@@ -67,15 +67,48 @@ def exact_dup_groups(
 # ---------------------------------------------------------------------------
 
 
+def normalized_text(text: Column) -> Column:
+    """Dedup normalization: lowercase, trim, collapse whitespace."""
+    return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+
+
 def char_shingles(text: Column, k: int = 5) -> Column:
     """Distinct character k-shingles of the normalized text, as an array —
     pure built-ins (sequence + transform + substring), evaluated JVM-side.
+
+    PERFORMANCE NOTE: pass an already-materialized *attribute* column
+    (see ``_norm_shingled``) when the input needs normalization. An inline
+    normalization expression ends up inside the transform lambda and is
+    re-evaluated once per element — a ~500× regex blowup measured at sf0.1.
     """
-    norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    norm = normalized_text(text)
     n = F.length(norm)
     idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
     return F.array_distinct(
         F.transform(idx, lambda i: F.substring(norm, i, k))
+    )
+
+
+def _attr_shingles(norm_attr: Column, k: int) -> Column:
+    """char_shingles over a pre-materialized normalized-text attribute."""
+    n = F.length(norm_attr)
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.substring(norm_attr, i, k))
+    )
+
+
+def _norm_shingled(
+    df: DataFrame, text_col: str, id_col: str, k: int
+) -> DataFrame:
+    """id → exploded distinct shingles, with the normalization computed
+    once per row: ``_norm`` is projected as an attribute in its own Project
+    (referenced twice downstream, so CollapseProject keeps the barrier)."""
+    norm = df.select(
+        F.col(id_col), normalized_text(F.col(text_col)).alias("_norm")
+    )
+    return norm.select(
+        F.col(id_col), F.explode(_attr_shingles(F.col("_norm"), k)).alias("shingle")
     )
 
 
@@ -89,6 +122,22 @@ def _shingle_hash(shingle: Column, seed: int, hash_fn: str) -> Column:
     raise ValueError(f"unknown hash_fn: {hash_fn}")
 
 
+# Affine universal-hash family for the xxhash64 fast path: a 32-bit base
+# hash permuted as (a*h + b) mod p per minhash slot. Keeps every product
+# below 2^62 (ANSI mode rejects long overflow) while only hashing each
+# shingle ONCE regardless of num_hashes — the textbook Carter-Wegman trick.
+_MERSENNE31 = 2147483647  # 2^31 - 1
+
+
+def _affine_params(num_hashes: int, seed: int = 42):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    a = [int(x) for x in rng.integers(1, 1 << 30, num_hashes)]
+    b = [int(x) for x in rng.integers(0, _MERSENNE31, num_hashes)]
+    return a, b
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -99,21 +148,41 @@ def minhash_signatures(
 ) -> DataFrame:
     """id → minhash signature (array of ``num_hashes`` minima).
 
-    Map-only: no shuffle. Cost is O(shingles × num_hashes) hash evals per
-    row, all inside whole-stage codegen.
+    Shape: normalize (once per row) → explode shingles → hash-aggregate
+    with ``num_hashes`` MIN buffers. The aggregation is map-side-partial,
+    so the shuffle carries one signature row per document — at corpus
+    scale this is bounded by doc count, not shingle count.
+
+    ``hash_fn="xxhash64"``: one JVM hash per shingle + affine permutations
+    (fast path). ``hash_fn="md5"``: per-slot seeded md5-hex minima —
+    slower, but bit-reproducible by any SQL engine (the oracle path).
     """
-    shingles = char_shingles(F.col(text_col), shingle_k)
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    shingles, lambda s, i=i: _shingle_hash(s, i, hash_fn)
-                )
-            ).alias(f"h{i}")
+    sh = _norm_shingled(df, text_col, id_col, shingle_k)
+    if hash_fn == "xxhash64":
+        a, b = _affine_params(num_hashes)
+        h32 = F.xxhash64("shingle").bitwiseAND(F.lit(0xFFFFFFFF))
+        hashed = sh.select(F.col(id_col), h32.alias("_h"))
+        aggs = [
+            F.min(
+                (F.col("_h") * F.lit(a[i]) + F.lit(b[i])) % F.lit(_MERSENNE31)
+            ).alias(f"_m{i}")
             for i in range(num_hashes)
         ]
+        grouped = hashed.groupBy(id_col).agg(*aggs)
+    elif hash_fn == "md5":
+        aggs = [
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(
+                f"_m{i}"
+            )
+            for i in range(num_hashes)
+        ]
+        grouped = sh.groupBy(id_col).agg(*aggs)
+    else:
+        raise ValueError(f"unknown hash_fn: {hash_fn}")
+    return grouped.select(
+        F.col(id_col),
+        F.array(*[f"_m{i}" for i in range(num_hashes)]).alias("signature"),
     )
-    return df.select(F.col(id_col), sig.alias("signature"))
 
 
 def minhash_lsh_candidates(
@@ -198,10 +267,7 @@ def ngram_jaccard_pairs(
     stopword-ish shingles; at scale add a document-frequency cap filter —
     the standard trick — exposed as ``max_df`` in a later revision).
     """
-    sh = df.select(
-        F.col(id_col),
-        F.explode(char_shingles(F.col(text_col), shingle_k)).alias("shingle"),
-    )
+    sh = _norm_shingled(df, text_col, id_col, shingle_k)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     a = sh.alias("a")
     b = sh.alias("b")

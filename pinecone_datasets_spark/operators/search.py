@@ -210,23 +210,26 @@ def _eval_leaf(val: Any, op: str, rhs: Any) -> bool:
 # ---------------------------------------------------------------------------
 
 
-def _band_signature_cols(
-    vec_col: str, planes: np.ndarray, bands: int, bits: int
-) -> list[Column]:
-    """Signed-projection signatures as built-in expressions: one bigint per
-    band, bit b set iff dot(vec, plane) > 0. JVM-side, no UDF."""
-    sigs = []
-    for band in range(bands):
-        bit_terms: Optional[Column] = None
-        for bit in range(bits):
-            plane = planes[band * bits + bit]
-            proj = dot_product(
-                F.col(vec_col), F.lit([float(x) for x in plane])
-            )
-            term = F.when(proj > 0, F.lit(1 << bit)).otherwise(F.lit(0))
-            bit_terms = term if bit_terms is None else (bit_terms + term)
-        sigs.append(bit_terms.cast("long").alias(f"_band_{band}"))
-    return sigs
+def _band_signature_udf(planes: np.ndarray, bands: int, bits: int):
+    """Signed-projection band signatures as one Arrow-batched NumPy kernel:
+    (batch, dim) @ (dim, bands*bits) matmul → sign bits → packed per-band
+    bigints. One Python crossing per batch, BLAS inside — the equivalent
+    built-in expression tree (bands*bits nested aggregates) blows codegen
+    limits and evaluates interpreted."""
+    p = np.ascontiguousarray(planes.T, dtype=np.float64)  # (dim, bands*bits)
+    weights = (1 << np.arange(bits, dtype=np.int64))
+
+    def kernel(vecs: pd.Series) -> pd.Series:
+        m = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        if len(m) == 0:
+            return pd.Series([], dtype=object)
+        signs = (m @ p) > 0  # (batch, bands*bits)
+        sig = signs.reshape(len(m), bands, bits) @ weights  # (batch, bands)
+        return pd.Series(list(sig.astype(np.int64)))
+
+    from pyspark.sql.types import ArrayType, LongType
+
+    return F.pandas_udf(kernel, ArrayType(LongType()))
 
 
 def ann_lsh_topk(
@@ -253,29 +256,22 @@ def ann_lsh_topk(
     """
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((bands * bits, dim))
+    sig_udf = _band_signature_udf(planes, bands, bits)
 
     d_sig = documents.select(
         F.col(doc_id_col),
         F.col(doc_vector_col),
-        *_band_signature_cols(doc_vector_col, planes, bands, bits),
+        sig_udf(F.col(doc_vector_col)).alias("_sigs"),
     )
     q_sig = queries.select(
         F.col(query_id_col),
         F.col(query_vector_col),
-        *_band_signature_cols(query_vector_col, planes, bands, bits),
+        sig_udf(F.col(query_vector_col)).alias("_sigs"),
     )
 
     def explode_bands(df: DataFrame, keep: list[str]) -> DataFrame:
-        pairs = F.array(
-            *[
-                F.struct(
-                    F.lit(b).alias("band"), F.col(f"_band_{b}").alias("sig")
-                )
-                for b in range(bands)
-            ]
-        )
-        return df.select(*keep, F.explode(pairs).alias("bs")).select(
-            *keep, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+        return df.select(
+            *keep, F.posexplode("_sigs").alias("band", "sig")
         )
 
     d_exp = explode_bands(d_sig, [doc_id_col, doc_vector_col])

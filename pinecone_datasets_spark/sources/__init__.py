@@ -8,11 +8,13 @@ discoverability.
 from ..reader import read_documents, read_metadata, read_queries
 from ..writer import write_dataset, write_documents, write_queries
 from ..fs import FS, normalize_uri
+from .events import read_events
 
 __all__ = [
     "read_documents",
     "read_metadata",
     "read_queries",
+    "read_events",
     "write_dataset",
     "write_documents",
     "write_queries",
