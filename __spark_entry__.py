@@ -430,6 +430,160 @@ def q22_event_scan_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Window operators: sessionization, running totals; exact distinct
+# ---------------------------------------------------------------------------
+
+
+def q26_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pinecone_datasets_spark.operators.windows import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    out = sessionize(ev, gap_minutes=30)
+    return out.select(
+        "user_id",
+        F.col("session_idx").cast("long").alias("session_idx"),
+        "session_start",
+        "session_end",
+        F.col("n_events"),
+    ).orderBy("user_id", "session_idx")
+
+
+def q27_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pinecone_datasets_spark.operators.windows import running_total
+
+    orders = _t(spark, sf_dir, "orders")
+    out = running_total(
+        orders,
+        partition_col="o_custkey",
+        order_cols=["o_orderdate", "o_orderkey"],
+        value_col="o_totalprice",
+        alias="cum_spend",
+    )
+    return out.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round("cum_spend", 2).alias("cum_spend"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+def q28_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis with oracles: language ID, quality scoring
+# ---------------------------------------------------------------------------
+
+
+def q29_lang_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pinecone_datasets_spark.functions.text import detect_language
+
+    doc = _t(spark, sf_dir, "documents")
+    return (
+        doc.select(
+            "doc_id",
+            detect_language("text").alias("detected"),
+            "lang",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q30_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pinecone_datasets_spark.functions.text import quality_score
+
+    doc = _t(spark, sf_dir, "documents")
+    return doc.select(
+        "doc_id", F.round(quality_score("text"), 4).alias("quality")
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Stored-filter search (the pandas-UDF interpreter path) + sparse vectors
+# ---------------------------------------------------------------------------
+
+
+def q31_stored_filter_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay queries whose Pinecone filters live in the table itself —
+    exercises the per-(doc, query) interpreter (Arrow-batched UDF)."""
+    import json
+
+    emb = _t(spark, sf_dir, "embeddings")
+    doc = _t(spark, sf_dir, "documents")
+    docs = emb.join(doc, emb.vec_id == doc.doc_id).select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").alias("values"),
+        F.to_json(F.struct("lang", "n_chars")).alias("metadata"),
+    )
+    filters = [
+        json.dumps({"lang": {"$eq": "en"}}),
+        json.dumps({"lang": {"$in": ["de", "fr"]}}),
+        json.dumps({"n_chars": {"$gt": 300}}),
+    ]
+    qrows = emb.where(F.col("vec_id") < 3).select("vec_id", "embedding")
+    queries = qrows.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("vector"),
+        F.element_at(
+            F.lit(filters), F.col("vec_id").cast("int") + 1
+        ).alias("filter"),
+        F.lit(5).alias("top_k"),
+    )
+    out = topk_search(
+        docs,
+        queries,
+        metric="dot",
+        doc_id_col="id",
+        metadata_col="metadata",
+        apply_stored_filters=True,
+    )
+    return out.select(
+        "query_id",
+        F.col("id").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    ).orderBy("query_id", "rank")
+
+
+def q32_sparse_dot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse vector search: dense embeddings sparsified (elements > 0.8,
+    1-based indices), scored with the map-based sparse dot product."""
+    from pinecone_datasets_spark.functions.vector import (
+        dense_to_sparse,
+        sparse_dot_product,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    sparse = emb.select(
+        "vec_id", dense_to_sparse("embedding", threshold=0.8).alias("sv")
+    )
+    docs = sparse.select(
+        F.col("vec_id").alias("doc_id"), F.col("sv").alias("doc_sv")
+    )
+    queries = sparse.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("sv").alias("query_sv")
+    )
+    scored = docs.crossJoin(F.broadcast(queries)).select(
+        "query_id",
+        "doc_id",
+        F.round(sparse_dot_product("query_sv", "doc_sv"), 4).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 5)
+        .orderBy("query_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Non-SQL-expressible entries (rows-only check): approximate / hash-seeded
 # ---------------------------------------------------------------------------
 
@@ -489,6 +643,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q23_nations_set_ops": q23_nations_set_ops,
         "q24_ann_lsh": q24_ann_lsh,
         "q25_simhash": q25_simhash,
+        "q26_sessionize": q26_sessionize,
+        "q27_running_revenue": q27_running_revenue,
+        "q28_distinct_users": q28_distinct_users,
+        "q29_lang_detect": q29_lang_detect,
+        "q30_quality_score": q30_quality_score,
+        "q31_stored_filter_search": q31_stored_filter_search,
+        "q32_sparse_dot_topk": q32_sparse_dot_topk,
     }
 
 
@@ -739,6 +900,127 @@ ORDER BY id_a, id_b
 SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
 WHERE event_type = 'click' AND value > 50
 ORDER BY event_id
+""",
+        "q26_sessionize": """
+WITH marked AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(CAST(ts AS TIMESTAMP))
+                   - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP)) > 1800000000
+              THEN 1 ELSE 0 END AS is_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts,
+         sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM marked)
+SELECT user_id, session_idx, min(ts) AS session_start,
+       max(ts) AS session_end, count(*) AS n_events
+FROM sess GROUP BY user_id, session_idx
+ORDER BY user_id, session_idx
+""",
+        "q27_running_revenue": """
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS UNBOUNDED PRECEDING), 2) AS cum_spend
+FROM orders
+ORDER BY o_custkey, o_orderkey
+""",
+        "q28_distinct_users": """
+SELECT event_type, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+        "q29_lang_detect": """
+WITH toks AS (
+  SELECT doc_id, lang,
+         string_split_regex(lower(trim(text)), '\\s+') AS ws
+  FROM documents
+), scores AS (
+  SELECT doc_id, lang,
+    len(list_filter(ws, x -> x IN ('der','die','das','und','ist','nicht','ein','zu'))) AS s_de,
+    len(list_filter(ws, x -> x IN ('the','and','is','of','to','in','that','it'))) AS s_en,
+    len(list_filter(ws, x -> x IN ('el','la','los','las','es','y','que','un'))) AS s_es,
+    len(list_filter(ws, x -> x IN ('le','la','les','et','est','que','une','des'))) AS s_fr
+  FROM toks)
+SELECT doc_id,
+       CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'unknown'
+            WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+            WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+            WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+            ELSE 'fr' END AS detected,
+       lang
+FROM scores ORDER BY doc_id
+""",
+        "q30_quality_score": """
+WITH t AS (
+  SELECT doc_id, text, len(text) AS n,
+         string_split_regex(lower(trim(text)), '\\s+') AS ws,
+         len(text) - len(regexp_replace(text, '[.,;:!?''"()\\[\\]{}-]', '', 'g')) AS n_punct
+  FROM documents
+), parts AS (
+  SELECT doc_id,
+    CASE WHEN n < 20 THEN n / 20.0
+         ELSE least(1.0, 2000.0 / greatest(n, 1)) END AS len_score,
+    CASE WHEN n_punct / greatest(n, 1) > 0.2 THEN 0.0
+         ELSE 1 - (n_punct / greatest(n, 1)) * 5 END AS punct_score,
+    least(1.0,
+      (len(list_filter(ws, x -> x IN
+        ('the','a','an','and','or','of','to','in','is','it',
+         'that','for','on','with','as','was','at','by','be')))
+       / greatest(len(ws), 1)) * 4.0) AS stop_score
+  FROM t)
+SELECT doc_id,
+       round((len_score + punct_score + stop_score) / 3.0, 4) AS quality
+FROM parts ORDER BY doc_id
+""",
+        "q31_stored_filter_search": """
+WITH docs AS (
+  SELECT e.vec_id AS id, e.embedding, d.lang, d.n_chars
+  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+), q AS (
+  SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 3
+), matched AS (
+  SELECT q.query_id, d.id AS doc_id,
+         list_dot_product(d.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS score
+  FROM docs d, q
+  WHERE (q.query_id = 0 AND d.lang = 'en')
+     OR (q.query_id = 1 AND d.lang IN ('de', 'fr'))
+     OR (q.query_id = 2 AND d.n_chars > 300)
+), ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rank
+  FROM matched)
+SELECT query_id, doc_id, round(score, 4) AS score, rank
+FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank
+""",
+        "q32_sparse_dot_topk": """
+WITH sparse AS (
+  SELECT vec_id,
+         list_filter(generate_series(1, len(embedding)),
+                     i -> embedding[i] > 0.8) AS idx,
+         embedding::DOUBLE[] AS emb
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, idx AS qidx, emb AS qemb
+  FROM sparse WHERE vec_id < 5
+), scored AS (
+  SELECT q.query_id, d.vec_id AS doc_id,
+         round(coalesce(list_sum(list_transform(
+           list_intersect(q.qidx, d.idx),
+           i -> q.qemb[i] * d.emb[i])), 0.0), 4) AS score
+  FROM sparse d, q
+), ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rank
+  FROM scored)
+SELECT query_id, doc_id, score, rank
+FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank
 """,
         "q23_nations_set_ops": """
 WITH rich AS (SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 7000)

@@ -35,12 +35,35 @@ def _extract(metadata_col: Column, field: str) -> Column:
 
 
 def _typed(raw: Column, value: Any) -> tuple[Column, Column]:
-    """Cast the extracted JSON text and the literal to a comparable type."""
+    """Cast the extracted JSON text and the literal to a comparable type.
+
+    Comparison is type-sensitive (a string field never equals a numeric
+    literal); a mismatched type yields NULL which downstream treats as
+    "no match" ($eq) or "differs" ($ne). ``try_cast``, not ``cast``: under
+    ANSI mode (Spark 4 default) a plain cast *throws* on mismatched text.
+    Booleans get an explicit true/false mapping because Spark's
+    string→boolean cast also accepts '1'/'0' (JSON number 1 must NOT
+    equal literal ``true``).
+
+    Known coercion corner (documented divergence): JSON text extraction
+    cannot distinguish the number ``3`` from the string ``"3"`` — a
+    string literal that looks numeric compares against the JSON text.
+    """
     if isinstance(value, bool):
-        return raw.cast("boolean"), F.lit(value)
+        mapped = (
+            F.when(raw == "true", F.lit(True))
+            .when(raw == "false", F.lit(False))
+            .otherwise(F.lit(None).cast("boolean"))
+        )
+        return mapped, F.lit(value)
     if isinstance(value, (int, float)):
-        return raw.cast("double"), F.lit(float(value))
+        return raw.try_cast("double"), F.lit(float(value))
     return raw, F.lit(value)
+
+
+def _null_safe_eq(lhs: Column, rhs: Column) -> Column:
+    """(lhs == rhs) with NULL (absent / type-mismatch) meaning False."""
+    return F.coalesce(lhs == rhs, F.lit(False))
 
 
 def _compile_leaf(metadata_col: Column, field: str, op: str, value: Any) -> Column:
@@ -58,15 +81,16 @@ def _compile_leaf(metadata_col: Column, field: str, op: str, value: Any) -> Colu
         eqs = []
         for v in value:
             lhs, rhs = _typed(raw, v)
-            eqs.append(lhs == rhs)
+            eqs.append(_null_safe_eq(lhs, rhs))
         any_eq = reduce(lambda a, b: a | b, eqs)
         return any_eq if op == "$in" else (raw.isNotNull() & ~any_eq)
     lhs, rhs = _typed(raw, value)
     if op == "$eq":
-        return lhs == rhs
+        return _null_safe_eq(lhs, rhs)
     if op == "$ne":
-        # Pinecone $ne matches records where the field exists and differs.
-        return lhs.isNotNull() & (lhs != rhs)
+        # Matches when the field exists and differs — a type-mismatched
+        # value differs by definition.
+        return raw.isNotNull() & ~_null_safe_eq(lhs, rhs)
     if op == "$gt":
         return lhs > rhs
     if op == "$gte":

@@ -94,6 +94,26 @@ def sparse_dot_product(a: ColumnOrName, b: ColumnOrName) -> Column:
     )
 
 
+def dense_to_sparse(
+    vec: ColumnOrName, threshold: float = 0.0, one_based: bool = True
+) -> Column:
+    """Dense array → sparse struct{indices, values}, keeping elements with
+    value > threshold. Pure built-ins (filter + transform + element_at);
+    index base configurable (1-based matches SQL engines' list indexing,
+    easing oracle parity). Sparse struct layout per reference
+    ``MAINTAINERS.md:97``."""
+    v = _c(vec)
+    n = F.size(v)
+    base = F.sequence(F.lit(1), n)
+    keep = F.filter(base, lambda i: F.element_at(v, i) > F.lit(threshold))
+    indices = keep if one_based else F.transform(keep, lambda i: i - 1)
+    values = F.transform(keep, lambda i: F.element_at(v, i))
+    return F.struct(
+        indices.cast("array<bigint>").alias("indices"),
+        values.cast("array<float>").alias("values"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Fast path: Arrow-batched NumPy kernels. One Python crossing per Arrow
 # batch; inside the batch it's a BLAS matmul over a contiguous (n, dim)

@@ -1,0 +1,95 @@
+"""Physical-plan assertions: the scale discipline, verified.
+
+A correct result with the wrong plan fails at 100 TB; these tests pin the
+plan shapes we rely on (pushdown, pruning, broadcast, partial top-k,
+JVM-only filter evaluation).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pinecone_datasets_spark.functions.filters import compile_filter
+from pinecone_datasets_spark.operators.search import topk_search
+from pinecone_datasets_spark.plans.explain import (
+    formatted_plan,
+    pushed_filters,
+    scan_read_schema,
+)
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+
+def test_filter_pushdown_reaches_scan(lineitem):
+    df = lineitem.where(F.col("l_quantity") > 30).select(
+        "l_orderkey", "l_quantity"
+    )
+    pushed = pushed_filters(df)
+    assert any("l_quantity" in p for p in pushed), pushed
+
+
+def test_column_pruning(lineitem):
+    df = lineitem.select("l_orderkey", "l_quantity")
+    read = scan_read_schema(df)
+    assert set(read) == {"l_orderkey", "l_quantity"}, read
+
+
+def test_projection_pruning_through_agg(lineitem):
+    df = lineitem.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("s"))
+    read = scan_read_schema(df)
+    # only the grouping and aggregated columns should be scanned
+    assert set(read) == {"l_returnflag", "l_quantity"}, read
+
+
+def test_conform_prunes_at_scan(spark, tmp_path):
+    """Conformance projection must push into the parquet reader: reading a
+    2-column slice of a documents table scans only those columns."""
+    from conftest import make_vector_dataset
+    from pinecone_datasets_spark import Dataset
+
+    path = make_vector_dataset(tmp_path, spark)
+    ds = Dataset.from_path(spark, path)
+    df = ds.documents.select("id", "values")
+    read = scan_read_schema(df)
+    assert set(read) == {"id", "values"}, read
+
+
+def test_topk_search_broadcasts_queries_and_limits_window(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    docs = emb.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("values")
+    )
+    queries = emb.limit(5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("vector"),
+    )
+    out = topk_search(docs, queries, metric="dot", k=3, metadata_col=None)
+    plan = formatted_plan(out)
+    assert "Broadcast" in plan
+    # Spark >= 3.5 inserts partial top-k before the window shuffle
+    assert "WindowGroupLimit" in plan
+    # the documents side must not shuffle before scoring
+    assert "BatchEvalPython" not in plan
+
+
+def test_compiled_filter_stays_jvm_side(spark, sf_dir):
+    doc = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "metadata", F.to_json(F.struct("lang", "n_chars"))
+    )
+    out = doc.where(compile_filter({"lang": "en", "n_chars": {"$gt": 100}}))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_broadcast_join_for_small_dims(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        "l_orderkey", "p_name"
+    )
+    assert "BroadcastHashJoin" in formatted_plan(j)
