@@ -583,6 +583,29 @@ def q32_sparse_dot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q33_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation: dedup -> quality gate -> length
+    gate, composed as ONE Catalyst plan (operators/pipeline.py)."""
+    from pinecone_datasets_spark.operators.pipeline import curate_corpus
+
+    corpus = _docs_with_dups(spark, sf_dir)
+    out = curate_corpus(corpus, min_quality=0.5, min_words=30)
+    return out.select(
+        "doc_id",
+        "n_words",
+        F.round("quality", 4).alias("quality"),
+    ).orderBy("doc_id")
+
+
+def q34_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pinecone_datasets_spark.operators.pipeline import curation_report
+
+    corpus = _docs_with_dups(spark, sf_dir)
+    return curation_report(corpus, min_quality=0.5, min_words=30).orderBy(
+        "lang"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Non-SQL-expressible entries (rows-only check): approximate / hash-seeded
 # ---------------------------------------------------------------------------
@@ -650,6 +673,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q30_quality_score": q30_quality_score,
         "q31_stored_filter_search": q31_stored_filter_search,
         "q32_sparse_dot_topk": q32_sparse_dot_topk,
+        "q33_curation_pipeline": q33_curation_pipeline,
+        "q34_curation_report": q34_curation_report,
     }
 
 
@@ -719,12 +744,48 @@ ORDER BY id_a, id_b
 
 
 _DUP_CORPUS = """
-  SELECT doc_id, text FROM documents
+  SELECT doc_id, text, lang FROM documents
   UNION ALL
-  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+  SELECT doc_id + 1000000 AS doc_id, text, lang
+  FROM documents WHERE doc_id % 10 = 0
 """
 
 _FP = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
+
+# Annotation CTE shared by the curation oracles: word count + quality score
+# over an upstream relation named ``dedup`` (duckdb twin of
+# functions/text.py word_count + quality_score).
+_ANNOTATE = """
+annotated AS (
+  SELECT doc_id, lang,
+         (CASE WHEN trim(text) = '' THEN 0
+               ELSE len(trim(text)) - len(replace(trim(text), ' ', '')) + 1
+          END)::BIGINT AS n_words,
+         (CASE WHEN len(text) < 20 THEN len(text) / 20.0
+               ELSE least(1.0, 2000.0 / greatest(len(text), 1)) END
+          + CASE WHEN (len(text) - len(regexp_replace(text,
+                   '[.,;:!?''"()\\[\\]{}-]', '', 'g'))) / greatest(len(text), 1) > 0.2
+                 THEN 0.0
+                 ELSE 1 - ((len(text) - len(regexp_replace(text,
+                   '[.,;:!?''"()\\[\\]{}-]', '', 'g'))) / greatest(len(text), 1)) * 5
+            END
+          + least(1.0,
+              (len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                 x -> x IN ('the','a','an','and','or','of','to','in','is','it',
+                            'that','for','on','with','as','was','at','by','be')))
+               / greatest(len(string_split_regex(lower(trim(text)), '\\s+')), 1)) * 4.0)
+         ) / 3.0 AS quality
+  FROM dedup
+)
+"""
+
+_DEDUP_CTE = f"""
+corpus AS ({_DUP_CORPUS}),
+keep AS (
+  SELECT min(doc_id) AS doc_id FROM corpus GROUP BY {_FP}),
+dedup AS (
+  SELECT c.* FROM corpus c JOIN keep k ON c.doc_id = k.doc_id)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -996,6 +1057,23 @@ WITH docs AS (
 SELECT query_id, doc_id, round(score, 4) AS score, rank
 FROM ranked WHERE rank <= 5
 ORDER BY query_id, rank
+""",
+        "q33_curation_pipeline": f"""
+WITH {_DEDUP_CTE}, {_ANNOTATE}
+SELECT doc_id, n_words, round(quality, 4) AS quality
+FROM annotated
+WHERE quality >= 0.5 AND n_words >= 30
+ORDER BY doc_id
+""",
+        "q34_curation_report": f"""
+WITH {_DEDUP_CTE}, {_ANNOTATE}
+SELECT lang,
+       count(*) AS n_deduped,
+       sum(CASE WHEN quality >= 0.5 THEN 1 ELSE 0 END) AS n_quality_pass,
+       sum(CASE WHEN quality >= 0.5 AND n_words >= 30 THEN 1 ELSE 0 END)
+         AS n_curated
+FROM annotated
+GROUP BY lang ORDER BY lang
 """,
         "q32_sparse_dot_topk": """
 WITH sparse AS (

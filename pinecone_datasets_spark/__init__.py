@@ -27,6 +27,7 @@ from .metadata import (
 )
 from .public import list_datasets, load_dataset
 from .cache import clear_cache, get_cache_info
+from .session import get_spark_session
 
 __all__ = [
     "Catalog",
@@ -43,5 +44,6 @@ __all__ = [
     "load_dataset",
     "get_cache_info",
     "clear_cache",
+    "get_spark_session",
     "__version__",
 ]

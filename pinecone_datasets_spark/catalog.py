@@ -33,9 +33,12 @@ class Catalog:
     def load(self, **kwargs: Any) -> "Catalog":
         """S5 catalog scan (reference catalog.py:40-68): glob
         ``<base>/*/metadata.json``; skip malformed entries with a warning."""
+        from .progress import progress
+
         fs = FS(self._spark)
         collected: list[DatasetMetadata] = []
-        for meta_path in fs.glob(join(self.base_path, "*", "metadata.json")):
+        paths = fs.glob(join(self.base_path, "*", "metadata.json"))
+        for meta_path in progress(paths, desc="loading catalog"):
             try:
                 text = fs.read_text(meta_path)
             except OSError as e:
@@ -57,10 +60,36 @@ class Catalog:
         if self._datasets is None:
             self.load()
         if as_df:
-            rows = [m.to_dict() for m in self._datasets]
-            if not rows:
-                return self._spark.createDataFrame([], "name string")
-            return self._spark.createDataFrame(rows)
+            import json as _json
+
+            # Explicit schema: inference fails on all-None optional fields.
+            schema = (
+                "name string, created_at string, documents long, "
+                "queries long, source string, license string, bucket string, "
+                "task string, description string, tags array<string>, "
+                "args string, dense_model_name string, "
+                "dense_model_dimension long, sparse_model_name string"
+            )
+            rows = [
+                (
+                    m.name,
+                    m.created_at,
+                    m.documents,
+                    m.queries,
+                    m.source,
+                    m.license,
+                    m.bucket,
+                    m.task,
+                    m.description,
+                    m.tags,
+                    _json.dumps(m.args) if m.args is not None else None,
+                    m.dense_model.name if m.dense_model else None,
+                    m.dense_model.dimension if m.dense_model else None,
+                    m.sparse_model.name if m.sparse_model else None,
+                )
+                for m in self._datasets
+            ]
+            return self._spark.createDataFrame(rows, schema)
         return [m.name for m in self._datasets]
 
     def load_dataset(self, dataset_id: str, **kwargs: Any) -> Dataset:

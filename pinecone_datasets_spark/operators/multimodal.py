@@ -48,6 +48,14 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 )
 
 
+def _ship(df: DataFrame) -> None:
+    """Kernels below reference module functions (pickled by reference);
+    make the package importable on workers."""
+    from ..shipping import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
+
+
 def _fake_decode(content: bytes, feature_dim: int) -> tuple[int, int, float, np.ndarray]:
     """Deterministic fake: all outputs derive from sha256(content), so the
     pipeline is reproducible and testable without codec libraries."""
@@ -73,6 +81,7 @@ def extract_image_features(
             "image decoding requires Pillow/opencv, not present in this "
             "environment; pass fake=True to exercise the pipeline"
         )
+    _ship(media)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -117,6 +126,7 @@ def sample_video_frames(
             "video decoding requires ffmpeg bindings, not present; pass "
             "fake=True to exercise the pipeline"
         )
+    _ship(media)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -151,8 +151,16 @@ def _matches_filter_series(metadata: pd.Series, filt: pd.Series) -> pd.Series:
 
 
 def _matches_filter_udf(metadata: Column, filt: Column) -> Column:
+    from pyspark.sql import SparkSession
     from pyspark.sql.types import BooleanType
 
+    from ..shipping import ensure_shipped
+
+    spark = SparkSession.getActiveSession()
+    if spark is not None:
+        # The kernel references module-level functions (pickled by
+        # reference); ship the package so workers can import it.
+        ensure_shipped(spark)
     udf = F.pandas_udf(_matches_filter_series, BooleanType())
     return udf(metadata, filt)
 

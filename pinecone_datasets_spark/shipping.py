@@ -1,0 +1,43 @@
+"""Self-shipping: make this package importable on Spark workers.
+
+Python kernels (``pandas_udf`` / ``mapInPandas``) that reference
+module-level functions are cloudpickled *by reference* — the worker
+process must be able to ``import pinecone_datasets_spark``. That holds
+when the package is pip-installed or the worker inherits the right cwd,
+but not when the driver merely did ``sys.path.insert``. Rather than make
+every kernel artificially self-contained, the UDF construction sites call
+``ensure_shipped(spark)``: zip this package once per session and
+``addPyFile`` it, which distributes to every executor (local or cluster).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import zipfile
+
+_SHIPPED_SESSIONS: set[int] = set()
+
+
+def ensure_shipped(spark) -> None:
+    key = id(spark.sparkContext)
+    if key in _SHIPPED_SESSIONS:
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    pkg_name = os.path.basename(pkg_dir)
+    zip_path = os.path.join(
+        tempfile.gettempdir(), f"{pkg_name}-{os.getpid()}.zip"
+    )
+    if not os.path.exists(zip_path):
+        with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for fname in files:
+                    if not fname.endswith(".py"):
+                        continue
+                    full = os.path.join(root, fname)
+                    rel = os.path.join(
+                        pkg_name, os.path.relpath(full, pkg_dir)
+                    )
+                    zf.write(full, rel)
+    spark.sparkContext.addPyFile(zip_path)
+    _SHIPPED_SESSIONS.add(key)
