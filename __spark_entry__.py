@@ -583,6 +583,31 @@ def q32_sparse_dot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q35_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: KMeans cells + nprobe probing (seeded, approximate — no
+    SQL oracle; the exact twin is q20). The 100 TB similarity-search
+    path: assignment is map-only, the probe join moves only the probed
+    fraction of the corpus."""
+    from pinecone_datasets_spark.operators.ivf import (
+        assign_cells,
+        ivf_topk,
+        train_centroids,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    docs = emb.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("values")
+    )
+    centroids = train_centroids(docs, n_centroids=8, max_iter=10)
+    with_cells = assign_cells(docs, centroids)
+    queries = docs.where(F.col("id") < 10).select(
+        F.col("id").alias("query_id"), F.col("values").alias("vector")
+    )
+    return ivf_topk(
+        with_cells, queries, centroids, k=5, nprobe=4, metric="cosine"
+    )
+
+
 def q33_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data curation: dedup -> quality gate -> length
     gate, composed as ONE Catalyst plan (operators/pipeline.py)."""
@@ -675,6 +700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q32_sparse_dot_topk": q32_sparse_dot_topk,
         "q33_curation_pipeline": q33_curation_pipeline,
         "q34_curation_report": q34_curation_report,
+        "q35_ivf_topk": q35_ivf_topk,
     }
 
 

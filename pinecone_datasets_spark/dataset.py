@@ -199,14 +199,18 @@ class Dataset:
             # Message shape mirrors dataset.py:213-222.
             raise ValueError("batch_size must be greater than 0")
         df = self._non_empty_select(self.documents, DOCUMENTS_SELECT_COLUMNS)
+        offset = 0
         batch: list[dict[str, Any]] = []
         for row in df.toLocalIterator(prefetchPartitions=True):
             batch.append(_row_to_dict(row, ("metadata",)))
             if len(batch) == batch_size:
-                yield batch
+                # return_indexes yields (start_offset, batch) tuples
+                # (reference dataset.py:22-29)
+                yield (offset, batch) if return_indexes else batch
+                offset += batch_size
                 batch = []
         if batch:
-            yield batch
+            yield (offset, batch) if return_indexes else batch
 
     def iter_queries(self) -> Iterator[dict[str, Any]]:
         """S14 single-row egress (reference dataset.py:224-236)."""

@@ -1,0 +1,156 @@
+"""IVF (inverted-file) approximate nearest-neighbor search.
+
+The scale path for similarity search: partition the corpus into Voronoi
+cells around KMeans centroids, then search only the ``nprobe`` cells
+closest to each query. At 100 TB this turns every query from a full-corpus
+scan into a scan of nprobe/n_centroids of the data — and because cell
+assignment is a *stored* column, a cell-partitioned layout gets partition
+pruning from the Parquet reader for free.
+
+Plan shape:
+  build: sample -> KMeans.fit (driver-coordinated MLlib job) ->
+         assign cells via one matmul kernel (map-only, no shuffle)
+  query: per query pick nprobe cells (tiny driver/broadcast compute) ->
+         explode -> shuffle-hash join on cell id -> exact re-score ->
+         windowed partial top-k
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vector import cosine_similarity, dot_product
+
+
+def _assign_udf(centroids: np.ndarray, normalize: bool):
+    """vec -> nearest-centroid id, one BLAS matmul per Arrow batch."""
+    c = np.ascontiguousarray(centroids, dtype=np.float64)
+    cn = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-30)
+
+    def kernel(vecs: pd.Series) -> pd.Series:
+        m = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        if len(m) == 0:
+            return pd.Series([], dtype="int32")
+        if normalize:
+            m = m / np.maximum(
+                np.linalg.norm(m, axis=1, keepdims=True), 1e-30
+            )
+            sims = m @ cn.T
+            return pd.Series(np.argmax(sims, axis=1).astype(np.int32))
+        d = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        return pd.Series(np.argmin(d, axis=1).astype(np.int32))
+
+    from pyspark.sql.types import IntegerType
+
+    return F.pandas_udf(kernel, IntegerType())
+
+
+def train_centroids(
+    documents: DataFrame,
+    n_centroids: int = 16,
+    vector_col: str = "values",
+    sample_fraction: Optional[float] = None,
+    seed: int = 42,
+    max_iter: int = 20,
+) -> np.ndarray:
+    """KMeans centroids from a (sampled) corpus via MLlib.
+
+    Sampling bounds the training cost: centroids need only represent the
+    distribution, so a ~100k-row sample suffices regardless of corpus
+    size (sample_fraction=None auto-sizes to that budget).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    src = documents.select(F.col(vector_col).alias("_v"))
+    if sample_fraction is None:
+        n = documents.count()
+        sample_fraction = min(1.0, 100_000 / max(n, 1))
+    if sample_fraction < 1.0:
+        src = src.sample(fraction=sample_fraction, seed=seed)
+    train = src.select(array_to_vector(F.col("_v")).alias("features"))
+    model = KMeans(
+        k=n_centroids, seed=seed, maxIter=max_iter, featuresCol="features"
+    ).fit(train)
+    return np.array([np.asarray(c) for c in model.clusterCenters()])
+
+
+def assign_cells(
+    documents: DataFrame,
+    centroids: np.ndarray,
+    vector_col: str = "values",
+    metric: str = "cosine",
+    cell_col: str = "ivf_cell",
+) -> DataFrame:
+    """Add the nearest-centroid cell id (map-only; persist + partition the
+    output by this column to get Parquet partition pruning at query time).
+    """
+    udf = _assign_udf(centroids, normalize=(metric == "cosine"))
+    return documents.withColumn(cell_col, udf(F.col(vector_col)))
+
+
+def ivf_topk(
+    documents_with_cells: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    k: int = 5,
+    nprobe: int = 4,
+    metric: str = "cosine",
+    query_id_col: str = "query_id",
+    query_vector_col: str = "vector",
+    doc_id_col: str = "id",
+    doc_vector_col: str = "values",
+    cell_col: str = "ivf_cell",
+) -> DataFrame:
+    """Per-query top-k over the nprobe nearest cells only.
+
+    The probe set rides with the (small, broadcast) queries side; the join
+    on cell id is the only shuffle of corpus rows, and it moves just the
+    probed fraction.
+    """
+    c = np.ascontiguousarray(centroids, dtype=np.float64)
+    cn = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-30)
+
+    def probes(vec) -> list[int]:
+        v = np.asarray(vec, dtype=np.float64)
+        if metric == "cosine":
+            v = v / max(np.linalg.norm(v), 1e-30)
+            order = np.argsort(-(cn @ v))
+        else:
+            order = np.argsort(((c - v) ** 2).sum(axis=1))
+        return [int(x) for x in order[:nprobe]]
+
+    qrows = queries.select(query_id_col, query_vector_col).collect()
+    probe_rows = [
+        (r[query_id_col], r[query_vector_col], cell)
+        for r in qrows
+        for cell in probes(r[query_vector_col])
+    ]
+    spark = documents_with_cells.sparkSession
+    q_exp = spark.createDataFrame(
+        probe_rows, schema=f"{query_id_col} long, {query_vector_col} array<float>, {cell_col} int"
+    )
+    score = (
+        cosine_similarity(doc_vector_col, query_vector_col)
+        if metric == "cosine"
+        else dot_product(doc_vector_col, query_vector_col)
+    )
+    candidates = documents_with_cells.join(
+        F.broadcast(q_exp), on=cell_col
+    ).select(
+        F.col(query_id_col),
+        F.col(doc_id_col),
+        score.alias("score"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("score"), F.col(doc_id_col)
+    )
+    return (
+        candidates.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

@@ -28,15 +28,33 @@ if TYPE_CHECKING:  # pragma: no cover
     from .dataset import Dataset
 
 
-def _write_table(df: DataFrame, table_dir: str, single_file: bool) -> None:
+def _write_table(
+    df: DataFrame,
+    table_dir: str,
+    single_file: bool,
+    partition_by: list[str] | None = None,
+) -> None:
     out = df.coalesce(1) if single_file else df
-    out.write.mode("overwrite").parquet(table_dir)
+    writer = out.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(table_dir)
 
 
-def write_documents(df: DataFrame, dataset_path: str, single_file: bool = False) -> None:
+def write_documents(
+    df: DataFrame,
+    dataset_path: str,
+    single_file: bool = False,
+    partition_by: list[str] | None = None,
+) -> None:
     """S7. ``metadata``/``blob`` are already JSON strings in our model, so
-    the reference's dict→JSON encode step (F2) is a no-op here."""
-    _write_table(df, join(dataset_path, "documents"), single_file)
+    the reference's dict→JSON encode step (F2) is a no-op here.
+
+    ``partition_by`` (scale extension): hive-partition the documents dir
+    by derived columns (e.g. a metadata field hoisted with
+    ``get_json_object``, or an IVF cell id) so downstream filtered reads
+    get partition pruning from the Parquet scan."""
+    _write_table(df, join(dataset_path, "documents"), single_file, partition_by)
 
 
 def write_queries(df: DataFrame, dataset_path: str, single_file: bool = False) -> None:

@@ -68,6 +68,14 @@ def test_iter_documents_batches(spark, tmp_path):
         list(ds.iter_documents(batch_size=0))
 
 
+def test_iter_documents_return_indexes(spark, tmp_path):
+    """(start_offset, batch) tuples (reference dataset.py:22-29)."""
+    path = make_vector_dataset(tmp_path, spark)
+    ds = Dataset.from_path(spark, path)
+    out = list(ds.iter_documents(batch_size=4, return_indexes=True))
+    assert [(i, len(b)) for i, b in out] == [(0, 4), (4, 2)]
+
+
 def test_iter_queries(spark, tmp_path):
     path = make_vector_dataset(tmp_path, spark)
     ds = Dataset.from_path(spark, path)

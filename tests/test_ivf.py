@@ -1,0 +1,80 @@
+"""IVF ANN: recall against exact search, cell-assignment sanity."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pinecone_datasets_spark.operators.ivf import (
+    assign_cells,
+    ivf_topk,
+    train_centroids,
+)
+from pinecone_datasets_spark.operators.search import topk_search
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return emb.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("values")
+    ).cache()
+
+
+def test_ivf_recall(spark, corpus):
+    centroids = train_centroids(corpus, n_centroids=8, max_iter=10)
+    assert centroids.shape == (8, 64)
+    with_cells = assign_cells(corpus, centroids).cache()
+    # every doc lands in exactly one valid cell
+    cells = with_cells.select("ivf_cell").distinct().collect()
+    assert all(0 <= r["ivf_cell"] < 8 for r in cells)
+
+    queries = corpus.where(F.col("id") < 10).select(
+        F.col("id").alias("query_id"), F.col("values").alias("vector")
+    )
+    exact = topk_search(corpus, queries, metric="cosine", k=5,
+                        doc_id_col="id", metadata_col=None).collect()
+    approx = ivf_topk(
+        with_cells, queries, centroids, k=5, nprobe=4, metric="cosine"
+    ).collect()
+
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["id"])
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["id"])
+
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    # nprobe=4 of 8 cells -> at minimum the query's own cell is probed, so
+    # self-match always survives; average recall should be solid
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
+    # self-match: each query's own id must be in its result (it shares the
+    # query's cell by construction)
+    for q, s in exact_sets.items():
+        assert q in approx_sets.get(q, set())
+
+
+def test_ivf_probes_fraction(spark, corpus):
+    """With nprobe=1 each query's candidates come from one cell — the scan
+    fraction is bounded by the largest single cell."""
+    centroids = train_centroids(corpus, n_centroids=8, max_iter=10)
+    with_cells = assign_cells(corpus, centroids)
+    queries = corpus.where(F.col("id") < 3).select(
+        F.col("id").alias("query_id"), F.col("values").alias("vector")
+    )
+    out = ivf_topk(with_cells, queries, centroids, k=100, nprobe=1)
+    per_q = (
+        out.groupBy("query_id").count().collect()
+    )
+    total = corpus.count()
+    largest_cell = (
+        with_cells.groupBy("ivf_cell").count()
+        .agg(F.max("count")).collect()[0][0]
+    )
+    assert all(r["count"] <= min(100, largest_cell) for r in per_q)
+    assert largest_cell < total  # clustering actually split the corpus

@@ -1,0 +1,88 @@
+"""Module-level convenience API (C4) + error paths."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+import pinecone_datasets_spark.public as public
+from pinecone_datasets_spark import Catalog, list_datasets, load_dataset
+from pinecone_datasets_spark.cfg import CATALOG_BASE_PATH_ENV
+
+
+@pytest.fixture()
+def catalog_env(spark, tmp_path, monkeypatch):
+    import pandas as pd
+
+    ds_dir = tmp_path / "pub-ds"
+    (ds_dir / "documents").mkdir(parents=True)
+    pd.DataFrame({"id": ["1"], "values": [[0.5, 0.5]]}).to_parquet(
+        ds_dir / "documents" / "part-0.parquet", index=False
+    )
+    (ds_dir / "metadata.json").write_text(
+        json.dumps(
+            {
+                "name": "pub-ds",
+                "documents": 1,
+                "queries": 0,
+                "dense_model": {"name": "m", "dimension": 2},
+            }
+        )
+    )
+    monkeypatch.setenv(CATALOG_BASE_PATH_ENV, str(tmp_path))
+    # reset the module singleton so the env var takes effect
+    monkeypatch.setattr(public, "_global_catalog", None)
+    return str(tmp_path)
+
+
+def test_env_var_base_path_and_singleton(spark, catalog_env):
+    """Reference catalog.py:30-35 / public.py parity: env-var base path,
+    lazily constructed global catalog."""
+    names = list_datasets(spark=spark)
+    assert names == ["pub-ds"]
+    ds = load_dataset("pub-ds", spark=spark)
+    assert ds.documents.count() == 1
+
+
+def test_corrupt_parquet_raises(spark, tmp_path):
+    """Reference test_fsreader_errors.py:146-181 parity: corrupt part file
+    surfaces as a read error, not silence."""
+    from pinecone_datasets_spark import Dataset
+
+    base = tmp_path / "corrupt"
+    ddir = base / "documents"
+    ddir.mkdir(parents=True)
+    (ddir / "part-0.parquet").write_bytes(b"this is not parquet at all")
+    (base / "metadata.json").write_text(
+        json.dumps(
+            {
+                "name": "corrupt",
+                "documents": 1,
+                "queries": 0,
+                "dense_model": {"name": "m", "dimension": 2},
+            }
+        )
+    )
+    ds = Dataset.from_path(spark, str(base))
+    with pytest.raises(Exception):
+        ds.documents.count()
+
+
+def test_save_requires_name(spark, tmp_path):
+    from pinecone_datasets_spark import Dataset, DatasetMetadata, DenseModelMetadata
+    import pandas as pd
+
+    meta = DatasetMetadata(
+        name="x",
+        documents=1,
+        queries=0,
+        dense_model=DenseModelMetadata(name="m", dimension=2),
+    )
+    ds = Dataset.from_dataframe(
+        spark, pd.DataFrame({"id": ["1"], "values": [[0.1, 0.2]]}), meta
+    )
+    ds.metadata.name = ""
+    cat = Catalog(spark, base_path=str(tmp_path))
+    with pytest.raises(ValueError, match="name"):
+        cat.save_dataset(ds)
