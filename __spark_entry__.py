@@ -583,6 +583,59 @@ def q32_sparse_dot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q36_chars_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (continuous interpolation) per group."""
+    doc = _t(spark, sf_dir, "documents")
+    return (
+        doc.groupBy("lang")
+        .agg(
+            F.round(F.percentile("n_chars", F.lit(0.5)), 2).alias("p50"),
+            F.round(F.percentile("n_chars", F.lit(0.9)), 2).alias("p90"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q37_yearly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date functions (year/quarter extraction) + agg."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").alias("yr"),
+            F.quarter("o_orderdate").alias("qtr"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("yr", "qtr")
+    )
+
+
+def q38_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: stddev, correlation per segment."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+    )
+    return (
+        per_cust.groupBy("c_mktsegment")
+        .agg(
+            F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+            F.round(F.stddev("c_acctbal"), 4).alias("sd_bal"),
+            F.round(F.corr("c_acctbal", "n_orders"), 4).alias(
+                "bal_orders_corr"
+            ),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 def q35_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: KMeans cells + nprobe probing (seeded, approximate — no
     SQL oracle; the exact twin is q20). The 100 TB similarity-search
@@ -701,6 +754,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q33_curation_pipeline": q33_curation_pipeline,
         "q34_curation_report": q34_curation_report,
         "q35_ivf_topk": q35_ivf_topk,
+        "q36_chars_percentiles": q36_chars_percentiles,
+        "q37_yearly_revenue": q37_yearly_revenue,
+        "q38_segment_stats": q38_segment_stats,
     }
 
 
@@ -1083,6 +1139,29 @@ WITH docs AS (
 SELECT query_id, doc_id, round(score, 4) AS score, rank
 FROM ranked WHERE rank <= 5
 ORDER BY query_id, rank
+""",
+        "q36_chars_percentiles": """
+SELECT lang,
+       round(quantile_cont(n_chars, 0.5), 2) AS p50,
+       round(quantile_cont(n_chars, 0.9), 2) AS p90,
+       min(n_chars) AS min_chars,
+       max(n_chars) AS max_chars
+FROM documents GROUP BY lang ORDER BY lang
+""",
+        "q37_yearly_revenue": """
+SELECT year(o_orderdate) AS yr, quarter(o_orderdate) AS qtr,
+       count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+FROM orders GROUP BY 1, 2 ORDER BY yr, qtr
+""",
+        "q38_segment_stats": """
+WITH per_cust AS (
+  SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey)
+SELECT c_mktsegment,
+       round(avg(c_acctbal), 4) AS avg_bal,
+       round(stddev_samp(c_acctbal), 4) AS sd_bal,
+       round(corr(c_acctbal, n_orders), 4) AS bal_orders_corr
+FROM per_cust JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
 """,
         "q33_curation_pipeline": f"""
 WITH {_DEDUP_CTE}, {_ANNOTATE}
