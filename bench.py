@@ -66,6 +66,19 @@ def main() -> None:
         docs, queries = emb_queries(100)
         return ann_lsh_topk(docs, queries, k=10, bands=16, bits=8, dim=64)
 
+    def bench_vector_topk_arrow():
+        import numpy as np
+
+        from pinecone_datasets_spark.operators.search import (
+            topk_search_arrow,
+        )
+
+        docs, queries = emb_queries(100)
+        qrows = queries.collect()
+        qids = [r["query_id"] for r in qrows]
+        qmat = np.array([r["vector"] for r in qrows], dtype=np.float64)
+        return topk_search_arrow(docs, qmat, qids, k=10, metric="cosine")
+
     def bench_minhash_fast():
         docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
         return minhash_lsh_candidates(
@@ -85,6 +98,7 @@ def main() -> None:
         "q16_dedup_exact": lambda: qs["q16_dedup_exact_keep"](spark, SF_DIR),
         "minhash_lsh_64x16": bench_minhash_fast,
         "vector_topk_100q": bench_vector_topk,
+        "vector_topk_arrow_100q": bench_vector_topk_arrow,
         "ann_lsh_100q": bench_ann_lsh,
         "q09_docs_conform": lambda: qs["q09_docs_conform"](spark, SF_DIR),
     }

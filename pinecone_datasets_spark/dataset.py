@@ -178,18 +178,49 @@ class Dataset:
         return f"Dataset({meta!r})"
 
     # -- iteration egress ---------------------------------------------------
-    def _non_empty_select(self, df: DataFrame, cols: list[str]) -> DataFrame:
+
+    # Above this row count iter_documents streams partition-at-a-time
+    # instead of materializing one Arrow table on the driver.
+    ARROW_EGRESS_MAX_ROWS = 2_000_000
+
+    def _non_empty_select(
+        self, df: DataFrame, cols: list[str]
+    ) -> tuple[DataFrame, int]:
         """P6 drop-all-null-columns (reference dataset.py:215-217) as a
         single metadata-cheap aggregate: one pass of count(col) decides
-        which optional columns survive. Triggers one job — the reference
-        also materializes at this point."""
+        which optional columns survive (total row count rides along for
+        free). Triggers one job — the reference also materializes here."""
         present = [c for c in cols if c in df.columns]
         counts = df.agg(
-            *[F.count(F.col(c)).alias(c) for c in present]
+            F.count(F.lit(1)).alias("_n"),
+            *[F.count(F.col(c)).alias(c) for c in present],
         ).collect()[0]
         keep = [c for c in present if (counts[c] or 0) > 0]
         # Required columns always survive (they are non-null by schema).
-        return df.select(*keep) if keep else df.select(*present)
+        out = df.select(*keep) if keep else df.select(*present)
+        return out, counts["_n"]
+
+    def _iter_dicts(
+        self, df: DataFrame, n_rows: int, json_cols: tuple[str, ...]
+    ) -> Iterator[dict[str, Any]]:
+        """Row-dict egress. Arrow fast path (~20x over per-Row conversion;
+        the reference holds the whole table in driver RAM too) under
+        ARROW_EGRESS_MAX_ROWS; partition-streaming toLocalIterator above it.
+        """
+        if n_rows <= self.ARROW_EGRESS_MAX_ROWS:
+            table = df.toArrow()
+            for d in table.to_pylist():
+                for c in json_cols:
+                    v = d.get(c)
+                    if isinstance(v, str):
+                        try:
+                            d[c] = json.loads(v)
+                        except json.JSONDecodeError:
+                            pass
+                yield d
+        else:
+            for row in df.toLocalIterator(prefetchPartitions=True):
+                yield _row_to_dict(row, json_cols)
 
     def iter_documents(
         self, batch_size: int = 1, return_indexes: bool = False
@@ -198,11 +229,13 @@ class Dataset:
         if not isinstance(batch_size, int) or batch_size < 1:
             # Message shape mirrors dataset.py:213-222.
             raise ValueError("batch_size must be greater than 0")
-        df = self._non_empty_select(self.documents, DOCUMENTS_SELECT_COLUMNS)
+        df, n_rows = self._non_empty_select(
+            self.documents, DOCUMENTS_SELECT_COLUMNS
+        )
         offset = 0
         batch: list[dict[str, Any]] = []
-        for row in df.toLocalIterator(prefetchPartitions=True):
-            batch.append(_row_to_dict(row, ("metadata",)))
+        for d in self._iter_dicts(df, n_rows, ("metadata",)):
+            batch.append(d)
             if len(batch) == batch_size:
                 # return_indexes yields (start_offset, batch) tuples
                 # (reference dataset.py:22-29)
@@ -215,8 +248,8 @@ class Dataset:
     def iter_queries(self) -> Iterator[dict[str, Any]]:
         """S14 single-row egress (reference dataset.py:224-236)."""
         df = self.queries.select(*QUERIES_SELECT_COLUMNS)
-        for row in df.toLocalIterator(prefetchPartitions=True):
-            yield _row_to_dict(row, ("filter",))
+        n_rows = df.count()
+        yield from self._iter_dicts(df, n_rows, ("filter",))
 
     # -- sinks ---------------------------------------------------------------
     def to_path(self, dataset_path: str, single_file: bool = False) -> None:
