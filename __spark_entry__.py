@@ -636,6 +636,18 @@ def q38_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q39_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive polynomial rolling-hash fingerprints."""
+    from pinecone_datasets_spark.functions.text import (
+        rolling_hash_fingerprint,
+    )
+
+    doc = _t(spark, sf_dir, "documents")
+    return doc.select(
+        "doc_id", rolling_hash_fingerprint("text").alias("fp")
+    ).orderBy("doc_id")
+
+
 def q35_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: KMeans cells + nprobe probing (seeded, approximate — no
     SQL oracle; the exact twin is q20). The 100 TB similarity-search
@@ -757,6 +769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q36_chars_percentiles": q36_chars_percentiles,
         "q37_yearly_revenue": q37_yearly_revenue,
         "q38_segment_stats": q38_segment_stats,
+        "q39_rolling_hash": q39_rolling_hash,
     }
 
 
@@ -1162,6 +1175,15 @@ SELECT c_mktsegment,
        round(corr(c_acctbal, n_orders), 4) AS bal_orders_corr
 FROM per_cust JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment ORDER BY c_mktsegment
+""",
+        "q39_rolling_hash": """
+SELECT doc_id,
+       list_reduce(
+         list_prepend(0::BIGINT,
+           list_transform(string_split_regex(lower(trim(text)), '\\s+'),
+                          t -> ('0x' || substr(md5(t), 1, 8))::BIGINT)),
+         (a, b) -> (a * 1000003 + b) % 2147483647) AS fp
+FROM documents ORDER BY doc_id
 """,
         "q33_curation_pipeline": f"""
 WITH {_DEDUP_CTE}, {_ANNOTATE}

@@ -123,3 +123,27 @@ def doc_fingerprint(text: ColumnOrName) -> Column:
     Identical in any SQL engine; used as the exact-dedup key."""
     normalized = F.regexp_replace(F.lower(F.trim(_c(text))), r"\s+", " ")
     return F.md5(normalized)
+
+
+# Rolling-hash parameters: base ~2^20, Mersenne-31 modulus. Accumulator
+# stays < 2^52 (P*B + 2^32), safe under ANSI overflow checking.
+_RH_BASE = 1000003
+_RH_MOD = 2147483647
+
+
+def rolling_hash_fingerprint(text: ColumnOrName) -> Column:
+    """Order-sensitive polynomial rolling hash over whitespace tokens:
+    h = fold(tokens, h*B + hash32(token) mod P). Unlike the md5
+    fingerprint this is incrementally updatable (append-only streams) and
+    cross-engine reproducible: hash32 is the first 8 md5 hex digits, and
+    any SQL engine can replay the fold (DuckDB: list_reduce).
+    """
+    toks = F.split(F.lower(F.trim(_c(text))), r"\s+")
+    tok_hash = lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast(  # noqa: E731
+        "long"
+    )
+    return F.aggregate(
+        F.transform(toks, tok_hash),
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * F.lit(_RH_BASE) + x) % F.lit(_RH_MOD),
+    )

@@ -89,26 +89,32 @@ def char_shingles(text: Column, k: int = 5) -> Column:
     )
 
 
-def _attr_shingles(norm_attr: Column, k: int) -> Column:
+def _attr_shingles(norm_attr: Column, k: int, distinct: bool = True) -> Column:
     """char_shingles over a pre-materialized normalized-text attribute."""
     n = F.length(norm_attr)
     idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.substring(norm_attr, i, k))
-    )
+    sh = F.transform(idx, lambda i: F.substring(norm_attr, i, k))
+    return F.array_distinct(sh) if distinct else sh
 
 
 def _norm_shingled(
-    df: DataFrame, text_col: str, id_col: str, k: int
+    df: DataFrame, text_col: str, id_col: str, k: int, distinct: bool = True
 ) -> DataFrame:
-    """id → exploded distinct shingles, with the normalization computed
-    once per row: ``_norm`` is projected as an attribute in its own Project
-    (referenced twice downstream, so CollapseProject keeps the barrier)."""
+    """id → exploded shingles, with the normalization computed once per
+    row: ``_norm`` is projected as an attribute in its own Project
+    (referenced twice downstream, so CollapseProject keeps the barrier).
+
+    ``distinct=False`` skips array_distinct — correct wherever the
+    consumer is dedup-insensitive (MIN over a multiset equals MIN over
+    its set), saving a hash-set pass per row."""
     norm = df.select(
         F.col(id_col), normalized_text(F.col(text_col)).alias("_norm")
     )
     return norm.select(
-        F.col(id_col), F.explode(_attr_shingles(F.col("_norm"), k)).alias("shingle")
+        F.col(id_col),
+        F.explode(_attr_shingles(F.col("_norm"), k, distinct)).alias(
+            "shingle"
+        ),
     )
 
 
@@ -157,7 +163,8 @@ def minhash_signatures(
     (fast path). ``hash_fn="md5"``: per-slot seeded md5-hex minima —
     slower, but bit-reproducible by any SQL engine (the oracle path).
     """
-    sh = _norm_shingled(df, text_col, id_col, shingle_k)
+    # distinct=False: minima are unaffected by duplicate shingles
+    sh = _norm_shingled(df, text_col, id_col, shingle_k, distinct=False)
     if hash_fn == "xxhash64":
         a, b = _affine_params(num_hashes)
         h32 = F.xxhash64("shingle").bitwiseAND(F.lit(0xFFFFFFFF))
@@ -359,6 +366,49 @@ def simhash64(
 # ---------------------------------------------------------------------------
 # Embedding near-dup
 # ---------------------------------------------------------------------------
+
+
+def embedding_lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    bands: int = 16,
+    bits: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate (id_a < id_b) pairs sharing ≥1 random-hyperplane band —
+    the self-join twin of ann_lsh_topk's doc/query bucketing. Feeds
+    ``embedding_neardup_pairs(candidates=...)`` so the exact cosine pass
+    touches candidates only instead of the O(N²) pair matrix.
+    """
+    import numpy as np
+
+    from .search import _band_signature_udf
+
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((bands * bits, dim))
+    sig_udf = _band_signature_udf(planes, bands, bits)
+    sigs = df.select(
+        F.col(id_col), sig_udf(F.col(vector_col)).alias("_sigs")
+    )
+    buckets = sigs.select(
+        F.col(id_col), F.posexplode("_sigs").alias("band", "sig")
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
 
 
 def embedding_neardup_pairs(

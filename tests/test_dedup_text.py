@@ -112,6 +112,60 @@ def test_embedding_neardup(spark):
     assert [(r["id_a"], r["id_b"]) for r in out] == [(1, 2)]
 
 
+def test_embedding_lsh_candidates_recall(spark, sf_dir):
+    """LSH candidates must contain the truly-similar pairs the exact
+    cross-join finds (here: all pairs >= 0.35 on the driver embeddings)."""
+    from pinecone_datasets_spark.operators.dedup import (
+        embedding_lsh_candidate_pairs,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # the driver embeddings are near-random (max pairwise cosine ~0.51),
+    # the adversarial case for LSH: measure recall on the strongest pairs
+    # (>= 0.4) with wide-band settings
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_pairs(emb, threshold=0.4).collect()
+    }
+    cands = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_lsh_candidate_pairs(
+            emb, bands=16, bits=4
+        ).collect()
+    }
+    assert exact, "fixture should contain similar pairs"
+    recall = len(exact & cands) / len(exact)
+    assert recall >= 0.7, (recall, len(exact), len(cands))
+    # and the candidate set must prune at least some of the pair matrix
+    # (real corpora cluster; random data is the worst case)
+    n = emb.count()
+    assert len(cands) < n * (n - 1) / 2 * 0.8
+
+
+def test_rolling_hash_fingerprint(spark):
+    from pinecone_datasets_spark.functions.text import (
+        rolling_hash_fingerprint,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox"),
+            (2, "the quick brown fox"),
+            (3, "fox brown quick the"),  # same tokens, different order
+        ],
+        schema="doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["fp"]
+        for r in df.select(
+            "doc_id", rolling_hash_fingerprint("text").alias("fp")
+        ).collect()
+    }
+    assert out[1] == out[2]
+    assert out[1] != out[3]  # order-sensitive
+    assert 0 <= out[1] < 2147483647
+
+
 def test_text_functions(spark):
     df = spark.createDataFrame(
         [("the quick brown fox is in the yard",)], schema="text string"
