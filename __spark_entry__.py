@@ -558,8 +558,11 @@ def q30_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q31_stored_filter_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Replay queries whose Pinecone filters live in the table itself —
-    exercises the per-(doc, query) interpreter (Arrow-batched UDF)."""
+    """Replay queries whose Pinecone filters live in the table itself.
+    The distinct stored filters are compiled into one native CASE-chain
+    predicate (operators/search.py:_compiled_stored_filter_predicate) —
+    no Python evaluator in the plan; the Arrow-UDF interpreter survives
+    only as an explicit fallback mode."""
     import json
 
     emb = _t(spark, sf_dir, "embeddings")

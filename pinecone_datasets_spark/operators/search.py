@@ -83,6 +83,7 @@ def topk_search(
     query_vector_col: str = "vector",
     metadata_col: Optional[str] = "metadata",
     apply_stored_filters: bool = False,
+    stored_filter_mode: str = "compile",
 ) -> DataFrame:
     """Replay a queries table: per-query top-k over documents.
 
@@ -92,24 +93,49 @@ def topk_search(
     side and never shuffles: scoring is map-side, and the window's
     partial-top-k (WindowGroupLimit) caps what the single shuffle carries.
 
-    ``apply_stored_filters=True`` evaluates each query's stored Pinecone
-    ``filter`` JSON against each document's ``metadata`` JSON. That is a
-    per-(doc, query) interpreted predicate — only expressible generically
-    via a Python kernel — so it uses an Arrow-batched pandas UDF off the
-    default path.
+    ``apply_stored_filters=True`` applies each query's stored Pinecone
+    ``filter`` JSON to the documents' ``metadata``. Default mode
+    (``stored_filter_mode="compile"``) collects the DISTINCT filter
+    strings from the small queries side on the driver, compiles each via
+    ``functions.filters.compile_filter``, and pushes one native CASE chain
+    before scoring — the whole predicate stays inside whole-stage codegen;
+    no Python crosses the N·Q hot path. ``"interpret"`` keeps the
+    Arrow-batched pandas-UDF interpreter (one kernel call per batch) as an
+    explicit fallback for debugging/regression comparison. A malformed
+    stored filter raises in BOTH modes.
     """
     q = queries
     if k is not None:
         q = q.withColumn("top_k", F.lit(int(k)))
+        max_k = int(k)
     elif "top_k" not in q.columns:
         q = q.withColumn("top_k", F.lit(5))
+        max_k = 5
+    else:
+        # Literal rank bound from the small queries side (driver-side agg,
+        # one tiny job). Spark's InferWindowGroupLimit only fires on a
+        # rank <= LITERAL predicate; with only the per-row
+        # rank <= col(top_k) refinement the partial top-k never kicks in
+        # and the full N·Q scored set crosses the shuffle — invisible at
+        # sf0.1, fatal at 100 TB.
+        row = q.agg(F.max("top_k")).collect()[0]
+        max_k = int(row[0]) if row[0] is not None else 5
 
     joined = documents.crossJoin(F.broadcast(q))
 
     if apply_stored_filters and metadata_col is not None and "filter" in q.columns:
-        joined = joined.where(
-            _matches_filter_udf(F.col(metadata_col), F.col("filter"))
-        )
+        if stored_filter_mode == "compile":
+            joined = joined.where(
+                _compiled_stored_filter_predicate(q, metadata_col)
+            )
+        elif stored_filter_mode == "interpret":
+            joined = joined.where(
+                _matches_filter_udf(F.col(metadata_col), F.col("filter"))
+            )
+        else:
+            raise ValueError(
+                f"unknown stored_filter_mode: {stored_filter_mode!r}"
+            )
 
     scored = joined.select(
         F.col(query_id_col),
@@ -124,9 +150,48 @@ def topk_search(
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= F.col("top_k"))
+        # The literal conjunct enables WindowGroupLimit's partial top-k;
+        # the per-row conjunct refines it to each query's own top_k.
+        .where(
+            (F.col("rank") <= F.lit(max_k))
+            & (F.col("rank") <= F.col("top_k"))
+        )
         .drop("top_k")
     )
+
+
+def _compiled_stored_filter_predicate(
+    queries: DataFrame, metadata_col: str
+) -> Column:
+    """One native predicate for all stored per-query filters.
+
+    The queries side is small and driver-visible by construction, so the
+    distinct filter JSONs are collected (tiny job) and each is compiled to
+    a Catalyst predicate. The result is a CASE chain keyed on the filter
+    string — evaluated JVM-side inside codegen, unlike the per-(doc,query)
+    Python interpreter it replaces. Raises ``ValueError`` on malformed
+    filter JSON (same contract as ``compile_filter``)."""
+    rows = queries.select("filter").distinct().collect()
+    # No/empty filter → match everything (reference semantics: a query
+    # without a filter searches the whole namespace).
+    expr = F.when(
+        F.col("filter").isNull() | (F.col("filter") == ""), F.lit(True)
+    )
+    for (f,) in rows:
+        if f is None or f == "":
+            continue
+        try:
+            fd = json.loads(f)
+        except (TypeError, ValueError) as e:
+            raise ValueError(
+                f"Malformed stored filter JSON: {f!r}"
+            ) from e
+        expr = expr.when(
+            F.col("filter") == F.lit(f), compile_filter(fd, metadata_col)
+        )
+    # Unreachable when `queries` is the frame the distinct set came from;
+    # fail closed for safety.
+    return expr.otherwise(F.lit(False))
 
 
 def _matches_filter_series(metadata: pd.Series, filt: pd.Series) -> pd.Series:
@@ -135,8 +200,10 @@ def _matches_filter_series(metadata: pd.Series, filt: pd.Series) -> pd.Series:
             return True
         try:
             fd = json.loads(f)
-        except (TypeError, ValueError):
-            return True
+        except (TypeError, ValueError) as e:
+            # Same contract as the compiled path: a corrupt stored filter
+            # is an error, not silently match-everything.
+            raise ValueError(f"Malformed stored filter JSON: {f!r}") from e
         md = {}
         if m:
             try:

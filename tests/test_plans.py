@@ -76,6 +76,50 @@ def test_topk_search_broadcasts_queries_and_limits_window(spark, sf_dir):
     assert "BatchEvalPython" not in plan
 
 
+def test_topk_per_row_topk_keeps_window_group_limit(spark, sf_dir):
+    """k=None with heterogeneous per-row top_k (the reference's actual
+    semantics, cfg.py:34) must still get the partial top-k: the literal
+    max_top_k conjunct added in topk_search makes InferWindowGroupLimit
+    fire, so only ~max_k rows per partition cross the window shuffle."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    docs = emb.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("values")
+    )
+    queries = emb.limit(4).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("vector"),
+        (F.col("vec_id") % 7 + 1).cast("int").alias("top_k"),
+    )
+    out = topk_search(docs, queries, metric="dot", k=None, metadata_col=None)
+    plan = formatted_plan(out)
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_stored_filter_search_stays_jvm_side(spark, sf_dir):
+    """apply_stored_filters compiles the per-query filters into a native
+    CASE chain: no Python evaluator may appear anywhere in the plan."""
+    import json
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    doc = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = emb.join(doc, emb.vec_id == doc.doc_id).select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").alias("values"),
+        F.to_json(F.struct("lang", "n_chars")).alias("metadata"),
+    )
+    queries = emb.limit(2).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("vector"),
+        F.lit(json.dumps({"lang": {"$eq": "en"}})).alias("filter"),
+        F.lit(5).alias("top_k"),
+    )
+    out = topk_search(docs, queries, metric="dot", apply_stored_filters=True)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "WindowGroupLimit" in plan
+
+
 def test_compiled_filter_stays_jvm_side(spark, sf_dir):
     doc = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
         "metadata", F.to_json(F.struct("lang", "n_chars"))

@@ -115,6 +115,58 @@ def test_topk_with_stored_filters(spark):
     assert sorted(r["id"] for r in out) == ["a", "c"]
 
 
+def test_stored_filters_interpret_mode_matches_compiled(spark):
+    """The Arrow-UDF interpreter (fallback mode) and the compiled CASE
+    chain must agree on mixed null/typed filters."""
+    import json
+
+    docs = spark.createDataFrame(
+        [
+            ("a", [1.0, 0.0], json.dumps({"lang": "en", "stars": 5})),
+            ("b", [0.9, 0.1], json.dumps({"lang": "de", "stars": 2})),
+            ("c", [0.8, 0.2], json.dumps({"lang": "en", "stars": 1})),
+            ("d", [0.7, 0.3], None),
+        ],
+        schema="id string, values array<float>, metadata string",
+    )
+    qdf = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], json.dumps({"stars": {"$gte": 2}}), 5),
+            (1, [1.0, 0.0], None, 5),
+        ],
+        schema="query_id int, vector array<float>, filter string, top_k int",
+    )
+    compiled = topk_search(
+        docs, qdf, metric="dot", apply_stored_filters=True
+    ).collect()
+    interpreted = topk_search(
+        docs,
+        qdf,
+        metric="dot",
+        apply_stored_filters=True,
+        stored_filter_mode="interpret",
+    ).collect()
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    assert sorted(
+        [(r["query_id"], r["id"], r["rank"]) for r in compiled]
+    ) == sorted([(r["query_id"], r["id"], r["rank"]) for r in interpreted])
+
+
+def test_stored_filter_malformed_json_raises(spark):
+    docs = spark.createDataFrame(
+        [("a", [1.0, 0.0], "{}")],
+        schema="id string, values array<float>, metadata string",
+    )
+    qdf = spark.createDataFrame(
+        [(0, [1.0, 0.0], "{not-json", 5)],
+        schema="query_id int, vector array<float>, filter string, top_k int",
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="Malformed stored filter"):
+        topk_search(docs, qdf, metric="dot", apply_stored_filters=True)
+
+
 def test_broadcast_in_plan(docs_df, queries_df):
     out = topk_search(docs_df, queries_df, metric="dot")
     plan = out._jdf.queryExecution().executedPlan().toString()
