@@ -360,7 +360,12 @@ def q16_dedup_exact_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q17_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc = _t(spark, sf_dir, "documents")
-    out = ngram_jaccard_pairs(doc, threshold=0.3, shingle_k=5)
+    # max_df far above any fixture shingle's document frequency: the skew
+    # cap's plan runs (DF-filtered inverted index) with unchanged results,
+    # so the SQL oracle still matches exactly.
+    out = ngram_jaccard_pairs(
+        doc, threshold=0.3, shingle_k=5, max_df=100_000_000
+    )
     return out.select(
         "id_a",
         "id_b",

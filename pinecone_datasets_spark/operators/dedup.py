@@ -222,6 +222,13 @@ def minhash_lsh_candidates(
     values, hashed to a bucket key; self-join per bucket. The only shuffle
     is on (band, bucket) — the classic MinHash-LSH plan at corpus scale.
     """
+    if num_hashes % bands != 0:
+        # Silently ignoring the trailing num_hashes % bands signature
+        # slots would weaken recall without warning — make the contract
+        # explicit instead.
+        raise ValueError(
+            f"bands ({bands}) must divide num_hashes ({num_hashes})"
+        )
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(
         df, text_col, id_col, num_hashes, shingle_k, hash_fn
@@ -281,16 +288,32 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_k: int = 5,
+    max_df: Optional[int] = None,
 ) -> DataFrame:
     """All pairs with exact shingle-set Jaccard ≥ threshold.
 
     Inverted index: explode shingles → self-join on shingle → count common
-    → |A∪B| = |A|+|B|−common. Shuffles on the shingle key (skew-prone for
-    stopword-ish shingles; at scale add a document-frequency cap filter —
-    the standard trick — exposed as ``max_df`` in a later revision).
+    → |A∪B| = |A|+|B|−common. The self-join shuffles on the shingle key,
+    which is skew-prone: one stopword-ish shingle appearing in d documents
+    contributes d² join rows on a single key. ``max_df`` is the standard
+    cap — shingles whose document frequency exceeds it are dropped from
+    the inverted index *before* the self-join (set sizes stay exact, so
+    reported Jaccard becomes a conservative lower bound; results are
+    EXACT whenever no qualifying pair relies on a dropped shingle, and in
+    particular whenever no shingle exceeds the cap). At 100 TB this is
+    the difference between a bounded shuffle and one hot reducer taking
+    the whole corpus.
     """
     sh = _norm_shingled(df, text_col, id_col, shingle_k)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    if max_df is not None:
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") <= max_df)
+            .select("shingle")
+        )
+        sh = sh.join(keep, "shingle", "left_semi")
     a = sh.alias("a")
     b = sh.alias("b")
     common = (

@@ -125,16 +125,24 @@ def ivf_topk(
             order = np.argsort(((c - v) ** 2).sum(axis=1))
         return [int(x) for x in order[:nprobe]]
 
-    qrows = queries.select(query_id_col, query_vector_col).collect()
+    qsel = queries.select(query_id_col, query_vector_col)
+    qrows = qsel.collect()
     probe_rows = [
         (r[query_id_col], r[query_vector_col], cell)
         for r in qrows
         for cell in probes(r[query_vector_col])
     ]
     spark = documents_with_cells.sparkSession
-    q_exp = spark.createDataFrame(
-        probe_rows, schema=f"{query_id_col} long, {query_vector_col} array<float>, {cell_col} int"
+    # Probe-rows schema is derived from the queries frame, not hardcoded:
+    # string query ids (the dataset schema's id type) and double vectors
+    # must survive the driver round-trip unchanged.
+    from pyspark.sql import types as T
+
+    probe_schema = T.StructType(
+        list(qsel.schema.fields)
+        + [T.StructField(cell_col, T.IntegerType(), False)]
     )
+    q_exp = spark.createDataFrame(probe_rows, schema=probe_schema)
     score = (
         cosine_similarity(doc_vector_col, query_vector_col)
         if metric == "cosine"

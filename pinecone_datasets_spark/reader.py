@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import warnings
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 
 from .cfg import SCHEMAS_BY_KIND
@@ -40,14 +41,24 @@ def _read_table(spark: SparkSession, dataset_path: str, kind: str) -> DataFrame:
             f"No data found at {table_dir}; returning empty {kind} dataframe"
         )
         return spark.createDataFrame([], schema)
-    parts = fs.glob(join(table_dir, "*.parquet"))
-    if not parts:
-        # C6: present-but-empty dir → hard error (dataset_fsreader.py:115-116).
-        raise ValueError(f"No parquet files found in {table_dir}")
-    # mergeSchema tolerates per-part schema drift the way the reference's
-    # pd.concat did (test_error_scenarios.py:462-499); footers are read in a
-    # small distributed job, data is not.
-    df = spark.read.option("mergeSchema", "true").parquet(table_dir)
+    # The scan itself decides present-but-empty: a flat *.parquet glob
+    # would wrongly reject hive-partitioned layouts (lang=…/part-*.parquet
+    # from write_documents(partition_by=…)); Spark's reader discovers
+    # nested part files and partition columns natively. mergeSchema
+    # tolerates per-part schema drift the way the reference's pd.concat
+    # did (test_error_scenarios.py:462-499); footers are read in a small
+    # distributed job, data is not.
+    try:
+        df = spark.read.option("mergeSchema", "true").parquet(table_dir)
+        df.schema  # force schema inference now, on the driver
+    except AnalysisException as e:
+        if "UNABLE_TO_INFER_SCHEMA" in str(e) or "infer schema" in str(e):
+            # C6: present-but-empty dir → hard error
+            # (dataset_fsreader.py:115-116).
+            raise ValueError(
+                f"No parquet files found in {table_dir}"
+            ) from e
+        raise
     return conform(df, kind)
 
 

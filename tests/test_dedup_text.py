@@ -91,6 +91,43 @@ def test_ngram_jaccard(dup_docs):
     assert (1, 5) not in pairs
 
 
+def test_ngram_jaccard_max_df_caps_hot_shingles(spark):
+    """A stopword-ish shingle shared by every doc explodes the self-join;
+    max_df drops it from the inverted index, shrinking the candidate set,
+    while a cap above every document frequency changes nothing."""
+    rows = [
+        # all docs share 'zzz' (the hot shingle); only 1/2 truly overlap
+        (1, "zzz alpha beta gamma delta"),
+        (2, "zzz alpha beta gamma delta"),
+        (3, "zzz totally different words here"),
+        (4, "zzz unrelated content again folks"),
+        (5, "zzz more nothing in common text"),
+    ]
+    docs = spark.createDataFrame(rows, schema="doc_id long, text string")
+    uncapped = ngram_jaccard_pairs(docs, threshold=0.0, shingle_k=3)
+    # cap above any shingle's DF: identical results
+    slack = ngram_jaccard_pairs(docs, threshold=0.0, shingle_k=3, max_df=100)
+    key = lambda r: (r["id_a"], r["id_b"])  # noqa: E731
+    assert sorted(map(key, uncapped.collect())) == sorted(
+        map(key, slack.collect())
+    )
+    # tight cap: the df=5 hot shingles drop out, so pairs that only share
+    # hot shingles disappear while the real near-dup pair survives
+    capped = ngram_jaccard_pairs(docs, threshold=0.5, shingle_k=3, max_df=4)
+    capped_pairs = {key(r) for r in capped.collect()}
+    assert (1, 2) in capped_pairs
+    n_uncapped = uncapped.count()
+    n_capped = ngram_jaccard_pairs(
+        docs, threshold=0.0, shingle_k=3, max_df=4
+    ).count()
+    assert n_capped < n_uncapped
+
+
+def test_minhash_bands_must_divide_num_hashes(dup_docs):
+    with pytest.raises(ValueError, match="must divide"):
+        minhash_lsh_candidates(dup_docs, num_hashes=32, bands=5)
+
+
 def test_simhash_near_dups_close(dup_docs):
     out = {r["doc_id"]: r["simhash"] for r in simhash64(dup_docs).collect()}
     assert out[1] == out[2]

@@ -59,6 +59,29 @@ def test_ivf_recall(spark, corpus):
         assert q in approx_sets.get(q, set())
 
 
+def test_ivf_string_ids_and_double_vectors(spark, corpus):
+    """The probe-rows schema is derived from the queries frame: string
+    query ids (the dataset schema's id type) and double vectors must work
+    despite configurable column names."""
+    docs = corpus.select(
+        F.col("id").cast("string").alias("id"),
+        F.col("values").cast("array<double>").alias("values"),
+    )
+    centroids = train_centroids(docs, n_centroids=4, max_iter=5)
+    with_cells = assign_cells(docs, centroids)
+    queries = docs.where(F.col("id").isin("0", "1")).select(
+        F.col("id").alias("query_id"), F.col("values").alias("vector")
+    )
+    out = ivf_topk(
+        with_cells, queries, centroids, k=3, nprobe=2, metric="cosine"
+    ).collect()
+    assert {r["query_id"] for r in out} == {"0", "1"}
+    # self-match at rank 1 (same cell by construction)
+    for r in out:
+        if r["rank"] == 1:
+            assert r["id"] == r["query_id"]
+
+
 def test_ivf_probes_fraction(spark, corpus):
     """With nprobe=1 each query's candidates come from one cell — the scan
     fraction is bounded by the largest single cell."""

@@ -25,6 +25,27 @@ def partitioned_docs(spark, sf_dir, tmp_path_factory):
     return out
 
 
+def test_partitioned_layout_reads_back(spark, partitioned_docs):
+    """write_documents(partition_by=…) output must be readable by the
+    dataset reader: part files live under lang=…/ subdirectories, which a
+    flat *.parquet glob misses — the scan itself decides emptiness."""
+    from pinecone_datasets_spark.reader import read_documents
+
+    df = read_documents(spark, partitioned_docs)
+    assert df.count() > 0
+    assert df.columns == ["id", "values", "sparse_values", "metadata", "blob"]
+
+
+def test_empty_table_dir_still_raises(spark, tmp_path):
+    import os
+
+    from pinecone_datasets_spark.reader import read_documents
+
+    os.makedirs(tmp_path / "documents")
+    with pytest.raises(ValueError, match="No parquet files found"):
+        read_documents(spark, str(tmp_path))
+
+
 def test_partition_dirs_exist(partitioned_docs):
     import os
 

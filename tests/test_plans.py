@@ -130,6 +130,16 @@ def test_compiled_filter_stays_jvm_side(spark, sf_dir):
     assert "ArrowEvalPython" not in plan
 
 
+def test_embedding_neardup_entry_has_no_cross_join(spark, sf_dir):
+    """The verified near-dup entry must run candidates → re-score, never
+    the O(N²) crossJoin twin."""
+    import __spark_entry__ as e
+
+    plan = formatted_plan(e.q21_embedding_neardup(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
 def test_broadcast_join_for_small_dims(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     part = spark.read.parquet(f"{sf_dir}/part.parquet")
