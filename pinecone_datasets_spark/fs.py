@@ -33,6 +33,50 @@ def normalize_uri(path: str) -> str:
     return path
 
 
+def ensure_anonymous_access(spark: Any, path: str) -> bool:
+    """Configure Hadoop connectors for unauthenticated reads of the PUBLIC
+    dataset endpoint.
+
+    Reference parity: ``fs.py:67-77`` passes ``token="anon"`` /
+    ``anon=True`` to fsspec iff the path IS the public endpoint
+    (``cfg.Storage.endpoint``). On Spark the data plane goes through the
+    Hadoop GCS/S3A connectors, so the equivalent is connector config:
+
+    * GCS: ``fs.gs.auth.type=UNAUTHENTICATED`` (gcs-connector ≥ 2.2; the
+      pre-2.2 ``fs.gs.auth.null.enabled=true`` pair is set too).
+    * S3A: the per-bucket ``fs.s3a.bucket.<name>.aws.credentials.provider``
+      is pointed at ``AnonymousAWSCredentialsProvider`` — scoped so other
+      buckets keep the user's credential chain.
+
+    Only applies when ``path`` is under the public catalog endpoint
+    (``cfg.catalog_base_path()`` default) — credentials for any other
+    location are untouched. Returns True when configs were applied.
+    Offline note: no object store is reachable from the test environment;
+    this sets the documented connector keys and is covered by
+    config-assertion tests only.
+    """
+    from .cfg import DEFAULT_CATALOG_BASE_PATH
+
+    norm = normalize_uri(path)
+    endpoint = normalize_uri(DEFAULT_CATALOG_BASE_PATH)
+    if not norm.startswith(endpoint):
+        return False
+    if spark is None:
+        return False
+    conf = spark._jsc.hadoopConfiguration()
+    if norm.startswith("gs://"):
+        conf.set("fs.gs.auth.type", "UNAUTHENTICATED")
+        conf.set("fs.gs.auth.null.enabled", "true")
+        conf.set("fs.gs.auth.service.account.enable", "false")
+    elif norm.startswith("s3a://"):
+        bucket = urlparse(norm).netloc
+        conf.set(
+            f"fs.s3a.bucket.{bucket}.aws.credentials.provider",
+            "org.apache.hadoop.fs.s3a.AnonymousAWSCredentialsProvider",
+        )
+    return True
+
+
 def scheme_of(path: str) -> str:
     parsed = urlparse(path)
     return parsed.scheme if parsed.scheme not in ("", "file") else "file"
@@ -111,6 +155,11 @@ class FS:
             raise ValueError(
                 f"remote URI {uri!r} requires an active SparkSession"
             )
+        # Public-endpoint URIs flip the connector to anonymous auth before
+        # the filesystem is constructed (reference fs.py:67-77 parity);
+        # every driver-side metadata touch passes through here before the
+        # data-plane scan, so the config lands ahead of both.
+        ensure_anonymous_access(self._spark, uri)
         return _HadoopFS(self._spark, uri)
 
     def exists(self, path: str) -> bool:

@@ -17,11 +17,30 @@ from typing import Any, Callable, TypeVar
 
 F = TypeVar("F", bound=Callable[..., Any])
 
-# Env knobs mirror the reference's (retry.py:34,42,50).
-ENV_MAX_ATTEMPTS = "PINECONE_DATASETS_RETRY_MAX_ATTEMPTS"
-ENV_BACKOFF_MIN = "PINECONE_DATASETS_RETRY_BACKOFF_MIN"
-ENV_BACKOFF_MAX = "PINECONE_DATASETS_RETRY_BACKOFF_MAX"
+# Env knobs use the REFERENCE's exact names (retry.py:34,42,50) so a
+# user's existing environment keeps working; the round-1 invented names
+# are honored as legacy aliases (checked second).
+ENV_MAX_ATTEMPTS = "PINECONE_DATASETS_MAX_RETRY_ATTEMPTS"
+ENV_MIN_WAIT = "PINECONE_DATASETS_MIN_RETRY_WAIT"
+ENV_MAX_WAIT = "PINECONE_DATASETS_MAX_RETRY_WAIT"
 ENV_DISABLE = "PINECONE_DATASETS_DISABLE_RETRY"
+
+_LEGACY_MAX_ATTEMPTS = "PINECONE_DATASETS_RETRY_MAX_ATTEMPTS"
+_LEGACY_BACKOFF_MIN = "PINECONE_DATASETS_RETRY_BACKOFF_MIN"
+_LEGACY_BACKOFF_MAX = "PINECONE_DATASETS_RETRY_BACKOFF_MAX"
+
+
+def _env_number(primary: str, legacy: str, default: float) -> float:
+    for name in (primary, legacy):
+        raw = os.environ.get(name)
+        if raw is not None:
+            try:
+                return float(raw)
+            except ValueError:
+                # Reference behavior (retry.py:33-35): unparseable env
+                # values fall back to the default, not an exception.
+                continue
+    return default
 
 # Never retried: caller bugs / permanent failures (reference retry.py:55-111).
 _NON_RETRYABLE = (
@@ -62,9 +81,9 @@ def with_retry(func: F) -> F:
     def wrapper(*args: Any, **kwargs: Any) -> Any:
         if os.environ.get(ENV_DISABLE, "").lower() in ("1", "true", "yes"):
             return func(*args, **kwargs)
-        attempts = int(os.environ.get(ENV_MAX_ATTEMPTS, "3"))
-        backoff_min = float(os.environ.get(ENV_BACKOFF_MIN, "2"))
-        backoff_max = float(os.environ.get(ENV_BACKOFF_MAX, "10"))
+        attempts = int(_env_number(ENV_MAX_ATTEMPTS, _LEGACY_MAX_ATTEMPTS, 3))
+        backoff_min = _env_number(ENV_MIN_WAIT, _LEGACY_BACKOFF_MIN, 2.0)
+        backoff_max = _env_number(ENV_MAX_WAIT, _LEGACY_BACKOFF_MAX, 10.0)
         last: BaseException | None = None
         for attempt in range(attempts):
             try:

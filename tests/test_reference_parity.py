@@ -148,3 +148,64 @@ def test_progress_noop_fallback():
     from pinecone_datasets_spark.progress import progress
 
     assert list(progress([1, 2, 3])) == [1, 2, 3]
+
+
+def test_retry_env_names_match_reference(monkeypatch):
+    """The reference's env knobs (retry.py:34,42,50) must be honored:
+    PINECONE_DATASETS_MAX_RETRY_ATTEMPTS / MIN_RETRY_WAIT / MAX_RETRY_WAIT,
+    with round-1's invented names as legacy aliases and reference-style
+    fall-back-to-default on unparseable values."""
+    from pinecone_datasets_spark import retry as r
+
+    calls = {"n": 0}
+
+    @r.with_retry
+    def flaky():
+        calls["n"] += 1
+        raise ConnectionError("connection reset by peer")
+
+    monkeypatch.setenv("PINECONE_DATASETS_MAX_RETRY_ATTEMPTS", "2")
+    monkeypatch.setenv("PINECONE_DATASETS_MIN_RETRY_WAIT", "0")
+    monkeypatch.setenv("PINECONE_DATASETS_MAX_RETRY_WAIT", "0")
+    with pytest.raises(ConnectionError):
+        flaky()
+    assert calls["n"] == 2  # reference name controls attempts
+
+    # legacy alias still works when the reference name is absent
+    calls["n"] = 0
+    monkeypatch.delenv("PINECONE_DATASETS_MAX_RETRY_ATTEMPTS")
+    monkeypatch.setenv("PINECONE_DATASETS_RETRY_MAX_ATTEMPTS", "3")
+    with pytest.raises(ConnectionError):
+        flaky()
+    assert calls["n"] == 3
+
+    # unparseable -> default (reference retry.py:33-35), not an exception
+    calls["n"] = 0
+    monkeypatch.setenv("PINECONE_DATASETS_MAX_RETRY_ATTEMPTS", "nope")
+    monkeypatch.delenv("PINECONE_DATASETS_RETRY_MAX_ATTEMPTS")
+    with pytest.raises(ConnectionError):
+        flaky()
+    assert calls["n"] == 3
+
+
+def test_anonymous_access_public_endpoint_only(spark):
+    """fs.py parity (reference fs.py:67-77): anonymous connector config is
+    applied iff the URI is under the public catalog endpoint."""
+    from pinecone_datasets_spark.fs import ensure_anonymous_access
+
+    conf = spark._jsc.hadoopConfiguration()
+    conf.unset("fs.gs.auth.type")
+
+    # public endpoint (gs:// and its https:// spelling) -> anonymous
+    assert ensure_anonymous_access(spark, "gs://pinecone-datasets-dev/x")
+    assert conf.get("fs.gs.auth.type") == "UNAUTHENTICATED"
+    conf.unset("fs.gs.auth.type")
+    assert ensure_anonymous_access(
+        spark, "https://storage.googleapis.com/pinecone-datasets-dev/y"
+    )
+    assert conf.get("fs.gs.auth.type") == "UNAUTHENTICATED"
+
+    # any other bucket -> untouched
+    conf.unset("fs.gs.auth.type")
+    assert not ensure_anonymous_access(spark, "gs://someones-private-bucket/z")
+    assert conf.get("fs.gs.auth.type") is None
