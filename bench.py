@@ -82,7 +82,7 @@ def main() -> None:
     def bench_minhash_fast():
         docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
         return minhash_lsh_candidates(
-            docs, num_hashes=64, bands=16, hash_fn="xxhash64"
+            docs, num_hashes=64, bands=16, hash_fn="rolling"
         )
 
     headline = {

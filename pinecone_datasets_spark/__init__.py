@@ -25,6 +25,7 @@ from .metadata import (
     SparseModelMetadata,
     SparseModelMetdata,
 )
+from .functions.filters import compile_filter
 from .public import list_datasets, load_dataset
 from .cache import clear_cache, get_cache_info
 from .session import get_spark_session
@@ -40,6 +41,7 @@ __all__ = [
     "QUERIES_SCHEMA",
     "DOCUMENTS_SELECT_COLUMNS",
     "QUERIES_SELECT_COLUMNS",
+    "compile_filter",
     "list_datasets",
     "load_dataset",
     "get_cache_info",

@@ -123,6 +123,36 @@ def test_ngram_jaccard_max_df_caps_hot_shingles(spark):
     assert n_capped < n_uncapped
 
 
+def test_minhash_rolling_variant_bands(dup_docs):
+    # rolling numeric k-gram hash must reproduce the same LSH collision
+    # behavior as the string-shingle path on the fixture corpus
+    cands = minhash_lsh_candidates(
+        dup_docs, num_hashes=32, bands=16, shingle_k=3, hash_fn="rolling"
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in cands.collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) in pairs
+    assert (1, 4) in pairs
+    assert (1, 5) not in pairs
+
+
+def test_rolling_kgram_injective_on_ascii(spark):
+    # base-257 polynomial over codepoints < 257 is injective per k-gram:
+    # distinct window-hash count == distinct shingle count
+    from pinecone_datasets_spark.operators.dedup import (
+        _norm_shingled,
+        _rolling_hashed,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        schema="doc_id long, text string",
+    )
+    n_h = _rolling_hashed(df, "text", "doc_id", 5).distinct().count()
+    n_s = _norm_shingled(df, "text", "doc_id", 5).distinct().count()
+    assert n_h == n_s
+
+
 def test_minhash_bands_must_divide_num_hashes(dup_docs):
     with pytest.raises(ValueError, match="must divide"):
         minhash_lsh_candidates(dup_docs, num_hashes=32, bands=5)
