@@ -79,6 +79,47 @@ def main() -> None:
         qmat = np.array([r["vector"] for r in qrows], dtype=np.float64)
         return topk_search_arrow(docs, qmat, qids, k=10, metric="cosine")
 
+    def bench_multimodal_decode():
+        # real PNG encode -> decode at corpus scale: one producer kernel
+        # synthesizes spec-valid 32x32 PNGs per doc, one consumer kernel
+        # (extract_image_features) zlib-inflates + defilters + histograms
+        import numpy as np
+        import pandas as pd
+
+        from pinecone_datasets_spark.operators.media_codecs import encode_png
+        from pinecone_datasets_spark.operators.multimodal import (
+            MEDIA_SCHEMA,
+            extract_image_features,
+        )
+        from pinecone_datasets_spark.shipping import ensure_shipped
+
+        ensure_shipped(spark)
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+        def make_png(batches):
+            for pdf in batches:
+                content = []
+                for did in pdf["doc_id"]:
+                    rng = np.random.default_rng(int(did) & 0xFFFFFFFF)
+                    px = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+                    content.append(encode_png(px))
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf["doc_id"].astype(str),
+                        "media_type": "image",
+                        "content": content,
+                        "width": pd.array([None] * len(pdf), dtype="Int32"),
+                        "height": pd.array([None] * len(pdf), dtype="Int32"),
+                        "duration_ms": pd.array(
+                            [None] * len(pdf), dtype="Int64"
+                        ),
+                        "format": "png",
+                    }
+                )
+
+        media = docs.select("doc_id").mapInPandas(make_png, MEDIA_SCHEMA)
+        return extract_image_features(media, feature_dim=16)
+
     def bench_minhash_fast():
         docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
         return minhash_lsh_candidates(
@@ -101,6 +142,7 @@ def main() -> None:
         "vector_topk_arrow_100q": bench_vector_topk_arrow,
         "ann_lsh_100q": bench_ann_lsh,
         "q09_docs_conform": lambda: qs["q09_docs_conform"](spark, SF_DIR),
+        "multimodal_decode": bench_multimodal_decode,
     }
 
     # Warm the JVM/codegen once with a trivial job so the first measured

@@ -1,0 +1,299 @@
+"""Pure-stdlib media codecs for the multimodal operators (Layer B).
+
+No Pillow / opencv / ffmpeg exist in this environment, but several real
+formats are decodable with nothing beyond the standard library + numpy:
+
+* **PNG** — ``zlib`` decompress + defilter (SPEC: the 5 scanline filters);
+  8-bit grayscale / RGB / RGBA, non-interlaced.
+* **BMP** — uncompressed 24-bpp ``BITMAPINFOHEADER``; plain ``struct``.
+* **WAV** — stdlib ``wave`` module; PCM-16 sample decode via numpy.
+* **JPEG / GIF** — header probe only (dimensions from SOF / logical
+  screen descriptor); full JPEG entropy decode is out of scope, and the
+  probe is what the metadata path needs.
+
+These run *inside* Arrow-batched kernels (see ``multimodal.py``), so all
+functions here are plain ``bytes -> python/numpy`` — no Spark imports.
+A minimal PNG/WAV **encoder** is included so tests and benchmarks can
+synthesize real files without any external library.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+import zlib
+from typing import Optional, Tuple
+
+import numpy as np
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}  # gray, RGB, RGBA
+
+
+class UnsupportedMediaError(ValueError):
+    """Raised when bytes are recognized but the variant is not decodable
+    with the stdlib-only codecs (e.g. interlaced PNG, JPEG pixel data)."""
+
+
+# ---------------------------------------------------------------------------
+# probing (format + dimensions/duration from headers — all real parses)
+# ---------------------------------------------------------------------------
+
+
+def probe_bytes(
+    content: Optional[bytes],
+) -> Tuple[Optional[str], Optional[int], Optional[int], Optional[int]]:
+    """Sniff (format, width, height, duration_ms) from magic + headers.
+
+    Unknown/empty content probes to (None, None, None, None) rather than
+    raising — at corpus scale a bad row must not kill the job; callers
+    filter on ``format IS NULL`` to quarantine.
+    """
+    if not content:
+        return None, None, None, None
+    try:
+        if content[:8] == _PNG_MAGIC:
+            w, h = struct.unpack(">II", content[16:24])
+            return "png", w, h, None
+        if content[:2] == b"BM":
+            w, h = struct.unpack("<ii", content[18:26])
+            return "bmp", w, abs(h), None
+        if content[:6] in (b"GIF87a", b"GIF89a"):
+            w, h = struct.unpack("<HH", content[6:10])
+            return "gif", w, h, None
+        if content[:2] == b"\xff\xd8":
+            dims = _jpeg_dimensions(content)
+            if dims is not None:
+                return "jpeg", dims[0], dims[1], None
+            return "jpeg", None, None, None
+        if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+            try:
+                with wave.open(io.BytesIO(content)) as wf:
+                    dur = wf.getnframes() * 1000 // max(wf.getframerate(), 1)
+                return "wav", None, None, dur
+            except wave.Error:
+                return "wav", None, None, None
+    except (struct.error, IndexError):
+        return None, None, None, None
+    return None, None, None, None
+
+
+def _jpeg_dimensions(content: bytes) -> Optional[Tuple[int, int]]:
+    """Walk JPEG marker segments to the first SOFn frame header."""
+    i = 2
+    n = len(content)
+    while i + 4 <= n:
+        if content[i] != 0xFF:
+            return None
+        marker = content[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        if i + 4 > n:
+            return None
+        seg_len = struct.unpack(">H", content[i + 2 : i + 4])[0]
+        # SOF0..SOF15 minus DHT(C4)/JPG(C8)/DAC(CC)
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if i + 9 > n:
+                return None
+            h, w = struct.unpack(">HH", content[i + 5 : i + 9])
+            return w, h
+        i += 2 + seg_len
+    return None
+
+
+# ---------------------------------------------------------------------------
+# PNG decode (real: zlib inflate + scanline defilter)
+# ---------------------------------------------------------------------------
+
+
+def decode_png(content: bytes) -> np.ndarray:
+    """PNG bytes → uint8 array of shape (height, width, channels).
+
+    Supports bit depth 8, color types 0/2/6, non-interlaced — the shape
+    virtually all machine-generated PNGs take. Filters 0-2 (None/Sub/Up)
+    defilter vectorized; 3-4 (Average/Paeth) fall back to a per-pixel
+    loop, correct per the PNG spec reconstruction functions.
+    """
+    if content[:8] != _PNG_MAGIC:
+        raise UnsupportedMediaError("not a PNG")
+    width = height = None
+    bit_depth = color_type = interlace = None
+    idat = []
+    i = 8
+    while i + 8 <= len(content):
+        (length,) = struct.unpack(">I", content[i : i + 4])
+        ctype = content[i + 4 : i + 8]
+        data = content[i + 8 : i + 8 + length]
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _, _, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        i += 12 + length  # length + type + data + crc
+    if width is None or not idat:
+        raise UnsupportedMediaError("truncated PNG")
+    if bit_depth != 8 or color_type not in _PNG_CHANNELS or interlace != 0:
+        raise UnsupportedMediaError(
+            f"unsupported PNG variant (depth={bit_depth}, "
+            f"color={color_type}, interlace={interlace})"
+        )
+    ch = _PNG_CHANNELS[color_type]
+    stride = width * ch
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != (stride + 1) * height:
+        raise UnsupportedMediaError("PNG payload size mismatch")
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    filters = rows[:, 0]
+    data = rows[:, 1:].astype(np.int64)
+    out = np.zeros((height, stride), dtype=np.int64)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(height):
+        f = filters[y]
+        row = data[y]
+        if f == 0:
+            rec = row
+        elif f == 1:  # Sub: prefix sum per channel lane
+            rec = row.reshape(width, ch).cumsum(axis=0).reshape(stride) % 256
+        elif f == 2:  # Up
+            rec = (row + prev) % 256
+        elif f in (3, 4):
+            rec = np.zeros(stride, dtype=np.int64)
+            for x in range(stride):
+                a = rec[x - ch] if x >= ch else 0
+                b = prev[x]
+                if f == 3:
+                    rec[x] = (row[x] + (a + b) // 2) % 256
+                else:
+                    c = prev[x - ch] if x >= ch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    if pa <= pb and pa <= pc:
+                        pred = a
+                    elif pb <= pc:
+                        pred = b
+                    else:
+                        pred = c
+                    rec[x] = (row[x] + pred) % 256
+        else:
+            raise UnsupportedMediaError(f"bad PNG filter {f}")
+        out[y] = rec
+        prev = rec
+    return out.astype(np.uint8).reshape(height, width, ch)
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """uint8 (h, w) or (h, w, {1,3,4}) → PNG bytes (filter 0, one IDAT).
+
+    Test/bench fixture encoder — emits spec-valid files ``decode_png``
+    and any external viewer can read.
+    """
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, ch = px.shape
+    color_type = {1: 0, 3: 2, 4: 6}[ch]
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+# ---------------------------------------------------------------------------
+# BMP decode (real: uncompressed 24-bpp)
+# ---------------------------------------------------------------------------
+
+
+def decode_bmp(content: bytes) -> np.ndarray:
+    """BMP bytes → uint8 (height, width, 3) RGB array.
+
+    Uncompressed 24-bpp BITMAPINFOHEADER only (the standard
+    machine-generated shape); rows are 4-byte aligned, bottom-up unless
+    height is negative.
+    """
+    if content[:2] != b"BM":
+        raise UnsupportedMediaError("not a BMP")
+    (data_off,) = struct.unpack("<I", content[10:14])
+    w, h = struct.unpack("<ii", content[18:26])
+    bpp, comp = struct.unpack("<HI", content[28:34])
+    if bpp != 24 or comp != 0:
+        raise UnsupportedMediaError(f"unsupported BMP (bpp={bpp}, comp={comp})")
+    top_down = h < 0
+    h = abs(h)
+    row_bytes = (w * 3 + 3) & ~3
+    buf = np.frombuffer(
+        content, dtype=np.uint8, count=row_bytes * h, offset=data_off
+    ).reshape(h, row_bytes)
+    img = buf[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR → RGB
+    return img if top_down else img[::-1]
+
+
+# ---------------------------------------------------------------------------
+# WAV decode (real: stdlib wave + PCM16 samples)
+# ---------------------------------------------------------------------------
+
+
+def decode_wav(content: bytes) -> Tuple[np.ndarray, int]:
+    """WAV bytes → (float32 mono samples in [-1, 1], sample_rate)."""
+    try:
+        with wave.open(io.BytesIO(content)) as wf:
+            rate = wf.getframerate()
+            nch = wf.getnchannels()
+            sw = wf.getsampwidth()
+            frames = wf.readframes(wf.getnframes())
+    except (wave.Error, EOFError) as e:
+        raise UnsupportedMediaError(f"bad WAV: {e}") from e
+    if sw != 2:
+        raise UnsupportedMediaError(f"unsupported WAV sample width {sw}")
+    samples = np.frombuffer(frames, dtype="<i2").astype(np.float32) / 32768.0
+    if nch > 1:
+        samples = samples.reshape(-1, nch).mean(axis=1)
+    return samples, rate
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """float mono [-1, 1] → PCM-16 WAV bytes (fixture encoder)."""
+    pcm = np.clip(np.asarray(samples) * 32767.0, -32768, 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+# ---------------------------------------------------------------------------
+# feature kernels (shared by the Spark operators)
+# ---------------------------------------------------------------------------
+
+
+def image_luma(img: np.ndarray) -> np.ndarray:
+    """(h, w, ch) uint8 → (h, w) float luma (Rec. 601 weights)."""
+    if img.shape[2] == 1:
+        return img[:, :, 0].astype(np.float64)
+    rgb = img[:, :, :3].astype(np.float64)
+    return rgb @ np.array([0.299, 0.587, 0.114])
+
+
+def luma_histogram(luma: np.ndarray, bins: int) -> np.ndarray:
+    """Normalized luma histogram — a real, deterministic image feature."""
+    hist, _ = np.histogram(luma, bins=bins, range=(0.0, 256.0))
+    return (hist / max(luma.size, 1)).astype(np.float32)

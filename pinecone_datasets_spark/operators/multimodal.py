@@ -1,4 +1,4 @@
-"""Multimodal column plumbing (Layer B).
+"""Multimodal column operators (Layer B).
 
 Media (image/audio/video) is carried as an opaque ``binary`` column plus a
 typed metadata struct — the 100 TB-safe representation (no decode on scan;
@@ -6,12 +6,13 @@ Parquet stores the bytes columnar, column pruning skips them unless asked).
 Decode / feature-extract run as Arrow-batched ``mapInPandas`` kernels so
 the Python crossing is per-batch, not per-row.
 
-The actual codec step is STUBBED (image/audio libraries are not in this
-environment): ``decode_image`` raises ``NotImplementedError`` unless
-``fake=True``, in which case a deterministic fake decoder (seeded from the
-content hash) exercises the full Spark plumbing — schema, batching,
-partitioning — end to end. The plumbing is the deliverable; swapping the
-kernel body for Pillow/torchaudio is a one-function change.
+Decoding is REAL for the formats the standard library can express
+(see ``media_codecs``): PNG (zlib inflate + defilter), BMP (24-bpp),
+WAV (PCM-16), and header probes for JPEG/GIF. Formats beyond that
+(JPEG pixel data, video containers) still raise
+``NotImplementedError``/decode-to-null — ffmpeg/Pillow are not in this
+environment — and ``fake=True`` keeps the deterministic stand-in for
+plumbing tests and cross-format benchmarks.
 """
 
 from __future__ import annotations
@@ -24,6 +25,16 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from .media_codecs import (
+    UnsupportedMediaError,
+    decode_bmp,
+    decode_png,
+    decode_wav,
+    image_luma,
+    luma_histogram,
+    probe_bytes,
+)
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -47,6 +58,26 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
     ]
 )
 
+PROBE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("format", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+    ]
+)
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+        T.StructField("zero_cross_rate", T.DoubleType(), True),
+    ]
+)
+
 
 def _ship(df: DataFrame) -> None:
     """Kernels below reference module functions (pickled by reference);
@@ -56,7 +87,46 @@ def _ship(df: DataFrame) -> None:
     ensure_shipped(df.sparkSession)
 
 
-def _fake_decode(content: bytes, feature_dim: int) -> tuple[int, int, float, np.ndarray]:
+def probe_media(media: DataFrame) -> DataFrame:
+    """binary content → (format, width, height, duration_ms) — REAL
+    header parses (PNG IHDR, BMP DIB, GIF screen descriptor, JPEG SOFn,
+    WAV fmt/frames) with no codec libraries.
+
+    Unrecognized bytes probe to format=NULL rather than raising: at
+    corpus scale one corrupt blob must not kill the job — filter
+    ``format IS NULL`` downstream to quarantine.
+    """
+    _ship(media)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fmts, ws, hs, durs = [], [], [], []
+            for content in pdf["content"]:
+                fmt, w, h, dur = probe_bytes(
+                    bytes(content) if content is not None else None
+                )
+                fmts.append(fmt)
+                ws.append(w)
+                hs.append(h)
+                durs.append(dur)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "format": fmts,
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
+                    "duration_ms": pd.array(durs, dtype="Int64"),
+                }
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        kernel, PROBE_SCHEMA
+    )
+
+
+def _fake_decode(
+    content: bytes, feature_dim: int
+) -> tuple[int, int, float, np.ndarray]:
     """Deterministic fake: all outputs derive from sha256(content), so the
     pipeline is reproducible and testable without codec libraries."""
     h = hashlib.sha256(content or b"").digest()
@@ -68,44 +138,129 @@ def _fake_decode(content: bytes, feature_dim: int) -> tuple[int, int, float, np.
     return width, height, mean_luma, feat
 
 
+def _real_decode(content: bytes) -> np.ndarray:
+    """Dispatch on magic to a real stdlib decoder (PNG / BMP)."""
+    if content[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png(content)
+    if content[:2] == b"BM":
+        return decode_bmp(content)
+    raise UnsupportedMediaError("no stdlib decoder for this format")
+
+
 def extract_image_features(
     media: DataFrame, feature_dim: int = 16, fake: bool = False
 ) -> DataFrame:
-    """binary content → (dims, luma, feature vector) via mapInPandas.
+    """binary content → (dims, mean luma, luma-histogram feature) via
+    mapInPandas.
 
-    Real decoder not available in this environment; ``fake=True`` runs the
-    deterministic stand-in through the identical Spark plan.
+    The default path REALLY decodes PNG and BMP (``media_codecs``:
+    zlib inflate + scanline defilter / DIB pixel array) and emits a
+    normalized luma histogram as the feature vector. Rows whose bytes
+    no stdlib codec can decode (JPEG pixel data, corrupt blobs) yield
+    NULL features instead of failing the job. ``fake=True`` swaps in the
+    deterministic sha256-seeded stand-in through the identical plan —
+    useful for format-independent plumbing tests.
     """
-    if not fake:
-        raise NotImplementedError(
-            "image decoding requires Pillow/opencv, not present in this "
-            "environment; pass fake=True to exercise the pipeline"
-        )
+    _ship(media)
+
+    if fake:
+
+        def kernel(
+            batches: Iterator[pd.DataFrame],
+        ) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                out = {
+                    "media_id": [],
+                    "width": [],
+                    "height": [],
+                    "mean_luma": [],
+                    "feature": [],
+                }
+                for mid, content in zip(pdf["media_id"], pdf["content"]):
+                    w, h, luma, feat = _fake_decode(
+                        bytes(content) if content is not None else b"",
+                        feature_dim,
+                    )
+                    out["media_id"].append(mid)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["mean_luma"].append(luma)
+                    out["feature"].append(feat)
+                yield pd.DataFrame(out)
+
+    else:
+
+        def kernel(
+            batches: Iterator[pd.DataFrame],
+        ) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                ws, hs, lumas, feats = [], [], [], []
+                for content in pdf["content"]:
+                    try:
+                        img = _real_decode(
+                            bytes(content) if content is not None else b""
+                        )
+                        luma = image_luma(img)
+                        ws.append(img.shape[1])
+                        hs.append(img.shape[0])
+                        lumas.append(float(luma.mean()))
+                        feats.append(luma_histogram(luma, feature_dim))
+                    except (UnsupportedMediaError, IndexError, ValueError):
+                        ws.append(None)
+                        hs.append(None)
+                        lumas.append(None)
+                        feats.append(None)
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf["media_id"],
+                        "width": pd.array(ws, dtype="Int32"),
+                        "height": pd.array(hs, dtype="Int32"),
+                        "mean_luma": lumas,
+                        "feature": feats,
+                    }
+                )
+
+    return media.select("media_id", "content").mapInPandas(
+        kernel, IMAGE_FEATURES_SCHEMA
+    )
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """binary WAV content → (sample_rate, duration, RMS energy,
+    zero-crossing rate) — REAL PCM-16 decode via the stdlib ``wave``
+    module. Undecodable rows yield NULLs."""
     _ship(media)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {
-                "media_id": [],
-                "width": [],
-                "height": [],
-                "mean_luma": [],
-                "feature": [],
-            }
-            for mid, content in zip(pdf["media_id"], pdf["content"]):
-                w, h, luma, feat = _fake_decode(
-                    bytes(content) if content is not None else b"",
-                    feature_dim,
-                )
-                out["media_id"].append(mid)
-                out["width"].append(w)
-                out["height"].append(h)
-                out["mean_luma"].append(luma)
-                out["feature"].append(feat)
-            yield pd.DataFrame(out)
+            rates, durs, rmss, zcrs = [], [], [], []
+            for content in pdf["content"]:
+                try:
+                    samples, rate = decode_wav(
+                        bytes(content) if content is not None else b""
+                    )
+                    rates.append(rate)
+                    durs.append(len(samples) * 1000 // max(rate, 1))
+                    rmss.append(float(np.sqrt(np.mean(samples**2))))
+                    zc = np.mean(np.abs(np.diff(np.signbit(samples))))
+                    zcrs.append(float(zc))
+                except (UnsupportedMediaError, IndexError, ValueError):
+                    rates.append(None)
+                    durs.append(None)
+                    rmss.append(None)
+                    zcrs.append(None)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "sample_rate": pd.array(rates, dtype="Int32"),
+                    "duration_ms": pd.array(durs, dtype="Int64"),
+                    "rms": rmss,
+                    "zero_cross_rate": zcrs,
+                }
+            )
 
     return media.select("media_id", "content").mapInPandas(
-        kernel, IMAGE_FEATURES_SCHEMA
+        kernel, AUDIO_FEATURES_SCHEMA
     )
 
 
@@ -113,7 +268,9 @@ def sample_video_frames(
     media: DataFrame, every_ms: int = 1000, fake: bool = False
 ) -> DataFrame:
     """Frame sampling: one output row per sampled frame (media_id, ts_ms,
-    frame bytes). Stubbed the same way as extract_image_features."""
+    frame bytes). Video containers need ffmpeg (not in this environment),
+    so the decode body remains stubbed; ``fake=True`` exercises the
+    explode-shaped plumbing with deterministic frame bytes."""
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.StringType(), False),

@@ -1,18 +1,34 @@
-"""Multimodal plumbing: schema, mapInPandas batching, determinism.
+"""Multimodal: real stdlib codecs (PNG/BMP/WAV/probe) + Spark plumbing
+(schema, mapInPandas batching, determinism, column pruning).
 
-The decode kernels are stubbed (no codec libs in this environment), but
-the Spark-side plumbing — binary columns, Arrow batch shape, output
-schemas, partitioning — is real and tested (SURVEY/BASELINE multimodal
-requirement)."""
+Image and audio decode are REAL (media_codecs: zlib inflate + defilter,
+DIB pixel array, PCM-16); only video decode remains stubbed (needs
+ffmpeg, not in this environment)."""
 
 from __future__ import annotations
 
+import struct
+import zlib
+
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
+from pinecone_datasets_spark.operators.media_codecs import (
+    UnsupportedMediaError,
+    decode_bmp,
+    decode_png,
+    decode_wav,
+    encode_png,
+    encode_wav,
+    image_luma,
+    probe_bytes,
+)
 from pinecone_datasets_spark.operators.multimodal import (
     MEDIA_SCHEMA,
+    extract_audio_features,
     extract_image_features,
+    probe_media,
     sample_video_frames,
 )
 
@@ -29,11 +45,200 @@ def media_df(spark):
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA).repartition(4)
 
 
-def test_not_implemented_without_fake(media_df):
-    with pytest.raises(NotImplementedError):
-        extract_image_features(media_df)
+def test_video_still_not_implemented_without_fake(media_df):
     with pytest.raises(NotImplementedError):
         sample_video_frames(media_df)
+
+
+# -- real codecs (no Spark) -------------------------------------------------
+
+
+def _rng(seed=7):
+    return np.random.default_rng(seed)
+
+
+def test_png_roundtrip_rgb():
+    px = _rng().integers(0, 256, (13, 17, 3), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(px)), px)
+
+
+def test_png_roundtrip_gray_and_rgba():
+    g = _rng(1).integers(0, 256, (5, 9), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(g))[:, :, 0], g)
+    rgba = _rng(2).integers(0, 256, (6, 4, 4), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(rgba)), rgba)
+
+
+def _png_with_filters(px: np.ndarray, filters: list[int]) -> bytes:
+    """Spec-forward-filter each scanline so every defilter branch is hit."""
+    h, w, ch = px.shape
+    stride = w * ch
+    flat = px.reshape(h, stride).astype(np.int64)
+    raw = bytearray()
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        f = filters[y % len(filters)]
+        row = flat[y]
+        out = np.zeros(stride, dtype=np.int64)
+        for x in range(stride):
+            a = row[x - ch] if x >= ch else 0
+            b = prev[x]
+            c = prev[x - ch] if x >= ch else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            out[x] = (row[x] - pred) % 256
+        raw.append(f)
+        raw.extend(out.astype(np.uint8).tobytes())
+        prev = row
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_all_five_filters_defilter_correctly():
+    px = _rng(3).integers(0, 256, (10, 6, 3), dtype=np.uint8)
+    data = _png_with_filters(px, filters=[0, 1, 2, 3, 4])
+    assert np.array_equal(decode_png(data), px)
+
+
+def test_png_unsupported_variant_raises():
+    # interlaced flag set
+    px = _rng(4).integers(0, 256, (4, 4, 3), dtype=np.uint8)
+    data = bytearray(encode_png(px))
+    data[8 + 8 + 12] = 1  # IHDR interlace byte
+    with pytest.raises(UnsupportedMediaError):
+        decode_png(bytes(data))
+
+
+def _encode_bmp24(px: np.ndarray) -> bytes:
+    h, w, _ = px.shape
+    row_bytes = (w * 3 + 3) & ~3
+    body = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = px[y, :, ::-1].tobytes()  # RGB → BGR
+        body.extend(row + b"\x00" * (row_bytes - len(row)))
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + len(body), 0, 0, 54
+    ) + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 0, 0, 0, 0)
+    return bytes(header + body)
+
+
+def test_bmp_roundtrip():
+    px = _rng(5).integers(0, 256, (7, 5, 3), dtype=np.uint8)
+    assert np.array_equal(decode_bmp(_encode_bmp24(px)), px)
+
+
+def test_wav_roundtrip():
+    t = np.arange(1600) / 16000.0
+    sig = 0.5 * np.sin(2 * np.pi * 440 * t)
+    samples, rate = decode_wav(encode_wav(sig, rate=16000))
+    assert rate == 16000
+    assert len(samples) == 1600
+    assert np.abs(samples - sig).max() < 1e-3
+
+
+def test_probe_bytes_formats():
+    png = encode_png(_rng(6).integers(0, 256, (3, 8, 3), dtype=np.uint8))
+    assert probe_bytes(png) == ("png", 8, 3, None)
+    bmp = _encode_bmp24(_rng(7).integers(0, 256, (4, 6, 3), dtype=np.uint8))
+    assert probe_bytes(bmp) == ("bmp", 6, 4, None)
+    wav = encode_wav(np.zeros(8000), rate=16000)
+    assert probe_bytes(wav) == ("wav", None, None, 500)
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 10
+    assert probe_bytes(gif) == ("gif", 320, 200, None)
+    # minimal JPEG: SOI + SOF0 segment
+    jpeg = b"\xff\xd8\xff\xc0" + struct.pack(">HBHH", 11, 8, 240, 320) + b"\x03\x00" * 10
+    assert probe_bytes(jpeg) == ("jpeg", 320, 240, None)
+    assert probe_bytes(b"garbage") == (None, None, None, None)
+    assert probe_bytes(None) == (None, None, None, None)
+
+
+# -- Spark operators over real bytes ---------------------------------------
+
+
+@pytest.fixture(scope="module")
+def real_media_df(spark):
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(6):
+        px = rng.integers(0, 256, (10 + i, 8, 3), dtype=np.uint8)
+        rows.append((f"png{i}", "image", encode_png(px), None, None, None, None))
+    for i in range(3):
+        px = rng.integers(0, 256, (5, 6 + i, 3), dtype=np.uint8)
+        rows.append((f"bmp{i}", "image", _encode_bmp24(px), None, None, None, None))
+    for i in range(3):
+        sig = 0.25 * np.sin(np.arange(3200 * (i + 1)) / 10.0)
+        rows.append(
+            (f"wav{i}", "audio", encode_wav(sig, rate=16000), None, None, None, None)
+        )
+    rows.append(("bad0", "image", b"\x00\x01garbage", None, None, None, None))
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA).repartition(4)
+
+
+def test_probe_media_real(real_media_df):
+    rows = {r["media_id"]: r for r in probe_media(real_media_df).collect()}
+    assert rows["png0"]["format"] == "png"
+    assert rows["png0"]["width"] == 8 and rows["png0"]["height"] == 10
+    assert rows["bmp1"]["format"] == "bmp" and rows["bmp1"]["width"] == 7
+    assert rows["wav1"]["format"] == "wav"
+    assert rows["wav1"]["duration_ms"] == 6400 * 1000 // 16000
+    assert rows["bad0"]["format"] is None
+
+
+def test_extract_image_features_real(real_media_df):
+    out = extract_image_features(real_media_df, feature_dim=16)
+    rows = {r["media_id"]: r for r in out.collect()}
+    r = rows["png2"]
+    assert (r["width"], r["height"]) == (8, 12)
+    assert 0 <= r["mean_luma"] <= 255
+    assert len(r["feature"]) == 16
+    assert abs(sum(r["feature"]) - 1.0) < 1e-5  # normalized histogram
+    # exact luma cross-check against a local decode
+    local = decode_png(
+        {
+            r2["media_id"]: bytes(r2["content"])
+            for r2 in real_media_df.collect()
+        }["png2"]
+    )
+    assert abs(r["mean_luma"] - image_luma(local).mean()) < 1e-9
+    # undecodable rows quarantine to NULLs, not job failure
+    assert rows["bad0"]["width"] is None and rows["bad0"]["feature"] is None
+    # audio bytes aren't images either
+    assert rows["wav0"]["width"] is None
+
+
+def test_extract_audio_features_real(real_media_df):
+    out = extract_audio_features(real_media_df)
+    rows = {r["media_id"]: r for r in out.collect()}
+    r = rows["wav0"]
+    assert r["sample_rate"] == 16000
+    assert r["duration_ms"] == 3200 * 1000 // 16000
+    sig = 0.25 * np.sin(np.arange(3200) / 10.0)
+    assert abs(r["rms"] - float(np.sqrt(np.mean(sig**2)))) < 1e-3
+    assert rows["png0"]["sample_rate"] is None
 
 
 def test_image_features_shape_and_determinism(media_df):

@@ -86,3 +86,32 @@ def test_save_requires_name(spark, tmp_path):
     cat = Catalog(spark, base_path=str(tmp_path))
     with pytest.raises(ValueError, match="name"):
         cat.save_dataset(ds)
+
+
+def test_catalog_skips_malformed_metadata_json(spark, tmp_path):
+    """Reference catalog.py:50-55 parity: a dataset dir whose
+    metadata.json is not valid JSON is warned about and skipped — the
+    rest of the catalog still lists."""
+    import warnings as _warnings
+
+    good = tmp_path / "good-ds"
+    good.mkdir()
+    (good / "metadata.json").write_text(
+        json.dumps(
+            {
+                "name": "good-ds",
+                "documents": 1,
+                "queries": 0,
+                "dense_model": {"name": "m", "dimension": 2},
+            }
+        )
+    )
+    bad = tmp_path / "bad-ds"
+    bad.mkdir()
+    (bad / "metadata.json").write_text("{not json at all::")
+    cat = Catalog(spark, base_path=str(tmp_path))
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        names = cat.list_datasets()
+    assert names == ["good-ds"]
+    assert any("bad-ds" in str(w.message) for w in caught)
