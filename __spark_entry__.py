@@ -769,9 +769,10 @@ def q24_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q25_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash fingerprints (xxhash64-seeded — no SQL oracle)."""
+    """64-bit SimHash fingerprints, md5-portable hash so the DuckDB
+    oracle reproduces every bit (operators/dedup.py:simhash64)."""
     doc = _t(spark, sf_dir, "documents")
-    return simhash64(doc).orderBy("doc_id")
+    return simhash64(doc, hash_fn="md5").orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -832,6 +833,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # DuckDB oracle twins. Tables pre-registered as views. Minhash/shingle SQL
 # is generated to keep the seeds/bands in lockstep with the Spark side.
+
+
+def _oracle_simhash() -> str:
+    """DuckDB twin of simhash64(hash_fn="md5"): same md5-hex halves,
+    same ±1 votes, same two's-complement reassembly."""
+    votes = ", ".join(
+        "SUM(CASE WHEN (({h} >> {j}) & 1) = 1 THEN 1 ELSE -1 END) AS v{i}".format(
+            h="hi" if i >= 32 else "lo", j=i - 32 if i >= 32 else i, i=i
+        )
+        for i in range(64)
+    )
+    contrib = " + ".join(
+        [
+            f"CASE WHEN v{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+            for i in range(63)
+        ]
+        + [
+            "CASE WHEN v63 > 0 THEN CAST(-9223372036854775808 AS BIGINT) "
+            "ELSE CAST(0 AS BIGINT) END"
+        ]
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS tok
+  FROM documents
+), h AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS hi,
+         CAST(concat('0x', substr(md5(tok), 9, 8)) AS BIGINT) AS lo
+  FROM toks
+), votes AS (
+  SELECT doc_id, {votes} FROM h GROUP BY doc_id
+)
+SELECT doc_id, {contrib} AS simhash FROM votes ORDER BY doc_id
+"""
 
 
 def _oracle_minhash(num_hashes: int = 8, bands: int = 4, k: int = 5) -> str:
@@ -1127,6 +1164,7 @@ SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
 WHERE event_type = 'click' AND value > 50
 ORDER BY event_id
 """,
+        "q25_simhash": _oracle_simhash(),
         "q26_sessionize": """
 WITH marked AS (
   SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,

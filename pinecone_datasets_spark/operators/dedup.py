@@ -408,23 +408,51 @@ def ngram_jaccard_pairs(
 
 
 def simhash64(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """64-bit SimHash over whitespace tokens, entirely in built-ins:
 
-    token → xxhash64 → per-bit ±1 votes → element-wise sum across tokens
-    (aggregate+zip_with) → sign bits reassembled into one bigint.
+    token → 64-bit hash → per-bit ±1 votes → element-wise sum across
+    tokens (aggregate+zip_with) → sign bits reassembled into one bigint.
     Map-only; no shuffle.
+
+    ``hash_fn="xxhash64"``: one JVM hash per token (fast path).
+    ``hash_fn="md5"``: the 64 bits come from two 32-bit halves of the
+    md5 hex digest (``conv(substr(md5, ...), 16, 10)``) — slower, but
+    bit-reproducible by any SQL engine (the oracle path; DuckDB twin
+    parses the same hex with ``CAST('0x...' AS BIGINT)``).
     """
     toks = F.array_distinct(
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     )
-    tok_hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    if hash_fn == "xxhash64":
+        tok_hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    elif hash_fn == "md5":
+        # struct(hi, lo): each half < 2^32 so the long cast is ANSI-safe
+        tok_hashes = F.transform(
+            toks,
+            lambda t: F.struct(
+                F.conv(F.substring(F.md5(t), 1, 8), 16, 10)
+                .cast("long")
+                .alias("hi"),
+                F.conv(F.substring(F.md5(t), 9, 8), 16, 10)
+                .cast("long")
+                .alias("lo"),
+            ),
+        )
+    else:
+        raise ValueError(f"unknown hash_fn: {hash_fn}")
 
     def bit_vote(h: Column, i: int) -> Column:
         # Bit masks must be Python literals (shift amount can't be a
         # Column); bit 63 is the sign bit of the signed long.
-        if i == 63:
+        if hash_fn == "md5":
+            half, j = (h["lo"], i) if i < 32 else (h["hi"], i - 32)
+            set_ = half.bitwiseAND(F.lit(1 << j)) != 0
+        elif i == 63:
             set_ = h < 0
         else:
             set_ = h.bitwiseAND(F.lit(1 << i)) != 0

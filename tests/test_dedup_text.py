@@ -158,6 +158,15 @@ def test_minhash_bands_must_divide_num_hashes(dup_docs):
         minhash_lsh_candidates(dup_docs, num_hashes=32, bands=5)
 
 
+def test_simhash_md5_portable_variant(dup_docs):
+    out = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash64(dup_docs, hash_fn="md5").collect()
+    }
+    assert out[1] == out[2]  # exact dups identical
+    assert out[1] != out[5]  # unrelated docs differ
+
+
 def test_simhash_near_dups_close(dup_docs):
     out = {r["doc_id"]: r["simhash"] for r in simhash64(dup_docs).collect()}
     assert out[1] == out[2]
