@@ -88,3 +88,63 @@ def test_stream_documents_schema(spark, tmp_path):
     sdf = stream_documents(spark, str(docs_dir))
     assert sdf.isStreaming
     assert sdf.columns == ["id", "values", "sparse_values", "metadata", "blob"]
+
+
+def test_stream_exact_dedup_matches_batch(spark, tmp_path_factory):
+    """availableNow replay of stream_exact_dedup must keep exactly one
+    row per distinct normalized text — the batch exact-dedup invariant."""
+    import pandas as pd
+
+    from pinecone_datasets_spark.functions.text import doc_fingerprint
+    from pinecone_datasets_spark.streaming.dedup import stream_exact_dedup
+
+    docs_dir = str(tmp_path_factory.mktemp("docs_stream"))
+    texts = ["alpha beta", "Alpha  beta", "gamma", "delta", "gamma"]
+    pd.DataFrame(
+        {"doc_id": range(3), "text": texts[:3]}
+    ).to_parquet(f"{docs_dir}/part-0.parquet", index=False)
+    pd.DataFrame(
+        {"doc_id": range(3, 5), "text": texts[3:]}
+    ).to_parquet(f"{docs_dir}/part-1.parquet", index=False)
+
+    batch = spark.read.parquet(docs_dir)
+    n_distinct = (
+        batch.select(doc_fingerprint(F.col("text")).alias("fp"))
+        .distinct()
+        .count()
+    )
+
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_dir)
+    )
+    ckpt = str(tmp_path_factory.mktemp("ckpt_dedup"))
+    q = (
+        stream_exact_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    out = spark.sql("SELECT * FROM dedup_out")
+    assert out.count() == n_distinct
+    assert out.columns == batch.columns  # fingerprint col dropped
+    # one representative per duplicate group, none lost
+    got = {
+        r["fp"]
+        for r in out.select(
+            doc_fingerprint(F.col("text")).alias("fp")
+        ).collect()
+    }
+    want = {
+        r["fp"]
+        for r in batch.select(
+            doc_fingerprint(F.col("text")).alias("fp")
+        ).collect()
+    }
+    assert got == want
