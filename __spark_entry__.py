@@ -705,6 +705,47 @@ def q39_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q40_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition gates: duplicate-word fraction and
+    top-bigram fraction per doc, map-only built-ins
+    (functions/text.py:duplicate_word_fraction/top_bigram_fraction)."""
+    from pinecone_datasets_spark.functions.text import (
+        duplicate_word_fraction,
+        top_bigram_fraction,
+    )
+
+    doc = _t(spark, sf_dir, "documents")
+    return doc.select(
+        "doc_id",
+        F.round(duplicate_word_fraction("text"), 6).alias("dup_word_frac"),
+        F.round(top_bigram_fraction("text"), 6).alias("top_bigram_frac"),
+    ).orderBy("doc_id")
+
+
+def q41_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over synthetically-injected emails/URLs/ids: the fixture
+    corpus carries no PII, so the query plants a deterministic email, URL
+    and long number per doc, redacts, and emits the redacted text's md5 +
+    chars-removed (functions/text.py:redact_pii)."""
+    from pinecone_datasets_spark.functions.text import redact_pii
+
+    doc = _t(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com via https://example.com/u/"),
+        F.col("doc_id").cast("string"),
+        F.lit(" ref 9990001112223"),
+    )
+    red = redact_pii(planted)
+    return doc.select(
+        "doc_id",
+        F.md5(red).alias("redacted_fp"),
+        (F.length(planted) - F.length(red)).alias("chars_removed"),
+    ).orderBy("doc_id")
+
+
 def q35_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: KMeans cells + nprobe probing (seeded, approximate — no
     SQL oracle; the exact twin is q20). The 100 TB similarity-search
@@ -828,6 +869,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q37_yearly_revenue": q37_yearly_revenue,
         "q38_segment_stats": q38_segment_stats,
         "q39_rolling_hash": q39_rolling_hash,
+        "q40_repetition_signals": q40_repetition_signals,
+        "q41_pii_redact": q41_pii_redact,
     }
 
 
@@ -1294,6 +1337,52 @@ SELECT doc_id,
                           t -> ('0x' || substr(md5(t), 1, 8))::BIGINT)),
          (a, b) -> (a * 1000003 + b) % 2147483647) AS fp
 FROM documents ORDER BY doc_id
+""",
+        "q40_repetition_signals": """
+WITH w AS (
+  SELECT doc_id,
+         string_split_regex(lower(trim(text)), '\\s+') AS words
+  FROM documents
+), base AS (
+  SELECT doc_id, words, len(words) AS n,
+         CASE WHEN len(words) > 0
+              THEN (len(words) - len(list_distinct(words)))::DOUBLE / len(words)
+              ELSE 0.0 END AS dwf
+  FROM w
+), bg AS (
+  SELECT doc_id, n,
+         unnest(list_transform(generate_series(1, n - 1),
+                i -> words[i] || ' ' || words[i + 1])) AS bigram
+  FROM base WHERE n >= 2
+), counts AS (
+  SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY doc_id, bigram
+), top AS (
+  SELECT doc_id, max(c) AS topc FROM counts GROUP BY doc_id
+)
+SELECT b.doc_id,
+       round(b.dwf, 6) AS dup_word_frac,
+       round(COALESCE(t.topc::DOUBLE / (b.n - 1), 0.0), 6) AS top_bigram_frac
+FROM base b LEFT JOIN top t USING (doc_id)
+ORDER BY doc_id
+""",
+        "q41_pii_redact": """
+WITH planted AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id
+              || '@mail.example.com via https://example.com/u/' || doc_id
+              || ' ref 9990001112223' AS t
+  FROM documents
+), red AS (
+  SELECT doc_id, t,
+         regexp_replace(regexp_replace(regexp_replace(t,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           'https?://[^ \\t\\n]+', '<URL>', 'g'),
+           '[0-9]{6,}', '<NUM>', 'g') AS r
+  FROM planted
+)
+SELECT doc_id, md5(r) AS redacted_fp,
+       (len(t) - len(r)) AS chars_removed
+FROM red ORDER BY doc_id
 """,
         # The quality gate thresholds on round(quality, 6) on BOTH sides
         # (operators/pipeline.py:_quality_gate) — a raw float comparison is

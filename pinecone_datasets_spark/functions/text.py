@@ -147,3 +147,86 @@ def rolling_hash_fingerprint(text: ColumnOrName) -> Column:
         F.lit(0).cast("long"),
         lambda acc, x: (acc * F.lit(_RH_BASE) + x) % F.lit(_RH_MOD),
     )
+
+
+# ---------------------------------------------------------------------------
+# Repetition signals (Gopher/MassiveText-style quality rules) — map-only,
+# pure built-ins, no shuffle: the per-doc mode is a run-length maximum
+# over the sorted bigram array, not an explode+groupBy.
+# ---------------------------------------------------------------------------
+
+
+def duplicate_word_fraction(text: ColumnOrName) -> Column:
+    """Fraction of word occurrences that repeat an earlier word:
+    1 - distinct_words / words. 0.0 for empty text."""
+    words = F.split(F.lower(F.trim(_c(text))), r"\s+")
+    n = F.size(words)
+    return F.when(n <= 0, F.lit(0.0)).otherwise(
+        (n - F.size(F.array_distinct(words))) / n.cast("double")
+    )
+
+
+def top_bigram_fraction(text: ColumnOrName) -> Column:
+    """Fraction of all word-bigram occurrences taken by the most frequent
+    bigram (the Gopher repetition gate; > ~0.18 flags boilerplate).
+
+    Entirely built-in and map-only: bigrams → array_sort → single
+    aggregate pass tracking the longest equal-run. The naive alternative
+    (explode + groupBy + max) shuffles one row per bigram occurrence —
+    at 100 TB that's the whole corpus through the wire for a per-row
+    scalar. Guarded for n < 2 words (sequence() would run backwards).
+    """
+    words = F.split(F.lower(F.trim(_c(text))), r"\s+")
+    n = F.size(words)
+    bigrams = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(words, i), F.element_at(words, i + 1)
+        ),
+    )
+    longest_run = F.aggregate(
+        F.array_sort(bigrams),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        ),
+        lambda a, x: F.struct(
+            x.alias("prev"),
+            F.when(x == a["prev"], a["run"] + 1)
+            .otherwise(F.lit(1).cast("long"))
+            .alias("run"),
+            F.greatest(
+                a["best"],
+                F.when(x == a["prev"], a["run"] + 1).otherwise(
+                    F.lit(1).cast("long")
+                ),
+            ).alias("best"),
+        ),
+        lambda a: a["best"],
+    )
+    return F.when(n < 2, F.lit(0.0)).otherwise(
+        longest_run / (n - 1).cast("double")
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction — regex patterns chosen to mean the same thing in Java
+# regex (Spark) and RE2 (DuckDB) so an oracle can replay them.
+# ---------------------------------------------------------------------------
+
+_PII_PATTERNS = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"https?://[^ \t\n]+", "<URL>"),
+    (r"[0-9]{6,}", "<NUM>"),
+)
+
+
+def redact_pii(text: ColumnOrName) -> Column:
+    """Replace emails, URLs, and long digit runs with typed placeholders —
+    the standard pre-training scrub pass. Order matters: emails first
+    (their local parts contain digits), URLs before bare numbers."""
+    t = _c(text)
+    for pattern, repl in _PII_PATTERNS:
+        t = F.regexp_replace(t, pattern, repl)
+    return t

@@ -54,10 +54,7 @@ def test_exact_dup_groups(dup_docs):
     assert groups[0]["representative"] == 1
 
 
-def test_shingles():
-    from pyspark.sql import SparkSession
-
-    spark = SparkSession.getActiveSession()
+def test_shingles(spark):
     df = spark.createDataFrame([("abcdef",)], schema="t string")
     out = df.select(char_shingles(F.col("t"), 3).alias("s")).collect()[0]["s"]
     assert out == ["abc", "bcd", "cde", "def"]
