@@ -746,6 +746,19 @@ def q41_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q42_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash candidate pairs → connected components → one cluster id
+    per doc (operators/cluster.py: iterative min-label propagation;
+    oracle replays the closure with a recursive CTE)."""
+    from pinecone_datasets_spark.operators.cluster import dedup_clusters
+
+    doc = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates(
+        doc, num_hashes=8, bands=4, shingle_k=5, hash_fn="md5"
+    )
+    return dedup_clusters(doc, pairs).orderBy("doc_id")
+
+
 def q35_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: KMeans cells + nprobe probing (seeded, approximate — no
     SQL oracle; the exact twin is q20). The 100 TB similarity-search
@@ -871,6 +884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q39_rolling_hash": q39_rolling_hash,
         "q40_repetition_signals": q40_repetition_signals,
         "q41_pii_redact": q41_pii_redact,
+        "q42_dedup_clusters": q42_dedup_clusters,
     }
 
 
@@ -945,6 +959,34 @@ SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM bands a JOIN bands b
   ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
 ORDER BY id_a, id_b
+"""
+
+
+def _oracle_clusters(num_hashes: int = 8, bands: int = 4, k: int = 5) -> str:
+    """Recursive-CTE twin of q42: same md5 minhash candidate pairs, then
+    min-reachable-id labels via transitive closure."""
+    cand = _oracle_minhash(num_hashes, bands, k).replace(
+        "ORDER BY id_a, id_b", ""
+    )
+    return f"""
+WITH RECURSIVE cand AS ({cand}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM cand
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM cand
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+labels AS (
+  SELECT src AS node, least(src, min(dst)) AS cluster_id
+  FROM reach GROUP BY src
+)
+SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+FROM documents d LEFT JOIN labels l ON d.doc_id = l.node
+ORDER BY d.doc_id
 """
 
 
@@ -1208,6 +1250,7 @@ WHERE event_type = 'click' AND value > 50
 ORDER BY event_id
 """,
         "q25_simhash": _oracle_simhash(),
+        "q42_dedup_clusters": _oracle_clusters(num_hashes=8, bands=4, k=5),
         "q26_sessionize": """
 WITH marked AS (
   SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
