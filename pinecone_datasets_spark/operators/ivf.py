@@ -106,6 +106,7 @@ def ivf_topk(
     doc_id_col: str = "id",
     doc_vector_col: str = "values",
     cell_col: str = "ivf_cell",
+    prune_cells: bool = False,
 ) -> DataFrame:
     """Per-query top-k over the nprobe nearest cells only.
 
@@ -148,6 +149,15 @@ def ivf_topk(
         if metric == "cosine"
         else dot_product(doc_vector_col, query_vector_col)
     )
+    if prune_cells:
+        # Static pruning: the probed cell set is known driver-side. Only
+        # worth it when the cell column is STORED (partitioned layout →
+        # whole directories skipped); on a freshly-computed UDF column the
+        # extra filter just re-evaluates the assignment kernel.
+        probed_cells = sorted({cell for (_, _, cell) in probe_rows})
+        documents_with_cells = documents_with_cells.where(
+            F.col(cell_col).isin(probed_cells)
+        )
     candidates = documents_with_cells.join(
         F.broadcast(q_exp), on=cell_col
     ).select(
@@ -161,4 +171,99 @@ def ivf_topk(
     return (
         candidates.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Persisted index: cell-partitioned parquet layout + centroid sidecar
+# ---------------------------------------------------------------------------
+
+IVF_CENTROIDS_FILE = "_ivf_centroids.json"
+
+
+def build_ivf_index(
+    documents: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    vector_col: str = "values",
+    metric: str = "cosine",
+    cell_col: str = "ivf_cell",
+    seed: int = 42,
+    sample_fraction: Optional[float] = None,
+) -> np.ndarray:
+    """Train, assign, and persist the IVF layout in one call.
+
+    The corpus lands as parquet **partitioned by cell id** — the layout
+    that turns nprobe cell selection into Parquet partition pruning (the
+    reader skips whole directories, not just row groups). Centroids ride
+    in a JSON sidecar next to the data so a later session can search
+    without retraining. Returns the centroid matrix.
+    """
+    import json as _json
+
+    from ..fs import FS, join as _join
+
+    centroids = train_centroids(
+        documents,
+        n_centroids=n_centroids,
+        vector_col=vector_col,
+        sample_fraction=sample_fraction,
+        seed=seed,
+    )
+    assigned = assign_cells(
+        documents, centroids, vector_col=vector_col,
+        metric=metric, cell_col=cell_col,
+    )
+    assigned.write.partitionBy(cell_col).mode("overwrite").parquet(path)
+    FS(documents.sparkSession).write_text(
+        _join(path, IVF_CENTROIDS_FILE),
+        _json.dumps(
+            {"metric": metric, "cell_col": cell_col,
+             "centroids": centroids.tolist()}
+        ),
+    )
+    return centroids
+
+
+def load_ivf_index(spark, path: str):
+    """(documents_with_cells, centroids, metric, cell_col) from a layout
+    written by ``build_ivf_index``. The scan is lazy — filters on the
+    cell column prune partitions before any file is opened."""
+    import json as _json
+
+    from ..fs import FS, join as _join
+
+    meta = _json.loads(
+        FS(spark).read_text(_join(path, IVF_CENTROIDS_FILE))
+    )
+    df = spark.read.parquet(path)
+    return (
+        df,
+        np.asarray(meta["centroids"], dtype=np.float64),
+        meta["metric"],
+        meta["cell_col"],
+    )
+
+
+def ivf_index_topk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    **kwargs,
+) -> DataFrame:
+    """Top-k against a persisted index: load sidecar + pruned scan +
+    ``ivf_topk``. Only the probed cells' directories are read."""
+    docs, centroids, metric, cell_col = load_ivf_index(spark, path)
+    return ivf_topk(
+        docs,
+        queries,
+        centroids,
+        k=k,
+        nprobe=nprobe,
+        metric=metric,
+        cell_col=cell_col,
+        prune_cells=True,
+        **kwargs,
     )

@@ -101,3 +101,66 @@ def test_ivf_probes_fraction(spark, corpus):
     )
     assert all(r["count"] <= min(100, largest_cell) for r in per_q)
     assert largest_cell < total  # clustering actually split the corpus
+
+
+def test_build_load_index_roundtrip(spark, corpus, tmp_path):
+    import os
+
+    from pinecone_datasets_spark.operators.ivf import (
+        IVF_CENTROIDS_FILE,
+        build_ivf_index,
+        ivf_index_topk,
+        load_ivf_index,
+        train_centroids,
+        assign_cells,
+        ivf_topk,
+    )
+
+    path = str(tmp_path / "ivf_index")
+    centroids = build_ivf_index(
+        corpus, path, n_centroids=8, metric="cosine", seed=42
+    )
+    # layout: one dir per cell + centroid sidecar
+    entries = os.listdir(path)
+    assert IVF_CENTROIDS_FILE in entries
+    assert any(e.startswith("ivf_cell=") for e in entries)
+
+    docs, loaded, metric, cell_col = load_ivf_index(spark, path)
+    assert np.allclose(loaded, centroids)
+    assert (metric, cell_col) == ("cosine", "ivf_cell")
+    assert docs.count() == corpus.count()
+
+    queries = corpus.where(F.col("id") < 5).select(
+        F.col("id").alias("query_id"), F.col("values").alias("vector")
+    )
+    via_index = ivf_index_topk(spark, path, queries, k=5, nprobe=4)
+    in_memory = ivf_topk(
+        assign_cells(corpus, centroids), queries, centroids,
+        k=5, nprobe=4, metric="cosine",
+    )
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    assert sorted(
+        (r["query_id"], r["rank"], r["id"]) for r in via_index.collect()
+    ) == sorted(
+        (r["query_id"], r["rank"], r["id"]) for r in in_memory.collect()
+    )
+
+
+def test_ivf_index_scan_partition_pruned(spark, corpus, tmp_path):
+    """The probed-cell IN filter must reach the partitioned scan as a
+    partition filter — whole unprobed directories skipped."""
+    from pinecone_datasets_spark.operators.ivf import (
+        build_ivf_index,
+        ivf_index_topk,
+    )
+    from pinecone_datasets_spark.plans.explain import formatted_plan
+
+    path = str(tmp_path / "ivf_pruned")
+    build_ivf_index(corpus, path, n_centroids=8, metric="cosine", seed=42)
+    queries = corpus.where(F.col("id") < 2).select(
+        F.col("id").alias("query_id"), F.col("values").alias("vector")
+    )
+    plan = formatted_plan(ivf_index_topk(spark, path, queries, k=3, nprobe=2))
+    assert "PartitionFilters: [ivf_cell" in plan.replace(
+        "PartitionFilters: [isnotnull(ivf_cell", "PartitionFilters: [ivf_cell"
+    ) or "ivf_cell" in plan.split("PartitionFilters")[1].split("]")[0]
