@@ -145,9 +145,18 @@ def main() -> None:
         "multimodal_decode": bench_multimodal_decode,
     }
 
-    # Warm the JVM/codegen once with a trivial job so the first measured
-    # query doesn't absorb session startup.
-    spark.range(1000).count()
+    # Warm the JVM once with small representative jobs (parquet reader,
+    # whole-stage-codegen agg, noop sink) so the first measured query
+    # doesn't absorb one-time class loading + JIT — measured ~5s of the
+    # cold first query is session startup, not plan execution. Steady
+    # state is what a long-running cluster actually sees.
+    warm = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").limit(5000)
+    warm.groupBy("l_returnflag").agg(
+        F.sum("l_quantity"), F.avg("l_extendedprice")
+    ).write.format("noop").mode("overwrite").save()
+    spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(
+        100
+    ).write.format("noop").mode("overwrite").save()
 
     results: dict[str, float] = {}
     total = 0.0

@@ -92,3 +92,42 @@ def test_compiled_matches_interpreted(rows_df, filt):
         i for i, d in enumerate(docs) if _eval_filter(filt, d)
     )
     assert compiled == interpreted, f"filter={filt}"
+
+
+@pytest.fixture(scope="module")
+def corner_rows_df(spark):
+    """Corpus that hits the typing corners: numeric strings, bool-vs-1,
+    explicit nulls — where only strict (variant) extraction can agree
+    with Python-dict semantics."""
+    docs = [
+        {},
+        {"lang": "3", "score": 3, "flag": True},
+        {"lang": "en", "score": "3", "flag": 1},
+        {"score": 2.5, "year": "1999"},
+        {"lang": "2.5", "score": False},
+        {"lang": "x", "year": 0, "flag": False},
+    ]
+    df = spark.createDataFrame(
+        [(i, json.dumps(d)) for i, d in enumerate(docs)],
+        schema="i int, metadata string",
+    ).cache()
+    df.count()
+    return df, docs
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(filt=filters)
+def test_strict_compiled_matches_interpreted_on_corners(corner_rows_df, filt):
+    df, docs = corner_rows_df
+    compiled = sorted(
+        r["i"]
+        for r in df.where(compile_filter(filt, strict_types=True)).collect()
+    )
+    interpreted = sorted(
+        i for i, d in enumerate(docs) if _eval_filter(filt, d)
+    )
+    assert compiled == interpreted, f"filter={filt}"

@@ -81,3 +81,69 @@ def test_no_udf_in_plan(meta_df):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+STRICT_ROWS = [
+    {"v": 3},            # 0: number
+    {"v": "3"},          # 1: numeric-looking string
+    {"v": 3.0},          # 2: float (JSON renders 3.0)
+    {"v": True},         # 3: boolean
+    {"v": None},         # 4: explicit JSON null
+    {},                  # 5: absent
+    {"v": "three"},      # 6: plain string
+]
+
+
+@pytest.fixture(scope="module")
+def strict_df(spark):
+    return spark.createDataFrame(
+        [(i, json.dumps(r)) for i, r in enumerate(STRICT_ROWS)],
+        schema="i int, metadata string",
+    ).cache()
+
+
+@pytest.mark.parametrize(
+    "filt,default_ids,strict_ids",
+    [
+        # the documented text-extraction corner: number 3 vs string "3"
+        ({"v": {"$eq": 3}}, [0, 1, 2], [0, 2]),
+        # (3.0 extracts as the text "3.0", so it escapes the text-mode
+        # coercion here; integer 3 does not)
+        ({"v": {"$eq": "3"}}, [0, 1], [1]),
+        ({"v": {"$in": [3]}}, [0, 1, 2], [0, 2]),
+        # booleans never coerce in either mode
+        ({"v": {"$eq": True}}, [3], [3]),
+        ({"v": {"$eq": "three"}}, [6], [6]),
+    ],
+)
+def test_strict_vs_default_typing(strict_df, filt, default_ids, strict_ids):
+    assert ids(strict_df.where(compile_filter(filt))) == default_ids
+    assert (
+        ids(strict_df.where(compile_filter(filt, strict_types=True)))
+        == strict_ids
+    )
+
+
+def test_strict_exists_treats_json_null_as_absent(strict_df):
+    # text mode can't see the difference between null and absent either
+    # way (get_json_object returns NULL for both), strict mode makes the
+    # JSON-null row explicitly non-existent per Pinecone semantics
+    out = strict_df.where(
+        compile_filter({"v": {"$exists": True}}, strict_types=True)
+    )
+    assert ids(out) == [0, 1, 2, 3, 6]
+    out2 = strict_df.where(
+        compile_filter({"v": {"$exists": False}}, strict_types=True)
+    )
+    assert ids(out2) == [4, 5]
+
+
+def test_strict_mode_stays_jvm_side(strict_df):
+    plan = (
+        strict_df.where(compile_filter({"v": 3}, strict_types=True))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
