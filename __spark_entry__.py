@@ -759,6 +759,33 @@ def q42_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(doc, pairs).orderBy("doc_id")
 
 
+def q43_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global vocabulary top-50 (operators/terms.py:top_terms): explode →
+    map-side-partial count → TakeOrderedAndProject."""
+    from pinecone_datasets_spark.operators.terms import top_terms
+
+    doc = _t(spark, sf_dir, "documents")
+    return top_terms(doc, k=50).select(
+        "term", F.col("n").cast("long").alias("n")
+    )
+
+
+def q44_characteristic_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 TF-IDF terms (operators/terms.py): one explode, two
+    aggregates, vocabulary-side broadcast join, window top-k."""
+    from pinecone_datasets_spark.operators.terms import characteristic_terms
+
+    doc = _t(spark, sf_dir, "documents")
+    return characteristic_terms(doc, k=3, round_scores=6).select(
+        "doc_id",
+        "term",
+        F.col("tf").cast("long").alias("tf"),
+        F.col("df").cast("long").alias("df"),
+        F.round("tf_idf", 6).alias("tf_idf"),
+        "rank",
+    ).orderBy("doc_id", "rank")
+
+
 def q35_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: KMeans cells + nprobe probing (seeded, approximate — no
     SQL oracle; the exact twin is q20). The 100 TB similarity-search
@@ -885,6 +912,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q40_repetition_signals": q40_repetition_signals,
         "q41_pii_redact": q41_pii_redact,
         "q42_dedup_clusters": q42_dedup_clusters,
+        "q43_top_terms": q43_top_terms,
+        "q44_characteristic_terms": q44_characteristic_terms,
     }
 
 
@@ -1251,6 +1280,42 @@ ORDER BY event_id
 """,
         "q25_simhash": _oracle_simhash(),
         "q42_dedup_clusters": _oracle_clusters(num_hashes=8, bands=4, k=5),
+        "q43_top_terms": """
+SELECT term, count(*)::BIGINT AS n
+FROM (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+  FROM documents
+)
+WHERE len(term) > 0
+GROUP BY term
+ORDER BY n DESC, term
+LIMIT 50
+""",
+        "q44_characteristic_terms": """
+WITH ex AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+  FROM documents
+), tc AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM ex WHERE len(term) > 0 GROUP BY doc_id, term
+), df_t AS (
+  SELECT term, count(*)::BIGINT AS df FROM tc GROUP BY term
+), scored AS (
+  SELECT tc.doc_id, tc.term, tc.tf, df_t.df,
+         tc.tf * ln((1.0 + (SELECT count(*) FROM documents))
+                    / (1.0 + df_t.df)) AS tf_idf
+  FROM tc JOIN df_t USING (term)
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY round(tf_idf, 6) DESC, term
+  ) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tf, df, round(tf_idf, 6) AS tf_idf, rank
+FROM ranked WHERE rank <= 3
+ORDER BY doc_id, rank
+""",
         "q26_sessionize": """
 WITH marked AS (
   SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
