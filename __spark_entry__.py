@@ -786,6 +786,63 @@ def q44_characteristic_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "rank")
 
 
+def q45_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (operators/sampling.py):
+    map-only salted-md5 bucketing, no shuffle, assignments stable under
+    re-partitioning. Output is the per-(split, lang) census."""
+    from pinecone_datasets_spark.operators.sampling import hash_split
+
+    doc = _t(spark, sf_dir, "documents")
+    out = hash_split(
+        doc, {"train": 0.8, "val": 0.1, "test": 0.1}, key_col="doc_id",
+        seed=42,
+    )
+    return (
+        out.groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+def q46_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-n-per-stratum deterministic sample: hash-ordered rank window
+    with a literal bound (WindowGroupLimit pre-truncates map-side)."""
+    from pinecone_datasets_spark.operators.sampling import (
+        stratified_sample_exact,
+    )
+
+    doc = _t(spark, sf_dir, "documents")
+    out = stratified_sample_exact(
+        doc, "lang", 20, key_col="doc_id", seed=11
+    )
+    return out.select("doc_id", "lang", "source", "n_chars").orderBy(
+        "lang", "doc_id"
+    )
+
+
+def q47_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap, best-first by length (anti-domination
+    gate): WindowGroupLimit with literal k, shuffle carries ≤k rows per
+    (task, source)."""
+    from pinecone_datasets_spark.operators.sampling import cap_per_group
+
+    doc = _t(spark, sf_dir, "documents")
+    out = cap_per_group(
+        doc,
+        "source",
+        5,
+        order_by=[F.col("n_chars").desc(), F.col("doc_id")],
+        rank_col="rank",
+    )
+    return out.select(
+        "source", F.col("rank").cast("long").alias("rank"), "doc_id",
+        "n_chars",
+    ).orderBy("source", "rank")
+
+
 def q35_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: KMeans cells + nprobe probing (seeded, approximate — no
     SQL oracle; the exact twin is q20). The 100 TB similarity-search
@@ -914,6 +971,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q42_dedup_clusters": q42_dedup_clusters,
         "q43_top_terms": q43_top_terms,
         "q44_characteristic_terms": q44_characteristic_terms,
+        "q45_hash_split": q45_hash_split,
+        "q46_stratified_sample": q46_stratified_sample,
+        "q47_source_cap": q47_source_cap,
     }
 
 
@@ -1315,6 +1375,50 @@ WITH ex AS (
 SELECT doc_id, term, tf, df, round(tf_idf, 6) AS tf_idf, rank
 FROM ranked WHERE rank <= 3
 ORDER BY doc_id, rank
+""",
+        "q45_hash_split": """
+WITH b AS (
+  SELECT lang, n_chars,
+         ('0x' || substr(md5('42|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+         % 10000 AS bucket
+  FROM documents
+), s AS (
+  SELECT CASE WHEN bucket < 8000 THEN 'train'
+              WHEN bucket < 9000 THEN 'val'
+              ELSE 'test' END AS split,
+         lang, n_chars
+  FROM b
+)
+SELECT split, lang, count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS sum_chars
+FROM s GROUP BY split, lang ORDER BY split, lang
+""",
+        "q46_stratified_sample": """
+WITH b AS (
+  SELECT doc_id, lang, source, n_chars,
+         ('0x' || substr(md5('11|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+         % 10000 AS bucket
+  FROM documents
+), ranked AS (
+  SELECT doc_id, lang, source, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY bucket, doc_id) AS rk
+  FROM b
+)
+SELECT doc_id, lang, source, n_chars
+FROM ranked WHERE rk <= 20
+ORDER BY lang, doc_id
+""",
+        "q47_source_cap": """
+WITH ranked AS (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (
+           PARTITION BY source ORDER BY n_chars DESC, doc_id
+         )::BIGINT AS rank
+  FROM documents
+)
+SELECT source, rank, doc_id, n_chars
+FROM ranked WHERE rank <= 5
+ORDER BY source, rank
 """,
         "q26_sessionize": """
 WITH marked AS (

@@ -1,0 +1,175 @@
+"""Deterministic sampling and dataset splitting.
+
+Training-data pipelines need splits and samples that are (a) reproducible
+across runs and engines, (b) stable under re-partitioning and data
+re-ordering, and (c) cheap at corpus scale. ``df.sample()`` gives none of
+these — it seeds per-partition, so adding one file reshuffles every
+assignment. The standard fix is *hash bucketing*: assign each row a
+bucket from a salted hash of its stable key and threshold on the bucket.
+
+Scale shapes:
+
+* ``hash_split`` / ``deterministic_sample``: pure map-side expressions
+  (one md5 per row, no shuffle, no state). A 100 TB corpus splits in a
+  single scan-and-write pass; assignments never change when the corpus
+  is re-partitioned, appended to, or processed engine-by-engine, because
+  the hash depends only on (seed, key).
+* ``cap_per_group`` / ``stratified_sample_exact``: one shuffle on the
+  group key feeding a rank window with a *literal* bound, so Spark plans
+  a ``WindowGroupLimit`` — each map task pre-truncates its groups to k
+  rows before the exchange and the shuffle carries at most k rows per
+  (task, group), not the full corpus.
+
+The bucket hash is the repo's portable-md5 idiom (first 8 hex chars →
+int, cf. ``operators/dedup.py``), so any SQL engine reproduces the exact
+assignment — the DuckDB oracles for q45-q47 do.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Optional, Sequence, Union
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+ColumnOrName = Union[Column, str]
+
+#: Number of hash buckets the unit interval is quantized into. 10_000
+#: gives 0.01% split granularity while keeping boundary arithmetic exact
+#: in integers (no float thresholds to disagree across engines).
+SPLIT_BUCKETS = 10_000
+
+
+def split_bucket(
+    key: ColumnOrName, seed: int = 42, buckets: int = SPLIT_BUCKETS
+) -> Column:
+    """Deterministic bucket in ``[0, buckets)`` from a salted md5 of the
+    key. Map-only; portable (DuckDB twin:
+    ``('0x' || substr(md5(seed || '|' || key), 1, 8))::BIGINT % buckets``).
+    """
+    key_col = F.col(key) if isinstance(key, str) else key
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{seed}|"), key_col.cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    # h is in [0, 2^32) — plain % stays non-negative.
+    return (h % F.lit(buckets)).alias("bucket")
+
+
+def hash_split(
+    df: DataFrame,
+    weights: Mapping[str, float],
+    key_col: str = "doc_id",
+    seed: int = 42,
+    split_col: str = "split",
+) -> DataFrame:
+    """Add a ``split`` column assigning each row to one of the named
+    splits with the given weights (e.g. ``{"train": .9, "val": .05,
+    "test": .05}``), deterministically by ``md5(seed | key)``.
+
+    Properties a training pipeline relies on:
+
+    * **Stable**: a row's split depends only on (seed, key) — appending
+      data, changing partitioning, or re-running never reassigns a row.
+    * **Disjoint + exhaustive**: boundaries are cumulative integer bucket
+      edges; every bucket maps to exactly one split.
+    * **Map-only**: no shuffle, no sort — at 100 TB this fuses into
+      whatever scan already runs.
+
+    Weights must be positive and are normalized; boundaries are rounded
+    to integer buckets, so weights finer than 1/SPLIT_BUCKETS collapse.
+    """
+    if not weights:
+        raise ValueError("weights must name at least one split")
+    if any(w <= 0 for w in weights.values()):
+        raise ValueError(f"split weights must be positive: {dict(weights)}")
+    total = float(sum(weights.values()))
+    bucket = split_bucket(F.col(key_col), seed=seed)
+    expr: Optional[Column] = None
+    cum = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        cum += weights[name] / total
+        edge = int(round(cum * SPLIT_BUCKETS))
+        cond = bucket < F.lit(edge)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = F.lit(names[-1])
+    out = last if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, out)
+
+
+def deterministic_sample(
+    df: DataFrame,
+    fraction: float,
+    key_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Keep ~``fraction`` of rows by hash threshold: a row survives iff
+    ``bucket(seed, key) < fraction * SPLIT_BUCKETS``.
+
+    Unlike ``df.sample``, the kept set is a function of (seed, key)
+    only, so it is identical across runs, engines, and partitionings —
+    and *nested*: the 1% sample is a subset of the 10% sample at the
+    same seed, which is how pipelines build scaling-law ladders.
+    Because the hash is uniform within any subpopulation, the sample is
+    implicitly stratified in expectation over every attribute.
+    Map-only, no shuffle.
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1]: {fraction}")
+    edge = int(round(fraction * SPLIT_BUCKETS))
+    return df.where(split_bucket(F.col(key_col), seed=seed) < F.lit(edge))
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_cols: Union[str, Sequence[str]],
+    n: int,
+    order_by: Sequence[Column],
+    rank_col: Optional[str] = None,
+) -> DataFrame:
+    """Keep at most ``n`` rows per group, best-first by ``order_by``
+    (e.g. cap documents per source domain, keeping the highest-quality
+    ones — the standard anti-domination gate in corpus curation).
+
+    ``n`` is a literal, so the plan gets a ``WindowGroupLimit``: every
+    map task truncates each group to n rows *before* the exchange and
+    the shuffle moves at most n rows per (task, group). ``order_by``
+    must be a total order (append a unique id as tiebreak) or the kept
+    set is nondeterministic.
+    """
+    from pyspark.sql import Window
+
+    if n <= 0:
+        raise ValueError(f"n must be positive: {n}")
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    w = Window.partitionBy(*groups).orderBy(*order_by)
+    ranked = df.withColumn("_rk", F.row_number().over(w))
+    kept = ranked.where(F.col("_rk") <= F.lit(int(n)))
+    if rank_col:
+        return kept.withColumnRenamed("_rk", rank_col)
+    return kept.drop("_rk")
+
+
+def stratified_sample_exact(
+    df: DataFrame,
+    strata_col: str,
+    n_per_stratum: int,
+    key_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Exactly ``min(n, |stratum|)`` rows per stratum, chosen by ranking
+    on the salted key hash — a deterministic stand-in for 'uniformly at
+    random without replacement'. Same WindowGroupLimit shape as
+    ``cap_per_group`` (the hash order is computed map-side first)."""
+    hashed = df.withColumn("_hb", split_bucket(F.col(key_col), seed=seed))
+    out = cap_per_group(
+        hashed,
+        strata_col,
+        n_per_stratum,
+        order_by=[F.col("_hb"), F.col(key_col)],
+    )
+    return out.drop("_hb")
