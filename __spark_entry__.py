@@ -843,6 +843,20 @@ def q47_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source", "rank")
 
 
+def q48_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/decontaminate.py): word
+    3-gram overlap of every doc against a 'benchmark' subset
+    (doc_id % 97 == 0). Broadcast bench set + broadcast hit counts —
+    zero corpus-scale shuffles."""
+    from pinecone_datasets_spark.operators.decontaminate import (
+        ngram_contamination,
+    )
+
+    doc = _t(spark, sf_dir, "documents")
+    bench = doc.where(F.col("doc_id") % 97 == 0)
+    return ngram_contamination(doc, bench, n=3).orderBy("doc_id")
+
+
 def q35_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: KMeans cells + nprobe probing (seeded, approximate — no
     SQL oracle; the exact twin is q20). The 100 TB similarity-search
@@ -972,6 +986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q43_top_terms": q43_top_terms,
         "q44_characteristic_terms": q44_characteristic_terms,
         "q45_hash_split": q45_hash_split,
+        "q48_decontaminate": q48_decontaminate,
         "q46_stratified_sample": q46_stratified_sample,
         "q47_source_cap": q47_source_cap,
     }
@@ -1375,6 +1390,36 @@ WITH ex AS (
 SELECT doc_id, term, tf, df, round(tf_idf, 6) AS tf_idf, rank
 FROM ranked WHERE rank <= 3
 ORDER BY doc_id, rank
+""",
+        "q48_decontaminate": """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                     x -> len(x) > 0) AS words
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(words) >= 3 THEN
+           list_transform(generate_series(1, len(words) - 2),
+                          i -> array_to_string(words[i:i+2], ' '))
+           ELSE []::VARCHAR[] END) AS grams
+  FROM w
+), bench AS (
+  SELECT DISTINCT unnest(grams) AS ngram FROM g WHERE doc_id % 97 = 0
+), ex AS (
+  SELECT doc_id, unnest(grams) AS ngram FROM g
+), hits AS (
+  SELECT doc_id, count(*)::BIGINT AS n_hit
+  FROM ex JOIN bench USING (ngram) GROUP BY doc_id
+)
+SELECT g.doc_id,
+       len(grams)::BIGINT AS n_doc_ngrams,
+       coalesce(hits.n_hit, 0)::BIGINT AS n_hit_ngrams,
+       CASE WHEN len(grams) > 0
+            THEN round(coalesce(hits.n_hit, 0) / len(grams), 6)
+            ELSE 0.0 END AS contamination_rate
+FROM g LEFT JOIN hits USING (doc_id)
+ORDER BY g.doc_id
 """,
         "q45_hash_split": """
 WITH b AS (

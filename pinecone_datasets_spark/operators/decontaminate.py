@@ -1,0 +1,140 @@
+"""Benchmark decontamination: flag corpus documents that share word
+n-grams with an evaluation/benchmark set.
+
+The standard pre-training hygiene pass (the reference corpus must not
+contain the eval set): shingle both sides into word n-grams, intersect,
+and score each document by how much of it overlaps the benchmark.
+
+Scale shape — **zero corpus-scale shuffles**:
+
+* The benchmark side is tiny next to the corpus (eval sets are 10^3-10^6
+  n-grams). Its distinct n-gram set is **broadcast**; the corpus-side
+  explode → probe is map-only.
+* Only matching (doc, n-gram) rows — a sliver — enter the hit-count
+  ``groupBy``; the aggregated hit counts are again small and broadcast
+  back onto the per-doc stats, so the corpus itself never crosses an
+  exchange.
+* For very large benchmarks, ``join_on_hash=True`` broadcasts 64-bit
+  ``xxhash64`` values instead of n-gram strings (~10× smaller; collision
+  false-positive odds ~n²/2^64 — acceptable for a removal gate).
+
+Normalization matches ``operators/terms.py`` (lowercase, trim, split on
+whitespace runs, drop empty tokens) so the q48 DuckDB oracle reproduces
+the n-grams exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _words(text_col: str) -> Column:
+    return F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda w: F.length(w) > 0,
+    )
+
+
+def word_ngrams(text_col: str, n: int) -> Column:
+    """Array of distinct space-joined word n-grams of the text column.
+    Documents shorter than n words yield an empty array (Spark's
+    ``sequence(1, 0)`` counts *down*, so the short side must be guarded
+    explicitly — DuckDB's ``generate_series(1, 0)`` is empty)."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1: {n}")
+    words = _words(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(words) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+    )
+    return F.array_distinct(
+        F.when(F.size(words) >= n, grams).otherwise(
+            F.array().cast("array<string>")
+        )
+    )
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    join_on_hash: bool = False,
+) -> DataFrame:
+    """Per-document contamination stats against the benchmark:
+    ``(id, n_doc_ngrams, n_hit_ngrams, contamination_rate)`` where
+    ``contamination_rate = hits / doc ngrams`` (0 when the document has
+    no n-grams). Both counts are over *distinct* n-grams per document.
+    """
+    # The n-gram array is materialized as an attribute column before any
+    # reuse: Catalyst does not CSE into higher-order-function lambdas,
+    # so inlining the expression twice would re-parse the text per use.
+    grams = corpus.select(
+        F.col(id_col), word_ngrams(text_col, n).alias("_grams")
+    )
+    stats = grams.select(
+        id_col, F.size("_grams").cast("long").alias("n_doc_ngrams")
+    )
+    exploded = grams.select(id_col, F.explode("_grams").alias("_ngram"))
+    bench_set = (
+        benchmark.select(
+            F.explode(word_ngrams(bench_text_col, n)).alias("_ngram")
+        )
+        .distinct()
+    )
+    if join_on_hash:
+        exploded = exploded.select(
+            id_col, F.xxhash64("_ngram").alias("_ngram")
+        )
+        bench_set = bench_set.select(F.xxhash64("_ngram").alias("_ngram"))
+    hits = (
+        exploded.join(F.broadcast(bench_set), "_ngram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hit_ngrams"))
+    )
+    out = stats.join(F.broadcast(hits), id_col, "left").select(
+        id_col,
+        "n_doc_ngrams",
+        F.coalesce("n_hit_ngrams", F.lit(0)).cast("long").alias(
+            "n_hit_ngrams"
+        ),
+    )
+    return out.withColumn(
+        "contamination_rate",
+        F.when(
+            F.col("n_doc_ngrams") > 0,
+            F.round(
+                F.col("n_hit_ngrams") / F.col("n_doc_ngrams"), 6
+            ),
+        ).otherwise(F.lit(0.0)),
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    max_rate: float = 0.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    join_on_hash: bool = False,
+) -> DataFrame:
+    """Corpus minus contaminated documents: keep a document iff its
+    contamination_rate is <= ``max_rate`` (default 0 — any shared n-gram
+    removes it). Anti-join on the small flagged-id set (broadcast)."""
+    flagged = ngram_contamination(
+        corpus,
+        benchmark,
+        n=n,
+        text_col=text_col,
+        id_col=id_col,
+        bench_text_col=bench_text_col,
+        join_on_hash=join_on_hash,
+    ).where(F.col("contamination_rate") > max_rate)
+    return corpus.join(
+        F.broadcast(flagged.select(id_col)), id_col, "left_anti"
+    )
