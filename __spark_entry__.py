@@ -857,6 +857,24 @@ def q48_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_contamination(doc, bench, n=3).orderBy("doc_id")
 
 
+def q49_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk sequence packing (operators/packing.py):
+    global token offsets via two-phase distributed prefix sum — no
+    single-partition window anywhere in the plan."""
+    from pinecone_datasets_spark.operators.packing import pack_documents
+
+    doc = _t(spark, sf_dir, "documents")
+    out = pack_documents(doc, max_tokens=512)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "global_start",
+        "chunk_id",
+        "end_chunk_id",
+        F.col("spans_boundary").cast("long").alias("spans_boundary"),
+    ).orderBy("doc_id")
+
+
 def q35_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: KMeans cells + nprobe probing (seeded, approximate — no
     SQL oracle; the exact twin is q20). The 100 TB similarity-search
@@ -987,6 +1005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q44_characteristic_terms": q44_characteristic_terms,
         "q45_hash_split": q45_hash_split,
         "q48_decontaminate": q48_decontaminate,
+        "q49_pack_chunks": q49_pack_chunks,
         "q46_stratified_sample": q46_stratified_sample,
         "q47_source_cap": q47_source_cap,
     }
@@ -1390,6 +1409,27 @@ WITH ex AS (
 SELECT doc_id, term, tf, df, round(tf_idf, 6) AS tf_idf, rank
 FROM ranked WHERE rank <= 3
 ORDER BY doc_id, rank
+""",
+        "q49_pack_chunks": """
+WITH t AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         x -> len(x) > 0))::BIGINT AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         (sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+          - n_tokens)::BIGINT AS global_start
+  FROM t
+)
+SELECT doc_id, n_tokens, global_start,
+       (global_start // 512)::BIGINT AS chunk_id,
+       ((global_start + greatest(n_tokens - 1, 0)) // 512)::BIGINT
+         AS end_chunk_id,
+       (CASE WHEN (global_start + greatest(n_tokens - 1, 0)) // 512
+                  > global_start // 512
+             THEN 1 ELSE 0 END)::BIGINT AS spans_boundary
+FROM c ORDER BY doc_id
 """,
         "q48_decontaminate": """
 WITH w AS (

@@ -1,0 +1,153 @@
+"""Sequence packing: assign documents to fixed-size token chunks.
+
+The concat-then-chunk step of a pre-training pipeline: documents are
+laid out in a deterministic global order, the token stream is cut every
+``max_tokens``, and each document learns its global token offset and the
+chunk(s) it lands in.
+
+The naive formulation is a running sum over a global ``ORDER BY`` —
+which Spark executes as a **single-partition** window (the classic
+scale-killer: 100 TB through one task). This implementation uses the
+textbook two-phase distributed prefix sum instead:
+
+1. ``repartitionByRange(order)`` + in-partition sort — the only
+   corpus-wide exchange, and a narrow one (id, order key, token count).
+2. Per-partition token totals — a map-side-combined aggregate whose
+   output is one row per partition; the exclusive cumulative offsets are
+   computed on the driver (P values) and broadcast-joined back.
+3. In-partition running sum (window partitioned by the range-partition
+   id) + partition offset = exact global offset.
+
+The result is invariant to the number of partitions and to where the
+range boundaries fall: offsets correct for any split, and the
+(order, id) sort is total because ``id`` is unique. Every stage is
+built-in/codegen — no Python crossing.
+
+Phase 2's window repartitions by partition-id hash (Spark cannot know
+the data is already clustered by ``_pid``), so the narrow projection
+crosses two exchanges total. The alternative — ``mapInPandas`` cumsum
+directly on the range partitions — saves that exchange but pushes the
+full corpus through Arrow; staying JVM-side wins beyond trivial sizes.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def whitespace_token_count(text_col: str) -> Column:
+    """Token count = number of non-empty whitespace-separated words of
+    the lower/trimmed text. Matches the q49 oracle's DuckDB formulation
+    token for token."""
+    return F.size(
+        F.filter(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+            lambda w: F.length(w) > 0,
+        )
+    ).cast("long")
+
+
+def pack_documents(
+    df: DataFrame,
+    max_tokens: int,
+    id_col: str = "doc_id",
+    order_col: Optional[str] = None,
+    token_count_col: Optional[str] = None,
+    text_col: str = "text",
+    num_partitions: Optional[int] = None,
+) -> DataFrame:
+    """Per-document packing layout for a chunked token stream:
+    ``(id, n_tokens, global_start, chunk_id, end_chunk_id,
+    spans_boundary)`` where ``global_start`` is the document's offset in
+    the concatenated token stream (ordered by ``order_col`` then id) and
+    ``chunk_id = global_start div max_tokens``. ``spans_boundary`` marks
+    documents crossing a chunk edge (the ones a loader must split or
+    shift).
+
+    Token counts come from ``token_count_col`` if given, else from a
+    whitespace tokenization of ``text_col``. ``id_col`` must be unique —
+    it is the sort tiebreak that makes the layout total and
+    deterministic.
+    """
+    if max_tokens <= 0:
+        raise ValueError(f"max_tokens must be positive: {max_tokens}")
+    order = order_col or id_col
+    tokens = (
+        F.col(token_count_col).cast("long")
+        if token_count_col
+        else whitespace_token_count(text_col)
+    )
+    base = df.select(
+        F.col(id_col), F.col(order).alias("_ord"), tokens.alias("n_tokens")
+    )
+    if num_partitions is None:
+        num_partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    ranged = (
+        base.repartitionByRange(num_partitions, F.col("_ord"), F.col(id_col))
+        .sortWithinPartitions("_ord", id_col)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    # Phase 2: per-partition totals -> driver-side exclusive prefix.
+    # repartitionByRange assigns ascending key ranges to ascending
+    # partition ids, so accumulating in _pid order IS stream order.
+    totals = {
+        r["_pid"]: r["_t"]
+        for r in ranged.groupBy("_pid")
+        .agg(F.sum("n_tokens").alias("_t"))
+        .collect()
+    }
+    offsets, running = [], 0
+    for pid in sorted(totals):
+        offsets.append((pid, running))
+        running += int(totals[pid] or 0)
+    spark = df.sparkSession
+    offsets_df = spark.createDataFrame(
+        offsets or [(0, 0)], "_pid int, _offset long"
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy("_ord", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = ranged.withColumn("_cum", F.sum("n_tokens").over(w)).join(
+        F.broadcast(offsets_df), "_pid"
+    )
+    gs = (F.col("_offset") + F.col("_cum") - F.col("n_tokens")).alias(
+        "global_start"
+    )
+    out = local.select(id_col, "n_tokens", gs).withColumn(
+        "_last",
+        F.col("global_start")
+        + F.greatest(F.col("n_tokens") - 1, F.lit(0)),
+    )
+    m = int(max_tokens)
+    return out.select(
+        id_col,
+        "n_tokens",
+        "global_start",
+        F.expr(f"global_start div {m}").alias("chunk_id"),
+        F.expr(f"_last div {m}").alias("end_chunk_id"),
+    ).withColumn(
+        "spans_boundary", F.col("end_chunk_id") > F.col("chunk_id")
+    )
+
+
+def chunk_summary(packed: DataFrame, max_tokens: int) -> DataFrame:
+    """Per-chunk fill statistics from a ``pack_documents`` layout:
+    documents starting in the chunk, tokens contributed by them, and the
+    fill rate ignoring boundary spill. One small hash aggregate."""
+    return (
+        packed.groupBy("chunk_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+        .withColumn(
+            "fill_rate", F.round(F.col("n_tokens") / F.lit(max_tokens), 6)
+        )
+    )

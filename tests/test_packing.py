@@ -1,0 +1,93 @@
+"""Sequence packing via distributed prefix sum (operators/packing.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pinecone_datasets_spark.operators.packing import (
+    chunk_summary,
+    pack_documents,
+    whitespace_token_count,
+)
+
+from conftest import TESTDATA
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{TESTDATA}/documents.parquet")
+
+
+def test_pack_known_answer(spark):
+    df = spark.createDataFrame(
+        [(1, 4), (2, 3), (3, 5), (4, 1), (5, 0), (6, 7)],
+        "doc_id long, toks long",
+    )
+    out = {
+        r["doc_id"]: (
+            r["global_start"],
+            r["chunk_id"],
+            r["end_chunk_id"],
+            r["spans_boundary"],
+        )
+        for r in pack_documents(
+            df, max_tokens=8, token_count_col="toks", num_partitions=3
+        ).collect()
+    }
+    # stream: doc1 [0,4) doc2 [4,7) doc3 [7,12) doc4 [12,13) doc5 [13,13) doc6 [13,20)
+    assert out[1] == (0, 0, 0, False)
+    assert out[2] == (4, 0, 0, False)
+    assert out[3] == (7, 0, 1, True)  # crosses the 8-token edge
+    assert out[4] == (12, 1, 1, False)
+    assert out[5] == (13, 1, 1, False)  # empty doc: stays at its offset
+    assert out[6] == (13, 1, 2, True)
+
+
+def test_pack_invariant_to_partitioning(spark):
+    rows = [(i, (i * 7) % 13 + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, toks long")
+    a = pack_documents(
+        df, 64, token_count_col="toks", num_partitions=1
+    ).collect()
+    b = pack_documents(
+        df.repartition(11), 64, token_count_col="toks", num_partitions=7
+    ).collect()
+    key = lambda rs: sorted((r["doc_id"], r["global_start"]) for r in rs)
+    assert key(a) == key(b)
+    # exact prefix-sum: last doc's start + tokens == total tokens
+    total = sum(t for _, t in rows)
+    last = max(a, key=lambda r: r["global_start"])
+    assert last["global_start"] + last["n_tokens"] == total
+
+
+def test_pack_no_single_partition_window(spark, docs):
+    """The plan must not contain a global (partition-less) window — the
+    window below operates within _pid partitions only."""
+    plan = (
+        pack_documents(docs, 512)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "windowspecdefinition(_pid" in plan or "_pid" in plan
+    # A global-order window would surface as an empty partitionBy spec:
+    assert "windowspecdefinition(_ord" not in plan
+
+
+def test_pack_fixture_token_parity_and_summary(spark, docs):
+    out = pack_documents(docs, 256)
+    got = out.agg(F.sum("n_tokens")).collect()[0][0]
+    want = docs.select(
+        whitespace_token_count("text").alias("t")
+    ).agg(F.sum("t")).collect()[0][0]
+    assert got == want
+    summ = chunk_summary(out, 256)
+    srows = summ.collect()
+    assert all(r["n_docs"] >= 1 for r in srows)
+    assert abs(summ.agg(F.sum("n_tokens")).collect()[0][0] - want) == 0
+
+
+def test_pack_rejects_bad_max(spark, docs):
+    with pytest.raises(ValueError):
+        pack_documents(docs, 0)
