@@ -875,6 +875,50 @@ def q49_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q50_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-quantized replay top-k (functions/vector.py): per-vector
+    symmetric scalar quantization, integer-code dot product rescaled by
+    both scales, broadcast queries + rank window. The 4×-smaller codes
+    are the shuffle/broadcast currency at scale; scoring is exact
+    integer arithmetic, so the DuckDB oracle reproduces it bit-for-bit."""
+    from pinecone_datasets_spark.functions.vector import (
+        int8_dot,
+        with_int8_quantized,
+    )
+    from pyspark.sql import Window
+
+    emb = _t(spark, sf_dir, "embeddings")
+    docs = with_int8_quantized(
+        emb.select(F.col("vec_id").alias("doc_id"), "embedding"),
+        "embedding",
+        prefix="d",
+    ).drop("embedding")
+    qs = with_int8_quantized(
+        emb.where(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        ),
+        "embedding",
+        prefix="q",
+    ).drop("embedding")
+    scored = docs.join(F.broadcast(qs)).withColumn(
+        "score", int8_dot("d_q", "d_scale", "q_q", "q_scale")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.col("doc_id")
+    )
+    ranked = scored.withColumn("rank", F.row_number().over(w))
+    return (
+        ranked.where(F.col("rank") <= 5)
+        .select(
+            "query_id",
+            "doc_id",
+            F.round("score", 4).alias("score_q8"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
 def q35_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: KMeans cells + nprobe probing (seeded, approximate — no
     SQL oracle; the exact twin is q20). The 100 TB similarity-search
@@ -1006,6 +1050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q45_hash_split": q45_hash_split,
         "q48_decontaminate": q48_decontaminate,
         "q49_pack_chunks": q49_pack_chunks,
+        "q50_quantized_topk": q50_quantized_topk,
         "q46_stratified_sample": q46_stratified_sample,
         "q47_source_cap": q47_source_cap,
     }
@@ -1409,6 +1454,34 @@ WITH ex AS (
 SELECT doc_id, term, tf, df, round(tf_idf, 6) AS tf_idf, rank
 FROM ranked WHERE rank <= 3
 ORDER BY doc_id, rank
+""",
+        "q50_quantized_topk": """
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), m AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) AS amax
+  FROM base
+), q8 AS (
+  SELECT vec_id,
+         CASE WHEN amax > 0 THEN 127.0 / amax ELSE 1.0 END AS scale,
+         list_transform(
+           v, x -> round(x * (CASE WHEN amax > 0 THEN 127.0 / amax
+                                   ELSE 1.0 END))::BIGINT) AS q
+  FROM m
+)
+SELECT query_id, doc_id, round(score, 4) AS score_q8, rank FROM (
+  SELECT qq.vec_id AS query_id, d.vec_id AS doc_id,
+         list_dot_product(d.q::DOUBLE[], qq.q::DOUBLE[])
+           / (d.scale * qq.scale) AS score,
+         row_number() OVER (
+           PARTITION BY qq.vec_id
+           ORDER BY list_dot_product(d.q::DOUBLE[], qq.q::DOUBLE[])
+                      / (d.scale * qq.scale) DESC,
+                    d.vec_id) AS rank
+  FROM q8 d, q8 qq WHERE qq.vec_id < 10)
+WHERE rank <= 5
+ORDER BY query_id, rank
 """,
         "q49_pack_chunks": """
 WITH t AS (

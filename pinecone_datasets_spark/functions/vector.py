@@ -72,6 +72,56 @@ def l2_distance(a: ColumnOrName, b: ColumnOrName) -> Column:
     )
 
 
+def with_int8_quantized(
+    df, vector_col: ColumnOrName = "values", prefix: str = "q8"
+):
+    """Symmetric per-vector int8 scalar quantization: adds
+    ``{prefix}_scale`` (double, = 127/max|x|, or 1 for the zero vector)
+    and ``{prefix}_q`` (array<int> of ``round(x * scale)``).
+
+    The 100 TB rationale: int8 codes are 4× smaller than float32 on disk
+    and in shuffle/broadcast, and the decode is a single multiply —
+    re-score on quantized codes first, exact-rescore only the survivors.
+
+    Two-step on purpose: the scale is materialized as an attribute
+    column before the per-element lambda references it — Catalyst does
+    not CSE into higher-order-function lambdas, so inlining the
+    ``array_max`` scale expression would make quantization O(dim²).
+    """
+    v = _as_double(vector_col)
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale_col = f"{prefix}_scale"
+    step1 = df.withColumn(
+        scale_col,
+        F.when(amax > 0, F.lit(127.0) / amax).otherwise(F.lit(1.0)),
+    )
+    q = F.transform(
+        v, lambda x: F.round(x * F.col(scale_col)).cast("int")
+    )
+    return step1.withColumn(f"{prefix}_q", q)
+
+
+def int8_dot(
+    qa: ColumnOrName,
+    scale_a: ColumnOrName,
+    qb: ColumnOrName,
+    scale_b: ColumnOrName,
+) -> Column:
+    """Dot product reconstructed from two int8-quantized vectors: the
+    integer code dot (exact, long accumulator — products cap at 127² per
+    element, far from ANSI overflow) rescaled by both scales. Bit-equal
+    across engines because the integer sum is exact and the final
+    divide is one IEEE op."""
+    s = F.aggregate(
+        F.zip_with(
+            _c(qa), _c(qb), lambda x, y: (x * y).cast("long")
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return s.cast("double") / (_c(scale_a) * _c(scale_b))
+
+
 def sparse_dot_product(a: ColumnOrName, b: ColumnOrName) -> Column:
     """Dot product of two sparse vectors (struct{indices, values}).
 
