@@ -69,6 +69,9 @@ def ngram_contamination(
     ``contamination_rate = hits / doc ngrams`` (0 when the document has
     no n-grams). Both counts are over *distinct* n-grams per document.
     """
+    from ..parallel import widen
+
+    corpus = widen(corpus, id_col)
     # The n-gram array is materialized as an attribute column before any
     # reuse: Catalyst does not CSE into higher-order-function lambdas,
     # so inlining the expression twice would re-parse the text per use.

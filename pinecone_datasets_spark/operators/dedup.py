@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import doc_fingerprint
 from ..functions.vector import cosine_similarity
+from ..parallel import widen
 
 
 # ---------------------------------------------------------------------------
@@ -226,6 +227,9 @@ def minhash_signatures(
     permutations. ``hash_fn="md5"``: per-slot seeded md5-hex minima —
     slower, but bit-reproducible by any SQL engine (the oracle path).
     """
+    # Shingling multiplies work ~len(text)× per input byte: rebalance
+    # under-split inputs across cores first (no-op on real corpora).
+    df = widen(df, id_col)
     if hash_fn in ("rolling", "xxhash64"):
         if hash_fn == "rolling":
             hashed = _rolling_hashed(df, text_col, id_col, shingle_k)
@@ -359,7 +363,7 @@ def ngram_jaccard_pairs(
     the difference between a bounded shuffle and one hot reducer taking
     the whole corpus.
     """
-    sh = _norm_shingled(df, text_col, id_col, shingle_k)
+    sh = _norm_shingled(widen(df, id_col), text_col, id_col, shingle_k)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     if max_df is not None:
         keep = (
@@ -425,6 +429,7 @@ def simhash64(
     bit-reproducible by any SQL engine (the oracle path; DuckDB twin
     parses the same hex with ``CAST('0x...' AS BIGINT)``).
     """
+    df = widen(df, id_col)
     toks = F.array_distinct(
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     )
@@ -510,7 +515,7 @@ def embedding_lsh_candidate_pairs(
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((bands * bits, dim))
     sig_udf = _band_signature_udf(planes, bands, bits)
-    sigs = df.select(
+    sigs = widen(df, id_col).select(
         F.col(id_col), sig_udf(F.col(vector_col)).alias("_sigs")
     )
     buckets = sigs.select(

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from ..functions.filters import compile_filter
 from ..functions.vector import cosine_similarity, dot_product, l2_distance
+from ..parallel import widen
 
 Metric = str  # "dot" | "cosine" | "euclidean"
 
@@ -121,7 +122,9 @@ def topk_search(
         row = q.agg(F.max("top_k")).collect()[0]
         max_k = int(row[0]) if row[0] is not None else 5
 
-    joined = documents.crossJoin(F.broadcast(q))
+    # Scoring multiplies work ×Q per document: rebalance an under-split
+    # documents scan across cores first (no-op on real corpora).
+    joined = widen(documents, doc_id_col).crossJoin(F.broadcast(q))
 
     if apply_stored_filters and metadata_col is not None and "filter" in q.columns:
         if stored_filter_mode == "compile":
@@ -325,7 +328,7 @@ def topk_search_arrow(
     else:
         raise ValueError(f"unsupported metric for arrow path: {metric}")
 
-    scored = documents.select(
+    scored = widen(documents, doc_id_col).select(
         F.col(doc_id_col),
         F.posexplode(udf(F.col(doc_vector_col))).alias("_qidx", "score"),
     )
@@ -395,7 +398,7 @@ def ann_lsh_topk(
     planes = rng.standard_normal((bands * bits, dim))
     sig_udf = _band_signature_udf(planes, bands, bits)
 
-    d_sig = documents.select(
+    d_sig = widen(documents, doc_id_col).select(
         F.col(doc_id_col),
         F.col(doc_vector_col),
         sig_udf(F.col(doc_vector_col)).alias("_sigs"),

@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..parallel import widen
+
 
 def _words(text_col: str) -> F.Column:
     return F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
@@ -33,7 +35,8 @@ def top_terms(
     """Global top-k terms by total occurrence count (ties broken by term
     so the result is deterministic)."""
     return (
-        df.select(F.explode(_words(text_col)).alias("term"))
+        widen(df, text_col)
+        .select(F.explode(_words(text_col)).alias("term"))
         .where(F.length("term") > 0)
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -54,7 +57,7 @@ def tf_idf(
     ``min_df`` drops hapax/noise terms before the join — at corpus scale
     that also caps the broadcast vocabulary size.
     """
-    exploded = df.select(
+    exploded = widen(df, id_col).select(
         F.col(id_col), F.explode(_words(text_col)).alias("term")
     ).where(F.length("term") > 0)
     term_counts = exploded.groupBy(id_col, "term").agg(
