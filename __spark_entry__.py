@@ -919,6 +919,26 @@ def q50_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q51_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative quality gate (operators/pipeline.py): keep documents in
+    the top quality quartile. Two-pass — exact percentile as one scalar,
+    then a literal pushed-down filter; threshold and values rounded to
+    6dp so a 1-ulp cross-engine wobble cannot flip boundary membership."""
+    from pinecone_datasets_spark.functions.text import quality_score
+    from pinecone_datasets_spark.operators.pipeline import (
+        filter_by_quantile,
+    )
+
+    doc = _t(spark, sf_dir, "documents")
+    scored = doc.select(
+        "doc_id", quality_score(F.col("text")).alias("quality")
+    )
+    kept = filter_by_quantile(scored, "quality", 0.75, keep="above")
+    return kept.select(
+        "doc_id", F.round("quality", 4).alias("quality")
+    ).orderBy("doc_id")
+
+
 def q35_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: KMeans cells + nprobe probing (seeded, approximate — no
     SQL oracle; the exact twin is q20). The 100 TB similarity-search
@@ -1051,6 +1071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q48_decontaminate": q48_decontaminate,
         "q49_pack_chunks": q49_pack_chunks,
         "q50_quantized_topk": q50_quantized_topk,
+        "q51_quantile_filter": q51_quantile_filter,
         "q46_stratified_sample": q46_stratified_sample,
         "q47_source_cap": q47_source_cap,
     }
@@ -1454,6 +1475,38 @@ WITH ex AS (
 SELECT doc_id, term, tf, df, round(tf_idf, 6) AS tf_idf, rank
 FROM ranked WHERE rank <= 3
 ORDER BY doc_id, rank
+""",
+        "q51_quantile_filter": """
+WITH t AS (
+  SELECT doc_id, len(text) AS n,
+         string_split_regex(lower(trim(text)), '\\s+') AS ws,
+         len(text) - len(regexp_replace(text, '[.,;:!?''"()\\[\\]{}-]', '', 'g')) AS n_punct
+  FROM documents
+), parts AS (
+  SELECT doc_id,
+    CASE WHEN n < 20 THEN n / 20.0
+         ELSE least(1.0, 2000.0 / greatest(n, 1)) END AS len_score,
+    CASE WHEN n_punct / greatest(n, 1) > 0.2 THEN 0.0
+         ELSE 1 - (n_punct / greatest(n, 1)) * 5 END AS punct_score,
+    least(1.0,
+      (len(list_filter(ws, x -> x IN
+        ('the','a','an','and','or','of','to','in','is','it',
+         'that','for','on','with','as','was','at','by','be')))
+       / greatest(len(ws), 1)) * 4.0) AS stop_score
+  FROM t
+), scored AS (
+  SELECT doc_id,
+         (len_score + punct_score + stop_score) / 3.0 AS quality
+  FROM parts
+), thr AS (
+  SELECT round(percentile_cont(0.75) WITHIN GROUP (ORDER BY quality), 6)
+         AS v
+  FROM scored
+)
+SELECT doc_id, round(quality, 4) AS quality
+FROM scored, thr
+WHERE round(quality, 6) >= thr.v
+ORDER BY doc_id
 """,
         "q50_quantized_topk": """
 WITH base AS (

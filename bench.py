@@ -143,6 +143,12 @@ def main() -> None:
         "ann_lsh_100q": bench_ann_lsh,
         "q09_docs_conform": lambda: qs["q09_docs_conform"](spark, SF_DIR),
         "multimodal_decode": bench_multimodal_decode,
+        "decontaminate_3gram": lambda: qs["q48_decontaminate"](
+            spark, SF_DIR
+        ),
+        "pack_chunks_512": lambda: qs["q49_pack_chunks"](spark, SF_DIR),
+        "quantized_topk": lambda: qs["q50_quantized_topk"](spark, SF_DIR),
+        "hash_split": lambda: qs["q45_hash_split"](spark, SF_DIR),
     }
 
     # Warm the JVM once with small representative jobs (parquet reader,

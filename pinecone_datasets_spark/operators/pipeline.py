@@ -26,6 +26,45 @@ def _quality_gate(min_quality: float) -> Column:
     return F.round(F.col("quality"), _QUALITY_DECIMALS) >= min_quality
 
 
+def filter_by_quantile(
+    df: DataFrame,
+    score_col: str,
+    quantile: float,
+    keep: str = "above",
+    round_to: int = _QUALITY_DECIMALS,
+) -> DataFrame:
+    """Keep rows whose score is above (or below) the corpus-wide exact
+    quantile of ``score_col`` — the relative quality gate ("top 25% of
+    the corpus") used when an absolute threshold is unknowable upfront.
+
+    Two-pass by design: pass 1 computes the exact interpolated
+    percentile as ONE driver-side scalar (an aggregate whose shuffle is
+    a single row — at 100 TB the cost is the scan, not the quantile);
+    pass 2 filters against the now-*literal* threshold, so it pushes
+    into the scan like any constant predicate. Both the threshold and
+    the compared values are rounded to ``round_to`` decimals first:
+    1-ulp float divergence at the boundary must not flip membership
+    between engines (the q34 lesson).
+    """
+    if not 0.0 <= quantile <= 1.0:
+        raise ValueError(f"quantile must be in [0, 1]: {quantile}")
+    if keep not in ("above", "below"):
+        raise ValueError(f"keep must be 'above' or 'below': {keep}")
+    row = df.agg(
+        F.round(
+            F.percentile(score_col, F.lit(float(quantile))), round_to
+        ).alias("thr")
+    ).collect()[0]
+    thr = row["thr"]
+    if thr is None:
+        return df
+    rounded = F.round(F.col(score_col), round_to)
+    cond = rounded >= F.lit(thr) if keep == "above" else rounded <= F.lit(
+        thr
+    )
+    return df.where(cond)
+
+
 def curate_corpus(
     df: DataFrame,
     text_col: str = "text",

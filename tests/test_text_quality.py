@@ -58,3 +58,29 @@ def test_redact_pii(one):
         one("a@b.io at http://x.io/9 ref 123456789", redact_pii)
         == "<EMAIL> at <URL> ref <NUM>"
     )
+
+
+def test_filter_by_quantile_top_quarter(spark):
+    from pinecone_datasets_spark.operators.pipeline import filter_by_quantile
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 101)], "id long, s double"
+    )
+    kept = filter_by_quantile(df, "s", 0.75, keep="above")
+    ids = sorted(r["id"] for r in kept.collect())
+    # exact interpolated p75 of 1..100 is 75.25 -> keep 76..100
+    assert ids == list(range(76, 101))
+    low = filter_by_quantile(df, "s", 0.25, keep="below")
+    assert sorted(r["id"] for r in low.collect()) == list(range(1, 26))
+
+
+def test_filter_by_quantile_validates(spark):
+    import pytest as _pytest
+
+    from pinecone_datasets_spark.operators.pipeline import filter_by_quantile
+
+    df = spark.range(5).withColumn("s", __import__("pyspark").sql.functions.col("id").cast("double"))
+    with _pytest.raises(ValueError):
+        filter_by_quantile(df, "s", 1.5)
+    with _pytest.raises(ValueError):
+        filter_by_quantile(df, "s", 0.5, keep="sideways")
