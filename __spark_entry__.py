@@ -939,6 +939,35 @@ def q51_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q52_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup: minhash pairs → connected components → one
+    canonical doc per cluster, longest text wins
+    (operators/cluster.py:cluster_representatives)."""
+    from pinecone_datasets_spark.operators.cluster import (
+        cluster_representatives,
+        dedup_clusters,
+    )
+
+    doc = _t(spark, sf_dir, "documents")
+    # 4 minima per band (16/4) — much stricter than q42's demo banding,
+    # so only real near-dups merge and the component graph stays sparse.
+    pairs = minhash_lsh_candidates(
+        doc, num_hashes=16, bands=4, shingle_k=5, hash_fn="md5"
+    )
+    clusters = dedup_clusters(doc, pairs)
+    reps = cluster_representatives(
+        doc,
+        clusters,
+        order_by=[F.col("n_chars").desc(), F.col("doc_id")],
+    )
+    return reps.select(
+        "cluster_id",
+        F.col("doc_id").alias("rep_doc_id"),
+        "n_chars",
+        "n_members",
+    ).orderBy("cluster_id")
+
+
 def q35_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: KMeans cells + nprobe probing (seeded, approximate — no
     SQL oracle; the exact twin is q20). The 100 TB similarity-search
@@ -1072,6 +1101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q49_pack_chunks": q49_pack_chunks,
         "q50_quantized_topk": q50_quantized_topk,
         "q51_quantile_filter": q51_quantile_filter,
+        "q52_cluster_reps": q52_cluster_reps,
         "q46_stratified_sample": q46_stratified_sample,
         "q47_source_cap": q47_source_cap,
     }
@@ -1176,6 +1206,27 @@ labels AS (
 SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
 FROM documents d LEFT JOIN labels l ON d.doc_id = l.node
 ORDER BY d.doc_id
+"""
+
+
+def _oracle_cluster_reps() -> str:
+    """q52 twin: the q42 recursive-CTE clusters, then best-member-wins
+    (longest text, id tiebreak) per cluster via one window."""
+    clusters = _oracle_clusters(16, 4, 5).replace("ORDER BY d.doc_id", "")
+    return f"""
+WITH cl AS ({clusters}),
+joined AS (
+  SELECT cl.cluster_id, cl.doc_id, d.n_chars,
+         row_number() OVER (
+           PARTITION BY cl.cluster_id
+           ORDER BY d.n_chars DESC, cl.doc_id) AS rk,
+         count(*) OVER (PARTITION BY cl.cluster_id) AS n_members
+  FROM cl JOIN documents d USING (doc_id)
+)
+SELECT cluster_id, doc_id AS rep_doc_id, n_chars,
+       n_members::BIGINT AS n_members
+FROM joined WHERE rk = 1
+ORDER BY cluster_id
 """
 
 
@@ -1440,6 +1491,7 @@ ORDER BY event_id
 """,
         "q25_simhash": _oracle_simhash(),
         "q42_dedup_clusters": _oracle_clusters(num_hashes=8, bands=4, k=5),
+        "q52_cluster_reps": _oracle_cluster_reps(),
         "q43_top_terms": """
 SELECT term, count(*)::BIGINT AS n
 FROM (

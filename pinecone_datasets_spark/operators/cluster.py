@@ -104,3 +104,30 @@ def dedup_clusters(
             ),
         )
     )
+
+
+def cluster_representatives(
+    df: DataFrame,
+    clusters: DataFrame,
+    order_by,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """One canonical row per duplicate cluster — the keep-best step that
+    turns cluster labels into a deduplicated corpus. ``order_by`` decides
+    which member survives (e.g. longest text, best quality; append the id
+    as tiebreak for a total order). Adds ``n_members`` so downstream can
+    weight or audit collapsed clusters.
+
+    One shuffle on ``cluster_col``; both window functions (rank + member
+    count) share that single partitioning. Cluster sizes are bounded by
+    duplicate-group fan-in, so no skew beyond what dedup itself implies.
+    """
+    from pyspark.sql import Window
+
+    joined = df.join(clusters.select(id_col, cluster_col), id_col)
+    w = Window.partitionBy(cluster_col)
+    ranked = joined.withColumn(
+        "_rk", F.row_number().over(w.orderBy(*order_by))
+    ).withColumn("n_members", F.count(F.lit(1)).over(w).cast("long"))
+    return ranked.where(F.col("_rk") == 1).drop("_rk")

@@ -63,3 +63,28 @@ def test_dedup_clusters_representative_selection(spark, chain_pairs):
         .select("doc_id")
     )
     assert sorted(r["doc_id"] for r in kept.collect()) == [1, 10, 100]
+
+
+def test_cluster_representatives_keep_best(spark):
+    from pinecone_datasets_spark.operators.cluster import (
+        cluster_representatives,
+    )
+    import pyspark.sql.functions as F
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 20), (4, 5), (5, 7)],
+        "doc_id long, n_chars long",
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 5)],
+        "doc_id long, cluster_id long",
+    )
+    reps = {
+        r["cluster_id"]: (r["doc_id"], r["n_members"])
+        for r in cluster_representatives(
+            docs,
+            clusters,
+            order_by=[F.col("n_chars").desc(), F.col("doc_id")],
+        ).collect()
+    }
+    assert reps == {1: (2, 3), 4: (4, 1), 5: (5, 1)}
