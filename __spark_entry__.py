@@ -968,6 +968,22 @@ def q52_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("cluster_id")
 
 
+def q53_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup (operators/dedup.py:incremental_dedup):
+    every 5th doc plays the incoming batch, the rest the standing
+    corpus; the corpus never shuffles — it probes the broadcast batch
+    fingerprint set map-side."""
+    from pinecone_datasets_spark.operators.dedup import incremental_dedup
+
+    doc = _t(spark, sf_dir, "documents")
+    batch = doc.where(F.col("doc_id") % 5 == 0)
+    corpus = doc.where(F.col("doc_id") % 5 != 0)
+    out = incremental_dedup(batch, corpus)
+    return out.select("doc_id", "lang", "source", "n_chars").orderBy(
+        "doc_id"
+    )
+
+
 def q35_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: KMeans cells + nprobe probing (seeded, approximate — no
     SQL oracle; the exact twin is q20). The 100 TB similarity-search
@@ -1102,6 +1118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q50_quantized_topk": q50_quantized_topk,
         "q51_quantile_filter": q51_quantile_filter,
         "q52_cluster_reps": q52_cluster_reps,
+        "q53_incremental_dedup": q53_incremental_dedup,
         "q46_stratified_sample": q46_stratified_sample,
         "q47_source_cap": q47_source_cap,
     }
@@ -1527,6 +1544,25 @@ WITH ex AS (
 SELECT doc_id, term, tf, df, round(tf_idf, 6) AS tf_idf, rank
 FROM ranked WHERE rank <= 3
 ORDER BY doc_id, rank
+""",
+        "q53_incremental_dedup": """
+WITH fp AS (
+  SELECT doc_id, lang, source, n_chars,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f,
+         (doc_id % 5 = 0) AS is_batch
+  FROM documents
+), batch AS (
+  SELECT * FROM fp WHERE is_batch
+), first_in AS (
+  SELECT *, row_number() OVER (PARTITION BY f ORDER BY doc_id) AS rk
+  FROM batch
+)
+SELECT doc_id, lang, source, n_chars
+FROM first_in b
+WHERE rk = 1
+  AND NOT EXISTS (
+    SELECT 1 FROM fp c WHERE NOT c.is_batch AND c.f = b.f)
+ORDER BY doc_id
 """,
         "q51_quantile_filter": """
 WITH t AS (

@@ -163,6 +163,13 @@ def main() -> None:
     spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(
         100
     ).write.format("noop").mode("overwrite").save()
+    # Warm the Python workers too (one trivial Arrow-batched job across
+    # all cores): daemon + worker fork is ~3s of one-time session cost
+    # that would otherwise land on the first pandas_udf query measured.
+    _noop = F.pandas_udf(lambda s: s, "long")
+    spark.range(0, CPUS * 10, 1, CPUS).select(
+        _noop(F.col("id"))
+    ).write.format("noop").mode("overwrite").save()
 
     results: dict[str, float] = {}
     total = 0.0

@@ -48,6 +48,45 @@ def exact_dedup(
     return df.join(keep.select(id_col), on=id_col, how="left_semi")
 
 
+def incremental_dedup(
+    batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Admit only the genuinely-new rows of an incoming batch: drop rows
+    whose content fingerprint already exists in the corpus, and collapse
+    in-batch duplicates to their lowest-id representative — the append
+    step of a continuously-ingesting pipeline.
+
+    Scale shape: the batch is small next to the corpus (that's what
+    makes it a batch), so the corpus NEVER shuffles — it is scanned
+    map-side against the **broadcast** batch fingerprint set (semi-join)
+    to surface collisions, and only that ≤|batch| collision set comes
+    back; the final anti-join against it is again a broadcast. The
+    batch-vs-corpus direction of the joins is the whole design: an
+    anti-join with the corpus on the build side would broadcast (or
+    shuffle) 100 TB.
+    """
+    bfp = batch.withColumn("_fp", doc_fingerprint(F.col(text_col)))
+    first_in_batch = bfp.withColumn(
+        "_rk",
+        F.row_number().over(
+            Window.partitionBy("_fp").orderBy(F.col(id_col))
+        ),
+    ).where(F.col("_rk") == 1)
+    batch_fps = bfp.select("_fp").distinct()
+    collisions = (
+        corpus.select(doc_fingerprint(F.col(text_col)).alias("_fp"))
+        .join(F.broadcast(batch_fps), "_fp", "left_semi")
+        .distinct()
+    )
+    return (
+        first_in_batch.join(F.broadcast(collisions), "_fp", "left_anti")
+        .drop("_fp", "_rk")
+    )
+
+
 def exact_dup_groups(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

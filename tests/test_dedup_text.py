@@ -286,3 +286,44 @@ def test_corpus_stats_runs(docs):
         .collect()
     )
     assert len(out) >= 1
+
+
+def test_incremental_dedup(spark):
+    from pinecone_datasets_spark.operators.dedup import incremental_dedup
+
+    corpus = spark.createDataFrame(
+        [(1, "old news today"), (2, "standing corpus text")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "Old   NEWS today"),   # dup of corpus doc 1 (normalized)
+            (11, "fresh content one"),
+            (12, "fresh content one"),  # in-batch dup of 11
+            (13, "fresh content two"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r["doc_id"] for r in incremental_dedup(batch, corpus).collect()
+    )
+    assert kept == [11, 13]
+
+
+def test_incremental_dedup_corpus_not_shuffled(spark):
+    from pinecone_datasets_spark.operators.dedup import incremental_dedup
+
+    corpus = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(100)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(1000, "text 7"), (1001, "brand new")], "doc_id long, text string"
+    )
+    plan = (
+        incremental_dedup(batch, corpus)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
