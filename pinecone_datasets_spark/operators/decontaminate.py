@@ -36,14 +36,19 @@ def _words(text_col: str) -> Column:
     )
 
 
-def word_ngrams(text_col: str, n: int) -> Column:
-    """Array of distinct space-joined word n-grams of the text column.
+def _ngrams_of(words: Column, n: int) -> Column:
+    """Distinct space-joined n-grams of an already-computed word array.
     Documents shorter than n words yield an empty array (Spark's
     ``sequence(1, 0)`` counts *down*, so the short side must be guarded
-    explicitly — DuckDB's ``generate_series(1, 0)`` is empty)."""
+    explicitly — DuckDB's ``generate_series(1, 0)`` is empty).
+
+    ``words`` should be an *attribute column* in any corpus-scale plan:
+    the lambda references it once per element, and Catalyst does not CSE
+    into higher-order-function lambdas — an inlined split-words
+    expression re-tokenizes the text per n-gram (O(tokens²) per doc,
+    measured 22.8 s vs 2 s at sf0.1)."""
     if n < 1:
         raise ValueError(f"n must be >= 1: {n}")
-    words = _words(text_col)
     grams = F.transform(
         F.sequence(F.lit(1), F.size(words) - (n - 1)),
         lambda i: F.concat_ws(" ", F.slice(words, i, n)),
@@ -52,6 +57,25 @@ def word_ngrams(text_col: str, n: int) -> Column:
         F.when(F.size(words) >= n, grams).otherwise(
             F.array().cast("array<string>")
         )
+    )
+
+
+def word_ngrams(text_col: str, n: int) -> Column:
+    """Array of distinct word n-grams straight from a text column — for
+    expression contexts and small inputs. Corpus-scale callers go
+    through ``ngram_contamination``, which materializes the word array
+    first (see ``_ngrams_of``)."""
+    return _ngrams_of(_words(text_col), n)
+
+
+def _grams_table(
+    df, text_col: str, n: int, *keep: str
+):
+    """(keep..., _grams) with the word array materialized as an
+    attribute column between tokenization and gram-building."""
+    words = df.select(*keep, _words(text_col).alias("_w"))
+    return words.select(
+        *keep, _ngrams_of(F.col("_w"), n).alias("_grams")
     )
 
 
@@ -72,20 +96,22 @@ def ngram_contamination(
     from ..parallel import widen
 
     corpus = widen(corpus, id_col)
-    # The n-gram array is materialized as an attribute column before any
-    # reuse: Catalyst does not CSE into higher-order-function lambdas,
-    # so inlining the expression twice would re-parse the text per use.
-    grams = corpus.select(
-        F.col(id_col), word_ngrams(text_col, n).alias("_grams")
-    )
+    grams = _grams_table(corpus, text_col, n, id_col)
     stats = grams.select(
         id_col, F.size("_grams").cast("long").alias("n_doc_ngrams")
     )
-    exploded = grams.select(id_col, F.explode("_grams").alias("_ngram"))
+    # outer + null filter, NOT plain explode: InferFiltersFromGenerate
+    # (skipped for outer generates) would push size(_grams)>0 below the
+    # widen exchange with the whole n-gram expression inlined — the
+    # entire gram build would run twice, single-task (measured 7.5 s vs
+    # 1.8 s at sf0.1).
+    exploded = grams.select(
+        id_col, F.explode_outer("_grams").alias("_ngram")
+    ).where(F.col("_ngram").isNotNull())
     bench_set = (
-        benchmark.select(
-            F.explode(word_ngrams(bench_text_col, n)).alias("_ngram")
-        )
+        _grams_table(benchmark, bench_text_col, n)
+        .select(F.explode_outer("_grams").alias("_ngram"))
+        .where(F.col("_ngram").isNotNull())
         .distinct()
     )
     if join_on_hash:

@@ -168,9 +168,15 @@ def _norm_shingled(
     )
     if distinct:
         sh = F.array_distinct(sh)
+    # explode_OUTER + null filter, NOT plain explode: Catalyst's
+    # InferFiltersFromGenerate (skipped for outer generates) would infer
+    # size(<array>)>0 and push it below any exchange with the whole
+    # shingle expression inlined — re-tokenizing every row a second time
+    # in the narrow pre-shuffle stage. Row-set is identical: plain
+    # explode drops empty/null arrays, outer emits one null we drop.
     return chars.select(
-        F.col(id_col), F.explode(sh).alias("shingle")
-    )
+        F.col(id_col), F.explode_outer(sh).alias("shingle")
+    ).where(F.col("shingle").isNotNull())
 
 
 def _rolling_hashed(
@@ -214,9 +220,11 @@ def _rolling_hashed(
             )
         return h % F.lit(_MERSENNE31)
 
+    # outer + null filter: see _norm_shingled on InferFiltersFromGenerate.
     return codes.select(
-        F.col(id_col), F.explode(F.transform(idx, window_hash)).alias("_h")
-    )
+        F.col(id_col),
+        F.explode_outer(F.transform(idx, window_hash)).alias("_h"),
+    ).where(F.col("_h").isNotNull())
 
 
 def _shingle_hash(shingle: Column, seed: int, hash_fn: str) -> Column:
@@ -350,9 +358,10 @@ def minhash_lsh_candidates(
             for b in range(bands)
         ]
     )
+    # outer + null filter: see _norm_shingled on InferFiltersFromGenerate.
     buckets = sigs.select(
-        F.col(id_col), F.explode(band_structs).alias("bb")
-    ).select(
+        F.col(id_col), F.explode_outer(band_structs).alias("bb")
+    ).where(F.col("bb").isNotNull()).select(
         F.col(id_col),
         F.col("bb.band").alias("band"),
         F.col("bb.bucket").alias("bucket"),
@@ -557,9 +566,12 @@ def embedding_lsh_candidate_pairs(
     sigs = widen(df, id_col).select(
         F.col(id_col), sig_udf(F.col(vector_col)).alias("_sigs")
     )
+    # outer + null filter: a non-outer generate would let Catalyst infer
+    # size(_sigs)>0 and re-evaluate the signature UDF a second time for
+    # the filter (see _norm_shingled).
     buckets = sigs.select(
-        F.col(id_col), F.posexplode("_sigs").alias("band", "sig")
-    )
+        F.col(id_col), F.posexplode_outer("_sigs").alias("band", "sig")
+    ).where(F.col("sig").isNotNull())
     a, b = buckets.alias("a"), buckets.alias("b")
     return (
         a.join(

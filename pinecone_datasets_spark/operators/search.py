@@ -328,10 +328,14 @@ def topk_search_arrow(
     else:
         raise ValueError(f"unsupported metric for arrow path: {metric}")
 
+    # outer + null filter: a non-outer generate lets Catalyst infer
+    # size(scores)>0 as a filter that re-runs the scoring UDF per row.
     scored = widen(documents, doc_id_col).select(
         F.col(doc_id_col),
-        F.posexplode(udf(F.col(doc_vector_col))).alias("_qidx", "score"),
-    )
+        F.posexplode_outer(udf(F.col(doc_vector_col))).alias(
+            "_qidx", "score"
+        ),
+    ).where(F.col("_qidx").isNotNull())
     qid = F.element_at(F.lit(list(query_ids)), F.col("_qidx") + 1).alias(
         "query_id"
     )
@@ -410,9 +414,11 @@ def ann_lsh_topk(
     )
 
     def explode_bands(df: DataFrame, keep: list[str]) -> DataFrame:
+        # outer + null filter: keeps InferFiltersFromGenerate from
+        # double-evaluating the signature UDF (see topk_search_arrow).
         return df.select(
-            *keep, F.posexplode("_sigs").alias("band", "sig")
-        )
+            *keep, F.posexplode_outer("_sigs").alias("band", "sig")
+        ).where(F.col("sig").isNotNull())
 
     d_exp = explode_bands(d_sig, [doc_id_col, doc_vector_col])
     q_exp = explode_bands(q_sig, [query_id_col, query_vector_col])

@@ -35,8 +35,11 @@ def top_terms(
     """Global top-k terms by total occurrence count (ties broken by term
     so the result is deterministic)."""
     return (
+        # outer: InferFiltersFromGenerate would re-tokenize per row in a
+        # pushed-down filter (rule skips outer generates); the existing
+        # length>0 predicate already drops the null placeholder rows.
         widen(df, text_col)
-        .select(F.explode(_words(text_col)).alias("term"))
+        .select(F.explode_outer(_words(text_col)).alias("term"))
         .where(F.length("term") > 0)
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -57,8 +60,10 @@ def tf_idf(
     ``min_df`` drops hapax/noise terms before the join — at corpus scale
     that also caps the broadcast vocabulary size.
     """
+    # outer explode: see top_terms on InferFiltersFromGenerate; the
+    # length predicate drops the null placeholder rows.
     exploded = widen(df, id_col).select(
-        F.col(id_col), F.explode(_words(text_col)).alias("term")
+        F.col(id_col), F.explode_outer(_words(text_col)).alias("term")
     ).where(F.length("term") > 0)
     term_counts = exploded.groupBy(id_col, "term").agg(
         F.count(F.lit(1)).alias("tf")
