@@ -167,7 +167,8 @@ def main() -> None:
     # all cores): daemon + worker fork is ~3s of one-time session cost
     # that would otherwise land on the first pandas_udf query measured.
     _noop = F.pandas_udf(lambda s: s, "long")
-    spark.range(0, CPUS * 10, 1, CPUS).select(
+    _n = int(CPUS)
+    spark.range(0, _n * 10, 1, _n).select(
         _noop(F.col("id"))
     ).write.format("noop").mode("overwrite").save()
 
