@@ -984,6 +984,159 @@ def q53_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q54_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): each purchase matched to the
+    latest at-or-before click by the same user. Union-tag + running
+    window — ONE key shuffle, no theta-join, no cross product; the plan
+    DuckDB's native ASOF JOIN oracle verifies row-for-row."""
+    from pinecone_datasets_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["event_id", "value"],
+        tiebreak="event_id",
+    )
+    return out.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("event_id_matched").alias("click_id"),
+        F.unix_micros("ts_matched").alias("click_ts_us"),
+        (F.unix_micros("ts") - F.unix_micros("ts_matched")).alias("gap_us"),
+    ).orderBy("purchase_id")
+
+
+def q55_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join (operators/ranges.py): clicks within the day before
+    each error, same user. Bucketed equi-join (left exploded to <=2
+    candidate buckets) instead of the O(n^2)-per-key theta-join Spark
+    would otherwise plan."""
+    from pinecone_datasets_spark.operators.ranges import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    pairs = range_join(
+        errors,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        lower_us=-86_400_000_000,
+        upper_us=0,
+    )
+    return (
+        pairs.groupBy(
+            F.col("l_event_id").alias("err_id"), F.col("user_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_clicks"),
+            F.round(F.sum("r_value"), 2).alias("click_value"),
+        )
+        .orderBy("err_id")
+    )
+
+
+def q56_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation (region → nation → grand total) in one pass —
+    Spark Expand + partial agg; grouping_id disambiguates levels with
+    the same bit encoding both engines use."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    joined = (
+        orders.join(
+            F.broadcast(cust), orders.o_custkey == cust.c_custkey
+        )
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.grouping_id().alias("level"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            "revenue",
+            "n_orders",
+            F.col("level").cast("long").alias("level"),
+        )
+        .orderBy("region", "nation", "level")
+    )
+
+
+def q57_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: daily event counts widened to one column per event type.
+    The value list is explicit, so the plan is a single pass (no
+    distinct-values pre-job) — the form that scales."""
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .pivot("event_type", types)
+        .count()
+    )
+    return out.select(
+        "day",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types],
+    ).orderBy("day")
+
+
+def q58_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram LM quality proxy (operators/terms.py): per-doc mean
+    log10 token probability under the corpus's own unigram distribution.
+    One explode feeds vocab counts and the token stream; the corpus total
+    derives from the vocab aggregate (no second corpus pass)."""
+    from pinecone_datasets_spark.operators.terms import unigram_logprob
+
+    doc = _t(spark, sf_dir, "documents")
+    return unigram_logprob(doc, round_to=4).orderBy("doc_id")
+
+
+def q59_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group embedding centroids as (label, dim, value) rows —
+    posexplode + hash agg, the distributed form of a vector mean (no
+    driver-side vectors, no UDF; dims shuffle as scalars)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            "label", F.posexplode("embedding").alias("dim", "val")
+        )
+        .groupBy("label", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("val"), 5).alias("centroid"),
+        )
+        .select(
+            F.col("label").cast("long").alias("label"),
+            F.col("dim").cast("long").alias("dim"),
+            "n_vecs",
+            "centroid",
+        )
+        .orderBy("label", "dim")
+    )
+
+
 def q35_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: KMeans cells + nprobe probing (seeded, approximate — no
     SQL oracle; the exact twin is q20). The 100 TB similarity-search
@@ -1121,6 +1274,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q53_incremental_dedup": q53_incremental_dedup,
         "q46_stratified_sample": q46_stratified_sample,
         "q47_source_cap": q47_source_cap,
+        "q54_asof_join": q54_asof_join,
+        "q55_range_join": q55_range_join,
+        "q56_rollup_revenue": q56_rollup_revenue,
+        "q57_pivot_events": q57_pivot_events,
+        "q58_unigram_lm": q58_unigram_lm,
+        "q59_label_centroids": q59_label_centroids,
     }
 
 
@@ -1718,6 +1877,95 @@ WITH ranked AS (
 SELECT source, rank, doc_id, n_chars
 FROM ranked WHERE rank <= 5
 ORDER BY source, rank
+""",
+        "q54_asof_join": """
+WITH p AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+  FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+  FROM events WHERE event_type = 'click'
+)
+SELECT p.event_id AS purchase_id, p.user_id,
+       epoch_us(p.ts) AS ts_us,
+       c.event_id AS click_id,
+       epoch_us(c.ts) AS click_ts_us,
+       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+FROM p ASOF LEFT JOIN c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+ORDER BY purchase_id
+""",
+        "q55_range_join": """
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+  FROM events WHERE event_type = 'error'
+), c AS (
+  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value
+  FROM events WHERE event_type = 'click'
+)
+SELECT e.event_id AS err_id, e.user_id,
+       count(*) AS n_clicks, round(sum(c.value), 2) AS click_value
+FROM e JOIN c
+  ON e.user_id = c.user_id
+ AND c.ts_us BETWEEN e.ts_us - 86400000000 AND e.ts_us
+GROUP BY 1, 2
+ORDER BY err_id
+""",
+        "q56_rollup_revenue": """
+SELECT coalesce(r_name, 'ALL') AS region,
+       coalesce(n_name, 'ALL') AS nation,
+       round(sum(o_totalprice), 2) AS revenue,
+       count(*) AS n_orders,
+       (grouping(r_name) * 2 + grouping(n_name))::BIGINT AS level
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+ORDER BY region, nation, level
+""",
+        "q57_pivot_events": """
+SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+       count(*) FILTER (WHERE event_type = 'click') AS n_click,
+       count(*) FILTER (WHERE event_type = 'error') AS n_error,
+       count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+       count(*) FILTER (WHERE event_type = 'view') AS n_view
+FROM events
+GROUP BY day
+ORDER BY day
+""",
+        "q58_unigram_lm": """
+WITH toks AS (
+  SELECT doc_id, term FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+    FROM documents
+  ) WHERE len(term) > 0
+), vocab AS (
+  SELECT term, count(*)::BIGINT AS n FROM toks GROUP BY term
+), tot AS (
+  SELECT sum(n) AS total FROM vocab
+)
+SELECT doc_id, count(*) AS n_tokens,
+       round(avg(log10(n / total)), 4) AS avg_logp
+FROM toks JOIN vocab USING (term) CROSS JOIN tot
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+        "q59_label_centroids": """
+WITH ex AS (
+  SELECT label,
+         generate_subscripts(embedding, 1) - 1 AS dim,
+         unnest(embedding) AS val
+  FROM embeddings
+)
+SELECT label::BIGINT AS label, dim::BIGINT AS dim,
+       count(*) AS n_vecs,
+       round(avg(val::DOUBLE), 5) AS centroid
+FROM ex
+GROUP BY 1, 2
+ORDER BY label, dim
 """,
         "q26_sessionize": """
 WITH marked AS (

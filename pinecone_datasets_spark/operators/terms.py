@@ -86,6 +86,47 @@ def tf_idf(
     )
 
 
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_to: int | None = None,
+) -> DataFrame:
+    """Per-document mean unigram log10-probability under the corpus's own
+    unigram LM — the cheap perplexity proxy used for quality gating when
+    no external LM is available (docs full of rare/garbage tokens score
+    low; template-heavy boilerplate scores high).
+
+    Plan shape: one explode feeds (a) the vocabulary counts (map-side
+    partial agg → one row per distinct term) and (b) the per-doc token
+    stream. The corpus total is derived FROM the vocabulary aggregate
+    (sum over distinct terms), so no second corpus-scale pass; it rides
+    along as a broadcast single-row cross join. The score join is
+    exploded-tokens ⋈ vocabulary — vocabulary-sized build side,
+    broadcast when it fits (AQE decides), shuffled hash join otherwise.
+    """
+    exploded = widen(df, id_col).select(
+        F.col(id_col), F.explode_outer(_words(text_col)).alias("term")
+    ).where(F.length("term") > 0)
+    vocab = exploded.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    total = vocab.agg(F.sum("n").alias("total"))
+    logp = F.log10(F.col("n") / F.col("total"))
+    scored = (
+        exploded.join(vocab, "term")
+        .join(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.avg(logp).alias("avg_logp"),
+        )
+    )
+    if round_to is not None:
+        scored = scored.withColumn(
+            "avg_logp", F.round("avg_logp", round_to)
+        )
+    return scored
+
+
 def characteristic_terms(
     df: DataFrame,
     text_col: str = "text",

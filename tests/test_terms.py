@@ -61,3 +61,35 @@ def test_characteristic_terms(tiny):
         (v, k[1]) for k, v in rows.items() if k[0] == 3
     )
     assert by_doc[3] == want3[1]
+
+
+def test_unigram_logprob_known_answer(tiny):
+    from pinecone_datasets_spark.operators.terms import unigram_logprob
+
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["avg_logp"])
+        for r in unigram_logprob(tiny).collect()
+    }
+    # corpus: apple 3, banana 2, cherry 3, date 1 -> total 9
+    p = {"apple": 3 / 9, "banana": 2 / 9, "cherry": 3 / 9, "date": 1 / 9}
+    exp = {
+        1: ["apple", "banana", "apple"],
+        2: ["banana", "cherry"],
+        3: ["apple", "cherry", "cherry", "date"],
+    }
+    for doc_id, toks in exp.items():
+        n, got = out[doc_id]
+        assert n == len(toks)
+        want = sum(math.log10(p[t]) for t in toks) / len(toks)
+        assert got == pytest.approx(want, abs=1e-12)
+
+
+def test_unigram_logprob_rare_tokens_score_lower(tiny):
+    from pinecone_datasets_spark.operators.terms import unigram_logprob
+
+    out = {
+        r["doc_id"]: r["avg_logp"]
+        for r in unigram_logprob(tiny).collect()
+    }
+    # doc 3 carries the hapax "date" -> lowest mean logprob of the three
+    assert out[3] == min(out.values())
