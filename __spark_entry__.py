@@ -1137,6 +1137,62 @@ def q59_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q60_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left ANTI join (NOT EXISTS): customers with no 1995 orders, by
+    segment. The orders side is filtered BEFORE the join (predicate
+    pushdown to the scan), so the anti-join probes only the 1995 slice."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(
+        F.year("o_orderdate") == 1995
+    )
+    return (
+        cust.join(
+            orders, cust.c_custkey == orders.o_custkey, "left_anti"
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_inactive"),
+            F.min("c_custkey").alias("min_custkey"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def q61_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical time rollup: daily stats derived from HOURLY partial
+    aggregates (sum/count partials, never avg-of-avg) — the continuous-
+    aggregate pattern where the fine grain is materialized once and
+    coarser grains fold partials instead of rescanning raw events. The
+    oracle computes the daily stats directly from raw rows; matching
+    proves the partial design is lossless."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("sum_v"),
+        F.max("value").alias("max_v"),
+    )
+    return (
+        hourly.groupBy(
+            F.date_format("hour", "yyyy-MM-dd").alias("day"), "event_type"
+        )
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.round(F.sum("sum_v"), 2).alias("sum_value"),
+            # avg is derived from the ROUNDED sum: the raw daily sums
+            # differ across engines by ~1ulp of accumulation order, and
+            # an unrounded divide can straddle a round-half boundary
+            F.round(F.round(F.sum("sum_v"), 2) / F.sum("n"), 3).alias(
+                "avg_value"
+            ),
+            F.round(F.max("max_v"), 2).alias("max_value"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
 def q35_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: KMeans cells + nprobe probing (seeded, approximate — no
     SQL oracle; the exact twin is q20). The 100 TB similarity-search
@@ -1280,6 +1336,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q57_pivot_events": q57_pivot_events,
         "q58_unigram_lm": q58_unigram_lm,
         "q59_label_centroids": q59_label_centroids,
+        "q60_anti_join": q60_anti_join,
+        "q61_hierarchical_rollup": q61_hierarchical_rollup,
     }
 
 
@@ -1966,6 +2024,28 @@ SELECT label::BIGINT AS label, dim::BIGINT AS dim,
 FROM ex
 GROUP BY 1, 2
 ORDER BY label, dim
+""",
+        "q60_anti_join": """
+SELECT c_mktsegment, count(*) AS n_inactive,
+       min(c_custkey) AS min_custkey
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+    AND year(o.o_orderdate) = 1995
+)
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+        "q61_hierarchical_rollup": """
+SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day, event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value,
+       round(round(sum(value), 2) / count(*), 3) AS avg_value,
+       round(max(value), 2) AS max_value
+FROM events
+GROUP BY 1, 2
+ORDER BY day, event_type
 """,
         "q26_sessionize": """
 WITH marked AS (
