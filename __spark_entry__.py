@@ -1193,6 +1193,31 @@ def q61_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q62_below_avg_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery, decorrelated (TPC-H Q17 shape): per
+    brand, revenue from lineitems ordering less than 20% of their part's
+    average quantity. The correlated ``avg(l_quantity) per part`` becomes
+    one aggregate over lineitem joined back — the thresholds side is
+    part-cardinality (small next to the fact table), so the second pass
+    is a broadcast-able equi-join, not a per-row subquery execution."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    thresholds = li.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_threshold")
+    )
+    return (
+        li.join(thresholds, "l_partkey")
+        .where(F.col("l_quantity") < F.col("qty_threshold"))
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+        .orderBy("p_brand")
+    )
+
+
 def q35_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: KMeans cells + nprobe probing (seeded, approximate — no
     SQL oracle; the exact twin is q20). The 100 TB similarity-search
@@ -1338,6 +1363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q59_label_centroids": q59_label_centroids,
         "q60_anti_join": q60_anti_join,
         "q61_hierarchical_rollup": q61_hierarchical_rollup,
+        "q62_below_avg_parts": q62_below_avg_parts,
     }
 
 
@@ -2046,6 +2072,20 @@ SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day, event_type,
 FROM events
 GROUP BY 1, 2
 ORDER BY day, event_type
+""",
+        "q62_below_avg_parts": """
+SELECT p_brand,
+       count(*) AS n_lineitems,
+       round(sum(l_extendedprice), 2) AS revenue
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_quantity < (
+  SELECT 0.2 * avg(l2.l_quantity)
+  FROM lineitem l2
+  WHERE l2.l_partkey = l.l_partkey
+)
+GROUP BY p_brand
+ORDER BY p_brand
 """,
         "q26_sessionize": """
 WITH marked AS (

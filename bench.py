@@ -149,6 +149,8 @@ def main() -> None:
         "pack_chunks_512": lambda: qs["q49_pack_chunks"](spark, SF_DIR),
         "quantized_topk": lambda: qs["q50_quantized_topk"](spark, SF_DIR),
         "hash_split": lambda: qs["q45_hash_split"](spark, SF_DIR),
+        "asof_join": lambda: qs["q54_asof_join"](spark, SF_DIR),
+        "unigram_lm": lambda: qs["q58_unigram_lm"](spark, SF_DIR),
     }
 
     # Warm the JVM once with small representative jobs (parquet reader,

@@ -148,3 +148,87 @@ def test_stream_exact_dedup_matches_batch(spark, tmp_path_factory):
         ).collect()
     }
     assert got == want
+
+
+def test_stream_interval_join_matches_batch_range_join(
+    spark, events_dir, tmp_path_factory
+):
+    """availableNow replay of the stream-stream interval join must equal
+    the batch bucketed range_join on the same data: same-user clicks
+    within the hour before each error."""
+    from pinecone_datasets_spark.operators.ranges import range_join
+    from pinecone_datasets_spark.streaming.joins import (
+        stream_interval_join,
+    )
+
+    schema = spark.read.parquet(events_dir).schema
+
+    def stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(events_dir)
+        )
+
+    errors = stream().where(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id"
+    )
+    clicks = stream().where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    joined = stream_interval_join(
+        errors,
+        clicks,
+        on="user_id",
+        lower_seconds=-3600,
+        upper_seconds=0,
+        watermark="24 hours",
+    )
+    ckpt = str(tmp_path_factory.mktemp("ckpt_ssj"))
+    q = (
+        joined.select("l_event_id", "r_event_id")
+        .writeStream.format("memory")
+        .queryName("ssj_out")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["l_event_id"], r["r_event_id"])
+        for r in spark.sql("SELECT * FROM ssj_out").collect()
+    }
+
+    ev = spark.read.parquet(events_dir)
+    want = {
+        (r["l_event_id"], r["r_event_id"])
+        for r in range_join(
+            ev.where(F.col("event_type") == "error").select(
+                "user_id", "ts", "event_id"
+            ),
+            ev.where(F.col("event_type") == "click").select(
+                "user_id", "ts", "event_id"
+            ),
+            on="user_id",
+            left_ts="ts",
+            right_ts="ts",
+            lower_us=-3_600_000_000,
+            upper_us=0,
+        ).collect()
+    }
+    assert got == want
+    assert len(want) > 0
+
+
+def test_stream_interval_join_rejects_inverted_bounds(spark):
+    from pinecone_datasets_spark.streaming.joins import (
+        stream_interval_join,
+    )
+
+    df = spark.createDataFrame(
+        [], "user_id long, ts timestamp, event_id long"
+    )
+    with pytest.raises(ValueError, match="lower_seconds"):
+        stream_interval_join(df, df, on="user_id", lower_seconds=1,
+                             upper_seconds=0)
