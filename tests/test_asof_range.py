@@ -144,3 +144,55 @@ def test_range_join_rejects_inverted_bounds(spark):
     with pytest.raises(ValueError, match="lower_us"):
         range_join(df, df, on="k", left_ts="ts", right_ts="ts",
                    lower_us=5, upper_us=-5)
+
+
+# ---------------------------------------------------------------------------
+# Property-based: asof_join ≡ brute-force reference on random inputs
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_row = st.tuples(
+    st.sampled_from(["a", "b"]),                 # key
+    st.integers(min_value=0, max_value=50),      # ts
+)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    lrows=st.lists(_row, min_size=1, max_size=12),
+    rrows=st.lists(_row, min_size=0, max_size=12),
+)
+def test_asof_join_matches_bruteforce(spark, lrows, rrows):
+    left = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(lrows)],
+        schema="k string, ts long, lid long",
+    )
+    right = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(rrows)],
+        schema="k string, ts long, rid long",
+    ) if rrows else spark.createDataFrame([], "k string, ts long, rid long")
+
+    got = {
+        r["lid"]: r["rid_matched"]
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="ts",
+            right_cols=["rid"], tiebreak="rid",
+        ).collect()
+    }
+
+    # brute force: latest right at-or-before, ties by max rid
+    want = {}
+    for i, (k, t) in enumerate(lrows):
+        cands = [
+            (rt, ri)
+            for ri, (rk, rt) in enumerate(rrows)
+            if rk == k and rt <= t
+        ]
+        want[i] = max(cands)[1] if cands else None
+    assert got == want
