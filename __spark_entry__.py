@@ -1218,6 +1218,56 @@ def q62_below_avg_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q63_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension from a changelog (operators/scd.py): each
+    user's event_type stream collapsed to change intervals with
+    valid_from/valid_to/is_current. Change-detect lag and interval lead
+    share one partitioning+ordering — a single shuffle, single sort."""
+    from pinecone_datasets_spark.operators.scd import scd2_history
+
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") < 40)
+    hist = scd2_history(
+        ev.select("user_id", "event_id", F.col("event_type").alias("state"), "ts"),
+        keys="user_id",
+        state_cols="state",
+        ts_col="ts",
+        tiebreak="event_id",
+    )
+    return hist.select(
+        "user_id",
+        "event_id",
+        "state",
+        F.unix_micros("valid_from").alias("valid_from_us"),
+        F.unix_micros("valid_to").alias("valid_to_us"),
+        F.col("is_current").cast("long").alias("is_current"),
+    ).orderBy("user_id", "valid_from_us", "event_id")
+
+
+def q64_changelog_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-state snapshot from a changelog (operators/scd.py): last
+    event per user wins; users whose final event is an 'error' play the
+    delete op and vanish. row_number + literal rn=1 filter rewrites to
+    WindowGroupLimit, so each map task forwards one row per key."""
+    from pinecone_datasets_spark.operators.scd import changelog_apply
+
+    ev = _t(spark, sf_dir, "events")
+    latest = changelog_apply(
+        ev.select("user_id", "event_id", "event_type", "ts", "value"),
+        keys="user_id",
+        seq_col="ts",
+        op_col="event_type",
+        delete_ops=("error",),
+        tiebreak="event_id",
+    )
+    return latest.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_state"),
+        F.unix_micros("ts").alias("ts_us"),
+        F.round("value", 4).alias("last_value"),
+    ).orderBy("user_id")
+
+
 def q35_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: KMeans cells + nprobe probing (seeded, approximate — no
     SQL oracle; the exact twin is q20). The 100 TB similarity-search
@@ -1364,6 +1414,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q60_anti_join": q60_anti_join,
         "q61_hierarchical_rollup": q61_hierarchical_rollup,
         "q62_below_avg_parts": q62_below_avg_parts,
+        "q63_scd2_history": q63_scd2_history,
+        "q64_changelog_latest": q64_changelog_latest,
     }
 
 
@@ -2086,6 +2138,43 @@ WHERE l.l_quantity < (
 )
 GROUP BY p_brand
 ORDER BY p_brand
+""",
+        "q63_scd2_history": """
+WITH ev AS (
+  SELECT user_id, event_id, event_type AS state,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+  FROM events WHERE user_id < 40
+), lagged AS (
+  SELECT user_id, event_id, state, ts_us,
+         lag(state) OVER w AS prev_state,
+         (lag(ts_us) OVER w IS NULL) AS first_row
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+), changes AS (
+  SELECT user_id, event_id, state, ts_us FROM lagged
+  WHERE first_row OR state IS DISTINCT FROM prev_state
+)
+SELECT user_id, event_id, state,
+       ts_us AS valid_from_us,
+       lead(ts_us) OVER w2 AS valid_to_us,
+       CASE WHEN lead(ts_us) OVER w2 IS NULL THEN 1 ELSE 0 END::BIGINT
+         AS is_current
+FROM changes
+WINDOW w2 AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+ORDER BY user_id, valid_from_us, event_id
+""",
+        "q64_changelog_latest": """
+WITH ranked AS (
+  SELECT user_id, event_id, event_type,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, event_id AS last_event_id, event_type AS last_state,
+       ts_us, round(value, 4) AS last_value
+FROM ranked
+WHERE rn = 1 AND event_type <> 'error'
+ORDER BY user_id
 """,
         "q26_sessionize": """
 WITH marked AS (
