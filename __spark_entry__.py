@@ -1268,6 +1268,38 @@ def q64_changelog_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id")
 
 
+def q65_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-immune salted join (operators/skew.py): orders (probe,
+    salted by xxhash64) x customer (build, replicated x8) on custkey,
+    then segment revenue. Row-identical to the plain join — which is
+    exactly what the oracle twin runs."""
+    from pinecone_datasets_spark.operators.skew import salted_join
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = salted_join(
+        orders.select(
+            F.col("o_custkey").alias("c_custkey"),
+            "o_orderkey",
+            "o_totalprice",
+        ),
+        cust,
+        on="c_custkey",
+        salts=8,
+        salt_src=["o_orderkey"],
+    )
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 def q35_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: KMeans cells + nprobe probing (seeded, approximate — no
     SQL oracle; the exact twin is q20). The 100 TB similarity-search
@@ -1416,6 +1448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q62_below_avg_parts": q62_below_avg_parts,
         "q63_scd2_history": q63_scd2_history,
         "q64_changelog_latest": q64_changelog_latest,
+        "q65_salted_join": q65_salted_join,
     }
 
 
@@ -2175,6 +2208,14 @@ SELECT user_id, event_id AS last_event_id, event_type AS last_state,
 FROM ranked
 WHERE rn = 1 AND event_type <> 'error'
 ORDER BY user_id
+""",
+        "q65_salted_join": """
+SELECT c_mktsegment,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
 """,
         "q26_sessionize": """
 WITH marked AS (
