@@ -1300,6 +1300,72 @@ def q65_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_QUERIES = [
+    (0, "spark join merge"),
+    (1, "window agg group"),
+    (2, "vector table scan"),
+    (3, "stream batch data"),
+    (4, "slow fast query"),
+]
+
+
+def q66_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword top-k (operators/keyword.py): corpus tokenized once
+    into a TF inverted index; distinct query terms broadcast-filter the
+    postings before any reshuffle; literal-k rank bound keeps partial
+    top-k map-side. Ranks decided on round(score, 6) + doc_id so float
+    association order can't flip a rank across engines."""
+    from pinecone_datasets_spark.operators.keyword import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        _BM25_QUERIES, schema="query_id long, query_text string"
+    )
+    out = bm25_topk(docs, queries, k=10)
+    return out.select(
+        "query_id",
+        "doc_id",
+        F.round("score", 4).alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    ).orderBy("query_id", "rank")
+
+
+def q67_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: dense cosine top-20 and BM25 top-20 (each doc's
+    own text and embedding as the query, doc_id<5) fused by reciprocal
+    rank (operators/keyword.py:rrf_fuse). Rank-only fusion — no score
+    calibration across metrics, the industry-standard hybrid."""
+    from pinecone_datasets_spark.operators.keyword import (
+        bm25_topk,
+        rrf_fuse,
+    )
+
+    doc = _t(spark, sf_dir, "documents")
+    kw_queries = doc.where(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("text").alias("query_text"),
+    )
+    bm = bm25_topk(doc, kw_queries, k=20)
+
+    docs, queries = _emb_docs_queries(spark, sf_dir)
+    dense = topk_search(
+        docs,
+        queries.where(F.col("query_id") < 5),
+        metric="cosine",
+        k=20,
+        doc_id_col="doc_id",
+        metadata_col=None,
+    ).select("query_id", "doc_id", "rank")
+
+    fused = rrf_fuse([dense, bm.select("query_id", "doc_id", "rank")], topk=10)
+    return fused.select(
+        "query_id",
+        "doc_id",
+        F.round("rrf_score", 6).alias("rrf_score"),
+        F.col("rank").cast("long").alias("rank"),
+    ).orderBy("query_id", "rank")
+
+
 def q35_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: KMeans cells + nprobe probing (seeded, approximate — no
     SQL oracle; the exact twin is q20). The 100 TB similarity-search
@@ -1449,6 +1515,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q63_scd2_history": q63_scd2_history,
         "q64_changelog_latest": q64_changelog_latest,
         "q65_salted_join": q65_salted_join,
+        "q66_bm25_search": q66_bm25_search,
+        "q67_hybrid_rrf": q67_hybrid_rrf,
     }
 
 
@@ -1490,6 +1558,56 @@ WITH toks AS (
 )
 SELECT doc_id, {contrib} AS simhash FROM votes ORDER BY doc_id
 """
+
+
+def _oracle_bm25_ctes(queries_cte: str, k: int) -> str:
+    """Shared BM25 CTE block (DuckDB), literal-for-literal the Spark
+    expression shape in operators/keyword.py:bm25_topk so constant
+    folding and float association match: k1=1.2, b=0.75."""
+    return f"""
+q AS ({queries_cte}),
+toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM toks WHERE term <> '' GROUP BY doc_id, term
+), dl AS (
+  SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id
+), stats AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl
+), qt AS (
+  SELECT DISTINCT query_id, term FROM (
+    SELECT query_id,
+           unnest(string_split_regex(lower(trim(query_text)), '\\s+'))
+             AS term
+    FROM q)
+  WHERE term <> ''
+), dft AS (
+  SELECT term, count(*) AS df FROM tf
+  WHERE term IN (SELECT term FROM qt) GROUP BY term
+), idf AS (
+  SELECT term, ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) AS idf
+  FROM dft, stats
+), bm_scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         sum(idf.idf * (tf.tf * (1.2 + 1.0))
+             / (tf.tf + 1.2 * (1.0 - 0.75 + (0.75 * dl.dl) / stats.avgdl)))
+           AS score
+  FROM tf
+  JOIN qt USING (term)
+  JOIN idf USING (term)
+  JOIN dl USING (doc_id), stats
+  GROUP BY qt.query_id, tf.doc_id
+), bm_ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 6) DESC, doc_id) AS rank
+  FROM bm_scored
+), bm_topk AS (
+  SELECT query_id, doc_id, score, rank FROM bm_ranked WHERE rank <= {k}
+)"""
 
 
 def _oracle_minhash(num_hashes: int = 8, bands: int = 4, k: int = 5) -> str:
@@ -2216,6 +2334,50 @@ SELECT c_mktsegment,
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
 ORDER BY c_mktsegment
+""",
+        "q66_bm25_search": "WITH "
+        + _oracle_bm25_ctes(
+            "SELECT * FROM (VALUES "
+            + ", ".join(f"({i}, '{t}')" for i, t in _BM25_QUERIES)
+            + ") v(query_id, query_text)",
+            k=10,
+        )
+        + """
+SELECT query_id, doc_id, round(score, 4) AS score, rank
+FROM bm_topk ORDER BY query_id, rank
+""",
+        "q67_hybrid_rrf": "WITH "
+        + _oracle_bm25_ctes(
+            "SELECT doc_id AS query_id, text AS query_text "
+            "FROM documents WHERE doc_id < 5",
+            k=20,
+        )
+        + """,
+dense AS (
+  SELECT q.vec_id AS query_id, d.vec_id AS doc_id,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(
+                      d.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+                    d.vec_id) AS rank
+  FROM embeddings d, embeddings q
+  WHERE q.vec_id < 5
+), parts AS (
+  SELECT query_id, doc_id, 1.0 / (60 + rank) AS part
+  FROM dense WHERE rank <= 20
+  UNION ALL
+  SELECT query_id, doc_id, 1.0 / (60 + rank) AS part FROM bm_topk
+), fused AS (
+  SELECT query_id, doc_id, sum(part) AS rrf
+  FROM parts GROUP BY query_id, doc_id
+), rrf_ranked AS (
+  SELECT query_id, doc_id, rrf,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(rrf, 9) DESC, doc_id) AS rank
+  FROM fused
+)
+SELECT query_id, doc_id, round(rrf, 6) AS rrf_score, rank
+FROM rrf_ranked WHERE rank <= 10 ORDER BY query_id, rank
 """,
         "q26_sessionize": """
 WITH marked AS (

@@ -151,6 +151,8 @@ def main() -> None:
         "hash_split": lambda: qs["q45_hash_split"](spark, SF_DIR),
         "asof_join": lambda: qs["q54_asof_join"](spark, SF_DIR),
         "unigram_lm": lambda: qs["q58_unigram_lm"](spark, SF_DIR),
+        "bm25_search": lambda: qs["q66_bm25_search"](spark, SF_DIR),
+        "hybrid_rrf": lambda: qs["q67_hybrid_rrf"](spark, SF_DIR),
     }
 
     # Warm the JVM once with small representative jobs (parquet reader,

@@ -1,0 +1,120 @@
+"""BM25 keyword search and RRF fusion (operators/keyword.py)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from pinecone_datasets_spark.operators.keyword import bm25_topk, rrf_fuse
+from pinecone_datasets_spark.plans.explain import formatted_plan
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (0, "apple banana apple"),
+        (1, "banana cherry"),
+        (2, "cherry cherry cherry date"),
+        (3, "apple date"),
+    ]
+    return spark.createDataFrame(rows, schema="doc_id long, text string")
+
+
+def _bm25_ref(corpus_rows, query_terms, k1=1.2, b=0.75):
+    """Plain-Python BM25 over the fixture for expected values."""
+    toks = {d: t.split() for d, t in corpus_rows}
+    n = len(toks)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    scores = {}
+    for term in query_terms:
+        df = sum(1 for v in toks.values() if term in v)
+        if df == 0:
+            continue
+        idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        for d, v in toks.items():
+            tf = v.count(term)
+            if tf == 0:
+                continue
+            dl = len(v)
+            contrib = idf * (tf * (k1 + 1.0)) / (
+                tf + k1 * (1.0 - b + b * dl / avgdl)
+            )
+            scores[d] = scores.get(d, 0.0) + contrib
+    return scores
+
+
+def test_bm25_matches_reference_formula(spark, corpus):
+    queries = spark.createDataFrame(
+        [(0, "apple cherry")], schema="query_id long, query_text string"
+    )
+    got = {
+        r.doc_id: r.score
+        for r in bm25_topk(corpus, queries, k=10).collect()
+    }
+    rows = [(0, "apple banana apple"), (1, "banana cherry"),
+            (2, "cherry cherry cherry date"), (3, "apple date")]
+    want = _bm25_ref(rows, ["apple", "cherry"])
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d] == pytest.approx(want[d], rel=1e-12)
+
+
+def test_bm25_rank_is_deterministic_and_bounded(spark, corpus):
+    queries = spark.createDataFrame(
+        [(0, "apple"), (1, "cherry")],
+        schema="query_id long, query_text string",
+    )
+    out = bm25_topk(corpus, queries, k=1).collect()
+    got = {(r.query_id): r.doc_id for r in out}
+    # doc 0 has tf(apple)=2; doc 2 has tf(cherry)=3
+    assert got == {0: 0, 1: 2}
+
+
+def test_bm25_repeated_query_terms_count_once(spark, corpus):
+    q1 = spark.createDataFrame(
+        [(0, "apple apple")], schema="query_id long, query_text string"
+    )
+    q2 = spark.createDataFrame(
+        [(0, "apple")], schema="query_id long, query_text string"
+    )
+    s1 = {r.doc_id: r.score for r in bm25_topk(corpus, q1, k=10).collect()}
+    s2 = {r.doc_id: r.score for r in bm25_topk(corpus, q2, k=10).collect()}
+    assert s1 == s2
+
+
+def test_bm25_unseen_term_scores_nothing(spark, corpus):
+    queries = spark.createDataFrame(
+        [(0, "zebra")], schema="query_id long, query_text string"
+    )
+    assert bm25_topk(corpus, queries, k=10).count() == 0
+
+
+def test_bm25_plan_partial_topk_and_broadcast(spark, corpus):
+    queries = spark.createDataFrame(
+        [(0, "apple")], schema="query_id long, query_text string"
+    )
+    plan = formatted_plan(bm25_topk(corpus, queries, k=5))
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_rrf_fuse_sums_and_ranks(spark):
+    a = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2)], schema="query_id long, doc_id long, rank long"
+    )
+    b = spark.createDataFrame(
+        [(0, 11, 1), (0, 12, 2)], schema="query_id long, doc_id long, rank long"
+    )
+    out = {r.doc_id: (r.rrf_score, r.rank) for r in rrf_fuse([a, b]).collect()}
+    # doc 11 appears in both lists -> highest fused score
+    assert out[11][0] == pytest.approx(1 / 62 + 1 / 61)
+    assert out[11][1] == 1
+    assert out[10][0] == pytest.approx(1 / 61)
+    assert out[12][0] == pytest.approx(1 / 62)
+
+
+def test_rrf_fuse_requires_input(spark):
+    with pytest.raises(ValueError):
+        rrf_fuse([])
