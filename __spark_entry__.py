@@ -1366,6 +1366,28 @@ def q67_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def q68_zorder_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton/z-value computation (operators/zorder.py): bit-interleave
+    of (l_partkey, l_suppkey) — the clustering key behind multi-dim file
+    pruning (write_zordered). Map-only integer bit math, reproduced
+    bit-for-bit by the unrolled-SQL oracle twin (zorder_sql)."""
+    from pinecone_datasets_spark.operators.zorder import interleave_bits
+
+    li = _t(spark, sf_dir, "lineitem")
+    z = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        interleave_bits(
+            [
+                F.pmod(F.col("l_partkey"), F.lit(4096)),
+                F.pmod(F.col("l_suppkey"), F.lit(4096)),
+            ],
+            bits=12,
+        ).alias("zval"),
+    )
+    return z.orderBy("zval", "l_orderkey", "l_linenumber").limit(200)
+
+
 def q35_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: KMeans cells + nprobe probing (seeded, approximate — no
     SQL oracle; the exact twin is q20). The 100 TB similarity-search
@@ -1517,6 +1539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q65_salted_join": q65_salted_join,
         "q66_bm25_search": q66_bm25_search,
         "q67_hybrid_rrf": q67_hybrid_rrf,
+        "q68_zorder_values": q68_zorder_values,
     }
 
 
@@ -1608,6 +1631,18 @@ toks AS (
 ), bm_topk AS (
   SELECT query_id, doc_id, score, rank FROM bm_ranked WHERE rank <= {k}
 )"""
+
+
+def _oracle_zorder() -> str:
+    from pinecone_datasets_spark.operators.zorder import zorder_sql
+
+    expr = zorder_sql(["(l_partkey % 4096)", "(l_suppkey % 4096)"], bits=12)
+    return f"""
+SELECT l_orderkey, l_linenumber, {expr} AS zval
+FROM lineitem
+ORDER BY zval, l_orderkey, l_linenumber
+LIMIT 200
+"""
 
 
 def _oracle_minhash(num_hashes: int = 8, bands: int = 4, k: int = 5) -> str:
@@ -2379,6 +2414,7 @@ dense AS (
 SELECT query_id, doc_id, round(rrf, 6) AS rrf_score, rank
 FROM rrf_ranked WHERE rank <= 10 ORDER BY query_id, rank
 """,
+        "q68_zorder_values": _oracle_zorder(),
         "q26_sessionize": """
 WITH marked AS (
   SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
