@@ -1388,6 +1388,151 @@ def q68_zorder_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     return z.orderBy("zval", "l_orderkey", "l_linenumber").limit(200)
 
 
+def q69_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch (operators/sketch.py): md5-portable
+    k-minimum-values estimate per event_type, exactly reproduced by the
+    SQL oracle — an *approximate* operator under the *exact* gate. The
+    shuffle carries at most k rows per group per map task
+    (WindowGroupLimit), never the distinct set."""
+    from pinecone_datasets_spark.operators.sketch import kmv_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    est = kmv_distinct(ev, "user_id", "event_type", k=64)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return (
+        est.join(exact, "event_type")
+        .select(
+            "event_type",
+            F.round("est_distinct", 4).alias("est_distinct"),
+            "n_exact",
+        )
+        .orderBy("event_type")
+    )
+
+
+def q70_cube_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (lang, source): all four grouping levels in one Expand
+    + partial agg pass — the companion to q56's ROLLUP."""
+    doc = _t(spark, sf_dir, "documents")
+    return (
+        doc.cube("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+            F.grouping_id().alias("level"),
+        )
+        .select(
+            F.coalesce("lang", F.lit("ALL")).alias("lang"),
+            F.coalesce("source", F.lit("ALL")).alias("source"),
+            "n_docs",
+            "avg_chars",
+            "level",
+        )
+        .orderBy("lang", "source", "level")
+    )
+
+
+def q71_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered event funnel signup -> click -> purchase: each stage's
+    entry time must follow the previous stage's (min-ts per user,
+    stage-gated joins). Stage relations shrink to user cardinality after
+    the first aggregate, so the gating joins are broadcast-scale."""
+    ev = _t(spark, sf_dir, "events")
+    s1 = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts1"))
+    )
+    s2 = (
+        ev.where(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .where(F.col("ts") >= F.col("ts1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts2"))
+    )
+    s3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .where(F.col("ts") >= F.col("ts2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts3"))
+    )
+    staged = (
+        s1.select("user_id").withColumn("stage", F.lit(1))
+        .unionByName(s2.select("user_id").withColumn("stage", F.lit(2)))
+        .unionByName(s3.select("user_id").withColumn("stage", F.lit(3)))
+    )
+    counts = staged.groupBy("stage").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    w = Window.orderBy("stage")
+    return (
+        counts.withColumn(
+            "conv_rate",
+            F.round(
+                F.col("n_users")
+                / F.lag("n_users").over(w).cast("double"),
+                4,
+            ),
+        )
+        .orderBy("stage")
+    )
+
+
+def q72_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity week,
+    distinct activity per week offset 0..4. First-seen is one agg to
+    user cardinality; the matrix agg shuffles (cohort, offset) keys."""
+    ev = _t(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_wk")
+    )
+    act = (
+        ev.join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort_wk",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_wk"))
+                / 7
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .where(F.col("week_offset") <= 4)
+    )
+    return (
+        act.groupBy(
+            F.date_format("cohort_wk", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+def q73_pagerank2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two PageRank iterations over the part<->supplier bipartite graph
+    (operators/graph.py) — a fixed iteration count keeps the iterative
+    algorithm one deterministic Catalyst plan with an exact SQL twin."""
+    from pinecone_datasets_spark.operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    fwd = li.select(
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+    ).distinct()
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    ranks = pagerank(edges, iterations=2, damping=0.85)
+    return ranks.select(
+        "node", F.round("rank", 9).alias("rank")
+    ).orderBy("node")
+
+
 def q35_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: KMeans cells + nprobe probing (seeded, approximate — no
     SQL oracle; the exact twin is q20). The 100 TB similarity-search
@@ -1540,6 +1685,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q66_bm25_search": q66_bm25_search,
         "q67_hybrid_rrf": q67_hybrid_rrf,
         "q68_zorder_values": q68_zorder_values,
+        "q69_kmv_distinct": q69_kmv_distinct,
+        "q70_cube_docs": q70_cube_docs,
+        "q71_funnel": q71_funnel,
+        "q72_cohort_retention": q72_cohort_retention,
+        "q73_pagerank2": q73_pagerank2,
     }
 
 
@@ -1642,6 +1792,19 @@ SELECT l_orderkey, l_linenumber, {expr} AS zval
 FROM lineitem
 ORDER BY zval, l_orderkey, l_linenumber
 LIMIT 200
+"""
+
+
+def _oracle_kmv() -> str:
+    from pinecone_datasets_spark.operators.sketch import kmv_sql
+
+    inner = kmv_sql("user_id", ["event_type"], "events", k=64)
+    return f"""
+SELECT event_type, round(est_distinct, 4) AS est_distinct, n_exact
+FROM ({inner}) kmv
+JOIN (SELECT event_type, count(DISTINCT user_id) AS n_exact
+      FROM events GROUP BY event_type) exact USING (event_type)
+ORDER BY event_type
 """
 
 
@@ -2415,6 +2578,100 @@ SELECT query_id, doc_id, round(rrf, 6) AS rrf_score, rank
 FROM rrf_ranked WHERE rank <= 10 ORDER BY query_id, rank
 """,
         "q68_zorder_values": _oracle_zorder(),
+        "q69_kmv_distinct": _oracle_kmv(),
+        "q70_cube_docs": """
+SELECT coalesce(lang, 'ALL') AS lang,
+       coalesce(source, 'ALL') AS source,
+       count(*) AS n_docs,
+       round(avg(n_chars), 2) AS avg_chars,
+       (grouping(lang) * 2 + grouping(source))::BIGINT AS level
+FROM documents
+GROUP BY CUBE (lang, source)
+ORDER BY lang, source, level
+""",
+        "q71_funnel": """
+WITH s1 AS (
+  SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS ts1
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS ts2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) >= s1.ts1
+  GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS ts3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) >= s2.ts2
+  GROUP BY e.user_id
+), staged AS (
+  SELECT user_id, 1 AS stage FROM s1
+  UNION ALL SELECT user_id, 2 FROM s2
+  UNION ALL SELECT user_id, 3 FROM s3
+), counts AS (
+  SELECT stage, count(*) AS n_users FROM staged GROUP BY stage
+)
+SELECT stage, n_users,
+       round(n_users / CAST(lag(n_users) OVER (ORDER BY stage) AS DOUBLE),
+             4) AS conv_rate
+FROM counts ORDER BY stage
+""",
+        "q72_cohort_retention": """
+WITH first_seen AS (
+  SELECT user_id,
+         date_trunc('week', min(CAST(ts AS TIMESTAMP))) AS cohort_wk
+  FROM events GROUP BY user_id
+), act AS (
+  SELECT e.user_id, f.cohort_wk,
+         CAST(date_diff('day', f.cohort_wk,
+                        date_trunc('week', CAST(e.ts AS TIMESTAMP))) / 7
+              AS BIGINT) AS week_offset
+  FROM events e JOIN first_seen f ON e.user_id = f.user_id
+)
+SELECT strftime(cohort_wk, '%Y-%m-%d') AS cohort_week, week_offset,
+       count(DISTINCT user_id) AS n_users
+FROM act WHERE week_offset <= 4
+GROUP BY cohort_wk, week_offset
+ORDER BY cohort_week, week_offset
+""",
+        "q73_pagerank2": """
+WITH fwd AS (
+  SELECT DISTINCT 'p' || l_partkey AS src, 's' || l_suppkey AS dst
+  FROM lineitem
+), e AS (
+  SELECT src, dst FROM fwd
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM fwd
+), nodes AS (
+  SELECT DISTINCT src AS node FROM e
+  UNION
+  SELECT DISTINCT dst AS node FROM e
+), stats AS (
+  SELECT count(*) AS n FROM nodes
+), outdeg AS (
+  SELECT src, count(*) AS d FROM e GROUP BY src
+), r0 AS (
+  SELECT node, 1.0 / (SELECT n FROM stats) AS rank FROM nodes
+), c1 AS (
+  SELECT e.dst AS node, sum(r.rank / o.d) AS m
+  FROM e JOIN outdeg o ON e.src = o.src JOIN r0 r ON r.node = e.src
+  GROUP BY e.dst
+), r1 AS (
+  SELECT n.node,
+         ((1.0 - 0.85) / (SELECT n FROM stats))
+           + 0.85 * coalesce(c1.m, 0.0) AS rank
+  FROM nodes n LEFT JOIN c1 ON n.node = c1.node
+), c2 AS (
+  SELECT e.dst AS node, sum(r.rank / o.d) AS m
+  FROM e JOIN outdeg o ON e.src = o.src JOIN r1 r ON r.node = e.src
+  GROUP BY e.dst
+), r2 AS (
+  SELECT n.node,
+         ((1.0 - 0.85) / (SELECT n FROM stats))
+           + 0.85 * coalesce(c2.m, 0.0) AS rank
+  FROM nodes n LEFT JOIN c2 ON n.node = c2.node
+)
+SELECT node, round(rank, 9) AS rank FROM r2 ORDER BY node
+""",
         "q26_sessionize": """
 WITH marked AS (
   SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,

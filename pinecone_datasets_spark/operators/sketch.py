@@ -1,0 +1,123 @@
+"""KMV (k-minimum-values) distinct-count sketch.
+
+``approx_count_distinct`` (HyperLogLog++) is the built-in answer, but
+its register layout is engine-private — no other system reproduces its
+estimate, so it can only ever be checked "within tolerance". The KMV
+sketch estimates distinct cardinality from the k smallest *hash values*
+of the column: with a portable hash (md5) the sketch content — and so
+the estimate — is bit-reproducible by ANY engine, which turns an
+approximate operator into an exactly-oracle-checkable one.
+
+Estimator (Bar-Yossef et al. 2002): hash values to u ~ U[0,1); if the
+k-th smallest distinct hash is u_(k), then DV ≈ (k-1)/u_(k); when fewer
+than k distinct hashes exist the survivor count IS the exact answer.
+u is built from the first 13 hex chars of md5 → 52 bits → exact in a
+double on every engine.
+
+Distributed plan:
+
+1. hashing is map-only;
+2. dedup FIRST — ``distinct(group, u)``: duplicates collapse in the
+   map-side partial aggregate, so each raw value crosses the wire at
+   most once per map partition. Dedup cannot be postponed below a raw
+   top-k: ``row_number`` counts duplicate hashes, so a partition
+   holding k copies of the smallest value would evict every other
+   distinct value from its local top-k;
+3. a rank window per group with a LITERAL k bound rewrites to
+   WindowGroupLimit: after the distinct, each map task forwards at most
+   k rows per group into the final per-group sort;
+4. reduce to (count, max) per group and apply the estimator.
+
+The k-min set is unionable (k-min of a union = k-min of concatenated
+k-min lists), so per-source sketches can be merged without rescanning —
+recompute steps 3-4 over the concatenation. If even one distinct pass
+is too much, the escape hatch is a per-partition bounded-heap sketch in
+``applyInPandas``; not needed at the corpus sizes this repo targets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_TWO_52 = float(1 << 52)
+
+
+def _u01(col: str) -> "F.Column":
+    """Portable uniform hash: first 52 bits of md5 as a double in [0,1)."""
+    return (
+        F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 13), 16, 10)
+        .cast("long")
+        .cast("double")
+        / F.lit(_TWO_52)
+    )
+
+
+def kmv_distinct(
+    df: DataFrame,
+    value_col: str,
+    group_cols: str | list[str] | None = None,
+    k: int = 64,
+    out_col: str = "est_distinct",
+) -> DataFrame:
+    """Per-group KMV estimate of ``count(distinct value_col)``.
+
+    Returns one row per group with ``est_distinct`` (double). Exact when
+    the group has fewer than k distinct values.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    groups = (
+        []
+        if group_cols is None
+        else [group_cols]
+        if isinstance(group_cols, str)
+        else list(group_cols)
+    )
+    hashed = df.select(*groups, _u01(value_col).alias("__u")).distinct()
+
+    w = Window.partitionBy(*groups).orderBy("__u")
+    # literal bound -> WindowGroupLimit partial top-k on the map side
+    topk = (
+        hashed.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= F.lit(k))
+    )
+    est = F.when(
+        F.col("__n") < k, F.col("__n").cast("double")
+    ).otherwise((k - 1) / F.col("__kth"))
+    agg = topk.groupBy(*groups).agg(
+        F.count(F.lit(1)).alias("__n"), F.max("__u").alias("__kth")
+    )
+    return agg.select(*groups, est.alias(out_col))
+
+
+def kmv_sql(
+    value_expr: str,
+    group_cols: list[str],
+    from_clause: str,
+    k: int = 64,
+    out_col: str = "est_distinct",
+) -> str:
+    """DuckDB twin of ``kmv_distinct`` (same hash, same estimator)."""
+    grp = ", ".join(group_cols)
+    grp_sel = f"{grp}, " if grp else ""
+    part = f"PARTITION BY {grp} " if grp else ""
+    return f"""
+WITH hashed AS (
+  SELECT DISTINCT {grp_sel}
+         CAST(concat('0x', substr(md5(CAST({value_expr} AS VARCHAR)), 1, 13))
+              AS BIGINT) / {_TWO_52!r} AS u
+  FROM {from_clause}
+), ranked AS (
+  SELECT {grp_sel}u,
+         row_number() OVER ({part}ORDER BY u) AS rn
+  FROM hashed
+), topk AS (
+  SELECT {grp_sel}count(*) AS n, max(u) AS kth
+  FROM ranked WHERE rn <= {k}{" GROUP BY " + grp if grp else ""}
+)
+SELECT {grp_sel}
+       CASE WHEN n < {k} THEN CAST(n AS DOUBLE)
+            ELSE ({k} - 1) / kth END AS {out_col}
+FROM topk
+"""
