@@ -13,8 +13,9 @@ textbook two-phase distributed prefix sum instead:
 1. ``repartitionByRange(order)`` + in-partition sort — the only
    corpus-wide exchange, and a narrow one (id, order key, token count).
 2. Per-partition token totals — a map-side-combined aggregate whose
-   output is one row per partition; the exclusive cumulative offsets are
-   computed on the driver (P values) and broadcast-joined back.
+   output is one row per partition; the exclusive cumulative offsets
+   come from a window over those P rows (a single-partition window over
+   P values is free) and are broadcast-joined back.
 3. In-partition running sum (window partitioned by the range-partition
    id) + partition offset = exact global offset.
 
@@ -23,11 +24,17 @@ range boundaries fall: offsets correct for any split, and the
 (order, id) sort is total because ``id`` is unique. Every stage is
 built-in/codegen — no Python crossing.
 
-Phase 2's window repartitions by partition-id hash (Spark cannot know
-the data is already clustered by ``_pid``), so the narrow projection
-crosses two exchanges total. The alternative — ``mapInPandas`` cumsum
-directly on the range partitions — saves that exchange but pushes the
-full corpus through Arrow; staying JVM-side wins beyond trivial sizes.
+Keeping phase 2 INSIDE the plan (no driver collect) matters twice over:
+the totals branch and the cumsum branch then share the range Exchange
+(``ReusedExchange`` — the corpus is scanned, tokenized, and shuffled
+ONCE, and the totals branch re-reads only the narrow shuffle files),
+whereas a ``collect()`` is a separate job that recomputes the full
+scan+tokenize+shuffle lineage. Phase 3's window repartitions by
+partition-id hash (Spark cannot know the data is already clustered by
+``_pid``), so the narrow projection crosses two exchanges total. The
+alternative — ``mapInPandas`` cumsum directly on the range partitions —
+saves that exchange but pushes the full corpus through Arrow; staying
+JVM-side wins beyond trivial sizes.
 """
 
 from __future__ import annotations
@@ -92,22 +99,22 @@ def pack_documents(
         .sortWithinPartitions("_ord", id_col)
         .withColumn("_pid", F.spark_partition_id())
     )
-    # Phase 2: per-partition totals -> driver-side exclusive prefix.
+    # Phase 2: per-partition totals -> exclusive prefix over the P total
+    # rows (single-partition window over P values — trivially small).
     # repartitionByRange assigns ascending key ranges to ascending
     # partition ids, so accumulating in _pid order IS stream order.
-    totals = {
-        r["_pid"]: r["_t"]
-        for r in ranged.groupBy("_pid")
+    # Staying in-plan (no collect) lets this branch and phase 3 share
+    # the range Exchange via ReusedExchange: one corpus pass, not two.
+    wp = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets_df = (
+        ranged.groupBy("_pid")
         .agg(F.sum("n_tokens").alias("_t"))
-        .collect()
-    }
-    offsets, running = [], 0
-    for pid in sorted(totals):
-        offsets.append((pid, running))
-        running += int(totals[pid] or 0)
-    spark = df.sparkSession
-    offsets_df = spark.createDataFrame(
-        offsets or [(0, 0)], "_pid int, _offset long"
+        .select(
+            "_pid",
+            (F.sum("_t").over(wp) - F.col("_t")).alias("_offset"),
+        )
     )
     w = (
         Window.partitionBy("_pid")
