@@ -55,10 +55,15 @@ def range_join(
     width = max(upper_us - lower_us, 1)
 
     def _us(df: DataFrame, col: str) -> F.Column:
-        # TimestampType → exact integer epoch-µs; integral columns pass
-        # through (already epoch-µs by contract).
-        if df.schema[col].dataType.typeName() == "timestamp":
+        # TimestampType → exact integer epoch-µs; TIMESTAMP_NTZ is
+        # interpreted as UTC wall-clock (cast first — unix_micros rejects
+        # NTZ outright); integral columns pass through (already epoch-µs
+        # by contract).
+        tname = df.schema[col].dataType.typeName()
+        if tname == "timestamp":
             return F.unix_micros(F.col(col))
+        if tname == "timestamp_ntz":
+            return F.unix_micros(F.col(col).cast("timestamp"))
         return F.col(col)
 
     r = right.select(

@@ -25,6 +25,10 @@ def sessionize(
     the session index. One shuffle (partitionBy user), sequential within.
     Returns (user_id, session_idx, session_start, session_end, n_events).
     """
+    # unix_micros rejects TIMESTAMP_NTZ; normalize to TIMESTAMP (NTZ wall
+    # clock read in the session timezone — pin UTC upstream for determinism)
+    if dict(events.dtypes).get(ts_col) == "timestamp_ntz":
+        events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     w = Window.partitionBy(user_col).orderBy(ts_col, order_tiebreak)
     gap_us = gap_minutes * 60 * 1_000_000
     prev = F.lag(F.col(ts_col)).over(w)
