@@ -563,7 +563,9 @@ def embedding_lsh_candidate_pairs(
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((bands * bits, dim))
     sig_udf = _band_signature_udf(planes, bands, bits)
-    sigs = widen(df, id_col).select(
+    # No widen(): signature is one matmul row per vector, not multiplied
+    # work — the repartition shuffle never earns itself back (r2 bench).
+    sigs = df.select(
         F.col(id_col), sig_udf(F.col(vector_col)).alias("_sigs")
     )
     # outer + null filter: a non-outer generate would let Catalyst infer

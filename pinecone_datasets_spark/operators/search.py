@@ -402,7 +402,11 @@ def ann_lsh_topk(
     planes = rng.standard_normal((bands * bits, dim))
     sig_udf = _band_signature_udf(planes, bands, bits)
 
-    d_sig = widen(documents, doc_id_col).select(
+    # No widen() here: the signature UDF is one matmul row per doc (not
+    # ×Q-multiplied work like topk_search's scoring), so a repartition of
+    # full vectors costs a shuffle it never earns back — measured 3.4×
+    # bench regression in r2 when it was added.
+    d_sig = documents.select(
         F.col(doc_id_col),
         F.col(doc_vector_col),
         sig_udf(F.col(doc_vector_col)).alias("_sigs"),
@@ -423,20 +427,28 @@ def ann_lsh_topk(
     d_exp = explode_bands(d_sig, [doc_id_col, doc_vector_col])
     q_exp = explode_bands(q_sig, [query_id_col, query_vector_col])
 
-    candidates = (
+    # Score map-side straight off the broadcast band-join: a pair that
+    # agrees on b bands is scored b times (cheap codegen arithmetic), but
+    # duplicates then collapse via a PARTIAL-aggregating groupBy — the one
+    # shuffle carries only (query_id, doc_id, score) triples. The r2
+    # shape (dropDuplicates over rows still holding both 64-dim vectors)
+    # pushed every vector through the dedup exchange.
+    pair_scores = (
         d_exp.join(F.broadcast(q_exp), on=["band", "sig"])
-        .select(query_id_col, doc_id_col, doc_vector_col, query_vector_col)
-        .dropDuplicates([query_id_col, doc_id_col])
-    )
-    scored = candidates.select(
-        F.col(query_id_col),
-        F.col(doc_id_col),
-        cosine_similarity(doc_vector_col, query_vector_col).alias("score"),
+        .select(
+            F.col(query_id_col),
+            F.col(doc_id_col),
+            cosine_similarity(doc_vector_col, query_vector_col).alias(
+                "score"
+            ),
+        )
+        .groupBy(query_id_col, doc_id_col)
+        .agg(F.first("score").alias("score"))
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("score"), F.col(doc_id_col)
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        pair_scores.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
