@@ -37,6 +37,7 @@ def main() -> None:
         .config("spark.sql.shuffle.partitions", CPUS)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", "16g")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
@@ -126,6 +127,35 @@ def main() -> None:
             docs, num_hashes=64, bands=16, hash_fn="rolling"
         )
 
+    # BM25 split into build (offline, once per corpus) and search (the
+    # per-query online path against the persisted index) — the shape a
+    # production lexical stack actually runs; r2 measured the
+    # tokenize-everything-per-query path at ~9s for 50 rows.
+    import tempfile
+
+    bm25_path = tempfile.mkdtemp(prefix="bench_bm25_") + "/idx"
+
+    def bench_bm25_build():
+        from pinecone_datasets_spark.operators.keyword import (
+            build_bm25_index,
+        )
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        build_bm25_index(docs, bm25_path)
+        # build returns nothing; give the timing loop a no-op frame
+        return spark.range(1)
+
+    def bench_bm25_search():
+        from pinecone_datasets_spark.operators.keyword import (
+            bm25_index_topk,
+        )
+
+        queries = spark.createDataFrame(
+            entrymod._BM25_QUERIES,
+            schema="query_id long, query_text string",
+        )
+        return bm25_index_topk(spark, bm25_path, queries, k=10)
+
     headline = {
         "q01_scan_agg": lambda: qs["q01_pricing_summary"](spark, SF_DIR),
         "q02_join_topn": lambda: qs["q02_top_customers"](spark, SF_DIR),
@@ -151,7 +181,8 @@ def main() -> None:
         "hash_split": lambda: qs["q45_hash_split"](spark, SF_DIR),
         "asof_join": lambda: qs["q54_asof_join"](spark, SF_DIR),
         "unigram_lm": lambda: qs["q58_unigram_lm"](spark, SF_DIR),
-        "bm25_search": lambda: qs["q66_bm25_search"](spark, SF_DIR),
+        "bm25_build": bench_bm25_build,
+        "bm25_search": bench_bm25_search,
         "hybrid_rrf": lambda: qs["q67_hybrid_rrf"](spark, SF_DIR),
     }
 
@@ -176,13 +207,27 @@ def main() -> None:
         _noop(F.col("id"))
     ).write.format("noop").mode("overwrite").save()
 
+    # Crash-isolated: one broken entry records -1 and the suite keeps
+    # going — a partial BENCH json beats no json at all (r2's run died
+    # at entry 19/22 and lost 18 good measurements).
     results: dict[str, float] = {}
     total = 0.0
+    failed: list[str] = []
     for name, make in headline.items():
         print(f"bench: {name} ...", file=sys.stderr, flush=True)
         t0 = time.time()
-        df = make()
-        df.write.format("noop").mode("overwrite").save()
+        try:
+            df = make()
+            df.write.format("noop").mode("overwrite").save()
+        except Exception as exc:  # noqa: BLE001 — isolate, record, continue
+            print(
+                f"bench: {name} FAILED: {type(exc).__name__}: {exc}",
+                file=sys.stderr,
+                flush=True,
+            )
+            results[name] = -1.0
+            failed.append(name)
+            continue
         dt = round(time.time() - t0, 3)
         print(f"bench: {name} {dt}s", file=sys.stderr, flush=True)
         results[name] = dt
@@ -196,6 +241,7 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": results,
+                "failed": failed,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

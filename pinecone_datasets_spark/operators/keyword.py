@@ -123,6 +123,128 @@ def bm25_topk(
     )
 
 
+# ---------------------------------------------------------------------------
+# Persisted index: postings parquet + scalar-stats sidecar
+# ---------------------------------------------------------------------------
+
+BM25_STATS_FILE = "_bm25_stats.json"
+
+
+def build_bm25_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Tokenize the corpus ONCE and persist the BM25 inverted index:
+    parquet postings ``(term, doc_id, tf, dl, df)`` range-partitioned and
+    sorted by term, plus a JSON sidecar with the corpus scalars
+    (n_docs, avgdl).
+
+    Query-time cost then scales with the *queried terms*, not the corpus:
+    the term filter is a literal pushed into the parquet scan, and the
+    term-sorted layout gives row-group min/max skipping — the reader
+    touches only the byte ranges holding queried terms. This is the
+    "build offline, search online" split every production lexical stack
+    uses (r2 benched the tokenize-everything-per-query path at 8.95 s
+    for 50 output rows)."""
+    import json as _json
+
+    from ..fs import FS, join as _join
+
+    toks = docs.select(
+        F.col(id_col), F.explode(_tokens(text_col)).alias("term")
+    ).where(F.col("term") != "")
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    postings = tf.join(dl, id_col).join(df_t, "term").select(
+        "term", id_col, "tf", "dl", "df"
+    )
+    (
+        postings.repartitionByRange("term")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    row = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    FS(docs.sparkSession).write_text(
+        _join(path, BM25_STATS_FILE),
+        _json.dumps(
+            {
+                "n_docs": int(row["n_docs"]),
+                "avgdl": float(row["avgdl"]),
+                "id_col": id_col,
+            }
+        ),
+    )
+
+
+def bm25_index_topk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+) -> DataFrame:
+    """Top-k per query against a persisted index from ``build_bm25_index``.
+
+    The queried-term set is driver-visible (queries are small by
+    construction), so it lands as a LITERAL ``term IN (...)`` predicate —
+    visible in the scan's PushedFilters — before any join. Same result
+    contract and tie-breaks as ``bm25_topk``."""
+    import json as _json
+
+    from ..fs import FS, join as _join
+
+    meta = _json.loads(FS(spark).read_text(_join(path, BM25_STATS_FILE)))
+    id_col = meta["id_col"]
+    n_docs, avgdl = float(meta["n_docs"]), float(meta["avgdl"])
+
+    qterms = (
+        queries.select(
+            F.col(query_id_col),
+            F.explode(_tokens(query_text_col)).alias("term"),
+        )
+        .where(F.col("term") != "")
+        .distinct()
+    )
+    term_list = [r["term"] for r in qterms.select("term").distinct().collect()]
+    postings = spark.read.parquet(path).where(F.col("term").isin(term_list))
+    scored = (
+        postings.join(F.broadcast(qterms), "term")
+        .select(
+            query_id_col,
+            id_col,
+            (
+                F.log(
+                    1.0 + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * (k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl))
+                )
+            ).alias("contrib"),
+        )
+        .groupBy(query_id_col, id_col)
+        .agg(F.sum("contrib").alias("score"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.round("score", 6).desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= F.lit(k))
+        .select(query_id_col, id_col, "score", "rank")
+    )
+
+
 def rrf_fuse(
     rankings: list[DataFrame],
     topk: int = 10,

@@ -100,6 +100,47 @@ def test_bm25_plan_partial_topk_and_broadcast(spark, corpus):
     assert "BroadcastHashJoin" in plan
 
 
+def test_bm25_index_path_matches_online_path(spark, corpus, tmp_path):
+    from pinecone_datasets_spark.operators.keyword import (
+        bm25_index_topk,
+        build_bm25_index,
+    )
+
+    path = str(tmp_path / "bm25_idx")
+    build_bm25_index(corpus, path)
+    queries = spark.createDataFrame(
+        [(0, "apple cherry"), (1, "date")],
+        schema="query_id long, query_text string",
+    )
+    online = sorted(
+        (r.query_id, r.doc_id, round(r.score, 9), r.rank)
+        for r in bm25_topk(corpus, queries, k=10).collect()
+    )
+    indexed = sorted(
+        (r.query_id, r.doc_id, round(r.score, 9), r.rank)
+        for r in bm25_index_topk(spark, path, queries, k=10).collect()
+    )
+    assert indexed == online
+
+
+def test_bm25_index_scan_pushes_term_filter(spark, corpus, tmp_path):
+    from pinecone_datasets_spark.operators.keyword import (
+        bm25_index_topk,
+        build_bm25_index,
+    )
+
+    path = str(tmp_path / "bm25_idx2")
+    build_bm25_index(corpus, path)
+    queries = spark.createDataFrame(
+        [(0, "apple cherry")], schema="query_id long, query_text string"
+    )
+    plan = formatted_plan(bm25_index_topk(spark, path, queries, k=5))
+    # the literal term predicate must reach the parquet reader
+    # (1 term compiles to EqualTo, >1 to In)
+    assert "PushedFilters" in plan
+    assert "In(term" in plan or "EqualTo(term" in plan
+
+
 def test_rrf_fuse_sums_and_ranks(spark):
     a = spark.createDataFrame(
         [(0, 10, 1), (0, 11, 2)], schema="query_id long, doc_id long, rank long"
