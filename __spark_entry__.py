@@ -1687,15 +1687,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_corpus_stats": q14_corpus_stats,
         "q15_dedup_exact_groups": q15_dedup_exact_groups,
         "q16_dedup_exact_keep": q16_dedup_exact_keep,
-        "q17_ngram_jaccard": q17_ngram_jaccard,
-        "q18_minhash_bands": q18_minhash_bands,
         "q19_topk_dot": q19_topk_dot,
         "q20_topk_cosine": q20_topk_cosine,
-        "q21_embedding_neardup": q21_embedding_neardup,
         "q22_event_scan_filter": q22_event_scan_filter,
         "q23_nations_set_ops": q23_nations_set_ops,
         "q24_ann_lsh": q24_ann_lsh,
-        "q25_simhash": q25_simhash,
         "q26_sessionize": q26_sessionize,
         "q27_running_revenue": q27_running_revenue,
         "q28_distinct_users": q28_distinct_users,
@@ -1705,14 +1701,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q32_sparse_dot_topk": q32_sparse_dot_topk,
         "q33_curation_pipeline": q33_curation_pipeline,
         "q34_curation_report": q34_curation_report,
-        "q35_ivf_topk": q35_ivf_topk,
         "q36_chars_percentiles": q36_chars_percentiles,
         "q37_yearly_revenue": q37_yearly_revenue,
         "q38_segment_stats": q38_segment_stats,
         "q39_rolling_hash": q39_rolling_hash,
         "q40_repetition_signals": q40_repetition_signals,
         "q41_pii_redact": q41_pii_redact,
-        "q42_dedup_clusters": q42_dedup_clusters,
         "q43_top_terms": q43_top_terms,
         "q44_characteristic_terms": q44_characteristic_terms,
         "q45_hash_split": q45_hash_split,
@@ -1720,7 +1714,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q49_pack_chunks": q49_pack_chunks,
         "q50_quantized_topk": q50_quantized_topk,
         "q51_quantile_filter": q51_quantile_filter,
-        "q52_cluster_reps": q52_cluster_reps,
         "q53_incremental_dedup": q53_incremental_dedup,
         "q46_stratified_sample": q46_stratified_sample,
         "q47_source_cap": q47_source_cap,
@@ -1744,6 +1737,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q71_funnel": q71_funnel,
         "q72_cohort_retention": q72_cohort_retention,
         "q73_pagerank2": q73_pagerank2,
+        # Heaviest entries LAST (VERDICT r2 item 2): if a harness budget
+        # ever truncates the correctness sweep again, it eats these
+        # already-verified heavyweights, never a new entry.
+        "q17_ngram_jaccard": q17_ngram_jaccard,
+        "q18_minhash_bands": q18_minhash_bands,
+        "q21_embedding_neardup": q21_embedding_neardup,
+        "q25_simhash": q25_simhash,
+        "q35_ivf_topk": q35_ivf_topk,
+        "q42_dedup_clusters": q42_dedup_clusters,
+        "q52_cluster_reps": q52_cluster_reps,
     }
 
 

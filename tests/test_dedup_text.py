@@ -155,6 +155,40 @@ def test_minhash_bands_must_divide_num_hashes(dup_docs):
         minhash_lsh_candidates(dup_docs, num_hashes=32, bands=5)
 
 
+def test_minhash_oph_variant(dup_docs):
+    # one-permutation hashing: full-length, null-free, deterministic
+    # signatures; exact/normalization dups share every band, near dups
+    # collide at 16 bands, dissimilar docs don't
+    sigs = {
+        r["doc_id"]: r["signature"]
+        for r in minhash_signatures(
+            dup_docs, num_hashes=32, shingle_k=3, hash_fn="oph"
+        ).collect()
+    }
+    assert all(len(s) == 32 and None not in s for s in sigs.values())
+    assert sigs[1] == sigs[2]  # exact dup -> identical signature
+    cands = minhash_lsh_candidates(
+        dup_docs, num_hashes=32, bands=16, shingle_k=3, hash_fn="oph"
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in cands.collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) in pairs
+    assert (1, 4) in pairs
+    assert (1, 5) not in pairs
+
+
+def test_minhash_oph_densifies_short_docs(spark):
+    # a doc with fewer shingles than bins must still get a full signature
+    df = spark.createDataFrame(
+        [(1, "abcd")], schema="doc_id long, text string"
+    )
+    (sig,) = minhash_signatures(
+        df, num_hashes=16, shingle_k=3, hash_fn="oph"
+    ).collect()
+    assert len(sig["signature"]) == 16
+    assert None not in sig["signature"]
+
+
 def test_simhash_md5_portable_variant(dup_docs):
     out = {
         r["doc_id"]: r["simhash"]
