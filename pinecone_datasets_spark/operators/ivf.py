@@ -27,6 +27,18 @@ from pyspark.sql import functions as F
 from ..functions.vector import cosine_similarity, dot_product
 
 
+def _sq_dists(m: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """(rows, k) squared distances via ||x||^2 - 2*x@c.T + ||c||^2.
+
+    One BLAS matmul with a (rows, k) output — never the
+    (rows, k, dim) broadcast intermediate, which at dim 768 and a 100k
+    training sample would be ~10 GB per Lloyd step and sink the
+    "bounded driver memory" claim this module makes."""
+    x2 = (m * m).sum(axis=1, keepdims=True)
+    c2 = (c * c).sum(axis=1)
+    return np.maximum(x2 - 2.0 * (m @ c.T) + c2, 0.0)
+
+
 def _assign_udf(centroids: np.ndarray, normalize: bool):
     """vec -> nearest-centroid id, one BLAS matmul per Arrow batch."""
     c = np.ascontiguousarray(centroids, dtype=np.float64)
@@ -42,7 +54,7 @@ def _assign_udf(centroids: np.ndarray, normalize: bool):
             )
             sims = m @ cn.T
             return pd.Series(np.argmax(sims, axis=1).astype(np.int32))
-        d = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        d = _sq_dists(m, c)
         return pd.Series(np.argmin(d, axis=1).astype(np.int32))
 
     from pyspark.sql.types import IntegerType
@@ -112,7 +124,7 @@ def train_centroids_local(
     init_idx = rng.choice(len(m), size=min(n_centroids, len(m)), replace=False)
     c = m[np.sort(init_idx)].copy()
     for _ in range(max_iter):
-        d = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        d = _sq_dists(m, c)
         assign = np.argmin(d, axis=1)
         new_c = np.array(
             [

@@ -54,7 +54,17 @@ def read_events(spark: SparkSession, path: str, ts_col: str = "ts") -> DataFrame
         )
     elif dtype == "timestamp_ntz":
         # Pin UTC so NTZ wall-clock → epoch is deterministic and agrees
-        # with DuckDB's naive-timestamp-as-UTC semantics.
+        # with DuckDB's naive-timestamp-as-UTC semantics. The cast's
+        # timezone is bound when the (eager) withColumn is analyzed, so
+        # set-and-restore leaves the session conf untouched afterwards —
+        # a read must not repoint timestamp semantics for later queries.
+        prev_tz = spark.conf.get(SESSION_TZ, None)
         spark.conf.set(SESSION_TZ, "UTC")
-        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        try:
+            df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        finally:
+            if prev_tz is None:
+                spark.conf.unset(SESSION_TZ)
+            else:
+                spark.conf.set(SESSION_TZ, prev_tz)
     return df

@@ -164,3 +164,21 @@ def test_ivf_index_scan_partition_pruned(spark, corpus, tmp_path):
     assert "PartitionFilters: [ivf_cell" in plan.replace(
         "PartitionFilters: [isnotnull(ivf_cell", "PartitionFilters: [ivf_cell"
     ) or "ivf_cell" in plan.split("PartitionFilters")[1].split("]")[0]
+
+
+def test_sq_dists_matches_broadcast_form():
+    """The one-matmul ||x||^2 - 2x@c.T + ||c||^2 kernel (ADVICE r3: the
+    (rows, k, dim) broadcast intermediate was ~10 GB at dim 768) must
+    agree with the naive form to float tolerance and stay non-negative."""
+    import numpy as np
+
+    from pinecone_datasets_spark.operators.ivf import _sq_dists
+
+    rng = np.random.default_rng(7)
+    m = rng.standard_normal((200, 48))
+    c = rng.standard_normal((16, 48))
+    naive = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+    fast = _sq_dists(m, c)
+    assert np.allclose(fast, naive, atol=1e-8)
+    assert (fast >= 0).all()
+    assert np.array_equal(np.argmin(fast, axis=1), np.argmin(naive, axis=1))

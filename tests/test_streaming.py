@@ -232,3 +232,19 @@ def test_stream_interval_join_rejects_inverted_bounds(spark):
     with pytest.raises(ValueError, match="lower_seconds"):
         stream_interval_join(df, df, on="user_id", lower_seconds=1,
                              upper_seconds=0)
+
+
+def test_read_events_leaves_session_timezone_alone(spark, sf_dir):
+    """ADVICE r3: the NTZ branch used to permanently repoint
+    spark.sql.session.timeZone to UTC as a read side-effect. The cast's
+    zone is bound at (eager) withColumn analysis, so set-and-restore
+    must leave the session conf exactly as it found it."""
+    key = "spark.sql.session.timeZone"
+    prev = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "America/New_York")
+        df = read_events(spark, f"{sf_dir}/events.parquet")
+        df.limit(1).collect()
+        assert spark.conf.get(key) == "America/New_York"
+    finally:
+        spark.conf.set(key, prev)
