@@ -31,7 +31,14 @@ def get_cache_info(spark: Optional[SparkSession] = None) -> dict[str, Any]:
 
 
 def clear_cache(spark: Optional[SparkSession] = None) -> None:
-    """Reference ``cache.py:392-430`` parity: drop all cached data."""
+    """Reference ``cache.py:392-430`` parity: drop ALL cached data —
+    both the SQL cache (DataFrame.cache) and RDD-level persistence
+    (e.g. localCheckpoint blocks from iterative operators), which
+    ``catalog.clearCache()`` alone does not touch."""
     spark = spark or SparkSession.getActiveSession()
     if spark is not None:
         spark.catalog.clearCache()
+        for _rdd_id, jrdd in (
+            spark.sparkContext._jsc.getPersistentRDDs().items()
+        ):
+            jrdd.unpersist()

@@ -249,6 +249,7 @@ def build_ivf_index(
     cell_col: str = "ivf_cell",
     seed: int = 42,
     sample_fraction: Optional[float] = None,
+    trainer: str = "mllib",
 ) -> np.ndarray:
     """Train, assign, and persist the IVF layout in one call.
 
@@ -257,18 +258,32 @@ def build_ivf_index(
     reader skips whole directories, not just row groups). Centroids ride
     in a JSON sidecar next to the data so a later session can search
     without retraining. Returns the centroid matrix.
+
+    ``trainer="local"`` uses the driver-side seeded Lloyd trainer (one
+    collect job on a bounded sample instead of ~2 MLlib jobs per
+    iteration); ``"mllib"`` keeps the distributed KMeans.
     """
     import json as _json
 
     from ..fs import FS, join as _join
 
-    centroids = train_centroids(
-        documents,
-        n_centroids=n_centroids,
-        vector_col=vector_col,
-        sample_fraction=sample_fraction,
-        seed=seed,
-    )
+    if trainer == "local":
+        centroids = train_centroids_local(
+            documents,
+            n_centroids=n_centroids,
+            vector_col=vector_col,
+            seed=seed,
+        )
+    elif trainer == "mllib":
+        centroids = train_centroids(
+            documents,
+            n_centroids=n_centroids,
+            vector_col=vector_col,
+            sample_fraction=sample_fraction,
+            seed=seed,
+        )
+    else:
+        raise ValueError(f"unknown trainer: {trainer}")
     assigned = assign_cells(
         documents, centroids, vector_col=vector_col,
         metric=metric, cell_col=cell_col,
