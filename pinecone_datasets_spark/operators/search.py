@@ -30,7 +30,12 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.filters import compile_filter
-from ..functions.vector import cosine_similarity, dot_product, l2_distance
+from ..functions.vector import (
+    cosine_similarity,
+    dot_product,
+    l2_distance,
+    l2_norm,
+)
 from ..parallel import widen
 
 Metric = str  # "dot" | "cosine" | "euclidean"
@@ -124,7 +129,26 @@ def topk_search(
 
     # Scoring multiplies work ×Q per document: rebalance an under-split
     # documents scan across cores first (no-op on real corpora).
-    joined = widen(documents, doc_id_col).crossJoin(F.broadcast(q))
+    docs = widen(documents, doc_id_col)
+
+    # Cosine factored: higher-order-function folds (aggregate/zip_with)
+    # run interpreted, not codegen'd, so each fold on the N·Q hot path is
+    # expensive. Norms depend on one side only — compute ||d|| once per
+    # document and ||q|| once per query BEFORE the crossJoin, leaving a
+    # single fold (the dot) per pair instead of three. Same double ops in
+    # the same order as cosine_similarity, so scores are bit-identical.
+    if metric == "cosine":
+        docs = docs.withColumn("__dnorm", l2_norm(doc_vector_col))
+        q = q.withColumn("__qnorm", l2_norm(query_vector_col))
+        score_col = dot_product(
+            F.col(doc_vector_col), F.col(query_vector_col)
+        ) / (F.col("__dnorm") * F.col("__qnorm"))
+    else:
+        score_col = _score(
+            metric, F.col(doc_vector_col), F.col(query_vector_col)
+        )
+
+    joined = docs.crossJoin(F.broadcast(q))
 
     if apply_stored_filters and metadata_col is not None and "filter" in q.columns:
         if stored_filter_mode == "compile":
@@ -143,9 +167,7 @@ def topk_search(
     scored = joined.select(
         F.col(query_id_col),
         F.col(doc_id_col),
-        _score(metric, F.col(doc_vector_col), F.col(query_vector_col)).alias(
-            "score"
-        ),
+        score_col.alias("score"),
         F.col("top_k"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
@@ -406,14 +428,19 @@ def ann_lsh_topk(
     # ×Q-multiplied work like topk_search's scoring), so a repartition of
     # full vectors costs a shuffle it never earns back — measured 3.4×
     # bench regression in r2 when it was added.
+    # Norms ride along from the per-row stage so the per-PAIR rescore
+    # below is one interpreted fold (dot), not three — same factoring as
+    # topk_search's cosine path, bit-identical scores.
     d_sig = documents.select(
         F.col(doc_id_col),
         F.col(doc_vector_col),
+        l2_norm(doc_vector_col).alias("_dnorm"),
         sig_udf(F.col(doc_vector_col)).alias("_sigs"),
     )
     q_sig = queries.select(
         F.col(query_id_col),
         F.col(query_vector_col),
+        l2_norm(query_vector_col).alias("_qnorm"),
         sig_udf(F.col(query_vector_col)).alias("_sigs"),
     )
 
@@ -424,8 +451,8 @@ def ann_lsh_topk(
             *keep, F.posexplode_outer("_sigs").alias("band", "sig")
         ).where(F.col("sig").isNotNull())
 
-    d_exp = explode_bands(d_sig, [doc_id_col, doc_vector_col])
-    q_exp = explode_bands(q_sig, [query_id_col, query_vector_col])
+    d_exp = explode_bands(d_sig, [doc_id_col, doc_vector_col, "_dnorm"])
+    q_exp = explode_bands(q_sig, [query_id_col, query_vector_col, "_qnorm"])
 
     # Score map-side straight off the broadcast band-join: a pair that
     # agrees on b bands is scored b times (cheap codegen arithmetic), but
@@ -438,9 +465,10 @@ def ann_lsh_topk(
         .select(
             F.col(query_id_col),
             F.col(doc_id_col),
-            cosine_similarity(doc_vector_col, query_vector_col).alias(
-                "score"
-            ),
+            (
+                dot_product(doc_vector_col, query_vector_col)
+                / (F.col("_dnorm") * F.col("_qnorm"))
+            ).alias("score"),
         )
         .groupBy(query_id_col, doc_id_col)
         .agg(F.first("score").alias("score"))

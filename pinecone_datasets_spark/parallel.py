@@ -17,20 +17,99 @@ round-robin repartition inserts a per-partition sort to stay
 deterministic under task retry; hash partitioning is retry-deterministic
 for free. Every caller's output is an aggregation/rank over the widened
 data, so results are partition-layout-independent either way.
+
+Probing the partition count is itself not free: ``df.rdd`` forces a full
+physical plan (and under AQE a separate one from the plan that will
+actually execute). Two mitigations keep the probe off the hot path:
+
+* **File-size estimate for pure scans.** When the frame maps to local
+  parquet files (the common case for every operator entry here), the
+  split count Spark will choose is ``ceil(total_bytes /
+  maxPartitionBytes)``-ish; statting the files is driver-side metadata
+  only. We only trust the estimate to prove the *no-op* direction
+  (enough bytes => enough splits) — when it says "under-split" we still
+  confirm with the real probe before paying a shuffle.
+* **Semantic-plan memo.** ``df.semanticHash()`` needs only the analyzed
+  plan; repeated ``widen`` calls over semantically-equal frames (every
+  bench loop, every re-built entry) reuse the first probe's answer.
 """
 
 from __future__ import annotations
 
+import math
+import os
+from urllib.parse import urlparse
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# (session JVM id, semanticHash) -> measured partition count. Bounded in
+# practice (one entry per distinct operator input per session); cleared
+# implicitly when the session dies because the JVM id changes.
+_PROBE_MEMO: dict[tuple[int, int], int] = {}
+_MEMO_CAP = 512
+
+
+def _local_path(uri: str) -> str | None:
+    """Return a local filesystem path for file:/ or bare-path URIs."""
+    parsed = urlparse(uri)
+    if parsed.scheme in ("", "file"):
+        return parsed.path or uri
+    return None
+
+
+def _scan_splits_at_least(df: DataFrame, target: int) -> bool:
+    """Driver-metadata-only lower bound: True if the frame is a scan of
+    local files whose byte size guarantees >= ``target`` input splits.
+    False means "unknown or under target" — caller falls back to the
+    real probe."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return False
+    if not files:
+        return False
+    total = 0
+    for uri in files:
+        p = _local_path(uri)
+        if p is None:
+            return False  # remote FS: don't stat over the network here
+        try:
+            total += os.path.getsize(p)
+        except OSError:
+            return False
+    conf = df.sparkSession.conf
+    max_split = int(conf.get("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024)))
+    # Spark packs small files together (openCostInBytes padding) — the
+    # byte-derived count is a lower bound on splits only when each file
+    # alone exceeds the split size; the safe, simple bound is
+    # ceil(total/max_split) <= actual splits, which holds because no
+    # split exceeds max_split bytes.
+    return math.ceil(total / max(1, max_split)) >= target
 
 
 def widen(df: DataFrame, *key_cols: str, factor: int = 1) -> DataFrame:
     """Repartition ``df`` up to ``defaultParallelism * factor`` iff it
     currently has fewer partitions; identity otherwise."""
-    sc = df.sparkSession.sparkContext
+    spark = df.sparkSession
+    sc = spark.sparkContext
     target = max(1, sc.defaultParallelism * factor)
-    if df.rdd.getNumPartitions() >= target:
+    if target <= 1:
+        return df
+    if _scan_splits_at_least(df, target):
+        return df
+    memo_key = None
+    try:
+        memo_key = (id(sc._jsc), df.semanticHash())
+    except Exception:
+        pass
+    if memo_key is not None and memo_key in _PROBE_MEMO:
+        current = _PROBE_MEMO[memo_key]
+    else:
+        current = df.rdd.getNumPartitions()
+        if memo_key is not None and len(_PROBE_MEMO) < _MEMO_CAP:
+            _PROBE_MEMO[memo_key] = current
+    if current >= target:
         return df
     if key_cols:
         return df.repartition(target, *[F.col(c) for c in key_cols])

@@ -1,0 +1,79 @@
+"""widen() behavior: no-op on wide inputs, repartition on narrow dense
+inputs, and probe memoization (the probe itself forces physical
+planning, so repeat calls on semantically-equal frames must not repeat
+it)."""
+
+from __future__ import annotations
+
+import pinecone_datasets_spark.parallel as par
+from pinecone_datasets_spark.parallel import widen
+
+
+def test_widen_repartitions_narrow_frame(spark):
+    df = spark.range(0, 1000, 1, 1)  # one partition, dense work upstream
+    out = widen(df, "id")
+    assert out.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    assert out.count() == 1000
+
+
+def test_widen_noop_on_wide_frame(spark):
+    n = spark.sparkContext.defaultParallelism
+    df = spark.range(0, 1000, 1, n * 2)
+    out = widen(df)
+    assert out is df
+
+
+def _count_rdd_probes(df_cls):
+    """Replace df_cls.rdd (a cached_property in classic pyspark 4) with a
+    counting descriptor; returns (counter_list, restore_fn)."""
+    real = df_cls.rdd.func if hasattr(df_cls.rdd, "func") else df_cls.rdd.fget
+    probed = []
+
+    class CountingRdd:
+        def __get__(self, obj, objtype=None):
+            if obj is None:
+                return self
+            probed.append(1)
+            return real(obj)
+
+    orig = df_cls.__dict__["rdd"]
+
+    def restore():
+        setattr(df_cls, "rdd", orig)
+
+    setattr(df_cls, "rdd", CountingRdd())
+    return probed, restore
+
+
+def test_widen_memoizes_probe(spark):
+    par._PROBE_MEMO.clear()
+    df = spark.range(0, 100, 1, 2)
+    probed, restore = _count_rdd_probes(type(df))
+    try:
+        widen(df)
+        first = len(probed)
+        assert first >= 1
+        widen(spark.range(0, 100, 1, 2))  # semantically equal plan
+        assert len(probed) == first  # memo hit: no second probe
+    finally:
+        restore()
+
+
+def test_widen_scan_estimate_short_circuits(tmp_path, spark, monkeypatch):
+    # A big-enough on-disk scan must be declared wide WITHOUT an rdd probe.
+    p = str(tmp_path / "t.parquet")
+    spark.range(0, 50_000).selectExpr("id", "repeat('x', 64) as pad").write.parquet(p)
+    df = spark.read.parquet(p)
+    # Shrink the split size so the byte estimate alone proves >= target.
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(16 * 1024))
+    try:
+        monkeypatch.setattr(par, "_PROBE_MEMO", {}, raising=True)
+        calls, restore = _count_rdd_probes(type(df))
+        try:
+            out = widen(df)
+            assert out is df
+            assert not calls  # estimate path, no physical planning
+        finally:
+            restore()
+    finally:
+        spark.conf.unset("spark.sql.files.maxPartitionBytes")
