@@ -33,6 +33,9 @@ from pinecone_datasets_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash64,
 )
+from pinecone_datasets_spark.operators.boilerplate import boilerplate_profile
+from pinecone_datasets_spark.operators.mixing import mixture_report
+from pinecone_datasets_spark.operators.mixing import domain_mixture_sample
 from pinecone_datasets_spark.operators.search import ann_lsh_topk, topk_search
 from pinecone_datasets_spark.sources.events import read_events
 
@@ -1784,16 +1787,27 @@ def q11_q12_filter_compile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.unionByName(b).orderBy("part", "doc_id")
 
 
+def q75_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequent bigram (boilerplate) profile: per-doc position
+    count, frequent-gram hits, and boilerplate fraction
+    (``operators/boilerplate.py`` — RefinedWeb-style repeated-segment
+    scoring adapted to the newline-free fixture corpus)."""
+    docs = _t(spark, sf_dir, "documents")
+    return boilerplate_profile(docs, n=2, min_df_frac=0.02)
+
+
 def q13_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc text profile: q13 stats + q29 lang-ID + q30 quality + q40
-    repetition + q41 PII redaction, one row per document (all five are
-    map-only built-in expressions, joined on doc_id)."""
+    repetition + q41 PII redaction + q75 boilerplate score, one row per
+    document (joined on doc_id; all but the boilerplate DF-count are
+    map-only built-in expressions)."""
     out = (
         q13_text_stats(spark, sf_dir)
         .join(q29_lang_detect(spark, sf_dir), "doc_id")
         .join(q30_quality_score(spark, sf_dir), "doc_id")
         .join(q40_repetition_signals(spark, sf_dir), "doc_id")
         .join(q41_pii_redact(spark, sf_dir), "doc_id")
+        .join(q75_boilerplate(spark, sf_dir), "doc_id")
     )
     return out.orderBy("doc_id")
 
@@ -1974,9 +1988,44 @@ def q43_q44_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.unionByName(char).orderBy("part", "doc_id", "term")
 
 
+#: Mixture demonstration parameters (shared by the Spark builder and the
+#: oracle SQL): target domain weights + token (char-proxy) budget.
+_MIX_WEIGHTS = {"src0": 0.4, "src1": 0.35, "src2": 0.25}
+_MIX_BUDGET = 10_000
+
+
+def q76_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture sampling (``operators/mixing.py``): per-domain
+    report rows (availability, integer rate edge, realized draw) plus
+    the deterministically-sampled doc rows, in the sampling entry's
+    tagged union schema."""
+    docs = _t(spark, sf_dir, "documents")
+    rep = mixture_report(
+        docs, _MIX_WEIGHTS, _MIX_BUDGET, seed=7
+    ).select(
+        F.lit("mixture_report").alias("part"),
+        F.col("source").alias("k1"),
+        F.col("rate_edge").cast("string").alias("k2"),
+        _nl("long").alias("doc_id"),
+        F.col("sampled_docs").alias("n1"),
+        F.col("sampled_tokens").alias("n2"),
+    )
+    kept = domain_mixture_sample(
+        docs, _MIX_WEIGHTS, _MIX_BUDGET, seed=7
+    ).select(
+        F.lit("mixture_docs").alias("part"),
+        F.col("source").alias("k1"),
+        F.lit("ALL").alias("k2"),
+        F.col("doc_id"),
+        F.col("n_chars").cast("long").alias("n1"),
+        _nl("long").alias("n2"),
+    )
+    return rep.unionByName(kept)
+
+
 def q45_q46_q47_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sampling suite: hash-split census (q45) + exact stratified sample
-    (q46) + per-source cap (q47), tagged."""
+    (q46) + per-source cap (q47) + domain-mixture draw (q76), tagged."""
     split = q45_hash_split(spark, sf_dir).select(
         F.lit("split_census").alias("part"),
         F.col("split").alias("k1"),
@@ -2004,6 +2053,7 @@ def q45_q46_q47_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         split.unionByName(strat)
         .unionByName(cap)
+        .unionByName(q76_mixture(spark, sf_dir))
         .orderBy("part", "k1", "k2", "doc_id")
     )
 
@@ -3421,6 +3471,83 @@ SELECT doc_id, md5(r) AS redacted_fp,
        (len(t) - len(r)) AS chars_removed
 FROM red ORDER BY doc_id
 """,
+        # Boilerplate: corpus-frequent bigrams (document frequency over
+        # per-doc DISTINCT grams), then per-doc position-level hit counts.
+        "q75_boilerplate": r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     x -> len(x) > 0) AS words
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(words) >= 2 THEN
+           list_transform(generate_series(1, len(words) - 1),
+                          i -> array_to_string(words[i:i+1], ' '))
+           ELSE []::VARCHAR[] END) AS dgrams,
+         CASE WHEN len(words) >= 2 THEN
+           list_transform(generate_series(1, len(words) - 1),
+                          i -> array_to_string(words[i:i+1], ' '))
+           ELSE []::VARCHAR[] END AS pgrams
+  FROM w
+), dg AS (
+  SELECT doc_id, unnest(dgrams) AS ngram FROM g
+), freq AS (
+  SELECT ngram FROM (
+    SELECT ngram, count(*) AS df FROM dg GROUP BY ngram
+  ) WHERE df >= CEIL(0.02 * (SELECT count(*) FROM documents))
+), pos AS (
+  SELECT doc_id, unnest(pgrams) AS ngram FROM g
+), hits AS (
+  SELECT doc_id, count(*)::BIGINT AS n_boiler
+  FROM pos JOIN freq USING (ngram) GROUP BY doc_id
+)
+SELECT g.doc_id, len(pgrams)::BIGINT AS n_positions,
+       coalesce(hits.n_boiler, 0)::BIGINT AS n_boiler,
+       CASE WHEN len(pgrams) > 0
+            THEN round(coalesce(hits.n_boiler, 0) / len(pgrams), 6)
+            ELSE 0.0 END AS boilerplate_frac
+FROM g LEFT JOIN hits USING (doc_id)
+ORDER BY g.doc_id
+""",
+        # Domain mixture: rate edge = floor(min(1, budget*w/tokens) *
+        # 10000) — FLOOR, not CAST (DuckDB's double->int cast rounds);
+        # kept set replays the portable salted-md5 bucket at seed 7.
+        "q76_mixture": """
+WITH avail AS (
+  SELECT source, count(*)::BIGINT AS avail_docs,
+         sum(n_chars)::BIGINT AS avail_tokens
+  FROM documents WHERE source IN ('src0', 'src1', 'src2') GROUP BY source
+), edges AS (
+  SELECT source,
+         CAST(FLOOR(LEAST(1.0, (10000.0 *
+           CASE source WHEN 'src0' THEN 0.4
+                       WHEN 'src1' THEN 0.35
+                       ELSE 0.25 END) / avail_tokens)
+           * 10000) AS BIGINT) AS rate_edge,
+         avail_docs, avail_tokens
+  FROM avail
+), kept AS (
+  SELECT d.doc_id, d.source, d.n_chars
+  FROM documents d JOIN edges e USING (source)
+  WHERE ('0x' || substr(md5('7|' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+        % 10000 < e.rate_edge
+), agg AS (
+  SELECT source, count(*)::BIGINT AS sampled_docs,
+         sum(n_chars)::BIGINT AS sampled_tokens
+  FROM kept GROUP BY source
+)
+SELECT 'mixture_report' AS part, e.source AS k1,
+       CAST(e.rate_edge AS VARCHAR) AS k2,
+       CAST(NULL AS BIGINT) AS doc_id,
+       coalesce(a.sampled_docs, 0)::BIGINT AS n1,
+       coalesce(a.sampled_tokens, 0)::BIGINT AS n2
+FROM edges e LEFT JOIN agg a USING (source)
+UNION ALL
+SELECT 'mixture_docs', source, 'ALL', doc_id,
+       CAST(n_chars AS BIGINT), CAST(NULL AS BIGINT)
+FROM kept
+""",
         # The quality gate thresholds on round(quality, 6) on BOTH sides
         # (operators/pipeline.py:_quality_gate) — a raw float comparison is
         # 1-ulp fragile across engines. Sums are cast to BIGINT: DuckDB's
@@ -3576,16 +3703,19 @@ WITH s13 AS ({b['q13_text_stats']}),
 s29 AS ({b['q29_lang_detect']}),
 s30 AS ({b['q30_quality_score']}),
 s40 AS ({b['q40_repetition_signals']}),
-s41 AS ({b['q41_pii_redact']})
+s41 AS ({b['q41_pii_redact']}),
+s75 AS ({b['q75_boilerplate']})
 SELECT s13.doc_id, s13.n_words, s13.n_tokens, s13.n_chars,
        s29.detected, s29.lang, s30.quality,
        s40.dup_word_frac, s40.top_bigram_frac,
-       s41.redacted_fp, s41.chars_removed
+       s41.redacted_fp, s41.chars_removed,
+       s75.n_positions, s75.n_boiler, s75.boilerplate_frac
 FROM s13
 JOIN s29 USING (doc_id)
 JOIN s30 USING (doc_id)
 JOIN s40 USING (doc_id)
 JOIN s41 USING (doc_id)
+JOIN s75 USING (doc_id)
 ORDER BY doc_id
 """
     out["q14_q36_corpus_stats"] = f"""
@@ -3673,7 +3803,8 @@ ORDER BY part, doc_id, term
     out["q45_q46_q47_sampling"] = f"""
 WITH sp AS ({b['q45_hash_split']}),
 st AS ({b['q46_stratified_sample']}),
-cp AS ({b['q47_source_cap']})
+cp AS ({b['q47_source_cap']}),
+mx AS ({b['q76_mixture']})
 SELECT 'split_census' AS part, split AS k1, lang AS k2,
        CAST(NULL AS BIGINT) AS doc_id, n_docs AS n1, sum_chars AS n2
 FROM sp
@@ -3684,6 +3815,8 @@ FROM st
 UNION ALL
 SELECT 'source_cap', source, 'ALL', doc_id, CAST(n_chars AS BIGINT), rank
 FROM cp
+UNION ALL
+SELECT part, k1, k2, doc_id, n1, n2 FROM mx
 ORDER BY part, k1, k2, doc_id
 """
     out["q56_q61_rollup"] = f"""

@@ -225,6 +225,8 @@ def main() -> None:
         "ivf_build": bench_ivf_build,
         "ivf_search": bench_ivf_search,
         "hybrid_rrf": lambda: em.q67_hybrid_rrf(spark, SF_DIR),
+        "boilerplate_2gram": lambda: em.q75_boilerplate(spark, SF_DIR),
+        "mixture_sample": lambda: em.q76_mixture(spark, SF_DIR),
     }
 
     # Warm the JVM once with small representative jobs (parquet reader,

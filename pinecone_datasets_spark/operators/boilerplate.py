@@ -1,0 +1,149 @@
+"""Corpus-frequent n-gram (boilerplate) detection.
+
+Web-scale training corpora carry boilerplate — cookie banners, nav bars,
+license footers — that repeats across thousands of pages. The standard
+pipeline treatment (C4, RefinedWeb) is segment-level dedup: find segments
+whose *document frequency* exceeds a threshold, then score each document
+by how much of it is such repeated material. The fixture corpus has no
+newlines, so the segment unit here is the word n-gram; the shape is
+identical for lines/sentences (swap the tokenizer).
+
+Reference scope note: the reference (pinecone-io/pinecone-datasets) is an
+I/O library with no text operators — this module is part of the Layer-B
+training-pipeline extension (SURVEY.md §2's "beyond the reference" set).
+
+Scale shapes (the parts that must survive 100 TB):
+
+* ``frequent_ngrams``: one explode of per-doc *distinct* grams + one
+  hash-aggregate on the gram key (map-side partial counts). The DF
+  threshold is applied as a relative fraction of the corpus computed
+  in-plan (single-row count frame, broadcast by Catalyst) — no driver
+  scalar, no second pass over the text.
+* ``boilerplate_profile``: per-position grams join the frequent set.
+  The frequent set is *bounded by construction*: at threshold
+  ``min_df_frac``, at most ``total_gram_instances / (min_df_frac *
+  n_docs)`` distinct grams can qualify, and real boilerplate thresholds
+  (df >= 0.1% of docs) keep it MBs — it is broadcast, so the corpus side
+  never shuffles its text. If a caller picks a tiny threshold that
+  explodes the set, Spark's broadcast-size guard fails loudly rather
+  than silently spilling.
+
+Tokenization matches ``operators/decontaminate.py`` / ``terms.py``
+(lowercase, trim, split on whitespace) so profiles compose across the
+text operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .decontaminate import _ngrams_of, _words
+
+
+def _position_grams(words: Column, n: int) -> Column:
+    """Space-joined n-gram at every position (non-distinct): position i
+    covers words[i..i+n-1]. Short documents yield an empty array."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(words) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+    )
+    return F.when(F.size(words) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def frequent_ngrams(
+    documents: DataFrame,
+    n: int = 3,
+    min_df_frac: float = 0.005,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Grams whose document frequency >= ceil(min_df_frac * n_docs).
+
+    Returns ``(ngram, df)``. DF counts each document once (distinct
+    grams per doc before the explode), so a gram spammed inside one page
+    does not qualify — only cross-document repetition does.
+    """
+    if not 0 < min_df_frac <= 1:
+        raise ValueError(f"min_df_frac must be in (0, 1]: {min_df_frac}")
+    grams = documents.select(
+        F.col(id_col),
+        F.explode(_ngrams_of(_words(text_col), n)).alias("ngram"),
+    )
+    counts = grams.groupBy("ngram").agg(
+        F.count(F.col(id_col)).alias("df")
+    )
+    total = documents.select(
+        F.count(F.lit(1)).alias("__n_docs")
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .where(
+            F.col("df")
+            >= F.ceil(F.lit(float(min_df_frac)) * F.col("__n_docs")).cast(
+                "long"
+            )
+        )
+        .select("ngram", "df")
+    )
+
+
+def boilerplate_profile(
+    documents: DataFrame,
+    n: int = 3,
+    min_df_frac: float = 0.005,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document boilerplate score against the corpus-frequent grams.
+
+    One row per input document: ``n_positions`` (word n-gram positions),
+    ``n_boiler`` (positions whose gram is corpus-frequent), and
+    ``boilerplate_frac = round(n_boiler / n_positions, 6)`` (0.0 for
+    docs shorter than n words). Position-level (non-distinct) counting:
+    a doc that is 90% repeated footer scores 0.9 even if the footer is
+    one distinct gram.
+    """
+    freq = frequent_ngrams(
+        documents, n=n, min_df_frac=min_df_frac,
+        text_col=text_col, id_col=id_col,
+    ).select("ngram")
+    pos = documents.select(
+        F.col(id_col),
+        F.explode_outer(_position_grams(_words(text_col), n)).alias(
+            "ngram"
+        ),
+    )
+    hits = (
+        pos.join(F.broadcast(freq), "ngram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_boiler"))
+    )
+    base = documents.select(
+        F.col(id_col),
+        F.greatest(
+            F.lit(0), F.size(_words(text_col)) - (n - 1)
+        ).cast("long").alias("n_positions"),
+    )
+    return (
+        base.join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_positions"),
+            F.coalesce(F.col("n_boiler"), F.lit(0)).cast("long").alias(
+                "n_boiler"
+            ),
+            F.when(
+                F.col("n_positions") > 0,
+                F.round(
+                    F.coalesce(F.col("n_boiler"), F.lit(0))
+                    / F.col("n_positions"),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("boilerplate_frac"),
+        )
+    )

@@ -1,0 +1,160 @@
+"""Domain-mixture sampling: hit a target domain distribution and token
+budget with deterministic, engine-portable per-row sampling.
+
+Training runs specify a *mixture* — "40% web, 30% code, 20% books, 10%
+wiki, B tokens total" — while the raw corpus has whatever proportions it
+has. The pipeline op is: given per-domain target weights and a token
+budget, compute one sampling rate per domain (``rate_d = min(1,
+budget * w_d / tokens_d)``) and draw that fraction of each domain's
+rows. A domain too small to fill its slice is taken whole (rate caps at
+1) — the standard behavior; re-weighting the shortfall across other
+domains is the caller's policy decision, visible in the report.
+
+Reference scope note: the reference (pinecone-io/pinecone-datasets) has
+no sampling operators — this is Layer-B training-pipeline extension.
+
+Scale shape: one small aggregate (one row per domain — thousands at
+most) collected to the driver to compute literal integer rate edges,
+then a single map-only filter pass using the same salted-md5 bucket as
+``operators/sampling.py`` — no shuffle of the corpus, assignments stable
+under re-partitioning/appends, and any SQL engine reproduces the exact
+kept set (the DuckDB oracle does). The nested-sample property holds per
+domain: raising the budget only ever *adds* rows.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .sampling import SPLIT_BUCKETS, split_bucket
+
+
+def mixture_edges(
+    documents: DataFrame,
+    weights: Mapping[str, float],
+    token_budget: int,
+    domain_col: str = "source",
+    token_col: str = "n_chars",
+) -> dict[str, tuple[int, int, int]]:
+    """Per-domain ``(edge, n_docs, n_tokens)``: the integer bucket edge
+    in [0, SPLIT_BUCKETS] implementing ``rate_d``, plus the domain's
+    availability. ``edge = floor(min(1, budget*w/tokens) * BUCKETS)`` —
+    floor (not round) so the arithmetic is identical in any IEEE-754
+    engine. Driver-side collect is one row per domain (bounded)."""
+    if not weights:
+        raise ValueError("weights must name at least one domain")
+    if any(w < 0 for w in weights.values()):
+        raise ValueError(f"weights must be >= 0: {dict(weights)}")
+    total_w = float(sum(weights.values()))
+    if total_w <= 0:
+        raise ValueError("weights must sum to > 0")
+    rows = (
+        documents.where(F.col(domain_col).isin(list(weights)))
+        .groupBy(domain_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col(token_col)).cast("long").alias("n_tokens"),
+        )
+        .collect()
+    )
+    avail = {r[domain_col]: (int(r["n_docs"]), int(r["n_tokens"])) for r in rows}
+    out: dict[str, tuple[int, int, int]] = {}
+    for d, w in weights.items():
+        n_docs, n_tokens = avail.get(d, (0, 0))
+        if n_tokens <= 0:
+            out[d] = (0, n_docs, n_tokens)
+            continue
+        rate = min(1.0, (float(token_budget) * (w / total_w)) / n_tokens)
+        out[d] = (int(rate * SPLIT_BUCKETS), n_docs, n_tokens)
+    return out
+
+
+def domain_mixture_sample(
+    documents: DataFrame,
+    weights: Mapping[str, float],
+    token_budget: int,
+    domain_col: str = "source",
+    token_col: str = "n_chars",
+    key_col: str = "doc_id",
+    seed: int = 7,
+) -> DataFrame:
+    """Rows surviving the mixture draw: domain in ``weights`` and
+    ``bucket(seed, key) < edge_domain``. Map-only over the corpus."""
+    edges = mixture_edges(
+        documents, weights, token_budget,
+        domain_col=domain_col, token_col=token_col,
+    )
+    edge_expr = None
+    for d, (edge, _, _) in edges.items():
+        cond = F.col(domain_col) == F.lit(d)
+        edge_expr = (
+            F.when(cond, edge)
+            if edge_expr is None
+            else edge_expr.when(cond, edge)
+        )
+    bucket = split_bucket(F.col(key_col), seed=seed)
+    return documents.where(
+        F.col(domain_col).isin(list(edges))
+        & (bucket < edge_expr.otherwise(F.lit(0)))
+    )
+
+
+def mixture_report(
+    documents: DataFrame,
+    weights: Mapping[str, float],
+    token_budget: int,
+    domain_col: str = "source",
+    token_col: str = "n_chars",
+    key_col: str = "doc_id",
+    seed: int = 7,
+) -> DataFrame:
+    """One row per target domain: availability, the integer rate edge,
+    and the realized sample (docs + tokens actually drawn). The realized
+    token count is what the training run will see — comparing it to
+    ``token_budget * w_d`` shows undershoot from capped (too-small)
+    domains."""
+    spark = documents.sparkSession
+    edges = mixture_edges(
+        documents, weights, token_budget,
+        domain_col=domain_col, token_col=token_col,
+    )
+    sampled = (
+        domain_mixture_sample(
+            documents, weights, token_budget,
+            domain_col=domain_col, token_col=token_col,
+            key_col=key_col, seed=seed,
+        )
+        .groupBy(domain_col)
+        .agg(
+            F.count(F.lit(1)).alias("sampled_docs"),
+            F.sum(F.col(token_col)).cast("long").alias("sampled_tokens"),
+        )
+    )
+    total_w = float(sum(weights.values()))
+    base = spark.createDataFrame(
+        [
+            (d, float(weights[d] / total_w), edge, n_docs, n_tokens)
+            for d, (edge, n_docs, n_tokens) in sorted(edges.items())
+        ],
+        f"{domain_col} string, target_weight double, rate_edge long, "
+        "avail_docs long, avail_tokens long",
+    )
+    return (
+        base.join(sampled, domain_col, "left")
+        .select(
+            domain_col,
+            "target_weight",
+            "rate_edge",
+            "avail_docs",
+            "avail_tokens",
+            F.coalesce(F.col("sampled_docs"), F.lit(0)).cast("long").alias(
+                "sampled_docs"
+            ),
+            F.coalesce(F.col("sampled_tokens"), F.lit(0)).cast(
+                "long"
+            ).alias("sampled_tokens"),
+        )
+    )

@@ -1,0 +1,214 @@
+"""Boilerplate n-gram detection + domain-mixture sampling.
+
+Each operator gets a known-answer test and a DuckDB-replay test (the
+same engine-portability bar as the registry oracles — these two ship
+outside the driver's 50-entry correctness budget, so the cross-engine
+check lives here instead)."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pinecone_datasets_spark.operators.boilerplate import (
+    boilerplate_profile,
+    frequent_ngrams,
+)
+from pinecone_datasets_spark.operators.mixing import (
+    domain_mixture_sample,
+    mixture_edges,
+    mixture_report,
+)
+
+
+@pytest.fixture()
+def corpus(spark):
+    rows = [
+        (1, "the quick brown fox jumps", "web"),
+        (2, "buy now cookie banner the quick brown fox", "web"),
+        (3, "cookie banner the quick brown dog", "ads"),
+        (4, "cookie banner the end", "ads"),
+        (5, "tiny", "ads"),  # shorter than n -> zero positions
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).withColumn("n_chars", F.length("text"))
+
+
+def test_frequent_ngrams_df_threshold(corpus):
+    # 3-grams in >= 40% of 5 docs (ceil(2)): shared across >= 2 docs.
+    freq = {
+        r["ngram"]: r["df"]
+        for r in frequent_ngrams(corpus, n=3, min_df_frac=0.4).collect()
+    }
+    assert freq["the quick brown"] == 3
+    assert freq["cookie banner the"] == 3
+    assert freq["quick brown fox"] == 2
+    # within-one-doc repetition must NOT qualify: all others have df 1
+    assert all(v >= 2 for v in freq.values())
+
+
+def test_boilerplate_profile_counts(corpus):
+    prof = {
+        r["doc_id"]: r
+        for r in boilerplate_profile(corpus, n=3, min_df_frac=0.4).collect()
+    }
+    assert len(prof) == 5
+    # doc 1: 'the quick brown fox jumps' -> 3 positions, 2 frequent
+    assert prof[1]["n_positions"] == 3
+    assert prof[1]["n_boiler"] == 2
+    assert prof[1]["boilerplate_frac"] == pytest.approx(2 / 3, abs=1e-6)
+    # doc 5 shorter than n: zero positions, frac defined as 0.0
+    assert prof[5]["n_positions"] == 0
+    assert prof[5]["boilerplate_frac"] == 0.0
+    # doc 4: 'cookie banner the end' -> positions 2, frequent 1
+    assert prof[4]["n_positions"] == 2
+    assert prof[4]["n_boiler"] == 1
+
+
+def test_boilerplate_duckdb_replay(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = (
+        boilerplate_profile(docs, n=2, min_df_frac=0.02)
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    want = con.execute(
+        r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     x -> len(x) > 0) AS words
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(words) >= 2 THEN
+           list_transform(generate_series(1, len(words) - 1),
+                          i -> array_to_string(words[i:i+1], ' '))
+           ELSE []::VARCHAR[] END) AS dgrams,
+         CASE WHEN len(words) >= 2 THEN
+           list_transform(generate_series(1, len(words) - 1),
+                          i -> array_to_string(words[i:i+1], ' '))
+           ELSE []::VARCHAR[] END AS pgrams
+  FROM w
+), dg AS (
+  SELECT doc_id, unnest(dgrams) AS ngram FROM g
+), freq AS (
+  SELECT ngram FROM (
+    SELECT ngram, count(*) AS df FROM dg GROUP BY ngram
+  ) WHERE df >= CEIL(0.02 * (SELECT count(*) FROM documents))
+), pos AS (
+  SELECT doc_id, unnest(pgrams) AS ngram FROM g
+), hits AS (
+  SELECT doc_id, count(*)::BIGINT AS n_boiler
+  FROM pos JOIN freq USING (ngram) GROUP BY doc_id
+)
+SELECT g.doc_id, len(pgrams)::BIGINT AS n_positions,
+       coalesce(hits.n_boiler, 0)::BIGINT AS n_boiler,
+       CASE WHEN len(pgrams) > 0
+            THEN round(coalesce(hits.n_boiler, 0) / len(pgrams), 6)
+            ELSE 0.0 END AS boilerplate_frac
+FROM g LEFT JOIN hits USING (doc_id)
+ORDER BY g.doc_id
+"""
+    ).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True),
+        check_dtype=False,
+    )
+    assert got["n_boiler"].sum() > 0  # threshold actually fires
+
+
+def test_mixture_edges_cap_and_budget(corpus):
+    # ads has 3 docs; web 2. Budget so small web is rate-limited,
+    # budget*w >= tokens caps ads at SPLIT_BUCKETS edge = full take.
+    edges = mixture_edges(
+        corpus, {"web": 0.5, "ads": 0.5}, token_budget=1_000_000
+    )
+    assert edges["web"][0] == 10_000  # capped at 1.0
+    assert edges["ads"][0] == 10_000
+    small = mixture_edges(corpus, {"web": 1.0}, token_budget=10)
+    # rate = 10/73 -> edge floor(0.136...*10000)
+    n_tokens = edges["web"][2]
+    assert small["web"][0] == int(min(1.0, 10 / n_tokens) * 10_000)
+
+
+def test_mixture_sample_deterministic_and_nested(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    weights = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+    lo = domain_mixture_sample(docs, weights, token_budget=5_000)
+    hi = domain_mixture_sample(docs, weights, token_budget=20_000)
+    lo_ids = {r["doc_id"] for r in lo.select("doc_id").collect()}
+    hi_ids = {r["doc_id"] for r in hi.select("doc_id").collect()}
+    assert lo_ids <= hi_ids  # nested: bigger budget only adds rows
+    again = {
+        r["doc_id"]
+        for r in domain_mixture_sample(docs, weights, token_budget=5_000)
+        .select("doc_id")
+        .collect()
+    }
+    assert again == lo_ids  # deterministic
+    srcs = {r["source"] for r in lo.select("source").distinct().collect()}
+    assert srcs <= set(weights)
+
+
+def test_mixture_report_duckdb_replay(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    weights = {"src0": 0.6, "src1": 0.4}
+    got = (
+        mixture_report(docs, weights, token_budget=8_000)
+        .orderBy("source")
+        .toPandas()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    want = con.execute(
+        """
+WITH avail AS (
+  SELECT source, count(*)::BIGINT AS avail_docs,
+         sum(n_chars)::BIGINT AS avail_tokens
+  FROM documents WHERE source IN ('src0', 'src1') GROUP BY source
+), edges AS (
+  SELECT source,
+         CASE source WHEN 'src0' THEN 0.6 ELSE 0.4 END AS target_weight,
+         CAST(FLOOR(LEAST(1.0, (8000.0 *
+           CASE source WHEN 'src0' THEN 0.6 ELSE 0.4 END) / avail_tokens)
+           * 10000) AS BIGINT) AS rate_edge,
+         avail_docs, avail_tokens
+  FROM avail
+), kept AS (
+  SELECT d.source, count(*)::BIGINT AS sampled_docs,
+         sum(d.n_chars)::BIGINT AS sampled_tokens
+  FROM documents d JOIN edges e USING (source)
+  WHERE ('0x' || substr(md5('7|' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+        % 10000 < e.rate_edge
+  GROUP BY d.source
+)
+SELECT e.source, e.target_weight, e.rate_edge, e.avail_docs,
+       e.avail_tokens,
+       coalesce(k.sampled_docs, 0)::BIGINT AS sampled_docs,
+       coalesce(k.sampled_tokens, 0)::BIGINT AS sampled_tokens
+FROM edges e LEFT JOIN kept k USING (source)
+ORDER BY e.source
+"""
+    ).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True),
+        check_dtype=False,
+    )
+    assert (got["sampled_docs"] > 0).all()
+
+
+def test_mixture_rejects_bad_weights(corpus):
+    with pytest.raises(ValueError):
+        mixture_edges(corpus, {}, token_budget=100)
+    with pytest.raises(ValueError):
+        mixture_edges(corpus, {"web": -1.0}, token_budget=100)
