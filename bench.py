@@ -83,6 +83,19 @@ def main() -> None:
         qmat = np.array([r["vector"] for r in qrows], dtype=np.float64)
         return topk_search_arrow(docs, qmat, qids, k=10, metric="cosine")
 
+    def bench_rproject_topk():
+        # Two-stage compressed retrieval: coarse top-C on 32-dim sign
+        # projections (half the arithmetic, half the bytes of the 64-dim
+        # originals), exact cosine rescore of C candidates per query.
+        from pinecone_datasets_spark.operators.rproject import (
+            projected_topk,
+        )
+
+        docs, queries = emb_queries(100)
+        return projected_topk(
+            docs, queries, k=10, candidates=200, dim=64, out_dim=32,
+        )
+
     def bench_multimodal_decode():
         # real PNG encode -> decode at corpus scale: one producer kernel
         # synthesizes spec-valid 32x32 PNGs per doc, one consumer kernel
@@ -227,6 +240,7 @@ def main() -> None:
         "hybrid_rrf": lambda: em.q67_hybrid_rrf(spark, SF_DIR),
         "boilerplate_2gram": lambda: em.q75_boilerplate(spark, SF_DIR),
         "mixture_sample": lambda: em.q76_mixture(spark, SF_DIR),
+        "rproject_topk_100q": bench_rproject_topk,
     }
 
     # Warm the JVM once with small representative jobs (parquet reader,
