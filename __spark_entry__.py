@@ -441,16 +441,12 @@ def q20_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
-def q21_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup via the scale path: random-hyperplane LSH band
-    candidates → exact cosine re-score over candidates ONLY — no crossJoin
-    anywhere in the plan. Near-duplicates are planted deterministically
-    (every vec_id % 10 == 0 re-inserted under vec_id + 1000000 with a
-    small element-wise perturbation, cosine ≈ 0.99999); natural pairs in
-    the fixture top out near cosine 0.51, so at threshold 0.9 the exact
-    SQL oracle's pair set equals the planted set, and at cosine ≈ 1 the
-    16×8-bit LSH signatures agree with near-certainty (verified at both
-    fixture SFs)."""
+def _planted_neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings plus deterministic planted near-dups (every
+    vec_id % 10 == 0 re-inserted under vec_id + 1000000 with a ~0.2%
+    element-wise perturbation, cosine ≈ 0.99999) — shared fixture for
+    q21 (LSH near-dup) and the semantic-dedup parts of
+    q17_q21_neardup_pairs."""
     emb = _t(spark, sf_dir, "embeddings")
     base = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
@@ -462,7 +458,20 @@ def q21_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x, i: x * (F.lit(1.0) + F.lit(0.002) * (i % 7 - F.lit(3))),
         ).alias("embedding"),
     )
-    corpus = base.unionByName(pert)
+    return base.unionByName(pert)
+
+
+def q21_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup via the scale path: random-hyperplane LSH band
+    candidates → exact cosine re-score over candidates ONLY — no crossJoin
+    anywhere in the plan. Near-duplicates are planted deterministically
+    (every vec_id % 10 == 0 re-inserted under vec_id + 1000000 with a
+    small element-wise perturbation, cosine ≈ 0.99999); natural pairs in
+    the fixture top out near cosine 0.51, so at threshold 0.9 the exact
+    SQL oracle's pair set equals the planted set, and at cosine ≈ 1 the
+    16×8-bit LSH signatures agree with near-certainty (verified at both
+    fixture SFs)."""
+    corpus = _planted_neardup_corpus(spark, sf_dir)
     cands = embedding_lsh_candidate_pairs(
         corpus, bands=16, bits=8, dim=64, seed=42
     )
@@ -1842,7 +1851,14 @@ def q15_q16_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q17_q21_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pair mining: exact n-gram Jaccard (q17, inverted index)
-    + embedding cosine via LSH candidates (q21), tagged."""
+    + embedding cosine via LSH candidates (q21) + SemDeDup-style
+    semantic dedup over portable sign-projection cells ('semantic' =
+    same-cell pairs at cosine ≥ 0.95, 'sem_keep' = survivors of the
+    smaller-id anti-join keep rule), tagged."""
+    from pinecone_datasets_spark.operators.semdedup import (
+        semantic_dedup_pairs,
+    )
+
     jac = q17_ngram_jaccard(spark, sf_dir).select(
         F.lit("jaccard").alias("part"),
         F.col("id_a"),
@@ -1857,7 +1873,35 @@ def q17_q21_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         _nl("long").alias("n_common"),
         F.col("cosine").alias("sim"),
     )
-    return jac.unionByName(cos).orderBy("part", "id_a", "id_b")
+    corpus = _planted_neardup_corpus(spark, sf_dir)
+    sem_pairs = semantic_dedup_pairs(
+        corpus, threshold=0.95, dim=64, bits=6, seed=13
+    )
+    sem = sem_pairs.select(
+        F.lit("semantic").alias("part"),
+        F.col("id_a"),
+        F.col("id_b"),
+        _nl("long").alias("n_common"),
+        F.round("cosine", 4).alias("sim"),
+    )
+    kept = corpus.join(
+        sem_pairs.select(F.col("id_b").alias("vec_id")).distinct(),
+        "vec_id",
+        "left_anti",
+    )
+    keep = kept.select(
+        F.lit("sem_keep").alias("part"),
+        F.col("vec_id").alias("id_a"),
+        _nl("long").alias("id_b"),
+        _nl("long").alias("n_common"),
+        _nl("double").alias("sim"),
+    )
+    return (
+        jac.unionByName(cos)
+        .unionByName(sem)
+        .unionByName(keep)
+        .orderBy("part", "id_a", "id_b")
+    )
 
 
 def q19_q20_topk_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3737,10 +3781,61 @@ ORDER BY part, doc_id
 """
     out["q17_q21_neardup_pairs"] = f"""
 WITH jac AS ({b['q17_ngram_jaccard']}),
-cos AS ({b['q21_embedding_neardup']})
+cos AS ({b['q21_embedding_neardup']}),
+corpus AS (
+  SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id,
+         list_transform(generate_series(1, len(embedding)),
+           i -> embedding[i]::DOUBLE * (1.0 + 0.002 * ((i - 1) % 7 - 3)))
+           AS embedding
+  FROM embeddings WHERE vec_id % 10 = 0
+),
+-- SemDeDup cells: the repo's portable md5-parity +/-1 projection
+-- (semdedup.srp_cells, bits=6 seed=13); bit j of the cell id is the
+-- sign of projection j
+R AS (
+  SELECT j, i,
+         CASE WHEN ('0x' || substr(md5('13|' || i || '|' || j), 1, 8))::BIGINT
+                   % 2 = 0 THEN 1.0 ELSE -1.0 END AS s
+  FROM generate_series(0, 5) t1(j), generate_series(0, 63) t2(i)
+),
+v AS (
+  SELECT vec_id, i.i, embedding[i.i + 1] AS x
+  FROM corpus, generate_series(0, 63) i(i)
+),
+p AS (
+  SELECT v.vec_id, R.j, sum(v.x * R.s) AS p
+  FROM v JOIN R USING (i) GROUP BY v.vec_id, R.j
+),
+cells AS (
+  SELECT vec_id,
+         sum(CASE WHEN p >= 0 THEN 1 << j ELSE 0 END)::BIGINT AS cell
+  FROM p GROUP BY vec_id
+),
+cc AS (
+  SELECT c.vec_id, c.embedding, cl.cell
+  FROM corpus c JOIN cells cl USING (vec_id)
+),
+semp AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_cosine_similarity(a.embedding, b.embedding), 4) AS sim
+  FROM cc a JOIN cc b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
+),
+semk AS (
+  SELECT vec_id FROM corpus
+  WHERE vec_id NOT IN (SELECT id_b FROM semp)
+)
 SELECT 'jaccard' AS part, id_a, id_b, n_common, jaccard AS sim FROM jac
 UNION ALL
 SELECT 'cosine', id_a, id_b, CAST(NULL AS BIGINT), cosine FROM cos
+UNION ALL
+SELECT 'semantic', id_a, id_b, CAST(NULL AS BIGINT), sim FROM semp
+UNION ALL
+SELECT 'sem_keep', vec_id, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       CAST(NULL AS DOUBLE)
+FROM semk
 ORDER BY part, id_a, id_b
 """
     out["q19_q20_topk_metrics"] = f"""

@@ -152,6 +152,20 @@ def main() -> None:
             docs, num_hashes=64, bands=16, hash_fn="oph"
         )
 
+    def bench_semdedup():
+        # SemDeDup over portable sign-projection cells: map-only cell
+        # assign, self-join keyed on cell id (N^2/2C candidate pairs),
+        # exact cosine on survivors, anti-join keep rule.
+        from pinecone_datasets_spark.operators.semdedup import (
+            semantic_dedup,
+        )
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        )
+        return semantic_dedup(emb, threshold=0.95, dim=64, bits=6)
+
     # BM25 split into build (offline, once per corpus) and search (the
     # per-query online path against the persisted index) — the shape a
     # production lexical stack actually runs; r2 measured the
@@ -241,6 +255,7 @@ def main() -> None:
         "boilerplate_2gram": lambda: em.q75_boilerplate(spark, SF_DIR),
         "mixture_sample": lambda: em.q76_mixture(spark, SF_DIR),
         "rproject_topk_100q": bench_rproject_topk,
+        "semdedup_cells64": bench_semdedup,
     }
 
     # Warm the JVM once with small representative jobs (parquet reader,

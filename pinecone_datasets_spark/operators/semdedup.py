@@ -1,0 +1,157 @@
+"""Semantic deduplication: drop documents whose *embeddings* are
+near-identical, scoped to cluster cells so the pairwise work never goes
+quadratic in the corpus.
+
+The recipe (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+web-scale through semantic deduplication") is: cluster the embedding
+space, compute pairwise cosine *within each cluster only*, and keep one
+representative per near-duplicate neighborhood. At 100 TB the cell
+scoping is the whole trick — with C cells of roughly N/C members the
+candidate-pair count drops from N²/2 to N²/(2C), and the self-join
+shuffles on the cell id, so each reducer sees one cell's members and
+nothing else.
+
+Two cell sources, one contract:
+
+* ``srp_cells`` — sign-random-projection cells (``bits`` hyperplanes
+  from the repo's portable-md5 ±1 matrix, ``rproject.sign_matrix``).
+  Data-independent, map-only, and **engine-portable**: any SQL engine
+  re-derives the same matrix from md5 parity and the same cell ids, so
+  the whole dedup decision carries a value-level DuckDB oracle
+  (``__spark_entry__.q17_q21_neardup_pairs``, 'semantic' parts).
+* IVF KMeans cells (``ivf.assign_cells``) — data-adaptive, the quality
+  path when a trained index already exists; pass its column via
+  ``cell_col`` and skip ``srp_cells``.
+
+Keep rule: a document is dropped iff some *smaller-id* document in the
+same cell has cosine ≥ ``threshold`` with it. This is deterministic,
+order-free (no sequential greedy scan), and expressible as one
+anti-join — the scale-friendly variant of SemDeDup's keep-one-per-
+neighborhood. Note it is slightly more aggressive than sequential
+greedy on chains (A~B, B~C, A≁C drops both B and C); at the 0.95+
+thresholds the operator targets, neighborhoods are tight clusters and
+the two rules coincide.
+
+Skew: projection cells are balanced for isotropic data but real
+corpora concentrate; ``cell_census`` surfaces the distribution so
+callers can raise ``bits`` (cells halve in expected size per bit)
+before the quadratic term bites. The same census drives IVF cell
+choice.
+
+Reference scope note: the reference (pinecone-io/pinecone-datasets)
+stores embeddings but delegates all similarity math to the hosted
+index (README.md:15-20); dedup is Layer-B extension, cited against its
+data model only (cfg.py:23-36).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import embedding_neardup_pairs
+from .rproject import project_vectors
+
+
+def srp_cells(
+    df: DataFrame,
+    vector_col: str = "embedding",
+    dim: int = 64,
+    bits: int = 6,
+    seed: int = 13,
+    cell_col: str = "sem_cell",
+) -> DataFrame:
+    """Append ``cell_col`` = the ``bits``-bit sign pattern of the
+    portable ±1 projection (bit j set iff projection j ≥ 0).
+
+    Map-only: one Arrow-batched GEMM (``project_vectors``) plus an
+    integer fold — fuses into whatever scan already runs. 2**bits
+    cells; expected cell size N/2**bits for isotropic data.
+    """
+    proj = project_vectors(df, vector_col, dim, bits, seed, out_col="__p")
+    cell = F.expr(
+        f"aggregate(zip_with(__p, sequence(0, {bits - 1}),"
+        " (p, j) -> IF(p >= CAST(0 AS DOUBLE), shiftleft(CAST(1 AS BIGINT), j),"
+        " CAST(0 AS BIGINT))), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+    return proj.withColumn(cell_col, cell).drop("__p")
+
+
+def cell_census(
+    df_with_cells: DataFrame, cell_col: str = "sem_cell"
+) -> DataFrame:
+    """Cell-size distribution (one tiny aggregate): the skew dashboard
+    for choosing ``bits`` / centroid count before the within-cell
+    quadratic term bites."""
+    return (
+        df_with_cells.groupBy(cell_col)
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .orderBy(F.desc("n_members"), cell_col)
+    )
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    cell_col: Optional[str] = None,
+    dim: int = 64,
+    bits: int = 6,
+    seed: int = 13,
+) -> DataFrame:
+    """(id_a < id_b, cosine) pairs with cosine ≥ threshold **within the
+    same cell**. With ``cell_col`` given, cells are taken as stored
+    (e.g. ``ivf.assign_cells`` output); otherwise SRP cells are
+    computed on the fly.
+
+    Plan: map-only cell assign → self-join on cell id (the only
+    shuffle, keyed so each reducer holds one cell) → exact cosine on
+    the surviving pairs only.
+    """
+    if cell_col is None:
+        cell_col = "__sem_cell"
+        df = srp_cells(df, vector_col, dim, bits, seed, cell_col)
+    cells = df.select(
+        F.col(id_col), F.col(cell_col), F.col(vector_col)
+    )
+    a = cells.select(
+        F.col(id_col).alias("id_a"), F.col(cell_col).alias("__ca")
+    )
+    b = cells.select(
+        F.col(id_col).alias("id_b"), F.col(cell_col).alias("__cb")
+    )
+    cand = (
+        a.join(b, (F.col("__ca") == F.col("__cb")) & (F.col("id_a") < F.col("id_b")))
+        .select("id_a", "id_b")
+    )
+    return embedding_neardup_pairs(
+        df.select(id_col, vector_col),
+        threshold=threshold,
+        id_col=id_col,
+        vector_col=vector_col,
+        candidates=cand,
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    cell_col: Optional[str] = None,
+    dim: int = 64,
+    bits: int = 6,
+    seed: int = 13,
+) -> DataFrame:
+    """The kept rows: drop every row with a smaller-id same-cell
+    neighbor at cosine ≥ threshold (one anti-join against the pair
+    set's ``id_b`` side). Returns ``df``'s rows and columns unchanged
+    minus the dropped ones."""
+    pairs = semantic_dedup_pairs(
+        df, threshold, id_col, vector_col, cell_col, dim, bits, seed
+    )
+    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(dropped, id_col, "left_anti")
