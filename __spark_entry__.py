@@ -2094,9 +2094,23 @@ def q45_q46_q47_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").cast("long").alias("n1"),
         F.col("rank").alias("n2"),
     )
+    from pinecone_datasets_spark.operators.sampling import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    weighted = weighted_sample(
+        docs, 5, "n_chars", group_cols="source", seed=7, rank_col="es_rank"
+    ).select(
+        F.lit("weighted").alias("part"),
+        F.col("source").alias("k1"),
+        F.lit("ALL").alias("k2"),
+        F.col("doc_id"),
+        F.col("n_chars").cast("long").alias("n1"),
+        F.col("es_rank").cast("long").alias("n2"),
+    )
     return (
         split.unionByName(strat)
         .unionByName(cap)
+        .unionByName(weighted)
         .unionByName(q76_mixture(spark, sf_dir))
         .orderBy("part", "k1", "k2", "doc_id")
     )
@@ -3910,6 +3924,24 @@ FROM st
 UNION ALL
 SELECT 'source_cap', source, 'ALL', doc_id, CAST(n_chars AS BIGINT), rank
 FROM cp
+UNION ALL
+-- Efraimidis-Spirakis A-ES weighted sample (sampling.weighted_sample):
+-- deterministic uniform u from the md5 idiom, key ln(u)/w, top-5 keys
+-- per source
+SELECT 'weighted', source, 'ALL', doc_id, CAST(n_chars AS BIGINT),
+       es_rank
+FROM (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY ln((('0x' || substr(md5('7|' || doc_id), 1, 8))::BIGINT
+                        + 0.5) / 4294967296.0) / n_chars DESC,
+                    doc_id
+         ) AS es_rank
+  FROM documents
+  WHERE n_chars IS NOT NULL AND n_chars > 0
+)
+WHERE es_rank <= 5
 UNION ALL
 SELECT part, k1, k2, doc_id, n1, n2 FROM mx
 ORDER BY part, k1, k2, doc_id

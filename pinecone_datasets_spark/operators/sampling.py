@@ -124,6 +124,79 @@ def deterministic_sample(
     return df.where(split_bucket(F.col(key_col), seed=seed) < F.lit(edge))
 
 
+def hash_unit(key: ColumnOrName, seed: int = 42) -> Column:
+    """Deterministic uniform in (0, 1) from the salted md5:
+    ``(h + 0.5) / 2^32`` with h the first-8-hex-chars integer. The
+    +0.5 keeps u strictly inside the interval (ln(u) stays finite) and
+    the division by a power of two is exact in binary floating point,
+    so every engine computes the identical double (DuckDB twin:
+    ``(('0x' || substr(md5(seed || '|' || key), 1, 8))::BIGINT + 0.5)
+    / 4294967296.0``)."""
+    key_col = F.col(key) if isinstance(key, str) else key
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{seed}|"), key_col.cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("double")
+    return (h + F.lit(0.5)) / F.lit(4294967296.0)
+
+
+def weighted_sample(
+    df: DataFrame,
+    n: int,
+    weight_col: ColumnOrName,
+    key_col: str = "doc_id",
+    group_cols: Optional[Union[str, Sequence[str]]] = None,
+    seed: int = 42,
+    rank_col: Optional[str] = None,
+) -> DataFrame:
+    """``n`` rows without replacement with inclusion probability
+    proportional to ``weight_col`` — Efraimidis & Spirakis (2006) A-ES:
+    each row gets key ``ln(u) / w`` with a *deterministic* per-row
+    uniform ``u = hash_unit(seed, key)``, and the n largest keys win.
+    This is the one-pass, distributed form of weighted reservoir
+    sampling: the key is map-side arithmetic, so the selection is a
+    plain top-n.
+
+    Rows with null or non-positive weight are excluded (they have zero
+    sampling mass). With ``group_cols``, n rows per group via the
+    ``WindowGroupLimit`` shape (shuffle carries ≤ n rows per task-group);
+    without, a global ``TakeOrderedAndProject`` top-n (each task ships
+    only its local top n). Deterministic for fixed (seed, keys), stable
+    under repartitioning, and engine-portable — the DuckDB oracle in
+    ``__spark_entry__`` replays the exact selection.
+    """
+    if n <= 0:
+        raise ValueError(f"n must be positive: {n}")
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    es = F.log(hash_unit(F.col(key_col), seed=seed)) / w
+    weighted = df.where(w.isNotNull() & (w > 0)).withColumn("_es", es)
+    if group_cols is not None:
+        out = cap_per_group(
+            weighted,
+            group_cols,
+            n,
+            order_by=[F.desc("_es"), F.col(key_col)],
+            rank_col=rank_col,
+        )
+        return out.drop("_es")
+    ranked = weighted.orderBy(F.desc("_es"), F.col(key_col)).limit(int(n))
+    if rank_col:
+        from pyspark.sql import Window
+
+        # n is small by contract (a driver-bounded sample); the global
+        # rank window runs over ≤ n rows post-limit.
+        ranked = ranked.withColumn(
+            rank_col,
+            F.row_number().over(
+                Window.orderBy(F.desc("_es"), F.col(key_col))
+            ),
+        )
+    return ranked.drop("_es")
+
+
 def cap_per_group(
     df: DataFrame,
     group_cols: Union[str, Sequence[str]],

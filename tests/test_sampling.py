@@ -157,3 +157,100 @@ def test_stratified_sample_exact_counts(spark, docs):
     assert sorted(r["doc_id"] for r in out.collect()) == sorted(
         r["doc_id"] for r in again.collect()
     )
+
+
+# ---------------------------------------------------------------------------
+# weighted_sample (Efraimidis–Spirakis A-ES with hash-derived uniforms)
+# ---------------------------------------------------------------------------
+
+
+def _py_es_selection(rows, n, seed, group=None):
+    """Pure-Python replay of the A-ES formula (hash_unit + ln(u)/w)."""
+    import hashlib
+    import math
+
+    def es_key(doc_id, w):
+        h = int(
+            hashlib.md5(f"{seed}|{doc_id}".encode()).hexdigest()[:8], 16
+        )
+        u = (h + 0.5) / 4294967296.0
+        return math.log(u) / w
+
+    pools = {}
+    for r in rows:
+        if r["n_chars"] is None or r["n_chars"] <= 0:
+            continue
+        g = r[group] if group else None
+        pools.setdefault(g, []).append(r)
+    picked = set()
+    for g, pool in pools.items():
+        pool.sort(key=lambda r: (-es_key(r["doc_id"], r["n_chars"]), r["doc_id"]))
+        picked.update(r["doc_id"] for r in pool[:n])
+    return picked
+
+
+def test_weighted_sample_matches_formula_global_and_grouped(spark, docs):
+    from pinecone_datasets_spark.operators.sampling import weighted_sample
+
+    rows = docs.select("doc_id", "n_chars", "source").collect()
+    for seed in (7, 42):
+        got = {
+            r["doc_id"]
+            for r in weighted_sample(
+                docs, 20, "n_chars", seed=seed
+            ).collect()
+        }
+        assert got == _py_es_selection(rows, 20, seed)
+        got_g = {
+            r["doc_id"]
+            for r in weighted_sample(
+                docs, 5, "n_chars", group_cols="source", seed=seed
+            ).collect()
+        }
+        assert got_g == _py_es_selection(rows, 5, seed, group="source")
+
+
+def test_weighted_sample_proportional_to_weight():
+    """Formula-level check (no Spark): over many seeds, an item with 9x
+    the weight is picked ~9x as often for n=1."""
+    import hashlib
+    import math
+
+    items = {"heavy": 9.0, "a": 1.0, "b": 1.0, "c": 1.0}
+    wins = dict.fromkeys(items, 0)
+    for seed in range(2000):
+        best, best_key = None, -math.inf
+        for k, w in items.items():
+            h = int(hashlib.md5(f"{seed}|{k}".encode()).hexdigest()[:8], 16)
+            u = (h + 0.5) / 4294967296.0
+            key = math.log(u) / w
+            if key > best_key:
+                best, best_key = k, key
+        wins[best] += 1
+    # expected heavy share = 9/12 = 0.75; binomial sd ~ 0.0097
+    assert 0.70 < wins["heavy"] / 2000 < 0.80, wins
+
+
+def test_weighted_sample_excludes_nonpositive_and_validates(spark):
+    from pinecone_datasets_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 0.0), (3, -1.0), (4, None), (5, 2.0)],
+        "doc_id long, n_chars double",
+    )
+    got = {r["doc_id"] for r in weighted_sample(df, 10, "n_chars").collect()}
+    assert got == {1, 5}
+    with pytest.raises(ValueError):
+        weighted_sample(df, 0, "n_chars")
+
+
+def test_weighted_sample_grouped_plans_window_group_limit(spark, docs):
+    from pinecone_datasets_spark.operators.sampling import weighted_sample
+
+    plan = (
+        weighted_sample(docs, 5, "n_chars", group_cols="source")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan
