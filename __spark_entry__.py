@@ -1115,14 +1115,22 @@ def q57_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q58_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-unigram LM quality proxy (operators/terms.py): per-doc mean
-    log10 token probability under the corpus's own unigram distribution.
-    One explode feeds vocab counts and the token stream; the corpus total
-    derives from the vocab aggregate (no second corpus pass)."""
-    from pinecone_datasets_spark.operators.terms import unigram_logprob
+    """Corpus LM quality proxies (operators/terms.py): per-doc mean
+    log10 token probability under the corpus's own unigram distribution,
+    plus the Jelinek–Mercer interpolated bigram score (lam=0.8) — the
+    two rungs of the perplexity-proxy quality ladder. One explode feeds
+    vocab counts and the token stream; bigrams are built inside the
+    token array (no self-join); context totals derive from the bigram
+    vocabulary."""
+    from pinecone_datasets_spark.operators.terms import (
+        bigram_logprob,
+        unigram_logprob,
+    )
 
     doc = _t(spark, sf_dir, "documents")
-    return unigram_logprob(doc, round_to=4).orderBy("doc_id")
+    uni = unigram_logprob(doc, round_to=4)
+    big = bigram_logprob(doc, lam=0.8, round_to=4)
+    return uni.join(big, "doc_id", "left").orderBy("doc_id")
 
 
 def q59_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3112,11 +3120,40 @@ WITH toks AS (
   SELECT term, count(*)::BIGINT AS n FROM toks GROUP BY term
 ), tot AS (
   SELECT sum(n) AS total FROM vocab
+), uni AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         round(avg(log10(n / total)), 4) AS avg_logp
+  FROM toks JOIN vocab USING (term) CROSS JOIN tot
+  GROUP BY doc_id
+), tarr AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                     t -> len(t) > 0) AS t
+  FROM documents
+), bstream AS (
+  SELECT doc_id, unnest(list_transform(range(2, len(t) + 1),
+                        i -> t[i - 1] || ' ' || t[i])) AS bg
+  FROM tarr WHERE len(t) >= 2
+), bvocab AS (
+  SELECT bg, count(*)::BIGINT AS n_bi FROM bstream GROUP BY bg
+), ctx AS (
+  SELECT split_part(bg, ' ', 1) AS w1, sum(n_bi) AS n_ctx
+  FROM bvocab GROUP BY 1
+), big AS (
+  SELECT doc_id, count(*) AS n_bigrams,
+         round(avg(log10(
+           0.8 * (n_bi / n_ctx)
+           + (1.0 - 0.8) * (v.n / total))), 4) AS avg_logp_bi
+  FROM bstream s
+  JOIN bvocab USING (bg)
+  JOIN ctx ON ctx.w1 = split_part(s.bg, ' ', 1)
+  JOIN vocab v ON v.term = split_part(s.bg, ' ', 2)
+  CROSS JOIN tot
+  GROUP BY doc_id
 )
-SELECT doc_id, count(*) AS n_tokens,
-       round(avg(log10(n / total)), 4) AS avg_logp
-FROM toks JOIN vocab USING (term) CROSS JOIN tot
-GROUP BY doc_id
+SELECT uni.doc_id, uni.n_tokens, uni.avg_logp,
+       big.n_bigrams, big.avg_logp_bi
+FROM uni LEFT JOIN big USING (doc_id)
 ORDER BY doc_id
 """,
         "q59_label_centroids": """

@@ -152,6 +152,20 @@ def main() -> None:
             docs, num_hashes=64, bands=16, hash_fn="oph"
         )
 
+    def bench_unigram_lm():
+        # q58's entry now unions unigram + bigram; bench them separately
+        # so the round-over-round unigram series stays comparable.
+        from pinecone_datasets_spark.operators.terms import unigram_logprob
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        return unigram_logprob(docs, round_to=4)
+
+    def bench_bigram_lm():
+        from pinecone_datasets_spark.operators.terms import bigram_logprob
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        return bigram_logprob(docs, lam=0.8, round_to=4)
+
     def bench_semdedup():
         # SemDeDup over portable sign-projection cells: map-only cell
         # assign, self-join keyed on cell id (N^2/2C candidate pairs),
@@ -246,7 +260,8 @@ def main() -> None:
         "quantized_topk": lambda: em.q50_quantized_topk(spark, SF_DIR),
         "hash_split": lambda: em.q45_hash_split(spark, SF_DIR),
         "asof_join": lambda: em.q54_asof_join(spark, SF_DIR),
-        "unigram_lm": lambda: em.q58_unigram_lm(spark, SF_DIR),
+        "unigram_lm": bench_unigram_lm,
+        "bigram_lm": bench_bigram_lm,
         "bm25_build": bench_bm25_build,
         "bm25_search": bench_bm25_search,
         "ivf_build": bench_ivf_build,

@@ -127,6 +127,86 @@ def unigram_logprob(
     return scored
 
 
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lam: float = 0.8,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Per-document mean log10 probability under a Jelinek–Mercer
+    interpolated bigram LM trained on the corpus itself:
+    ``P(w2|w1) = lam * C(w1,w2)/C(w1,·) + (1-lam) * C(w2)/total`` —
+    the next rung above ``unigram_logprob`` on the perplexity-proxy
+    quality ladder (catches scrambled word salad that unigram stats
+    can't: every token common, no two adjacent ones co-occurring).
+
+    Plan shape: the bigram stream is built *inside the token array*
+    (transform over an index sequence — map-only, no self-join and no
+    per-doc window shuffle). One explode feeds the bigram counts; the
+    context totals C(w1,·) derive from the bigram vocabulary (an
+    aggregate of the aggregate, vocabulary-sized); the unigram vocab
+    and corpus total come from ``unigram_logprob``'s shapes. Scoring
+    joins the bigram stream against the two vocab frames —
+    vocabulary-sized build sides, broadcast when they fit (AQE
+    decides). Docs with < 2 tokens have no bigram positions and drop
+    out (``n_bigrams`` would be 0).
+    """
+    if not 0.0 < lam <= 1.0:
+        raise ValueError(f"lam must be in (0, 1]: {lam}")
+    toks = (
+        f"filter(split(lower(trim({text_col})), '\\\\s+'),"
+        " t -> length(t) > 0)"
+    )
+    bigram_arr = (
+        "CASE WHEN size(__toks) >= 2 THEN"
+        " transform(sequence(2, size(__toks)),"
+        " i -> concat(element_at(__toks, i - 1), ' ',"
+        " element_at(__toks, i)))"
+        " ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+    stream = (
+        df.select(F.col(id_col), F.expr(toks).alias("__toks"))
+        .select(
+            F.col(id_col),
+            F.explode_outer(F.expr(bigram_arr)).alias("bg"),
+        )
+        .where(F.col("bg").isNotNull())
+    )
+    bi_vocab = stream.groupBy("bg").agg(F.count(F.lit(1)).alias("n_bi"))
+    ctx = bi_vocab.select(
+        F.substring_index("bg", " ", 1).alias("w1"), "n_bi"
+    ).groupBy("w1").agg(F.sum("n_bi").alias("n_ctx"))
+    uni_stream = df.select(
+        F.col(id_col), F.explode_outer(_words(text_col)).alias("term")
+    ).where(F.length("term") > 0)
+    uni_vocab = uni_stream.groupBy("term").agg(
+        F.count(F.lit(1)).alias("n_uni")
+    )
+    total = uni_vocab.agg(F.sum("n_uni").alias("total"))
+    p = F.lit(lam) * (F.col("n_bi") / F.col("n_ctx")) + F.lit(
+        1.0 - lam
+    ) * (F.col("n_uni") / F.col("total"))
+    scored = (
+        stream.join(bi_vocab, "bg")
+        .withColumn("w1", F.substring_index("bg", " ", 1))
+        .withColumn("w2", F.substring_index("bg", " ", -1))
+        .join(ctx, "w1")
+        .join(uni_vocab, F.col("w2") == F.col("term"))
+        .join(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.avg(F.log10(p)).alias("avg_logp_bi"),
+        )
+    )
+    if round_to is not None:
+        scored = scored.withColumn(
+            "avg_logp_bi", F.round("avg_logp_bi", round_to)
+        )
+    return scored
+
+
 def characteristic_terms(
     df: DataFrame,
     text_col: str = "text",

@@ -93,3 +93,81 @@ def test_unigram_logprob_rare_tokens_score_lower(tiny):
     }
     # doc 3 carries the hapax "date" -> lowest mean logprob of the three
     assert out[3] == min(out.values())
+
+
+def test_bigram_logprob_known_answer(tiny):
+    from pinecone_datasets_spark.operators.terms import bigram_logprob
+
+    lam = 0.8
+    out = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_logp_bi"])
+        for r in bigram_logprob(tiny, lam=lam).collect()
+    }
+    # bigram stream: doc1 (apple banana, banana apple), doc2
+    # (banana cherry), doc3 (apple cherry, cherry cherry, cherry date)
+    bi = {
+        ("apple", "banana"): 1,
+        ("banana", "apple"): 1,
+        ("banana", "cherry"): 1,
+        ("apple", "cherry"): 1,
+        ("cherry", "cherry"): 1,
+        ("cherry", "date"): 1,
+    }
+    ctx = {"apple": 2, "banana": 2, "cherry": 2}
+    uni = {"apple": 3, "banana": 2, "cherry": 3, "date": 1}
+    total = 9
+
+    def logp(w1, w2):
+        p = lam * bi[(w1, w2)] / ctx[w1] + (1 - lam) * uni[w2] / total
+        return math.log10(p)
+
+    exp = {
+        1: [("apple", "banana"), ("banana", "apple")],
+        2: [("banana", "cherry")],
+        3: [("apple", "cherry"), ("cherry", "cherry"), ("cherry", "date")],
+    }
+    for doc_id, pairs in exp.items():
+        n, got = out[doc_id]
+        assert n == len(pairs)
+        want = sum(logp(*pr) for pr in pairs) / len(pairs)
+        assert got == pytest.approx(want, abs=1e-12)
+
+
+def test_bigram_logprob_drops_short_docs_and_validates(spark):
+    from pinecone_datasets_spark.operators.terms import bigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "solo"), (2, ""), (3, None), (4, "two tokens")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"] for r in bigram_logprob(df).collect()}
+    assert out == {4}
+    with pytest.raises(ValueError):
+        bigram_logprob(df, lam=0.0)
+
+
+def test_bigram_logprob_scrambled_text_scores_lower(spark):
+    """The bigram LM separates coherent from shuffled text even when
+    unigram stats are identical — the discriminating power unigram
+    scoring lacks."""
+    from pinecone_datasets_spark.operators.terms import (
+        bigram_logprob,
+        unigram_logprob,
+    )
+
+    coherent = ("the cat sat on the mat " * 10).strip()
+    # deterministic scramble with identical token multiset: sorting
+    # groups repeats ("the the", "mat on") into bigrams the coherent
+    # majority of the corpus never produces
+    scrambled = " ".join(sorted(coherent.split()))
+    rows = [(i, coherent) for i in range(1, 6)] + [(6, scrambled)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uni = {
+        r["doc_id"]: r["avg_logp"] for r in unigram_logprob(df).collect()
+    }
+    assert uni[1] == pytest.approx(uni[6], abs=1e-9)
+    big = {
+        r["doc_id"]: r["avg_logp_bi"]
+        for r in bigram_logprob(df).collect()
+    }
+    assert big[1] > big[6]
