@@ -166,24 +166,32 @@ def ivf_topk(
     doc_vector_col: str = "values",
     cell_col: str = "ivf_cell",
     prune_cells: bool = False,
+    cell_ids: Optional[list] = None,
 ) -> DataFrame:
     """Per-query top-k over the nprobe nearest cells only.
 
     The probe set rides with the (small, broadcast) queries side; the join
     on cell id is the only shuffle of corpus rows, and it moves just the
-    probed fraction.
+    probed fraction. ``cell_ids`` maps centroid rows to cell ids when the
+    codebook is sparse (bucket quantizers can have empty cells).
     """
     c = np.ascontiguousarray(centroids, dtype=np.float64)
     cn = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-30)
+
+    # Centroid row i belongs to cell id cell_ids[i] (dense 0..n-1 by
+    # default; sparse for bucket-quantizer codebooks with empty cells).
+    ids = list(cell_ids) if cell_ids is not None else list(range(len(c)))
 
     def probes(vec) -> list[int]:
         v = np.asarray(vec, dtype=np.float64)
         if metric == "cosine":
             v = v / max(np.linalg.norm(v), 1e-30)
-            order = np.argsort(-(cn @ v))
+            # stable sort + ascending-cell tiebreak: the probe set is a
+            # pure function of (query, codebook), replayable in SQL
+            order = np.argsort(-(cn @ v), kind="stable")
         else:
-            order = np.argsort(((c - v) ** 2).sum(axis=1))
-        return [int(x) for x in order[:nprobe]]
+            order = np.argsort(((c - v) ** 2).sum(axis=1), kind="stable")
+        return [ids[int(x)] for x in order[:nprobe]]
 
     qsel = queries.select(query_id_col, query_vector_col)
     qrows = qsel.collect()
@@ -231,6 +239,220 @@ def ivf_topk(
         candidates.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def train_centroids_inplan(
+    documents: DataFrame,
+    n_centroids: int = 8,
+    iters: int = 2,
+    vector_col: str = "values",
+    id_col: str = "id",
+    scale: int = 1000,
+    cell_col: str = "ivf_cell",
+):
+    """Deterministic distributed Lloyd, every float op replayable
+    bit-for-bit in SQL — the trainer behind q35's value-level oracle.
+
+    Three determinism choices make cross-engine bit-equality possible
+    (and are why this exists alongside ``train_centroids_local``):
+
+    * **init** = the quantized vectors of the ``n_centroids`` smallest
+      ids (no RNG state to replay);
+    * **updates** are ratios of **integer** sums of the
+      ``scale``-quantized vectors — integer addition is associative, so
+      no aggregation order can perturb a centroid;
+    * **assignment** uses the repo's sequential-fold cosine
+      (``functions.vector.cosine_similarity``), whose exact operation
+      order a SQL engine reproduces with ``list_reduce``/
+      ``list_transform`` (left-to-right adds seeded at 0.0), with a
+      (sim DESC, cell ASC) tiebreak.
+
+    Scale shape per round: one 8-ish× candidate explode (docs ×
+    broadcast codebook) into a ``max_by`` hash agg (one shuffle), then
+    a codebook-sized integer aggregate; the only collects are the
+    (n_centroids × dim) codebooks. This is the classic distributed
+    KMeans round — for cheap *approximate* training prefer the bounded
+    driver sample (``train_centroids_local``); this variant buys
+    exactness of replay and full-corpus training at iters× the scan
+    cost. Cells that lose all members drop out of the codebook.
+
+    Returns ``(documents_with_cells, cents)`` where cents is a list of
+    ``(cell_id, centroid_list)`` for the final codebook.
+    """
+    spark = documents.sparkSession
+    qdocs = documents.select(
+        F.col(id_col),
+        F.col(vector_col),
+        F.expr(
+            f"transform({vector_col},"
+            f" x -> CAST(round(x * {scale}) AS BIGINT))"
+        ).alias("__qv"),
+    )
+    init = (
+        qdocs.orderBy(id_col)
+        .limit(n_centroids)
+        .select("__qv")
+        .collect()
+    )
+    cents = [
+        (i, [float(x) for x in r["__qv"]]) for i, r in enumerate(init)
+    ]
+
+    def assign(df, cents_now):
+        cdf = spark.createDataFrame(
+            cents_now, "cell int, cvec array<double>"
+        )
+        return (
+            df.crossJoin(F.broadcast(cdf))
+            .withColumn(
+                "__sim", cosine_similarity(F.col(vector_col), F.col("cvec"))
+            )
+            .groupBy(id_col)
+            .agg(
+                F.expr("max_by(cell, struct(__sim, -cell))").alias(
+                    cell_col
+                ),
+                F.first("__qv").alias("__qv"),
+            )
+        )
+
+    for _ in range(iters):
+        sums = (
+            assign(qdocs, cents)
+            .select(cell_col, F.posexplode("__qv").alias("dim", "q"))
+            .groupBy(cell_col, "dim")
+            .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        acc: dict[int, dict[int, float]] = {}
+        for r in sums:
+            acc.setdefault(int(r[cell_col]), {})[int(r["dim"])] = (
+                float(r["s"]) / float(r["n"])
+            )
+        cents = [
+            (cell, [by_dim[d] for d in sorted(by_dim)])
+            for cell, by_dim in sorted(acc.items())
+        ]
+    with_cells = documents.join(
+        assign(qdocs, cents).select(id_col, cell_col), id_col
+    )
+    return with_cells, cents
+
+
+def ivf_topk_inplan(
+    documents_with_cells: DataFrame,
+    queries: DataFrame,
+    cents: list,
+    k: int = 5,
+    nprobe: int = 6,
+    query_id_col: str = "query_id",
+    query_vector_col: str = "vector",
+    doc_id_col: str = "id",
+    doc_vector_col: str = "values",
+    cell_col: str = "ivf_cell",
+) -> DataFrame:
+    """``ivf_topk`` with the probe ranking computed *in-plan* (queries ×
+    broadcast codebook, window rank) instead of driver-side NumPy — so
+    every float decision uses the same sequential-fold cosine as the
+    final scoring and a SQL oracle can replay the probe sets exactly."""
+    spark = documents_with_cells.sparkSession
+    cdf = spark.createDataFrame(cents, "cell int, cvec array<double>")
+    w_probe = Window.partitionBy(query_id_col).orderBy(
+        F.desc("__sim"), F.col("cell")
+    )
+    probe = (
+        queries.select(query_id_col, query_vector_col)
+        .crossJoin(F.broadcast(cdf))
+        .withColumn(
+            "__sim",
+            cosine_similarity(F.col(query_vector_col), F.col("cvec")),
+        )
+        .withColumn("__pr", F.row_number().over(w_probe))
+        .where(F.col("__pr") <= F.lit(int(nprobe)))
+        .select(
+            query_id_col,
+            query_vector_col,
+            F.col("cell").alias(cell_col),
+        )
+    )
+    candidates = documents_with_cells.join(
+        F.broadcast(probe), cell_col
+    ).select(
+        F.col(query_id_col),
+        F.col(doc_id_col),
+        cosine_similarity(doc_vector_col, query_vector_col).alias("score"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("score"), F.col(doc_id_col)
+    )
+    return candidates.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= F.lit(int(k))
+    )
+
+
+def srp_codebook(
+    documents: DataFrame,
+    vector_col: str = "values",
+    bits: int = 3,
+    seed: int = 13,
+    scale: int = 1000,
+    cell_col: str = "ivf_cell",
+):
+    """Engine-portable IVF codebook: cells are the sign-random-projection
+    buckets (``semdedup.srp_cells`` — the md5-parity ±1 matrix), and each
+    cell's centroid is the element-wise mean of its members'
+    ``scale``-quantized vectors.
+
+    Why this exists alongside the KMeans trainers: the cell function and
+    the centroids are *bit-reproducible in any engine* — the projection
+    matrix derives from md5 parity, and the centroid means are ratios of
+    **integer** sums (integer addition is associative, so aggregation
+    order can't perturb them) — which is what lets an IVF search carry a
+    value-level SQL oracle (``__spark_entry__.q35_ivf_topk``). As a
+    quantizer it is FAISS's IVF with a data-independent coarse codebook:
+    assignment is map-only (no training pass over the corpus at all),
+    at the cost of cells that are less adapted than KMeans' — the recall
+    certificate quantifies that trade.
+
+    Returns ``(documents_with_cells, centroids, cell_ids)``: centroids is
+    a (n_nonempty_cells, dim) float64 matrix, ``cell_ids[i]`` the bucket
+    id of row i. The only collect is the codebook itself (≤ 2**bits
+    rows).
+    """
+    from .semdedup import srp_cells
+
+    dim = len(
+        documents.select(vector_col).limit(1).collect()[0][vector_col]
+    )
+    with_cells = srp_cells(
+        documents, vector_col, dim, bits, seed, cell_col
+    )
+    sums = (
+        with_cells.select(
+            F.col(cell_col),
+            F.posexplode(
+                F.expr(
+                    f"transform({vector_col},"
+                    f" x -> CAST(round(x * {scale}) AS BIGINT))"
+                )
+            ).alias("dim", "q"),
+        )
+        .groupBy(cell_col, "dim")
+        .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    by_cell: dict[int, np.ndarray] = {}
+    counts: dict[int, int] = {}
+    for r in sums:
+        cell = int(r[cell_col])
+        arr = by_cell.setdefault(cell, np.zeros(dim, dtype=np.float64))
+        arr[int(r["dim"])] = float(r["s"])
+        counts[cell] = int(r["n"])
+    cell_ids = sorted(by_cell)
+    centroids = np.stack(
+        [by_cell[cid] / counts[cid] for cid in cell_ids]
+    )
+    return with_cells, centroids, cell_ids
 
 
 # ---------------------------------------------------------------------------
