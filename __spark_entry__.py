@@ -870,21 +870,38 @@ def q48_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q49_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Concat-then-chunk sequence packing (operators/packing.py):
-    global token offsets via two-phase distributed prefix sum — no
-    single-partition window anywhere in the plan."""
-    from pinecone_datasets_spark.operators.packing import pack_documents
+    """Training-loader layouts (operators/packing.py), tagged: 'chunks'
+    = concat-then-chunk packing (global token offsets via two-phase
+    distributed prefix sum — no single-partition window), 'batches' =
+    length-bucketed batch assignment (per-bucket distributed rank, same
+    prefix-sum machinery one level down)."""
+    from pinecone_datasets_spark.operators.packing import (
+        length_bucketed_batches,
+        pack_documents,
+    )
 
     doc = _t(spark, sf_dir, "documents")
-    out = pack_documents(doc, max_tokens=512)
-    return out.select(
-        "doc_id",
-        "n_tokens",
-        "global_start",
-        "chunk_id",
-        "end_chunk_id",
-        F.col("spans_boundary").cast("long").alias("spans_boundary"),
-    ).orderBy("doc_id")
+    chunks = pack_documents(doc, max_tokens=512).select(
+        F.lit("chunks").alias("part"),
+        F.col("doc_id"),
+        F.col("n_tokens"),
+        F.col("global_start").alias("c1"),
+        F.col("chunk_id").alias("c2"),
+        F.col("end_chunk_id").alias("c3"),
+        F.col("spans_boundary").cast("long").alias("c4"),
+    )
+    batches = length_bucketed_batches(
+        doc, batch_size=16, bucket_edges=[100, 200, 400]
+    ).select(
+        F.lit("batches").alias("part"),
+        F.col("doc_id"),
+        F.col("n_tokens"),
+        F.col("bucket").cast("long").alias("c1"),
+        F.col("rank_in_bucket").cast("long").alias("c2"),
+        F.col("batch_id").alias("c3"),
+        _nl("long").alias("c4"),
+    )
+    return chunks.unionByName(batches).orderBy("part", "doc_id")
 
 
 def q50_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2971,15 +2988,29 @@ WITH t AS (
          (sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
           - n_tokens)::BIGINT AS global_start
   FROM t
+), bk AS (
+  SELECT doc_id, n_tokens,
+         len(list_filter([100, 200, 400], e -> e < n_tokens))::BIGINT
+           AS bucket
+  FROM t
+), br AS (
+  SELECT doc_id, n_tokens, bucket,
+         row_number() OVER (PARTITION BY bucket
+           ORDER BY n_tokens, doc_id)::BIGINT AS rank_in_bucket
+  FROM bk
 )
-SELECT doc_id, n_tokens, global_start,
-       (global_start // 512)::BIGINT AS chunk_id,
-       ((global_start + greatest(n_tokens - 1, 0)) // 512)::BIGINT
-         AS end_chunk_id,
+SELECT 'chunks' AS part, doc_id, n_tokens, global_start AS c1,
+       (global_start // 512)::BIGINT AS c2,
+       ((global_start + greatest(n_tokens - 1, 0)) // 512)::BIGINT AS c3,
        (CASE WHEN (global_start + greatest(n_tokens - 1, 0)) // 512
                   > global_start // 512
-             THEN 1 ELSE 0 END)::BIGINT AS spans_boundary
-FROM c ORDER BY doc_id
+             THEN 1 ELSE 0 END)::BIGINT AS c4
+FROM c
+UNION ALL
+SELECT 'batches', doc_id, n_tokens, bucket, rank_in_bucket,
+       ((rank_in_bucket - 1) // 16)::BIGINT, CAST(NULL AS BIGINT)
+FROM br
+ORDER BY part, doc_id
 """,
         "q48_decontaminate": """
 WITH w AS (

@@ -144,6 +144,116 @@ def pack_documents(
     )
 
 
+def length_bucketed_batches(
+    df: DataFrame,
+    batch_size: int,
+    bucket_edges: list[int],
+    id_col: str = "doc_id",
+    token_count_col: Optional[str] = None,
+    text_col: str = "text",
+    num_partitions: Optional[int] = None,
+) -> DataFrame:
+    """Length-bucketed batch layout — the padding-minimizing loader
+    pattern: sequences are grouped into length buckets, sorted by
+    length within each bucket, and cut into fixed-``batch_size``
+    batches, so each batch pads to the max of near-equal lengths
+    instead of the corpus max.
+
+    ``bucket_edges`` are ascending inclusive upper bounds; lengths
+    beyond the last edge land in an overflow bucket. Returns
+    ``(id, n_tokens, bucket, rank_in_bucket, batch_id)`` with
+    ``batch_id = (rank_in_bucket - 1) div batch_size`` (per bucket).
+
+    Scale shape: the naive rank is a per-bucket global window — with a
+    handful of buckets that is a handful of single-partition windows,
+    the same scale-killer ``pack_documents`` avoids. Same cure, one
+    level down: range-repartition on (bucket, length, id), count rows
+    per (partition, bucket) (a P×B-row aggregate), take the exclusive
+    prefix per bucket over partition ids (window over P×B rows — free),
+    and add the in-partition row_number. One corpus exchange total, and
+    the totals branch shares it via ReusedExchange.
+    """
+    if batch_size <= 0:
+        raise ValueError(f"batch_size must be positive: {batch_size}")
+    if not bucket_edges or sorted(bucket_edges) != list(bucket_edges):
+        raise ValueError(
+            f"bucket_edges must be non-empty ascending: {bucket_edges}"
+        )
+    tokens = (
+        F.col(token_count_col).cast("long")
+        if token_count_col
+        else whitespace_token_count(text_col)
+    )
+    edges_sql = ", ".join(str(int(e)) for e in bucket_edges)
+    # bucket = number of edges strictly below n_tokens (edges are
+    # inclusive upper bounds); aggregate over a literal array keeps it
+    # a map-only expression in any engine
+    bucket = F.expr(
+        f"size(filter(array({edges_sql}), e -> e < n_tokens))"
+    ).cast("int")
+    base = df.select(
+        F.col(id_col), tokens.alias("n_tokens")
+    ).withColumn("bucket", bucket)
+    if num_partitions is None:
+        num_partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    ranged = (
+        base.repartitionByRange(
+            num_partitions, "bucket", "n_tokens", id_col
+        )
+        .sortWithinPartitions("bucket", "n_tokens", id_col)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    wp = (
+        Window.partitionBy("bucket")
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = (
+        ranged.groupBy("_pid", "bucket")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .select(
+            "_pid",
+            "bucket",
+            (F.sum("_c").over(wp) - F.col("_c")).alias("_off"),
+        )
+    )
+    wl = Window.partitionBy("_pid", "bucket").orderBy("n_tokens", id_col)
+    local = ranged.withColumn("_rn", F.row_number().over(wl)).join(
+        F.broadcast(offsets), ["_pid", "bucket"]
+    )
+    rank = (F.col("_off") + F.col("_rn")).alias("rank_in_bucket")
+    return local.select(
+        id_col, "n_tokens", "bucket", rank
+    ).withColumn(
+        "batch_id",
+        F.expr(f"(rank_in_bucket - 1) div {int(batch_size)}").cast("long"),
+    )
+
+
+def batch_summary(batches: DataFrame, batch_size: int) -> DataFrame:
+    """Per-batch padding economics from a ``length_bucketed_batches``
+    layout: ``pad_efficiency`` = real tokens / (rows × padded length).
+    One small hash aggregate — the dashboard for choosing edges."""
+    return (
+        batches.groupBy("bucket", "batch_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("n_tokens").alias("pad_len"),
+            F.sum("n_tokens").alias("real_tokens"),
+        )
+        .withColumn(
+            "pad_efficiency",
+            F.round(
+                F.col("real_tokens")
+                / (F.col("n_docs") * F.col("pad_len")),
+                4,
+            ),
+        )
+    )
+
+
 def chunk_summary(packed: DataFrame, max_tokens: int) -> DataFrame:
     """Per-chunk fill statistics from a ``pack_documents`` layout:
     documents starting in the chunk, tokens contributed by them, and the

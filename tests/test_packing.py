@@ -91,3 +91,110 @@ def test_pack_fixture_token_parity_and_summary(spark, docs):
 def test_pack_rejects_bad_max(spark, docs):
     with pytest.raises(ValueError):
         pack_documents(docs, 0)
+
+
+# ---------------------------------------------------------------------------
+# length_bucketed_batches (distributed per-bucket rank, no global window)
+# ---------------------------------------------------------------------------
+
+
+def test_bucketed_batches_known_answer(spark):
+    from pinecone_datasets_spark.operators.packing import (
+        batch_summary,
+        length_bucketed_batches,
+    )
+
+    rows = [
+        (1, "a"),                      # 1 tok  -> bucket 0
+        (2, "a b"),                    # 2 tok  -> bucket 0
+        (3, "a b c"),                  # 3 tok  -> bucket 1
+        (4, "a b c d"),                # 4 tok  -> bucket 1
+        (5, "a b c d e"),              # 5 tok  -> bucket 1
+        (6, "a b c d e f g h i j k"),  # 11 tok -> overflow bucket 2
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["bucket"], r["rank_in_bucket"], r["batch_id"])
+        for r in length_bucketed_batches(
+            df, batch_size=2, bucket_edges=[2, 8]
+        ).collect()
+    }
+    assert out == {
+        1: (0, 1, 0),
+        2: (0, 2, 0),
+        3: (1, 1, 0),
+        4: (1, 2, 0),
+        5: (1, 3, 1),
+        6: (2, 1, 0),
+    }
+    summ = {
+        (r["bucket"], r["batch_id"]): (
+            r["n_docs"],
+            r["pad_len"],
+            r["real_tokens"],
+            r["pad_efficiency"],
+        )
+        for r in batch_summary(
+            length_bucketed_batches(df, 2, [2, 8]), 2
+        ).collect()
+    }
+    assert summ[(0, 0)] == (2, 2, 3, 0.75)
+    assert summ[(1, 0)] == (2, 4, 7, 0.875)
+    assert summ[(1, 1)] == (1, 5, 5, 1.0)
+
+
+def test_bucketed_batches_invariant_to_partitioning(spark, docs):
+    from pinecone_datasets_spark.operators.packing import (
+        length_bucketed_batches,
+    )
+
+    a = {
+        (r["doc_id"], r["bucket"], r["rank_in_bucket"], r["batch_id"])
+        for r in length_bucketed_batches(
+            docs, 16, [100, 200, 400], num_partitions=3
+        ).collect()
+    }
+    b = {
+        (r["doc_id"], r["bucket"], r["rank_in_bucket"], r["batch_id"])
+        for r in length_bucketed_batches(
+            docs.repartition(11), 16, [100, 200, 400], num_partitions=7
+        ).collect()
+    }
+    assert a == b
+    # ranks are a permutation of 1..n within each bucket
+    by_bucket: dict[int, list[int]] = {}
+    for _, bucket, rk, _ in a:
+        by_bucket.setdefault(bucket, []).append(rk)
+    for rks in by_bucket.values():
+        assert sorted(rks) == list(range(1, len(rks) + 1))
+
+
+def test_bucketed_batches_no_single_partition_window(spark, docs):
+    from pinecone_datasets_spark.operators.packing import (
+        length_bucketed_batches,
+    )
+
+    plan = (
+        length_bucketed_batches(docs, 16, [100, 200, 400])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the only unpartitioned window runs over the P×B per-partition
+    # count rows, never the corpus: corpus-side windows carry _pid
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            assert "_pid" in line or "_c" in line or "bucket" in line
+
+
+def test_bucketed_batches_validates(spark, docs):
+    from pinecone_datasets_spark.operators.packing import (
+        length_bucketed_batches,
+    )
+
+    with pytest.raises(ValueError):
+        length_bucketed_batches(docs, 0, [10])
+    with pytest.raises(ValueError):
+        length_bucketed_batches(docs, 4, [])
+    with pytest.raises(ValueError):
+        length_bucketed_batches(docs, 4, [20, 10])
