@@ -68,9 +68,16 @@ def frequent_ngrams(
     """
     if not 0 < min_df_frac <= 1:
         raise ValueError(f"min_df_frac must be in (0, 1]: {min_df_frac}")
+    # materialize the word array BEFORE the n-gram lambda references it:
+    # Catalyst does not CSE into higher-order-function lambdas, so an
+    # inlined _words() re-tokenizes the text per gram position —
+    # O(tokens²) per doc (see decontaminate._ngrams_of, measured 22.8s
+    # vs 2s at sf0.1)
     grams = documents.select(
+        F.col(id_col), _words(text_col).alias("__w")
+    ).select(
         F.col(id_col),
-        F.explode(_ngrams_of(_words(text_col), n)).alias("ngram"),
+        F.explode(_ngrams_of(F.col("__w"), n)).alias("ngram"),
     )
     counts = grams.groupBy("ngram").agg(
         F.count(F.col(id_col)).alias("df")
@@ -106,20 +113,46 @@ def boilerplate_profile(
     a doc that is 90% repeated footer scores 0.9 even if the footer is
     one distinct gram.
     """
-    freq = frequent_ngrams(
-        documents, n=n, min_df_frac=min_df_frac,
-        text_col=text_col, id_col=id_col,
-    ).select("ngram")
-    pos = documents.select(
-        F.col(id_col),
-        F.explode_outer(_position_grams(_words(text_col), n)).alias(
-            "ngram"
-        ),
+    # Both branches (DF count + per-doc hit count) derive from one
+    # (doc, gram, within-doc count) aggregate, so the frequent-set
+    # branch shuffles per-doc-distinct rows instead of raw positions
+    # and needs no separate distinct-gram array build. The decisive
+    # cost fix, though, is materializing the word array as an attribute
+    # column before the gram lambda references it (see frequent_ngrams
+    # above): the previous inlined-_words shape re-tokenized per
+    # position — O(tokens²), the r4 suite's tallest pole at ~9s warm /
+    # sf0.1; this shape runs 0.5s warm.
+    per_doc = (
+        documents.select(
+            F.col(id_col), _words(text_col).alias("__w")
+        )
+        .select(
+            F.col(id_col),
+            F.explode_outer(
+                _position_grams(F.col("__w"), n)
+            ).alias("ngram"),
+        )
+        .where(F.col("ngram").isNotNull())
+        .groupBy(id_col, "ngram")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    total = documents.select(F.count(F.lit(1)).alias("__n_docs"))
+    freq = (
+        per_doc.groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(total))
+        .where(
+            F.col("df")
+            >= F.ceil(F.lit(float(min_df_frac)) * F.col("__n_docs")).cast(
+                "long"
+            )
+        )
+        .select("ngram")
     )
     hits = (
-        pos.join(F.broadcast(freq), "ngram")
+        per_doc.join(F.broadcast(freq), "ngram")
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_boiler"))
+        .agg(F.sum("__cnt").alias("n_boiler"))
     )
     base = documents.select(
         F.col(id_col),
