@@ -212,3 +212,24 @@ def test_mixture_rejects_bad_weights(corpus):
         mixture_edges(corpus, {}, token_budget=100)
     with pytest.raises(ValueError):
         mixture_edges(corpus, {"web": -1.0}, token_budget=100)
+
+
+def test_boilerplate_gram_lambda_reads_materialized_words(spark, corpus):
+    """Regression guard for the O(tokens²) trap: the explode's gram
+    lambda must reference the materialized word-array attribute, never
+    an inlined split() (Catalyst does not CSE into higher-order-function
+    lambdas — an inlined tokenizer re-tokenizes per gram position;
+    measured ~20x at sf0.1)."""
+    from pinecone_datasets_spark.operators.boilerplate import (
+        boilerplate_profile,
+    )
+
+    plan = (
+        boilerplate_profile(corpus, n=2, min_df_frac=0.02)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for line in plan.splitlines():
+        if "Generate explode" in line:
+            assert "split(" not in line, line[:200]
