@@ -9,6 +9,8 @@ At 100 TB this is the difference between one pass and four.
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -83,6 +85,201 @@ def curate_corpus(
             _quality_gate(min_quality) & (F.col("n_words") >= min_words)
         )
     )
+
+
+def _stage_flags(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_quality: float,
+    min_words: int,
+    max_boilerplate: Optional[float],
+    neardup_jaccard: Optional[float],
+    benchmark: Optional[DataFrame],
+    decontam_n: int,
+) -> DataFrame:
+    """Annotate every row with one boolean per curation stage. The
+    join-based stages (dedup, near-dup, decontamination) become
+    broadcast/key-shuffle flag joins; the row-local gates are pure
+    expressions — so the whole funnel is ONE plan and Catalyst fuses the
+    gates into the scan."""
+    from ..functions.text import quality_score, word_count
+    from .boilerplate import boilerplate_profile
+    from .dedup import exact_dedup, ngram_jaccard_pairs
+
+    ann = (
+        df.withColumn("n_words", word_count(text_col).cast("long"))
+        .withColumn("quality", quality_score(text_col))
+        .withColumn("k_quality", _quality_gate(min_quality))
+        .withColumn("k_length", F.col("n_words") >= min_words)
+    )
+    # exact dedup flag: member of the kept-representative set
+    kept_exact = exact_dedup(df, text_col=text_col, id_col=id_col).select(
+        F.col(id_col).alias("__ke")
+    )
+    ann = ann.join(
+        kept_exact, ann[id_col] == F.col("__ke"), "left"
+    ).withColumn("k_exact", F.col("__ke").isNotNull()).drop("__ke")
+    # near-dup flag: smaller-id keep rule over verified Jaccard pairs
+    # (LSH-banded at scale — ngram_jaccard_pairs takes max_df; the
+    # verified-pair frame is tiny relative to N, broadcast)
+    if neardup_jaccard is not None:
+        drops = (
+            ngram_jaccard_pairs(
+                df, threshold=neardup_jaccard,
+                text_col=text_col, id_col=id_col,
+            )
+            .select(F.col("id_b").alias("__nd"))
+            .distinct()
+        )
+        ann = ann.join(
+            F.broadcast(drops), ann[id_col] == F.col("__nd"), "left"
+        ).withColumn("k_neardup", F.col("__nd").isNull()).drop("__nd")
+    else:
+        ann = ann.withColumn("k_neardup", F.lit(True))
+    if max_boilerplate is not None:
+        prof = boilerplate_profile(
+            df, n=2, text_col=text_col, id_col=id_col
+        ).select(id_col, "boilerplate_frac")
+        ann = ann.join(prof, id_col, "left").withColumn(
+            "k_boiler",
+            F.coalesce(F.col("boilerplate_frac"), F.lit(0.0))
+            <= max_boilerplate,
+        )
+    else:
+        ann = ann.withColumn("k_boiler", F.lit(True)).withColumn(
+            "boilerplate_frac", F.lit(None).cast("double")
+        )
+    if benchmark is not None:
+        from .decontaminate import ngram_contamination
+
+        flagged = (
+            ngram_contamination(
+                df, benchmark, n=decontam_n,
+                text_col=text_col, id_col=id_col,
+            )
+            .where(F.col("contamination_rate") > 0.0)
+            .select(F.col(id_col).alias("__ct"))
+        )
+        ann = ann.join(
+            F.broadcast(flagged), ann[id_col] == F.col("__ct"), "left"
+        ).withColumn("k_decontam", F.col("__ct").isNull()).drop("__ct")
+    else:
+        ann = ann.withColumn("k_decontam", F.lit(True))
+    return ann
+
+
+def curate_corpus_full(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_quality: float = 0.5,
+    min_words: int = 30,
+    max_boilerplate: Optional[float] = None,
+    neardup_jaccard: Optional[float] = None,
+    benchmark: Optional[DataFrame] = None,
+    decontam_n: int = 3,
+    mixture_weights: Optional[dict] = None,
+    mixture_budget: Optional[int] = None,
+    domain_col: str = "source",
+    token_col: str = "n_chars",
+    seed: int = 42,
+) -> DataFrame:
+    """The full curation chain as ONE declarative composition:
+    exact dedup → near-dup drop (verified Jaccard, smaller-id keep) →
+    quality gate → length gate → boilerplate gate → benchmark
+    decontamination → optional domain-mixture draw. Optional stages
+    switch off with ``None``; every gate is a flag column over one
+    annotated frame, so Catalyst sees the whole funnel at once and the
+    corpus text crosses no exchange (the join stages move ids and
+    fingerprints only).
+    """
+    ann = _stage_flags(
+        df, text_col, id_col, min_quality, min_words,
+        max_boilerplate, neardup_jaccard, benchmark, decontam_n,
+    )
+    kept = ann.where(
+        F.col("k_exact")
+        & F.col("k_neardup")
+        & F.col("k_quality")
+        & F.col("k_length")
+        & F.col("k_boiler")
+        & F.col("k_decontam")
+    ).drop(
+        "k_exact", "k_neardup", "k_quality", "k_length", "k_boiler",
+        "k_decontam",
+    )
+    if mixture_weights is not None:
+        from .mixing import domain_mixture_sample
+
+        kept = domain_mixture_sample(
+            kept,
+            mixture_weights,
+            mixture_budget,
+            domain_col=domain_col,
+            token_col=token_col,
+            key_col=id_col,
+            seed=seed,
+        )
+    return kept
+
+
+def curation_funnel(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_quality: float = 0.5,
+    min_words: int = 30,
+    max_boilerplate: Optional[float] = None,
+    neardup_jaccard: Optional[float] = None,
+    benchmark: Optional[DataFrame] = None,
+    decontam_n: int = 3,
+) -> DataFrame:
+    """Stage-by-stage survival counts for ``curate_corpus_full``'s gate
+    order — the dashboard that says which stage is eating the corpus.
+    One aggregation over the annotated frame: each row's flags are
+    computed once and the progressive conjunctions are sums."""
+    ann = _stage_flags(
+        df, text_col, id_col, min_quality, min_words,
+        max_boilerplate, neardup_jaccard, benchmark, decontam_n,
+    )
+    stages = [
+        ("exact_dedup", F.col("k_exact")),
+        ("neardup", F.col("k_exact") & F.col("k_neardup")),
+        (
+            "quality",
+            F.col("k_exact") & F.col("k_neardup") & F.col("k_quality"),
+        ),
+        (
+            "length",
+            F.col("k_exact")
+            & F.col("k_neardup")
+            & F.col("k_quality")
+            & F.col("k_length"),
+        ),
+        (
+            "boilerplate",
+            F.col("k_exact")
+            & F.col("k_neardup")
+            & F.col("k_quality")
+            & F.col("k_length")
+            & F.col("k_boiler"),
+        ),
+        (
+            "decontaminate",
+            F.col("k_exact")
+            & F.col("k_neardup")
+            & F.col("k_quality")
+            & F.col("k_length")
+            & F.col("k_boiler")
+            & F.col("k_decontam"),
+        ),
+    ]
+    aggs = [F.count(F.lit(1)).alias("n_input")] + [
+        F.sum(cond.cast("long")).alias(f"n_{name}")
+        for name, cond in stages
+    ]
+    return ann.agg(*aggs)
 
 
 def curation_report(
