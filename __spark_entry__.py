@@ -901,7 +901,26 @@ def q49_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("batch_id").alias("c3"),
         _nl("long").alias("c4"),
     )
-    return chunks.unionByName(batches).orderBy("part", "doc_id")
+    # 'rag' part: overlapping-window chunker; chunk text rides as the
+    # portable md5 fingerprint so the value hash pins the exact tokens
+    from pinecone_datasets_spark.operators.packing import chunk_text
+
+    rag = chunk_text(doc, chunk_tokens=64, overlap=16).select(
+        F.lit("rag").alias("part"),
+        F.col("doc_id"),
+        F.col("chunk_n_tokens").alias("n_tokens"),
+        F.col("chunk_idx").alias("c1"),
+        F.conv(F.substring(F.md5("chunk_text"), 1, 8), 16, 10)
+        .cast("long")
+        .alias("c2"),
+        _nl("long").alias("c3"),
+        _nl("long").alias("c4"),
+    )
+    return (
+        chunks.unionByName(batches)
+        .unionByName(rag)
+        .orderBy("part", "doc_id", "c1")
+    )
 
 
 def q50_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2998,6 +3017,27 @@ WITH t AS (
          row_number() OVER (PARTITION BY bucket
            ORDER BY n_tokens, doc_id)::BIGINT AS rank_in_bucket
   FROM bk
+), warr AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                     x -> len(x) > 0) AS w
+  FROM documents
+), rag0 AS (
+  -- chunker: windows of 64 tokens, stride 48 (overlap 16); unnested
+  -- start-index list (DuckDB lateral generate_series can't take a
+  -- column)
+  SELECT doc_id, w,
+         unnest(range(0, CASE WHEN len(w) = 0 THEN 0 ELSE
+           greatest(CAST(ceil((len(w) - 1) / 48.0) AS BIGINT) + 1, 1)
+           END)) AS i
+  FROM warr
+), rag AS (
+  SELECT doc_id, i AS chunk_idx,
+         array_to_string(w[i * 48 + 1 :
+                           least(i * 48 + 64, len(w))], ' ')
+           AS chunk_text,
+         (least(i * 48 + 64, len(w)) - i * 48)::BIGINT AS chunk_n
+  FROM rag0 WHERE i * 48 < len(w)
 )
 SELECT 'chunks' AS part, doc_id, n_tokens, global_start AS c1,
        (global_start // 512)::BIGINT AS c2,
@@ -3010,7 +3050,12 @@ UNION ALL
 SELECT 'batches', doc_id, n_tokens, bucket, rank_in_bucket,
        ((rank_in_bucket - 1) // 16)::BIGINT, CAST(NULL AS BIGINT)
 FROM br
-ORDER BY part, doc_id
+UNION ALL
+SELECT 'rag', doc_id, chunk_n, chunk_idx,
+       ('0x' || substr(md5(chunk_text), 1, 8))::BIGINT,
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+FROM rag
+ORDER BY part, doc_id, c1
 """,
         "q48_decontaminate": """
 WITH w AS (

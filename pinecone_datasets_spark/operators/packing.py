@@ -232,6 +232,66 @@ def length_bucketed_batches(
     )
 
 
+def chunk_text(
+    df: DataFrame,
+    chunk_tokens: int,
+    overlap: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document into overlapping token-window chunks — the
+    RAG ingestion chunker (fixed window, fixed stride = chunk_tokens −
+    overlap). Returns one row per chunk:
+    ``(id, chunk_idx, chunk_text, chunk_n_tokens)``; the final chunk may
+    be short, a document shorter than one window yields exactly one
+    chunk, and an empty/whitespace document yields none.
+
+    Map-only: the word array is materialized once per row (attribute
+    column — Catalyst does not CSE into higher-order-function lambdas,
+    see boilerplate.py), chunk windows are array slices over an index
+    sequence, and the explode fuses into whatever scan already runs. No
+    shuffle at any size.
+    """
+    if chunk_tokens <= 0:
+        raise ValueError(f"chunk_tokens must be positive: {chunk_tokens}")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"overlap must be in [0, chunk_tokens): {overlap}"
+        )
+    stride = chunk_tokens - overlap
+    words = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda w: F.length(w) > 0,
+    )
+    # chunk starts: 0, stride, 2*stride, ... while start < n_tokens
+    starts = (
+        f"transform(sequence(0, greatest(CAST(ceil((size(__w) - 1) /"
+        f" {stride}) AS INT), 0)), i -> i * {stride})"
+    )
+    chunks = (
+        f"CASE WHEN size(__w) > 0 THEN"
+        f" transform(filter({starts}, s -> s < size(__w)),"
+        f" s -> slice(__w, s + 1, {int(chunk_tokens)}))"
+        " ELSE CAST(array() AS ARRAY<ARRAY<STRING>>) END"
+    )
+    return (
+        df.select(F.col(id_col), words.alias("__w"))
+        .select(
+            F.col(id_col),
+            F.posexplode_outer(F.expr(chunks)).alias(
+                "chunk_idx", "__c"
+            ),
+        )
+        .where(F.col("__c").isNotNull())
+        .select(
+            F.col(id_col),
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.concat_ws(" ", F.col("__c")).alias("chunk_text"),
+            F.size("__c").cast("long").alias("chunk_n_tokens"),
+        )
+    )
+
+
 def batch_summary(batches: DataFrame, batch_size: int) -> DataFrame:
     """Per-batch padding economics from a ``length_bucketed_batches``
     layout: ``pad_efficiency`` = real tokens / (rows × padded length).

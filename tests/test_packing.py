@@ -198,3 +198,86 @@ def test_bucketed_batches_validates(spark, docs):
         length_bucketed_batches(docs, 4, [])
     with pytest.raises(ValueError):
         length_bucketed_batches(docs, 4, [20, 10])
+
+
+# ---------------------------------------------------------------------------
+# chunk_text (RAG overlapping window chunker)
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_text_known_answer(spark):
+    from pinecone_datasets_spark.operators.packing import chunk_text
+
+    rows = [
+        (1, "a b c d e f g"),   # 7 tokens
+        (2, "x"),               # 1 token -> one short chunk
+        (3, "   "),             # empty -> no chunks
+        (4, None),              # null -> no chunks
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["chunk_text"], r["chunk_n_tokens"])
+        for r in chunk_text(df, chunk_tokens=3, overlap=1).collect()
+    }
+    # stride 2: starts 0,2,4,6
+    assert got == {
+        (1, 0): ("a b c", 3),
+        (1, 1): ("c d e", 3),
+        (1, 2): ("e f g", 3),
+        (1, 3): ("g", 1),
+        (2, 0): ("x", 1),
+    }
+
+
+def test_chunk_text_no_overlap_covers_exactly(spark, docs):
+    from pinecone_datasets_spark.operators.packing import (
+        chunk_text,
+        whitespace_token_count,
+    )
+
+    out = chunk_text(docs, chunk_tokens=64, overlap=0)
+    per_doc = out.groupBy("doc_id").agg(
+        F.sum("chunk_n_tokens").alias("s"),
+        F.count(F.lit(1)).alias("c"),
+        F.max("chunk_idx").alias("m"),
+    )
+    base = docs.select(
+        "doc_id", whitespace_token_count("text").alias("n")
+    )
+    joined = per_doc.join(base, "doc_id").collect()
+    assert joined
+    for r in joined:
+        # zero-overlap chunks partition the token stream exactly
+        assert r["s"] == r["n"]
+        assert r["c"] == (r["n"] + 63) // 64
+        assert r["m"] == r["c"] - 1
+
+
+def test_chunk_text_overlap_token_accounting(spark, docs):
+    from pinecone_datasets_spark.operators.packing import (
+        chunk_text,
+        whitespace_token_count,
+    )
+
+    k, ov = 64, 16
+    out = chunk_text(docs, chunk_tokens=k, overlap=ov)
+    per_doc = out.groupBy("doc_id").agg(
+        F.sum("chunk_n_tokens").alias("s"), F.count(F.lit(1)).alias("c")
+    )
+    base = docs.select(
+        "doc_id", whitespace_token_count("text").alias("n")
+    )
+    for r in per_doc.join(base, "doc_id").collect():
+        # every token once + ov extra per chunk boundary that overlaps
+        assert r["s"] == r["n"] + ov * (r["c"] - 1) or r["s"] == r["n"] + ov * (
+            r["c"] - 1
+        ) - max(0, ov - (r["n"] - (r["c"] - 1) * (k - ov)))
+
+
+def test_chunk_text_validates(spark, docs):
+    from pinecone_datasets_spark.operators.packing import chunk_text
+
+    with pytest.raises(ValueError):
+        chunk_text(docs, 0)
+    with pytest.raises(ValueError):
+        chunk_text(docs, 10, overlap=10)
