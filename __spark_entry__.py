@@ -1852,11 +1852,30 @@ def q75_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return boilerplate_profile(docs, n=2, min_df_frac=0.02)
 
 
+def q77_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span profile (operators/boilerplate.py — the word
+    3-gram approximation of Lee et al. exact-substring dedup):
+    cross-doc-repeated positions, longest consecutive run, fraction."""
+    from pinecone_datasets_spark.operators.boilerplate import (
+        duplicated_spans,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return duplicated_spans(docs, k=3).select(
+        "doc_id",
+        F.col("n_positions").alias("span_positions"),
+        "n_dup_positions",
+        "longest_dup_run",
+        "dup_frac",
+    )
+
+
 def q13_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc text profile: q13 stats + q29 lang-ID + q30 quality + q40
-    repetition + q41 PII redaction + q75 boilerplate score, one row per
-    document (joined on doc_id; all but the boilerplate DF-count are
-    map-only built-in expressions)."""
+    repetition + q41 PII redaction + q75 boilerplate score + q77
+    duplicated-span profile, one row per document (joined on doc_id; all
+    but the boilerplate/span DF-counts are map-only built-in
+    expressions)."""
     out = (
         q13_text_stats(spark, sf_dir)
         .join(q29_lang_detect(spark, sf_dir), "doc_id")
@@ -1864,6 +1883,7 @@ def q13_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(q40_repetition_signals(spark, sf_dir), "doc_id")
         .join(q41_pii_redact(spark, sf_dir), "doc_id")
         .join(q75_boilerplate(spark, sf_dir), "doc_id")
+        .join(q77_dup_spans(spark, sf_dir), "doc_id")
     )
     return out.orderBy("doc_id")
 
@@ -4005,18 +4025,65 @@ s29 AS ({b['q29_lang_detect']}),
 s30 AS ({b['q30_quality_score']}),
 s40 AS ({b['q40_repetition_signals']}),
 s41 AS ({b['q41_pii_redact']}),
-s75 AS ({b['q75_boilerplate']})
+s75 AS ({b['q75_boilerplate']}),
+-- q77 duplicated-span profile: word-3-gram positions, cross-doc
+-- repeated set, gaps-and-islands run lengths
+warr77 AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                     x -> len(x) > 0) AS w
+  FROM documents
+),
+gram77 AS (
+  SELECT doc_id, pos,
+         array_to_string(w[pos + 1 : pos + 3], ' ') AS ngram
+  FROM (
+    SELECT doc_id, w,
+           unnest(range(0, greatest(len(w) - 2, 0))) AS pos
+    FROM warr77)
+),
+rep77 AS (
+  SELECT ngram FROM (SELECT DISTINCT doc_id, ngram FROM gram77)
+  GROUP BY ngram HAVING count(*) >= 2
+),
+runs77 AS (
+  SELECT doc_id, count(*)::BIGINT AS run FROM (
+    SELECT doc_id,
+           pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+             AS isl
+    FROM gram77 JOIN rep77 USING (ngram))
+  GROUP BY doc_id, isl
+),
+agg77 AS (
+  SELECT doc_id, sum(run)::BIGINT AS n_dup_positions,
+         max(run)::BIGINT AS longest_dup_run
+  FROM runs77 GROUP BY doc_id
+),
+s77 AS (
+  SELECT w0.doc_id,
+         greatest(len(w0.w) - 2, 0)::BIGINT AS span_positions,
+         coalesce(a.n_dup_positions, 0)::BIGINT AS n_dup_positions,
+         coalesce(a.longest_dup_run, 0)::BIGINT AS longest_dup_run,
+         CASE WHEN len(w0.w) - 2 > 0
+              THEN round(coalesce(a.n_dup_positions, 0)
+                         / (len(w0.w) - 2), 6)
+              ELSE 0.0 END AS dup_frac
+  FROM warr77 w0 LEFT JOIN agg77 a USING (doc_id)
+)
 SELECT s13.doc_id, s13.n_words, s13.n_tokens, s13.n_chars,
        s29.detected, s29.lang, s30.quality,
        s40.dup_word_frac, s40.top_bigram_frac,
        s41.redacted_fp, s41.chars_removed,
-       s75.n_positions, s75.n_boiler, s75.boilerplate_frac
+       s75.n_positions, s75.n_boiler, s75.boilerplate_frac,
+       s77.span_positions, s77.n_dup_positions, s77.longest_dup_run,
+       s77.dup_frac
 FROM s13
 JOIN s29 USING (doc_id)
 JOIN s30 USING (doc_id)
 JOIN s40 USING (doc_id)
 JOIN s41 USING (doc_id)
 JOIN s75 USING (doc_id)
+JOIN s77 USING (doc_id)
 ORDER BY doc_id
 """
     out["q14_q36_corpus_stats"] = f"""

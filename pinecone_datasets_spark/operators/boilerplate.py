@@ -97,6 +97,94 @@ def frequent_ngrams(
     )
 
 
+def duplicated_spans(
+    documents: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document duplicated-span profile — the word-k-gram
+    approximation of exact-substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): a
+    position is *duplicated* when its k-gram also occurs in some other
+    document, and consecutive duplicated positions chain into spans.
+
+    Returns one row per doc: ``n_positions``, ``n_dup_positions``,
+    ``dup_frac`` (rounded to 6), and ``longest_dup_run`` — the longest
+    chain of consecutive duplicated positions, i.e. a shared substring
+    of ``longest_dup_run + k - 1`` words. Docs shorter than k words
+    report zeros.
+
+    Plan shape: one position explode (word array materialized first —
+    see frequent_ngrams); the cross-doc-repeated gram set derives from a
+    (doc, gram)-distinct aggregate and broadcasts (bounded like the
+    frequent set: a gram needs ≥2 docs); runs use the gaps-and-islands
+    identity (pos − rank over hit positions is constant within a run),
+    so the only windows are per-document — bounded by doc length, never
+    corpus-wide.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    from pyspark.sql import Window
+
+    pos = (
+        documents.select(
+            F.col(id_col), _words(text_col).alias("__w")
+        )
+        .select(
+            F.col(id_col),
+            F.posexplode_outer(
+                _position_grams(F.col("__w"), k)
+            ).alias("pos", "ngram"),
+        )
+        .where(F.col("ngram").isNotNull())
+    )
+    repeated = (
+        pos.select(id_col, "ngram")
+        .distinct()
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("__d"))
+        .where(F.col("__d") >= 2)
+        .select("ngram")
+    )
+    hits = pos.join(F.broadcast(repeated), "ngram").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    runs = (
+        hits.withColumn("__rn", F.row_number().over(w))
+        .groupBy(id_col, (F.col("pos") - F.col("__rn")).alias("__isl"))
+        .agg(F.count(F.lit(1)).alias("__run"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("__run").alias("n_dup_positions"),
+            F.max("__run").alias("longest_dup_run"),
+        )
+    )
+    base = documents.select(
+        F.col(id_col),
+        F.greatest(
+            F.lit(0), F.size(_words(text_col)) - (k - 1)
+        ).cast("long").alias("n_positions"),
+    )
+    return base.join(runs, id_col, "left").select(
+        F.col(id_col),
+        "n_positions",
+        F.coalesce("n_dup_positions", F.lit(0)).cast("long").alias(
+            "n_dup_positions"
+        ),
+        F.coalesce("longest_dup_run", F.lit(0)).cast("long").alias(
+            "longest_dup_run"
+        ),
+        F.when(
+            F.col("n_positions") > 0,
+            F.round(
+                F.coalesce("n_dup_positions", F.lit(0))
+                / F.col("n_positions"),
+                6,
+            ),
+        ).otherwise(F.lit(0.0)).alias("dup_frac"),
+    )
+
+
 def boilerplate_profile(
     documents: DataFrame,
     n: int = 3,

@@ -233,3 +233,76 @@ def test_boilerplate_gram_lambda_reads_materialized_words(spark, corpus):
     for line in plan.splitlines():
         if "Generate explode" in line:
             assert "split(" not in line, line[:200]
+
+
+# ---------------------------------------------------------------------------
+# duplicated_spans (Lee et al. exact-substring-dedup approximation)
+# ---------------------------------------------------------------------------
+
+
+def test_duplicated_spans_known_answer(spark):
+    from pinecone_datasets_spark.operators.boilerplate import (
+        duplicated_spans,
+    )
+
+    rows = [
+        # docs 1 and 2 share the 6-word run "one two three four five six"
+        (1, "one two three four five six alpha beta gamma"),
+        (2, "zzz one two three four five six qqq"),
+        (3, "totally different words everywhere here now"),
+        (4, "tiny"),  # shorter than k -> zeros
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (
+            r["n_positions"],
+            r["n_dup_positions"],
+            r["longest_dup_run"],
+            r["dup_frac"],
+        )
+        for r in duplicated_spans(df, k=3).collect()
+    }
+    # doc 1: 7 positions; shared 3-grams of the 6-word run = 4 positions
+    # (one two three .. four five six) -> run 4 -> substring 4+3-1=6 words
+    assert out[1] == (7, 4, 4, round(4 / 7, 6))
+    assert out[2] == (6, 4, 4, round(4 / 6, 6))
+    assert out[3] == (4, 0, 0, 0.0)
+    assert out[4] == (0, 0, 0, 0.0)
+
+
+def test_duplicated_spans_within_doc_repeat_not_counted(spark):
+    """Duplication means ACROSS documents: a k-gram repeated only inside
+    one doc does not mark positions."""
+    from pinecone_datasets_spark.operators.boilerplate import (
+        duplicated_spans,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "ha ha ha ha ha ha"), (2, "unrelated content here")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["n_dup_positions"]
+        for r in duplicated_spans(df, k=3).collect()
+    }
+    assert out == {1: 0, 2: 0}
+
+
+def test_duplicated_spans_disjoint_runs(spark):
+    from pinecone_datasets_spark.operators.boilerplate import (
+        duplicated_spans,
+    )
+
+    rows = [
+        (1, "a b c X X X d e f"),
+        (2, "a b c Y Y Y d e f"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["n_dup_positions"], r["longest_dup_run"])
+        for r in duplicated_spans(df, k=3).collect()
+    }
+    # shared grams: "a b c" at pos 0 and "d e f" at pos 6 -> two
+    # singleton runs
+    assert out[1] == (2, 1)
+    assert out[2] == (2, 1)
