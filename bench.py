@@ -152,6 +152,12 @@ def main() -> None:
             docs, num_hashes=64, bands=16, hash_fn="oph"
         )
 
+    def bench_rag_chunk():
+        from pinecone_datasets_spark.operators.packing import chunk_text
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        return chunk_text(docs, chunk_tokens=64, overlap=16)
+
     def bench_unigram_lm():
         # q58's entry now unions unigram + bigram; bench them separately
         # so the round-over-round unigram series stays comparable.
@@ -271,6 +277,8 @@ def main() -> None:
         "mixture_sample": lambda: em.q76_mixture(spark, SF_DIR),
         "rproject_topk_100q": bench_rproject_topk,
         "semdedup_cells64": bench_semdedup,
+        "dup_spans_3gram": lambda: em.q77_dup_spans(spark, SF_DIR),
+        "rag_chunk_64x16": bench_rag_chunk,
     }
 
     # Warm the JVM once with small representative jobs (parquet reader,

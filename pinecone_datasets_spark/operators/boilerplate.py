@@ -185,6 +185,89 @@ def duplicated_spans(
     )
 
 
+def remove_duplicated_spans(
+    documents: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """Rewrite each document with its cross-document duplicated spans
+    removed — the surgical counterpart to dropping whole near-dup docs
+    (Lee et al. 2022 remove the repeated substring, keeping the unique
+    remainder). A word is removed iff some duplicated k-gram position
+    covers it.
+
+    Symmetric semantics on purpose: the span disappears from EVERY
+    document containing it (a pure per-doc function of the corpus — no
+    order dependence, deterministic, engine-replayable). To keep one
+    canonical copy instead, gate the removal on a doc-level keep rule
+    (e.g. ``semantic_dedup``'s smaller-id survivors) before this pass.
+
+    Returns the input plus ``out_col`` and ``n_removed_words``. Plan:
+    the duplicated-position sets ride back per doc as a (bounded by doc
+    length) sorted array; the rewrite is one in-plan filter over the
+    word array — ``O(words × runs)`` per doc via an exists() probe over
+    the run-start list.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    pos = (
+        documents.select(
+            F.col(id_col), _words(text_col).alias("__w")
+        )
+        .select(
+            F.col(id_col),
+            F.posexplode_outer(
+                _position_grams(F.col("__w"), k)
+            ).alias("pos", "ngram"),
+        )
+        .where(F.col("ngram").isNotNull())
+    )
+    repeated = (
+        pos.select(id_col, "ngram")
+        .distinct()
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("__d"))
+        .where(F.col("__d") >= 2)
+        .select("ngram")
+    )
+    hit_arrays = (
+        pos.join(F.broadcast(repeated), "ngram")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_set("pos")).alias("__hits"))
+    )
+    words_kept = F.expr(
+        "filter(__wi, s -> NOT exists(__hits,"
+        f" p -> p <= s.i AND s.i <= p + {int(k) - 1}))"
+    )
+    out = (
+        documents.join(hit_arrays, id_col, "left")
+        .withColumn(
+            "__hits",
+            F.coalesce(
+                F.col("__hits"), F.expr("CAST(array() AS ARRAY<INT>)")
+            ),
+        )
+        .withColumn("__w", _words(text_col))
+        .withColumn(
+            "__wi",
+            F.expr(
+                "transform(__w, (w, i) -> named_struct('w', w, 'i', i))"
+            ),
+        )
+        .withColumn("__kept", words_kept)
+        .withColumn(
+            out_col, F.concat_ws(" ", F.expr("transform(__kept, s -> s.w)"))
+        )
+        .withColumn(
+            "n_removed_words",
+            (F.size("__w") - F.size("__kept")).cast("long"),
+        )
+    )
+    return out.drop("__hits", "__w", "__wi", "__kept")
+
+
 def boilerplate_profile(
     documents: DataFrame,
     n: int = 3,

@@ -306,3 +306,53 @@ def test_duplicated_spans_disjoint_runs(spark):
     # singleton runs
     assert out[1] == (2, 1)
     assert out[2] == (2, 1)
+
+
+def test_remove_duplicated_spans_known_answer(spark):
+    from pinecone_datasets_spark.operators.boilerplate import (
+        remove_duplicated_spans,
+    )
+
+    rows = [
+        (1, "one two three four five six alpha beta gamma"),
+        (2, "zzz one two three four five six qqq"),
+        (3, "totally different words everywhere here now"),
+        (4, "tiny"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_removed_words"])
+        for r in remove_duplicated_spans(df, k=3).collect()
+    }
+    # the shared 6-word run vanishes from BOTH docs (symmetric
+    # semantics); unique remainders survive
+    assert out[1] == ("alpha beta gamma", 6)
+    assert out[2] == ("zzz qqq", 6)
+    assert out[3] == ("totally different words everywhere here now", 0)
+    assert out[4] == ("tiny", 0)
+
+
+def test_remove_duplicated_spans_consistent_with_profile(spark, corpus):
+    """Removal accounting matches the profile: a doc with no duplicated
+    positions loses nothing; every doc with hits loses >= k words of a
+    longest run."""
+    from pinecone_datasets_spark.operators.boilerplate import (
+        duplicated_spans,
+        remove_duplicated_spans,
+    )
+
+    prof = {
+        r["doc_id"]: (r["n_dup_positions"], r["longest_dup_run"])
+        for r in duplicated_spans(corpus, k=3).collect()
+    }
+    rem = {
+        r["doc_id"]: r["n_removed_words"]
+        for r in remove_duplicated_spans(corpus, k=3).collect()
+    }
+    assert set(prof) == set(rem)
+    for d, (ndp, run) in prof.items():
+        if ndp == 0:
+            assert rem[d] == 0
+        else:
+            # a run of r positions covers r + k - 1 words
+            assert rem[d] >= run + 3 - 1
