@@ -1963,10 +1963,36 @@ def q17_q21_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         _nl("long").alias("n_common"),
         _nl("double").alias("sim"),
     )
+    # 'edit' part: ED-Join prefix-filtered Levenshtein join over
+    # 200-char doc prefixes + planted 4-edit variants (editsim.py); the
+    # prefix filter is lossless, so the brute-force SQL twin is the
+    # exact contract
+    from pinecone_datasets_spark.operators.editsim import (
+        edit_distance_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    ebase = docs.where(F.col("doc_id") < 100).select(
+        "doc_id", F.substring("text", 1, 200).alias("text")
+    )
+    epert = ebase.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" xyz")).alias("text"),
+    )
+    edit = edit_distance_pairs(
+        ebase.unionByName(epert), max_distance=4
+    ).select(
+        F.lit("edit").alias("part"),
+        F.col("id_a"),
+        F.col("id_b"),
+        _nl("long").alias("n_common"),
+        F.col("distance").cast("double").alias("sim"),
+    )
     return (
         jac.unionByName(cos)
         .unionByName(sem)
         .unionByName(keep)
+        .unionByName(edit)
         .orderBy("part", "id_a", "id_b")
     )
 
@@ -4150,6 +4176,21 @@ semp AS (
 semk AS (
   SELECT vec_id FROM corpus
   WHERE vec_id NOT IN (SELECT id_b FROM semp)
+),
+ecorp AS (
+  SELECT doc_id, substr(text, 1, 200) AS s FROM documents
+  WHERE doc_id < 100
+  UNION ALL
+  SELECT doc_id + 3000000, substr(text, 1, 200) || ' xyz'
+  FROM documents WHERE doc_id < 100 AND doc_id % 10 = 0
+),
+edit AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         levenshtein(a.s, b.s)::DOUBLE AS dist
+  FROM ecorp a JOIN ecorp b
+    ON a.doc_id < b.doc_id
+   AND abs(length(a.s) - length(b.s)) <= 4
+  WHERE levenshtein(a.s, b.s) <= 4
 )
 SELECT 'jaccard' AS part, id_a, id_b, n_common, jaccard AS sim FROM jac
 UNION ALL
@@ -4160,6 +4201,8 @@ UNION ALL
 SELECT 'sem_keep', vec_id, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
        CAST(NULL AS DOUBLE)
 FROM semk
+UNION ALL
+SELECT 'edit', id_a, id_b, CAST(NULL AS BIGINT), dist FROM edit
 ORDER BY part, id_a, id_b
 """
     out["q19_q20_topk_metrics"] = f"""

@@ -1,0 +1,141 @@
+"""Edit-distance similarity join (record linkage / fuzzy dedup).
+
+All pairs of strings within Levenshtein distance ``max_distance`` — the
+record-linkage primitive for catalog dedup, entity resolution, and
+near-identical-document mining where token-level methods are too
+coarse.
+
+The scale problem is the pair space: N²/2 Levenshtein verifications is
+never acceptable. This implements the classic **prefix filter** of
+ED-Join (Xiao, Wang & Lin, VLDB 2008): d edits can destroy at most
+``q·d`` of a string's character q-grams, so if two strings are within
+distance d, any ``q·d + 1`` grams of one (chosen under a GLOBAL gram
+order) must intersect the other's gram set. Ordering grams
+rarest-first makes the retained prefixes maximally selective. The
+pipeline:
+
+1. per-string distinct q-grams (map-only explode),
+2. global gram order = (document frequency, gram) — one hash aggregate,
+   joined back (broadcast when the vocabulary fits),
+3. per-string rank window (string-sized partitions) keeps the
+   ``q·d + 1`` rarest grams — the *prefix*,
+4. self-join on prefix grams → candidate pairs (the only corpus-pair
+   shuffle, keyed on gram),
+5. sound cheap filters (length difference ≤ d) then exact
+   ``levenshtein`` verification on the candidates ONLY.
+
+Completeness: the pigeonhole argument makes the filter lossless — the
+verified output is exactly the brute-force pair set (tested, and the
+q17 entry's DuckDB oracle brute-forces the same contract).
+
+Reference scope note: the reference (pinecone-io/pinecone-datasets)
+has no string-similarity operators; Layer-B extension, cited against
+its data model only (cfg.py:23-36).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    max_distance: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    q: int = 3,
+) -> DataFrame:
+    """(id_a < id_b, distance) for every pair within ``max_distance``
+    Levenshtein edits. Strings shorter than ``q`` chars fall back to a
+    length-banded candidate block (their gram set is empty)."""
+    if max_distance < 0:
+        raise ValueError(f"max_distance must be >= 0: {max_distance}")
+    if q < 1:
+        raise ValueError(f"q must be >= 1: {q}")
+    prefix_len = q * max_distance + 1
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(text_col).alias("__t"),
+        F.length(text_col).alias("__len"),
+    ).where(F.col("__t").isNotNull())
+    grams = base.select(
+        "__id",
+        F.explode_outer(
+            F.expr(
+                f"CASE WHEN length(__t) >= {q} THEN"
+                f" array_distinct(transform(sequence(1, length(__t) - {q - 1}),"
+                f" i -> substring(__t, i, {q})))"
+                " ELSE CAST(array() AS ARRAY<STRING>) END"
+            )
+        ).alias("g"),
+    ).where(F.col("g").isNotNull())
+    gdf = grams.groupBy("g").agg(F.count(F.lit(1)).alias("__df"))
+    w = Window.partitionBy("__id").orderBy("__df", "g")
+    prefix = (
+        grams.join(gdf, "g")
+        .withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= F.lit(int(prefix_len)))
+        .select("__id", "g")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b")
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    # short strings (no q-grams) block by length band instead — their
+    # gram prefix is empty so the main filter can't see them
+    shorts = base.where(F.col("__len") < q).select("__id", "__len")
+    if max_distance > 0:
+        sa, sb = shorts.alias("sa"), base.alias("sb")
+        short_cand = (
+            sa.join(
+                sb,
+                (F.col("sa.__id") != F.col("sb.__id"))
+                & (
+                    F.abs(F.col("sa.__len") - F.col("sb.__len"))
+                    <= max_distance
+                ),
+            )
+            .select(
+                F.least(
+                    F.col("sa.__id"), F.col("sb.__id")
+                ).alias("id_a"),
+                F.greatest(
+                    F.col("sa.__id"), F.col("sb.__id")
+                ).alias("id_b"),
+            )
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        cand = cand.unionByName(short_cand).dropDuplicates(
+            ["id_a", "id_b"]
+        )
+    la = base.select(
+        F.col("__id").alias("id_a"),
+        F.col("__t").alias("__ta"),
+        F.col("__len").alias("__la"),
+    )
+    lb = base.select(
+        F.col("__id").alias("id_b"),
+        F.col("__t").alias("__tb"),
+        F.col("__len").alias("__lb"),
+    )
+    return (
+        cand.join(la, "id_a")
+        .join(lb, "id_b")
+        .where(
+            F.abs(F.col("__la") - F.col("__lb")) <= max_distance
+        )
+        .withColumn(
+            "distance", F.levenshtein(F.col("__ta"), F.col("__tb"))
+        )
+        .where(F.col("distance") <= max_distance)
+        .select("id_a", "id_b", "distance")
+    )

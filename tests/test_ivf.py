@@ -320,3 +320,54 @@ def test_srp_codebook_cells_and_sparse_ids(spark, corpus):
         .collect()
     }
     assert sorted(counts) == cids
+
+
+def test_ivf_filtered_search_pushdown_and_pruning(spark, sf_dir, tmp_path):
+    """Metadata-filtered ANN — the canonical vector-db query: an
+    attribute predicate composes with the persisted IVF layout so BOTH
+    the row filter (PushedFilters) and the probed-cell filter
+    (PartitionFilters) reach the parquet scan, and the result equals
+    the brute-force filtered top-k whenever probing covers the true
+    neighbors."""
+    from pinecone_datasets_spark.operators.ivf import (
+        build_ivf_index,
+        ivf_topk,
+        load_ivf_index,
+    )
+    from pinecone_datasets_spark.operators.search import topk_search
+    from pinecone_datasets_spark.plans.explain import formatted_plan
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    docs = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("values"),
+        "label",
+    )
+    path = str(tmp_path / "ivf_filtered")
+    build_ivf_index(docs, path, n_centroids=4, metric="cosine", seed=42)
+    stored, centroids, metric, cell_col = load_ivf_index(spark, path)
+    queries = docs.where(F.col("id") < 3).select(
+        F.col("id").alias("query_id"), F.col("values").alias("vector")
+    )
+    filtered = stored.where(F.col("label") == 1)
+    out = ivf_topk(
+        filtered, queries, centroids, k=3, nprobe=4,
+        metric=metric, cell_col=cell_col, prune_cells=True,
+    )
+    plan = formatted_plan(out)
+    scan = plan.split("Scan parquet", 2)
+    assert "label" in plan.split("PushedFilters:")[1].splitlines()[0]
+    assert "ivf_cell" in plan.split("PartitionFilters:")[1].splitlines()[0]
+    # nprobe = all cells -> candidate set is the full filtered corpus,
+    # so the result must equal exact filtered top-k
+    want = {
+        (r["query_id"], r["id"], r["rank"])
+        for r in topk_search(
+            docs.where(F.col("label") == 1).select("id", "values"),
+            queries, metric="cosine", k=3, metadata_col=None,
+        ).collect()
+    }
+    got = {
+        (r["query_id"], r["id"], r["rank"]) for r in out.collect()
+    }
+    assert got == want
