@@ -323,7 +323,11 @@ def main() -> None:
             print(f"bench: {name} ...", file=sys.stderr, flush=True)
             times = []
             broken = False
-            for _pass in range(2):
+            # pass 1 = cold; warm = min of two steady-state passes — a
+            # single warm sample flips above cold whenever a GC pause
+            # lands on it (observed repeatedly on this host: minhash
+            # warm 10.0s vs cold 6.6s in one run, 2.7s in the next)
+            for _pass in range(3):
                 t0 = time.time()
                 try:
                     df = make()
@@ -342,7 +346,7 @@ def main() -> None:
                 results_cold[name] = -1.0
                 failed.append(name)
                 continue
-            results_cold[name], results[name] = times[0], times[1]
+            results_cold[name], results[name] = times[0], min(times[1:])
             print(
                 f"bench: {name} cold {times[0]}s warm {times[1]}s",
                 file=sys.stderr,
