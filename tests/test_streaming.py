@@ -248,3 +248,62 @@ def test_read_events_leaves_session_timezone_alone(spark, sf_dir):
         assert spark.conf.get(key) == "America/New_York"
     finally:
         spark.conf.set(key, prev)
+
+
+def test_map_only_sampling_operators_compose_with_streams(
+    spark, sf_dir, tmp_path_factory
+):
+    """hash_split / deterministic_sample / domain-mixture are pure
+    map-side expressions, so they apply to a readStream unchanged and
+    an availableNow replay selects EXACTLY the rows the batch path
+    selects — the property that lets one curation definition serve the
+    backfill and the ingest stream."""
+    from pinecone_datasets_spark.operators.sampling import (
+        deterministic_sample,
+        hash_split,
+    )
+
+    out_dir = str(tmp_path_factory.mktemp("sampled_stream"))
+    ckpt = str(tmp_path_factory.mktemp("ckpt_sample"))
+    import shutil
+
+    stage = tmp_path_factory.mktemp("docs_stream_src")
+    shutil.copy(
+        f"{sf_dir}/documents.parquet", stage / "part-0.parquet"
+    )
+    docs_path = str(stage)
+    batch = spark.read.parquet(docs_path)
+    stream = spark.readStream.schema(batch.schema).parquet(docs_path)
+
+    pipe = deterministic_sample(
+        hash_split(
+            stream, {"train": 0.8, "val": 0.2}, key_col="doc_id", seed=11
+        ).where(F.col("split") == "train"),
+        fraction=0.5,
+        key_col="doc_id",
+        seed=12,
+    )
+    assert pipe.isStreaming
+    (
+        pipe.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    )
+    got = {
+        r["doc_id"] for r in spark.read.parquet(out_dir).collect()
+    }
+    want = {
+        r["doc_id"]
+        for r in deterministic_sample(
+            hash_split(
+                batch, {"train": 0.8, "val": 0.2}, key_col="doc_id", seed=11
+            ).where(F.col("split") == "train"),
+            fraction=0.5,
+            key_col="doc_id",
+            seed=12,
+        ).collect()
+    }
+    assert got == want and got
