@@ -8,6 +8,27 @@ from .dedup import (
     simhash64,
     embedding_neardup_pairs,
 )
+from .semdedup import semantic_dedup, semantic_dedup_pairs, srp_cells
+from .sampling import (
+    deterministic_sample,
+    hash_split,
+    stratified_sample_exact,
+    weighted_sample,
+)
+from .rerank import mmr_rerank
+from .editsim import edit_distance_pairs
+from .boilerplate import (
+    boilerplate_profile,
+    duplicated_spans,
+    frequent_ngrams,
+    remove_duplicated_spans,
+)
+from .packing import (
+    chunk_text,
+    length_bucketed_batches,
+    pack_documents,
+)
+from .pipeline import curate_corpus, curate_corpus_full, curation_funnel
 
 __all__ = [
     "topk_search",
@@ -20,4 +41,23 @@ __all__ = [
     "ngram_jaccard_pairs",
     "simhash64",
     "embedding_neardup_pairs",
+    "semantic_dedup",
+    "semantic_dedup_pairs",
+    "srp_cells",
+    "deterministic_sample",
+    "hash_split",
+    "stratified_sample_exact",
+    "weighted_sample",
+    "mmr_rerank",
+    "edit_distance_pairs",
+    "boilerplate_profile",
+    "duplicated_spans",
+    "frequent_ngrams",
+    "remove_duplicated_spans",
+    "chunk_text",
+    "length_bucketed_batches",
+    "pack_documents",
+    "curate_corpus",
+    "curate_corpus_full",
+    "curation_funnel",
 ]
