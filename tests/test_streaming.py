@@ -307,3 +307,57 @@ def test_map_only_sampling_operators_compose_with_streams(
         ).collect()
     }
     assert got == want and got
+
+
+def test_ivf_cell_assignment_composes_with_streams(
+    spark, sf_dir, tmp_path_factory
+):
+    """assign_cells is a map-only Arrow-batched kernel, so a live ingest
+    stream can be routed into IVF cells with the exact same codebook the
+    batch index was built with — availableNow replay assigns every
+    vector the same cell as the batch path."""
+    import shutil
+
+    import numpy as np
+
+    from pinecone_datasets_spark.operators.ivf import assign_cells
+
+    stage = tmp_path_factory.mktemp("emb_stream_src")
+    shutil.copy(
+        f"{sf_dir}/embeddings.parquet", stage / "part-0.parquet"
+    )
+    batch = spark.read.parquet(str(stage)).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    rng = np.random.default_rng(5)
+    centroids = rng.standard_normal((4, 64))
+    stream = (
+        spark.readStream.schema(
+            spark.read.parquet(str(stage)).schema
+        )
+        .parquet(str(stage))
+        .select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+    )
+    assigned = assign_cells(stream, centroids, vector_col="v")
+    assert assigned.isStreaming
+    out_dir = str(tmp_path_factory.mktemp("cells_out"))
+    ckpt = str(tmp_path_factory.mktemp("ckpt_cells"))
+    (
+        assigned.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    )
+    got = {
+        r["vec_id"]: r["ivf_cell"]
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    want = {
+        r["vec_id"]: r["ivf_cell"]
+        for r in assign_cells(batch, centroids, vector_col="v").collect()
+    }
+    assert got == want and got
