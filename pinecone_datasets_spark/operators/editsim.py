@@ -94,7 +94,10 @@ def edit_distance_pairs(
     # gram prefix is empty so the main filter can't see them
     shorts = base.where(F.col("__len") < q).select("__id", "__len")
     if max_distance > 0:
-        sa, sb = shorts.alias("sa"), base.alias("sb")
+        # non-equi length-band condition -> BroadcastNestedLoopJoin;
+        # pin the broadcast to the shorts side (strings < q chars are
+        # rare by construction) so the corpus stays on the streamed side
+        sa, sb = F.broadcast(shorts).alias("sa"), base.alias("sb")
         short_cand = (
             sa.join(
                 sb,
