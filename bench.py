@@ -152,6 +152,31 @@ def main() -> None:
             docs, num_hashes=64, bands=16, hash_fn="oph"
         )
 
+    def bench_mmr():
+        # retrieval candidates -> vector join -> greedy MMR per query
+        # (applyInPandas across queries; candidates only, corpus never
+        # re-touched)
+        from pinecone_datasets_spark.operators.rerank import mmr_rerank
+
+        docs, queries = emb_queries(100)
+        hits = topk_search(
+            docs, queries, metric="cosine", k=20, metadata_col=None
+        ).select("query_id", "id", "score")
+        return mmr_rerank(hits.join(docs, "id"), k=10, lam=0.6)
+
+    def bench_funnel():
+        # flag-annotated curation funnel (dedup + quality/length/
+        # boilerplate gates; near-dup and decontam legs benched
+        # separately via minhash/decontaminate)
+        from pinecone_datasets_spark.operators.pipeline import (
+            curation_funnel,
+        )
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        return curation_funnel(
+            docs, min_quality=0.4, min_words=20, max_boilerplate=0.9
+        )
+
     def bench_rag_chunk():
         from pinecone_datasets_spark.operators.packing import chunk_text
 
@@ -279,6 +304,8 @@ def main() -> None:
         "semdedup_cells64": bench_semdedup,
         "dup_spans_3gram": lambda: em.q77_dup_spans(spark, SF_DIR),
         "rag_chunk_64x16": bench_rag_chunk,
+        "mmr_rerank_100q": bench_mmr,
+        "curation_funnel": bench_funnel,
     }
 
     # Warm the JVM once with small representative jobs (parquet reader,
