@@ -2200,10 +2200,32 @@ def q45_q46_q47_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").cast("long").alias("n1"),
         F.col("es_rank").cast("long").alias("n2"),
     )
+    # 'leakage' part: duplicates never straddle splits — the split
+    # hashes the dup-group representative (min id per md5(text) group)
+    # over a corpus with planted exact dups
+    from pinecone_datasets_spark.operators.sampling import (
+        leakage_safe_split,
+    )
+
+    ldup = docs.where(F.col("doc_id") % 5 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 4000000
+    )
+    lcorp = docs.unionByName(ldup).withColumn("fp", F.md5("text"))
+    leak = leakage_safe_split(
+        lcorp, {"train": 0.7, "test": 0.3}, group_col="fp", seed=3
+    ).select(
+        F.lit("leakage").alias("part"),
+        F.col("split").alias("k1"),
+        F.lit("ALL").alias("k2"),
+        F.col("doc_id"),
+        _nl("long").alias("n1"),
+        _nl("long").alias("n2"),
+    )
     return (
         split.unionByName(strat)
         .unionByName(cap)
         .unionByName(weighted)
+        .unionByName(leak)
         .unionByName(q76_mixture(spark, sf_dir))
         .orderBy("part", "k1", "k2", "doc_id")
     )
@@ -4295,6 +4317,21 @@ FROM (
   WHERE n_chars IS NOT NULL AND n_chars > 0
 )
 WHERE es_rank <= 5
+UNION ALL
+-- leakage-safe split (sampling.leakage_safe_split): split hashes the
+-- dup-group representative (min id per md5(text) group), planted dups
+SELECT 'leakage',
+       CASE WHEN ('0x' || substr(md5('3|' || rep), 1, 8))::BIGINT
+                 % 10000 < 7000
+            THEN 'train' ELSE 'test' END,
+       'ALL', doc_id, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+FROM (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY fp) AS rep FROM (
+    SELECT doc_id, md5(text) AS fp FROM documents
+    UNION ALL
+    SELECT doc_id + 4000000, md5(text) FROM documents
+    WHERE doc_id % 5 = 0)
+)
 UNION ALL
 SELECT part, k1, k2, doc_id, n1, n2 FROM mx
 ORDER BY part, k1, k2, doc_id

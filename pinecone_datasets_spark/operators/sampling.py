@@ -124,6 +124,63 @@ def deterministic_sample(
     return df.where(split_bucket(F.col(key_col), seed=seed) < F.lit(edge))
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    weights: Mapping[str, float],
+    key_col: str = "doc_id",
+    dup_pairs: Optional[DataFrame] = None,
+    group_col: Optional[str] = None,
+    seed: int = 42,
+    split_col: str = "split",
+) -> DataFrame:
+    """``hash_split`` with a leakage guard: rows known to be (near-)
+    duplicates of each other always land in the SAME split, so the test
+    set can never contain a paraphrase of a training row — the
+    eval-integrity property a per-row split silently violates on any
+    corpus with duplicates.
+
+    Group sources, most to least general:
+
+    * ``dup_pairs`` — an (id_a, id_b) near-dup pair frame from any of
+      the pair miners (MinHash/LSH, semantic, edit-distance, Jaccard):
+      groups are the connected components, split key = the component's
+      min id.
+    * ``group_col`` — a precomputed group label (e.g. the exact-dedup
+      fingerprint): split key = the group's min id (one tiny aggregate,
+      broadcast back).
+    * neither — plain ``hash_split`` (no duplicate knowledge).
+
+    The split hashes the group REPRESENTATIVE's id, not the row's, so
+    membership inherits every ``hash_split`` property (stable,
+    disjoint, nested across seeds) at group granularity. Scale: the
+    pair path pays connected-components (rounds ~ component diameter,
+    LSH cliques are shallow); the group path is one key-only aggregate.
+    """
+    from pyspark.sql import Window
+
+    if dup_pairs is not None and group_col is not None:
+        raise ValueError("pass dup_pairs or group_col, not both")
+    if dup_pairs is not None:
+        from .cluster import connected_components
+
+        labels = connected_components(dup_pairs)
+        rep = labels.select(
+            F.col("node").alias(key_col), F.col("cluster_id").alias("__rep")
+        )
+        keyed = df.join(F.broadcast(rep), key_col, "left").withColumn(
+            "__rep", F.coalesce("__rep", F.col(key_col))
+        )
+    elif group_col is not None:
+        w = Window.partitionBy(group_col)
+        keyed = df.withColumn("__rep", F.min(key_col).over(w))
+    else:
+        keyed = df.withColumn("__rep", F.col(key_col))
+    out = hash_split(
+        keyed, weights, key_col="__rep", seed=seed, split_col=split_col
+    )
+    return out.drop("__rep")
+
+
 def hash_unit(key: ColumnOrName, seed: int = 42) -> Column:
     """Deterministic uniform in (0, 1) from the salted md5:
     ``(h + 0.5) / 2^32`` with h the first-8-hex-chars integer. The

@@ -254,3 +254,81 @@ def test_weighted_sample_grouped_plans_window_group_limit(spark, docs):
         .toString()
     )
     assert "WindowGroupLimit" in plan
+
+
+# ---------------------------------------------------------------------------
+# leakage_safe_split (duplicates never straddle train/test)
+# ---------------------------------------------------------------------------
+
+
+def test_leakage_split_group_path_keeps_dups_together(spark, docs):
+    from pinecone_datasets_spark.operators.sampling import (
+        leakage_safe_split,
+    )
+
+    # planted exact dups: same text under a shifted id
+    dup = docs.where(F.col("doc_id") % 5 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 4_000_000
+    )
+    corpus = docs.unionByName(dup).withColumn(
+        "fp", F.md5(F.col("text"))
+    )
+    out = leakage_safe_split(
+        corpus, {"train": 0.7, "test": 0.3}, group_col="fp", seed=3
+    )
+    per_group = (
+        out.groupBy("fp")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .collect()
+    )
+    assert all(r["n_splits"] == 1 for r in per_group)
+    # both splits populated and roughly proportional
+    counts = {r["split"]: r["count"] for r in out.groupBy("split").count().collect()}
+    total = sum(counts.values())
+    assert 0.55 < counts["train"] / total < 0.85
+
+
+def test_leakage_split_pair_path_respects_chains(spark):
+    from pinecone_datasets_spark.operators.sampling import (
+        leakage_safe_split,
+    )
+
+    df = spark.createDataFrame(
+        [(i,) for i in range(1, 9)], "doc_id long"
+    )
+    # chain 1-2-3 plus pair 5-6; 4, 7, 8 are singletons
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    out = {
+        r["doc_id"]: r["split"]
+        for r in leakage_safe_split(
+            df, {"a": 0.5, "b": 0.5}, dup_pairs=pairs, seed=9
+        ).collect()
+    }
+    assert out[1] == out[2] == out[3]
+    assert out[5] == out[6]
+    assert len(out) == 8
+
+
+def test_leakage_split_no_groups_equals_hash_split(spark, docs):
+    from pinecone_datasets_spark.operators.sampling import (
+        hash_split,
+        leakage_safe_split,
+    )
+
+    a = {
+        (r["doc_id"], r["split"])
+        for r in leakage_safe_split(
+            docs, {"x": 0.6, "y": 0.4}, seed=2
+        ).collect()
+    }
+    b = {
+        (r["doc_id"], r["split"])
+        for r in hash_split(docs, {"x": 0.6, "y": 0.4}, seed=2).collect()
+    }
+    assert a == b
+    with pytest.raises(ValueError):
+        leakage_safe_split(
+            docs, {"x": 1.0}, dup_pairs=docs, group_col="lang"
+        )
