@@ -1170,11 +1170,19 @@ def q58_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q59_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-group embedding centroids as (label, dim, value) rows —
-    posexplode + hash agg, the distributed form of a vector mean (no
-    driver-side vectors, no UDF; dims shuffle as scalars)."""
+    """Embedding analytics over (dim, value) scalars, tagged:
+    'centroid' = per-group vector means (posexplode + hash agg — dims
+    shuffle as scalars, no driver-side vectors); 'stats' = per-dim
+    corpus moments (operators/embstats.py); 'drift' = per-dim z of a
+    deterministic batch (vec_id % 4 == 0, dim 3 shifted +0.5) against
+    the corpus — exactly dim 3 must flag."""
+    from pinecone_datasets_spark.operators.embstats import (
+        embedding_dim_stats,
+        embedding_drift,
+    )
+
     emb = _t(spark, sf_dir, "embeddings")
-    return (
+    cent = (
         emb.select(
             "label", F.posexplode("embedding").alias("dim", "val")
         )
@@ -1184,12 +1192,50 @@ def q59_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("val"), 5).alias("centroid"),
         )
         .select(
+            F.lit("centroid").alias("part"),
             F.col("label").cast("long").alias("label"),
             F.col("dim").cast("long").alias("dim"),
-            "n_vecs",
-            "centroid",
+            F.col("n_vecs").alias("n"),
+            F.col("centroid").alias("v1"),
+            _nl("double").alias("v2"),
+            _nl("double").alias("v3"),
+            _nl("double").alias("v4"),
         )
-        .orderBy("label", "dim")
+    )
+    dbl = emb.select(F.col("embedding").cast("array<double>").alias("embedding"))
+    stats = embedding_dim_stats(dbl).select(
+        F.lit("stats").alias("part"),
+        _nl("long").alias("label"),
+        F.col("dim"),
+        F.col("n"),
+        F.col("mean").alias("v1"),
+        F.col("std").alias("v2"),
+        F.col("vmin").alias("v3"),
+        F.col("vmax").alias("v4"),
+    )
+    batch = (
+        emb.where(F.col("vec_id") % 4 == 0)
+        .select(
+            F.expr(
+                "transform(CAST(embedding AS ARRAY<DOUBLE>),"
+                " (x, i) -> IF(i = 3, x + CAST(0.5 AS DOUBLE), x))"
+            ).alias("embedding")
+        )
+    )
+    drift = embedding_drift(dbl, batch, z_threshold=3.0).select(
+        F.lit("drift").alias("part"),
+        _nl("long").alias("label"),
+        F.col("dim"),
+        F.col("n_b").alias("n"),
+        F.col("mean_c").alias("v1"),
+        F.col("mean_b").alias("v2"),
+        F.col("z").alias("v3"),
+        F.col("drifted").cast("double").alias("v4"),
+    )
+    return (
+        cent.unionByName(stats)
+        .unionByName(drift)
+        .orderBy("part", "label", "dim")
     )
 
 
@@ -3307,15 +3353,70 @@ ORDER BY doc_id
 WITH ex AS (
   SELECT label,
          generate_subscripts(embedding, 1) - 1 AS dim,
-         unnest(embedding) AS val
+         unnest(embedding)::DOUBLE AS val
   FROM embeddings
+),
+cent AS (
+  SELECT label::BIGINT AS label, dim::BIGINT AS dim,
+         count(*) AS n_vecs,
+         round(avg(val), 5) AS centroid
+  FROM ex GROUP BY 1, 2
+),
+stats AS (
+  SELECT dim::BIGINT AS dim, count(*)::BIGINT AS n,
+         round(sum(val) / count(*), 6) AS mean,
+         round(sqrt(greatest(sum(val * val) / count(*)
+                     - (sum(val) / count(*)) ^ 2, 0.0)), 6) AS std,
+         round(min(val), 6) AS vmin, round(max(val), 6) AS vmax
+  FROM ex GROUP BY 1
+),
+bex AS (
+  SELECT dim,
+         CASE WHEN dim = 3 THEN val + CAST(0.5 AS DOUBLE)
+              ELSE val END AS val
+  FROM (
+    SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+           unnest(embedding)::DOUBLE AS val
+    FROM embeddings WHERE vec_id % 4 = 0)
+),
+cm AS (
+  SELECT dim, count(*)::BIGINT AS n_c,
+         sum(val) / count(*) AS mean_c,
+         sqrt(greatest(sum(val * val) / count(*)
+              - (sum(val) / count(*)) ^ 2, 0.0)) AS std_c
+  FROM ex GROUP BY dim
+),
+bm AS (
+  SELECT dim, count(*)::BIGINT AS n_b,
+         sum(val) / count(*) AS mean_b
+  FROM bex GROUP BY dim
+),
+drift AS (
+  SELECT cm.dim::BIGINT AS dim, bm.n_b,
+         round(mean_c, 6) AS mean_c, round(mean_b, 6) AS mean_b,
+         round(CASE WHEN std_c > 0
+                    THEN (mean_b - mean_c) / (std_c / sqrt(n_b))
+                    WHEN abs(mean_b - mean_c) < 1e-12 THEN 0.0
+                    ELSE 3.0 END, 6) AS z,
+         CASE WHEN abs(CASE WHEN std_c > 0
+                    THEN (mean_b - mean_c) / (std_c / sqrt(n_b))
+                    WHEN abs(mean_b - mean_c) < 1e-12 THEN 0.0
+                    ELSE 3.0 END) >= 3.0 THEN 1 ELSE 0 END::BIGINT
+           AS drifted
+  FROM cm JOIN bm USING (dim)
 )
-SELECT label::BIGINT AS label, dim::BIGINT AS dim,
-       count(*) AS n_vecs,
-       round(avg(val::DOUBLE), 5) AS centroid
-FROM ex
-GROUP BY 1, 2
-ORDER BY label, dim
+SELECT 'centroid' AS part, label, dim, n_vecs AS n, centroid AS v1,
+       CAST(NULL AS DOUBLE) AS v2, CAST(NULL AS DOUBLE) AS v3,
+       CAST(NULL AS DOUBLE) AS v4
+FROM cent
+UNION ALL
+SELECT 'stats', CAST(NULL AS BIGINT), dim, n, mean, std, vmin, vmax
+FROM stats
+UNION ALL
+SELECT 'drift', CAST(NULL AS BIGINT), dim, n_b, mean_c, mean_b, z,
+       drifted::DOUBLE
+FROM drift
+ORDER BY part, label, dim
 """,
         "q60_anti_join": """
 SELECT c_mktsegment, count(*) AS n_inactive,
