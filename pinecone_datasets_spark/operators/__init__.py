@@ -12,9 +12,11 @@ from .semdedup import semantic_dedup, semantic_dedup_pairs, srp_cells
 from .sampling import (
     deterministic_sample,
     hash_split,
+    leakage_safe_split,
     stratified_sample_exact,
     weighted_sample,
 )
+from .embstats import embedding_dim_stats, embedding_drift
 from .rerank import mmr_rerank
 from .editsim import edit_distance_pairs
 from .boilerplate import (
@@ -48,6 +50,9 @@ __all__ = [
     "hash_split",
     "stratified_sample_exact",
     "weighted_sample",
+    "leakage_safe_split",
+    "embedding_dim_stats",
+    "embedding_drift",
     "mmr_rerank",
     "edit_distance_pairs",
     "boilerplate_profile",
