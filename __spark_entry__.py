@@ -977,14 +977,31 @@ def q51_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         filter_by_quantile,
     )
 
+    from pinecone_datasets_spark.operators.pipeline import (
+        quantile_bucket_by_group,
+    )
+
     doc = _t(spark, sf_dir, "documents")
     scored = doc.select(
-        "doc_id", quality_score(F.col("text")).alias("quality")
+        "doc_id", "source", quality_score(F.col("text")).alias("quality")
     )
-    kept = filter_by_quantile(scored, "quality", 0.75, keep="above")
-    return kept.select(
-        "doc_id", F.round("quality", 4).alias("quality")
-    ).orderBy("doc_id")
+    kept = filter_by_quantile(scored, "quality", 0.75, keep="above").select(
+        F.lit("topq").alias("part"),
+        "doc_id",
+        F.round("quality", 4).alias("quality"),
+        _nl("long").alias("bucket"),
+    )
+    # per-source quartile calibration: bucket b = the row's quality sits
+    # in its OWN source's b-th quantile band
+    buckets = quantile_bucket_by_group(
+        scored, "quality", "source", n_buckets=4
+    ).select(
+        F.lit("bucket").alias("part"),
+        "doc_id",
+        F.round("quality", 4).alias("quality"),
+        F.col("bucket"),
+    )
+    return kept.unionByName(buckets).orderBy("part", "doc_id")
 
 
 def q52_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3076,11 +3093,30 @@ WITH t AS (
   SELECT round(percentile_cont(0.75) WITHIN GROUP (ORDER BY quality), 6)
          AS v
   FROM scored
+), bnd AS (
+  SELECT d.source,
+         round(percentile_cont(0.25) WITHIN GROUP (ORDER BY s.quality), 6) AS b1,
+         round(percentile_cont(0.50) WITHIN GROUP (ORDER BY s.quality), 6) AS b2,
+         round(percentile_cont(0.75) WITHIN GROUP (ORDER BY s.quality), 6) AS b3
+  FROM scored s JOIN documents d USING (doc_id)
+  GROUP BY d.source
+), bkt AS (
+  SELECT s.doc_id, s.quality,
+         (CASE WHEN round(s.quality, 6) >= b1 THEN 1 ELSE 0 END
+          + CASE WHEN round(s.quality, 6) >= b2 THEN 1 ELSE 0 END
+          + CASE WHEN round(s.quality, 6) >= b3 THEN 1 ELSE 0 END
+         )::BIGINT AS bucket
+  FROM scored s
+  JOIN documents d USING (doc_id)
+  JOIN bnd ON bnd.source = d.source
 )
-SELECT doc_id, round(quality, 4) AS quality
+SELECT 'topq' AS part, doc_id, round(quality, 4) AS quality,
+       CAST(NULL AS BIGINT) AS bucket
 FROM scored, thr
 WHERE round(quality, 6) >= thr.v
-ORDER BY doc_id
+UNION ALL
+SELECT 'bucket', doc_id, round(quality, 4), bucket FROM bkt
+ORDER BY part, doc_id
 """,
         "q50_quantized_topk": """
 WITH base AS (

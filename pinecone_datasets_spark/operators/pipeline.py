@@ -67,6 +67,56 @@ def filter_by_quantile(
     return df.where(cond)
 
 
+def quantile_bucket_by_group(
+    df: DataFrame,
+    score_col: str,
+    group_col: str,
+    n_buckets: int = 4,
+    exact: bool = True,
+    round_to: int = _QUALITY_DECIMALS,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Per-group quantile bucket of a score — the calibration that makes
+    quality scores comparable ACROSS domains before mixing: a raw
+    threshold keeps the easy domain's boilerplate and drops the hard
+    domain's prose; bucket b = the row sits in its own group's b-th
+    quantile band, so "top quartile" means the same thing everywhere.
+
+    Plan: one aggregate computes each group's ``n_buckets - 1`` interior
+    boundaries (a groups × buckets frame — tiny), broadcast back;
+    ``bucket`` = number of boundaries ≤ the score, via an in-plan array
+    filter. No per-group global window anywhere, so a giant group costs
+    one aggregate, not one partition. ``exact=False`` switches the
+    boundary aggregate to ``percentile_approx`` — the sketch path for
+    groups too large to sort; ``exact=True`` keeps linear-interpolated
+    exact percentiles (engine-replayable — the q51 oracle relies on it).
+    Boundaries and scores are rounded to ``round_to`` before the
+    comparison so a 1-ulp cross-engine wobble cannot flip bucket
+    membership.
+    """
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2: {n_buckets}")
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    fn = "percentile" if exact else "percentile_approx"
+    bounds = df.groupBy(group_col).agg(
+        F.expr(
+            f"transform({fn}({score_col},"
+            f" array({', '.join(f'{q}D' for q in qs)})),"
+            f" b -> round(b, {int(round_to)}))"
+        ).alias("__bounds")
+    )
+    rounded = F.round(F.col(score_col), round_to)
+    return (
+        df.join(F.broadcast(bounds), group_col)
+        .withColumn("__r", rounded)
+        .withColumn(
+            bucket_col,
+            F.expr("size(filter(__bounds, b -> b <= __r))").cast("long"),
+        )
+        .drop("__bounds", "__r")
+    )
+
+
 def curate_corpus(
     df: DataFrame,
     text_col: str = "text",

@@ -126,3 +126,79 @@ def test_mixture_stage_applies_after_gates(spark, corpus):
     rows = out.select("source").distinct().collect()
     assert {r["source"] for r in rows} <= {"src0", "src1"}
     assert 0 < out.count() < corpus.count()
+
+
+# ---------------------------------------------------------------------------
+# quantile_bucket_by_group (per-domain score calibration)
+# ---------------------------------------------------------------------------
+
+
+def test_quantile_buckets_known_answer(spark):
+    from pinecone_datasets_spark.operators.pipeline import (
+        quantile_bucket_by_group,
+    )
+
+    rows = [("a", i, float(i)) for i in range(1, 9)] + [
+        ("b", 100 + i, float(1000 + i)) for i in range(1, 5)
+    ]
+    df = spark.createDataFrame(rows, "grp string, doc_id long, s double")
+    out = {
+        r["doc_id"]: r["bucket"]
+        for r in quantile_bucket_by_group(
+            df, "s", "grp", n_buckets=4
+        ).collect()
+    }
+    # group a: 1..8 -> quartile boundaries (2.75, 4.5, 6.25)
+    assert [out[i] for i in range(1, 9)] == [0, 0, 1, 1, 2, 2, 3, 3]
+    # group b: 1001..1004 -> boundaries (1001.75, 1002.5, 1003.25):
+    # CALIBRATED per group, despite living on a wildly different scale
+    assert [out[100 + i] for i in range(1, 5)] == [0, 1, 2, 3]
+
+
+def test_quantile_buckets_equalize_across_groups(spark, sf_dir):
+    """Each source gets ~equal bucket occupancy regardless of its raw
+    score distribution — the cross-domain comparability property."""
+    from pinecone_datasets_spark.functions.text import quality_score
+    from pinecone_datasets_spark.operators.pipeline import (
+        quantile_bucket_by_group,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", quality_score(F.col("text")).alias("q")
+    )
+    out = quantile_bucket_by_group(docs, "q", "source", n_buckets=4)
+    occ = {
+        (r["source"], r["bucket"]): r["count"]
+        for r in out.groupBy("source", "bucket").count().collect()
+    }
+    per_src = {}
+    for (s, _), c in occ.items():
+        per_src.setdefault(s, []).append(c)
+    for s, counts in per_src.items():
+        assert len(counts) == 4
+        assert max(counts) <= 2 * min(counts), (s, counts)
+
+
+def test_quantile_buckets_approx_path_and_validation(spark, sf_dir):
+    from pinecone_datasets_spark.functions.text import quality_score
+    from pinecone_datasets_spark.operators.pipeline import (
+        quantile_bucket_by_group,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", quality_score(F.col("text")).alias("q")
+    )
+    exact = {
+        r["doc_id"]: r["bucket"]
+        for r in quantile_bucket_by_group(docs, "q", "source").collect()
+    }
+    approx = {
+        r["doc_id"]: r["bucket"]
+        for r in quantile_bucket_by_group(
+            docs, "q", "source", exact=False
+        ).collect()
+    }
+    agree = sum(exact[d] == approx[d] for d in exact) / len(exact)
+    assert agree > 0.9  # sketch boundaries wobble only near band edges
+    with pytest.raises(ValueError):
+        quantile_bucket_by_group(docs, "q", "source", n_buckets=1)
