@@ -217,6 +217,51 @@ def encode_png(pixels: np.ndarray) -> bytes:
 
 
 # ---------------------------------------------------------------------------
+# MPNG: minimal motion-PNG container (real, pure stdlib)
+# ---------------------------------------------------------------------------
+
+MPNG_MAGIC = b"MPNG\x01"
+
+
+def encode_mpng(frames, interval_ms: int = 100) -> bytes:
+    """Pack PNG frames into the repo's minimal motion container:
+    ``MPNG\\x01 | u32 n_frames | u32 interval_ms | (u32 len + png)*``.
+
+    Real video codecs need ffmpeg (absent here); this container is the
+    honest stdlib alternative — every frame is a spec-valid PNG, the
+    layout is seekable (length-prefixed), and ``sample_video_frames``
+    decodes it with the same real PNG path the image operators use.
+    ``frames`` are uint8 pixel arrays (``encode_png`` input shapes).
+    """
+    if interval_ms <= 0:
+        raise ValueError(f"interval_ms must be positive: {interval_ms}")
+    payload = [MPNG_MAGIC, struct.pack(">II", len(frames), interval_ms)]
+    for f in frames:
+        png = encode_png(f)
+        payload.append(struct.pack(">I", len(png)))
+        payload.append(png)
+    return b"".join(payload)
+
+
+def decode_mpng(content: bytes):
+    """(interval_ms, [png_bytes, ...]) from an MPNG container."""
+    if not content.startswith(MPNG_MAGIC):
+        raise ValueError("not an MPNG container")
+    off = len(MPNG_MAGIC)
+    n, interval_ms = struct.unpack_from(">II", content, off)
+    off += 8
+    frames = []
+    for _ in range(n):
+        (ln,) = struct.unpack_from(">I", content, off)
+        off += 4
+        frames.append(content[off : off + ln])
+        off += ln
+    if len(frames) != n:
+        raise ValueError("truncated MPNG container")
+    return interval_ms, frames
+
+
+# ---------------------------------------------------------------------------
 # BMP decode (real: uncompressed 24-bpp)
 # ---------------------------------------------------------------------------
 

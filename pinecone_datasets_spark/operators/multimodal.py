@@ -268,9 +268,18 @@ def sample_video_frames(
     media: DataFrame, every_ms: int = 1000, fake: bool = False
 ) -> DataFrame:
     """Frame sampling: one output row per sampled frame (media_id, ts_ms,
-    frame bytes). Video containers need ffmpeg (not in this environment),
-    so the decode body remains stubbed; ``fake=True`` exercises the
-    explode-shaped plumbing with deterministic frame bytes."""
+    frame bytes).
+
+    REAL path: content in the repo's MPNG motion container
+    (``media_codecs.encode_mpng`` — length-prefixed spec-valid PNG
+    frames; the honest stdlib stand-in for ffmpeg containers) is decoded
+    for real: at each ``every_ms`` tick the covering frame's PNG bytes
+    are emitted, decodable by ``decode_png`` / feedable to
+    ``extract_image_features``. Other containers (mp4/webm) still need
+    ffmpeg and raise ``NotImplementedError`` unless ``fake=True``, which
+    exercises the explode-shaped plumbing with deterministic sha256
+    frame bytes. Arrow-batched ``mapInPandas`` either way; bytes stay
+    columnar."""
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.StringType(), False),
@@ -278,12 +287,9 @@ def sample_video_frames(
             T.StructField("frame", T.BinaryType(), True),
         ]
     )
-    if not fake:
-        raise NotImplementedError(
-            "video decoding requires ffmpeg bindings, not present; pass "
-            "fake=True to exercise the pipeline"
-        )
     _ship(media)
+
+    from .media_codecs import MPNG_MAGIC, decode_mpng
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -291,10 +297,26 @@ def sample_video_frames(
             for mid, content, dur in zip(
                 pdf["media_id"], pdf["content"], pdf["duration_ms"]
             ):
+                raw = bytes(content or b"")
+                if raw.startswith(MPNG_MAGIC):
+                    interval, frames = decode_mpng(raw)
+                    total = interval * len(frames)
+                    for ts in range(0, max(total, 1), every_ms):
+                        idx = min(ts // interval, len(frames) - 1)
+                        rows["media_id"].append(mid)
+                        rows["ts_ms"].append(ts)
+                        rows["frame"].append(frames[idx])
+                    continue
+                if not fake:
+                    raise NotImplementedError(
+                        "non-MPNG video needs ffmpeg bindings (absent); "
+                        "use media_codecs.encode_mpng containers or pass "
+                        "fake=True to exercise the pipeline"
+                    )
                 dur = int(dur) if dur is not None else 0
                 for ts in range(0, max(dur, 1), every_ms):
                     h = hashlib.sha256(
-                        (bytes(content or b"")) + ts.to_bytes(8, "big")
+                        raw + ts.to_bytes(8, "big")
                     ).digest()
                     rows["media_id"].append(mid)
                     rows["ts_ms"].append(ts)

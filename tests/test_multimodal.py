@@ -46,8 +46,13 @@ def media_df(spark):
 
 
 def test_video_still_not_implemented_without_fake(media_df):
-    with pytest.raises(NotImplementedError):
-        sample_video_frames(media_df)
+    # non-MPNG containers (mp4 here) still need ffmpeg: the kernel
+    # raises at execution (MPNG content decodes for real, so the check
+    # cannot be eager at the driver)
+    with pytest.raises(Exception, match="ffmpeg|NotImplemented"):
+        sample_video_frames(
+            media_df.where(F.col("media_type") == "video")
+        ).collect()
 
 
 # -- real codecs (no Spark) -------------------------------------------------
@@ -280,3 +285,50 @@ def test_media_binary_column_prunable(spark, media_df, tmp_path):
     df = spark.read.parquet(path).select("media_id", "media_type")
     read = scan_read_schema(df)
     assert "content" not in read
+
+
+def test_mpng_frame_sampling_is_real(spark):
+    """MPNG containers decode for REAL: sampled frames are the exact
+    spec-valid PNGs packed at encode time, pixel-for-pixel."""
+    import numpy as np
+
+    from pinecone_datasets_spark.operators.media_codecs import (
+        decode_mpng,
+        decode_png,
+        encode_mpng,
+    )
+
+    rng = np.random.default_rng(11)
+    vids = {}
+    rows = []
+    for i in range(2):
+        frames = [
+            rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+            for _ in range(6)
+        ]
+        vids[f"mv{i}"] = frames
+        rows.append(
+            (
+                f"mv{i}",
+                "video",
+                encode_mpng(frames, interval_ms=500),
+                None,
+                None,
+                3000,
+                "mpng",
+            )
+        )
+    df = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    out = sample_video_frames(df, every_ms=1000)
+    got = {}
+    for r in out.collect():
+        got[(r["media_id"], r["ts_ms"])] = bytes(r["frame"])
+    # 6 frames x 500ms = 3000ms; ticks 0,1000,2000 -> frames 0,2,4
+    assert sorted(ts for (m, ts) in got if m == "mv0") == [0, 1000, 2000]
+    for mid, frames in vids.items():
+        for tick, idx in ((0, 0), (1000, 2), (2000, 4)):
+            px = decode_png(got[(mid, tick)])
+            np.testing.assert_array_equal(px, frames[idx])
+    # container roundtrip sanity
+    interval, fr = decode_mpng(rows[0][2])
+    assert interval == 500 and len(fr) == 6
