@@ -30,7 +30,12 @@ from .packing import (
     length_bucketed_batches,
     pack_documents,
 )
-from .pipeline import curate_corpus, curate_corpus_full, curation_funnel
+from .pipeline import (
+    curate_corpus,
+    curate_corpus_full,
+    curation_funnel,
+    quantile_bucket_by_group,
+)
 
 __all__ = [
     "topk_search",
@@ -65,4 +70,5 @@ __all__ = [
     "curate_corpus",
     "curate_corpus_full",
     "curation_funnel",
+    "quantile_bucket_by_group",
 ]
