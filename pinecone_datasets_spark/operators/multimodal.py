@@ -264,6 +264,97 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
     )
 
 
+SPECTRAL_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("band_energy", T.ArrayType(T.DoubleType()), True),
+        T.StructField("spectral_centroid_hz", T.DoubleType(), True),
+        T.StructField("rolloff_hz", T.DoubleType(), True),
+    ]
+)
+
+
+def audio_spectral_features(
+    media: DataFrame,
+    n_fft: int = 512,
+    n_bands: int = 8,
+    rolloff: float = 0.85,
+) -> DataFrame:
+    """binary WAV content → REAL frequency-domain features via NumPy
+    rfft (no audio libs needed): mean POWER (|X|²) in ``n_bands``
+    linear frequency bands, the power-weighted spectral centroid, and
+    the ``rolloff`` energy frequency — the triage features an audio-curation pipeline
+    gates on (silence/tone/speech-shaped spectra separate cleanly).
+
+    Frames of ``n_fft`` samples, Hann window, hop = n_fft // 2;
+    Arrow-batched ``mapInPandas`` like the other media kernels, NULLs
+    for undecodable rows.
+    """
+    _ship(media)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        win = np.hanning(n_fft)
+        for pdf in batches:
+            out = {
+                "media_id": pdf["media_id"],
+                "n_frames": [],
+                "band_energy": [],
+                "spectral_centroid_hz": [],
+                "rolloff_hz": [],
+            }
+            for content in pdf["content"]:
+                try:
+                    samples, rate = decode_wav(
+                        bytes(content) if content is not None else b""
+                    )
+                    x = samples.astype(np.float64)
+                    hop = n_fft // 2
+                    if len(x) < n_fft:
+                        x = np.pad(x, (0, n_fft - len(x)))
+                    starts = range(0, len(x) - n_fft + 1, hop)
+                    mags = np.stack(
+                        [
+                            np.abs(np.fft.rfft(x[s : s + n_fft] * win))
+                            for s in starts
+                        ]
+                    )
+                    # power, not magnitude: the Hann sidelobe floor is
+                    # ~-31 dB in magnitude across every bin and drags
+                    # the centroid toward mid-spectrum; squared it is
+                    # ~-62 dB and vanishes
+                    spec = (mags**2).mean(axis=0)
+                    freqs = np.fft.rfftfreq(n_fft, d=1.0 / max(rate, 1))
+                    bands = np.array_split(spec[1:], n_bands)
+                    total = spec[1:].sum()
+                    centroid = float(
+                        (freqs[1:] * spec[1:]).sum() / max(total, 1e-30)
+                    )
+                    cum = np.cumsum(spec[1:])
+                    ridx = int(
+                        np.searchsorted(cum, rolloff * max(total, 1e-30))
+                    )
+                    out["n_frames"].append(len(mags))
+                    out["band_energy"].append(
+                        [float(b.mean()) for b in bands]
+                    )
+                    out["spectral_centroid_hz"].append(centroid)
+                    out["rolloff_hz"].append(
+                        float(freqs[1:][min(ridx, len(freqs) - 2)])
+                    )
+                except (UnsupportedMediaError, IndexError, ValueError):
+                    out["n_frames"].append(None)
+                    out["band_energy"].append(None)
+                    out["spectral_centroid_hz"].append(None)
+                    out["rolloff_hz"].append(None)
+            out["n_frames"] = pd.array(out["n_frames"], dtype="Int32")
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "content").mapInPandas(
+        kernel, SPECTRAL_FEATURES_SCHEMA
+    )
+
+
 def sample_video_frames(
     media: DataFrame, every_ms: int = 1000, fake: bool = False
 ) -> DataFrame:

@@ -332,3 +332,44 @@ def test_mpng_frame_sampling_is_real(spark):
     # container roundtrip sanity
     interval, fr = decode_mpng(rows[0][2])
     assert interval == 500 and len(fr) == 6
+
+
+def test_audio_spectral_features_real_fft(spark):
+    """A pure tone's spectral centroid lands on its frequency and its
+    band energy concentrates in the covering band; broadband noise
+    spreads; garbage rows yield NULLs."""
+    import numpy as np
+
+    from pinecone_datasets_spark.operators.media_codecs import encode_wav
+    from pinecone_datasets_spark.operators.multimodal import (
+        audio_spectral_features,
+    )
+
+    rate = 16000
+    t = np.arange(rate) / rate  # 1 s
+    tone_hz = 3000.0
+    tone = 0.5 * np.sin(2 * np.pi * tone_hz * t)  # float [-1, 1]
+    rng = np.random.default_rng(3)
+    noise = rng.uniform(-0.5, 0.5, rate)
+    rows = [
+        ("tone", "audio", encode_wav(tone, rate), None, None, 1000, "wav"),
+        ("noise", "audio", encode_wav(noise, rate), None, None, 1000, "wav"),
+        ("junk", "audio", b"not a wav", None, None, None, "wav"),
+    ]
+    df = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    got = {
+        r["media_id"]: r
+        for r in audio_spectral_features(df, n_fft=512, n_bands=8).collect()
+    }
+    # tone: centroid within one FFT bin of 3 kHz; after dropping the
+    # DC bin, band i spans (1000*i, 1000*(i+1)] Hz — 3000 Hz is the
+    # closing bin of band 2
+    assert abs(got["tone"]["spectral_centroid_hz"] - tone_hz) < 100
+    be = got["tone"]["band_energy"]
+    assert be.index(max(be)) == 2
+    # white noise: centroid near mid-spectrum (4 kHz), energy spread
+    assert 3000 < got["noise"]["spectral_centroid_hz"] < 5000
+    nb = got["noise"]["band_energy"]
+    assert max(nb) < 5 * min(nb)
+    assert got["junk"]["spectral_centroid_hz"] is None
+    assert got["junk"]["band_energy"] is None
