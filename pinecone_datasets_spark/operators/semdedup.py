@@ -101,6 +101,7 @@ def semantic_dedup_pairs(
     dim: int = 64,
     bits: int = 6,
     seed: int = 13,
+    max_cell_rows: Optional[int] = None,
 ) -> DataFrame:
     """(id_a < id_b, cosine) pairs with cosine ≥ threshold **within the
     same cell**. With ``cell_col`` given, cells are taken as stored
@@ -110,10 +111,32 @@ def semantic_dedup_pairs(
     Plan: map-only cell assign → self-join on cell id (the only
     shuffle, keyed so each reducer holds one cell) → exact cosine on
     the surviving pairs only.
+
+    ``max_cell_rows`` is the fail-LOUD quadratic guard: a cell of m
+    members produces m²/2 candidate pairs, and real corpora concentrate
+    — when set, a hot cell raises with its size instead of silently
+    melting a reducer (raise ``bits`` or retrain the codebook; no
+    silent truncation, ever). One extra tiny aggregate job when enabled.
     """
     if cell_col is None:
         cell_col = "__sem_cell"
         df = srp_cells(df, vector_col, dim, bits, seed, cell_col)
+    if max_cell_rows is not None:
+        hot = (
+            cell_census(df, cell_col)
+            .where(F.col("n_members") > int(max_cell_rows))
+            .limit(5)
+            .collect()
+        )
+        if hot:
+            detail = ", ".join(
+                f"cell {r[cell_col]}: {r['n_members']} rows" for r in hot
+            )
+            raise ValueError(
+                f"semantic_dedup cell(s) exceed max_cell_rows="
+                f"{max_cell_rows} ({detail}); raise bits (cells halve "
+                "per bit) or retrain the cell codebook"
+            )
     cells = df.select(
         F.col(id_col), F.col(cell_col), F.col(vector_col)
     )

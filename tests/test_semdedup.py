@@ -181,3 +181,21 @@ def test_census_and_no_cartesian(spark, corpus):
         .toString()
     )
     assert "CartesianProduct" not in plan
+
+
+def test_quadratic_guard_fails_loud_on_hot_cell(spark, corpus):
+    """max_cell_rows must raise (naming the hot cell) instead of
+    silently melting a reducer — the no-silent-caps contract."""
+    small = corpus.limit(100)
+    with pytest.raises(ValueError, match="max_cell_rows"):
+        semantic_dedup_pairs(
+            corpus.withColumn("c", F.lit(7)),
+            threshold=0.95,
+            cell_col="c",
+            max_cell_rows=10,
+        )
+    # under the cap: runs normally
+    out = semantic_dedup_pairs(
+        small, threshold=0.95, bits=BITS, seed=SEED, max_cell_rows=1000
+    )
+    assert out.count() >= 0
