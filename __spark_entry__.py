@@ -1813,8 +1813,79 @@ def _nl(dtype: str):
     return F.lit(None).cast(dtype)
 
 
+def q78_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: monthly promo revenue share — conditional
+    aggregation over a broadcast part join (the CASE-ratio pattern)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(
+            F.date_format("l_shipdate", "yyyy-MM").alias("ship_month")
+        )
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(
+                    F.when(
+                        F.col("p_type").startswith("PROMO"), rev
+                    ).otherwise(F.lit(0.0))
+                )
+                / F.sum(rev),
+                4,
+            ).alias("promo_share")
+        )
+        .orderBy("ship_month")
+    )
+
+
+def q79_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: yearly market share of nation-1 suppliers within
+    EUROPE-customer revenue — a 6-way join (fact ⋈ fact ⋈ 4 broadcast
+    dims) feeding a conditional-ratio aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    eur = (
+        cust.join(
+            F.broadcast(nat), cust.c_nationkey == nat.n_nationkey
+        )
+        .join(
+            F.broadcast(
+                reg.where(F.col("r_name") == "EUROPE")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("c_custkey")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(eur), orders.o_custkey == F.col("c_custkey"))
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("s_nationkey") == 1, rev).otherwise(
+                        F.lit(0.0)
+                    )
+                )
+                / F.sum(rev),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
 def q02_q04_revenue_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """q02 (broadcast join + top-10) and q04 (5-way broadcast join), tagged."""
+    """q02 (broadcast join + top-10), q04 (5-way broadcast join), q78
+    (Q14-shape promo ratio), q79 (Q8-shape market share), tagged."""
     top = q02_top_customers(spark, sf_dir).select(
         F.lit("top_customers").alias("part"),
         F.col("c_custkey").cast("string").alias("k1"),
@@ -1829,7 +1900,26 @@ def q02_q04_revenue_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("revenue"),
         F.col("n_items"),
     )
-    return top.unionByName(reg).orderBy("part", "k1", "k2")
+    promo = q78_promo_share(spark, sf_dir).select(
+        F.lit("promo_share").alias("part"),
+        F.col("ship_month").alias("k1"),
+        F.lit("ALL").alias("k2"),
+        F.col("promo_share").alias("revenue"),
+        _nl("long").alias("n_items"),
+    )
+    mkt = q79_market_share(spark, sf_dir).select(
+        F.lit("mkt_share").alias("part"),
+        F.col("o_year").cast("string").alias("k1"),
+        F.lit("EUROPE").alias("k2"),
+        F.col("mkt_share").alias("revenue"),
+        _nl("long").alias("n_items"),
+    )
+    return (
+        top.unionByName(reg)
+        .unionByName(promo)
+        .unionByName(mkt)
+        .orderBy("part", "k1", "k2")
+    )
 
 
 def q03_q60_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4155,12 +4245,49 @@ def oracle_sql() -> dict[str, str]:
     )
     out["q02_q04_revenue_joins"] = f"""
 WITH top AS ({b['q02_top_customers']}),
-reg AS ({b['q04_region_revenue']})
+reg AS ({b['q04_region_revenue']}),
+promo AS (
+  SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+         round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                                THEN l_extendedprice * (1 - l_discount)
+                                ELSE 0.0 END)
+               / sum(l_extendedprice * (1 - l_discount)), 4)
+           AS promo_share
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1
+),
+eur AS (
+  SELECT c_custkey FROM customer
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+),
+mkt AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         round(sum(CASE WHEN s_nationkey = 1
+                        THEN l_extendedprice * (1 - l_discount)
+                        ELSE 0.0 END)
+               / sum(l_extendedprice * (1 - l_discount)), 6)
+           AS mkt_share
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN eur ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  GROUP BY 1
+)
 SELECT 'top_customers' AS part, CAST(c_custkey AS VARCHAR) AS k1,
        c_name AS k2, revenue, CAST(NULL AS BIGINT) AS n_items
 FROM top
 UNION ALL
 SELECT 'region_revenue', r_name, n_name, revenue, n_items FROM reg
+UNION ALL
+SELECT 'promo_share', ship_month, 'ALL', promo_share,
+       CAST(NULL AS BIGINT)
+FROM promo
+UNION ALL
+SELECT 'mkt_share', CAST(o_year AS VARCHAR), 'EUROPE', mkt_share,
+       CAST(NULL AS BIGINT)
+FROM mkt
 ORDER BY part, k1, k2
 """
     out["q03_q60_semi_anti"] = f"""
