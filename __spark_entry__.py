@@ -1883,6 +1883,36 @@ def q79_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q80_rich_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: per segment, customers with above-average
+    account balance (scalar-subquery gate — the average is computed over
+    positive balances only, broadcast as a one-row cross join) and no
+    1995 orders (anti-join against the pushed-down year slice)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(
+        F.year("o_orderdate") == 1995
+    )
+    avg_bal = cust.where(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("__avg")
+    )
+    rich = cust.join(F.broadcast(avg_bal)).where(
+        F.col("c_acctbal") > F.col("__avg")
+    )
+    return (
+        rich.join(orders, rich.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            # integer cents: sums differ across engines by ulps; a
+            # round-to-integer is immune where round(x, 2) is not
+            F.round(F.sum("c_acctbal") * 100)
+            .cast("long")
+            .alias("total_bal_cents"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 def q02_q04_revenue_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q02 (broadcast join + top-10), q04 (5-way broadcast join), q78
     (Q14-shape promo ratio), q79 (Q8-shape market share), tagged."""
@@ -1936,7 +1966,15 @@ def q03_q60_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_inactive").alias("n"),
         F.col("min_custkey"),
     )
-    return semi.unionByName(anti).orderBy("part", "grp")
+    rich = q80_rich_inactive(spark, sf_dir).select(
+        F.lit("rich_inactive").alias("part"),
+        F.col("c_mktsegment").alias("grp"),
+        F.col("n_cust").alias("n"),
+        F.col("total_bal_cents").alias("min_custkey"),
+    )
+    return (
+        semi.unionByName(anti).unionByName(rich).orderBy("part", "grp")
+    )
 
 
 def q05_q08_window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4292,12 +4330,26 @@ ORDER BY part, k1, k2
 """
     out["q03_q60_semi_anti"] = f"""
 WITH s_semi AS ({b['q03_priority_semijoin']}),
-s_anti AS ({b['q60_anti_join']})
+s_anti AS ({b['q60_anti_join']}),
+s_rich AS (
+  SELECT c_mktsegment, count(*)::BIGINT AS n_cust,
+         CAST(round(sum(c_acctbal) * 100) AS BIGINT) AS total_bal_cents
+  FROM customer c
+  WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                     WHERE c_acctbal > 0)
+    AND NOT EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey
+                      AND year(o.o_orderdate) = 1995)
+  GROUP BY c_mktsegment
+)
 SELECT 'semi' AS part, o_orderpriority AS grp, order_count AS n,
        CAST(NULL AS BIGINT) AS min_custkey
 FROM s_semi
 UNION ALL
 SELECT 'anti', c_mktsegment, n_inactive, min_custkey FROM s_anti
+UNION ALL
+SELECT 'rich_inactive', c_mktsegment, n_cust, total_bal_cents
+FROM s_rich
 ORDER BY part, grp
 """
     out["q05_q08_window_ranks"] = f"""
