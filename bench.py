@@ -286,6 +286,29 @@ def main() -> None:
         _, queries = emb_queries(100)
         return ivf_index_topk(spark, ivf_path, queries, k=10, nprobe=4)
 
+    jsonl_path = bench_tmp + "/docs_jsonl"
+    DOCS_TEXT_SCHEMA = (
+        "doc_id long, text string, lang string, "
+        "source string, n_chars long"
+    )
+
+    def bench_jsonl_ingest():
+        # First-hop ingest: gzipped JSONL → quarantining parse → corpus
+        # stats. The export is one-time setup (lazy, like the bm25/ivf
+        # indexes); the measured leg is the text scan + from_json +
+        # aggregate — the shape every crawl ingest starts with.
+        from pinecone_datasets_spark.sources.corpus import read_jsonl
+
+        if not os.path.isdir(jsonl_path):
+            spark.read.parquet(f"{SF_DIR}/documents.parquet").write.option(
+                "compression", "gzip"
+            ).json(jsonl_path)
+        got = read_jsonl(spark, jsonl_path, DOCS_TEXT_SCHEMA)
+        return got.good.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+
     headline = {
         "q01_scan_agg": lambda: em.q01_pricing_summary(spark, SF_DIR),
         "q02_join_topn": lambda: em.q02_top_customers(spark, SF_DIR),
@@ -319,6 +342,7 @@ def main() -> None:
         "bm25_search": bench_bm25_search,
         "ivf_build": bench_ivf_build,
         "ivf_search": bench_ivf_search,
+        "jsonl_ingest": bench_jsonl_ingest,
         "hybrid_rrf": lambda: em.q67_hybrid_rrf(spark, SF_DIR),
         "boilerplate_2gram": lambda: em.q75_boilerplate(spark, SF_DIR),
         "mixture_sample": lambda: em.q76_mixture(spark, SF_DIR),

@@ -9,12 +9,24 @@ from ..reader import read_documents, read_metadata, read_queries
 from ..writer import write_dataset, write_documents, write_queries
 from ..fs import FS, normalize_uri
 from .events import read_events
+from .corpus import (
+    CorpusRead,
+    read_csv,
+    read_jsonl,
+    read_text_files,
+    stream_jsonl,
+)
 
 __all__ = [
     "read_documents",
     "read_metadata",
     "read_queries",
     "read_events",
+    "CorpusRead",
+    "read_jsonl",
+    "read_csv",
+    "read_text_files",
+    "stream_jsonl",
     "write_dataset",
     "write_documents",
     "write_queries",

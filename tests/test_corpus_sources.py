@@ -1,0 +1,175 @@
+"""Corpus ingestion sources (sources/corpus.py): JSONL / CSV / raw text.
+
+Round-trip fidelity is proven against the driver's documents fixture:
+export it as JSONL (and CSV) with Spark, re-ingest with the corpus
+source, and require exact frame equality with the parquet original —
+the same golden-roundtrip style the reference uses for its own writer
+(`tests/integration/test_io_local.py:54-77`).
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from pinecone_datasets_spark.sources.corpus import (
+    CORRUPT_COL,
+    read_csv,
+    read_jsonl,
+    read_text_files,
+    stream_jsonl,
+)
+
+DOCS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), True),
+        StructField("text", StringType(), True),
+        StructField("lang", StringType(), True),
+        StructField("source", StringType(), True),
+        StructField("n_chars", LongType(), True),
+    ]
+)
+
+
+def _sorted_rows(df, cols=("doc_id",)):
+    return [tuple(r) for r in df.orderBy(*cols).collect()]
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+
+
+def test_jsonl_roundtrip_exact(spark, docs, tmp_path):
+    out = str(tmp_path / "docs_jsonl")
+    docs.write.json(out)
+    got = read_jsonl(spark, out, DOCS_SCHEMA)
+    assert got.good.columns == [f.name for f in DOCS_SCHEMA.fields]
+    assert got.quarantined.count() == 0
+    assert _sorted_rows(got.good) == _sorted_rows(docs)
+
+
+def test_jsonl_gzip_and_glob(spark, docs, tmp_path):
+    out = str(tmp_path / "docs_gz")
+    docs.write.option("compression", "gzip").json(out)
+    # a non-data file the glob must prune
+    with open(os.path.join(out, "README.txt"), "w") as fh:
+        fh.write("not data")
+    got = read_jsonl(spark, out, DOCS_SCHEMA, path_glob="*.json.gz")
+    assert got.good.count() == docs.count()
+    assert got.quarantined.count() == 0
+
+
+def test_jsonl_quarantines_corrupt_lines(spark, tmp_path):
+    p = tmp_path / "mixed.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "ok", "lang": "en", "source": "s", "n_chars": 2}\n'
+        "THIS IS NOT JSON\n"
+        '{"doc_id": 2, "text": "also ok", "lang": "de", "source": "s", "n_chars": 7}\n'
+        '{"doc_id": 3, "text": "truncated...\n'
+    )
+    got = read_jsonl(spark, str(p), DOCS_SCHEMA)
+    assert got.good.count() == 2
+    bad = got.quarantined.collect()
+    assert len(bad) == 2
+    assert {r["raw_record"] for r in bad} == {
+        "THIS IS NOT JSON",
+        '{"doc_id": 3, "text": "truncated...',
+    }
+    assert all(r["source_file"].endswith("mixed.jsonl") for r in bad)
+    # good frame carries no parser plumbing
+    assert CORRUPT_COL not in got.good.columns
+
+
+def test_jsonl_accepts_ddl_string_schema(spark, docs, tmp_path):
+    out = str(tmp_path / "docs_ddl")
+    docs.write.json(out)
+    got = read_jsonl(
+        spark,
+        out,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    assert _sorted_rows(got.good) == _sorted_rows(docs)
+
+
+def test_jsonl_rejects_schema_with_corrupt_col(spark, tmp_path):
+    bad_schema = StructType(
+        [StructField(CORRUPT_COL, StringType(), True)]
+    )
+    with pytest.raises(ValueError, match=CORRUPT_COL):
+        read_jsonl(spark, str(tmp_path), bad_schema)
+
+
+def test_jsonl_recursive_layout(spark, docs, tmp_path):
+    # nested crawl-style layout: shard dirs under a root
+    a = docs.where(F.col("doc_id") % 2 == 0)
+    b = docs.where(F.col("doc_id") % 2 == 1)
+    a.write.json(str(tmp_path / "root" / "shard=a"))
+    b.write.json(str(tmp_path / "root" / "shard=b"))
+    got = read_jsonl(
+        spark, str(tmp_path / "root"), DOCS_SCHEMA, recursive=True
+    )
+    assert got.good.count() == docs.count()
+
+
+def test_csv_roundtrip_and_arity_quarantine(spark, docs, tmp_path):
+    out = str(tmp_path / "docs_csv")
+    # the text column contains commas/newlines: quote+escape must survive
+    docs.write.option("header", True).option("quoteAll", True).csv(out)
+    got = read_csv(spark, out, DOCS_SCHEMA, header=True)
+    assert got.quarantined.count() == 0
+    assert _sorted_rows(got.good) == _sorted_rows(docs)
+
+    p = tmp_path / "bad.csv"
+    p.write_text(
+        "doc_id,text,lang,source,n_chars\n"
+        "1,ok,en,s,2\n"
+        "not_a_long,text,en,s,xxx\n"
+    )
+    got2 = read_csv(spark, str(p), DOCS_SCHEMA, header=True)
+    assert got2.good.where(F.col("doc_id") == 1).count() == 1
+    assert got2.quarantined.count() == 1
+
+
+def test_text_files_whole_and_lines(spark, tmp_path):
+    d = tmp_path / "raw"
+    d.mkdir()
+    (d / "a.txt").write_text("hello\nworld")
+    (d / "b.txt").write_text("second doc")
+    whole = read_text_files(spark, str(d), whole_files=True)
+    rows = {
+        os.path.basename(r["doc_path"]): r["text"]
+        for r in whole.collect()
+    }
+    assert rows == {"a.txt": "hello\nworld", "b.txt": "second doc"}
+    lines = read_text_files(spark, str(d), whole_files=False)
+    assert lines.count() == 3
+    assert set(lines.columns) == {"doc_path", "text"}
+
+
+def test_stream_jsonl_availablenow_equals_batch(spark, docs, tmp_path):
+    out = str(tmp_path / "stream_src")
+    docs.limit(50).write.json(out)
+    stream = stream_jsonl(spark, out, DOCS_SCHEMA, max_files_per_trigger=2)
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("corpus_stream_test")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from corpus_stream_test")
+    batch = read_jsonl(spark, out, DOCS_SCHEMA).good
+    assert _sorted_rows(got) == _sorted_rows(batch)
