@@ -286,6 +286,28 @@ def main() -> None:
         _, queries = emb_queries(100)
         return ivf_index_topk(spark, ivf_path, queries, k=10, nprobe=4)
 
+    ivfpq_path = bench_tmp + "/ivfpq"
+
+    def bench_ivfpq_build():
+        # IVF-PQ: coarse cells bound what a query scans, PQ codes bound
+        # the bytes per scanned vector (the searched representation is
+        # ~m bytes, raw vectors not stored). Build = 2 bounded driver
+        # trainings + map-only encode + partitioned write.
+        from pinecone_datasets_spark.operators.pq import build_ivfpq_index
+
+        docs, _ = emb_queries(0)
+        build_ivfpq_index(docs, ivfpq_path, n_centroids=16, m=16,
+                          n_codes=256, vector_col="values")
+        return spark.range(1)
+
+    def bench_ivfpq_search():
+        from pinecone_datasets_spark.operators.pq import ivfpq_index_topk
+
+        if not os.path.isdir(ivfpq_path):
+            bench_ivfpq_build()
+        _, queries = emb_queries(100)
+        return ivfpq_index_topk(spark, ivfpq_path, queries, k=10, nprobe=4)
+
     jsonl_path = bench_tmp + "/docs_jsonl"
     DOCS_TEXT_SCHEMA = (
         "doc_id long, text string, lang string, "
@@ -342,6 +364,8 @@ def main() -> None:
         "bm25_search": bench_bm25_search,
         "ivf_build": bench_ivf_build,
         "ivf_search": bench_ivf_search,
+        "ivfpq_build": bench_ivfpq_build,
+        "ivfpq_search": bench_ivfpq_search,
         "jsonl_ingest": bench_jsonl_ingest,
         "hybrid_rrf": lambda: em.q67_hybrid_rrf(spark, SF_DIR),
         "boilerplate_2gram": lambda: em.q75_boilerplate(spark, SF_DIR),

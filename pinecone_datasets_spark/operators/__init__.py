@@ -30,6 +30,13 @@ from .packing import (
     length_bucketed_batches,
     pack_documents,
 )
+from .pq import (
+    build_ivfpq_index,
+    ivfpq_index_topk,
+    pq_encode,
+    pq_topk,
+    train_pq_codebooks,
+)
 from .pipeline import (
     curate_corpus,
     curate_corpus_full,
@@ -39,6 +46,11 @@ from .pipeline import (
 
 __all__ = [
     "topk_search",
+    "build_ivfpq_index",
+    "ivfpq_index_topk",
+    "pq_encode",
+    "pq_topk",
+    "train_pq_codebooks",
     "topk_single",
     "ann_lsh_topk",
     "exact_dedup",

@@ -1,0 +1,569 @@
+"""Product quantization (PQ) and IVF-PQ: the ANN memory path at 100 TB.
+
+IVF (`ivf.py`) bounds how much of the corpus a query SCANS (nprobe cells
+of n). PQ bounds how many bytes per vector the scan READS: each vector
+is split into ``m`` subvectors, each subvector replaced by the id of its
+nearest codeword in a per-subspace codebook of ``n_codes`` entries. At
+``m=96, n_codes=256`` a dim-768 float32 vector (3,072 B) becomes 96
+one-byte codes — 32× less I/O and cache footprint, which is the
+difference between an index that fits the page cache and one that
+doesn't. This is the IVFADC layout of Jégou, Douze & Schmid, "Product
+Quantization for Nearest Neighbor Search" (TPAMI 2011) — the FAISS
+workhorse — re-expressed as DataFrame ops:
+
+  train:  bounded driver sample → per-subspace Lloyd (m independent,
+          tiny KMeans problems; same sample-suffices argument as IVF
+          coarse training)
+  encode: map-only Arrow kernel, one argmin matmul per subspace per
+          batch; NO shuffle — codes are just a new column
+  search: ADC (asymmetric distance computation) — each query
+          precomputes an (m × n_codes) lookup table of partial dot
+          products; scoring a candidate is m table gathers + adds,
+          never a reconstruction. Tables ride into tasks as a NumPy
+          closure; only (query, doc, score) triples ever shuffle.
+
+Exactness anchor (tested): ADC against codes equals brute-force scoring
+against the decoded reconstructions bit-for-bit up to float summation
+order — approximation comes ONLY from quantizing the corpus, never from
+the scoring path. Cosine uses the reconstruction norm, which decomposes
+exactly across subspaces (the concatenation is orthogonal), so it too
+is pure table lookups.
+
+The reference stores raw dense vectors and delegates search
+(`cfg.py:25`, `MAINTAINERS.md:100-102`); compression of the stored
+representation is out of its scope entirely — this module is Layer-B
+scale engineering on the same data model.
+"""
+
+from __future__ import annotations
+
+import json as _json
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, DoubleType, IntegerType
+
+from .ivf import _sq_dists, assign_cells, train_centroids_local
+
+
+def _lloyd(m: np.ndarray, k: int, seed: int, max_iter: int) -> np.ndarray:
+    """Seeded NumPy Lloyd on a local sample (same recipe as
+    ``ivf.train_centroids_local``, reused per subspace).
+
+    Means via per-dimension ``bincount`` (O(n·d) scatter-add) instead of
+    a per-centroid boolean-mask loop (O(n·k)) — at n_codes=256 on a
+    100k sample that loop was the whole IVF-PQ build cost.
+    """
+    rng = np.random.default_rng(seed)
+    k = min(k, len(m))
+    init = rng.choice(len(m), size=k, replace=False)
+    c = m[np.sort(init)].copy()
+    d = m.shape[1]
+    for _ in range(max_iter):
+        assign = np.argmin(_sq_dists(m, c), axis=1)
+        counts = np.bincount(assign, minlength=k).astype(np.float64)
+        sums = np.empty((k, d), dtype=np.float64)
+        for t in range(d):
+            sums[:, t] = np.bincount(
+                assign, weights=m[:, t], minlength=k
+            )
+        empty = counts == 0
+        new_c = sums / np.maximum(counts, 1.0)[:, None]
+        new_c[empty] = c[empty]
+        if np.allclose(new_c, c, atol=1e-9):
+            return new_c
+        c = new_c
+    return c
+
+
+def train_pq_codebooks(
+    documents: DataFrame,
+    m: int = 8,
+    n_codes: int = 256,
+    vector_col: str = "values",
+    sample_cap: int = 100_000,
+    seed: int = 42,
+    max_iter: int = 20,
+) -> np.ndarray:
+    """Per-subspace codebooks, shape ``(m, n_codes, dim//m)``.
+
+    One bounded-sample collect (the SAME scale argument as IVF coarse
+    training: codebooks represent the distribution, not the corpus), then
+    ``m`` independent small KMeans problems locally — each is
+    (sample × dim/m), so the whole training fits in driver memory at any
+    corpus size. Deterministic for fixed (seed, sample).
+    """
+    n = documents.count()
+    frac = min(1.0, sample_cap / max(n, 1))
+    src = documents.select(F.col(vector_col).alias("_v"))
+    if frac < 1.0:
+        src = src.sample(fraction=frac, seed=seed)
+    sample = np.asarray(
+        [np.asarray(v, dtype=np.float64) for (v,) in src.collect()]
+    )
+    dim = sample.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    books = np.zeros((m, n_codes, dsub), dtype=np.float64)
+    for j in range(m):
+        sub = sample[:, j * dsub : (j + 1) * dsub]
+        cb = _lloyd(sub, n_codes, seed + j, max_iter)
+        books[j, : len(cb)] = cb
+        if len(cb) < n_codes:
+            # sample smaller than the codebook: repeat the last codeword
+            # so code ids stay dense and decode never indexes junk
+            books[j, len(cb) :] = cb[-1]
+    return books
+
+
+def _encode_udf(codebooks: np.ndarray):
+    """vec -> array<int> of ``m`` code ids; one argmin matmul per
+    subspace per Arrow batch. At rest parquet dictionary+RLE encoding
+    stores the small ints in ~1 byte each."""
+    books = np.ascontiguousarray(codebooks, dtype=np.float64)
+    m, _, dsub = books.shape
+
+    def kernel(vecs: pd.Series) -> pd.Series:
+        mat = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        if len(mat) == 0:
+            return pd.Series([], dtype=object)
+        codes = np.empty((len(mat), m), dtype=np.int32)
+        for j in range(m):
+            sub = mat[:, j * dsub : (j + 1) * dsub]
+            codes[:, j] = np.argmin(_sq_dists(sub, books[j]), axis=1)
+        return pd.Series(list(codes))
+
+    return F.pandas_udf(kernel, ArrayType(IntegerType()))
+
+
+def pq_encode(
+    documents: DataFrame,
+    codebooks: np.ndarray,
+    vector_col: str = "values",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Add the PQ code column (map-only; no shuffle)."""
+    return documents.withColumn(
+        code_col, _encode_udf(codebooks)(F.col(vector_col))
+    )
+
+
+def pq_decode_udf(codebooks: np.ndarray):
+    """code array -> reconstructed vector (codeword concatenation).
+    The test anchor: ADC scores must equal scoring these."""
+    books = np.ascontiguousarray(codebooks, dtype=np.float64)
+    m, _, dsub = books.shape
+
+    def kernel(codes: pd.Series) -> pd.Series:
+        arr = np.asarray([np.asarray(c, dtype=np.int64) for c in codes])
+        if len(arr) == 0:
+            return pd.Series([], dtype=object)
+        out = np.empty((len(arr), m * dsub), dtype=np.float64)
+        for j in range(m):
+            out[:, j * dsub : (j + 1) * dsub] = books[j][arr[:, j]]
+        return pd.Series(list(out))
+
+    return F.pandas_udf(kernel, ArrayType(DoubleType()))
+
+
+def _adc_luts(
+    codebooks: np.ndarray, query_matrix: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """(dot-LUTs, norm²-LUT).
+
+    ``luts[q, j, c]`` = dot(query_q subspace j, codeword c of book j) —
+    one (Q·m × n_codes) matmul. ``norm2[j, c]`` = ||codeword||²; the
+    reconstruction norm is their sum over j because subspaces are
+    orthogonal coordinate blocks.
+    """
+    books = np.ascontiguousarray(codebooks, dtype=np.float64)
+    m, n_codes, dsub = books.shape
+    q = np.ascontiguousarray(query_matrix, dtype=np.float64)
+    qsub = q.reshape(len(q), m, dsub)
+    luts = np.einsum("qjd,jcd->qjc", qsub, books)
+    norm2 = (books * books).sum(axis=2)
+    return luts, norm2
+
+
+def _adc_score_udf(
+    luts: np.ndarray, norm2: Optional[np.ndarray]
+):
+    """codes -> array of per-query ADC scores (dot, or cosine when the
+    norm² LUT is given — queries must then be pre-normalized). Scoring
+    is ``m`` table gathers per batch, no reconstruction."""
+    nq, m, _ = luts.shape
+
+    def kernel(codes: pd.Series) -> pd.Series:
+        arr = np.asarray([np.asarray(c, dtype=np.int64) for c in codes])
+        if len(arr) == 0:
+            return pd.Series([], dtype=object)
+        dots = np.zeros((nq, len(arr)), dtype=np.float64)
+        for j in range(m):
+            dots += luts[:, j, arr[:, j]]
+        if norm2 is not None:
+            rn = np.zeros(len(arr), dtype=np.float64)
+            for j in range(m):
+                rn += norm2[j, arr[:, j]]
+            dots /= np.maximum(np.sqrt(rn), 1e-30)
+        return pd.Series(list(dots.T))
+
+    return F.pandas_udf(kernel, ArrayType(DoubleType()))
+
+
+def pq_topk(
+    documents_with_codes: DataFrame,
+    codebooks: np.ndarray,
+    query_matrix: np.ndarray,
+    query_ids: list,
+    k: int = 5,
+    metric: str = "cosine",
+    doc_id_col: str = "id",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Per-query top-k over PQ codes via ADC — the compressed-domain twin
+    of ``search.topk_search_arrow`` (same output contract: query_id, doc
+    id, score, rank). The corpus scan reads only (id, codes); the one
+    shuffle carries (query, doc, score) triples into the windowed
+    partial top-k."""
+    q = np.asarray(query_matrix, dtype=np.float64)
+    if metric == "cosine":
+        q = q / np.maximum(
+            np.linalg.norm(q, axis=1, keepdims=True), 1e-30
+        )
+        luts, norm2 = _adc_luts(codebooks, q)
+    elif metric == "dot":
+        luts, norm2 = _adc_luts(codebooks, q)
+        norm2 = None
+    else:
+        raise ValueError(f"unsupported metric: {metric}")
+    udf = _adc_score_udf(luts, norm2)
+    # outer + null filter: a non-outer generate lets Catalyst infer
+    # size(scores)>0 as a filter that re-runs the scoring UDF per row
+    # (same trap as search.topk_search_arrow).
+    scored = documents_with_codes.select(
+        F.col(doc_id_col),
+        F.posexplode_outer(udf(F.col(code_col))).alias("_qidx", "score"),
+    ).where(F.col("_qidx").isNotNull())
+    qid = F.element_at(F.lit(list(query_ids)), F.col("_qidx") + 1).alias(
+        "query_id"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.col(doc_id_col)
+    )
+    return (
+        scored.select(qid, F.col(doc_id_col), F.col("score"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: persisted cell-partitioned layout with PQ-coded (residual) vectors
+# ---------------------------------------------------------------------------
+
+IVFPQ_META_FILE = "_ivfpq_meta.json"
+
+
+def _residual_encode_udf(codebooks: np.ndarray, centroids: np.ndarray):
+    """(vec, cell) -> PQ code of (vec - coarse_centroid[cell]).
+
+    Residual coding is what makes PQ work WITH a coarse quantizer: inside
+    a cell the residuals live near the origin with far less variance than
+    raw vectors, so the same (m, n_codes) budget buys much finer
+    resolution (Jégou et al. §III-C, "IVFADC").
+    """
+    books = np.ascontiguousarray(codebooks, dtype=np.float64)
+    cents = np.ascontiguousarray(centroids, dtype=np.float64)
+    m, _, dsub = books.shape
+
+    def kernel(vecs: pd.Series, cells: pd.Series) -> pd.Series:
+        mat = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        if len(mat) == 0:
+            return pd.Series([], dtype=object)
+        mat = mat - cents[np.asarray(cells, dtype=np.int64)]
+        codes = np.empty((len(mat), m), dtype=np.int32)
+        for j in range(m):
+            sub = mat[:, j * dsub : (j + 1) * dsub]
+            codes[:, j] = np.argmin(_sq_dists(sub, books[j]), axis=1)
+        return pd.Series(list(codes))
+
+    return F.pandas_udf(kernel, ArrayType(IntegerType()))
+
+
+def build_ivfpq_index(
+    documents: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    m: int = 8,
+    n_codes: int = 256,
+    vector_col: str = "values",
+    doc_id_col: str = "id",
+    metric: str = "cosine",
+    residual: bool = True,
+    store_vectors: bool = False,
+    seed: int = 42,
+    cell_col: str = "ivf_cell",
+    code_col: str = "pq_code",
+) -> None:
+    """Train coarse + PQ codebooks, encode, persist.
+
+    Layout: parquet partitioned by cell id, rows = (id, pq_code) — the
+    whole point is that the searched representation is ~m bytes/vector,
+    so raw vectors are NOT stored unless ``store_vectors=True`` (needed
+    only when exact refine should avoid a join back to the corpus).
+    Codebooks + centroids ride in a JSON sidecar (m·n_codes·dim/m + 
+    n_centroids·dim doubles — KBs, not data).
+
+    Two bounded driver samples train everything; encoding is map-only;
+    the partitioned write is the only shuffle-ish cost (split by an
+    already-computed column).
+    """
+    cents = train_centroids_local(
+        documents, n_centroids=n_centroids, vector_col=vector_col, seed=seed
+    )
+    assigned = assign_cells(
+        documents, cents, vector_col=vector_col, metric=metric,
+        cell_col=cell_col,
+    )
+    if residual:
+        # train the PQ books on residuals: broadcast the (tiny) centroid
+        # table, subtract per row, sample inside train_pq_codebooks
+        cent_df = documents.sparkSession.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+            f"{cell_col} int, __cent array<double>",
+        )
+        res_frame = (
+            assigned.join(F.broadcast(cent_df), cell_col)
+            .withColumn(
+                "_res",
+                F.expr(f"zip_with({vector_col}, __cent, (x, c) -> x - c)"),
+            )
+        )
+        books = train_pq_codebooks(
+            res_frame, m=m, n_codes=n_codes, vector_col="_res", seed=seed
+        )
+        coded = assigned.withColumn(
+            code_col,
+            _residual_encode_udf(books, cents)(
+                F.col(vector_col), F.col(cell_col)
+            ),
+        )
+    else:
+        books = train_pq_codebooks(
+            documents, m=m, n_codes=n_codes, vector_col=vector_col, seed=seed
+        )
+        coded = pq_encode(
+            assigned, books, vector_col=vector_col, code_col=code_col
+        )
+    cols = [doc_id_col, code_col, cell_col]
+    if store_vectors:
+        cols.insert(1, vector_col)
+    coded.select(*cols).write.partitionBy(cell_col).mode(
+        "overwrite"
+    ).parquet(path)
+
+    from ..fs import FS, join as _join
+
+    FS(documents.sparkSession).write_text(
+        _join(path, IVFPQ_META_FILE),
+        _json.dumps(
+            {
+                "metric": metric,
+                "residual": residual,
+                "cell_col": cell_col,
+                "code_col": code_col,
+                "doc_id_col": doc_id_col,
+                "centroids": cents.tolist(),
+                "codebooks": books.tolist(),
+            }
+        ),
+    )
+
+
+def load_ivfpq_index(spark, path: str):
+    """(lazy coded scan, meta dict with NumPy codebooks/centroids)."""
+    from ..fs import FS, join as _join
+
+    meta = _json.loads(FS(spark).read_text(_join(path, IVFPQ_META_FILE)))
+    meta["centroids"] = np.asarray(meta["centroids"], dtype=np.float64)
+    meta["codebooks"] = np.asarray(meta["codebooks"], dtype=np.float64)
+    return spark.read.parquet(path), meta
+
+
+def _pair_score_udf(
+    qluts: np.ndarray,
+    nluts: Optional[np.ndarray],
+    dot_bias: np.ndarray,
+    norm_bias: Optional[np.ndarray],
+):
+    """(codes, pair_id) -> ADC score under that (query, cell) pair.
+
+    Residual scoring decomposed into pure lookups:
+      dot(q, c + r)   = [q·c]            + Σ_j qlut[pair, j, code_j]
+      ||c + r||²      = [||c||²]         + Σ_j nlut[pair, j, code_j]
+    where nlut folds 2·c·r + ||r||² per codeword. The bracketed biases
+    and both tables are precomputed per (query, cell) probe pair —
+    P·m·n_codes doubles, a few MB for hundreds of queries — and ride
+    into tasks as the UDF closure.
+    """
+    ql = np.ascontiguousarray(qluts, dtype=np.float64)
+    _, m, _ = ql.shape
+
+    def kernel(codes: pd.Series, pairs: pd.Series) -> pd.Series:
+        arr = np.asarray([np.asarray(c, dtype=np.int64) for c in codes])
+        if len(arr) == 0:
+            return pd.Series([], dtype="float64")
+        pid = np.asarray(pairs, dtype=np.int64)
+        dots = dot_bias[pid].copy()
+        for j in range(m):
+            dots += ql[pid, j, arr[:, j]]
+        if nluts is not None:
+            norms = norm_bias[pid].copy()
+            for j in range(m):
+                norms += nluts[pid, j, arr[:, j]]
+            dots /= np.maximum(np.sqrt(np.maximum(norms, 0.0)), 1e-30)
+        return pd.Series(dots)
+
+    return F.pandas_udf(kernel, DoubleType())
+
+
+def ivfpq_index_topk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    refine: Optional[int] = None,
+    documents: Optional[DataFrame] = None,
+    query_id_col: str = "query_id",
+    query_vector_col: str = "vector",
+) -> DataFrame:
+    """Top-k against a persisted IVF-PQ index.
+
+    Per query: rank cells by the coarse codebook (driver NumPy — the
+    codebook is KBs), scan ONLY the probed cells' directories (partition
+    pruning on the stored cell column), ADC-score their codes, windowed
+    partial top-k. ``refine=R`` keeps R·k ADC candidates per query and
+    exactly re-scores them against ``documents`` (id → raw vector
+    broadcast-joinable candidate set, R·k·Q rows) — the standard
+    two-stage recall recovery for aggressive compression.
+    """
+    coded, meta = load_ivfpq_index(spark, path)
+    books, cents = meta["codebooks"], meta["centroids"]
+    metric, residual = meta["metric"], meta["residual"]
+    cell_col, code_col = meta["cell_col"], meta["code_col"]
+    doc_id_col = meta["doc_id_col"]
+    m, n_codes, dsub = books.shape
+
+    qrows = queries.select(query_id_col, query_vector_col).collect()
+    qmat = np.asarray(
+        [np.asarray(r[query_vector_col], dtype=np.float64) for r in qrows]
+    )
+    qn = qmat
+    if metric == "cosine":
+        qn = qmat / np.maximum(
+            np.linalg.norm(qmat, axis=1, keepdims=True), 1e-30
+        )
+        cn = cents / np.maximum(
+            np.linalg.norm(cents, axis=1, keepdims=True), 1e-30
+        )
+        probe_order = np.argsort(-(qn @ cn.T), axis=1, kind="stable")
+    else:
+        d = _sq_dists(qmat, cents)
+        probe_order = np.argsort(d, axis=1, kind="stable")
+    probe_cells = probe_order[:, : min(nprobe, len(cents))]
+
+    # Per-(query, cell) pair tables. Residual geometry:
+    #   qlut[p, j, c] = dot(q_sub, codeword)            (+ bias q·cent)
+    #   nlut[p, j, c] = 2·dot(cent_sub, cw) + ||cw||²   (+ bias ||cent||²)
+    # With residual=False the centroid contribution is identically zero.
+    csub = cents.reshape(len(cents), m, dsub)
+    base_qlut = np.einsum("qjd,jcd->qjc", qn.reshape(len(qn), m, dsub), books)
+    cw_norm2 = (books * books).sum(axis=2)  # (m, n_codes)
+    cent_dot = np.einsum("kjd,jcd->kjc", csub, books)  # (cells, m, n_codes)
+
+    pair_rows = []
+    qluts, nluts, dot_bias, norm_bias = [], [], [], []
+    need_norm = metric == "cosine"
+    for qi, r in enumerate(qrows):
+        for cell in probe_cells[qi]:
+            pid = len(pair_rows)
+            pair_rows.append((r[query_id_col], int(cell), pid))
+            qluts.append(base_qlut[qi])
+            dot_bias.append(
+                float(qn[qi] @ cents[cell]) if residual else 0.0
+            )
+            if need_norm:
+                nl = cw_norm2.copy()
+                if residual:
+                    nl = nl + 2.0 * cent_dot[cell]
+                nluts.append(nl)
+                norm_bias.append(
+                    float(cents[cell] @ cents[cell]) if residual else 0.0
+                )
+    qluts = np.stack(qluts)
+    dot_bias = np.asarray(dot_bias)
+    nluts_arr = np.stack(nluts) if need_norm else None
+    norm_bias_arr = np.asarray(norm_bias) if need_norm else None
+
+    from pyspark.sql import types as T
+
+    qid_type = queries.schema[query_id_col].dataType
+    probe_df = spark.createDataFrame(
+        pair_rows,
+        T.StructType(
+            [
+                T.StructField(query_id_col, qid_type, True),
+                T.StructField(cell_col, T.IntegerType(), False),
+                T.StructField("_pair", T.IntegerType(), False),
+            ]
+        ),
+    )
+    probed = sorted({int(c) for row in probe_cells for c in row})
+    # isin over the stored partition column → directory-level pruning
+    candidates = coded.where(F.col(cell_col).isin(probed)).join(
+        F.broadcast(probe_df), cell_col
+    )
+    scored = candidates.select(
+        F.col(query_id_col),
+        F.col(doc_id_col),
+        _pair_score_udf(qluts, nluts_arr, dot_bias, norm_bias_arr)(
+            F.col(code_col), F.col("_pair")
+        ).alias("score"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("score"), F.col(doc_id_col)
+    )
+    ranked = scored.withColumn("rank", F.row_number().over(w))
+    if refine is None:
+        return ranked.where(F.col("rank") <= k)
+    if documents is None:
+        raise ValueError("refine requires the documents frame")
+    from ..functions.vector import cosine_similarity, dot_product
+
+    shortlist = ranked.where(F.col("rank") <= int(refine) * k).drop(
+        "rank", "score"
+    )
+    qvec_df = queries.select(query_id_col, query_vector_col)
+    exact = (
+        shortlist.join(
+            documents.select(doc_id_col, "values"), doc_id_col
+        )
+        .join(F.broadcast(qvec_df), query_id_col)
+        .select(
+            F.col(query_id_col),
+            F.col(doc_id_col),
+            (
+                cosine_similarity("values", query_vector_col)
+                if metric == "cosine"
+                else dot_product("values", query_vector_col)
+            ).alias("score"),
+        )
+    )
+    return exact.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )

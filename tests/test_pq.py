@@ -1,0 +1,188 @@
+"""Product quantization + IVF-PQ (operators/pq.py).
+
+The correctness spine is the ADC-equals-reconstruction anchor: ADC
+scoring against codes must equal brute-force scoring against the
+decoded reconstructions — so the ONLY approximation is the corpus
+quantization itself, which the recall tests then bound.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pinecone_datasets_spark.operators.pq import (
+    build_ivfpq_index,
+    ivfpq_index_topk,
+    pq_decode_udf,
+    pq_encode,
+    pq_topk,
+    train_pq_codebooks,
+)
+from pinecone_datasets_spark.operators.search import topk_search_arrow
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return emb.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("values")
+    )
+
+
+@pytest.fixture(scope="module")
+def qmat(corpus):
+    rows = corpus.where(F.col("id") < 20).orderBy("id").collect()
+    ids = [r["id"] for r in rows]
+    mat = np.asarray([r["values"] for r in rows], dtype=np.float64)
+    return ids, mat
+
+
+def test_codebook_shape_and_determinism(corpus):
+    b1 = train_pq_codebooks(corpus, m=8, n_codes=16, seed=7)
+    b2 = train_pq_codebooks(corpus, m=8, n_codes=16, seed=7)
+    assert b1.shape == (8, 16, 8)  # dim 64 → dsub 8
+    assert np.array_equal(b1, b2)
+    with pytest.raises(ValueError, match="not divisible"):
+        train_pq_codebooks(corpus, m=7)
+
+
+def test_encode_shape_and_code_range(corpus):
+    books = train_pq_codebooks(corpus, m=8, n_codes=16)
+    coded = pq_encode(corpus, books)
+    row = coded.select("pq_code").limit(5).collect()
+    for r in row:
+        assert len(r["pq_code"]) == 8
+        assert all(0 <= c < 16 for c in r["pq_code"])
+
+
+def test_adc_equals_reconstruction_scoring(spark, corpus, qmat):
+    """The anchor: top-k by ADC over codes == top-k by exact scoring of
+    the decoded reconstructions, scores equal to float tolerance."""
+    ids, mat = qmat
+    books = train_pq_codebooks(corpus, m=8, n_codes=16)
+    coded = pq_encode(corpus, books)
+    recon = coded.select(
+        "id", pq_decode_udf(books)(F.col("pq_code")).alias("values")
+    )
+    for metric in ("dot", "cosine"):
+        adc = pq_topk(coded, books, mat, ids, k=5, metric=metric)
+        exact = topk_search_arrow(recon, mat, ids, k=5, metric=metric)
+        a = {
+            (r["query_id"], r["rank"]): (r["id"], r["score"])
+            for r in adc.collect()
+        }
+        e = {
+            (r["query_id"], r["rank"]): (r["id"], r["score"])
+            for r in exact.collect()
+        }
+        assert set(a) == set(e)
+        for key in a:
+            assert a[key][0] == e[key][0], (metric, key, a[key], e[key])
+            assert abs(a[key][1] - e[key][1]) < 1e-9
+
+
+def test_zero_quantization_error_is_exact(spark):
+    """A corpus whose subvectors all appear in the codebook quantizes
+    losslessly — PQ top-k must then equal raw top-k exactly."""
+    rng = np.random.default_rng(3)
+    # 4 subspaces × 4 distinct patterns each → every vector representable
+    patterns = rng.normal(size=(4, 4, 2))
+    vecs = []
+    for i in range(64):
+        vecs.append(
+            np.concatenate([patterns[j][(i >> j) % 4] for j in range(4)])
+        )
+    spark_df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "id long, values array<double>",
+    )
+    books = train_pq_codebooks(spark_df, m=4, n_codes=8, seed=1)
+    coded = pq_encode(spark_df, books)
+    qmat = np.asarray(vecs[:5])
+    adc = pq_topk(coded, books, qmat, list(range(5)), k=3, metric="cosine")
+    exact = topk_search_arrow(
+        spark_df, qmat, list(range(5)), k=3, metric="cosine"
+    )
+    a = [(r["query_id"], r["rank"], r["id"]) for r in adc.collect()]
+    e = [(r["query_id"], r["rank"], r["id"]) for r in exact.collect()]
+    assert sorted(a) == sorted(e)
+    # self-match survives quantization
+    top1 = {r["query_id"]: r["id"] for r in adc.collect() if r["rank"] == 1}
+    assert top1 == {q: q for q in range(5)}
+
+
+def _recall(approx_df, exact_df, k):
+    a = {}
+    for r in approx_df.collect():
+        a.setdefault(r["query_id"], set()).add(r["id"])
+    hits = tot = 0
+    for r in exact_df.collect():
+        if r["rank"] <= k:
+            tot += 1
+            if r["id"] in a.get(r["query_id"], set()):
+                hits += 1
+    return hits / max(tot, 1)
+
+
+def test_ivfpq_index_roundtrip_recall_and_pruning(
+    spark, corpus, qmat, tmp_path
+):
+    ids, mat = qmat
+    path = str(tmp_path / "ivfpq")
+    build_ivfpq_index(
+        corpus, path, n_centroids=8, m=16, n_codes=256, metric="cosine"
+    )
+    queries = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in zip(ids, mat)],
+        "query_id long, vector array<double>",
+    )
+    res = ivfpq_index_topk(spark, path, queries, k=5, nprobe=4)
+    assert res.columns == ["query_id", "id", "score", "rank"]
+    assert res.count() == len(ids) * 5
+
+    # partition pruning: the probe plan must carry partition filters on
+    # the stored cell column, not scan every directory
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "ivf_cell" in plan
+
+    # Recall bounds are empirical on the synthetic fixture (near-random
+    # 64-dim vectors — VQ's worst case; measured 0.69 / 1.0 with margin).
+    exact = topk_search_arrow(corpus, mat, ids, k=5, metric="cosine")
+    rec = _recall(res, exact, k=5)
+    assert rec >= 0.55, rec
+
+    # exact refine over a wide probe recovers full recall: the shortlist
+    # covers the true neighbors, and re-scoring is exact
+    refined = ivfpq_index_topk(
+        spark, path, queries, k=5, nprobe=8, refine=4, documents=corpus
+    )
+    rec_refined = _recall(refined, exact, k=5)
+    assert rec_refined >= 0.95, rec_refined
+
+
+def test_ivfpq_residual_beats_plain_at_same_budget(
+    spark, corpus, qmat, tmp_path
+):
+    """Residual coding is the reason IVF-PQ exists: same (m, n_codes)
+    budget, measurably better quantization. Compare mean ADC score gap
+    to exact instead of recall (less variance at fixture scale)."""
+    ids, mat = qmat
+    queries = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in zip(ids, mat)],
+        "query_id long, vector array<double>",
+    )
+    exact = topk_search_arrow(corpus, mat, ids, k=5, metric="cosine")
+    recalls = {}
+    for residual in (True, False):
+        p = str(tmp_path / f"idx_{residual}")
+        build_ivfpq_index(
+            corpus, p, n_centroids=8, m=8, n_codes=16,
+            metric="cosine", residual=residual,
+        )
+        res = ivfpq_index_topk(spark, p, queries, k=5, nprobe=8)
+        recalls[residual] = _recall(res, exact, k=5)
+    # nprobe=8 of 8 cells = exhaustive scan, so the difference is purely
+    # quantization quality
+    assert recalls[True] >= recalls[False], recalls
