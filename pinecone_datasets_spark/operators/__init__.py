@@ -30,6 +30,7 @@ from .packing import (
     length_bucketed_batches,
     pack_documents,
 )
+from .sketch import kmv_distinct, mg_heavy_hitters
 from .pq import (
     build_ivfpq_index,
     ivfpq_index_topk,
@@ -47,6 +48,8 @@ from .pipeline import (
 __all__ = [
     "topk_search",
     "build_ivfpq_index",
+    "kmv_distinct",
+    "mg_heavy_hitters",
     "ivfpq_index_topk",
     "pq_encode",
     "pq_topk",

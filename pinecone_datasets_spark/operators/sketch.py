@@ -121,3 +121,123 @@ SELECT {grp_sel}
             ELSE ({k} - 1) / kth END AS {out_col}
 FROM topk
 """
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters: frequent items without a distinct-key shuffle
+# ---------------------------------------------------------------------------
+
+
+def mg_heavy_hitters(
+    df: DataFrame,
+    value_col: str,
+    capacity: int = 1024,
+    min_share: float = 0.0,
+) -> DataFrame:
+    """Frequent items via per-partition Misra-Gries summaries.
+
+    The exact answer (``groupBy(value).count()``) shuffles every
+    distinct key; over n-grams or URLs at 100 TB the distinct-key space
+    is billions of rows and the shuffle IS the job. A Misra-Gries
+    summary (Misra & Gries 1982; mergeability per Agarwal et al.,
+    "Mergeable Summaries", PODS'12) keeps at most ``capacity`` counters
+    per partition: each partition streams its rows once in
+    ``mapInPandas`` and emits ≤ capacity (value, est) rows — the shuffle
+    is bounded by partitions × capacity REGARDLESS of the key space.
+
+    Guarantees (deterministic, not probabilistic), with
+    err = Σ_p decrements_p ≤ n / (capacity + 1):
+
+    * ``est_count ≤ true count ≤ est_count + err_bound`` for every
+      emitted value (MG estimates undercount, never overcount);
+    * every value with true count > err_bound appears in the output —
+      so with capacity ≥ 1/s, no item with share > s is ever missed.
+
+    ``err_bound`` rides on every row so downstream can decide whether
+    the gap matters; ``min_share`` (fraction of total rows) filters the
+    merged output by the LOWER estimate — conservative: nothing above
+    the threshold is dropped, borderline items may survive.
+
+    Output: (value_col, est_count, err_bound, n_total), value column
+    keeping its input type.
+    """
+    import pandas as pd
+
+    field = df.schema[value_col]
+    out_schema = (
+        f"`{value_col}` {field.dataType.simpleString()}, "
+        "est long, dec long, part_n long, pid long"
+    )
+
+    def summarize(batches):
+        counters: dict = {}
+        dec = 0
+        n = 0
+        pid = -1
+        for pdf in batches:
+            if len(pdf) and pid < 0:
+                pid = int(pdf["_pid"].iloc[0])
+            for v in pdf[value_col]:
+                if v is None:
+                    continue
+                n += 1
+                if v in counters:
+                    counters[v] += 1
+                elif len(counters) < capacity:
+                    counters[v] = 1
+                else:
+                    # decrement-all: O(1) amortized via dict rebuild
+                    dec += 1
+                    counters = {
+                        key: c - 1 for key, c in counters.items() if c > 1
+                    }
+        if n == 0:
+            return
+        yield pd.DataFrame(
+            {
+                value_col: list(counters.keys()),
+                "est": list(counters.values()),
+                "dec": dec,
+                "part_n": n,
+                "pid": pid,
+            }
+        )
+
+    # One summary row-set per input partition; mapInPandas streams the
+    # partition through the bounded dict without materializing it. The
+    # partition id rides in as a column (python workers are REUSED
+    # across partitions, so os.getpid() cannot identify a summary).
+    summaries = df.select(
+        F.col(value_col), F.spark_partition_id().alias("_pid")
+    ).mapInPandas(summarize, schema=out_schema)
+    # Two consumers (totals + merge) would each re-run the full input
+    # scan; the summary is bounded (partitions × capacity rows), so pin
+    # it once. localCheckpoint also truncates the lineage.
+    summaries = summaries.localCheckpoint(eager=True)
+    # (dec, part_n) repeats on every row of its summary; fold to one row
+    # per partition id, then sum — a partitions-sized aggregate.
+    totals = (
+        summaries.groupBy("pid")
+        .agg(F.max("dec").alias("dec"), F.max("part_n").alias("part_n"))
+        .agg(
+            F.sum(F.col("dec")).alias("err"),
+            F.sum(F.col("part_n")).alias("n_total"),
+        )
+    )
+    merged = (
+        summaries.groupBy(value_col)
+        .agg(F.sum("est").alias("est_count"))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            value_col,
+            F.col("est_count"),
+            F.col("err").alias("err_bound"),
+            F.col("n_total"),
+        )
+    )
+    if min_share > 0.0:
+        merged = merged.where(
+            F.col("est_count")
+            >= F.lit(min_share) * F.col("n_total")
+        )
+    return merged

@@ -96,3 +96,80 @@ def test_pagerank_iteration_guard(spark):
     df = spark.createDataFrame([("a", "b")], schema="src string, dst string")
     with pytest.raises(ValueError):
         pagerank(df, iterations=0)
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters
+# ---------------------------------------------------------------------------
+
+
+def _zipf_tokens(spark):
+    """Skewed token stream from the documents fixture: every token of
+    every doc — natural Zipf-ish frequencies, multiple partitions."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    return (
+        docs.repartition(8)
+        .select(
+            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok")
+        )
+        .where(F.length("tok") > 0)
+    )
+
+
+def test_mg_bounds_vs_exact(spark):
+    from pinecone_datasets_spark.operators.sketch import mg_heavy_hitters
+
+    toks = _zipf_tokens(spark)
+    exact = {
+        r["tok"]: r["n"]
+        for r in toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n_total = sum(exact.values())
+    out = mg_heavy_hitters(toks, "tok", capacity=256).collect()
+    assert out, "summary empty"
+    err = out[0]["err_bound"]
+    assert out[0]["n_total"] == n_total
+    # deterministic bound: err <= n / (capacity + 1)
+    assert err <= n_total / 257 + 1
+    got = {r["tok"]: r["est_count"] for r in out}
+    # (1) estimates never overcount and undercount by at most err
+    for tok, est in got.items():
+        assert est <= exact[tok], (tok, est, exact[tok])
+        assert exact[tok] - est <= err, (tok, est, exact[tok], err)
+    # (2) nothing frequent is missed: true count > err => present
+    for tok, true_n in exact.items():
+        if true_n > err:
+            assert tok in got, (tok, true_n, err)
+
+
+def test_mg_min_share_keeps_everything_above_threshold(spark):
+    from pinecone_datasets_spark.operators.sketch import mg_heavy_hitters
+
+    toks = _zipf_tokens(spark)
+    exact = {
+        r["tok"]: r["n"]
+        for r in toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n_total = sum(exact.values())
+    out = mg_heavy_hitters(toks, "tok", capacity=512, min_share=0.01)
+    rows = out.collect()
+    got = {r["tok"] for r in rows}
+    err = rows[0]["err_bound"] if rows else 0
+    # conservative: every token with true share > min_share + err/n kept
+    for tok, true_n in exact.items():
+        if true_n / n_total > 0.01 + err / n_total:
+            assert tok in got, (tok, true_n / n_total)
+
+
+def test_mg_exact_when_capacity_exceeds_keys(spark):
+    from pinecone_datasets_spark.operators.sketch import mg_heavy_hitters
+
+    df = spark.range(1000).select((F.col("id") % 7).alias("v"))
+    out = {
+        r["v"]: (r["est_count"], r["err_bound"])
+        for r in mg_heavy_hitters(df, "v", capacity=64).collect()
+    }
+    assert len(out) == 7
+    for v, (est, err) in out.items():
+        assert err == 0
+        assert est == (143 if v < 6 else 142)
