@@ -33,7 +33,66 @@ HEADLINE = [
     ("q75_boilerplate", "boilerplate: single tokenize, (doc,gram) agg feeding both branches"),
     ("q77_dup_spans", "duplicated spans: per-doc windows only (gaps-and-islands)"),
     ("q35_ivf_topk", "IVF: in-plan Lloyd, broadcast codebook, probed-fraction join"),
+    ("ivfpq_search", "IVF-PQ: pruned cell scan + ADC table-gather scoring"),
+    ("jsonl_ingest", "JSONL ingest: one text scan, good/quarantine projections"),
+    ("mg_heavy_hitters", "heavy hitters: bounded per-partition summaries"),
 ]
+
+
+def _extra_builders(spark, sf_dir):
+    """Plans for operators that live outside the query registry — built
+    the same way their bench legs / tests build them."""
+    import tempfile
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    def ivfpq_search(spark, sf_dir):
+        from pinecone_datasets_spark.operators.pq import (
+            build_ivfpq_index, ivfpq_index_topk,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        docs = emb.select(
+            F.col("vec_id").alias("id"), F.col("embedding").alias("values")
+        )
+        path = tempfile.mkdtemp(prefix="plans_ivfpq_") + "/idx"
+        build_ivfpq_index(docs, path, n_centroids=8, m=8, n_codes=16)
+        queries = docs.where(F.col("id") < 10).select(
+            F.col("id").alias("query_id"), F.col("values").alias("vector")
+        )
+        return ivfpq_index_topk(spark, path, queries, k=5, nprobe=2)
+
+    def jsonl_ingest(spark, sf_dir):
+        from pinecone_datasets_spark.sources.corpus import read_jsonl
+
+        path = tempfile.mkdtemp(prefix="plans_jsonl_") + "/j"
+        spark.read.parquet(f"{sf_dir}/documents.parquet").write.json(path)
+        got = read_jsonl(
+            spark, path,
+            "doc_id long, text string, lang string, "
+            "source string, n_chars long",
+        )
+        return got.good.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs")
+        )
+
+    def mg_heavy_hitters(spark, sf_dir):
+        from pinecone_datasets_spark.operators.sketch import (
+            mg_heavy_hitters as mg,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        toks = docs.select(
+            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok")
+        )
+        return mg(toks, "tok", capacity=256)
+
+    return {
+        "ivfpq_search": ivfpq_search,
+        "jsonl_ingest": jsonl_ingest,
+        "mg_heavy_hitters": mg_heavy_hitters,
+    }
 
 
 def main() -> None:
@@ -61,6 +120,7 @@ def main() -> None:
         if hasattr(entrymod, name)
     }
     qs.update(entrymod.queries())
+    qs.update(_extra_builders(spark, sf_dir))
 
     out = [
         "# PLANS — formatted physical plans for headline operators",
