@@ -308,6 +308,20 @@ def main() -> None:
         _, queries = emb_queries(100)
         return ivfpq_index_topk(spark, ivfpq_path, queries, k=10, nprobe=4)
 
+    def bench_bpe_tokens():
+        # Real trained-tokenizer counts: ONE histogram aggregation
+        # (corpus pass) + driver merges + map-only Arrow encode.
+        from pinecone_datasets_spark.operators.bpe import (
+            bpe_token_counts, train_bpe, word_histogram,
+        )
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        merges = train_bpe(word_histogram(docs, max_words=50_000), 500)
+        return bpe_token_counts(docs, merges).groupBy("lang").agg(
+            F.sum("bpe_tokens").alias("total_tokens"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+
     jsonl_path = bench_tmp + "/docs_jsonl"
     DOCS_TEXT_SCHEMA = (
         "doc_id long, text string, lang string, "
@@ -367,6 +381,7 @@ def main() -> None:
         "ivfpq_build": bench_ivfpq_build,
         "ivfpq_search": bench_ivfpq_search,
         "jsonl_ingest": bench_jsonl_ingest,
+        "bpe_tokens": bench_bpe_tokens,
         "hybrid_rrf": lambda: em.q67_hybrid_rrf(spark, SF_DIR),
         "boilerplate_2gram": lambda: em.q75_boilerplate(spark, SF_DIR),
         "mixture_sample": lambda: em.q76_mixture(spark, SF_DIR),

@@ -31,6 +31,12 @@ from .packing import (
     pack_documents,
 )
 from .sketch import kmv_distinct, mg_heavy_hitters
+from .bpe import (
+    bpe_token_counts,
+    bpe_tokenize_udf,
+    train_bpe,
+    word_histogram,
+)
 from .pq import (
     build_ivfpq_index,
     ivfpq_index_topk,
@@ -49,6 +55,10 @@ __all__ = [
     "topk_search",
     "build_ivfpq_index",
     "kmv_distinct",
+    "bpe_token_counts",
+    "bpe_tokenize_udf",
+    "train_bpe",
+    "word_histogram",
     "mg_heavy_hitters",
     "ivfpq_index_topk",
     "pq_encode",

@@ -1,0 +1,206 @@
+"""Byte-pair-encoding tokenizer: distributed training, Arrow encoding.
+
+`functions/text.py:token_count` is the cheap chars/4 heuristic; this
+module is the real thing — a trained subword vocabulary (Sennrich,
+Haddow & Birch, "Neural Machine Translation of Rare Words with Subword
+Units", ACL 2016) so token budgets, packing, and mixture sampling can
+count the tokens a model will actually see.
+
+Scale shape — the insight every production tokenizer trainer
+(SentencePiece, HF tokenizers) uses: BPE training never needs the
+corpus, only the **word→count histogram**. So:
+
+  train:  ONE distributed pass — pre-tokenize, groupBy(word) count,
+          keep the top ``max_words`` words (heavy tail is irrelevant
+          to merge counts: a word seen twice in 10^12 tokens cannot
+          influence any merge decision) — then iterate merges on the
+          driver over that bounded table. No per-merge corpus pass,
+          no per-merge shuffle; corpus size only affects the one
+          histogram aggregation.
+  encode: the learned merge ranks broadcast into an Arrow-batched UDF
+          (the merge table is KBs); encoding is map-only.
+
+Determinism: merge selection breaks count ties lexicographically on
+the pair, so the same histogram always yields the same vocabulary —
+training is reproducible across cluster sizes because the histogram
+(an integer aggregation) is itself order-independent.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, IntegerType, StringType
+
+#: End-of-word marker appended to each word before merging (Sennrich
+#: §3.2) — lets a merged token distinguish "er</w>" from mid-word "er".
+EOW = "</w>"
+
+_PRETOKEN_RE = r"[a-z0-9]+|[^a-z0-9\s]"
+
+
+def word_histogram(
+    df: DataFrame,
+    text_col: str = "text",
+    max_words: int = 100_000,
+) -> list[tuple[str, int]]:
+    """The ONE corpus pass: lowercase pre-tokens → (word, count),
+    truncated to the ``max_words`` most frequent (ties broken by word so
+    the histogram is deterministic). This is the only place corpus size
+    enters training cost."""
+    counts = (
+        df.select(
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower(F.col(text_col)), F.lit(_PRETOKEN_RE), 0
+                )
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.col("w"))
+        .limit(max_words)
+    )
+    return [(r["w"], r["n"]) for r in counts.collect()]
+
+
+def train_bpe(
+    histogram: Iterable[tuple[str, int]],
+    n_merges: int = 1000,
+) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` merge rules from a word histogram (driver-side;
+    the histogram is bounded, so this is corpus-size-independent).
+
+    Classic greedy BPE: repeatedly merge the most frequent adjacent
+    symbol pair, counts weighted by word frequency; ties break on the
+    pair lexicographically for determinism. Returns merges in rank
+    order — the rank IS the encode priority.
+    """
+    words: dict[tuple[str, ...], int] = {}
+    for w, n in histogram:
+        if not w:
+            continue
+        words[tuple(w) + (EOW,)] = words.get(tuple(w) + (EOW,), 0) + n
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for sym, n in words.items():
+            for i in range(len(sym) - 1):
+                p = (sym[i], sym[i + 1])
+                pairs[p] = pairs.get(p, 0) + n
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if pairs[best] < 2:
+            break  # nothing repeats: further merges are memorization
+        merges.append(best)
+        merged = best[0] + best[1]
+        new_words: dict[tuple[str, ...], int] = {}
+        for sym, n in words.items():
+            out = []
+            i = 0
+            while i < len(sym):
+                if (
+                    i < len(sym) - 1
+                    and sym[i] == best[0]
+                    and sym[i + 1] == best[1]
+                ):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            key = tuple(out)
+            new_words[key] = new_words.get(key, 0) + n
+        words = new_words
+    return merges
+
+
+def bpe_vocab(merges: list[tuple[str, str]]) -> list[str]:
+    """Token strings implied by a merge list: single characters seen in
+    merges plus every merge product, in first-appearance order."""
+    seen: dict[str, None] = {}
+    for a, b in merges:
+        for t in (a, b, a + b):
+            seen.setdefault(t, None)
+    return list(seen)
+
+
+def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    sym = list(word) + [EOW]
+    while len(sym) > 1:
+        best_rank = None
+        best_i = -1
+        for i in range(len(sym) - 1):
+            r = ranks.get((sym[i], sym[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_i < 0:
+            break
+        sym[best_i : best_i + 2] = [sym[best_i] + sym[best_i + 1]]
+    return sym
+
+
+def bpe_tokenize_udf(
+    merges: list[tuple[str, str]],
+    ids: bool = False,
+    vocab: Optional[list[str]] = None,
+):
+    """text -> array<string> tokens (or array<int> ids with ``ids=True``;
+    unknown tokens map to -1 so truncation bugs surface, not vanish).
+
+    The merge-rank dict rides into tasks as the UDF closure (KBs).
+    Per-word encodings are memoized per batch — Zipf's law makes the
+    cache hit rate the token frequency distribution itself, so the
+    amortized cost per token is a dict lookup.
+    """
+    import re
+
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    tok_ids = (
+        {t: i for i, t in enumerate(vocab or bpe_vocab(merges))}
+        if ids
+        else None
+    )
+    pat = re.compile(_PRETOKEN_RE)
+
+    def kernel(texts: pd.Series) -> pd.Series:
+        cache: dict[str, list[str]] = {}
+        out = []
+        for t in texts:
+            if t is None:
+                out.append([])
+                continue
+            toks: list[str] = []
+            for w in pat.findall(t.lower()):
+                enc = cache.get(w)
+                if enc is None:
+                    enc = _encode_word(w, ranks)
+                    cache[w] = enc
+                toks.extend(enc)
+            if tok_ids is not None:
+                out.append([tok_ids.get(t_, -1) for t_ in toks])
+            else:
+                out.append(toks)
+        return pd.Series(out)
+
+    return F.pandas_udf(
+        kernel, ArrayType(IntegerType() if ids else StringType())
+    )
+
+
+def bpe_token_counts(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Exact trained-tokenizer token count per document (map-only) — the
+    drop-in upgrade for the chars/4 estimate wherever a token budget
+    gates real cost (packing, mixture sampling, curation)."""
+    toks = bpe_tokenize_udf(merges)
+    return df.withColumn(out_col, F.size(toks(F.col(text_col))))
