@@ -173,3 +173,32 @@ def test_stream_jsonl_availablenow_equals_batch(spark, docs, tmp_path):
     got = spark.sql("select * from corpus_stream_test")
     batch = read_jsonl(spark, out, DOCS_SCHEMA).good
     assert _sorted_rows(got) == _sorted_rows(batch)
+
+
+def test_jsonl_all_corrupt_and_empty_files(spark, tmp_path):
+    d = tmp_path / "edge"
+    d.mkdir()
+    (d / "bad.jsonl").write_text("nope\nstill nope\n")
+    (d / "empty.jsonl").write_text("")
+    (d / "blank.jsonl").write_text("\n\n\n")
+    got = read_jsonl(spark, str(d), DOCS_SCHEMA)
+    assert got.good.count() == 0
+    # blank lines skipped, not quarantined; real garbage quarantined
+    assert got.quarantined.count() == 2
+
+
+def test_jsonl_wrong_types_quarantined_not_nulled(spark, tmp_path):
+    p = tmp_path / "types.jsonl"
+    p.write_text(
+        '{"doc_id": "NOT A NUMBER", "text": "x", "lang": "en",'
+        ' "source": "s", "n_chars": 1}\n'
+        '{"doc_id": 7, "text": "y", "lang": "en", "source": "s",'
+        ' "n_chars": 1}\n'
+    )
+    got = read_jsonl(spark, str(p), DOCS_SCHEMA)
+    good = got.good.collect()
+    # a type-violating field is a corrupt RECORD (raw line preserved for
+    # replay), not a silently nulled cell
+    assert [r["doc_id"] for r in good] == [7]
+    bad = got.quarantined.collect()
+    assert len(bad) == 1 and "NOT A NUMBER" in bad[0]["raw_record"]
