@@ -147,3 +147,78 @@ def test_broadcast_join_for_small_dims(spark, sf_dir):
         "l_orderkey", "p_name"
     )
     assert "BroadcastHashJoin" in formatted_plan(j)
+
+
+def test_ivfpq_probe_prunes_partitions_and_reads_codes_only(
+    spark, sf_dir, tmp_path
+):
+    """IVF-PQ search must (a) carry partition filters on the stored cell
+    column — directory pruning, not a full scan — and (b) read only
+    (id, codes): the compressed representation IS the point."""
+    from pyspark.sql import functions as F
+
+    from pinecone_datasets_spark.operators.pq import (
+        build_ivfpq_index,
+        ivfpq_index_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    docs = emb.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("values")
+    )
+    path = str(tmp_path / "idx")
+    build_ivfpq_index(docs, path, n_centroids=8, m=8, n_codes=16)
+    queries = docs.where(F.col("id") < 3).select(
+        F.col("id").alias("query_id"), F.col("values").alias("vector")
+    )
+    res = ivfpq_index_topk(spark, path, queries, k=3, nprobe=2)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [ivf_cell" in plan, plan[:2000]
+    read = scan_read_schema(res)
+    assert "pq_code" in read and "values" not in read, read
+
+
+def test_jsonl_quarantine_is_single_text_scan(spark, sf_dir, tmp_path):
+    """Both branches of a quarantining read must be projections of ONE
+    text scan — no JSON-format scan (whose corrupt-column queries Spark
+    rejects) and no double parse in either plan."""
+    from pinecone_datasets_spark.sources.corpus import read_jsonl
+
+    out = str(tmp_path / "j")
+    spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50).write.json(
+        out
+    )
+    got = read_jsonl(
+        spark,
+        out,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    import re
+
+    for df in (got.good, got.quarantined):
+        plan = formatted_plan(df)
+        # exactly one scan node (formatted plans repeat the operator
+        # name in the detail section, so count numbered nodes)
+        scans = re.findall(r"\(\d+\) Scan (\w+)", plan)
+        assert scans == ["text"], plan[:1500]
+
+
+def test_mg_heavy_hitters_shuffles_summaries_not_keys(spark, sf_dir):
+    """The merge aggregation's input must be the bounded mapInPandas
+    summary stream, not the raw token stream: the exchange sits above
+    the python summarizer, and the pre-summary stage has no exchange."""
+    from pyspark.sql import functions as F
+
+    from pinecone_datasets_spark.operators.sketch import mg_heavy_hitters
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
+    )
+    out = mg_heavy_hitters(toks, "tok", capacity=64)
+    plan = formatted_plan(out)
+    # the summary is localCheckpoint'ed: the merge plan reads an RDD
+    # scan (the pinned summaries), never re-runs the corpus scan
+    assert "Scan ExistingRDD" in plan, plan[:1500]
+    assert "Scan parquet" not in plan, plan[:1500]
