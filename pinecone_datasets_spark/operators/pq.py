@@ -84,7 +84,7 @@ def train_pq_codebooks(
     m: int = 8,
     n_codes: int = 256,
     vector_col: str = "values",
-    sample_cap: int = 100_000,
+    sample_cap: Optional[int] = None,
     seed: int = 42,
     max_iter: int = 20,
 ) -> np.ndarray:
@@ -95,7 +95,14 @@ def train_pq_codebooks(
     ``m`` independent small KMeans problems locally — each is
     (sample × dim/m), so the whole training fits in driver memory at any
     corpus size. Deterministic for fixed (seed, sample).
+
+    ``sample_cap=None`` auto-sizes to ``64 · n_codes`` points (floor
+    10k) — FAISS's own training guidance (~39–256 points per centroid);
+    more sample buys nothing but Lloyd time because every subspace
+    problem has only ``n_codes`` degrees of freedom.
     """
+    if sample_cap is None:
+        sample_cap = max(10_000, 64 * n_codes)
     n = documents.count()
     frac = min(1.0, sample_cap / max(n, 1))
     src = documents.select(F.col(vector_col).alias("_v"))
