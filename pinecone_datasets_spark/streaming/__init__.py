@@ -1,8 +1,10 @@
 from .dedup import stream_exact_dedup
 from .ingest import stream_documents, windowed_event_counts
+from .sketch import stream_heavy_hitters
 
 __all__ = [
     "stream_documents",
     "stream_exact_dedup",
+    "stream_heavy_hitters",
     "windowed_event_counts",
 ]

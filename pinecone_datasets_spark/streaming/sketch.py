@@ -1,0 +1,116 @@
+"""Streaming heavy hitters: Misra-Gries state over hash-bucketed keys.
+
+The batch twin (`operators/sketch.py:mg_heavy_hitters`) summarizes per
+PARTITION and merges; a stream instead keeps one live MG summary per
+HASH BUCKET as `applyInPandasWithState` state. Bucketing by a stable
+hash of the value does two jobs at once:
+
+* **parallelism** — state work spreads over ``n_buckets`` tasks instead
+  of one global summary (the single-key formulation would funnel the
+  whole stream through one task);
+* **exact routing** — every occurrence of a value lands in exactly one
+  bucket, so no cross-summary merge is ever needed and the per-bucket
+  Misra-Gries guarantee IS the global one:
+
+      est ≤ true ≤ est + dec(bucket of value)
+
+  with dec(bucket) ≤ n_bucket/(capacity+1). Total state is bounded at
+  ``n_buckets × capacity`` counters forever, regardless of stream
+  length or distinct-key count.
+
+Each micro-batch emits the bucket's full current summary (update
+semantics): downstream keeps the latest row per (bucket, value) — with
+`availableNow` over a static directory the final emission equals what
+the batch operator reports, which is how the equivalence test pins it.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+MG_OUTPUT_SCHEMA = (
+    "bucket int, value string, est_count long, dec long, bucket_n long"
+)
+
+_MG_STATE_SCHEMA = "keys array<string>, counts array<long>, dec long, n long"
+
+
+def _mg_fn(capacity: int):
+    def fn(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        import pandas as pd  # runs on workers
+
+        (bucket,) = key
+        if state.exists:
+            keys, counts, dec, n = state.get
+            counters = dict(zip(keys, counts))
+        else:
+            counters, dec, n = {}, 0, 0
+
+        for pdf in pdfs:
+            for v in pdf["value"]:
+                if v is None:
+                    continue
+                n += 1
+                if v in counters:
+                    counters[v] += 1
+                elif len(counters) < capacity:
+                    counters[v] = 1
+                else:
+                    dec += 1
+                    counters = {
+                        k: c - 1 for k, c in counters.items() if c > 1
+                    }
+
+        state.update(
+            (list(counters.keys()), list(counters.values()), dec, n)
+        )
+        if counters:
+            yield pd.DataFrame(
+                {
+                    "bucket": bucket,
+                    "value": list(counters.keys()),
+                    "est_count": list(counters.values()),
+                    "dec": dec,
+                    "bucket_n": n,
+                }
+            )
+
+    return fn
+
+
+def stream_heavy_hitters(
+    stream: DataFrame,
+    value_col: str,
+    capacity: int = 1024,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Live frequent-items summary over a stream (update semantics).
+
+    Values are cast to string (state arrays need one type; the original
+    column is recoverable for string/numeric keys). Output rows carry
+    the per-bucket decrement total ``dec`` — the deterministic error
+    bound for every value of that bucket — and ``bucket_n`` so shares
+    can be computed without a second aggregation.
+    """
+    keyed = stream.select(
+        F.pmod(F.xxhash64(F.col(value_col).cast("string")), n_buckets)
+        .cast("int")
+        .alias("bucket"),
+        F.col(value_col).cast("string").alias("value"),
+    )
+    return keyed.groupBy("bucket").applyInPandasWithState(
+        _mg_fn(capacity),
+        outputStructType=MG_OUTPUT_SCHEMA,
+        stateStructType=_MG_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

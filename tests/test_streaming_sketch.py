@@ -1,0 +1,100 @@
+"""Streaming Misra-Gries heavy hitters (streaming/sketch.py): the final
+availableNow emission must satisfy the same deterministic bounds as the
+batch operator, against exact counts."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pinecone_datasets_spark.streaming.sketch import stream_heavy_hitters
+
+
+@pytest.fixture(scope="module")
+def token_dir(spark, sf_dir, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("tok_stream"))
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
+    ).where(F.length("tok") > 0)
+    # several files so availableNow runs multiple micro-batches and the
+    # state actually carries across triggers
+    toks.repartition(6).write.mode("overwrite").parquet(root)
+    return root
+
+
+def test_stream_mg_bounds_vs_exact(spark, token_dir):
+    stream = (
+        spark.readStream.schema("tok string")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(token_dir)
+    )
+    hh = stream_heavy_hitters(stream, "tok", capacity=256, n_buckets=8)
+    q = (
+        hh.writeStream.format("memory")
+        .queryName("stream_hh")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    # update mode appends every emission; the LAST row per (bucket,
+    # value) is the final summary
+    from pyspark.sql import Window
+
+    raw = spark.sql("select *, monotonically_increasing_id() as seq from stream_hh")
+    w = Window.partitionBy("bucket", "value").orderBy(F.desc("seq"))
+    final = (
+        raw.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .collect()
+    )
+    assert final
+
+    exact = {
+        r["tok"]: r["n"]
+        for r in spark.read.parquet(token_dir)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    dec_by_bucket = {}
+    for r in final:
+        dec_by_bucket[r["bucket"]] = max(
+            dec_by_bucket.get(r["bucket"], 0), r["dec"]
+        )
+    got = {}
+    for r in final:
+        got[r["value"]] = (r["est_count"], r["dec"], r["bucket"])
+    # (1) per-value bounds: est <= true <= est + dec(bucket)
+    for v, (est, dec, _b) in got.items():
+        assert est <= exact[v], (v, est, exact[v])
+        assert exact[v] - est <= dec, (v, est, exact[v], dec)
+    # (2) no frequent value missed: true > dec of ITS bucket => present
+    import pyspark.sql.functions as SF
+
+    bucket_of = {
+        r["value"]: r["bucket"] for r in final
+    }
+    # recompute each absent value's bucket the same way the operator does
+    absent = [v for v in exact if v not in got]
+    if absent:
+        bdf = spark.createDataFrame([(v,) for v in absent], "value string")
+        brows = bdf.select(
+            "value",
+            SF.pmod(SF.xxhash64(SF.col("value")), 8).cast("int").alias("b"),
+        ).collect()
+        for r in brows:
+            dec = dec_by_bucket.get(r["b"], 0)
+            assert exact[r["value"]] <= dec, (
+                r["value"],
+                exact[r["value"]],
+                dec,
+            )
+    # (3) state totals are consistent: bucket_n sums to the stream length
+    n_by_bucket = {}
+    for r in final:
+        n_by_bucket[r["bucket"]] = max(
+            n_by_bucket.get(r["bucket"], 0), r["bucket_n"]
+        )
+    assert sum(n_by_bucket.values()) == sum(exact.values())
