@@ -308,6 +308,14 @@ def main() -> None:
         _, queries = emb_queries(100)
         return ivfpq_index_topk(spark, ivfpq_path, queries, k=10, nprobe=4)
 
+    def bench_hamming_topk():
+        # All-JVM 1-bit coarse retrieval + exact re-rank: corpus side is
+        # compared one long per 64 dims, zero Python crossings.
+        from pinecone_datasets_spark.operators.search import hamming_topk
+
+        docs, queries = emb_queries(100)
+        return hamming_topk(docs, queries, dim=64, k=10, rerank=4)
+
     def bench_bpe_tokens():
         # Real trained-tokenizer counts: ONE histogram aggregation
         # (corpus pass) + driver merges + map-only Arrow encode.
@@ -382,6 +390,7 @@ def main() -> None:
         "ivfpq_search": bench_ivfpq_search,
         "jsonl_ingest": bench_jsonl_ingest,
         "bpe_tokens": bench_bpe_tokens,
+        "hamming_topk_100q": bench_hamming_topk,
         "hybrid_rrf": lambda: em.q67_hybrid_rrf(spark, SF_DIR),
         "boilerplate_2gram": lambda: em.q75_boilerplate(spark, SF_DIR),
         "mixture_sample": lambda: em.q76_mixture(spark, SF_DIR),

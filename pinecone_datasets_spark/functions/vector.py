@@ -144,6 +144,58 @@ def sparse_dot_product(a: ColumnOrName, b: ColumnOrName) -> Column:
     )
 
 
+def sign_bits(vec: ColumnOrName, dim: int) -> Column:
+    """Dense vector → 1-bit binary code: sign bits packed into
+    ``ceil(dim/64)`` longs. Pure built-in expressions (no Python), so
+    encoding rides inside whole-stage codegen on the scan.
+
+    The most aggressive embedding compression short of dropping the
+    column — 32× smaller than float32 (a 64-dim vector becomes ONE
+    long) — and for angular similarity the Hamming distance between
+    sign codes estimates the angle (Charikar 2002, the same sign-bit
+    fact ``search.ann_lsh_topk`` banks on, here with the identity
+    projection). Use as a coarse first stage with exact re-rank, like
+    ``operators.pq`` refine.
+    """
+    v = _c(vec)
+    n_words = (dim + 63) // 64
+    words = F.sequence(F.lit(0), F.lit(n_words - 1))
+
+    def word(w: Column) -> Column:
+        bits = F.sequence(F.lit(0), F.lit(63))
+        return F.aggregate(
+            bits,
+            F.lit(0).cast("long"),
+            lambda acc, i: acc
+            + F.when(
+                F.coalesce(
+                    # try_: past-the-end dims of the last word read as
+                    # null -> 0-bit (plain element_at is an ANSI error)
+                    F.try_element_at(v, (w * 64 + i + 1).cast("int")),
+                    F.lit(0.0),
+                )
+                > 0,
+                # call_function: the Python shiftleft() wrapper only
+                # takes a literal shift, the SQL function takes a column
+                F.call_function(
+                    "shiftleft", F.lit(1).cast("long"), i.cast("int")
+                ),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+
+    return F.transform(words, word)
+
+
+def hamming_distance(a: ColumnOrName, b: ColumnOrName) -> Column:
+    """Hamming distance between packed sign codes: popcount of XOR per
+    word, summed — three built-ins, fully codegen'd."""
+    return F.aggregate(
+        F.zip_with(_c(a), _c(b), lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x.cast("long"),
+    )
+
+
 def dense_to_sparse(
     vec: ColumnOrName, threshold: float = 0.0, one_based: bool = True
 ) -> Column:

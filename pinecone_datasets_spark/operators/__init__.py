@@ -1,4 +1,4 @@
-from .search import topk_search, topk_single, ann_lsh_topk
+from .search import topk_search, topk_single, ann_lsh_topk, hamming_topk
 from .dedup import (
     exact_dedup,
     exact_dup_groups,
@@ -66,6 +66,7 @@ __all__ = [
     "train_pq_codebooks",
     "topk_single",
     "ann_lsh_topk",
+    "hamming_topk",
     "exact_dedup",
     "exact_dup_groups",
     "minhash_signatures",

@@ -480,3 +480,83 @@ def ann_lsh_topk(
         pair_scores.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def hamming_topk(
+    documents: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    rerank: int = 0,
+    doc_id_col: str = "id",
+    doc_vector_col: str = "values",
+    query_id_col: str = "query_id",
+    query_vector_col: str = "vector",
+) -> DataFrame:
+    """Top-k by Hamming distance over 1-bit sign codes — the all-JVM
+    coarse retrieval stage (`functions.vector.sign_bits`).
+
+    Both sides encode in-plan (pure expressions, map-side); the corpus
+    representation under comparison is ceil(dim/64) longs per vector —
+    a 64-dim corpus is compared one long at a time. Plan shape matches
+    ``topk_search``: broadcast query codes, per-partition
+    WindowGroupLimit, only (query, doc, distance) triples shuffle, and
+    zero Python crossings anywhere.
+
+    ``rerank=R`` keeps R·k Hamming candidates and exactly re-scores
+    them with true cosine — the standard two-stage shape (sign codes
+    are Charikar's angle estimator: monotone in expectation, noisy per
+    pair, so re-rank recovers the metric's order).
+    """
+    from ..functions.vector import (
+        cosine_similarity,
+        hamming_distance,
+        sign_bits,
+    )
+
+    doc_codes = documents.select(
+        F.col(doc_id_col), sign_bits(F.col(doc_vector_col), dim).alias("_dc")
+    )
+    q_codes = queries.select(
+        F.col(query_id_col),
+        sign_bits(F.col(query_vector_col), dim).alias("_qc"),
+    )
+    cand = doc_codes.crossJoin(F.broadcast(q_codes)).select(
+        F.col(query_id_col),
+        F.col(doc_id_col),
+        hamming_distance(F.col("_dc"), F.col("_qc")).alias("hamming"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("hamming"), F.col(doc_id_col)
+    )
+    bound = int(rerank) * k if rerank else k
+    short = cand.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= F.lit(bound)
+    )
+    if not rerank:
+        return short
+    exact = (
+        short.drop("rank")
+        .join(
+            documents.select(doc_id_col, doc_vector_col), doc_id_col
+        )
+        .join(
+            F.broadcast(
+                queries.select(query_id_col, query_vector_col)
+            ),
+            query_id_col,
+        )
+        .select(
+            F.col(query_id_col),
+            F.col(doc_id_col),
+            cosine_similarity(doc_vector_col, query_vector_col).alias(
+                "score"
+            ),
+        )
+    )
+    w2 = Window.partitionBy(query_id_col).orderBy(
+        F.desc("score"), F.col(doc_id_col)
+    )
+    return exact.withColumn("rank", F.row_number().over(w2)).where(
+        F.col("rank") <= F.lit(int(k))
+    )

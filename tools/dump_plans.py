@@ -36,6 +36,7 @@ HEADLINE = [
     ("ivfpq_search", "IVF-PQ: pruned cell scan + ADC table-gather scoring"),
     ("jsonl_ingest", "JSONL ingest: one text scan, good/quarantine projections"),
     ("mg_heavy_hitters", "heavy hitters: bounded per-partition summaries"),
+    ("hamming_topk", "1-bit sign codes: all-codegen XOR/popcount + exact re-rank"),
 ]
 
 
@@ -88,7 +89,22 @@ def _extra_builders(spark, sf_dir):
         )
         return mg(toks, "tok", capacity=256)
 
+    def hamming_topk(spark, sf_dir):
+        from pinecone_datasets_spark.operators.search import (
+            hamming_topk as ht,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        docs = emb.select(
+            F.col("vec_id").alias("id"), F.col("embedding").alias("values")
+        )
+        queries = docs.where(F.col("id") < 10).select(
+            F.col("id").alias("query_id"), F.col("values").alias("vector")
+        )
+        return ht(docs, queries, dim=64, k=5, rerank=4)
+
     return {
+        "hamming_topk": hamming_topk,
         "ivfpq_search": ivfpq_search,
         "jsonl_ingest": jsonl_ingest,
         "mg_heavy_hitters": mg_heavy_hitters,
