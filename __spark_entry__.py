@@ -1531,6 +1531,49 @@ def q69_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q69b_cm_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min point-frequency sketch (operators/sketch.py cm_sketch /
+    cm_estimate): d×w counters via a bounded-key groupBy (aggregation
+    key space is d·w regardless of distinct values), min-of-counters
+    estimates for the 20 smallest user_ids, alongside exact counts. The
+    md5 bucket hash makes the sketch content — and so every estimate —
+    bit-reproducible by the DuckDB oracle."""
+    from pinecone_datasets_spark.operators.sketch import (
+        cm_estimate,
+        cm_sketch,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    sk = cm_sketch(ev, "user_id", depth=4, width=256)
+    probes = ev.select("user_id").distinct().orderBy("user_id").limit(20)
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    return (
+        cm_estimate(sk, probes, "user_id", depth=4, width=256)
+        .join(exact, "user_id")
+        .orderBy("user_id")
+    )
+
+
+def q28_q69_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged sketch entry: KMV distinct-count per event_type (part
+    'kmv') + Count-Min point-frequency estimates per user_id (part
+    'cm'), union-tagged, each beside its exact answer — two approximate
+    operators under the exact hash gate."""
+    kmv = q69_kmv_distinct(spark, sf_dir).select(
+        F.lit("kmv").alias("part"),
+        F.col("event_type").alias("key"),
+        F.col("est_distinct").alias("est"),
+        F.col("n_exact").cast("long").alias("n_exact"),
+    )
+    cm = q69b_cm_freq(spark, sf_dir).select(
+        F.lit("cm").alias("part"),
+        F.col("user_id").cast("string").alias("key"),
+        F.col("est_count").cast("double").alias("est"),
+        F.col("n_exact").cast("long").alias("n_exact"),
+    )
+    return kmv.unionByName(cm).orderBy("part", "key")
+
+
 def q70_cube_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (lang, source): all four grouping levels in one Expand
     + partial agg pass — the companion to q56's ROLLUP."""
@@ -2547,7 +2590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q25_q39_fingerprints": q25_q39_fingerprints,
         "q26_sessionize": q26_sessionize,
         "q27_running_revenue": q27_running_revenue,
-        "q28_q69_distinct_sketch": q69_kmv_distinct,
+        "q28_q69_distinct_sketch": q28_q69_distinct_sketch,
         "q31_stored_filter_search": q31_stored_filter_search,
         "q32_sparse_dot_topk": q32_sparse_dot_topk,
         "q33_q34_curation": q33_q34_curation,
@@ -4558,7 +4601,29 @@ SELECT sh.doc_id, sh.simhash, rh.fp
 FROM sh JOIN rh USING (doc_id)
 ORDER BY doc_id
 """
-    out["q28_q69_distinct_sketch"] = b["q69_kmv_distinct"]
+    from pinecone_datasets_spark.operators.sketch import cm_sql
+
+    _cm_inner = cm_sql(
+        "user_id",
+        "events",
+        "SELECT DISTINCT user_id FROM events ORDER BY user_id LIMIT 20",
+        "user_id",
+        depth=4,
+        width=256,
+    )
+    out["q28_q69_distinct_sketch"] = f"""
+WITH kmv AS ({b['q69_kmv_distinct']}),
+cm AS ({_cm_inner})
+SELECT 'kmv' AS part, CAST(event_type AS VARCHAR) AS key,
+       est_distinct AS est, CAST(n_exact AS BIGINT) AS n_exact
+FROM kmv
+UNION ALL
+SELECT 'cm' AS part, CAST(cm.user_id AS VARCHAR) AS key,
+       CAST(est_count AS DOUBLE) AS est, ex.n_exact
+FROM cm JOIN (SELECT user_id, count(*) AS n_exact
+              FROM events GROUP BY user_id) ex USING (user_id)
+ORDER BY part, key
+"""
     out["q33_q34_curation"] = f"""
 WITH docs AS ({b['q33_curation_pipeline']}),
 rep AS ({b['q34_curation_report']})

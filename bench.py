@@ -316,6 +316,18 @@ def main() -> None:
         docs, queries = emb_queries(100)
         return hamming_topk(docs, queries, dim=64, k=10, rerank=4)
 
+    def bench_cm_freq():
+        # Count-Min: bounded-key groupBy (d*w cells) + broadcast-sketch
+        # probe — the whole leg is two small aggregations.
+        from pinecone_datasets_spark.operators.sketch import (
+            cm_estimate, cm_sketch,
+        )
+
+        ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        sk = cm_sketch(ev, "user_id", depth=4, width=1024)
+        probes = ev.select("user_id").distinct().orderBy("user_id").limit(100)
+        return cm_estimate(sk, probes, "user_id", depth=4, width=1024)
+
     def bench_bpe_tokens():
         # Real trained-tokenizer counts: ONE histogram aggregation
         # (corpus pass) + driver merges + map-only Arrow encode.
@@ -390,6 +402,7 @@ def main() -> None:
         "ivfpq_search": bench_ivfpq_search,
         "jsonl_ingest": bench_jsonl_ingest,
         "bpe_tokens": bench_bpe_tokens,
+        "cm_freq": bench_cm_freq,
         "hamming_topk_100q": bench_hamming_topk,
         "hybrid_rrf": lambda: em.q67_hybrid_rrf(spark, SF_DIR),
         "boilerplate_2gram": lambda: em.q75_boilerplate(spark, SF_DIR),

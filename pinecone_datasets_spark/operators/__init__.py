@@ -30,7 +30,7 @@ from .packing import (
     length_bucketed_batches,
     pack_documents,
 )
-from .sketch import kmv_distinct, mg_heavy_hitters
+from .sketch import kmv_distinct, mg_heavy_hitters, cm_sketch, cm_estimate
 from .bpe import (
     bpe_token_counts,
     bpe_tokenize_udf,
@@ -55,6 +55,8 @@ __all__ = [
     "topk_search",
     "build_ivfpq_index",
     "kmv_distinct",
+    "cm_sketch",
+    "cm_estimate",
     "bpe_token_counts",
     "bpe_tokenize_udf",
     "train_bpe",

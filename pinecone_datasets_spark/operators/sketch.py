@@ -124,6 +124,140 @@ FROM topk
 
 
 # ---------------------------------------------------------------------------
+# Count-Min sketch: point-frequency estimates in d×w counters
+# ---------------------------------------------------------------------------
+
+
+def _cm_bucket(value: "F.Column", row: "F.Column", width: int) -> "F.Column":
+    """Portable bucket hash: first 52 bits of md5("<row>:<value>") mod w.
+
+    Same md5-prefix trick as ``_u01`` so any engine (the DuckDB oracle
+    included) reproduces the sketch content bit-for-bit.
+    """
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(row.cast("string"), F.lit(":"), value)),
+                1,
+                13,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+    )
+    return F.pmod(h, F.lit(width))
+
+
+def cm_sketch(
+    df: DataFrame, value_col: str, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) of the frequency
+    distribution of ``value_col``: ``depth`` hash rows × ``width``
+    counters.
+
+    The exact frequency table shuffles one row per DISTINCT value —
+    billions of keys for n-grams/URLs at 100 TB. Here every input row
+    explodes into ``depth`` (row, bucket) pairs and a plain
+    ``groupBy(row, bucket).count()`` folds them: the aggregation key
+    space is d×w REGARDLESS of the number of distinct values, so
+    map-side partial aggregation bounds each task's shuffle output at
+    d×w rows and the reduce side at d×w total. All built-in
+    expressions — no Python, no per-partition state (contrast
+    ``mg_heavy_hitters``, which needs mapInPandas because its summary
+    is value-addressed).
+
+    Guarantees for the paired estimator ``cm_estimate``: never
+    undercounts; overcounts by ≤ e·n/width with probability
+    ≥ 1 − exp(−depth) per key. Sketches over disjoint inputs merge by
+    (row, bucket) sum — union the frames and re-aggregate.
+
+    Output: (row, bucket, c) — at most d×w rows.
+    """
+    if depth < 1 or width < 2:
+        raise ValueError(f"need depth >= 1, width >= 2; got {depth}, {width}")
+    pairs = df.select(
+        F.col(value_col).cast("string").alias("__v"),
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row"),
+    )
+    return (
+        pairs.select(
+            "row", _cm_bucket(F.col("__v"), F.col("row"), width).alias("bucket")
+        )
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def cm_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    out_col: str = "est_count",
+) -> DataFrame:
+    """Point-frequency estimates: min over the sketch's d counters at
+    each key's buckets.
+
+    The sketch is ≤ d×w rows (KBs–MBs) so IT is the broadcast side; the
+    key frame can be arbitrarily large. Missing (row, bucket) cells mean
+    a zero counter, hence the left join + coalesce — an unseen key
+    estimates 0, not null.
+    """
+    probes = keys.select(
+        F.col(key_col),
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row"),
+    ).select(
+        key_col,
+        "row",
+        _cm_bucket(F.col(key_col).cast("string"), F.col("row"), width).alias(
+            "bucket"
+        ),
+    )
+    joined = probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
+    return joined.groupBy(key_col).agg(
+        F.min(F.coalesce(F.col("c"), F.lit(0))).alias(out_col)
+    )
+
+
+def cm_sql(
+    value_expr: str,
+    from_clause: str,
+    probe_clause: str,
+    probe_key: str,
+    depth: int = 4,
+    width: int = 1024,
+    out_col: str = "est_count",
+) -> str:
+    """DuckDB twin of ``cm_sketch`` + ``cm_estimate`` (same md5 bucket
+    hash, same min-of-counters estimator). ``probe_clause`` must yield
+    one row per probe key named ``probe_key``."""
+    bucket = (
+        "CAST(concat('0x', substr(md5(CAST({r} AS VARCHAR) || ':' || "
+        "CAST({v} AS VARCHAR)), 1, 13)) AS BIGINT) % {w}"
+    )
+    sk_bucket = bucket.format(r="seeds.r", v=value_expr, w=width)
+    pr_bucket = bucket.format(r="seeds.r", v=probe_key, w=width)
+    return f"""
+WITH seeds AS (SELECT unnest(range({depth})) AS r),
+sketch AS (
+  SELECT seeds.r AS row, {sk_bucket} AS bucket, count(*) AS c
+  FROM {from_clause} CROSS JOIN seeds
+  GROUP BY 1, 2
+),
+probes AS (
+  SELECT p.{probe_key}, seeds.r AS row, {pr_bucket} AS bucket
+  FROM ({probe_clause}) p CROSS JOIN seeds
+)
+SELECT probes.{probe_key},
+       min(COALESCE(sketch.c, 0)) AS {out_col}
+FROM probes LEFT JOIN sketch USING (row, bucket)
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # Misra-Gries heavy hitters: frequent items without a distinct-key shuffle
 # ---------------------------------------------------------------------------
 
