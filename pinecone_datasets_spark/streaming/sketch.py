@@ -114,3 +114,42 @@ def stream_heavy_hitters(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_cm_sketch(
+    stream: DataFrame, value_col: str, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """Live Count-Min sketch over a stream.
+
+    Unlike Misra-Gries (whose value-addressed summary needs custom
+    `applyInPandasWithState`), the CM sketch IS a streaming stateful
+    aggregation of built-ins: the batch plan — explode each row into
+    ``depth`` (row, bucket) pairs, ``groupBy(row, bucket).count()`` —
+    runs unchanged on a streaming frame, with the engine's aggregation
+    state bounded at d×w counter cells FOREVER, regardless of stream
+    length or distinct-value count. No Python state function, no
+    timeout plumbing, checkpoint-recoverable for free.
+
+    Run with output mode ``complete`` (the sketch is tiny, re-emitting
+    it whole each trigger is the cheap option) or ``update``. With
+    ``availableNow`` over a static directory the final emission equals
+    the batch ``operators.sketch.cm_sketch`` exactly — same md5 bucket
+    hash, so snapshots stay DuckDB-replayable. Point estimates: run
+    ``operators.sketch.cm_estimate`` over any emitted snapshot.
+    """
+    from ..operators.sketch import _cm_bucket
+
+    if depth < 1 or width < 2:
+        raise ValueError(f"need depth >= 1, width >= 2; got {depth}, {width}")
+    pairs = stream.select(
+        F.col(value_col).cast("string").alias("__v"),
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row"),
+    )
+    return (
+        pairs.select(
+            "row",
+            _cm_bucket(F.col("__v"), F.col("row"), width).alias("bucket"),
+        )
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )

@@ -98,3 +98,59 @@ def test_stream_mg_bounds_vs_exact(spark, token_dir):
             n_by_bucket.get(r["bucket"], 0), r["bucket_n"]
         )
     assert sum(n_by_bucket.values()) == sum(exact.values())
+
+
+def test_stream_cm_final_equals_batch(spark, token_dir):
+    """availableNow final CM snapshot == batch cm_sketch, cell for cell
+    (built-in stateful agg, complete mode)."""
+    from pinecone_datasets_spark.operators.sketch import (
+        cm_estimate,
+        cm_sketch,
+    )
+    from pinecone_datasets_spark.streaming.sketch import stream_cm_sketch
+
+    stream = (
+        spark.readStream.schema("tok string")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(token_dir)
+    )
+    sk = stream_cm_sketch(stream, "tok", depth=4, width=128)
+    q = (
+        sk.writeStream.format("memory")
+        .queryName("stream_cm")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        map(tuple, spark.sql("select row, bucket, c from stream_cm").collect())
+    )
+    batch = cm_sketch(
+        spark.read.parquet(token_dir), "tok", depth=4, width=128
+    )
+    assert got == sorted(map(tuple, batch.collect()))
+
+    # the snapshot is a first-class sketch: estimates from it obey the
+    # never-undercount invariant against exact counts
+    toks = spark.read.parquet(token_dir)
+    exact = {
+        r["tok"]: r["n"]
+        for r in toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    snap = spark.table("stream_cm")
+    probes = toks.select("tok").distinct().limit(50)
+    est = {
+        r["tok"]: r["est_count"]
+        for r in cm_estimate(snap, probes, "tok", depth=4, width=128).collect()
+    }
+    for v, e in est.items():
+        assert e >= exact[v], (v, e, exact[v])
+
+
+def test_stream_cm_param_guard(spark, token_dir):
+    from pinecone_datasets_spark.streaming.sketch import stream_cm_sketch
+
+    stream = spark.readStream.schema("tok string").parquet(token_dir)
+    with pytest.raises(ValueError):
+        stream_cm_sketch(stream, "tok", depth=0)
