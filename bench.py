@@ -316,6 +316,21 @@ def main() -> None:
         docs, queries = emb_queries(100)
         return hamming_topk(docs, queries, dim=64, k=10, rerank=4)
 
+    def bench_pca_project():
+        # One moment pass (partition-bounded collect) + driver eigh +
+        # map-only Arrow projection 64 -> 16.
+        from pinecone_datasets_spark.operators.pca import (
+            pca_project, train_pca,
+        )
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        docs = emb.select(F.col("vec_id").alias("id"),
+                          F.col("embedding").alias("values"))
+        comps, mean, _ = train_pca(docs, out_dim=16, dim=64)
+        return pca_project(docs, comps, mean).select(
+            "id", F.aggregate("pca", F.lit(0.0), lambda a, x: a + x * x)
+            .alias("norm2"))
+
     def bench_cm_freq():
         # Count-Min: bounded-key groupBy (d*w cells) + broadcast-sketch
         # probe — the whole leg is two small aggregations.
@@ -403,6 +418,7 @@ def main() -> None:
         "jsonl_ingest": bench_jsonl_ingest,
         "bpe_tokens": bench_bpe_tokens,
         "cm_freq": bench_cm_freq,
+        "pca_project_16": bench_pca_project,
         "hamming_topk_100q": bench_hamming_topk,
         "hybrid_rrf": lambda: em.q67_hybrid_rrf(spark, SF_DIR),
         "boilerplate_2gram": lambda: em.q75_boilerplate(spark, SF_DIR),

@@ -30,6 +30,7 @@ from .packing import (
     length_bucketed_batches,
     pack_documents,
 )
+from .pca import train_pca, pca_project
 from .sketch import kmv_distinct, mg_heavy_hitters, cm_sketch, cm_estimate
 from .bpe import (
     bpe_token_counts,
@@ -55,6 +56,8 @@ __all__ = [
     "topk_search",
     "build_ivfpq_index",
     "kmv_distinct",
+    "train_pca",
+    "pca_project",
     "cm_sketch",
     "cm_estimate",
     "bpe_token_counts",
