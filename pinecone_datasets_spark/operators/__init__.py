@@ -30,7 +30,7 @@ from .packing import (
     length_bucketed_batches,
     pack_documents,
 )
-from .pca import train_pca, pca_project
+from .pca import train_pca, pca_project, train_opq_rotation
 from .sketch import kmv_distinct, mg_heavy_hitters, cm_sketch, cm_estimate
 from .bpe import (
     bpe_token_counts,
@@ -57,6 +57,7 @@ __all__ = [
     "build_ivfpq_index",
     "kmv_distinct",
     "train_pca",
+    "train_opq_rotation",
     "pca_project",
     "cm_sketch",
     "cm_estimate",

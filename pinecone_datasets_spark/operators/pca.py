@@ -122,6 +122,65 @@ def train_pca(
     return comps, mean, ratio
 
 
+def train_opq_rotation(
+    documents: DataFrame,
+    m: int,
+    vector_col: str = "values",
+    dim: Optional[int] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """OPQ-style rotation for product quantization: PCA decorrelation +
+    eigenvalue allocation (the parametric OPQ baseline of Ge et al.
+    2013, "Optimized Product Quantization", §4 — no iterative R/codebook
+    alternation, one closed form from the same one-pass moments as
+    ``train_pca``).
+
+    PQ quantizes each of ``m`` subspaces independently, so it wastes
+    budget when (a) dimensions are correlated across subspace borders
+    and (b) variance is concentrated in one subspace. The fix: rotate
+    into the PCA basis (kills correlation), then deal the principal
+    directions to subspaces greedily so each subspace's variance
+    PRODUCT is balanced — every codebook then carries comparable
+    information.
+
+    Returns ``(R, mean)`` with ``R`` orthogonal ``(dim, dim)``: encode
+    ``(v - mean) @ R`` (use ``pca_project(documents, R, mean)``), then
+    PQ the rotated vectors; rotate queries identically at search time.
+    Rotation preserves dot products and L2 distances of centered
+    vectors, so ADC scores over rotated space rank exactly as in the
+    original space.
+    """
+    if dim is None:
+        first = documents.select(F.size(vector_col).alias("d")).first()
+        if first is None:
+            raise ValueError("train_opq_rotation: empty input")
+        dim = int(first["d"])
+    if m < 1 or dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    comps, mean, ratio = train_pca(
+        documents, out_dim=dim, vector_col=vector_col, dim=dim
+    )
+    dsub = dim // m
+    # Greedy balance of log-variance, in strict fill rounds: each
+    # descending eigenvalue goes to the LEAST-FILLED subspace with the
+    # smallest variance product. Restricting to least-filled makes
+    # every comparison happen between equal-count products, so the
+    # allocation is invariant to eigenvalue scaling (the unconstrained
+    # greedy compares products of unequal length, where a global scale
+    # — or the ratio normalization — flips decisions).
+    sub_log = np.zeros(m)
+    sub_fill = np.zeros(m, dtype=int)
+    slots: list[list[int]] = [[] for _ in range(m)]
+    for idx in range(dim):  # ratio (and comps) already sorted desc
+        open_subs = np.flatnonzero(sub_fill < dsub)
+        elig = open_subs[sub_fill[open_subs] == sub_fill[open_subs].min()]
+        j = elig[np.argmin(sub_log[elig])]
+        slots[j].append(idx)
+        sub_log[j] += float(np.log(max(ratio[idx], 1e-30)))
+        sub_fill[j] += 1
+    perm = [i for sub in slots for i in sub]
+    return np.ascontiguousarray(comps[:, perm]), mean
+
+
 def pca_project(
     documents: DataFrame,
     components: np.ndarray,

@@ -118,3 +118,59 @@ def test_no_center_mode(spark):
         assert abs(float(want[:, j] @ comps[:, j])) == pytest.approx(
             1.0, abs=1e-6
         )
+
+
+def test_opq_rotation_cuts_pq_error(spark):
+    """On correlated anisotropic data the OPQ rotation (PCA +
+    eigenvalue allocation) must cut PQ reconstruction error vs
+    quantizing raw dimensions at the same (m, n_codes) budget."""
+    from pinecone_datasets_spark.operators.pca import train_opq_rotation
+    from pinecone_datasets_spark.operators.pq import train_pq_codebooks
+    from pinecone_datasets_spark.operators.ivf import _nearest
+
+    rng = np.random.default_rng(11)
+    # strong cross-dimension correlation + skewed scales
+    scales = np.geomspace(12.0, 0.2, DIM)
+    mix = np.linalg.qr(rng.normal(size=(DIM, DIM)))[0]
+    m = (rng.normal(size=(600, DIM)) * scales) @ mix.T
+    df = _mat(spark, m)
+
+    R, mu = train_opq_rotation(df, m=4)
+    assert np.allclose(R @ R.T, np.eye(DIM), atol=1e-9)  # orthogonal
+
+    def recon_err(mat, sub_df):
+        books = train_pq_codebooks(sub_df, m=4, n_codes=16, seed=3)
+        dsub = DIM // 4
+        err = 0.0
+        for j in range(4):
+            sub = mat[:, j * dsub : (j + 1) * dsub]
+            codes = _nearest(sub, books[j])
+            err += float(((sub - books[j][codes]) ** 2).sum())
+        return err
+
+    raw = recon_err(m, df)
+    rot_mat = (m - mu) @ R
+    rotated = recon_err(rot_mat, _mat(spark, rot_mat))
+    assert rotated < 0.8 * raw, (rotated, raw)
+
+
+def test_opq_rotation_preserves_distances(spark, aniso):
+    from pinecone_datasets_spark.operators.pca import train_opq_rotation
+
+    m, df = aniso
+    R, mu = train_opq_rotation(df, m=3)
+    c = m - mu
+    rot = c @ R
+    # full-rank orthogonal map: pairwise L2 and dot of centered
+    # vectors are invariant -> ADC ranking over rotated space is exact
+    g_raw = c[:30] @ c[:30].T
+    g_rot = rot[:30] @ rot[:30].T
+    assert np.allclose(g_raw, g_rot, atol=1e-8)
+
+
+def test_opq_guards(spark, aniso):
+    from pinecone_datasets_spark.operators.pca import train_opq_rotation
+
+    _, df = aniso
+    with pytest.raises(ValueError):
+        train_opq_rotation(df, m=5)  # DIM=12 not divisible by 5

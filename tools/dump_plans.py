@@ -37,6 +37,8 @@ HEADLINE = [
     ("jsonl_ingest", "JSONL ingest: one text scan, good/quarantine projections"),
     ("mg_heavy_hitters", "heavy hitters: bounded per-partition summaries"),
     ("hamming_topk", "1-bit sign codes: all-codegen XOR/popcount + exact re-rank"),
+    ("cm_freq", "Count-Min: bounded-key groupBy, broadcast sketch probe"),
+    ("pca_project", "PCA projection: map-only Arrow matmul, no shuffle"),
 ]
 
 
@@ -103,7 +105,31 @@ def _extra_builders(spark, sf_dir):
         )
         return ht(docs, queries, dim=64, k=5, rerank=4)
 
+    def cm_freq(spark, sf_dir):
+        from pinecone_datasets_spark.operators.sketch import (
+            cm_estimate, cm_sketch,
+        )
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        sk = cm_sketch(ev, "user_id", depth=4, width=256)
+        probes = ev.select("user_id").distinct().orderBy("user_id").limit(20)
+        return cm_estimate(sk, probes, "user_id", depth=4, width=256)
+
+    def pca_project(spark, sf_dir):
+        from pinecone_datasets_spark.operators.pca import (
+            pca_project as proj, train_pca,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        docs = emb.select(
+            F.col("vec_id").alias("id"), F.col("embedding").alias("values")
+        )
+        comps, mean, _ = train_pca(docs, out_dim=16, dim=64)
+        return proj(docs, comps, mean)
+
     return {
+        "cm_freq": cm_freq,
+        "pca_project": pca_project,
         "hamming_topk": hamming_topk,
         "ivfpq_search": ivfpq_search,
         "jsonl_ingest": jsonl_ingest,
