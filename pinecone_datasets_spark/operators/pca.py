@@ -127,6 +127,7 @@ def train_opq_rotation(
     m: int,
     vector_col: str = "values",
     dim: Optional[int] = None,
+    center: bool = True,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """OPQ-style rotation for product quantization: PCA decorrelation +
     eigenvalue allocation (the parametric OPQ baseline of Ge et al.
@@ -147,7 +148,10 @@ def train_opq_rotation(
     PQ the rotated vectors; rotate queries identically at search time.
     Rotation preserves dot products and L2 distances of centered
     vectors, so ADC scores over rotated space rank exactly as in the
-    original space.
+    original space. For dot/cosine metrics pass ``center=False``:
+    translation changes dot products and norms, but a pure rotation
+    (mean pinned to 0) leaves both bit-identical — the index path
+    (``pq.build_ivfpq_index(opq=True)``) relies on this.
     """
     if dim is None:
         first = documents.select(F.size(vector_col).alias("d")).first()
@@ -157,7 +161,8 @@ def train_opq_rotation(
     if m < 1 or dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     comps, mean, ratio = train_pca(
-        documents, out_dim=dim, vector_col=vector_col, dim=dim
+        documents, out_dim=dim, vector_col=vector_col, dim=dim,
+        center=center,
     )
     dsub = dim // m
     # Greedy balance of log-variance, in strict fill rounds: each

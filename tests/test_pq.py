@@ -186,3 +186,63 @@ def test_ivfpq_residual_beats_plain_at_same_budget(
     # nprobe=8 of 8 cells = exhaustive scan, so the difference is purely
     # quantization quality
     assert recalls[True] >= recalls[False], recalls
+
+
+def test_opq_index_end_to_end_exact(spark):
+    """opq=True index: whole pipeline lives in rotated space, queries
+    rotate at search time. With a codebook big enough to hold every
+    distinct (rotated) subvector and all cells probed, quantization is
+    lossless -> results equal exact top-k, proving the rotation is
+    applied consistently on both sides."""
+    import tempfile
+
+    from pinecone_datasets_spark.operators.pq import (
+        build_ivfpq_index,
+        ivfpq_index_topk,
+        load_ivfpq_index,
+    )
+
+    rng = np.random.default_rng(9)
+    scales = np.geomspace(8.0, 0.3, 8)
+    mix = np.linalg.qr(rng.normal(size=(8, 8)))[0]
+    vecs = (rng.normal(size=(64, 8)) * scales) @ mix.T
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "id long, values array<double>",
+    )
+    path = tempfile.mkdtemp(prefix="opq_idx_") + "/idx"
+    build_ivfpq_index(
+        df, path, n_centroids=4, m=4, n_codes=64, opq=True, seed=5
+    )
+    _, meta = load_ivfpq_index(spark, path)
+    R = meta["opq_rotation"]
+    assert R is not None and np.allclose(R @ R.T, np.eye(8), atol=1e-9)
+
+    queries = df.where(F.col("id") < 6).select(
+        F.col("id").alias("query_id"), F.col("values").alias("vector")
+    )
+    got = ivfpq_index_topk(spark, path, queries, k=3, nprobe=4)
+    exact = topk_search_arrow(
+        df, vecs[:6], list(range(6)), k=3, metric="cosine"
+    )
+    g = sorted((r["query_id"], r["rank"], r["id"]) for r in got.collect())
+    e = sorted((r["query_id"], r["rank"], r["id"]) for r in exact.collect())
+    assert g == e
+
+
+def test_opq_index_off_by_default(spark, sf_dir):
+    import tempfile
+
+    from pinecone_datasets_spark.operators.pq import (
+        build_ivfpq_index,
+        load_ivfpq_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    docs = emb.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("values")
+    ).limit(200)
+    path = tempfile.mkdtemp(prefix="noopq_idx_") + "/idx"
+    build_ivfpq_index(docs, path, n_centroids=4, m=8, n_codes=16)
+    _, meta = load_ivfpq_index(spark, path)
+    assert meta.get("opq_rotation") is None
