@@ -1034,18 +1034,65 @@ def q52_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q53_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental ingest dedup (operators/dedup.py:incremental_dedup):
-    every 5th doc plays the incoming batch, the rest the standing
-    corpus; the corpus never shuffles — it probes the broadcast batch
-    fingerprint set map-side."""
-    from pinecone_datasets_spark.operators.dedup import incremental_dedup
+    """Incremental ingest dedup, exact AND Bloom-gated: every 5th doc
+    plays the incoming batch, the rest the standing corpus. The exact
+    path (operators/dedup.py:incremental_dedup) probes the corpus once
+    per batch with the batch fingerprints broadcast; the Bloom path
+    (operators/sketch.py:bloom_build/bloom_might_contain) pays that
+    corpus scan ONCE and then serves every batch from the broadcast
+    word table — `bloom_new` implies `exact_new` (no false negatives),
+    the reverse can fail on a false positive. One row per first-in-batch
+    doc with both admission verdicts."""
+    from pinecone_datasets_spark.operators.dedup import (
+        doc_fingerprint,
+        incremental_dedup,
+    )
+    from pinecone_datasets_spark.operators.sketch import (
+        bloom_build,
+        bloom_might_contain,
+    )
 
     doc = _t(spark, sf_dir, "documents")
     batch = doc.where(F.col("doc_id") % 5 == 0)
     corpus = doc.where(F.col("doc_id") % 5 != 0)
-    out = incremental_dedup(batch, corpus)
-    return out.select("doc_id", "lang", "source", "n_chars").orderBy(
-        "doc_id"
+    admitted = incremental_dedup(batch, corpus).select(
+        "doc_id", F.lit(True).alias("exact_new")
+    )
+    bfp = batch.withColumn("_fp", doc_fingerprint(F.col("text")))
+    first_in = bfp.withColumn(
+        "_rk",
+        F.row_number().over(
+            Window.partitionBy("_fp").orderBy(F.col("doc_id"))
+        ),
+    ).where(F.col("_rk") == 1)
+    bloom = bloom_build(
+        corpus.select(doc_fingerprint(F.col("text")).alias("_fp")),
+        "_fp",
+        n_bits=1 << 14,
+        n_hashes=4,
+    )
+    flags = bloom_might_contain(
+        bloom,
+        first_in.select("_fp").distinct(),
+        "_fp",
+        n_bits=1 << 14,
+        n_hashes=4,
+        out_col="_maybe_seen",
+    )
+    return (
+        first_in.join(F.broadcast(flags), "_fp")
+        .join(admitted, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_chars",
+            F.coalesce(F.col("exact_new"), F.lit(False)).alias(
+                "exact_new"
+            ),
+            (~F.col("_maybe_seen")).alias("bloom_new"),
+        )
+        .orderBy("doc_id")
     )
 
 
@@ -3219,6 +3266,8 @@ SELECT doc_id, term, tf, df, round(tf_idf, 6) AS tf_idf, rank
 FROM ranked WHERE rank <= 3
 ORDER BY doc_id, rank
 """,
+        # Bloom replay: same md5 positions (seed:value, 52 bits, mod
+        # 2^14), same 63-bit words as operators/sketch.py:bloom_build.
         "q53_incremental_dedup": """
 WITH fp AS (
   SELECT doc_id, lang, source, n_chars,
@@ -3230,12 +3279,39 @@ WITH fp AS (
 ), first_in AS (
   SELECT *, row_number() OVER (PARTITION BY f ORDER BY doc_id) AS rk
   FROM batch
+), seeds AS (SELECT unnest(range(4)) AS s),
+bpos AS (
+  SELECT DISTINCT
+    (CAST(concat('0x', substr(md5(CAST(seeds.s AS VARCHAR) || ':' || c.f),
+       1, 13)) AS BIGINT) % 16384) // 63 AS word,
+    (CAST(concat('0x', substr(md5(CAST(seeds.s AS VARCHAR) || ':' || c.f),
+       1, 13)) AS BIGINT) % 16384) % 63 AS bit
+  FROM (SELECT f FROM fp WHERE NOT is_batch) c CROSS JOIN seeds
+), bloom AS (
+  SELECT word, bit_or(CAST(1 AS BIGINT) << bit) AS bits
+  FROM bpos GROUP BY 1
+), ppos AS (
+  SELECT p.f,
+    (CAST(concat('0x', substr(md5(CAST(seeds.s AS VARCHAR) || ':' || p.f),
+       1, 13)) AS BIGINT) % 16384) // 63 AS word,
+    (CAST(concat('0x', substr(md5(CAST(seeds.s AS VARCHAR) || ':' || p.f),
+       1, 13)) AS BIGINT) % 16384) % 63 AS bit
+  FROM (SELECT DISTINCT f FROM first_in WHERE rk = 1) p CROSS JOIN seeds
+), flags AS (
+  SELECT ppos.f,
+         CAST(min(CASE WHEN (COALESCE(bloom.bits, 0)
+                             & (CAST(1 AS BIGINT) << ppos.bit)) != 0
+                       THEN 1 ELSE 0 END) AS BOOLEAN) AS maybe_seen
+  FROM ppos LEFT JOIN bloom USING (word)
+  GROUP BY 1
 )
-SELECT doc_id, lang, source, n_chars
-FROM first_in b
-WHERE rk = 1
-  AND NOT EXISTS (
-    SELECT 1 FROM fp c WHERE NOT c.is_batch AND c.f = b.f)
+SELECT b.doc_id, b.lang, b.source, b.n_chars,
+       NOT EXISTS (
+         SELECT 1 FROM fp c WHERE NOT c.is_batch AND c.f = b.f
+       ) AS exact_new,
+       NOT flags.maybe_seen AS bloom_new
+FROM first_in b JOIN flags ON flags.f = b.f
+WHERE b.rk = 1
 ORDER BY doc_id
 """,
         "q51_quantile_filter": """

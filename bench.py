@@ -343,6 +343,28 @@ def main() -> None:
         probes = ev.select("user_id").distinct().orderBy("user_id").limit(100)
         return cm_estimate(sk, probes, "user_id", depth=4, width=1024)
 
+    def bench_bloom_dedup():
+        # Bloom-gated ingest admission: one corpus pass folds into a
+        # <=n_bits/63-row word table (bounded keyspace, cm_sketch
+        # property); the batch probes it via broadcast join — at steady
+        # state the corpus is never rescanned per batch.
+        from pinecone_datasets_spark.operators.dedup import doc_fingerprint
+        from pinecone_datasets_spark.operators.sketch import (
+            bloom_build, bloom_might_contain,
+        )
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        corpus = docs.where(F.col("doc_id") % 5 != 0).select(
+            doc_fingerprint(F.col("text")).alias("f")
+        )
+        batch = docs.where(F.col("doc_id") % 5 == 0).select(
+            doc_fingerprint(F.col("text")).alias("f")
+        ).distinct()
+        bloom = bloom_build(corpus, "f", n_bits=1 << 20, n_hashes=4)
+        return bloom_might_contain(
+            bloom, batch, "f", n_bits=1 << 20, n_hashes=4
+        )
+
     def bench_bpe_tokens():
         # Real trained-tokenizer counts: ONE histogram aggregation
         # (corpus pass) + driver merges + map-only Arrow encode.
@@ -418,6 +440,7 @@ def main() -> None:
         "jsonl_ingest": bench_jsonl_ingest,
         "bpe_tokens": bench_bpe_tokens,
         "cm_freq": bench_cm_freq,
+        "bloom_dedup": bench_bloom_dedup,
         "pca_project_16": bench_pca_project,
         "hamming_topk_100q": bench_hamming_topk,
         "hybrid_rrf": lambda: em.q67_hybrid_rrf(spark, SF_DIR),

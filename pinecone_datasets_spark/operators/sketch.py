@@ -375,3 +375,165 @@ def mg_heavy_hitters(
             >= F.lit(min_share) * F.col("n_total")
         )
     return merged
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter: portable set-membership sketch
+# ---------------------------------------------------------------------------
+
+# 63-bit words so the per-bit mask (1 << bit) never shifts into the sign
+# bit: DuckDB raises "Overflow in left shift (1 << 63)" while the JVM
+# wraps silently — bit index 62 is the highest both engines agree on.
+_BLOOM_WORD = 63
+
+
+def _bloom_pos(value: "F.Column", seed: "F.Column", n_bits: int) -> "F.Column":
+    """Portable bit position: first 52 bits of md5("<seed>:<value>") mod
+    n_bits — the same md5-prefix device as ``_u01`` / ``_cm_bucket`` so
+    the DuckDB oracle reproduces the filter content bit-for-bit."""
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(seed.cast("string"), F.lit(":"), value)),
+                1,
+                13,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+    )
+    return F.pmod(h, F.lit(n_bits))
+
+
+def bloom_build(
+    df: DataFrame,
+    value_col: str,
+    n_bits: int = 1 << 16,
+    n_hashes: int = 4,
+) -> DataFrame:
+    """Bloom filter (Bloom 1970) of the distinct values of ``value_col``,
+    packed into 63-bit words: output is (word, bits) with at most
+    ceil(n_bits / 63) rows — ~8 bytes per 63 bits of filter.
+
+    Why it exists next to ``incremental_dedup``: the exact path probes
+    the full corpus fingerprint column once per incoming batch. The
+    Bloom filter is built ONCE (a single corpus pass) and then serves
+    every subsequent batch at zero corpus I/O — the membership test is
+    a broadcast join against the ≤ n_bits/63-row word table. The price
+    is a known false-positive rate (≈ (1 − e^(−kn/m))^k, ~2% at
+    10 bits/key with k=4), i.e. a small fraction of genuinely-new rows
+    misflagged as seen; pair with the exact path when a false drop is
+    unacceptable (the flag marks candidates to confirm, not corpses).
+
+    Distributed shape: each row explodes into ``n_hashes`` (word, bit)
+    pairs; duplicates collapse in the map-side partial of the DISTINCT,
+    and the final ``groupBy(word)`` bit_or folds at most n_bits rows.
+    Aggregation key space is bounded by the filter geometry regardless
+    of corpus size (the cm_sketch property). Filters over disjoint
+    inputs merge by (word, bit_or) — union and re-aggregate.
+    """
+    if n_bits < _BLOOM_WORD or n_hashes < 1:
+        raise ValueError(
+            f"need n_bits >= {_BLOOM_WORD}, n_hashes >= 1; "
+            f"got {n_bits}, {n_hashes}"
+        )
+    pos = df.select(
+        F.col(value_col).cast("string").alias("__v"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("__s"),
+    ).select(
+        _bloom_pos(F.col("__v"), F.col("__s"), n_bits).alias("__p")
+    )
+    bits = pos.select(
+        (F.col("__p") / _BLOOM_WORD).cast("long").alias("word"),
+        F.pmod(F.col("__p"), F.lit(_BLOOM_WORD)).cast("int").alias("bit"),
+    ).distinct()
+    # shiftleft()'s python wrapper only takes a literal shift amount;
+    # the SQL function accepts a column.
+    mask = F.expr("shiftleft(CAST(1 AS BIGINT), bit)")
+    return bits.groupBy("word").agg(F.bit_or(mask).alias("bits"))
+
+
+def bloom_might_contain(
+    bloom: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    n_bits: int = 1 << 16,
+    n_hashes: int = 4,
+    out_col: str = "might_contain",
+) -> DataFrame:
+    """Membership probe: ``out_col`` is true iff ALL ``n_hashes`` bits
+    for the key are set — false means definitely-absent, true means
+    present-or-false-positive.
+
+    The filter (≤ n_bits/63 rows) is the broadcast side; the probe frame
+    can be arbitrarily large and never shuffles beyond its own per-key
+    group (one row per distinct key comes back, mirroring
+    ``cm_estimate``). A word the build never touched has no row — the
+    left join's null word reads as all-zero."""
+    pr = probes.select(
+        F.col(key_col),
+        F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("__s"),
+    ).select(
+        key_col,
+        _bloom_pos(
+            F.col(key_col).cast("string"), F.col("__s"), n_bits
+        ).alias("__p"),
+    ).select(
+        key_col,
+        (F.col("__p") / _BLOOM_WORD).cast("long").alias("word"),
+        F.pmod(F.col("__p"), F.lit(_BLOOM_WORD)).cast("int").alias("bit"),
+    )
+    joined = pr.join(F.broadcast(bloom), "word", "left")
+    hit = (
+        F.coalesce(F.col("bits"), F.lit(0))
+        .bitwiseAND(F.expr("shiftleft(CAST(1 AS BIGINT), bit)"))
+        != 0
+    )
+    return joined.groupBy(key_col).agg(
+        F.min(hit.cast("int")).cast("boolean").alias(out_col)
+    )
+
+
+def bloom_sql(
+    value_expr: str,
+    from_clause: str,
+    probe_clause: str,
+    probe_key: str,
+    n_bits: int = 1 << 16,
+    n_hashes: int = 4,
+    out_col: str = "might_contain",
+) -> str:
+    """DuckDB twin of ``bloom_build`` + ``bloom_might_contain`` (same
+    md5 positions, same 63-bit words). ``probe_clause`` must yield one
+    row per probe key named ``probe_key``."""
+    pos = (
+        "CAST(concat('0x', substr(md5(CAST({s} AS VARCHAR) || ':' || "
+        "CAST({v} AS VARCHAR)), 1, 13)) AS BIGINT) % {m}"
+    )
+    build_pos = pos.format(s="seeds.s", v=value_expr, m=n_bits)
+    probe_pos = pos.format(s="seeds.s", v=probe_key, m=n_bits)
+    w = _BLOOM_WORD
+    return f"""
+WITH seeds AS (SELECT unnest(range({n_hashes})) AS s),
+bpos AS (
+  SELECT DISTINCT ({build_pos}) // {w} AS word,
+                  ({build_pos}) % {w} AS bit
+  FROM {from_clause} CROSS JOIN seeds
+),
+bloom AS (
+  SELECT word, bit_or(CAST(1 AS BIGINT) << bit) AS bits
+  FROM bpos GROUP BY 1
+),
+ppos AS (
+  SELECT p.{probe_key}, ({probe_pos}) // {w} AS word,
+         ({probe_pos}) % {w} AS bit
+  FROM ({probe_clause}) p CROSS JOIN seeds
+)
+SELECT ppos.{probe_key},
+       CAST(min(CASE WHEN (COALESCE(bloom.bits, 0)
+                           & (CAST(1 AS BIGINT) << ppos.bit)) != 0
+                     THEN 1 ELSE 0 END) AS BOOLEAN) AS {out_col}
+FROM ppos LEFT JOIN bloom USING (word)
+GROUP BY 1
+"""
