@@ -869,6 +869,96 @@ def q48_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_contamination(doc, bench, n=3).orderBy("doc_id")
 
 
+def q81_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-substring spans (operators/spans.py): maximal
+    merged extents of 8-word windows that occur more than once
+    corpus-wide (Lee et al. 2022 ExactSubstr, window-hash formulation).
+    On the dup-seeded corpus every cloned document surfaces as one
+    full-coverage span in both the original and the clone. Hash counts
+    shuffle as (md5, partial count) pairs; the repeated sliver
+    broadcasts back — corpus text never crosses an exchange."""
+    from pinecone_datasets_spark.operators.spans import repeated_spans
+
+    corpus = _docs_with_dups(spark, sf_dir)
+    return repeated_spans(corpus, window=8, hash_fn="md5").orderBy(
+        "doc_id", "span_start"
+    )
+
+
+def q82_strip_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """strip_repeated_spans: the corpus rewritten with every repeated
+    span removed (ALL occurrences — the Lee et al. removal rule), the
+    cleaned text pinned by an md5 fingerprint so the value hash checks
+    the exact surviving tokens."""
+    from pinecone_datasets_spark.operators.spans import (
+        strip_repeated_spans,
+    )
+
+    corpus = _docs_with_dups(spark, sf_dir)
+    out = strip_repeated_spans(corpus, window=8, hash_fn="md5")
+    return out.select(
+        "doc_id",
+        "n_tokens_kept",
+        "n_tokens_removed",
+        F.conv(F.substring(F.md5("text"), 1, 8), 16, 10)
+        .cast("long")
+        .alias("clean_fp"),
+    ).orderBy("doc_id")
+
+
+def q48_q81_decontam_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged corpus-hygiene entry, tagged: 'contam' = benchmark
+    decontamination stats (q48), 'spans' = exact repeated-substring
+    extents (q81), 'strip' = the span-removal rewrite with cleaned-text
+    fingerprints (q82)."""
+    from pinecone_datasets_spark.operators.spans import (
+        repeated_spans,
+        strip_repeated_spans,
+    )
+
+    contam = q48_decontaminate(spark, sf_dir).select(
+        F.lit("contam").alias("part"),
+        F.col("doc_id"),
+        F.col("n_doc_ngrams").cast("double").alias("c1"),
+        F.col("n_hit_ngrams").cast("double").alias("c2"),
+        F.col("contamination_rate").cast("double").alias("c3"),
+    )
+    # ONE spans frame feeds both parts (VERDICT r3 item 2's share-the-
+    # expensive-stage rule): identical subplans collapse to a
+    # ReusedExchange, and strip gets the frame explicitly.
+    corpus = _docs_with_dups(spark, sf_dir)
+    spans_df = repeated_spans(corpus, window=8, hash_fn="md5")
+    spans = spans_df.select(
+        F.lit("spans").alias("part"),
+        F.col("doc_id"),
+        F.col("span_start").cast("double").alias("c1"),
+        F.col("span_end").cast("double").alias("c2"),
+        F.col("span_tokens").cast("double").alias("c3"),
+    )
+    stripped = strip_repeated_spans(
+        corpus, window=8, hash_fn="md5", spans=spans_df
+    ).select(
+        "doc_id",
+        "n_tokens_kept",
+        "n_tokens_removed",
+        F.conv(F.substring(F.md5("text"), 1, 8), 16, 10)
+        .cast("long")
+        .alias("clean_fp"),
+    )
+    strip = stripped.select(
+        F.lit("strip").alias("part"),
+        F.col("doc_id"),
+        F.col("n_tokens_kept").cast("double").alias("c1"),
+        F.col("n_tokens_removed").cast("double").alias("c2"),
+        F.col("clean_fp").cast("double").alias("c3"),
+    )
+    return (
+        contam.unionByName(spans)
+        .unionByName(strip)
+        .orderBy("part", "doc_id", "c1")
+    )
+
+
 def q49_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-loader layouts (operators/packing.py), tagged: 'chunks'
     = concat-then-chunk packing (global token offsets via two-phase
@@ -2646,7 +2736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q42_q52_dedup_clusters": q42_q52_dedup_clusters,
         "q43_q44_terms": q43_q44_terms,
         "q45_q46_q47_sampling": q45_q46_q47_sampling,
-        "q48_decontaminate": q48_decontaminate,
+        "q48_q81_decontam_spans": q48_q81_decontam_spans,
         "q49_pack_chunks": q49_pack_chunks,
         "q50_quantized_topk": q50_quantized_topk,
         "q51_quantile_filter": q51_quantile_filter,
@@ -4376,7 +4466,6 @@ def oracle_sql() -> dict[str, str]:
         "q31_stored_filter_search",
         "q32_sparse_dot_topk",
         "q35_ivf_topk",
-        "q48_decontaminate",
         "q49_pack_chunks",
         "q50_quantized_topk",
         "q51_quantile_filter",
@@ -4446,6 +4535,86 @@ SELECT 'mkt_share', CAST(o_year AS VARCHAR), 'EUROPE', mkt_share,
        CAST(NULL AS BIGINT)
 FROM mkt
 ORDER BY part, k1, k2
+"""
+    # q48 + q81/q82: decontamination stats UNION exact repeated-substring
+    # spans UNION the span-stripped rewrite. The spans replay is the full
+    # pipeline — per-position 8-word window md5s (parallel unnest zips
+    # position and hash), global HAVING count(*) > 1, gaps-and-islands
+    # merge (break when pos > prev + window), then covered positions
+    # expand back so the strip filter and cleaned-text md5 are exact.
+    out["q48_q81_decontam_spans"] = f"""
+WITH contam AS ({b['q48_decontaminate']}),
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text
+  FROM documents WHERE doc_id % 10 = 0
+),
+wrd AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                     x -> len(x) > 0) AS words
+  FROM corpus
+),
+ph AS (
+  SELECT doc_id,
+         CASE WHEN len(words) >= 8 THEN
+           list_transform(generate_series(1, len(words) - 7),
+                          i -> md5(array_to_string(words[i:i+7], ' ')))
+         ELSE []::VARCHAR[] END AS hs
+  FROM wrd
+),
+p AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(hs))) AS pos,
+         unnest(hs) AS h
+  FROM ph
+),
+rep AS (SELECT h FROM p GROUP BY h HAVING count(*) > 1),
+flg AS (SELECT doc_id, pos FROM p JOIN rep USING (h)),
+brk AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER w IS NULL
+                OR pos > lag(pos) OVER w + 8 THEN 1 ELSE 0 END AS b
+  FROM flg WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+isl AS (
+  SELECT doc_id, pos,
+         sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS seg
+  FROM brk
+),
+spans AS (
+  SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+  FROM isl GROUP BY doc_id, seg
+),
+cov AS (
+  SELECT doc_id, unnest(generate_series(s, e)) AS cp FROM spans
+),
+cvl AS (SELECT doc_id, list(cp) AS cps FROM cov GROUP BY doc_id),
+strip AS (
+  SELECT wrd.doc_id,
+         list_filter(words,
+                     (x, i) -> NOT list_contains(
+                       coalesce(cps, []::BIGINT[]), i)) AS kept,
+         len(words) AS n_words
+  FROM wrd LEFT JOIN cvl USING (doc_id)
+)
+SELECT 'contam' AS part, doc_id,
+       CAST(n_doc_ngrams AS DOUBLE) AS c1,
+       CAST(n_hit_ngrams AS DOUBLE) AS c2,
+       CAST(contamination_rate AS DOUBLE) AS c3
+FROM contam
+UNION ALL
+SELECT 'spans', doc_id, CAST(s AS DOUBLE), CAST(e AS DOUBLE),
+       CAST(e - s + 1 AS DOUBLE)
+FROM spans
+UNION ALL
+SELECT 'strip', doc_id, CAST(len(kept) AS DOUBLE),
+       CAST(n_words - len(kept) AS DOUBLE),
+       CAST(('0x' || substr(md5(coalesce(array_to_string(kept, ' '), '')),
+                            1, 8))::BIGINT AS DOUBLE)
+FROM strip
+ORDER BY part, doc_id, c1
 """
     out["q03_q60_semi_anti"] = f"""
 WITH s_semi AS ({b['q03_priority_semijoin']}),

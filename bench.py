@@ -137,6 +137,18 @@ def main() -> None:
         media = docs.select("doc_id").mapInPandas(make_png, MEDIA_SCHEMA)
         return extract_image_features(media, feature_dim=16)
 
+    def bench_substr_spans():
+        # exact repeated-substring removal (Lee et al. ExactSubstr,
+        # window-hash formulation): position-hash explode -> global
+        # count -> broadcast sliver -> gaps-and-islands merge -> strip.
+        # xxhash64 path = the production (JVM-only) hash.
+        from pinecone_datasets_spark.operators.spans import (
+            strip_repeated_spans,
+        )
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        return strip_repeated_spans(docs, window=8, hash_fn="xxhash64")
+
     def bench_minhash_fast():
         docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
         return minhash_lsh_candidates(
@@ -449,6 +461,7 @@ def main() -> None:
         "rproject_topk_100q": bench_rproject_topk,
         "semdedup_cells64": bench_semdedup,
         "dup_spans_3gram": lambda: em.q77_dup_spans(spark, SF_DIR),
+        "substr_strip_w8": bench_substr_spans,
         "rag_chunk_64x16": bench_rag_chunk,
         "mmr_rerank_100q": bench_mmr,
         "curation_funnel": bench_funnel,

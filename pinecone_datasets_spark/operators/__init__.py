@@ -25,6 +25,11 @@ from .boilerplate import (
     frequent_ngrams,
     remove_duplicated_spans,
 )
+from .spans import (
+    repeated_spans,
+    repeated_window_positions,
+    strip_repeated_spans,
+)
 from .packing import (
     chunk_text,
     length_bucketed_batches,
@@ -96,6 +101,9 @@ __all__ = [
     "duplicated_spans",
     "frequent_ngrams",
     "remove_duplicated_spans",
+    "repeated_spans",
+    "repeated_window_positions",
+    "strip_repeated_spans",
     "chunk_text",
     "length_bucketed_batches",
     "pack_documents",
