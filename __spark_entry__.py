@@ -2368,13 +2368,69 @@ def q17_q21_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q83_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (operators/mining.py): top-5 non-positive
+    cosine hits per query with margin against the hardest labeled
+    positive (self + vec_id+100 as the deterministic label set). The
+    exact-scored positive floor means a positive the retriever misses
+    still anchors the margin — asserted by the oracle twin."""
+    from pinecone_datasets_spark.operators.mining import (
+        mine_hard_negatives,
+    )
+
+    docs, queries = _emb_docs_queries(spark, sf_dir)
+    positives = queries.select(
+        "query_id", F.col("query_id").alias("doc_id")
+    ).unionByName(
+        queries.select(
+            "query_id", (F.col("query_id") + 100).alias("doc_id")
+        )
+    )
+    out = mine_hard_negatives(
+        docs,
+        queries,
+        positives,
+        k=5,
+        overfetch=5,
+        metric="cosine",
+        doc_id_col="doc_id",
+    )
+    return out.select(
+        "query_id",
+        "doc_id",
+        F.round("score", 4).alias("score"),
+        F.col("neg_rank").cast("long").alias("rank"),
+        F.round("pos_score_min", 4).alias("pos_min"),
+        F.round("margin", 4).alias("margin"),
+    ).orderBy("query_id", "rank")
+
+
 def q19_q20_topk_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact top-k replay under both metrics (dot + cosine), tagged."""
+    """Exact top-k replay under both metrics (dot + cosine) plus the
+    hard-negative mining pass (q83), tagged."""
     dot = q19_topk_dot(spark, sf_dir).withColumn("metric", F.lit("dot"))
     cos = q20_topk_cosine(spark, sf_dir).withColumn(
         "metric", F.lit("cosine")
     )
-    return dot.unionByName(cos).orderBy("metric", "query_id", "rank")
+    base = dot.unionByName(cos).select(
+        "metric",
+        "query_id",
+        "doc_id",
+        "score",
+        "rank",
+        _nl("double").alias("pos_min"),
+        _nl("double").alias("margin"),
+    )
+    hn = q83_hard_negatives(spark, sf_dir).select(
+        F.lit("hardneg").alias("metric"),
+        "query_id",
+        "doc_id",
+        "score",
+        "rank",
+        "pos_min",
+        "margin",
+    )
+    return base.unionByName(hn).orderBy("metric", "query_id", "rank")
 
 
 def q25_q39_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4833,10 +4889,52 @@ ORDER BY part, id_a, id_b
 """
     out["q19_q20_topk_metrics"] = f"""
 WITH dotq AS ({b['q19_topk_dot']}),
-cosq AS ({b['q20_topk_cosine']})
-SELECT 'dot' AS metric, query_id, doc_id, score, rank FROM dotq
+cosq AS ({b['q20_topk_cosine']}),
+hn_pos AS (
+  SELECT vec_id AS query_id, vec_id AS doc_id
+  FROM embeddings WHERE vec_id < 10
+  UNION ALL
+  SELECT vec_id AS query_id, vec_id + 100 AS doc_id
+  FROM embeddings WHERE vec_id < 10
+),
+hn_cand AS (
+  SELECT q.vec_id AS query_id, d.vec_id AS doc_id,
+         list_cosine_similarity(d.embedding::DOUBLE[],
+                                q.embedding::DOUBLE[]) AS score
+  FROM embeddings d, embeddings q WHERE q.vec_id < 10
+  QUALIFY row_number() OVER (
+    PARTITION BY q.vec_id ORDER BY score DESC, d.vec_id) <= 10
+),
+hn_negs AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id) AS neg_rank
+  FROM hn_cand c
+  WHERE NOT EXISTS (SELECT 1 FROM hn_pos p
+                    WHERE p.query_id = c.query_id
+                      AND p.doc_id = c.doc_id)
+),
+hn_floor AS (
+  SELECT p.query_id,
+         min(list_cosine_similarity(d.embedding::DOUBLE[],
+                                    q.embedding::DOUBLE[])) AS pos_min
+  FROM hn_pos p
+  JOIN embeddings d ON d.vec_id = p.doc_id
+  JOIN embeddings q ON q.vec_id = p.query_id
+  GROUP BY p.query_id
+)
+SELECT 'dot' AS metric, query_id, doc_id, score, rank,
+       CAST(NULL AS DOUBLE) AS pos_min, CAST(NULL AS DOUBLE) AS margin
+FROM dotq
 UNION ALL
-SELECT 'cosine', query_id, doc_id, score, rank FROM cosq
+SELECT 'cosine', query_id, doc_id, score, rank,
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+FROM cosq
+UNION ALL
+SELECT 'hardneg', n.query_id, n.doc_id, round(n.score, 4), n.neg_rank,
+       round(f.pos_min, 4), round(f.pos_min - n.score, 4)
+FROM hn_negs n LEFT JOIN hn_floor f USING (query_id)
+WHERE n.neg_rank <= 5
 ORDER BY metric, query_id, rank
 """
     out["q25_q39_fingerprints"] = f"""

@@ -164,6 +164,29 @@ def main() -> None:
             docs, num_hashes=64, bands=16, hash_fn="oph"
         )
 
+    def bench_hard_negatives():
+        # contrastive-training mining: exact candidate retrieval (100
+        # queries), anti-join vs labeled positives, exact positive-floor
+        # scoring, margin per mined negative
+        from pinecone_datasets_spark.operators.mining import (
+            mine_hard_negatives,
+        )
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        docs = emb.select(
+            F.col("vec_id").alias("id"),
+            F.col("embedding").cast("array<double>").alias("values"),
+        )
+        queries = docs.where(F.col("id") < 100).select(
+            F.col("id").alias("query_id"), F.col("values").alias("vector")
+        )
+        positives = queries.select(
+            "query_id", F.col("query_id").alias("id")
+        ).unionByName(
+            queries.select("query_id", (F.col("query_id") + 100).alias("id"))
+        )
+        return mine_hard_negatives(docs, queries, positives, k=10)
+
     def bench_mmr():
         # retrieval candidates -> vector join -> greedy MMR per query
         # (applyInPandas across queries; candidates only, corpus never
@@ -462,6 +485,7 @@ def main() -> None:
         "semdedup_cells64": bench_semdedup,
         "dup_spans_3gram": lambda: em.q77_dup_spans(spark, SF_DIR),
         "substr_strip_w8": bench_substr_spans,
+        "hard_negatives_100q": bench_hard_negatives,
         "rag_chunk_64x16": bench_rag_chunk,
         "mmr_rerank_100q": bench_mmr,
         "curation_funnel": bench_funnel,

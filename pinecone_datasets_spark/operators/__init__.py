@@ -18,6 +18,7 @@ from .sampling import (
 )
 from .embstats import embedding_dim_stats, embedding_drift
 from .rerank import mmr_rerank
+from .mining import mine_hard_negatives
 from .editsim import edit_distance_pairs
 from .boilerplate import (
     boilerplate_profile,
@@ -96,6 +97,7 @@ __all__ = [
     "embedding_dim_stats",
     "embedding_drift",
     "mmr_rerank",
+    "mine_hard_negatives",
     "edit_distance_pairs",
     "boilerplate_profile",
     "duplicated_spans",

@@ -86,6 +86,11 @@ def _position_window_hashes(
         raise ValueError(f"window must be >= 2: {window}")
     if hash_fn not in ("md5", "xxhash64"):
         raise ValueError(f"unknown hash_fn: {hash_fn}")
+    from ..parallel import widen
+
+    # The per-position explode multiplies rows ~|tokens|-fold: an
+    # under-split input (one small parquet file) would run it serially.
+    df = widen(df, id_col)
     words = df.select(F.col(id_col), _words(text_col).alias("_w"))
 
     def whash(i: Column) -> Column:
