@@ -1622,6 +1622,73 @@ def q67_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def q84_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IR metrics (operators/evaluate.py) of the hybrid RRF ranking
+    against graded pseudo-qrels (exact cosine top-3, rel = 4 - rank):
+    per-query recall/precision/MRR/nDCG @ 10 — the evaluation loop the
+    reference's replayable query sets exist for."""
+    from pinecone_datasets_spark.operators.evaluate import (
+        retrieval_metrics,
+    )
+
+    fused = q67_hybrid_rrf(spark, sf_dir)
+    docs, queries = _emb_docs_queries(spark, sf_dir)
+    exact = topk_search(
+        docs,
+        queries.where(F.col("query_id") < 5),
+        metric="cosine",
+        k=3,
+        doc_id_col="doc_id",
+        metadata_col=None,
+    )
+    qrels = exact.select(
+        "query_id", "doc_id", (4 - F.col("rank")).cast("int").alias("rel")
+    )
+    per_q = retrieval_metrics(
+        fused.select("query_id", "doc_id", "rank"),
+        qrels,
+        k=10,
+        doc_id_col="doc_id",
+    )
+    return per_q.select(
+        "query_id",
+        "n_relevant",
+        F.round("recall_at_k", 6).alias("recall_at_k"),
+        F.round("precision_at_k", 6).alias("precision_at_k"),
+        F.round("mrr_at_k", 6).alias("mrr_at_k"),
+        F.round("ndcg_at_k", 6).alias("ndcg_at_k"),
+    ).orderBy("query_id")
+
+
+def q67_q84_hybrid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged hybrid-retrieval entry, tagged: 'fused' = the RRF ranking
+    (q67), 'metrics' = its per-query IR evaluation against exact-cosine
+    pseudo-qrels (q84)."""
+    fused = q67_hybrid_rrf(spark, sf_dir).select(
+        F.lit("fused").alias("part"),
+        F.col("query_id"),
+        F.col("doc_id"),
+        F.col("rrf_score").alias("c1"),
+        F.col("rank").cast("double").alias("c2"),
+        _nl("double").alias("c3"),
+        _nl("double").alias("c4"),
+        _nl("long").alias("n_rel"),
+    )
+    metrics = q84_retrieval_eval(spark, sf_dir).select(
+        F.lit("metrics").alias("part"),
+        F.col("query_id"),
+        _nl("long").alias("doc_id"),
+        F.col("recall_at_k").alias("c1"),
+        F.col("precision_at_k").alias("c2"),
+        F.col("mrr_at_k").alias("c3"),
+        F.col("ndcg_at_k").alias("c4"),
+        F.col("n_relevant").alias("n_rel"),
+    )
+    return fused.unionByName(metrics).orderBy(
+        "part", "query_id", "c2", "doc_id"
+    )
+
+
 def q68_zorder_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton/z-value computation (operators/zorder.py): bit-interleave
     of (l_partkey, l_suppkey) — the clustering key behind multi-dim file
@@ -2807,7 +2874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q63_q64_scd": q63_q64_scd,
         "q65_salted_join": q65_salted_join,
         "q66_bm25_search": q66_bm25_search,
-        "q67_hybrid_rrf": q67_hybrid_rrf,
+        "q67_q84_hybrid_eval": q67_q84_hybrid_eval,
         "q68_zorder_values": q68_zorder_values,
         "q70_cube_docs": q70_cube_docs,
         "q71_q72_funnel_cohort": q71_q72_funnel_cohort,
@@ -4534,7 +4601,6 @@ def oracle_sql() -> dict[str, str]:
         "q62_below_avg_parts",
         "q65_salted_join",
         "q66_bm25_search",
-        "q67_hybrid_rrf",
         "q68_zorder_values",
         "q70_cube_docs",
         "q73_pagerank2",
@@ -4591,6 +4657,64 @@ SELECT 'mkt_share', CAST(o_year AS VARCHAR), 'EUROPE', mkt_share,
        CAST(NULL AS BIGINT)
 FROM mkt
 ORDER BY part, k1, k2
+"""
+    # q67 + q84: the RRF ranking UNION its IR evaluation against exact-
+    # cosine pseudo-qrels (rel = 4 - rank). The metrics replay is pure
+    # SQL: DCG/IDCG via power/log2, first-relevant-rank MRR, judged-set
+    # spine so an all-miss query still emits a zero row.
+    out["q67_q84_hybrid_eval"] = f"""
+WITH fused_q67 AS ({b['q67_hybrid_rrf']}),
+qrels AS (
+  SELECT query_id, doc_id, 4 - rank AS rel FROM (
+    SELECT q.vec_id AS query_id, d.vec_id AS doc_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(d.embedding::DOUBLE[],
+                                             q.embedding::DOUBLE[]) DESC,
+                      d.vec_id) AS rank
+    FROM embeddings d, embeddings q WHERE q.vec_id < 5)
+  WHERE rank <= 3
+),
+topk AS (SELECT query_id, doc_id, rank FROM fused_q67 WHERE rank <= 10),
+ehits AS (
+  SELECT t.query_id, count(*) AS hits, min(t.rank) AS first_rank,
+         sum((power(2, r.rel) - 1) / log2(t.rank + 1)) AS dcg
+  FROM topk t JOIN qrels r USING (query_id, doc_id)
+  GROUP BY t.query_id
+),
+ideal AS (
+  SELECT query_id, sum((power(2, rel) - 1) / log2(rn + 1)) AS idcg
+  FROM (SELECT query_id, rel,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY rel DESC, doc_id) AS rn
+        FROM qrels)
+  WHERE rn <= 10 GROUP BY query_id
+),
+spine AS (
+  SELECT query_id, count(*)::BIGINT AS n_rel FROM qrels GROUP BY query_id
+),
+mets AS (
+  SELECT s.query_id,
+         round(coalesce(e.hits, 0) / s.n_rel, 6) AS recall_at_k,
+         round(coalesce(e.hits, 0) / 10.0, 6) AS precision_at_k,
+         round(coalesce(1.0 / e.first_rank, 0.0), 6) AS mrr_at_k,
+         round(CASE WHEN i.idcg > 0
+                    THEN coalesce(e.dcg, 0.0) / i.idcg ELSE 0.0 END,
+               6) AS ndcg_at_k,
+         s.n_rel
+  FROM spine s
+  LEFT JOIN ehits e USING (query_id)
+  LEFT JOIN ideal i USING (query_id)
+)
+SELECT 'fused' AS part, query_id, doc_id, rrf_score AS c1,
+       CAST(rank AS DOUBLE) AS c2, CAST(NULL AS DOUBLE) AS c3,
+       CAST(NULL AS DOUBLE) AS c4, CAST(NULL AS BIGINT) AS n_rel
+FROM fused_q67
+UNION ALL
+SELECT 'metrics', query_id, CAST(NULL AS BIGINT), recall_at_k,
+       precision_at_k, mrr_at_k, ndcg_at_k, n_rel
+FROM mets
+ORDER BY part, query_id, c2, doc_id
 """
     # q48 + q81/q82: decontamination stats UNION exact repeated-substring
     # spans UNION the span-stripped rewrite. The spans replay is the full

@@ -19,6 +19,7 @@ from .sampling import (
 from .embstats import embedding_dim_stats, embedding_drift
 from .rerank import mmr_rerank
 from .mining import mine_hard_negatives
+from .evaluate import macro_metrics, retrieval_metrics
 from .editsim import edit_distance_pairs
 from .boilerplate import (
     boilerplate_profile,
@@ -98,6 +99,8 @@ __all__ = [
     "embedding_drift",
     "mmr_rerank",
     "mine_hard_negatives",
+    "retrieval_metrics",
+    "macro_metrics",
     "edit_distance_pairs",
     "boilerplate_profile",
     "duplicated_spans",
