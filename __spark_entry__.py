@@ -1586,6 +1586,42 @@ def q66_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def q85_rm3_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RM3 pseudo-relevance feedback (operators/prf.py): BM25 top-5 as
+    pseudo-relevant, relevance model over their term distributions,
+    top-8 expansion terms interpolated 50/50 with the original query's
+    MLE, weighted BM25 re-search. Every probability rounds at 12 dp on
+    both engines so the two-stage pipeline replays hash-exactly."""
+    from pinecone_datasets_spark.operators.prf import rm3_search
+
+    docs = _t(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        _BM25_QUERIES, schema="query_id long, query_text string"
+    )
+    out = rm3_search(
+        docs, queries, k=10, fb_k=5, n_terms=8, orig_weight=0.5
+    )
+    return out.select(
+        "query_id",
+        "doc_id",
+        F.round("score", 4).alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    ).orderBy("query_id", "rank")
+
+
+def q66_q85_bm25_rm3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged keyword-retrieval entry, tagged: 'bm25' = plain BM25
+    top-10 (q66), 'rm3' = the RM3-expanded weighted re-search (q85) over
+    the same query set."""
+    bm = q66_bm25_search(spark, sf_dir).withColumn("part", F.lit("bm25"))
+    rm = q85_rm3_search(spark, sf_dir).withColumn("part", F.lit("rm3"))
+    return (
+        bm.unionByName(rm)
+        .select("part", "query_id", "doc_id", "score", "rank")
+        .orderBy("part", "query_id", "rank")
+    )
+
+
 def q67_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval: dense cosine top-20 and BM25 top-20 (each doc's
     own text and embedding as the query, doc_id<5) fused by reciprocal
@@ -2873,7 +2909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q62_below_avg_parts": q62_below_avg_parts,
         "q63_q64_scd": q63_q64_scd,
         "q65_salted_join": q65_salted_join,
-        "q66_bm25_search": q66_bm25_search,
+        "q66_q85_bm25_rm3": q66_q85_bm25_rm3,
         "q67_q84_hybrid_eval": q67_q84_hybrid_eval,
         "q68_zorder_values": q68_zorder_values,
         "q70_cube_docs": q70_cube_docs,
@@ -4600,7 +4636,6 @@ def oracle_sql() -> dict[str, str]:
         "q59_label_centroids",
         "q62_below_avg_parts",
         "q65_salted_join",
-        "q66_bm25_search",
         "q68_zorder_values",
         "q70_cube_docs",
         "q73_pagerank2",
@@ -4658,6 +4693,104 @@ SELECT 'mkt_share', CAST(o_year AS VARCHAR), 'EUROPE', mkt_share,
 FROM mkt
 ORDER BY part, k1, k2
 """
+    # q66 + q85: plain BM25 UNION the RM3-expanded weighted re-search.
+    # The RM3 replay rides on the shared BM25 CTE block (fb stage =
+    # bm_topk at k=5), then: normalized P(d|q), relevance model over the
+    # feedback docs' tf/dl (the corpus-wide tf/dl CTEs restricted to
+    # feedback ids — per-doc stats are identical either way), top-8
+    # terms, 50/50 interpolation with the query MLE, weighted scoring.
+    # Every probability rounds at 12 dp exactly like operators/prf.py.
+    out["q66_q85_bm25_rm3"] = (
+        "WITH "
+        + _oracle_bm25_ctes(
+            "SELECT * FROM (VALUES "
+            + ", ".join(f"({i}, '{t}')" for i, t in _BM25_QUERIES)
+            + ") v(query_id, query_text)",
+            k=5,
+        )
+        + """,
+bm10 AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 6) DESC, doc_id) AS rank
+  FROM bm_scored
+),
+pdq AS (
+  SELECT query_id, doc_id,
+         round(score / sum(score) OVER (PARTITION BY query_id), 12) AS pdq
+  FROM bm_topk
+),
+rel AS (
+  SELECT p.query_id, t.term,
+         round(sum((t.tf / d.dl) * p.pdq), 12) AS w
+  FROM pdq p
+  JOIN tf t ON t.doc_id = p.doc_id
+  JOIN dl d ON d.doc_id = p.doc_id
+  GROUP BY p.query_id, t.term
+),
+expt AS (
+  SELECT query_id, term, w,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY w DESC, term) AS rn
+  FROM rel
+),
+expn AS (
+  SELECT query_id, term,
+         round(w / sum(w) OVER (PARTITION BY query_id), 12) AS pwr
+  FROM expt WHERE rn <= 8
+),
+orig AS (
+  SELECT query_id, term,
+         round(cnt / sum(cnt) OVER (PARTITION BY query_id), 12) AS pwq
+  FROM (SELECT query_id, term, count(*) AS cnt
+        FROM (SELECT query_id,
+                     unnest(string_split_regex(lower(trim(query_text)),
+                                               '\\s+')) AS term
+              FROM q)
+        WHERE term <> '' GROUP BY query_id, term)
+),
+model AS (
+  SELECT coalesce(o.query_id, e.query_id) AS query_id,
+         coalesce(o.term, e.term) AS term,
+         round(0.5 * coalesce(o.pwq, 0) + 0.5 * coalesce(e.pwr, 0), 12)
+           AS weight
+  FROM orig o FULL JOIN expn e
+    ON o.query_id = e.query_id AND o.term = e.term
+),
+wdft AS (
+  SELECT term, count(*) AS df FROM tf
+  WHERE term IN (SELECT term FROM model) GROUP BY term
+),
+widf AS (
+  SELECT term, ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) AS idf
+  FROM wdft, stats
+),
+wscored AS (
+  SELECT m.query_id, tf.doc_id,
+         sum(m.weight * widf.idf * (tf.tf * (1.2 + 1.0))
+             / (tf.tf + 1.2 * (1.0 - 0.75 + (0.75 * dl.dl) / stats.avgdl)))
+           AS score
+  FROM tf
+  JOIN model m USING (term)
+  JOIN widf USING (term)
+  JOIN dl USING (doc_id), stats
+  WHERE m.weight > 0
+  GROUP BY m.query_id, tf.doc_id
+),
+wrank AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 6) DESC, doc_id) AS rank
+  FROM wscored
+)
+SELECT 'bm25' AS part, query_id, doc_id, round(score, 4) AS score, rank
+FROM bm10 WHERE rank <= 10
+UNION ALL
+SELECT 'rm3', query_id, doc_id, round(score, 4), rank
+FROM wrank WHERE rank <= 10
+ORDER BY part, query_id, rank
+"""
+    )
     # q67 + q84: the RRF ranking UNION its IR evaluation against exact-
     # cosine pseudo-qrels (rel = 4 - rank). The metrics replay is pure
     # SQL: DCG/IDCG via power/log2, first-relevant-rank MRR, judged-set

@@ -164,6 +164,34 @@ def main() -> None:
             docs, num_hashes=64, bands=16, hash_fn="oph"
         )
 
+    def bench_rm3():
+        # two-stage pseudo-relevance feedback: BM25 -> relevance model
+        # over the feedback sliver -> weighted re-search (all in-plan)
+        from pinecone_datasets_spark.operators.prf import rm3_search
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        queries = docs.where(F.col("doc_id") < 5).select(
+            F.col("doc_id").alias("query_id"),
+            F.col("text").alias("query_text"),
+        )
+        return rm3_search(docs, queries, k=10, fb_k=5, n_terms=8)
+
+    def bench_rm3_index():
+        # the production RM3 path: both stages + the relevance model
+        # read the persisted term-sorted index, never raw text
+        from pinecone_datasets_spark.operators.prf import rm3_index_search
+
+        if not os.path.isdir(bm25_path):
+            bench_bm25_build()
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        queries = docs.where(F.col("doc_id") < 5).select(
+            F.col("doc_id").alias("query_id"),
+            F.col("text").alias("query_text"),
+        )
+        return rm3_index_search(
+            spark, bm25_path, queries, k=10, fb_k=5, n_terms=8
+        )
+
     def bench_hard_negatives():
         # contrastive-training mining: exact candidate retrieval (100
         # queries), anti-join vs labeled positives, exact positive-floor
@@ -486,6 +514,8 @@ def main() -> None:
         "dup_spans_3gram": lambda: em.q77_dup_spans(spark, SF_DIR),
         "substr_strip_w8": bench_substr_spans,
         "hard_negatives_100q": bench_hard_negatives,
+        "rm3_expand_search": bench_rm3,
+        "rm3_index_search": bench_rm3_index,
         "rag_chunk_64x16": bench_rag_chunk,
         "mmr_rerank_100q": bench_mmr,
         "curation_funnel": bench_funnel,

@@ -20,6 +20,12 @@ from .embstats import embedding_dim_stats, embedding_drift
 from .rerank import mmr_rerank
 from .mining import mine_hard_negatives
 from .evaluate import macro_metrics, retrieval_metrics
+from .prf import (
+    bm25_weighted_topk,
+    rm3_index_search,
+    rm3_query_model,
+    rm3_search,
+)
 from .editsim import edit_distance_pairs
 from .boilerplate import (
     boilerplate_profile,
@@ -101,6 +107,10 @@ __all__ = [
     "mine_hard_negatives",
     "retrieval_metrics",
     "macro_metrics",
+    "rm3_query_model",
+    "rm3_search",
+    "rm3_index_search",
+    "bm25_weighted_topk",
     "edit_distance_pairs",
     "boilerplate_profile",
     "duplicated_spans",

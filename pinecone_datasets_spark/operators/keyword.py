@@ -42,6 +42,75 @@ def _tokens(text_col: str) -> "F.Column":
     return F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
 
 
+def _tf_frames(docs: DataFrame, id_col: str, text_col: str):
+    """(tf, dl, stats): the per-(doc, term) counts, per-doc lengths and
+    corpus scalars every BM25 variant scores from. Build these ONCE per
+    plan and share across stages — identical subplans collapse to a
+    ReusedExchange, so e.g. RM3's two retrieval passes pay one tokenize
+    + aggregate, not two (operators/prf.py)."""
+    from ..parallel import widen
+
+    # The tokenize explode multiplies rows ~|tokens|-fold: an
+    # under-split input (one small parquet file) would run it serially.
+    docs = widen(docs, id_col)
+    toks = docs.select(
+        F.col(id_col), F.explode(_tokens(text_col)).alias("term")
+    ).where(F.col("term") != "")
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    return tf, dl, stats
+
+
+def _bm25_scores(
+    tf: DataFrame,
+    dl: DataFrame,
+    stats: DataFrame,
+    qterms: DataFrame,
+    k1: float,
+    b: float,
+    query_id_col: str,
+    id_col: str,
+    weighted: bool = False,
+) -> DataFrame:
+    """(query_id, doc_id, score) from prebuilt frames. ``qterms`` is
+    (query_id, term) — or (query_id, term, weight) with
+    ``weighted=True``, scoring ``Σ_t weight · bm25_t``. df/idf is
+    computed over the queried terms only: postings filter by the
+    broadcast term set FIRST, then the (small) survivor set aggregates."""
+    terms_only = qterms.select("term").distinct()
+    df_t = (
+        tf.join(F.broadcast(terms_only), "term")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    idf = df_t.crossJoin(F.broadcast(stats)).select(
+        "term",
+        F.log(
+            1.0
+            + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        ).alias("idf"),
+    )
+    postings = tf.join(F.broadcast(qterms), "term")
+    contrib = (
+        F.col("idf")
+        * (F.col("tf") * (k1 + 1.0))
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    if weighted:
+        contrib = F.col("weight") * contrib
+    return (
+        postings.join(F.broadcast(idf), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .select(query_id_col, id_col, contrib.alias("contrib"))
+        .groupBy(query_id_col, id_col)
+        .agg(F.sum("contrib").alias("score"))
+    )
+
+
 def bm25_topk(
     docs: DataFrame,
     queries: DataFrame,
@@ -57,17 +126,7 @@ def bm25_topk(
     ``(query_id, doc_id, score, rank)``; score is the raw double (round
     at the edge if hashing), rank is deterministic via rounded-score +
     id tiebreak."""
-    toks = docs.select(
-        F.col(id_col), F.explode(_tokens(text_col)).alias("term")
-    ).where(F.col("term") != "")
-    tf = toks.groupBy(id_col, "term").agg(
-        F.count(F.lit(1)).alias("tf")
-    )
-    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
-    )
-
+    tf, dl, stats = _tf_frames(docs, id_col, text_col)
     qterms = (
         queries.select(
             F.col(query_id_col),
@@ -76,42 +135,8 @@ def bm25_topk(
         .where(F.col("term") != "")
         .distinct()
     )
-    # df/idf over queried terms only: filter postings by the broadcast
-    # term set FIRST, then aggregate the (small) survivor set.
-    terms_only = qterms.select("term").distinct()
-    df_t = (
-        tf.join(F.broadcast(terms_only), "term")
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("df"))
-    )
-    idf = df_t.crossJoin(F.broadcast(stats)).select(
-        "term",
-        F.log(
-            1.0
-            + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-        ).alias("idf"),
-    )
-
-    postings = tf.join(F.broadcast(qterms), "term")
-    scored = (
-        postings.join(F.broadcast(idf), "term")
-        .join(dl, id_col)
-        .crossJoin(F.broadcast(stats))
-        .select(
-            query_id_col,
-            id_col,
-            (
-                F.col("idf")
-                * (F.col("tf") * (k1 + 1.0))
-                / (
-                    F.col("tf")
-                    + k1
-                    * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
-                )
-            ).alias("contrib"),
-        )
-        .groupBy(query_id_col, id_col)
-        .agg(F.sum("contrib").alias("score"))
+    scored = _bm25_scores(
+        tf, dl, stats, qterms, k1, b, query_id_col, id_col
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.round("score", 6).desc(), F.col(id_col)
