@@ -652,6 +652,55 @@ def q32_sparse_dot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q86_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style MaxSim late interaction
+    (operators/lateinteraction.py): each embedding sliced into 8 tokens
+    of 8 dims (a deterministic multi-vector fixture), scored with the
+    expression path — nested transform/array_max/sequential-fold dot,
+    replayed in SQL via list_transform/list_max/list_inner_product. The
+    Arrow BLAS path is equivalence-tested against this plan in pytest."""
+    from pinecone_datasets_spark.operators.lateinteraction import (
+        maxsim_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    toks = emb.select(
+        F.col("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(7)),
+            lambda i: F.slice(
+                F.col("embedding").cast("array<double>"), i * 8 + 1, 8
+            ),
+        ).alias("token_vecs"),
+    )
+    docs = toks.select(F.col("vec_id").alias("doc_id"), "token_vecs")
+    queries = toks.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "token_vecs"
+    )
+    out = maxsim_topk(docs, queries, k=5, doc_id_col="doc_id")
+    return out.select(
+        "query_id",
+        "doc_id",
+        F.round("score", 4).alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    ).orderBy("query_id", "rank")
+
+
+def q32_q86_multiscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged alternative-scoring entry, tagged: 'sparse' = map-based
+    sparse dot top-k (q32), 'maxsim' = multi-vector late interaction
+    (q86) over the same embeddings."""
+    sp = q32_sparse_dot_topk(spark, sf_dir).withColumn(
+        "part", F.lit("sparse")
+    )
+    ms = q86_maxsim_topk(spark, sf_dir).withColumn("part", F.lit("maxsim"))
+    return (
+        sp.unionByName(ms)
+        .select("part", "query_id", "doc_id", "score", "rank")
+        .orderBy("part", "query_id", "rank")
+    )
+
+
 def q36_chars_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles (continuous interpolation) per group."""
     doc = _t(spark, sf_dir, "documents")
@@ -2888,7 +2937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q27_running_revenue": q27_running_revenue,
         "q28_q69_distinct_sketch": q28_q69_distinct_sketch,
         "q31_stored_filter_search": q31_stored_filter_search,
-        "q32_sparse_dot_topk": q32_sparse_dot_topk,
+        "q32_q86_multiscore": q32_q86_multiscore,
         "q33_q34_curation": q33_q34_curation,
         "q35_ivf_topk": q35_ivf_topk,
         "q37_q38_order_stats": q37_q38_order_stats,
@@ -4623,7 +4672,6 @@ def oracle_sql() -> dict[str, str]:
         "q26_sessionize",
         "q27_running_revenue",
         "q31_stored_filter_search",
-        "q32_sparse_dot_topk",
         "q35_ivf_topk",
         "q49_pack_chunks",
         "q50_quantized_topk",
@@ -4692,6 +4740,38 @@ SELECT 'mkt_share', CAST(o_year AS VARCHAR), 'EUROPE', mkt_share,
        CAST(NULL AS BIGINT)
 FROM mkt
 ORDER BY part, k1, k2
+"""
+    # q32 + q86: sparse-dot top-k UNION MaxSim late interaction over the
+    # same embeddings. The maxsim replay slices each embedding into 8x8
+    # tokens and folds nested list lambdas — list_inner_product matches
+    # Spark's sequential-fold dot bit-for-bit (same precedent as q20's
+    # list_cosine_similarity).
+    out["q32_q86_multiscore"] = f"""
+WITH sp AS ({b['q32_sparse_dot_topk']}),
+tok AS (
+  SELECT vec_id,
+         list_transform(generate_series(0, 7),
+           i -> (embedding::DOUBLE[])[i*8+1 : i*8+8]) AS toks
+  FROM embeddings
+),
+ms AS (
+  SELECT q.vec_id AS query_id, d.vec_id AS doc_id,
+         coalesce(list_sum(list_transform(
+           q.toks,
+           x -> list_max(list_transform(
+             d.toks, y -> list_inner_product(y, x))))), 0.0) AS score
+  FROM tok d, tok q WHERE q.vec_id < 5
+),
+msr AS (
+  SELECT query_id, doc_id, round(score, 4) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY ms.score DESC, doc_id) AS rank
+  FROM ms
+)
+SELECT 'sparse' AS part, query_id, doc_id, score, rank FROM sp
+UNION ALL
+SELECT 'maxsim', query_id, doc_id, score, rank FROM msr WHERE rank <= 5
+ORDER BY part, query_id, rank
 """
     # q66 + q85: plain BM25 UNION the RM3-expanded weighted re-search.
     # The RM3 replay rides on the shared BM25 CTE block (fb stage =

@@ -164,6 +164,33 @@ def main() -> None:
             docs, num_hashes=64, bands=16, hash_fn="oph"
         )
 
+    def bench_maxsim():
+        # ColBERT-style late interaction, Arrow path: 100 queries x 8
+        # tokens vs the corpus sliced 8x8 — one BLAS matmul + two
+        # reduceat folds per batch
+        from pinecone_datasets_spark.operators.lateinteraction import (
+            maxsim_topk_arrow,
+        )
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        toks = emb.select(
+            F.col("vec_id").alias("id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(7)),
+                lambda i: F.slice(
+                    F.col("embedding").cast("array<double>"), i * 8 + 1, 8
+                ),
+            ).alias("token_vecs"),
+        )
+        qrows = toks.where(F.col("id") < 100).collect()
+        return maxsim_topk_arrow(
+            toks,
+            [r.token_vecs for r in qrows],
+            [r.id for r in qrows],
+            k=10,
+            dim=8,
+        )
+
     def bench_rm3():
         # two-stage pseudo-relevance feedback: BM25 -> relevance model
         # over the feedback sliver -> weighted re-search (all in-plan)
@@ -516,6 +543,7 @@ def main() -> None:
         "hard_negatives_100q": bench_hard_negatives,
         "rm3_expand_search": bench_rm3,
         "rm3_index_search": bench_rm3_index,
+        "maxsim_arrow_100q": bench_maxsim,
         "rag_chunk_64x16": bench_rag_chunk,
         "mmr_rerank_100q": bench_mmr,
         "curation_funnel": bench_funnel,

@@ -1,4 +1,5 @@
 from .search import topk_search, topk_single, ann_lsh_topk, hamming_topk
+from .lateinteraction import maxsim_score, maxsim_topk, maxsim_topk_arrow
 from .dedup import (
     exact_dedup,
     exact_dup_groups,
@@ -86,6 +87,9 @@ __all__ = [
     "topk_single",
     "ann_lsh_topk",
     "hamming_topk",
+    "maxsim_score",
+    "maxsim_topk",
+    "maxsim_topk_arrow",
     "exact_dedup",
     "exact_dup_groups",
     "minhash_signatures",
