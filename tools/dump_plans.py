@@ -39,6 +39,15 @@ HEADLINE = [
     ("hamming_topk", "1-bit sign codes: all-codegen XOR/popcount + exact re-rank"),
     ("cm_freq", "Count-Min: bounded-key groupBy, broadcast sketch probe"),
     ("pca_project", "PCA projection: map-only Arrow matmul, no shuffle"),
+    ("q81_repeated_spans",
+     "repeated-substring spans: hash-count agg + broadcast sliver + per-doc islands"),
+    ("q83_hard_negatives",
+     "hard negatives: broadcast anti-join + exact positive floor"),
+    ("q84_retrieval_eval", "IR metrics: query-keyed partials only"),
+    ("q85_rm3_search",
+     "RM3: shared tf frames, literal feedback/models, weighted re-search"),
+    ("q86_maxsim_topk",
+     "MaxSim late interaction: broadcast multi-vector queries + window limit"),
 ]
 
 
