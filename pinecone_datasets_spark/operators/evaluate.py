@@ -46,7 +46,10 @@ def retrieval_metrics(
     ``results`` needs (query_id, doc_id, rank) with rank 1-based;
     rows with rank > k are ignored, so passing a deeper result list is
     fine. ``qrels`` needs (query_id, doc_id, rel) with rel > 0 meaning
-    relevant; duplicate judgments keep the max rel."""
+    relevant; duplicate judgments keep the max rel, and a document
+    appearing at several ranks of one query's results counts ONCE at
+    its best rank (a duplicated hit must not inflate recall past 1 —
+    caught by the property suite)."""
     if k < 1:
         raise ValueError(f"k must be >= 1: {k}")
     qid, did = query_id_col, doc_id_col
@@ -55,8 +58,10 @@ def retrieval_metrics(
         .groupBy(qid, did)
         .agg(F.max(rel_col).cast("double").alias("_rel"))
     )
-    topk = results.where(F.col(rank_col) <= k).select(
-        qid, did, F.col(rank_col).alias("_rank")
+    topk = (
+        results.where(F.col(rank_col) <= k)
+        .groupBy(qid, did)
+        .agg(F.min(rank_col).alias("_rank"))
     )
     gain = (F.pow(F.lit(2.0), F.col("_rel")) - 1.0) / F.log2(
         F.col("_rank") + 1.0
