@@ -371,3 +371,28 @@ def test_ivf_filtered_search_pushdown_and_pruning(spark, sf_dir, tmp_path):
         (r["query_id"], r["id"], r["rank"]) for r in out.collect()
     }
     assert got == want
+
+
+def test_metadata_filtered_ivf_composes(spark, corpus):
+    """Filtered ANN: a predicate applied to the cell-assigned corpus
+    BEFORE the probe join (the standard pre-filter composition) returns
+    only matching docs, and with nprobe = n_cells equals the exact
+    filtered top-k — the contract that lets compile_filter() slot
+    straight in front of any IVF search."""
+    centroids = train_centroids(corpus, n_centroids=4, max_iter=5)
+    with_cells = assign_cells(corpus, centroids)
+    flt = F.col("id") % 3 == 0
+    queries = corpus.where(F.col("id") < 5).select(
+        F.col("id").alias("query_id"), F.col("values").alias("vector")
+    )
+    got = ivf_topk(
+        with_cells.where(flt), queries, centroids, k=5, nprobe=4
+    )
+    rows = got.collect()
+    assert rows and all(r.id % 3 == 0 for r in rows)
+    exact = topk_search(
+        corpus.where(flt), queries, metric="cosine", k=5, metadata_col=None
+    )
+    a = sorted((r.query_id, r.id, r.rank) for r in rows)
+    b = sorted((r.query_id, r.id, r.rank) for r in exact.collect())
+    assert a == b
