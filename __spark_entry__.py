@@ -179,6 +179,69 @@ def q07_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q87_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill (operators/timeseries.py): the hourly
+    sum(value) series per event_type densified to every hour between
+    each type's extents, with LOCF and linear interpolation across the
+    holes — the time_bucket_gapfill/locf/interpolate trio. Grid comes
+    from a per-key extent agg + sequence explode; fills are per-key
+    ordered windows (O(1) state/row)."""
+    from pinecone_datasets_spark.operators.timeseries import (
+        gapfill,
+        interpolate_linear,
+        locf,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    # base rounds at 6dp so both engines interpolate from identical
+    # doubles (sum association differs across engines at the last ulp)
+    base = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(F.round(F.sum("value"), 6).alias("v"))
+    filled = gapfill(base, "bucket", ["v"], ["event_type"])
+    lo = locf(filled, "bucket", ["v"], ["event_type"]).select(
+        "event_type", "bucket", F.col("v").alias("v_locf")
+    )
+    li = interpolate_linear(filled, "bucket", ["v"], ["event_type"]).select(
+        "event_type", "bucket", F.col("v").alias("v_interp")
+    )
+    out = (
+        filled.select("event_type", "bucket", "is_gap")
+        .join(lo, ["event_type", "bucket"])
+        .join(li, ["event_type", "bucket"])
+    )
+    return out.select(
+        "event_type",
+        F.col("bucket").alias("hour"),
+        F.round("v_locf", 2).alias("v_locf"),
+        F.round("v_interp", 4).alias("v_interp"),
+        F.col("is_gap").cast("long").alias("is_gap"),
+    ).orderBy("event_type", "hour")
+
+
+def q07_q87_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged event-time series entry, tagged: 'hourly' = the tumbling
+    window aggregate (q07), 'gapfill' = its densified + filled series
+    (q87)."""
+    hourly = q07_events_hourly(spark, sf_dir).select(
+        F.lit("hourly").alias("part"),
+        F.col("hour"),
+        F.col("event_type"),
+        F.col("n_events").cast("double").alias("c1"),
+        F.col("sum_value").cast("double").alias("c2"),
+        _nl("long").alias("c3"),
+    )
+    gf = q87_hourly_gapfill(spark, sf_dir).select(
+        F.lit("gapfill").alias("part"),
+        F.col("hour"),
+        F.col("event_type"),
+        F.col("v_locf").alias("c1"),
+        F.col("v_interp").alias("c2"),
+        F.col("is_gap").alias("c3"),
+    )
+    return hourly.unionByName(gf).orderBy("part", "event_type", "hour")
+
+
 def q08_user_activity_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
@@ -2920,7 +2983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q03_q60_semi_anti": q03_q60_semi_anti,
         "q05_q08_window_ranks": q05_q08_window_ranks,
         "q06_part_type_stats": q06_part_type_stats,
-        "q07_events_hourly": q07_events_hourly,
+        "q07_q87_hourly_gapfill": q07_q87_hourly_gapfill,
         "q09_q10_conform": q09_q10_conform,
         "q11_q12_filter_compile": q11_q12_filter_compile,
         "q13_text_profile": q13_text_profile,
@@ -4664,7 +4727,6 @@ def oracle_sql() -> dict[str, str]:
     passthrough = [
         "q01_pricing_summary",
         "q06_part_type_stats",
-        "q07_events_hourly",
         "q18_minhash_bands",
         "q22_event_scan_filter",
         "q23_nations_set_ops",
@@ -4740,6 +4802,67 @@ SELECT 'mkt_share', CAST(o_year AS VARCHAR), 'EUROPE', mkt_share,
        CAST(NULL AS BIGINT)
 FROM mkt
 ORDER BY part, k1, k2
+"""
+    # q07 + q87: the hourly aggregate UNION its gapfilled/LOCF/linearly-
+    # interpolated densification. The grid replays via per-key extents +
+    # generate_series; fills via IGNORE NULLS window frames mirroring
+    # operators/timeseries.py exactly (row_number positions, prev/next
+    # anchors, leading/trailing runs stay NULL).
+    out["q07_q87_hourly_gapfill"] = f"""
+WITH hourly AS ({b['q07_events_hourly']}),
+base AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         round(sum(value), 6) AS v
+  FROM events GROUP BY 1, 2
+),
+ext AS (
+  SELECT event_type, min(bucket) AS lo, max(bucket) AS hi
+  FROM base GROUP BY 1
+),
+grid AS (
+  SELECT event_type,
+         unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+  FROM ext
+),
+filled AS (
+  SELECT g.event_type, g.bucket, b2.v
+  FROM grid g LEFT JOIN base b2 USING (event_type, bucket)
+),
+numbered AS (
+  SELECT event_type, bucket, v,
+         row_number() OVER (PARTITION BY event_type ORDER BY bucket) AS p
+  FROM filled
+),
+pos AS (
+  SELECT event_type, bucket, v, p,
+         last_value(v IGNORE NULLS) OVER wb AS pv,
+         first_value(v IGNORE NULLS) OVER wf AS nv,
+         last_value(CASE WHEN v IS NOT NULL THEN p END
+                    IGNORE NULLS) OVER wb AS pp,
+         first_value(CASE WHEN v IS NOT NULL THEN p END
+                     IGNORE NULLS) OVER wf AS np
+  FROM numbered
+  WINDOW wb AS (PARTITION BY event_type ORDER BY bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY event_type ORDER BY bucket
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+),
+gf AS (
+  SELECT event_type, bucket AS hour,
+         round(pv, 2) AS v_locf,
+         round(CASE WHEN v IS NOT NULL THEN v
+                    ELSE pv + (nv - pv) * ((p - pp) / (np - pp)) END,
+               4) AS v_interp,
+         CAST(v IS NULL AS BIGINT) AS is_gap
+  FROM pos
+)
+SELECT 'hourly' AS part, hour, event_type,
+       CAST(n_events AS DOUBLE) AS c1, CAST(sum_value AS DOUBLE) AS c2,
+       CAST(NULL AS BIGINT) AS c3
+FROM hourly
+UNION ALL
+SELECT 'gapfill', hour, event_type, v_locf, v_interp, is_gap FROM gf
+ORDER BY part, event_type, hour
 """
     # q32 + q86: sparse-dot top-k UNION MaxSim late interaction over the
     # same embeddings. The maxsim replay slices each embedding into 8x8

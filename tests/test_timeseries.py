@@ -1,0 +1,112 @@
+"""Gap fill / LOCF / linear interpolation (operators/timeseries.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from pinecone_datasets_spark.operators.timeseries import (
+    gapfill,
+    interpolate_linear,
+    locf,
+)
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _h(i):
+    return T0 + dt.timedelta(hours=i)
+
+
+def _series(spark):
+    # key 'a': observed at hours 0, 1, 4 (gap of 2); key 'b': 2, 3
+    rows = [
+        ("a", _h(0), 10.0),
+        ("a", _h(1), 20.0),
+        ("a", _h(4), 50.0),
+        ("b", _h(2), 7.0),
+        ("b", _h(3), 8.0),
+    ]
+    return spark.createDataFrame(
+        rows, "k string, bucket timestamp, v double"
+    )
+
+
+def test_gapfill_densifies_per_key(spark):
+    out = gapfill(_series(spark), "bucket", ["v"], ["k"]).collect()
+    got = {(r.k, r.bucket): (r.v, r.is_gap) for r in out}
+    # key a: 5 hourly buckets 0..4; key b: 2 buckets — per-key extents
+    assert len([1 for k, _ in got if k == "a"]) == 5
+    assert len([1 for k, _ in got if k == "b"]) == 2
+    assert got[("a", _h(2))] == (None, True)
+    assert got[("a", _h(3))] == (None, True)
+    assert got[("a", _h(0))] == (10.0, False)
+    assert ("b", _h(0)) not in got
+
+
+def test_locf_carries_last_value(spark):
+    filled = gapfill(_series(spark), "bucket", ["v"], ["k"])
+    out = {(r.k, r.bucket): r.v for r in locf(filled, "bucket", ["v"], ["k"]).collect()}
+    assert out[("a", _h(2))] == 20.0
+    assert out[("a", _h(3))] == 20.0
+    assert out[("a", _h(4))] == 50.0
+
+
+def test_linear_interpolation(spark):
+    filled = gapfill(_series(spark), "bucket", ["v"], ["k"])
+    out = {
+        (r.k, r.bucket): r.v
+        for r in interpolate_linear(filled, "bucket", ["v"], ["k"]).collect()
+    }
+    # run between 20.0@h1 and 50.0@h4 -> 30, 40
+    assert out[("a", _h(2))] == pytest.approx(30.0)
+    assert out[("a", _h(3))] == pytest.approx(40.0)
+    assert out[("a", _h(1))] == 20.0 and out[("a", _h(4))] == 50.0
+
+
+def test_leading_nulls_stay_null(spark):
+    rows = [("a", _h(2), 5.0), ("a", _h(0), None)]
+    df = spark.createDataFrame(rows, "k string, bucket timestamp, v double")
+    filled = gapfill(df, "bucket", ["v"], ["k"])
+    li = {r.bucket: r.v for r in interpolate_linear(filled, "bucket", ["v"], ["k"]).collect()}
+    lo = {r.bucket: r.v for r in locf(filled, "bucket", ["v"], ["k"]).collect()}
+    assert li[_h(0)] is None and li[_h(1)] is None and li[_h(2)] == 5.0
+    assert lo[_h(0)] is None and lo[_h(1)] is None
+
+
+def test_no_keys_single_series(spark):
+    rows = [(_h(0), 1.0), (_h(3), 4.0)]
+    df = spark.createDataFrame(rows, "bucket timestamp, v double")
+    filled = gapfill(df, "bucket", ["v"])
+    out = {r.bucket: r.v for r in interpolate_linear(filled, "bucket", ["v"]).collect()}
+    assert out[_h(1)] == pytest.approx(2.0)
+    assert out[_h(2)] == pytest.approx(3.0)
+
+
+def test_fixture_events_roundtrip(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hourly = ev.groupBy(
+        F.col("event_type"),
+        F.date_trunc("hour", "ts").alias("bucket"),
+    ).agg(F.sum("value").alias("v"))
+    filled = gapfill(hourly, "bucket", ["v"], ["event_type"])
+    n_obs = hourly.count()
+    n_filled = filled.count()
+    assert n_filled >= n_obs
+    # dense: per key, count == span hours + 1
+    ext = filled.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            (F.unix_timestamp(F.max("bucket")) - F.unix_timestamp(F.min("bucket")))
+            / 3600 + 1
+        ).cast("long").alias("span"),
+    )
+    assert all(r.n == r.span for r in ext.collect())
+    # filling never changes observed values
+    joined = filled.where(~F.col("is_gap")).join(
+        hourly.withColumnRenamed("v", "v0"), ["event_type", "bucket"]
+    )
+    assert joined.where(F.col("v") != F.col("v0")).count() == 0
+    assert joined.count() == n_obs
