@@ -649,24 +649,60 @@ def main() -> None:
         shutil.rmtree(bench_tmp, ignore_errors=True)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Full-precision detail (warm + cold series) goes to a committed
+    # file; the stdout line stays COMPACT. The driver captures only a
+    # 2000-char tail of the run output, and round 4's line (49 queries
+    # x 2 series, ~3.5 KB) overflowed it -> BENCH_r04 "parsed": null.
+    # The parsed line must fit entirely inside that tail.
+    detail = {
+        "metric": "headline_suite_seconds",
+        "value": round(total, 3),
+        "value_cold": round(total_cold, 3),
+        "unit": "sec",
+        "queries": results,
+        "queries_cold": results_cold,
+        "failed": failed,
+        "sf": sf_val,
+    }
+    try:
+        detail_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+        )
+        with open(detail_path, "w") as fh:
+            json.dump(detail, fh, indent=1)
+            fh.write("\n")
+    except OSError:
+        pass  # read-only checkout: the stdout line still carries totals
+    line = json.dumps(
+        {
+            "metric": "headline_suite_seconds",
+            # value = WARM total (steady-state plans); value_cold =
+            # first-execution total including one-time codegen/JIT.
+            # Cold per-query series: BENCH_DETAIL.json (committed).
+            "value": round(total, 3),
+            "value_cold": round(total_cold, 3),
+            "unit": "sec",
+            "queries": {k: round(v, 2) for k, v in results.items()},
+            "failed": failed,
+            "sf": sf_val,
+        }
+    )
+    if len(line) > 1900:
+        # Last-resort guard: never let the parsed line outgrow the
+        # driver's tail window again — drop to totals + failures only.
+        line = json.dumps(
             {
                 "metric": "headline_suite_seconds",
-                # value = WARM total (steady-state plans); value_cold =
-                # first-execution total including one-time codegen/JIT,
-                # kept as a first-class series so round-over-round ratios
-                # never need reconstruction from per-query dicts.
                 "value": round(total, 3),
                 "value_cold": round(total_cold, 3),
                 "unit": "sec",
-                "queries": results,
-                "queries_cold": results_cold,
+                "queries": {"detail": -1.0},
                 "failed": failed,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_val,
             }
         )
-    )
+    print(line, flush=True)
     spark.stop()
 
 

@@ -65,6 +65,7 @@ from .pipeline import (
     curation_funnel,
     quantile_bucket_by_group,
 )
+from .timeseries import gapfill, interpolate_linear, locf
 
 __all__ = [
     "topk_search",
@@ -130,4 +131,7 @@ __all__ = [
     "curate_corpus_full",
     "curation_funnel",
     "quantile_bucket_by_group",
+    "gapfill",
+    "interpolate_linear",
+    "locf",
 ]

@@ -116,12 +116,21 @@ def _maxsim_batch_udf(query_tokens: list, dim: int):
     """doc token list -> array of per-query MaxSim scores, one BLAS
     matmul + two reduceat folds per Arrow batch."""
     mats = [np.asarray(m, dtype=np.float64).reshape(-1, dim) for m in query_tokens]
+    # Zero-token queries score 0 for every doc (the expression path's
+    # coalesce contract). They must NOT enter the reduceat index list:
+    # an empty segment duplicates the next query's start (reduceat
+    # would return that query's first-token seg_max, not 0), and a
+    # trailing empty query would index one past the end.
+    ne_cols = np.array(
+        [i for i, m in enumerate(mats) if m.shape[0] > 0], dtype=np.int64
+    )
+    ne_mats = [mats[i] for i in ne_cols]
     allq = (
-        np.concatenate(mats, axis=0)
-        if mats
+        np.concatenate(ne_mats, axis=0)
+        if ne_mats
         else np.zeros((0, dim), dtype=np.float64)
     )  # (totalQT, dim)
-    qt_starts = np.cumsum([0] + [m.shape[0] for m in mats])[:-1]
+    qt_starts = np.cumsum([0] + [m.shape[0] for m in ne_mats])[:-1]
 
     def kernel(tok_lists: pd.Series) -> pd.Series:
         n = len(tok_lists)
@@ -144,7 +153,7 @@ def _maxsim_batch_udf(query_tokens: list, dim: int):
             d_starts = np.cumsum([0] + list(lens[keep]))[:-1]
             seg_max = np.maximum.reduceat(sims, d_starts, axis=0)
             per_query = np.add.reduceat(seg_max, qt_starts, axis=1)
-            out[keep] = per_query
+            out[np.ix_(np.flatnonzero(keep), ne_cols)] = per_query
         return pd.Series(list(out))
 
     from pyspark.sql.types import ArrayType, DoubleType

@@ -58,12 +58,18 @@ def mine_hard_negatives(
     """Per query: the ``k`` highest-scoring documents NOT in
     ``positives``, plus margin against the query's hardest positive.
 
-    Returns ``(query_id, id, score, neg_rank, pos_score_min, margin)``
-    where ``margin = pos_score_min - score`` (a correctly-ordered
-    triplet has margin > 0; mined rows with margin <= 0 are retriever
-    failures — the gold pairs a trainer wants most). Queries with no
-    labeled positive return ``NULL`` pos/margin (their negatives are
-    still valid for in-batch use).
+    Returns ``(query_id, id, score, neg_rank, pos_score_min, margin,
+    n_labeled, n_positives_scored)`` where ``margin = pos_score_min -
+    score`` (a correctly-ordered triplet has margin > 0; mined rows with
+    margin <= 0 are retriever failures — the gold pairs a trainer wants
+    most). Queries with no labeled positive return ``NULL`` pos/margin
+    (their negatives are still valid for in-batch use); the two counts
+    distinguish that case from label/corpus drift: ``n_labeled`` is the
+    query's distinct labeled pairs, ``n_positives_scored`` how many of
+    them were actually found in ``documents`` — ``n_labeled > 0`` with
+    ``n_positives_scored == 0`` means every labeled positive is missing
+    from the corpus (and pos/margin are NULL for that reason, not
+    because the query is unlabeled).
 
     ``positives`` needs columns (``query_id_col``, ``doc_id_col``).
     Pass ``candidates`` (any frame with query_id/id/score, e.g. an ANN
@@ -124,13 +130,27 @@ def mine_hard_negatives(
             _score(metric, F.col("_dv"), F.col("_qv")).alias("_ps"),
         )
         .groupBy(query_id_col)
-        .agg(F.min("_ps").alias("pos_score_min"))
+        .agg(
+            F.min("_ps").alias("pos_score_min"),
+            F.count("_ps").alias("n_positives_scored"),
+        )
     )
-    return negs.join(F.broadcast(pos_scored), query_id_col, "left").select(
-        query_id_col,
-        doc_id_col,
-        "score",
-        "neg_rank",
-        "pos_score_min",
-        (F.col("pos_score_min") - F.col("score")).alias("margin"),
+    n_labeled = pos_pairs.groupBy(query_id_col).agg(
+        F.count(F.lit(1)).alias("n_labeled")
+    )
+    return (
+        negs.join(F.broadcast(pos_scored), query_id_col, "left")
+        .join(F.broadcast(n_labeled), query_id_col, "left")
+        .select(
+            query_id_col,
+            doc_id_col,
+            "score",
+            "neg_rank",
+            "pos_score_min",
+            (F.col("pos_score_min") - F.col("score")).alias("margin"),
+            F.coalesce("n_labeled", F.lit(0)).alias("n_labeled"),
+            F.coalesce("n_positives_scored", F.lit(0)).alias(
+                "n_positives_scored"
+            ),
+        )
     )

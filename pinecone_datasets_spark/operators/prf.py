@@ -38,6 +38,22 @@ from pyspark.sql import functions as F
 
 from .keyword import _bm25_scores, _tf_frames, _tokens
 
+# Above this many values, a literal IN list stops being a cheap pushed
+# scan filter and starts bloating the Catalyst plan (large query sets:
+# Q·fb_k ids / Q·n_terms terms). Past it, filter via a broadcast
+# semi-join instead — no pushdown, but plan size stays O(1).
+_MAX_ISIN_LITERALS = 1000
+
+
+def _filtered_postings(postings, col, values, values_df):
+    """``postings WHERE col IN values`` — literal ``isin`` (pushed into
+    the parquet scan, row-group skipping on the term-sorted layout)
+    while the list is small; broadcast LEFT SEMI join on ``values_df``
+    once the list would bloat the plan."""
+    if len(values) <= _MAX_ISIN_LITERALS:
+        return postings.where(F.col(col).isin(values))
+    return postings.join(F.broadcast(values_df), col, "left_semi")
+
 
 def rm3_query_model(
     docs: DataFrame,
@@ -355,11 +371,10 @@ def rm3_index_search(
         return spark.createDataFrame([], fb.schema)
     pdq = spark.createDataFrame(pdq_rows, pdq_frame.schema)
     fb_ids = sorted({r[id_col] for r in pdq_rows})
-    postings_fb = (
-        spark.read.parquet(path)
-        .where(F.col(id_col).isin(fb_ids))
-        .select(id_col, "term", "tf", "dl")
-    )
+    postings_fb = _filtered_postings(
+        spark.read.parquet(path), id_col, fb_ids,
+        pdq.select(id_col).distinct(),
+    ).select(id_col, "term", "tf", "dl")
     rel = (
         postings_fb.join(F.broadcast(pdq), id_col)
         .groupBy(qid, "term")
@@ -378,7 +393,10 @@ def rm3_index_search(
     model = spark.createDataFrame(model_rows, model.schema)
     term_list = sorted({r["term"] for r in model_rows})
     n_docs, avgdl = float(meta["n_docs"]), float(meta["avgdl"])
-    postings = spark.read.parquet(path).where(F.col("term").isin(term_list))
+    postings = _filtered_postings(
+        spark.read.parquet(path), "term", term_list,
+        model.select("term").distinct(),
+    )
     scored = (
         postings.join(F.broadcast(model), "term")
         .select(

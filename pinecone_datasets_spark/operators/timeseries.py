@@ -45,7 +45,12 @@ def gapfill(
 
     ``series`` must already be aggregated to one row per (key, bucket)
     — this operator fills holes, it does not re-aggregate."""
+    if not value_cols:
+        raise ValueError("value_cols must name at least one column")
     keys = list(key_cols or [])
+    # is_gap derives from the JOIN, not from value nullness: an observed
+    # bucket whose value is legitimately NULL is not a gap.
+    series = series.withColumn("_observed", F.lit(True))
     ext = series.groupBy(*keys).agg(
         F.min(bucket_col).alias("_lo"), F.max(bucket_col).alias("_hi")
     )
@@ -64,7 +69,7 @@ def gapfill(
         *keys,
         bucket_col,
         *value_cols,
-        F.col(value_cols[0]).isNull().alias("is_gap"),
+        F.col("_observed").isNull().alias("is_gap"),
     )
 
 

@@ -100,6 +100,49 @@ def test_arrow_path_matches_expression_path(spark, sf_dir):
     assert all(qid == did for qid, did in top1.items())
 
 
+def test_arrow_path_empty_query_matrices(spark):
+    # Zero-token queries must score 0 everywhere (the expression path's
+    # coalesce contract) — including MIDDLE and LAST positions, which
+    # used to corrupt the reduceat segment boundaries (middle: stole the
+    # next query's first-token max; last: indexed past the end).
+    docs = _docs(spark)
+    qmats = [
+        [[1.0, 0.0], [0.0, 1.0]],  # normal
+        [],                        # middle empty
+        [[0.0, 1.0]],              # normal
+        [],                        # LAST empty (the IndexError case)
+    ]
+    qids = ["qa", "qempty1", "qb", "qempty2"]
+    out = maxsim_topk_arrow(docs, qmats, qids, k=4, dim=2)
+    got = {(r.query_id, r.id): r.score for r in out.collect()}
+    assert got[("qa", "d1")] == pytest.approx(2.0)
+    assert got[("qb", "d1")] == pytest.approx(1.0)
+    assert got[("qb", "d2")] == pytest.approx(0.0)
+    for qid in ("qempty1", "qempty2"):
+        for did in ("d1", "d2", "d3", "d4"):
+            assert got[(qid, did)] == 0.0
+    # equivalence with the expression path on the same inputs
+    q = spark.createDataFrame(
+        list(zip(qids, qmats)),
+        "query_id string, token_vecs array<array<double>>",
+    )
+    expr = {
+        (r.query_id, r.id): r.score
+        for r in maxsim_topk(docs, q, k=4).collect()
+    }
+    assert {k: round(v, 9) for k, v in got.items()} == {
+        k: round(v, 9) for k, v in expr.items()
+    }
+
+
+def test_arrow_path_all_queries_empty(spark):
+    docs = _docs(spark)
+    out = maxsim_topk_arrow(docs, [[], []], ["q1", "q2"], k=2, dim=2)
+    rows = out.collect()
+    assert len(rows) == 4  # 2 queries x top-2, all score 0
+    assert all(r.score == 0.0 for r in rows)
+
+
 def test_empty_docs_and_bad_args(spark):
     docs = _docs(spark)
     q = spark.createDataFrame(

@@ -69,6 +69,28 @@ def test_query_without_positives_gets_null_margin(spark):
     out = mine_hard_negatives(docs, queries, empty, k=2).collect()
     assert [r.id for r in sorted(out, key=lambda r: r.neg_rank)] == ["d1", "d2"]
     assert all(r.pos_score_min is None and r.margin is None for r in out)
+    # unlabeled, not drifted: both counts are 0
+    assert all(r.n_labeled == 0 and r.n_positives_scored == 0 for r in out)
+
+
+def test_missing_positive_distinguishable_from_unlabeled(spark):
+    # All of q1's labeled positives point at doc ids absent from the
+    # corpus (label/corpus drift). pos/margin are NULL either way; the
+    # counts expose WHY: n_labeled > 0 but n_positives_scored == 0.
+    docs, queries, _ = _fixture(spark)
+    ghosts = spark.createDataFrame(
+        [("q1", "gone1"), ("q1", "gone2")], "query_id string, id string"
+    )
+    out = mine_hard_negatives(docs, queries, ghosts, k=2).collect()
+    assert all(r.pos_score_min is None and r.margin is None for r in out)
+    assert all(r.n_labeled == 2 and r.n_positives_scored == 0 for r in out)
+    # partial drift: one ghost, one real -> floor anchored by the real one
+    mixed = spark.createDataFrame(
+        [("q1", "gone1"), ("q1", "d5")], "query_id string, id string"
+    )
+    out = mine_hard_negatives(docs, queries, mixed, k=2).collect()
+    assert all(r.n_labeled == 2 and r.n_positives_scored == 1 for r in out)
+    assert all(abs(r.pos_score_min - 1.0 / math.sqrt(2.0)) < 1e-9 for r in out)
 
 
 def test_precomputed_candidates_path(spark):

@@ -76,6 +76,26 @@ def test_leading_nulls_stay_null(spark):
     assert lo[_h(0)] is None and lo[_h(1)] is None
 
 
+def test_observed_null_value_is_not_a_gap(spark):
+    # is_gap derives from the JOIN, not value nullness: an observed
+    # bucket whose first value column is legitimately NULL stays
+    # is_gap = false.
+    rows = [("a", _h(0), None), ("a", _h(2), 5.0)]
+    df = spark.createDataFrame(rows, "k string, bucket timestamp, v double")
+    got = {
+        r.bucket: (r.v, r.is_gap)
+        for r in gapfill(df, "bucket", ["v"], ["k"]).collect()
+    }
+    assert got[_h(0)] == (None, False)  # observed, null value
+    assert got[_h(1)] == (None, True)   # true hole
+    assert got[_h(2)] == (5.0, False)
+
+
+def test_gapfill_empty_value_cols_raises(spark):
+    with pytest.raises(ValueError):
+        gapfill(_series(spark), "bucket", [], ["k"])
+
+
 def test_no_keys_single_series(spark):
     rows = [(_h(0), 1.0), (_h(3), 4.0)]
     df = spark.createDataFrame(rows, "bucket timestamp, v double")
