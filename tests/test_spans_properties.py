@@ -133,9 +133,13 @@ def test_metric_bounds_and_perfection(spark, judgments, rankings, k):
         if r.hits_at_k > 0:
             assert r.mrr_at_k > 0 and r.ndcg_at_k > 0
 
-    # the ideal ranking scores 1.0 everywhere it can
+    # the ideal ranking scores 1.0 everywhere it can. Build it from the
+    # DEDUPED judgments (max rel per (query, doc) — the operator's own
+    # qrels contract): ranking the raw list would place a doubly-judged
+    # doc at two ranks and push a relevant doc out of the top-k.
+    dedup = qrels.groupBy("query_id", "id").agg(F.max("rel").alias("rel"))
     w = Window.partitionBy("query_id").orderBy(F.desc("rel"), "id")
-    perfect = qrels.select(
+    perfect = dedup.select(
         "query_id", "id", F.row_number().over(w).alias("rank")
     )
     ideal = retrieval_metrics(perfect, qrels, k=k).collect()
