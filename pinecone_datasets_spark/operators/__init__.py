@@ -65,7 +65,15 @@ from .pipeline import (
     curation_funnel,
     quantile_bucket_by_group,
 )
-from .timeseries import gapfill, interpolate_linear, locf
+from .timeseries import gapfill, interpolate_linear, locf, rolling_zscore
+from .domains import (
+    cap_domains,
+    domain_report,
+    filter_domains,
+    registrable_domain,
+    url_host,
+)
+from .snapshot import snapshot_diff, snapshot_summary
 
 __all__ = [
     "topk_search",
@@ -134,4 +142,12 @@ __all__ = [
     "gapfill",
     "interpolate_linear",
     "locf",
+    "rolling_zscore",
+    "cap_domains",
+    "domain_report",
+    "filter_domains",
+    "registrable_domain",
+    "url_host",
+    "snapshot_diff",
+    "snapshot_summary",
 ]

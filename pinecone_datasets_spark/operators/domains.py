@@ -1,0 +1,185 @@
+"""Domain-level corpus curation: per-domain health report, block/allow
+filters, anti-domination caps.
+
+Web-scale training corpora are dominated by a long tail of source
+domains, and most curation policy is *domain-granular*: blocklists
+(spam/SEO farms), per-domain quality audits, and caps so no single
+domain dominates the mixture (C4, RefinedWeb, FineWeb all gate this
+way). The reference's data model carries the provenance column
+(``documents.source``); this module turns it into the reports and
+gates a pipeline applies. Layer-B extension — the reference itself has
+no curation surface (cited against cfg.py:23-36's metadata model only).
+
+Scale shapes (100 TB corpus, ~10^5-10^7 distinct domains):
+
+* ``domain_report``: ONE corpus pass — a single groupBy(domain) whose
+  map-side partial aggregates reduce every metric (counts, sums,
+  distinct fingerprints via the exact-dedup fingerprint) before the
+  exchange; the shuffle carries one partial row per (task, domain).
+  The corpus-share denominator is a window SUM over the *aggregated*
+  frame (one row per domain — small by construction), never a second
+  corpus pass.
+* ``filter_domains``: block/allow lists are policy artifacts (human-
+  curated, thousands of rows) — broadcast hash semi/anti-joins, never
+  a shuffle of the corpus.
+* ``cap_domains``: delegates to ``sampling.cap_per_group`` — literal
+  ``n`` gives the plan a ``WindowGroupLimit``, so every map task
+  truncates each domain to n rows BEFORE the exchange.
+
+URL columns: ``url_host`` extracts the hostname with the built-in
+``parse_url`` (JVM, codegen'd); ``registrable_domain`` reduces a host
+to its registrable suffix+1 against a caller-supplied public-suffix
+set (the real PSL is a policy file; the default covers the common
+simple/two-level TLDs). Pure column expressions — usable inside any
+filter or groupBy without a Python crossing.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import doc_fingerprint
+
+# Minimal two-level public-suffix entries for the default behavior of
+# registrable_domain; pass the full PSL for production crawls.
+_DEFAULT_TWO_LEVEL_SUFFIXES = (
+    "co.uk", "ac.uk", "gov.uk", "org.uk",
+    "com.au", "net.au", "org.au",
+    "co.jp", "or.jp", "ne.jp",
+    "com.br", "com.cn", "com.mx", "co.in", "co.kr", "co.za",
+)
+
+
+def url_host(url: Column | str) -> Column:
+    """Hostname of a URL column, lower-cased (NULL for unparseable
+    values). Built-in ``parse_url`` — JVM-side, codegen'd."""
+    c = F.col(url) if isinstance(url, str) else url
+    return F.lower(F.try_parse_url(c, F.lit("HOST")))
+
+
+def registrable_domain(
+    host: Column | str,
+    two_level_suffixes: Sequence[str] = _DEFAULT_TWO_LEVEL_SUFFIXES,
+) -> Column:
+    """Registrable domain (eTLD+1) of a hostname column: the last two
+    labels, or the last three when the last two form a listed public
+    suffix (``a.b.co.uk`` -> ``b.co.uk``). Pure expression over
+    ``split``/``slice`` — no UDF."""
+    h = F.col(host) if isinstance(host, str) else host
+    parts = F.split(F.lower(h), r"\.")
+    n = F.size(parts)
+    # slice() rejects start <= 0, and when() evaluates both branches'
+    # expressions — clamp the starts so 1-label hosts stay valid.
+    last2 = F.array_join(
+        F.slice(parts, F.greatest(n - 1, F.lit(1)), 2), "."
+    )
+    take = F.when(
+        last2.isin(*two_level_suffixes) & (n >= 3), F.lit(3)
+    ).otherwise(F.lit(2))
+    return F.when(n <= take, F.lower(h)).otherwise(
+        F.array_join(
+            F.slice(parts, F.greatest(n - take + 1, F.lit(1)), take), "."
+        )
+    )
+
+
+def domain_report(
+    docs: DataFrame,
+    domain_col: str = "source",
+    text_col: str = "text",
+    lang_col: Optional[str] = "lang",
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-domain corpus health: ``(domain, n_docs, total_chars,
+    avg_chars, n_langs, n_unique, dup_rate, corpus_share)``.
+
+    ``n_unique`` counts distinct exact-dedup fingerprints
+    (``functions.text.doc_fingerprint``) so ``dup_rate = 1 -
+    n_unique/n_docs`` is the domain's internal exact-duplicate load —
+    boilerplate-heavy domains surface immediately. ``corpus_share`` is
+    the domain's fraction of all docs."""
+    agg = (
+        docs.select(
+            F.col(domain_col).alias("domain"),
+            F.length(text_col).alias("_chars"),
+            doc_fingerprint(F.col(text_col)).alias("_fp"),
+            *([F.col(lang_col).alias("_lang")] if lang_col else []),
+        )
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_chars").alias("total_chars"),
+            *(
+                [F.countDistinct("_lang").alias("n_langs")]
+                if lang_col
+                else [F.lit(None).cast("long").alias("n_langs")]
+            ),
+            F.countDistinct("_fp").alias("n_unique"),
+        )
+    )
+    # denominator over the aggregated frame (one row per domain), not a
+    # second corpus pass
+    total = F.sum("n_docs").over(Window.partitionBy())
+    return agg.select(
+        "domain",
+        "n_docs",
+        "total_chars",
+        F.round(F.col("total_chars") / F.col("n_docs"), round_to).alias(
+            "avg_chars"
+        ),
+        "n_langs",
+        "n_unique",
+        F.round(1.0 - F.col("n_unique") / F.col("n_docs"), round_to).alias(
+            "dup_rate"
+        ),
+        F.round(F.col("n_docs") / total, round_to).alias("corpus_share"),
+    )
+
+
+def filter_domains(
+    docs: DataFrame,
+    blocklist: Optional[DataFrame] = None,
+    allowlist: Optional[DataFrame] = None,
+    domain_col: str = "source",
+    list_col: str = "domain",
+) -> DataFrame:
+    """Apply domain policy lists: drop ``blocklist`` domains, then (if
+    given) keep only ``allowlist`` domains. Both are broadcast — the
+    corpus never shuffles."""
+    out = docs
+    if blocklist is not None:
+        out = out.join(
+            F.broadcast(
+                blocklist.select(F.col(list_col).alias(domain_col))
+            ),
+            domain_col,
+            "left_anti",
+        )
+    if allowlist is not None:
+        out = out.join(
+            F.broadcast(
+                allowlist.select(F.col(list_col).alias(domain_col))
+            ),
+            domain_col,
+            "left_semi",
+        )
+    return out
+
+
+def cap_domains(
+    docs: DataFrame,
+    n: int,
+    domain_col: str = "source",
+    order_by: Optional[Sequence[Column]] = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Anti-domination cap: at most ``n`` docs per domain, best-first
+    (default: deterministic by id). ``WindowGroupLimit`` shape — see
+    ``sampling.cap_per_group``."""
+    from .sampling import cap_per_group
+
+    order = list(order_by) if order_by is not None else [F.col(id_col)]
+    return cap_per_group(docs, domain_col, n, order)

@@ -207,6 +207,82 @@ def build_bm25_index(
     )
 
 
+def merge_bm25_indexes(
+    spark,
+    paths: list[str],
+    out_path: str,
+    validate: bool = False,
+) -> None:
+    """Merge persisted BM25 indexes (``build_bm25_index`` layouts) into
+    one, WITHOUT re-tokenizing any text — the segment-merge step of
+    incremental ingest: tokenize only each new batch into its own delta
+    index, then periodically fold deltas into the main index.
+
+    Requires disjoint document-id sets across inputs (each doc indexed
+    in exactly one segment — the invariant batch ingest maintains;
+    ``validate=True`` enforces it with one count-distinct pass). Under
+    it, per-doc stats (tf, dl) are already final and only the corpus
+    scalars change: ``df(term)`` = posting rows per term across
+    segments, ``n_docs`` = Σ, ``avgdl`` = doc-weighted mean. One
+    union + one per-term aggregate + the same term-sorted write —
+    the raw-text tokenize/explode (the dominant build cost) is never
+    repaid. Search results over the merged index match a full rebuild
+    over the union corpus (equivalence-tested; avgdl is recombined in
+    float, so raw scores can differ in the last ulp — below the 6-dp
+    rank rounding)."""
+    import json as _json
+
+    from ..fs import FS, join as _join
+
+    if len(paths) < 2:
+        raise ValueError(f"need >= 2 indexes to merge: {paths}")
+    fs = FS(spark)
+    metas = [
+        _json.loads(fs.read_text(_join(p, BM25_STATS_FILE))) for p in paths
+    ]
+    id_cols = {m["id_col"] for m in metas}
+    if len(id_cols) != 1:
+        raise ValueError(f"indexes disagree on id_col: {sorted(id_cols)}")
+    id_col = id_cols.pop()
+
+    posts = None
+    for p in paths:
+        part = spark.read.parquet(p).select("term", id_col, "tf", "dl")
+        posts = part if posts is None else posts.unionByName(part)
+    if validate:
+        row = (
+            posts.select(id_col)
+            .agg(
+                F.countDistinct(id_col).alias("d"),
+            )
+            .collect()[0]
+        )
+        expect = sum(int(m["n_docs"]) for m in metas)
+        if int(row["d"]) != expect:
+            raise ValueError(
+                "document ids overlap across segments: "
+                f"{row['d']} distinct vs {expect} indexed"
+            )
+    # one row per (term, doc) per segment + disjoint docs => df is a
+    # plain per-term row count over the union
+    df_t = posts.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    merged = posts.join(df_t, "term").select("term", id_col, "tf", "dl", "df")
+    (
+        merged.repartitionByRange("term")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .parquet(out_path)
+    )
+    n_docs = sum(int(m["n_docs"]) for m in metas)
+    avgdl = (
+        sum(float(m["avgdl"]) * int(m["n_docs"]) for m in metas) / n_docs
+    )
+    fs.write_text(
+        _join(out_path, BM25_STATS_FILE),
+        _json.dumps({"n_docs": n_docs, "avgdl": avgdl, "id_col": id_col}),
+    )
+
+
 def bm25_index_topk(
     spark,
     path: str,

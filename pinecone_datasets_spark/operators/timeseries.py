@@ -20,6 +20,8 @@ Scale shapes:
   (last/first with ignoreNulls) — O(1) state per row in WindowExec, no
   per-key buffering, same single shuffle the grid already paid (Spark
   reuses the (key) partitioning across the window stages).
+* ``rolling_zscore``: bounded trailing ROWS frame — O(window) state
+  per key in WindowExec, again reusing the (key) partitioning.
 
 Determinism: pure plan, no floats beyond the interpolation arithmetic
 itself — the DuckDB twin replays bucket grids via generate_series and
@@ -92,6 +94,50 @@ def locf(
     for v in value_cols:
         out = out.withColumn(v, F.last(v, ignorenulls=True).over(w))
     return out
+
+
+def rolling_zscore(
+    filled: DataFrame,
+    bucket_col: str,
+    value_col: str,
+    key_cols: list[str] | None = None,
+    window: int = 24,
+    min_periods: int = 4,
+    tau: float = 3.0,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Trailing z-score anomaly detection over a dense (gapfilled)
+    series: each bucket's value against the mean/stddev of the PREVIOUS
+    ``window`` buckets of the same key (the current bucket is excluded,
+    so a spike cannot dilute its own baseline).
+
+    Adds ``zscore`` (NULL while the trailing frame has fewer than
+    ``min_periods`` observed values or zero variance — warm-up and
+    flat-line are "can't judge", not "normal") and ``is_anomaly``
+    (``|zscore| > tau``; NULL when zscore is NULL). Sample stddev, the
+    SQL default, replayable in any engine."""
+    if window < 1:
+        raise ValueError(f"window must be >= 1: {window}")
+    if min_periods < 2:
+        raise ValueError(f"min_periods must be >= 2: {min_periods}")
+    keys = list(key_cols or [])
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(bucket_col)
+        .rowsBetween(-window, -1)
+    )
+    mean = F.avg(value_col).over(w)
+    std = F.stddev_samp(value_col).over(w)
+    n = F.count(value_col).over(w)
+    z = F.when(
+        (n >= F.lit(int(min_periods))) & (std > 0),
+        (F.col(value_col) - mean) / std,
+    )
+    if round_to is not None:
+        z = F.round(z, round_to)
+    return filled.withColumn("zscore", z).withColumn(
+        "is_anomaly", F.abs(F.col("zscore")) > F.lit(float(tau))
+    )
 
 
 def interpolate_linear(

@@ -1,0 +1,161 @@
+"""Domain curation (operators/domains.py) + snapshot diff
+(operators/snapshot.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pinecone_datasets_spark.operators.domains import (
+    cap_domains,
+    domain_report,
+    filter_domains,
+    registrable_domain,
+    url_host,
+)
+from pinecone_datasets_spark.operators.snapshot import (
+    snapshot_diff,
+    snapshot_summary,
+)
+
+
+def _docs(spark):
+    rows = [
+        (0, "alpha beta gamma", "en", "a.com"),
+        (1, "alpha beta gamma", "en", "a.com"),   # exact dup of 0
+        (2, "delta epsilon", "de", "a.com"),
+        (3, "zeta eta theta iota", "en", "b.org"),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+
+
+def test_url_host_and_registrable_domain(spark):
+    rows = [
+        ("https://news.example.com/a/b?x=1",),
+        ("http://Sub.Deep.example.CO.UK/path",),
+        ("https://example.org",),
+        ("not a url",),
+    ]
+    df = spark.createDataFrame(rows, "url string")
+    out = df.select(
+        url_host("url").alias("h"),
+        registrable_domain(url_host("url")).alias("d"),
+    ).collect()
+    assert (out[0].h, out[0].d) == ("news.example.com", "example.com")
+    assert (out[1].h, out[1].d) == (
+        "sub.deep.example.co.uk",
+        "example.co.uk",
+    )
+    assert (out[2].h, out[2].d) == ("example.org", "example.org")
+    assert out[3].h is None and out[3].d is None
+
+
+def test_registrable_domain_bare_suffix_and_short(spark):
+    df = spark.createDataFrame([("co.uk",), ("localhost",)], "h string")
+    out = df.select(registrable_domain("h").alias("d")).collect()
+    assert out[0].d == "co.uk"     # a bare public suffix stays itself
+    assert out[1].d == "localhost"
+
+
+def test_domain_report_counts_and_dup_rate(spark):
+    rep = {r.domain: r for r in domain_report(_docs(spark)).collect()}
+    a, b = rep["a.com"], rep["b.org"]
+    assert a.n_docs == 3 and b.n_docs == 1
+    assert a.n_unique == 2          # docs 0/1 share a fingerprint
+    assert a.dup_rate == pytest.approx(1 - 2 / 3, abs=1e-6)
+    assert b.dup_rate == 0.0
+    assert a.n_langs == 2 and b.n_langs == 1
+    assert a.corpus_share == pytest.approx(0.75)
+    assert b.corpus_share == pytest.approx(0.25)
+    assert a.total_chars == sum(len(t) for t in
+                                ("alpha beta gamma",) * 2 + ("delta epsilon",))
+
+
+def test_filter_domains_block_then_allow(spark):
+    docs = _docs(spark)
+    block = spark.createDataFrame([("b.org",)], "domain string")
+    out = filter_domains(docs, blocklist=block)
+    assert {r.source for r in out.collect()} == {"a.com"}
+    allow = spark.createDataFrame([("b.org",)], "domain string")
+    out = filter_domains(docs, allowlist=allow)
+    assert {r.doc_id for r in out.collect()} == {3}
+    # block wins over allow when a domain is in both
+    out = filter_domains(docs, blocklist=block, allowlist=allow)
+    assert out.count() == 0
+
+
+def test_cap_domains_keeps_best_first(spark):
+    docs = _docs(spark)
+    out = cap_domains(docs, 2)
+    got = sorted((r.source, r.doc_id) for r in out.collect())
+    assert got == [("a.com", 0), ("a.com", 1), ("b.org", 3)]
+    # custom order: keep longest text per domain
+    out = cap_domains(
+        docs, 1, order_by=[F.length("text").desc(), F.col("doc_id")]
+    )
+    got = {r.source: r.doc_id for r in out.collect()}
+    assert got == {"a.com": 0, "b.org": 3}
+
+
+def test_snapshot_diff_statuses(spark):
+    old = spark.createDataFrame(
+        [(0, "same text"), (1, "will change"), (2, "will vanish")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(0, "same text"), (1, "has changed"), (3, "brand new")],
+        "doc_id long, text string",
+    )
+    d = {r.doc_id: r.status for r in snapshot_diff(old, new).collect()}
+    assert d == {1: "changed", 2: "removed", 3: "added"}
+    full = snapshot_diff(old, new, include_unchanged=True)
+    d = {r.doc_id: r.status for r in full.collect()}
+    assert d[0] == "unchanged" and len(d) == 4
+    # normalization: whitespace/case changes are NOT content changes
+    old2 = spark.createDataFrame([(9, "Hello  World")], "doc_id long, text string")
+    new2 = spark.createDataFrame([(9, "hello world")], "doc_id long, text string")
+    assert snapshot_diff(old2, new2).count() == 0
+    s = {r.status: r.n for r in snapshot_summary(snapshot_diff(old, new)).collect()}
+    assert s == {"changed": 1, "removed": 1, "added": 1}
+
+
+def test_snapshot_diff_precomputed_fingerprint(spark):
+    old = spark.createDataFrame([(0, "aa"), (1, "bb")], "doc_id long, fp string")
+    new = spark.createDataFrame([(0, "aa"), (1, "zz")], "doc_id long, fp string")
+    d = {
+        r.doc_id: r.status
+        for r in snapshot_diff(old, new, fingerprint_col="fp").collect()
+    }
+    assert d == {1: "changed"}
+
+
+def test_fixture_scale_snapshot_and_report(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # simulate v2: drop ids %7==0, rewrite text of %5==0, add shifted ids
+    v2 = (
+        docs.where(F.col("doc_id") % 7 != 0)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" v2"))
+            ).otherwise(F.col("text")),
+        )
+        .unionByName(
+            docs.limit(10).withColumn("doc_id", F.col("doc_id") + 10_000_000)
+        )
+    )
+    s = {r.status: r.n for r in snapshot_summary(snapshot_diff(docs, v2)).collect()}
+    n = docs.count()
+    assert s["added"] == 10
+    assert s["removed"] == len([i for i in range(n) if i % 7 == 0])
+    # changed = %5==0 survivors of the %7 filter
+    assert s["changed"] == len(
+        [i for i in range(n) if i % 7 != 0 and i % 5 == 0]
+    )
+    rep = domain_report(docs)
+    tot = rep.agg(
+        F.sum("n_docs").alias("nd"), F.sum("corpus_share").alias("cs")
+    ).collect()[0]
+    assert tot.nd == n and abs(tot.cs - 1.0) < 1e-3

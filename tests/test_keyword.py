@@ -141,6 +141,65 @@ def test_bm25_index_scan_pushes_term_filter(spark, corpus, tmp_path):
     assert "In(term" in plan or "EqualTo(term" in plan
 
 
+def test_merge_bm25_indexes_matches_full_rebuild(spark, sf_dir, tmp_path):
+    from pinecone_datasets_spark.operators.keyword import (
+        bm25_index_topk,
+        build_bm25_index,
+        merge_bm25_indexes,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    seg_a = docs.where(F.col("doc_id") % 3 == 0)
+    seg_b = docs.where(F.col("doc_id") % 3 == 1)
+    seg_c = docs.where(F.col("doc_id") % 3 == 2)
+    pa, pb, pc = (str(tmp_path / s) for s in ("a", "b", "c"))
+    for seg, p in ((seg_a, pa), (seg_b, pb), (seg_c, pc)):
+        build_bm25_index(seg, p)
+    merged = str(tmp_path / "merged")
+    merge_bm25_indexes(spark, [pa, pb, pc], merged, validate=True)
+    full = str(tmp_path / "full")
+    build_bm25_index(docs, full)
+
+    queries = spark.createDataFrame(
+        [(0, "spark join table"), (1, "window agg row")],
+        schema="query_id long, query_text string",
+    )
+    got = sorted(
+        (r.query_id, r.doc_id, round(r.score, 6), r.rank)
+        for r in bm25_index_topk(spark, merged, queries, k=10).collect()
+    )
+    want = sorted(
+        (r.query_id, r.doc_id, round(r.score, 6), r.rank)
+        for r in bm25_index_topk(spark, full, queries, k=10).collect()
+    )
+    assert got == want
+    # merged sidecar carries the union corpus scalars
+    import json
+    from pinecone_datasets_spark.fs import FS, join as fsjoin
+    from pinecone_datasets_spark.operators.keyword import BM25_STATS_FILE
+
+    m = json.loads(FS(spark).read_text(fsjoin(merged, BM25_STATS_FILE)))
+    f = json.loads(FS(spark).read_text(fsjoin(full, BM25_STATS_FILE)))
+    assert m["n_docs"] == f["n_docs"]
+    assert abs(m["avgdl"] - f["avgdl"]) < 1e-9
+
+
+def test_merge_bm25_rejects_overlap_and_bad_args(spark, corpus, tmp_path):
+    from pinecone_datasets_spark.operators.keyword import (
+        build_bm25_index,
+        merge_bm25_indexes,
+    )
+
+    p1, p2 = str(tmp_path / "i1"), str(tmp_path / "i2")
+    build_bm25_index(corpus, p1)
+    build_bm25_index(corpus.where(F.col("doc_id") < 2), p2)  # overlaps p1
+    with pytest.raises(ValueError, match="overlap"):
+        merge_bm25_indexes(spark, [p1, p2], str(tmp_path / "m"),
+                           validate=True)
+    with pytest.raises(ValueError, match=">= 2"):
+        merge_bm25_indexes(spark, [p1], str(tmp_path / "m"))
+
+
 def test_rrf_fuse_sums_and_ranks(spark):
     a = spark.createDataFrame(
         [(0, 10, 1), (0, 11, 2)], schema="query_id long, doc_id long, rank long"

@@ -11,6 +11,7 @@ from pinecone_datasets_spark.operators.timeseries import (
     gapfill,
     interpolate_linear,
     locf,
+    rolling_zscore,
 )
 
 T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
@@ -103,6 +104,46 @@ def test_no_keys_single_series(spark):
     out = {r.bucket: r.v for r in interpolate_linear(filled, "bucket", ["v"]).collect()}
     assert out[_h(1)] == pytest.approx(2.0)
     assert out[_h(2)] == pytest.approx(3.0)
+
+
+def test_rolling_zscore_flags_spike(spark):
+    # flat 10.0 baseline, then a spike at h8 and back to baseline
+    rows = [("a", _h(i), 10.0 + (0.1 * (i % 3))) for i in range(8)]
+    rows.append(("a", _h(8), 100.0))
+    rows.append(("a", _h(9), 10.0))
+    df = spark.createDataFrame(rows, "k string, bucket timestamp, v double")
+    out = {
+        r.bucket: r
+        for r in rolling_zscore(
+            df, "bucket", "v", ["k"], window=6, min_periods=4, tau=3.0
+        ).collect()
+    }
+    # warm-up: fewer than min_periods trailing values -> NULL, not false
+    for i in range(4):
+        assert out[_h(i)].zscore is None
+        assert out[_h(i)].is_anomaly is None
+    assert out[_h(8)].zscore > 3.0 and out[_h(8)].is_anomaly
+    # normal buckets after warm-up are not anomalous
+    assert out[_h(6)].is_anomaly is False
+    # trailing frame EXCLUDES the current row: the spike cannot mask
+    # itself, and the bucket after the spike compares against a frame
+    # that now contains the spike (high stddev -> small |z|)
+    assert out[_h(9)].is_anomaly is False
+
+
+def test_rolling_zscore_zero_variance_is_null(spark):
+    rows = [("a", _h(i), 5.0) for i in range(8)]
+    df = spark.createDataFrame(rows, "k string, bucket timestamp, v double")
+    out = rolling_zscore(df, "bucket", "v", ["k"], window=4).collect()
+    assert all(r.zscore is None and r.is_anomaly is None for r in out)
+
+
+def test_rolling_zscore_bad_args(spark):
+    df = _series(spark)
+    with pytest.raises(ValueError):
+        rolling_zscore(df, "bucket", "v", ["k"], window=0)
+    with pytest.raises(ValueError):
+        rolling_zscore(df, "bucket", "v", ["k"], min_periods=1)
 
 
 def test_fixture_events_roundtrip(spark, sf_dir):
