@@ -492,6 +492,60 @@ def main() -> None:
             F.sum("n_chars").alias("sum_chars"),
         )
 
+    def bench_domain_report():
+        # one corpus pass: groupBy(domain) with map-side partials;
+        # corpus-share denominator from a window over the tiny
+        # aggregated frame, never a second pass
+        from pinecone_datasets_spark.operators.domains import (
+            domain_report,
+        )
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        return domain_report(docs)
+
+    def bench_snapshot_diff():
+        # map-side fingerprints + ONE full-outer join carrying
+        # (id, 16-byte fp); the v2 side is a synthesized rewrite of
+        # the corpus, so the leg prices two full corpus scans + join
+        from pinecone_datasets_spark.operators.snapshot import (
+            snapshot_diff,
+        )
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        v2 = docs.where(F.col("doc_id") % 7 != 0).withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(F.col("text"), F.lit(" v2")),
+            ).otherwise(F.col("text")),
+        )
+        return snapshot_diff(docs, v2)
+
+    bm25_seg_paths = [bench_tmp + f"/bm25_seg{i}" for i in range(3)]
+
+    def bench_bm25_merge():
+        # segment merge of 3 disjoint delta indexes: union postings +
+        # per-term df recount + term-sorted rewrite — no re-tokenize.
+        # Segment builds are one-time setup (lazy, like bm25_build).
+        from pinecone_datasets_spark.operators.keyword import (
+            build_bm25_index,
+            merge_bm25_indexes,
+        )
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        if not os.path.isdir(bm25_seg_paths[0]):
+            for i, p in enumerate(bm25_seg_paths):
+                build_bm25_index(docs.where(F.col("doc_id") % 3 == i), p)
+        merge_bm25_indexes(
+            spark, bm25_seg_paths, bench_tmp + "/bm25_merged"
+        )
+        return spark.range(1)
+
+    def bench_hourly_anomaly():
+        # gapfill + LOCF + trailing-24 z-score: per-key grid explode,
+        # one (key) shuffle reused across the window stages
+        return em.q89_hourly_anomaly(spark, SF_DIR)
+
     headline = {
         "q01_scan_agg": lambda: em.q01_pricing_summary(spark, SF_DIR),
         "q02_join_topn": lambda: em.q02_top_customers(spark, SF_DIR),
@@ -547,6 +601,10 @@ def main() -> None:
         "rag_chunk_64x16": bench_rag_chunk,
         "mmr_rerank_100q": bench_mmr,
         "curation_funnel": bench_funnel,
+        "domain_report": bench_domain_report,
+        "snapshot_diff": bench_snapshot_diff,
+        "bm25_merge": bench_bm25_merge,
+        "hourly_anomaly": bench_hourly_anomaly,
     }
 
     # Warm the JVM once with small representative jobs (parquet reader,
