@@ -1816,16 +1816,20 @@ def q67_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
-def q84_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q84_retrieval_eval(
+    spark: SparkSession, sf_dir: str, fused: DataFrame | None = None
+) -> DataFrame:
     """IR metrics (operators/evaluate.py) of the hybrid RRF ranking
     against graded pseudo-qrels (exact cosine top-3, rel = 4 - rank):
     per-query recall/precision/MRR/nDCG @ 10 — the evaluation loop the
-    reference's replayable query sets exist for."""
+    reference's replayable query sets exist for. Pass ``fused`` to
+    score an already-built ranking instead of re-deriving q67's."""
     from pinecone_datasets_spark.operators.evaluate import (
         retrieval_metrics,
     )
 
-    fused = q67_hybrid_rrf(spark, sf_dir)
+    if fused is None:
+        fused = q67_hybrid_rrf(spark, sf_dir)
     docs, queries = _emb_docs_queries(spark, sf_dir)
     exact = topk_search(
         docs,
@@ -1857,8 +1861,12 @@ def q84_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q67_q84_hybrid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merged hybrid-retrieval entry, tagged: 'fused' = the RRF ranking
     (q67), 'metrics' = its per-query IR evaluation against exact-cosine
-    pseudo-qrels (q84)."""
-    fused = q67_hybrid_rrf(spark, sf_dir).select(
+    pseudo-qrels (q84). The RRF pipeline is built ONCE and shared by
+    both parts (q84 used to re-derive it — 2x the entry's cost)."""
+    # persist: the union's two branches would otherwise re-execute the
+    # full RRF plan (50 rows cached — driver-trivial)
+    fused_base = q67_hybrid_rrf(spark, sf_dir).persist()
+    fused = fused_base.select(
         F.lit("fused").alias("part"),
         F.col("query_id"),
         F.col("doc_id"),
@@ -1868,7 +1876,7 @@ def q67_q84_hybrid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         _nl("double").alias("c4"),
         _nl("long").alias("n_rel"),
     )
-    metrics = q84_retrieval_eval(spark, sf_dir).select(
+    metrics = q84_retrieval_eval(spark, sf_dir, fused=fused_base).select(
         F.lit("metrics").alias("part"),
         F.col("query_id"),
         _nl("long").alias("doc_id"),

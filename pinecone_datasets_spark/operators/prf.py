@@ -287,8 +287,23 @@ def rm3_search(
     subtree re-derives the entire stage-1 pipeline inline (measured: a
     ~750-node plan that re-tokenizes the corpus per consumer). Set
     ``False`` only for enormous query sets, where the fused lazy plan
-    (and its recomputation) is preferable to a driver round-trip."""
+    (and its recomputation) is preferable to a driver round-trip.
+
+    With it, the tokenized (tf, dl) frames are persisted
+    (MEMORY_AND_DISK) so the stage-1 model job populates the cache and
+    the stage-2 re-search reads it instead of re-tokenizing the corpus —
+    the classic multi-pass persist. Measured ~6% at sf0.1 (tokenize is
+    not the dominant stage there) — the win grows with text volume per
+    doc, and the cache is exactly the recompute stage 2 would redo. At
+    corpus scales where even a spilled TF frame is unwelcome, the
+    answer is not this operator: ``rm3_index_search`` reads a persisted
+    index and never tokenizes at query time."""
     tf, dl, stats = _tf_frames(docs, id_col, text_col)
+    if materialize_model:
+        from pyspark import StorageLevel
+
+        tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
+        dl = dl.persist(StorageLevel.MEMORY_AND_DISK)
     model = _rm3_model_from_frames(
         tf,
         dl,

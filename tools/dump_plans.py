@@ -48,6 +48,12 @@ HEADLINE = [
      "RM3: shared tf frames, literal feedback/models, weighted re-search"),
     ("q86_maxsim_topk",
      "MaxSim late interaction: broadcast multi-vector queries + window limit"),
+    ("q89_hourly_anomaly",
+     "rolling z-score: one (key) exchange shared by gapfill/LOCF/window"),
+    ("domain_report",
+     "domain report: one groupBy pass, window share over aggregated frame"),
+    ("snapshot_diff",
+     "snapshot diff: map-side fingerprints, one full-outer join on id"),
 ]
 
 
@@ -136,6 +142,23 @@ def _extra_builders(spark, sf_dir):
         comps, mean, _ = train_pca(docs, out_dim=16, dim=64)
         return proj(docs, comps, mean)
 
+    def domain_report(spark, sf_dir):
+        from pinecone_datasets_spark.operators.domains import (
+            domain_report as rep,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return rep(docs)
+
+    def snapshot_diff(spark, sf_dir):
+        from pinecone_datasets_spark.operators.snapshot import (
+            snapshot_diff as diff,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        v2 = docs.where(F.col("doc_id") % 7 != 0)
+        return diff(docs, v2)
+
     return {
         "cm_freq": cm_freq,
         "pca_project": pca_project,
@@ -143,6 +166,8 @@ def _extra_builders(spark, sf_dir):
         "ivfpq_search": ivfpq_search,
         "jsonl_ingest": jsonl_ingest,
         "mg_heavy_hitters": mg_heavy_hitters,
+        "domain_report": domain_report,
+        "snapshot_diff": snapshot_diff,
     }
 
 
