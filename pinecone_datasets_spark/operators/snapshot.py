@@ -89,3 +89,57 @@ def snapshot_summary(diff: DataFrame) -> DataFrame:
     """Fold a ``snapshot_diff`` frame to one row per status:
     ``(status, n)`` — the audit headline."""
     return diff.groupBy("status").agg(F.count(F.lit(1)).alias("n"))
+
+
+def diff_datasets(
+    catalog,
+    old_name: str,
+    new_name: str,
+    id_col: str = "id",
+    content_cols: Optional[list] = None,
+    include_unchanged: bool = False,
+) -> DataFrame:
+    """Diff two cataloged dataset versions' documents tables (the
+    Layer-A tie-in: ``Catalog.save_dataset`` writes versions,
+    ``diff_datasets`` audits what changed between two of them).
+
+    Content identity is ``md5(to_json(struct(content_cols)))`` —
+    ``content_cols`` defaults to every shared non-id column, so any
+    change to values, metadata, or sparse vectors flips the
+    fingerprint. Same output contract and scale shape as
+    ``snapshot_diff`` (map-side digests, one full-outer join on id)."""
+    old = catalog.load_dataset(old_name).documents
+    new = catalog.load_dataset(new_name).documents
+    if content_cols is None:
+        shared = [c for c in old.columns if c in set(new.columns)]
+        content_cols = [c for c in shared if c != id_col]
+    if not content_cols:
+        raise ValueError("no shared content columns to diff on")
+
+    def fp(df: DataFrame, alias: str) -> DataFrame:
+        digest = F.md5(
+            F.to_json(F.struct(*[F.col(c) for c in content_cols]))
+        )
+        return df.select(F.col(id_col), digest.alias(alias))
+
+    j = fp(old, "old_fingerprint").join(
+        fp(new, "new_fingerprint"), id_col, "full_outer"
+    )
+    status = (
+        F.when(F.col("old_fingerprint").isNull(), F.lit("added"))
+        .when(F.col("new_fingerprint").isNull(), F.lit("removed"))
+        .when(
+            F.col("old_fingerprint") != F.col("new_fingerprint"),
+            F.lit("changed"),
+        )
+        .otherwise(F.lit("unchanged"))
+    )
+    out = j.select(
+        F.col(id_col),
+        status.alias("status"),
+        "old_fingerprint",
+        "new_fingerprint",
+    )
+    if not include_unchanged:
+        out = out.where(F.col("status") != "unchanged")
+    return out

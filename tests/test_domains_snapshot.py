@@ -131,6 +131,63 @@ def test_snapshot_diff_precomputed_fingerprint(spark):
     assert d == {1: "changed"}
 
 
+def test_diff_datasets_through_catalog(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from pinecone_datasets_spark import Catalog, Dataset
+    from pinecone_datasets_spark.metadata import (
+        DatasetMetadata,
+        DenseModelMetadata,
+    )
+    from pinecone_datasets_spark.operators.snapshot import diff_datasets
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = emb.select(
+        F.col("vec_id").cast("string").alias("id"),
+        F.col("embedding").cast("array<float>").alias("values"),
+        F.to_json(F.struct(F.col("label"))).alias("metadata"),
+    )
+
+    def save(name, df):
+        meta = DatasetMetadata(
+            name=name, documents=df.count(), queries=0,
+            dense_model=DenseModelMetadata(name="synthetic", dimension=64),
+        )
+        Catalog(spark, base_path=str(tmp_path)).save_dataset(
+            Dataset.from_dataframe(spark, df, meta)
+        )
+
+    save("corpus-v1", base)
+    v2 = base.where(F.col("id").cast("long") % 10 != 0).withColumn(
+        "metadata",
+        F.when(
+            F.col("id").cast("long") % 3 == 0, F.lit('{"label": 999}')
+        ).otherwise(F.col("metadata")),
+    )
+    save("corpus-v2", v2)
+
+    cat = Catalog(spark, base_path=str(tmp_path))
+    d = diff_datasets(cat, "corpus-v1", "corpus-v2")
+    rows = d.collect()
+    by_status = {}
+    for r in rows:
+        by_status.setdefault(r.status, set()).add(int(r.id))
+    n = base.count()
+    assert by_status["removed"] == {i for i in range(n) if i % 10 == 0}
+    assert by_status["changed"] == {
+        i for i in range(n) if i % 10 != 0 and i % 3 == 0
+    }
+    assert "added" not in by_status
+    # values-only diff ignores the metadata rewrite
+    d2 = diff_datasets(cat, "corpus-v1", "corpus-v2",
+                       content_cols=["values"])
+    s2 = {r.status for r in d2.collect()}
+    assert s2 == {"removed"}
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        diff_datasets(cat, "corpus-v1", "corpus-v2", content_cols=[])
+
+
 def test_fixture_scale_snapshot_and_report(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     # simulate v2: drop ids %7==0, rewrite text of %5==0, add shifted ids
