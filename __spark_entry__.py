@@ -214,7 +214,9 @@ def q87_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.col("bucket").alias("hour"),
         F.round("v_locf", 2).alias("v_locf"),
-        F.round("v_interp", 4).alias("v_interp"),
+        # +1e-9 bias before the 4-dp round — keeps both engines on the
+        # same side of a half boundary (see the oracle twin's gf CTE)
+        F.round(F.col("v_interp") + F.lit(1e-9), 4).alias("v_interp"),
         F.col("is_gap").cast("long").alias("is_gap"),
     ).orderBy("event_type", "hour")
 
@@ -3097,9 +3099,6 @@ def q88_domains_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("new_fingerprint"), F.lit("")),
         ).alias("s2"),
     )
-    rep = rep.withColumn("n1", F.col("n1").cast("long")).withColumn(
-        "n2", F.col("n2").cast("long")
-    ).withColumn("n3", F.col("n3").cast("long"))
     return rep.unionByName(dif).orderBy("part", "key")
 
 
@@ -4955,16 +4954,20 @@ grid AS (
   FROM ext
 ),
 filled AS (
-  SELECT g.event_type, g.bucket, b2.v
-  FROM grid g LEFT JOIN base b2 USING (event_type, bucket)
+  -- observedness marker mirrors gapfill's join-derived is_gap: an
+  -- observed bucket whose v happens to be NULL is NOT a gap
+  SELECT g.event_type, g.bucket, b2.v, (b2._obs IS NOT NULL) AS obs
+  FROM grid g LEFT JOIN (SELECT event_type, bucket, v, TRUE AS _obs
+                         FROM base) b2
+    ON g.event_type = b2.event_type AND g.bucket = b2.bucket
 ),
 numbered AS (
-  SELECT event_type, bucket, v,
+  SELECT event_type, bucket, v, obs,
          row_number() OVER (PARTITION BY event_type ORDER BY bucket) AS p
   FROM filled
 ),
 pos AS (
-  SELECT event_type, bucket, v, p,
+  SELECT event_type, bucket, v, obs, p,
          last_value(v IGNORE NULLS) OVER wb AS pv,
          first_value(v IGNORE NULLS) OVER wf AS nv,
          last_value(CASE WHEN v IS NOT NULL THEN p END
@@ -4978,12 +4981,18 @@ pos AS (
                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
 ),
 gf AS (
+  -- +1e-9 before the 4-dp round: the interpolated double can differ
+  -- across engines by ~1 ulp, and at sf0.001 one lands exactly on a
+  -- half boundary (106.57375 -> 106.5737 vs 106.5738). The bias is
+  -- 100x the ulp gap and 1e5x below the rounding grid, so both
+  -- engines leave the boundary on the same side. Spark side applies
+  -- the identical bias.
   SELECT event_type, bucket AS hour,
          round(pv, 2) AS v_locf,
          round(CASE WHEN v IS NOT NULL THEN v
-                    ELSE pv + (nv - pv) * ((p - pp) / (np - pp)) END,
-               4) AS v_interp,
-         CAST(v IS NULL AS BIGINT) AS is_gap
+                    ELSE pv + (nv - pv) * ((p - pp) / (np - pp)) END
+               + 1e-9, 4) AS v_interp,
+         CAST(NOT obs AS BIGINT) AS is_gap
   FROM pos
 ),
 anobase AS (

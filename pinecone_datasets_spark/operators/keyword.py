@@ -236,6 +236,12 @@ def merge_bm25_indexes(
 
     if len(paths) < 2:
         raise ValueError(f"need >= 2 indexes to merge: {paths}")
+    if out_path in paths:
+        # fail BEFORE any I/O: the overwrite write would otherwise race
+        # the lazy union still reading that input ("Cannot overwrite a
+        # path that is also being read from") and could leave a
+        # half-rewritten index dir
+        raise ValueError(f"out_path is also an input: {out_path}")
     fs = FS(spark)
     metas = [
         _json.loads(fs.read_text(_join(p, BM25_STATS_FILE))) for p in paths

@@ -66,10 +66,14 @@ def mine_hard_negatives(
     (their negatives are still valid for in-batch use); the two counts
     distinguish that case from label/corpus drift: ``n_labeled`` is the
     query's distinct labeled pairs, ``n_positives_scored`` how many of
-    them were actually found in ``documents`` — ``n_labeled > 0`` with
-    ``n_positives_scored == 0`` means every labeled positive is missing
-    from the corpus (and pos/margin are NULL for that reason, not
-    because the query is unlabeled).
+    them produced an exact score — ``n_labeled > 0`` with
+    ``n_positives_scored == 0`` means no labeled positive could anchor
+    the floor (and pos/margin are NULL for that reason, not because the
+    query is unlabeled). A positive counts as unscored both when its
+    doc id is absent from ``documents`` and when the doc exists but its
+    vector (or the query's) is NULL — either way it contributed no
+    floor; and if ``documents`` contains duplicate ids, each duplicate
+    scores, so the count can exceed ``n_labeled``.
 
     ``positives`` needs columns (``query_id_col``, ``doc_id_col``).
     Pass ``candidates`` (any frame with query_id/id/score, e.g. an ANN

@@ -275,6 +275,7 @@ def rm3_search(
     query_id_col: str = "query_id",
     query_text_col: str = "query_text",
     materialize_model: bool = True,
+    persist_tf: bool = True,
 ) -> DataFrame:
     """Two-stage RM3 retrieval: expand, then weighted re-search.
     Returns ``(query_id, doc_id, score, rank)`` like ``bm25_topk``.
@@ -289,17 +290,21 @@ def rm3_search(
     ``False`` only for enormous query sets, where the fused lazy plan
     (and its recomputation) is preferable to a driver round-trip.
 
-    With it, the tokenized (tf, dl) frames are persisted
-    (MEMORY_AND_DISK) so the stage-1 model job populates the cache and
-    the stage-2 re-search reads it instead of re-tokenizing the corpus —
-    the classic multi-pass persist. Measured ~6% at sf0.1 (tokenize is
-    not the dominant stage there) — the win grows with text volume per
-    doc, and the cache is exactly the recompute stage 2 would redo. At
-    corpus scales where even a spilled TF frame is unwelcome, the
-    answer is not this operator: ``rm3_index_search`` reads a persisted
-    index and never tokenizes at query time."""
+    ``persist_tf=True`` (default) additionally persists the tokenized
+    (tf, dl) frames (MEMORY_AND_DISK) so the stage-1 model job
+    populates the cache and the stage-2 re-search reads it instead of
+    re-tokenizing the corpus — the classic multi-pass persist (measured
+    ~6% at sf0.1; the win grows with text volume per doc). The frames
+    stay cached until Spark evicts them (LRU) or the caller clears the
+    cache: the returned frame is lazy, so this function cannot
+    unpersist them itself. A long-running service cycling many corpora
+    through one session should pass ``persist_tf=False`` (or clear the
+    cache between corpora); at corpus scales where even a spilled TF
+    frame is unwelcome, the answer is not this operator —
+    ``rm3_index_search`` reads a persisted index and never tokenizes at
+    query time."""
     tf, dl, stats = _tf_frames(docs, id_col, text_col)
-    if materialize_model:
+    if materialize_model and persist_tf:
         from pyspark import StorageLevel
 
         tf = tf.persist(StorageLevel.MEMORY_AND_DISK)

@@ -115,31 +115,11 @@ def diff_datasets(
         content_cols = [c for c in shared if c != id_col]
     if not content_cols:
         raise ValueError("no shared content columns to diff on")
-
-    def fp(df: DataFrame, alias: str) -> DataFrame:
-        digest = F.md5(
-            F.to_json(F.struct(*[F.col(c) for c in content_cols]))
-        )
-        return df.select(F.col(id_col), digest.alias(alias))
-
-    j = fp(old, "old_fingerprint").join(
-        fp(new, "new_fingerprint"), id_col, "full_outer"
+    digest = F.md5(F.to_json(F.struct(*[F.col(c) for c in content_cols])))
+    return snapshot_diff(
+        old.select(F.col(id_col), digest.alias("_fp")),
+        new.select(F.col(id_col), digest.alias("_fp")),
+        id_col=id_col,
+        fingerprint_col="_fp",
+        include_unchanged=include_unchanged,
     )
-    status = (
-        F.when(F.col("old_fingerprint").isNull(), F.lit("added"))
-        .when(F.col("new_fingerprint").isNull(), F.lit("removed"))
-        .when(
-            F.col("old_fingerprint") != F.col("new_fingerprint"),
-            F.lit("changed"),
-        )
-        .otherwise(F.lit("unchanged"))
-    )
-    out = j.select(
-        F.col(id_col),
-        status.alias("status"),
-        "old_fingerprint",
-        "new_fingerprint",
-    )
-    if not include_unchanged:
-        out = out.where(F.col("status") != "unchanged")
-    return out

@@ -198,6 +198,9 @@ def test_merge_bm25_rejects_overlap_and_bad_args(spark, corpus, tmp_path):
                            validate=True)
     with pytest.raises(ValueError, match=">= 2"):
         merge_bm25_indexes(spark, [p1], str(tmp_path / "m"))
+    # in-place merge fails fast, before any I/O
+    with pytest.raises(ValueError, match="also an input"):
+        merge_bm25_indexes(spark, [p1, p2], p1)
 
 
 def test_rrf_fuse_sums_and_ranks(spark):
