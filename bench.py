@@ -541,6 +541,30 @@ def main() -> None:
         )
         return spark.range(1)
 
+    def bench_quality_classifier():
+        # weak-supervision quality filter: heuristic-extreme labels ->
+        # hashed-BoW logistic training (bounded sample) -> map-only
+        # corpus scoring. The leg prices the full train+score cycle.
+        from pinecone_datasets_spark.functions.text import quality_score
+        from pinecone_datasets_spark.operators.quality_model import (
+            score_quality,
+            train_quality_classifier,
+            weak_labels,
+        )
+
+        docs = spark.read.parquet(
+            f"{SF_DIR}/documents.parquet"
+        ).withColumn("h", quality_score(F.col("text")))
+        lo, hi = docs.select(
+            F.expr("percentile(h, 0.1)"), F.expr("percentile(h, 0.9)")
+        ).collect()[0]
+        wl = weak_labels(docs, lo=lo, hi=hi, score_col="h")
+        model = train_quality_classifier(wl, num_features=1 << 16,
+                                         max_iter=10)
+        return score_quality(docs.drop("h"), model).select(
+            "doc_id", "quality_prob"
+        )
+
     def bench_hourly_anomaly():
         # gapfill + LOCF + trailing-24 z-score: per-key grid explode,
         # one (key) shuffle reused across the window stages
@@ -605,6 +629,7 @@ def main() -> None:
         "snapshot_diff": bench_snapshot_diff,
         "bm25_merge": bench_bm25_merge,
         "hourly_anomaly": bench_hourly_anomaly,
+        "quality_classifier": bench_quality_classifier,
     }
 
     # Warm the JVM once with small representative jobs (parquet reader,

@@ -74,6 +74,11 @@ from .domains import (
     url_host,
 )
 from .snapshot import diff_datasets, snapshot_diff, snapshot_summary
+from .quality_model import (
+    score_quality,
+    train_quality_classifier,
+    weak_labels,
+)
 
 __all__ = [
     "topk_search",
@@ -151,4 +156,7 @@ __all__ = [
     "snapshot_diff",
     "snapshot_summary",
     "diff_datasets",
+    "score_quality",
+    "train_quality_classifier",
+    "weak_labels",
 ]

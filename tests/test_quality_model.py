@@ -1,0 +1,116 @@
+"""Trained quality classifier (operators/quality_model.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pinecone_datasets_spark.operators.quality_model import (
+    score_quality,
+    train_quality_classifier,
+    weak_labels,
+)
+
+GOOD = [
+    "The committee published its annual report on regional water quality.",
+    "Researchers described a new method for measuring glacier thickness.",
+    "The library added several hundred volumes to its history collection.",
+    "Local farmers reported a strong harvest despite the dry summer.",
+    "The museum opened an exhibition about early printing techniques.",
+    "Engineers completed the bridge inspection ahead of schedule.",
+    "The council approved funding for two new primary schools.",
+    "Historians traced the manuscript to a fifteenth century monastery.",
+]
+JUNK = [
+    "buy buy buy cheap cheap cheap click click click now now now",
+    "zzz qqq xxx zzz qqq xxx zzz qqq xxx zzz qqq xxx",
+    "win win win free free free win win win free free free",
+    "aaa bbb aaa bbb aaa bbb aaa bbb aaa bbb aaa bbb",
+    "click here click here click here click here click here",
+    "$$$ ### $$$ ### $$$ ### $$$ ### $$$ ###",
+    "lol lol lol lol lol lol lol lol lol lol lol lol",
+    "spam spam spam spam spam spam spam spam spam spam",
+]
+
+
+def _labeled(spark):
+    rows = [(i, t, 1.0) for i, t in enumerate(GOOD)] + [
+        (100 + i, t, 0.0) for i, t in enumerate(JUNK)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, label double")
+
+
+def test_classifier_separates_good_from_junk(spark):
+    labeled = _labeled(spark)
+    model = train_quality_classifier(labeled, num_features=1 << 12)
+    scored = score_quality(labeled, model)
+    probs = {r.doc_id: r.quality_prob for r in scored.collect()}
+    good_p = [probs[i] for i in range(len(GOOD))]
+    junk_p = [probs[100 + i] for i in range(len(JUNK))]
+    assert min(good_p) > max(junk_p)
+    assert all(0.0 <= p <= 1.0 for p in probs.values())
+    # feature/intermediate columns are dropped
+    assert set(scored.columns) == {"doc_id", "text", "label", "quality_prob"}
+
+
+def test_classifier_generalizes_to_unseen_docs(spark):
+    model = train_quality_classifier(_labeled(spark), num_features=1 << 12)
+    unseen = spark.createDataFrame(
+        [
+            (1, "The orchestra rehearsed the symphony for the spring concert."),
+            (2, "free free win win click click free free win win click click"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.quality_prob
+           for r in score_quality(unseen, model).collect()}
+    assert got[1] > got[2]
+
+
+def test_weak_labels_thresholds_and_middle_drop(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    wl = weak_labels(docs, lo=0.3, hi=0.7)
+    n_all, n_wl = docs.count(), wl.count()
+    assert 0 < n_wl <= n_all
+    labels = {r.label for r in wl.select("label").distinct().collect()}
+    assert labels <= {0.0, 1.0}
+    with pytest.raises(ValueError):
+        weak_labels(docs, lo=0.7, hi=0.3)
+
+
+def test_weak_labels_precomputed_score_col(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 0.9), (2, "b", 0.1), (3, "c", 0.5)],
+        "doc_id long, text string, s double",
+    )
+    wl = weak_labels(df, lo=0.2, hi=0.8, score_col="s")
+    got = {r.doc_id: r.label for r in wl.collect()}
+    assert got == {1: 1.0, 2: 0.0}  # the 0.5 middle dropped
+
+
+def test_end_to_end_weak_supervision_on_fixture(spark, sf_dir):
+    # bootstrap labels from the heuristic's own distribution extremes
+    # (fixture scores cluster in 0.67-1.0, so fixed bounds would match
+    # nothing), train, score ALL docs: the learned score must agree
+    # with the heuristic on its confident extremes (sanity:
+    # distillation preserved the signal)
+    from pinecone_datasets_spark.functions.text import quality_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "h", quality_score(F.col("text"))
+    )
+    lo, hi = docs.select(
+        F.expr("percentile(h, 0.1)"), F.expr("percentile(h, 0.9)")
+    ).collect()[0]
+    assert lo < hi
+    wl = weak_labels(docs, lo=lo, hi=hi, score_col="h")
+    assert wl.where(F.col("label") == 0).count() >= 5
+    assert wl.where(F.col("label") == 1).count() >= 5
+    model = train_quality_classifier(wl, num_features=1 << 14)
+    scored = score_quality(docs, model)
+    agg = scored.select(
+        F.avg(F.when(F.col("h") >= hi, F.col("quality_prob"))).alias("top"),
+        F.avg(F.when(F.col("h") <= lo, F.col("quality_prob"))).alias("bot"),
+    ).collect()[0]
+    assert agg.top is not None and agg.bot is not None
+    assert agg.top > agg.bot
