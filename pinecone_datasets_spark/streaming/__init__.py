@@ -1,3 +1,4 @@
+from .anomaly import stream_rolling_zscore
 from .dedup import stream_exact_dedup
 from .ingest import stream_documents, windowed_event_counts
 from .sketch import stream_heavy_hitters
@@ -6,5 +7,6 @@ __all__ = [
     "stream_documents",
     "stream_exact_dedup",
     "stream_heavy_hitters",
+    "stream_rolling_zscore",
     "windowed_event_counts",
 ]
