@@ -376,6 +376,31 @@ def main() -> None:
         _, queries = emb_queries(100)
         return ivf_index_topk(spark, ivf_path, queries, k=10, nprobe=4)
 
+    lsh_path = bench_tmp + "/lsh"
+
+    def bench_lsh_build():
+        # persisted-LSH offline leg: one signature pass + sorted
+        # (band, sig, id) rewrite + vector-table copy
+        from pinecone_datasets_spark.operators.search import (
+            build_lsh_index,
+        )
+
+        docs, _ = emb_queries(0)
+        build_lsh_index(docs, lsh_path, bands=16, bits=8, dim=64)
+        return spark.range(1)
+
+    def bench_lsh_search():
+        # online leg: driver-signed probes pushed as literal band/sig
+        # filters; corpus neither re-signed nor rescanned
+        from pinecone_datasets_spark.operators.search import (
+            lsh_index_topk,
+        )
+
+        if not os.path.isdir(lsh_path):
+            bench_lsh_build()
+        _, queries = emb_queries(100)
+        return lsh_index_topk(spark, lsh_path, queries, k=10)
+
     ivfpq_path = bench_tmp + "/ivfpq"
 
     def bench_ivfpq_build():
@@ -603,6 +628,8 @@ def main() -> None:
         "bm25_search": bench_bm25_search,
         "ivf_build": bench_ivf_build,
         "ivf_search": bench_ivf_search,
+        "lsh_build": bench_lsh_build,
+        "lsh_search": bench_lsh_search,
         "ivfpq_build": bench_ivfpq_build,
         "ivfpq_search": bench_ivfpq_search,
         "jsonl_ingest": bench_jsonl_ingest,

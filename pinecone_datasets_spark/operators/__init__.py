@@ -1,4 +1,11 @@
-from .search import topk_search, topk_single, ann_lsh_topk, hamming_topk
+from .search import (
+    ann_lsh_topk,
+    build_lsh_index,
+    hamming_topk,
+    lsh_index_topk,
+    topk_search,
+    topk_single,
+)
 from .lateinteraction import maxsim_score, maxsim_topk, maxsim_topk_arrow
 from .dedup import (
     exact_dedup,
@@ -100,6 +107,8 @@ __all__ = [
     "train_pq_codebooks",
     "topk_single",
     "ann_lsh_topk",
+    "build_lsh_index",
+    "lsh_index_topk",
     "hamming_topk",
     "maxsim_score",
     "maxsim_topk",
