@@ -54,6 +54,8 @@ HEADLINE = [
      "domain report: one groupBy pass, window share over aggregated frame"),
     ("snapshot_diff",
      "snapshot diff: map-side fingerprints, one full-outer join on id"),
+    ("lsh_probe",
+     "persisted-LSH probe: pushed band/sig filters, broadcast candidates"),
 ]
 
 
@@ -159,9 +161,27 @@ def _extra_builders(spark, sf_dir):
         v2 = docs.where(F.col("doc_id") % 7 != 0)
         return diff(docs, v2)
 
+    def lsh_probe(spark, sf_dir):
+        from pinecone_datasets_spark.operators.search import (
+            build_lsh_index, lsh_index_topk,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        docs = emb.select(
+            F.col("vec_id").alias("id"),
+            F.col("embedding").cast("array<double>").alias("values"),
+        )
+        path = tempfile.mkdtemp(prefix="plans_lsh_") + "/idx"
+        build_lsh_index(docs, path, bands=8, bits=8, dim=64)
+        queries = docs.where(F.col("id") < 5).select(
+            F.col("id").alias("query_id"), F.col("values").alias("vector")
+        )
+        return lsh_index_topk(spark, path, queries, k=5)
+
     return {
         "cm_freq": cm_freq,
         "pca_project": pca_project,
+        "lsh_probe": lsh_probe,
         "hamming_topk": hamming_topk,
         "ivfpq_search": ivfpq_search,
         "jsonl_ingest": jsonl_ingest,
