@@ -1962,13 +1962,45 @@ def q69b_cm_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q69c_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count sketch (operators/sketch.py
+    hll_distinct): md5-portable registers — index = low p bits, rho via
+    base-2 string length — folded in scaled-INTEGER space so the
+    harmonic sum is order-independent and the estimate replays
+    bit-for-bit in the DuckDB oracle. The shuffle carries at most
+    2**p rows per group per map task (map-side partial MAX)."""
+    from pinecone_datasets_spark.operators.sketch import hll_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    est = hll_distinct(ev, "user_id", "event_type", p=10)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return (
+        est.join(exact, "event_type")
+        .select(
+            "event_type",
+            F.round("est_distinct", 4).alias("est_distinct"),
+            "n_exact",
+        )
+        .orderBy("event_type")
+    )
+
+
 def q28_q69_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merged sketch entry: KMV distinct-count per event_type (part
-    'kmv') + Count-Min point-frequency estimates per user_id (part
-    'cm'), union-tagged, each beside its exact answer — two approximate
+    'kmv') + HyperLogLog distinct-count per event_type (part 'hll') +
+    Count-Min point-frequency estimates per user_id (part 'cm'),
+    union-tagged, each beside its exact answer — three approximate
     operators under the exact hash gate."""
     kmv = q69_kmv_distinct(spark, sf_dir).select(
         F.lit("kmv").alias("part"),
+        F.col("event_type").alias("key"),
+        F.col("est_distinct").alias("est"),
+        F.col("n_exact").cast("long").alias("n_exact"),
+    )
+    hll = q69c_hll_distinct(spark, sf_dir).select(
+        F.lit("hll").alias("part"),
         F.col("event_type").alias("key"),
         F.col("est_distinct").alias("est"),
         F.col("n_exact").cast("long").alias("n_exact"),
@@ -1979,7 +2011,7 @@ def q28_q69_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("est_count").cast("double").alias("est"),
         F.col("n_exact").cast("long").alias("n_exact"),
     )
-    return kmv.unionByName(cm).orderBy("part", "key")
+    return kmv.unionByName(hll).unionByName(cm).orderBy("part", "key")
 
 
 def q70_cube_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2919,12 +2951,34 @@ def q45_q46_q47_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         _nl("long").alias("n1"),
         _nl("long").alias("n2"),
     )
+    # 'dsir' part: importance resampling toward the English slice
+    # (operators/dsir.py) — hashed-bigram LM ratio weights, Gumbel
+    # top-k keep-set; weights and keys surface as micro-scaled longs
+    from pinecone_datasets_spark.operators.dsir import dsir_resample
+
+    dsel = dsir_resample(
+        docs,
+        docs.where(F.col("lang") == "en").select("text"),
+        k=40,
+        n=2,
+        n_buckets=2000,
+        seed=11,
+    )
+    dsir = dsel.join(docs.select("doc_id", "lang"), "doc_id").select(
+        F.lit("dsir").alias("part"),
+        F.col("lang").alias("k1"),
+        F.lit("ALL").alias("k2"),
+        F.col("doc_id"),
+        F.round(F.col("log_weight") * 1e6).cast("long").alias("n1"),
+        F.round(F.col("key") * 1e6).cast("long").alias("n2"),
+    )
     return (
         split.unionByName(strat)
         .unionByName(cap)
         .unionByName(weighted)
         .unionByName(leak)
         .unionByName(q76_mixture(spark, sf_dir))
+        .unionByName(dsir)
         .orderBy("part", "k1", "k2", "doc_id")
     )
 
@@ -3271,6 +3325,19 @@ def _oracle_kmv() -> str:
     return f"""
 SELECT event_type, round(est_distinct, 4) AS est_distinct, n_exact
 FROM ({inner}) kmv
+JOIN (SELECT event_type, count(DISTINCT user_id) AS n_exact
+      FROM events GROUP BY event_type) exact USING (event_type)
+ORDER BY event_type
+"""
+
+
+def _oracle_hll() -> str:
+    from pinecone_datasets_spark.operators.sketch import hll_sql
+
+    inner = hll_sql("user_id", ["event_type"], "events", p=10)
+    return f"""
+SELECT event_type, round(est_distinct, 4) AS est_distinct, n_exact
+FROM ({inner}) hll
 JOIN (SELECT event_type, count(DISTINCT user_id) AS n_exact
       FROM events GROUP BY event_type) exact USING (event_type)
 ORDER BY event_type
@@ -5577,10 +5644,15 @@ ORDER BY doc_id
     )
     out["q28_q69_distinct_sketch"] = f"""
 WITH kmv AS ({b['q69_kmv_distinct']}),
+hll AS ({_oracle_hll()}),
 cm AS ({_cm_inner})
 SELECT 'kmv' AS part, CAST(event_type AS VARCHAR) AS key,
        est_distinct AS est, CAST(n_exact AS BIGINT) AS n_exact
 FROM kmv
+UNION ALL
+SELECT 'hll' AS part, CAST(event_type AS VARCHAR) AS key,
+       est_distinct AS est, CAST(n_exact AS BIGINT) AS n_exact
+FROM hll
 UNION ALL
 SELECT 'cm' AS part, CAST(cm.user_id AS VARCHAR) AS key,
        CAST(est_count AS DOUBLE) AS est, ex.n_exact
@@ -5629,11 +5701,22 @@ SELECT 'char_terms', doc_id, term, CAST(NULL AS BIGINT), tf, df, tf_idf,
 FROM ch
 ORDER BY part, doc_id, term
 """
+    from pinecone_datasets_spark.operators.dsir import dsir_sql
+
+    _dsir_inner = dsir_sql(
+        "documents",
+        "(SELECT text FROM documents WHERE lang = 'en')",
+        k=40,
+        n=2,
+        n_buckets=2000,
+        seed=11,
+    )
     out["q45_q46_q47_sampling"] = f"""
 WITH sp AS ({b['q45_hash_split']}),
 st AS ({b['q46_stratified_sample']}),
 cp AS ({b['q47_source_cap']}),
-mx AS ({b['q76_mixture']})
+mx AS ({b['q76_mixture']}),
+ds AS ({_dsir_inner})
 SELECT 'split_census' AS part, split AS k1, lang AS k2,
        CAST(NULL AS BIGINT) AS doc_id, n_docs AS n1, sum_chars AS n2
 FROM sp
@@ -5679,6 +5762,13 @@ FROM (
 )
 UNION ALL
 SELECT part, k1, k2, doc_id, n1, n2 FROM mx
+UNION ALL
+-- DSIR importance resample (operators/dsir.py): hashed-bigram LM
+-- log-ratio weights vs the English target slice, Gumbel top-40
+SELECT 'dsir', d.lang, 'ALL', ds.doc_id,
+       CAST(round(ds.log_weight * 1e6) AS BIGINT),
+       CAST(round(ds.key * 1e6) AS BIGINT)
+FROM ds JOIN documents d USING (doc_id)
 ORDER BY part, k1, k2, doc_id
 """
     out["q56_q61_rollup"] = f"""

@@ -203,6 +203,15 @@ def main() -> None:
         )
         return rm3_search(docs, queries, k=10, fb_k=5, n_terms=8)
 
+    def bench_dsir():
+        # DSIR data selection: hashed-bigram LM ratio vs the English
+        # slice, Gumbel top-k keep-set (operators/dsir.py)
+        from pinecone_datasets_spark.operators.dsir import dsir_resample
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        tgt = docs.where(F.col("lang") == "en").select("text")
+        return dsir_resample(docs, tgt, k=500, n=2, n_buckets=10_000)
+
     def bench_rm3_index():
         # the production RM3 path: both stages + the relevance model
         # read the persisted term-sorted index, never raw text
@@ -657,6 +666,7 @@ def main() -> None:
         "bm25_merge": bench_bm25_merge,
         "hourly_anomaly": bench_hourly_anomaly,
         "quality_classifier": bench_quality_classifier,
+        "dsir_select": bench_dsir,
     }
 
     # Warm the JVM once with small representative jobs (parquet reader,

@@ -24,6 +24,11 @@ from .sampling import (
     stratified_sample_exact,
     weighted_sample,
 )
+from .dsir import (
+    dsir_log_ratios,
+    dsir_resample,
+    dsir_weights,
+)
 from .embstats import embedding_dim_stats, embedding_drift
 from .rerank import mmr_rerank
 from .mining import mine_hard_negatives
@@ -52,7 +57,15 @@ from .packing import (
     pack_documents,
 )
 from .pca import train_pca, pca_project, train_opq_rotation
-from .sketch import kmv_distinct, mg_heavy_hitters, cm_sketch, cm_estimate
+from .sketch import (
+    kmv_distinct,
+    mg_heavy_hitters,
+    cm_sketch,
+    cm_estimate,
+    hll_distinct,
+    hll_estimate,
+    hll_registers,
+)
 from .bpe import (
     bpe_token_counts,
     bpe_tokenize_udf,
@@ -91,6 +104,9 @@ __all__ = [
     "topk_search",
     "build_ivfpq_index",
     "kmv_distinct",
+    "hll_distinct",
+    "hll_estimate",
+    "hll_registers",
     "train_pca",
     "train_opq_rotation",
     "pca_project",
@@ -125,6 +141,9 @@ __all__ = [
     "srp_cells",
     "deterministic_sample",
     "hash_split",
+    "dsir_log_ratios",
+    "dsir_resample",
+    "dsir_weights",
     "stratified_sample_exact",
     "weighted_sample",
     "leakage_safe_split",

@@ -537,3 +537,163 @@ SELECT ppos.{probe_key},
 FROM ppos LEFT JOIN bloom USING (word)
 GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog: distinct counting in m = 2^p registers
+# ---------------------------------------------------------------------------
+
+# Flajolet et al. 2007 bias-correction constants; for m >= 128 the
+# closed form 0.7213 / (1 + 1.079/m) applies.
+_HLL_ALPHA = {4: 0.673, 5: 0.697, 6: 0.709}
+
+
+def _hll_alpha(p: int) -> float:
+    return _HLL_ALPHA.get(p, 0.7213 / (1.0 + 1.079 / float(1 << p)))
+
+
+def hll_registers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: str | list[str] | None = None,
+    p: int = 10,
+) -> DataFrame:
+    """Per-group HyperLogLog register table ``(groups..., reg, rho)``.
+
+    Unlike ``approx_count_distinct`` (whose HLL++ register layout is
+    engine-private), every bit here is portable: the 52-bit md5 hash
+    splits into a register index (low ``p`` bits) and a suffix whose
+    leading-zero count is taken via the length of its base-2 string —
+    both reproducible by any engine, so the sketch content (and the
+    estimate) hash-checks exactly against a DuckDB replay.
+
+    Distributed plan: the (group, reg, rho) projection is map-only and
+    the MAX per register folds in the map-side partial aggregate, so at
+    most ``m = 2**p`` rows per group leave each map task regardless of
+    input size. Register tables are MERGEABLE: union two and re-MAX per
+    (group, reg) to sketch a union of sources without rescanning.
+    """
+    if not 4 <= p <= 16:
+        raise ValueError(f"p must be in [4, 16], got {p}")
+    m = 1 << p
+    rmax = 52 - p + 1  # rho when the whole suffix is zero
+    groups = (
+        []
+        if group_cols is None
+        else [group_cols]
+        if isinstance(group_cols, str)
+        else list(group_cols)
+    )
+    h = (
+        F.conv(F.substring(F.md5(F.col(value_col).cast("string")), 1, 13), 16, 10)
+        .cast("long")
+    )
+    j = h.bitwiseAND(F.lit(m - 1))
+    w = F.shiftright(h, p)
+    # leading zeros of the (52-p)-bit suffix + 1; bin() has no leading
+    # zeros so bit-length == length(bin(w)) for w > 0
+    rho = F.when(w == 0, F.lit(rmax)).otherwise(
+        F.lit(rmax) - F.length(F.bin(w))
+    )
+    return (
+        df.select(*groups, j.alias("reg"), rho.alias("rho"))
+        .groupBy(*groups, "reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_estimate(
+    regs: DataFrame,
+    group_cols: str | list[str] | None = None,
+    p: int = 10,
+    out_col: str = "est_distinct",
+) -> DataFrame:
+    """Fold a ``hll_registers`` table into one estimate per group.
+
+    The harmonic sum is computed in scaled-integer space — each
+    register contributes ``2**(rmax - rho)`` (a long; absent registers
+    contribute ``2**rmax``), so the per-group SUM is order-independent
+    and exact (max total ``m * 2**rmax = 2**53`` fits a long). Only the
+    final division and the linear-counting ``ln`` touch floating point.
+    """
+    if not 4 <= p <= 16:
+        raise ValueError(f"p must be in [4, 16], got {p}")
+    m = 1 << p
+    rmax = 52 - p + 1
+    groups = (
+        []
+        if group_cols is None
+        else [group_cols]
+        if isinstance(group_cols, str)
+        else list(group_cols)
+    )
+    term = F.pow(F.lit(2.0), F.lit(rmax) - F.col("rho")).cast("long")
+    agg = regs.groupBy(*groups).agg(
+        F.sum(term).alias("__s"), F.count(F.lit(1)).alias("__n")
+    )
+    s_int = F.col("__s") + (F.lit(m) - F.col("__n")) * F.lit(1 << rmax)
+    e_raw = (
+        F.lit(_hll_alpha(p) * m * m * float(1 << rmax)) / s_int.cast("double")
+    )
+    v = (F.lit(m) - F.col("__n")).cast("double")  # zero registers
+    est = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v),
+    ).otherwise(e_raw)
+    return agg.select(*groups, est.alias(out_col))
+
+
+def hll_distinct(
+    df: DataFrame,
+    value_col: str,
+    group_cols: str | list[str] | None = None,
+    p: int = 10,
+    out_col: str = "est_distinct",
+) -> DataFrame:
+    """Per-group HyperLogLog estimate of ``count(distinct value_col)``.
+
+    Standard error ~= 1.04 / sqrt(2**p) (3.2% at the default p=10).
+    """
+    regs = hll_registers(df, value_col, group_cols, p)
+    return hll_estimate(regs, group_cols, p, out_col)
+
+
+def hll_sql(
+    value_expr: str,
+    group_cols: list[str],
+    from_clause: str,
+    p: int = 10,
+    out_col: str = "est_distinct",
+) -> str:
+    """DuckDB twin of ``hll_distinct`` (same hash, registers, estimator)."""
+    m = 1 << p
+    rmax = 52 - p + 1
+    grp = ", ".join(group_cols)
+    grp_sel = f"{grp}, " if grp else ""
+    grp_by = f" GROUP BY {grp}" if grp else ""
+    alpha_num = _hll_alpha(p) * m * m * float(1 << rmax)
+    return f"""
+WITH h AS (
+  SELECT {grp_sel}
+         CAST(concat('0x', substr(md5(CAST({value_expr} AS VARCHAR)), 1, 13))
+              AS BIGINT) AS hv
+  FROM {from_clause}
+), regs AS (
+  SELECT {grp_sel}hv % {m} AS reg,
+         max(CASE WHEN hv // {m} = 0 THEN {rmax}
+                  ELSE {rmax} - length(bin(hv // {m})) END) AS rho
+  FROM h GROUP BY {grp_sel}reg
+), folded AS (
+  SELECT {grp_sel}
+         CAST(sum(CAST(pow(2.0, {rmax} - rho) AS BIGINT)) AS BIGINT) AS s,
+         count(*) AS n
+  FROM regs{grp_by}
+)
+SELECT {grp_sel}
+       CASE WHEN ({alpha_num!r} / CAST(s + ({m} - n) * CAST(pow(2.0, {rmax}) AS BIGINT) AS DOUBLE)) <= {2.5 * m}
+                 AND ({m} - n) > 0
+            THEN {float(m)!r} * ln({float(m)!r} / CAST({m} - n AS DOUBLE))
+            ELSE {alpha_num!r} / CAST(s + ({m} - n) * CAST(pow(2.0, {rmax}) AS BIGINT) AS DOUBLE)
+       END AS {out_col}
+FROM folded
+"""

@@ -7,7 +7,13 @@ import pytest
 from pyspark.sql import functions as F
 
 from pinecone_datasets_spark.operators.graph import pagerank
-from pinecone_datasets_spark.operators.sketch import kmv_distinct
+from pinecone_datasets_spark.operators.sketch import (
+    hll_distinct,
+    hll_estimate,
+    hll_registers,
+    hll_sql,
+    kmv_distinct,
+)
 from pinecone_datasets_spark.plans.explain import formatted_plan
 
 
@@ -173,3 +179,87 @@ def test_mg_exact_when_capacity_exceeds_keys(spark):
     for v, (est, err) in out.items():
         assert err == 0
         assert est == (143 if v < 6 else 142)
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+
+def test_hll_small_range_linear_counting(spark):
+    # 150 distinct at p=10 -> linear-counting branch; LC is very tight here
+    df = spark.range(1500).select((F.col("id") % 150).alias("v"))
+    est = hll_distinct(df, "v", None, p=10).collect()[0].est_distinct
+    assert est == pytest.approx(150, rel=0.05)
+
+
+def test_hll_raw_branch_within_error(spark):
+    # 50k distinct at p=10 -> raw harmonic-mean branch; se ~ 1.04/sqrt(1024)
+    df = spark.range(50000).select(F.col("id").alias("v"))
+    est = hll_distinct(df, "v", None, p=10).collect()[0].est_distinct
+    assert est == pytest.approx(50000, rel=0.15)
+
+
+def test_hll_duplicates_dont_bias(spark):
+    a = spark.range(500).select((F.col("id") % 100).alias("v"))
+    b = spark.range(50000).select((F.col("id") % 100).alias("v"))
+    ea = hll_distinct(a, "v", None, p=8).collect()[0].est_distinct
+    eb = hll_distinct(b, "v", None, p=8).collect()[0].est_distinct
+    assert ea == eb
+
+
+def test_hll_grouped(spark):
+    df = spark.range(2000).select(
+        (F.col("id") % 2).cast("string").alias("g"),
+        (F.col("id") % 40).alias("v"),
+    )
+    out = {
+        r.g: r.est_distinct
+        for r in hll_distinct(df, "v", "g", p=10).collect()
+    }
+    assert set(out) == {"0", "1"}
+    for v in out.values():
+        assert v == pytest.approx(20, rel=0.1)
+
+
+def test_hll_registers_merge_equals_direct(spark):
+    # sketch two halves separately, union + re-MAX the registers ->
+    # identical estimate to sketching the union directly (mergeability)
+    lo = spark.range(0, 3000).select(F.col("id").alias("v"))
+    hi = spark.range(2000, 5000).select(F.col("id").alias("v"))
+    direct = hll_distinct(lo.union(hi), "v", None, p=9).collect()[0].est_distinct
+    merged_regs = (
+        hll_registers(lo, "v", None, p=9)
+        .union(hll_registers(hi, "v", None, p=9))
+        .groupBy("reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+    merged = hll_estimate(merged_regs, None, p=9).collect()[0].est_distinct
+    assert merged == direct
+
+
+def test_hll_duckdb_twin_bit_exact(spark, tmp_path):
+    import duckdb
+
+    df = spark.range(4000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") % 700).alias("v"),
+    )
+    path = str(tmp_path / "t.parquet")
+    df.write.parquet(path)
+    got = {
+        r.g: r.est_distinct
+        for r in hll_distinct(spark.read.parquet(path), "v", "g", p=8).collect()
+    }
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW t AS SELECT * FROM read_parquet('{path}/*.parquet')")
+    want = dict(con.execute(hll_sql("v", ["g"], "t", p=8)).fetchall())
+    assert got == want  # bit-for-bit, not approx
+
+
+def test_hll_p_guard(spark):
+    df = spark.range(10).select(F.col("id").alias("v"))
+    with pytest.raises(ValueError):
+        hll_distinct(df, "v", None, p=3)
+    with pytest.raises(ValueError):
+        hll_distinct(df, "v", None, p=17)
