@@ -419,12 +419,15 @@ def q12_filter_in_or(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q13_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pinecone_datasets_spark.functions.text import char_entropy
+
     doc = _t(spark, sf_dir, "documents")
     return doc.select(
         F.col("doc_id"),
         word_count("text").cast("long").alias("n_words"),
         token_count("text").cast("long").alias("n_tokens"),
         F.col("n_chars"),
+        F.round(char_entropy("text"), 6).alias("entropy"),
     )
 
 
@@ -3693,7 +3696,14 @@ SELECT doc_id,
          (CASE WHEN trim(text) = '' THEN 0
                ELSE len(trim(text)) - len(replace(trim(text), ' ', '')) + 1
           END)::BIGINT) AS n_tokens,
-       n_chars
+       n_chars,
+       round((CASE WHEN len(list_filter(string_split(text, ''), c -> c != '')) > 0 THEN
+  -list_sum(list_transform(
+     list_transform(list_sort(list_distinct(list_filter(string_split(text, ''), c -> c != ''))),
+                    u -> len(list_filter(list_filter(string_split(text, ''), c -> c != ''), c -> c = u))),
+     c -> (CAST(c AS DOUBLE) / len(list_filter(string_split(text, ''), c -> c != '')))
+          * ln(CAST(c AS DOUBLE) / len(list_filter(string_split(text, ''), c -> c != '')))))
+ELSE 0.0 END), 6) AS entropy
 FROM documents
 """,
         "q14_corpus_stats": """
@@ -5466,7 +5476,7 @@ s77 AS (
               ELSE 0.0 END AS dup_frac
   FROM warr77 w0 LEFT JOIN agg77 a USING (doc_id)
 )
-SELECT s13.doc_id, s13.n_words, s13.n_tokens, s13.n_chars,
+SELECT s13.doc_id, s13.n_words, s13.n_tokens, s13.n_chars, s13.entropy,
        s29.detected, s29.lang, s30.quality,
        s40.dup_word_frac, s40.top_bigram_frac,
        s41.redacted_fp, s41.chars_removed,

