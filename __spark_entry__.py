@@ -3697,12 +3697,12 @@ SELECT doc_id,
                ELSE len(trim(text)) - len(replace(trim(text), ' ', '')) + 1
           END)::BIGINT) AS n_tokens,
        n_chars,
-       round((CASE WHEN len(list_filter(string_split(text, ''), c -> c != '')) > 0 THEN
+       round((CASE WHEN coalesce(length(text), 0) > 0 THEN
   -list_sum(list_transform(
-     list_transform(list_sort(list_distinct(list_filter(string_split(text, ''), c -> c != ''))),
-                    u -> len(list_filter(list_filter(string_split(text, ''), c -> c != ''), c -> c = u))),
-     c -> (CAST(c AS DOUBLE) / len(list_filter(string_split(text, ''), c -> c != '')))
-          * ln(CAST(c AS DOUBLE) / len(list_filter(string_split(text, ''), c -> c != '')))))
+     list_transform(list_sort(list_filter(list_distinct(string_split(text, '')), c -> c != '')),
+                    u -> length(text) - length(replace(text, u, ''))),
+     c -> (CAST(c AS DOUBLE) / length(text))
+          * ln(CAST(c AS DOUBLE) / length(text))))
 ELSE 0.0 END), 6) AS entropy
 FROM documents
 """,

@@ -244,38 +244,54 @@ def char_entropy(text: ColumnOrName) -> Column:
     repetitive/boilerplate text, ~4+ for natural prose, near ln(96) for
     random ASCII. 0.0 for empty text.
 
-    Map-only built-ins, no shuffle: chars → sorted distinct alphabet →
-    per-char counts → one left-fold. The distinct alphabet is SORTED so
-    the float fold order (and thus the result, to the last ulp) is
-    engine-independent — DuckDB's ``list_distinct`` does not preserve
-    order, a sorted fold replays exactly. Per-row cost is
-    O(|alphabet| · len); alphabet is small for real text.
+    Map-only built-ins, no shuffle. Formulation matters: higher-order-
+    function lambdas are interpreted per element, so both the
+    per-distinct-char ``filter`` count (O(|A|·len) lambda evals) and a
+    run-length fold over sorted chars (O(len) struct allocs) measure
+    6-25 s at sf0.1. Instead the alphabet comes from native collection
+    ops and each symbol's count is ``len(s) - len(replace(s, c, ''))``
+    — a native string scan — leaving only O(|A|) lambda evaluations
+    per row (~0.3 s at sf0.1). The alphabet is SORTED so the float
+    summation order — and the result to near-ulp — replays on any
+    engine that sums per-char counts ordered by char.
     """
-    chars = F.filter(F.split(_c(text), ""), lambda c: c != "")
-    n = F.size(chars).cast("double")
-    uniq = F.array_sort(F.array_distinct(chars))
-    counts = F.transform(
-        uniq, lambda u: F.size(F.filter(chars, lambda c: c == u))
+    s = _c(text)
+    n = F.length(s).cast("double")
+    # sorted distinct alphabet: collection ops, no per-char lambdas
+    alphabet = F.array_sort(
+        F.array_remove(F.array_distinct(F.split(s, "")), "")
     )
+    # count(c) = len(s) - len(replace(s, c, '')): one NATIVE string scan
+    # per alphabet symbol, so the only lambda evaluations are the ~|A|
+    # alphabet entries, not the ~len(s) characters
     ent = -F.aggregate(
-        counts,
+        F.transform(
+            alphabet, lambda u: F.length(s) - F.length(F.replace(s, u))
+        ),
         F.lit(0.0),
         lambda acc, c: acc
         + (c.cast("double") / n) * F.log(c.cast("double") / n),
     )
-    return F.when(F.size(chars) > 0, ent).otherwise(F.lit(0.0))
+    return F.when(n > 0, ent).otherwise(F.lit(0.0))
 
 
 def char_entropy_sql(text_expr: str) -> str:
-    """DuckDB twin of ``char_entropy`` (same sorted fold order)."""
-    chars = f"list_filter(string_split({text_expr}, ''), c -> c != '')"
+    """DuckDB twin of ``char_entropy``: identical sorted alphabet,
+    identical length-replace counts, identical summation order (parity
+    to ~1e-12 — libm ``ln`` differs by 1 ulp; entries round below
+    that)."""
+    t = text_expr
+    alphabet = (
+        f"list_sort(list_filter(list_distinct(string_split({t}, '')),"
+        " c -> c != ''))"
+    )
     return f"""
-CASE WHEN len({chars}) > 0 THEN
+CASE WHEN coalesce(length({t}), 0) > 0 THEN
   -list_sum(list_transform(
-     list_transform(list_sort(list_distinct({chars})),
-                    u -> len(list_filter({chars}, c -> c = u))),
-     c -> (CAST(c AS DOUBLE) / len({chars}))
-          * ln(CAST(c AS DOUBLE) / len({chars}))))
+     list_transform({alphabet},
+                    u -> length({t}) - length(replace({t}, u, ''))),
+     c -> (CAST(c AS DOUBLE) / length({t}))
+          * ln(CAST(c AS DOUBLE) / length({t}))))
 ELSE 0.0 END"""
 
 

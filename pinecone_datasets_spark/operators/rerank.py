@@ -113,3 +113,169 @@ def mmr_rerank(
     return candidates.select(
         query_id_col, doc_id_col, score_col, vector_col
     ).groupBy(query_id_col).applyInPandas(greedy, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Cross-encoder re-ranking: Arrow-batched pair scoring
+# ---------------------------------------------------------------------------
+
+_XE_SCHEMA = StructType(
+    [
+        StructField("query_id", LongType()),
+        StructField("doc_id", LongType()),
+        StructField("xe_score", DoubleType()),
+    ]
+)
+
+
+def _default_pair_scorer(queries: "pd.Series", docs: "pd.Series"):
+    """Deterministic stand-in for a neural cross-encoder.
+
+    No transformer runtime ships in this environment, so the default
+    scorer is an honest, fully deterministic lexical proxy: token-set
+    overlap (|q ∩ d| / |q|) plus a tiny md5-derived tiebreak so scores
+    are distinct and reproducible across engines and runs. The Spark
+    plumbing around it — candidate join, Arrow batching, partition
+    shape — is exactly what a real model scorer drops into.
+    """
+    import hashlib
+
+    def one(q, d):
+        if q is None or d is None:
+            return 0.0
+        qs = set(str(q).lower().split())
+        ds = set(str(d).lower().split())
+        ov = len(qs & ds) / max(len(qs), 1)
+        h = hashlib.md5(f"{q}\x01{d}".encode("utf-8")).hexdigest()
+        return ov + int(h[:13], 16) / float(1 << 52) * 1e-6
+
+    return pd.Series([one(q, d) for q, d in zip(queries, docs)])
+
+
+def crossencoder_rerank(
+    candidates: DataFrame,
+    queries: DataFrame,
+    docs: DataFrame,
+    k: int = 10,
+    scorer=None,
+    batch_size: int = 512,
+    query_id_col: str = "query_id",
+    doc_id_col: str = "doc_id",
+    query_text_col: str = "query_text",
+    doc_text_col: str = "text",
+) -> DataFrame:
+    """Re-rank retrieval candidates with a pair scorer (cross-encoder).
+
+    ``candidates`` is the first-stage output ``(query_id, doc_id, ...)``
+    — typically ``bm25_topk`` / ``topk_search`` top-C per query. The
+    query text BROADCASTS onto the candidate set (queries are the small
+    side by construction); document text arrives by joining candidates
+    to the corpus on doc id — a shuffle bounded by Q·C candidate rows,
+    NOT a corpus scan per query. Pairs then stream through an
+    Arrow-batched ``mapInPandas`` kernel in ``batch_size`` chunks — the
+    exact feeding shape a GPU cross-encoder wants — and a literal-k
+    rank window (WindowGroupLimit) keeps the top-k per query.
+
+    ``scorer(queries: pd.Series, docs: pd.Series) -> pd.Series`` plugs
+    in the real model; the default is a deterministic lexical proxy
+    (see ``_default_pair_scorer``) so tests and oracles replay exactly.
+
+    Returns ``(query_id, doc_id, xe_score, rank)``.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if batch_size < 1:
+        raise ValueError(f"batch_size must be >= 1, got {batch_size}")
+    fn = scorer or _default_pair_scorer
+
+    pairs = (
+        candidates.select(query_id_col, doc_id_col)
+        .join(
+            F.broadcast(
+                queries.select(
+                    query_id_col, F.col(query_text_col).alias("__qt")
+                )
+            ),
+            query_id_col,
+        )
+        .join(
+            docs.select(doc_id_col, F.col(doc_text_col).alias("__dt")),
+            doc_id_col,
+        )
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            for lo in range(0, len(pdf), batch_size):
+                chunk = pdf.iloc[lo : lo + batch_size]
+                out = pd.DataFrame(
+                    {
+                        "query_id": chunk[query_id_col].to_numpy(),
+                        "doc_id": chunk[doc_id_col].to_numpy(),
+                        "xe_score": fn(
+                            chunk["__qt"], chunk["__dt"]
+                        ).to_numpy(dtype="float64"),
+                    }
+                )
+                yield out
+
+    scored = pairs.mapInPandas(kernel, _XE_SCHEMA)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("xe_score"), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= F.lit(int(k)))
+        .select(
+            F.col("query_id").alias(query_id_col),
+            F.col("doc_id").alias(doc_id_col),
+            "xe_score",
+            "rank",
+        )
+    )
+
+
+def crossencoder_rerank_sql(
+    candidates_clause: str,
+    queries_clause: str,
+    docs_clause: str,
+    k: int = 10,
+    query_id_col: str = "query_id",
+    doc_id_col: str = "doc_id",
+    query_text_col: str = "query_text",
+    doc_text_col: str = "text",
+) -> str:
+    """DuckDB replay of ``crossencoder_rerank`` with the DEFAULT scorer
+    (token-overlap + md5 tiebreak — both exactly portable)."""
+    u = (
+        "CAST(concat('0x', substr(md5(q.__qt || chr(1) || d.__dt), 1, 13)) "
+        f"AS BIGINT) / {float(1 << 52)!r} * 1e-6"
+    )
+    ov = (
+        "len(list_intersect("
+        "list_distinct(list_filter(string_split_regex(lower(q.__qt), '\\s+'), t -> t != '')), "
+        "list_distinct(list_filter(string_split_regex(lower(d.__dt), '\\s+'), t -> t != ''))"
+        ")) / greatest(len(list_distinct(list_filter("
+        "string_split_regex(lower(q.__qt), '\\s+'), t -> t != ''))), 1)"
+    )
+    return f"""
+WITH cand AS (SELECT {query_id_col}, {doc_id_col} FROM {candidates_clause}),
+q AS (SELECT {query_id_col}, {query_text_col} AS __qt FROM {queries_clause}),
+d AS (SELECT {doc_id_col}, {doc_text_col} AS __dt FROM {docs_clause}),
+scored AS (
+  SELECT cand.{query_id_col} AS query_id, cand.{doc_id_col} AS doc_id,
+         ({ov}) + ({u}) AS xe_score
+  FROM cand JOIN q USING ({query_id_col}) JOIN d USING ({doc_id_col})
+)
+SELECT query_id AS {query_id_col}, doc_id AS {doc_id_col}, xe_score, rank
+FROM (
+  SELECT query_id, doc_id, xe_score,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY xe_score DESC, doc_id
+         ) AS rank
+  FROM scored
+)
+WHERE rank <= {int(k)}
+"""

@@ -1,12 +1,13 @@
 from .anomaly import stream_rolling_zscore
 from .dedup import stream_exact_dedup
 from .ingest import stream_documents, windowed_event_counts
-from .sketch import stream_heavy_hitters
+from .sketch import stream_heavy_hitters, stream_hll_registers
 
 __all__ = [
     "stream_documents",
     "stream_exact_dedup",
     "stream_heavy_hitters",
+    "stream_hll_registers",
     "stream_rolling_zscore",
     "windowed_event_counts",
 ]

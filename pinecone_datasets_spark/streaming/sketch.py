@@ -153,3 +153,33 @@ def stream_cm_sketch(
         .groupBy("row", "bucket")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+
+
+def stream_hll_registers(
+    stream: DataFrame,
+    value_col: str,
+    group_cols: "str | list[str] | None" = None,
+    p: int = 10,
+) -> DataFrame:
+    """Live HyperLogLog registers over a stream.
+
+    Like ``stream_cm_sketch``, the batch plan (`operators/sketch.py:
+    hll_registers` — map-only hash projection + ``groupBy(group,
+    reg).max(rho)``) runs UNCHANGED on a streaming frame: max() is a
+    streaming-legal stateful aggregation whose state is bounded at
+    ``2**p`` rows per group forever, regardless of stream length or
+    distinct-value count. No Python state function, checkpoint-
+    recoverable for free.
+
+    The harmonic fold is a SECOND aggregation (illegal to chain in one
+    streaming query): run ``operators.sketch.hll_estimate`` over any
+    emitted register snapshot — registers are the mergeable/portable
+    artifact anyway. With ``availableNow`` over a static directory the
+    final emission equals batch ``hll_registers`` exactly (same md5
+    arithmetic), so snapshots stay DuckDB-replayable via ``hll_sql``.
+
+    Output mode: ``update`` (emit changed registers) or ``complete``.
+    """
+    from ..operators.sketch import hll_registers
+
+    return hll_registers(stream, value_col, group_cols, p)

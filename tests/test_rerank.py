@@ -118,3 +118,112 @@ def test_mmr_composes_with_topk_search(spark, sf_dir):
     # rank 1 is always the relevance argmax (the query itself)
     top = {r["query_id"]: r["id"] for r in rows if r["mmr_rank"] == 1}
     assert top == {0: 0, 1: 1, 2: 2}
+
+
+# ---------------------------------------------------------------------------
+# crossencoder_rerank
+# ---------------------------------------------------------------------------
+
+
+def _xe_fixtures(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    queries = docs.where(F.col("doc_id") < 8).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("query_text")
+    )
+    # first-stage candidates: cross of 8 queries x 30 docs (id-adjacent)
+    cand = queries.select("query_id").crossJoin(
+        docs.select("doc_id").where(F.col("doc_id") < 30)
+    )
+    return docs, queries, cand
+
+
+def test_xe_rerank_shapes_and_self_match(spark):
+    from pinecone_datasets_spark.operators.rerank import crossencoder_rerank
+
+    docs, queries, cand = _xe_fixtures(spark)
+    out = crossencoder_rerank(cand, queries, docs, k=5).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {r.query_id for r in queries.collect()}
+    for qid, rows in by_q.items():
+        assert [r.rank for r in sorted(rows, key=lambda x: x.rank)] == [1, 2, 3, 4, 5]
+        scores = [r.xe_score for r in sorted(rows, key=lambda x: x.rank)]
+        assert scores == sorted(scores, reverse=True)
+        # query IS a document (<30): perfect overlap must win rank 1
+        if qid < 30:
+            assert sorted(rows, key=lambda x: x.rank)[0].doc_id == qid
+
+
+def test_xe_rerank_batch_size_invariant(spark):
+    from pinecone_datasets_spark.operators.rerank import crossencoder_rerank
+
+    docs, queries, cand = _xe_fixtures(spark)
+    a = crossencoder_rerank(cand, queries, docs, k=4, batch_size=7).collect()
+    b = crossencoder_rerank(cand, queries, docs, k=4, batch_size=512).collect()
+    key = lambda r: (r.query_id, r.rank)
+    assert sorted([(r.query_id, r.rank, r.doc_id, r.xe_score) for r in a]) == \
+           sorted([(r.query_id, r.rank, r.doc_id, r.xe_score) for r in b])
+
+
+def test_xe_rerank_custom_scorer(spark):
+    import pandas as pd
+
+    from pinecone_datasets_spark.operators.rerank import crossencoder_rerank
+
+    docs, queries, cand = _xe_fixtures(spark)
+
+    def length_scorer(qs, ds):
+        return pd.Series([float(len(str(d))) for d in ds])
+
+    out = crossencoder_rerank(cand, queries, docs, k=3, scorer=length_scorer)
+    rows = [r for r in out.collect() if r.rank == 1]
+    # every query's rank-1 must be the longest doc among candidates
+    longest = (
+        docs.where(F.col("doc_id") < 30)
+        .orderBy(F.length("text").desc(), "doc_id")
+        .first()
+        .doc_id
+    )
+    assert all(r.doc_id == longest for r in rows)
+
+
+def test_xe_rerank_duckdb_twin(spark):
+    import duckdb
+
+    from pinecone_datasets_spark.operators.rerank import (
+        crossencoder_rerank,
+        crossencoder_rerank_sql,
+    )
+
+    docs, queries, cand = _xe_fixtures(spark)
+    got = sorted(
+        (r.query_id, r.rank, r.doc_id, round(r.xe_score, 9))
+        for r in crossencoder_rerank(cand, queries, docs, k=5).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "'/root/testdata/sf0.001/documents.parquet'"
+    )
+    sql = crossencoder_rerank_sql(
+        "(SELECT q.doc_id AS query_id, d.doc_id FROM documents q, documents d"
+        " WHERE q.doc_id < 8 AND d.doc_id < 30)",
+        "(SELECT doc_id AS query_id, text AS query_text FROM documents WHERE doc_id < 8)",
+        "documents",
+        k=5,
+    )
+    want = sorted(
+        (r[0], r[3], r[1], round(r[2], 9)) for r in con.execute(sql).fetchall()
+    )
+    assert got == want
+
+
+def test_xe_rerank_guards(spark):
+    from pinecone_datasets_spark.operators.rerank import crossencoder_rerank
+
+    docs, queries, cand = _xe_fixtures(spark)
+    with pytest.raises(ValueError):
+        crossencoder_rerank(cand, queries, docs, k=0)
+    with pytest.raises(ValueError):
+        crossencoder_rerank(cand, queries, docs, k=3, batch_size=0)

@@ -154,3 +154,42 @@ def test_stream_cm_param_guard(spark, token_dir):
     stream = spark.readStream.schema("tok string").parquet(token_dir)
     with pytest.raises(ValueError):
         stream_cm_sketch(stream, "tok", depth=0)
+
+
+def test_stream_hll_final_equals_batch(spark, token_dir):
+    """availableNow final HLL register snapshot == batch hll_registers
+    register-for-register; the folded estimate matches hll_distinct and
+    lands near the exact distinct count."""
+    from pinecone_datasets_spark.operators.sketch import (
+        hll_distinct,
+        hll_estimate,
+        hll_registers,
+    )
+    from pinecone_datasets_spark.streaming.sketch import stream_hll_registers
+
+    stream = (
+        spark.readStream.schema("tok string")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(token_dir)
+    )
+    regs = stream_hll_registers(stream, "tok", p=9)
+    q = (
+        regs.writeStream.format("memory")
+        .queryName("stream_hll")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        map(tuple, spark.sql("select reg, rho from stream_hll").collect())
+    )
+    toks = spark.read.parquet(token_dir)
+    want = sorted(map(tuple, hll_registers(toks, "tok", p=9).collect()))
+    assert got == want
+
+    est = hll_estimate(spark.table("stream_hll"), None, p=9).first().est_distinct
+    batch_est = hll_distinct(toks, "tok", p=9).first().est_distinct
+    assert est == batch_est
+    exact = toks.distinct().count()
+    assert est == pytest.approx(exact, rel=0.15)
