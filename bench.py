@@ -218,6 +218,24 @@ def main() -> None:
         tgt = docs.where(F.col("lang") == "en").select("text")
         return dsir_resample(docs, tgt, k=500, n=2, n_buckets=10_000)
 
+    def bench_xe_rerank():
+        # cross-encoder re-rank plumbing: 100 queries x 50 candidates
+        # through the Arrow pair-scoring kernel (deterministic default
+        # scorer), literal-k rank (operators/rerank.py)
+        from pinecone_datasets_spark.operators.rerank import (
+            crossencoder_rerank,
+        )
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        queries = docs.where(F.col("doc_id") < 100).select(
+            F.col("doc_id").alias("query_id"),
+            F.col("text").alias("query_text"),
+        )
+        cand = queries.select("query_id").crossJoin(
+            docs.select("doc_id").where(F.col("doc_id") < 50)
+        )
+        return crossencoder_rerank(cand, queries, docs, k=10)
+
     def bench_rm3_index():
         # the production RM3 path: both stages + the relevance model
         # read the persisted term-sorted index, never raw text
@@ -673,6 +691,7 @@ def main() -> None:
         "hourly_anomaly": bench_hourly_anomaly,
         "quality_classifier": bench_quality_classifier,
         "dsir_select": bench_dsir,
+        "xe_rerank_100q": bench_xe_rerank,
     }
 
     # Warm the JVM once with small representative jobs (parquet reader,

@@ -30,7 +30,7 @@ from .dsir import (
     dsir_weights,
 )
 from .embstats import embedding_dim_stats, embedding_drift
-from .rerank import mmr_rerank
+from .rerank import crossencoder_rerank, mmr_rerank
 from .mining import mine_hard_negatives
 from .evaluate import macro_metrics, retrieval_metrics
 from .prf import (
@@ -150,6 +150,7 @@ __all__ = [
     "embedding_dim_stats",
     "embedding_drift",
     "mmr_rerank",
+    "crossencoder_rerank",
     "mine_hard_negatives",
     "retrieval_metrics",
     "macro_metrics",

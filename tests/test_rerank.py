@@ -150,9 +150,29 @@ def test_xe_rerank_shapes_and_self_match(spark):
         assert [r.rank for r in sorted(rows, key=lambda x: x.rank)] == [1, 2, 3, 4, 5]
         scores = [r.xe_score for r in sorted(rows, key=lambda x: x.rank)]
         assert scores == sorted(scores, reverse=True)
-        # query IS a document (<30): perfect overlap must win rank 1
+        # query IS a document (<30): a perfect-overlap candidate exists,
+        # so rank 1 must carry full overlap (the synthetic corpus shares
+        # vocabulary, so supersets tie the self-doc — rank-1 identity is
+        # pinned by test_xe_rerank_self_match_unique_vocab instead)
         if qid < 30:
-            assert sorted(rows, key=lambda x: x.rank)[0].doc_id == qid
+            assert scores[0] >= 1.0
+
+
+def test_xe_rerank_self_match_unique_vocab(spark):
+    from pinecone_datasets_spark.operators.rerank import crossencoder_rerank
+
+    # disjoint vocabularies: only the self-doc overlaps at all
+    docs = spark.createDataFrame(
+        [(i, f"tok{i}a tok{i}b tok{i}c") for i in range(6)],
+        "doc_id long, text string",
+    )
+    queries = docs.select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("query_text")
+    )
+    cand = queries.select("query_id").crossJoin(docs.select("doc_id"))
+    out = crossencoder_rerank(cand, queries, docs, k=1).collect()
+    assert {r.query_id: r.doc_id for r in out} == {i: i for i in range(6)}
+    assert all(r.xe_score >= 1.0 for r in out)
 
 
 def test_xe_rerank_batch_size_invariant(spark):
