@@ -119,13 +119,17 @@ def mmr_rerank(
 # Cross-encoder re-ranking: Arrow-batched pair scoring
 # ---------------------------------------------------------------------------
 
-_XE_SCHEMA = StructType(
-    [
-        StructField("query_id", LongType()),
-        StructField("doc_id", LongType()),
-        StructField("xe_score", DoubleType()),
-    ]
-)
+def _xe_schema(pairs: DataFrame, query_id_col: str, doc_id_col: str):
+    """Output schema mirrors the caller's id types (long ids, string
+    ids, …) instead of assuming one."""
+    by_name = {f.name: f.dataType for f in pairs.schema.fields}
+    return StructType(
+        [
+            StructField("query_id", by_name[query_id_col]),
+            StructField("doc_id", by_name[doc_id_col]),
+            StructField("xe_score", DoubleType()),
+        ]
+    )
 
 
 def _default_pair_scorer(queries: "pd.Series", docs: "pd.Series"):
@@ -219,7 +223,9 @@ def crossencoder_rerank(
                 )
                 yield out
 
-    scored = pairs.mapInPandas(kernel, _XE_SCHEMA)
+    scored = pairs.mapInPandas(
+        kernel, _xe_schema(pairs, query_id_col, doc_id_col)
+    )
     from pyspark.sql import Window
 
     w = Window.partitionBy("query_id").orderBy(

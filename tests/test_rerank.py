@@ -173,6 +173,18 @@ def test_xe_rerank_self_match_unique_vocab(spark):
     out = crossencoder_rerank(cand, queries, docs, k=1).collect()
     assert {r.query_id: r.doc_id for r in out} == {i: i for i in range(6)}
     assert all(r.xe_score >= 1.0 for r in out)
+    # string ids flow through untouched (output schema mirrors inputs)
+    sdocs = docs.select(
+        F.concat(F.lit("d"), "doc_id").alias("doc_id"), "text"
+    )
+    squeries = sdocs.select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("query_text")
+    )
+    scand = squeries.select("query_id").crossJoin(sdocs.select("doc_id"))
+    sout = crossencoder_rerank(scand, squeries, sdocs, k=1).collect()
+    assert {r.query_id: r.doc_id for r in sout} == {
+        f"d{i}": f"d{i}" for i in range(6)
+    }
 
 
 def test_xe_rerank_batch_size_invariant(spark):
