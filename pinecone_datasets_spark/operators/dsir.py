@@ -181,9 +181,14 @@ def dsir_weights(
     scored = per_doc.join(F.broadcast(ratios), "bucket").groupBy(id_col).agg(
         F.sum(F.col("cnt") * F.col("log_ratio")).alias("log_weight")
     )
-    return raw_docs.select(id_col).join(scored, id_col, "left").select(
-        id_col, F.coalesce("log_weight", F.lit(0.0)).alias("log_weight")
-    )
+    # Docs with no n-grams carry weight 0. A left join from raw ids
+    # would shuffle the whole corpus on id just for this backfill; a
+    # second MAP-ONLY pass selecting the (rare) gram-less docs unions
+    # in instead — no corpus shuffle anywhere in the weight plan.
+    empty = raw_docs.where(
+        F.size(_ngrams(_tokens(text_col), n)) == 0
+    ).select(F.col(id_col), F.lit(0.0).alias("log_weight"))
+    return scored.select(id_col, "log_weight").unionByName(empty)
 
 
 def gumbel_key(id_col: "F.Column", seed: int = 42) -> "F.Column":

@@ -56,6 +56,14 @@ HEADLINE = [
      "snapshot diff: map-side fingerprints, one full-outer join on id"),
     ("lsh_probe",
      "persisted-LSH probe: pushed band/sig filters, broadcast candidates"),
+    ("hll_distinct",
+     "HyperLogLog: map-side register MAX, bounded shuffle, integer fold"),
+    ("dsir_select",
+     "DSIR selection: bucket-bounded LM shuffles, broadcast ratio join, "
+     "TakeOrdered Gumbel top-k"),
+    ("xe_rerank",
+     "cross-encoder rerank: broadcast query text, Arrow pair kernel, "
+     "window limit"),
 ]
 
 
@@ -178,6 +186,36 @@ def _extra_builders(spark, sf_dir):
         )
         return lsh_index_topk(spark, path, queries, k=5)
 
+    def hll_distinct(spark, sf_dir):
+        from pinecone_datasets_spark.operators.sketch import (
+            hll_distinct as hll,
+        )
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return hll(ev, "user_id", "event_type", p=10)
+
+    def dsir_select(spark, sf_dir):
+        from pinecone_datasets_spark.operators.dsir import dsir_resample
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        tgt = docs.where(F.col("lang") == "en").select("text")
+        return dsir_resample(docs, tgt, k=100, n=2, n_buckets=2000)
+
+    def xe_rerank(spark, sf_dir):
+        from pinecone_datasets_spark.operators.rerank import (
+            crossencoder_rerank,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        queries = docs.where(F.col("doc_id") < 10).select(
+            F.col("doc_id").alias("query_id"),
+            F.col("text").alias("query_text"),
+        )
+        cand = queries.select("query_id").crossJoin(
+            docs.select("doc_id").where(F.col("doc_id") < 50)
+        )
+        return crossencoder_rerank(cand, queries, docs, k=10)
+
     return {
         "cm_freq": cm_freq,
         "pca_project": pca_project,
@@ -188,6 +226,9 @@ def _extra_builders(spark, sf_dir):
         "mg_heavy_hitters": mg_heavy_hitters,
         "domain_report": domain_report,
         "snapshot_diff": snapshot_diff,
+        "hll_distinct": hll_distinct,
+        "dsir_select": dsir_select,
+        "xe_rerank": xe_rerank,
     }
 
 
