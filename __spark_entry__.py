@@ -2566,11 +2566,29 @@ def q13_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q14_q36_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-lang corpus stats (q14) + exact percentiles (q36), one row per
-    lang."""
+    """Per-lang corpus stats (q14) + exact percentiles (q36) + the
+    portable quantile SKETCH's estimates beside them (operators/
+    sketch.py quantile_sketch: deterministic bottom-k hash sample —
+    the mergeable, WindowGroupLimit-bounded alternative to a full
+    sort; est columns hash-replayed by the oracle), one row per lang."""
+    from pinecone_datasets_spark.operators.sketch import (
+        quantile_estimate,
+        quantile_sketch,
+    )
+
+    doc = _t(spark, sf_dir, "documents")
+    sk = quantile_sketch(doc, "n_chars", "lang", k=256, sample_by="doc_id")
+    est = (
+        quantile_estimate(sk, [0.5, 0.9], "lang")
+        .groupBy("lang")
+        .pivot("p", [0.5, 0.9])
+        .agg(F.round(F.first("q"), 2))
+        .withColumnsRenamed({"0.5": "sk_p50", "0.9": "sk_p90"})
+    )
     return (
         q14_corpus_stats(spark, sf_dir)
         .join(q36_chars_percentiles(spark, sf_dir), "lang")
+        .join(est, "lang")
         .orderBy("lang")
     )
 
@@ -5492,12 +5510,28 @@ JOIN s75 USING (doc_id)
 JOIN s77 USING (doc_id)
 ORDER BY doc_id
 """
+    from pinecone_datasets_spark.operators.sketch import (
+        quantile_sketch_sql,
+    )
+
+    _qsk_inner = quantile_sketch_sql(
+        "n_chars", ["lang"], "documents", [0.5, 0.9], k=256,
+        sample_by="doc_id",
+    )
     out["q14_q36_corpus_stats"] = f"""
 WITH s14 AS ({b['q14_corpus_stats']}),
-s36 AS ({b['q36_chars_percentiles']})
+s36 AS ({b['q36_chars_percentiles']}),
+qsk AS ({_qsk_inner}),
+qskp AS (
+  SELECT lang,
+         round(max(CASE WHEN p = 0.5 THEN q END), 2) AS sk_p50,
+         round(max(CASE WHEN p = 0.9 THEN q END), 2) AS sk_p90
+  FROM qsk GROUP BY lang
+)
 SELECT s14.lang, s14.n_docs, s14.avg_chars, s14.avg_words,
-       s36.p50, s36.p90, s36.min_chars, s36.max_chars
-FROM s14 JOIN s36 USING (lang)
+       s36.p50, s36.p90, s36.min_chars, s36.max_chars,
+       qskp.sk_p50, qskp.sk_p90
+FROM s14 JOIN s36 USING (lang) JOIN qskp USING (lang)
 ORDER BY lang
 """
     out["q15_q16_dedup_exact"] = f"""

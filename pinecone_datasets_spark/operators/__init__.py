@@ -65,6 +65,8 @@ from .sketch import (
     hll_distinct,
     hll_estimate,
     hll_registers,
+    quantile_estimate,
+    quantile_sketch,
 )
 from .bpe import (
     bpe_token_counts,
@@ -107,6 +109,8 @@ __all__ = [
     "hll_distinct",
     "hll_estimate",
     "hll_registers",
+    "quantile_sketch",
+    "quantile_estimate",
     "train_pca",
     "train_opq_rotation",
     "pca_project",

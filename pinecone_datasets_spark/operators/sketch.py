@@ -697,3 +697,164 @@ SELECT {grp_sel}
        END AS {out_col}
 FROM folded
 """
+
+
+# ---------------------------------------------------------------------------
+# Quantile sketch: deterministic bottom-k hash sample + exact quantiles
+# ---------------------------------------------------------------------------
+
+
+def quantile_sketch(
+    df: DataFrame,
+    value_col: str,
+    group_cols: str | list[str] | None = None,
+    k: int = 1024,
+    sample_by: str | None = None,
+) -> DataFrame:
+    """Per-group quantile sample ``(groups..., u, v)``: the ``k`` rows
+    with the smallest portable hash of ``sample_by`` (default: the
+    value itself) — a deterministic uniform sample.
+
+    This is the quantile analogue of the KMV sketch: Spark's
+    ``approx_percentile`` (KLL-ish) has engine-private state, so it can
+    only ever be checked "within tolerance"; a hash-selected bottom-k
+    is bit-reproducible by ANY engine, and MERGEABLE — the bottom-k of
+    a union is the bottom-k of the concatenated per-source bottom-k's,
+    so per-source sketches merge without rescanning.
+
+    Distributed plan: hash is map-only; the rank window has a LITERAL
+    bound so it rewrites to WindowGroupLimit — each map task forwards
+    at most k rows per group. Quantile error is sampling error,
+    ~O(1/sqrt(k)) on the rank scale.
+
+    ``sample_by``: hash a KEY column (e.g. a unique id) when the value
+    column has heavy duplicate mass — hashing the value itself
+    collapses duplicates into one sampled row, biasing the sample;
+    with a unique key the sample is exactly uniform over rows.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    groups = (
+        []
+        if group_cols is None
+        else [group_cols]
+        if isinstance(group_cols, str)
+        else list(group_cols)
+    )
+    basis = sample_by or value_col
+    sampled = df.where(F.col(value_col).isNotNull()).select(
+        *groups, _u01(basis).alias("u"), F.col(value_col).alias("v")
+    )
+    w = Window.partitionBy(*groups).orderBy("u", "v")
+    return (
+        sampled.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= F.lit(k))
+        .drop("__rn")
+    )
+
+
+def quantile_estimate(
+    sketch: DataFrame,
+    probs: list[float],
+    group_cols: str | list[str] | None = None,
+    out_col: str = "q",
+) -> DataFrame:
+    """Exact type-7 (linear-interpolated) quantiles of a
+    ``quantile_sketch`` sample: one row per (group, prob).
+
+    Runs entirely on the ≤k-row-per-group sample: a rank window and an
+    arithmetic interpolation — no further passes over the data. Output
+    columns: ``(groups..., p, <out_col>)``.
+    """
+    if not probs or any(not 0.0 <= p <= 1.0 for p in probs):
+        raise ValueError(f"probs must be within [0, 1], got {probs}")
+    groups = (
+        []
+        if group_cols is None
+        else [group_cols]
+        if isinstance(group_cols, str)
+        else list(group_cols)
+    )
+    w = Window.partitionBy(*groups).orderBy(F.col("v").cast("double"), "u")
+    ranked = sketch.select(
+        *groups,
+        F.col("v").cast("double").alias("v"),
+        F.col("u"),
+    ).select(
+        *groups,
+        "v",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy(*groups)).alias("n"),
+    )
+    probs_df = sketch.sparkSession.createDataFrame(
+        [(float(p),) for p in probs], "p double"
+    )
+    # type-7: h = (n-1)p + 1; q = v[floor(h)] + (h - floor(h)) *
+    # (v[floor(h)+1] - v[floor(h)]) — expressed as a per-(group, p)
+    # aggregate over the two straddling ranks
+    j = ranked.crossJoin(F.broadcast(probs_df))
+    h = (F.col("n") - 1) * F.col("p") + 1
+    lo = F.floor(h)
+    contrib = F.when(
+        F.col("i") == lo, F.col("v") * (1.0 - (h - lo))
+    ).when(
+        (F.col("i") == lo + 1) & (h > lo), F.col("v") * (h - lo)
+    ).otherwise(F.lit(0.0))
+    picked = j.where((F.col("i") == lo) | ((F.col("i") == lo + 1) & (h > lo)))
+    return (
+        picked.groupBy(*groups, "p")
+        .agg(F.sum(contrib).alias(out_col))
+        .orderBy(*groups, "p")
+    )
+
+
+def quantile_sketch_sql(
+    value_expr: str,
+    group_cols: list[str],
+    from_clause: str,
+    probs: list[float],
+    k: int = 1024,
+    sample_by: str | None = None,
+    out_col: str = "q",
+) -> str:
+    """DuckDB twin of ``quantile_sketch`` + ``quantile_estimate``."""
+    basis = sample_by or value_expr
+    grp = ", ".join(group_cols)
+    grp_sel = f"{grp}, " if grp else ""
+    part = f"PARTITION BY {grp} " if grp else ""
+    probs_rows = ", ".join(f"({float(p)!r})" for p in probs)
+    return f"""
+WITH sampled AS (
+  SELECT {grp_sel}
+         CAST(concat('0x', substr(md5(CAST({basis} AS VARCHAR)), 1, 13))
+              AS BIGINT) / {_TWO_52!r} AS u,
+         {value_expr} AS v
+  FROM {from_clause}
+  WHERE {value_expr} IS NOT NULL
+), sk AS (
+  SELECT * FROM (
+    SELECT {grp_sel}u, v,
+           row_number() OVER ({part}ORDER BY u, v) AS rn
+    FROM sampled)
+  WHERE rn <= {k}
+), ranked AS (
+  SELECT {grp_sel}CAST(v AS DOUBLE) AS v,
+         row_number() OVER ({part}ORDER BY CAST(v AS DOUBLE), u) AS i,
+         count(*) OVER ({part.rstrip() if part else ''}) AS n
+  FROM sk
+), probs AS (SELECT CAST(pv AS DOUBLE) AS p FROM (VALUES {probs_rows}) t(pv))
+SELECT {grp_sel}p,
+       sum(CASE
+             WHEN i = floor((n-1)*p + 1)
+               THEN v * (1.0 - ((n-1)*p + 1 - floor((n-1)*p + 1)))
+             WHEN i = floor((n-1)*p + 1) + 1
+                  AND (n-1)*p + 1 > floor((n-1)*p + 1)
+               THEN v * ((n-1)*p + 1 - floor((n-1)*p + 1))
+             ELSE 0.0
+           END) AS {out_col}
+FROM ranked CROSS JOIN probs
+WHERE i = floor((n-1)*p + 1)
+   OR (i = floor((n-1)*p + 1) + 1 AND (n-1)*p + 1 > floor((n-1)*p + 1))
+GROUP BY {grp_sel}p
+ORDER BY {grp_sel}p
+"""

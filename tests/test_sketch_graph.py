@@ -9,6 +9,9 @@ from pyspark.sql import functions as F
 from pinecone_datasets_spark.operators.graph import pagerank
 from pinecone_datasets_spark.operators.sketch import (
     hll_distinct,
+    quantile_estimate,
+    quantile_sketch,
+    quantile_sketch_sql,
     hll_estimate,
     hll_registers,
     hll_sql,
@@ -263,3 +266,95 @@ def test_hll_p_guard(spark):
         hll_distinct(df, "v", None, p=3)
     with pytest.raises(ValueError):
         hll_distinct(df, "v", None, p=17)
+
+
+# ---------------------------------------------------------------------------
+# Quantile sketch (bottom-k hash sample)
+# ---------------------------------------------------------------------------
+
+
+def test_qsk_exact_when_group_fits(spark):
+    # group smaller than k -> sample IS the group -> exact quantiles
+    df = spark.range(1, 101).select(F.col("id").cast("double").alias("v"))
+    sk = quantile_sketch(df, "v", None, k=1024, sample_by="v")
+    out = {r.p: r.q for r in quantile_estimate(sk, [0.0, 0.25, 0.5, 1.0]).collect()}
+    assert out[0.0] == 1.0 and out[1.0] == 100.0
+    assert out[0.25] == pytest.approx(25.75)   # type-7 on 1..100
+    assert out[0.5] == pytest.approx(50.5)
+
+
+def test_qsk_sampling_accuracy(spark):
+    df = spark.range(50000).select(F.col("id").cast("double").alias("v"))
+    sk = quantile_sketch(df, "v", None, k=1024, sample_by="v")
+    out = {r.p: r.q for r in quantile_estimate(sk, [0.5, 0.9]).collect()}
+    # rank error ~O(1/sqrt(k)) ~ 3%: allow 10% of the value range
+    assert out[0.5] == pytest.approx(25000, abs=5000)
+    assert out[0.9] == pytest.approx(45000, abs=5000)
+
+
+def test_qsk_mergeable(spark):
+    lo = spark.range(0, 30000).select(F.col("id").cast("double").alias("v"))
+    hi = spark.range(30000, 60000).select(F.col("id").cast("double").alias("v"))
+    k = 512
+    direct = quantile_sketch(lo.union(hi), "v", None, k=k, sample_by="v")
+    merged = (
+        quantile_sketch(lo, "v", None, k=k, sample_by="v")
+        .union(quantile_sketch(hi, "v", None, k=k, sample_by="v"))
+    )
+    remerged = quantile_sketch(merged, "v", None, k=k, sample_by="v")
+    # bottom-k of the union == bottom-k of concatenated bottom-k's
+    a = sorted((r.u, r.v) for r in direct.collect())
+    b = sorted((r.u, r.v) for r in remerged.collect())
+    # remerged re-hashes v; compare via estimates instead for safety
+    pa = {r.p: r.q for r in quantile_estimate(direct, [0.5]).collect()}
+    pb = {r.p: r.q for r in quantile_estimate(remerged, [0.5]).collect()}
+    assert pa == pb
+    assert len(a) == len(b) == k
+
+
+def test_qsk_grouped_and_duckdb_twin(spark):
+    import duckdb
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    probs = [0.1, 0.5, 0.99]
+    sk = quantile_sketch(
+        li, "l_extendedprice", "l_returnflag", k=128, sample_by="l_orderkey"
+    )
+    got = sorted(
+        (r.l_returnflag, r.p, round(r.q, 6))
+        for r in quantile_estimate(sk, probs, "l_returnflag").collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        "'/root/testdata/sf0.001/lineitem.parquet'"
+    )
+    want = sorted(
+        (r[0], r[1], round(r[2], 6))
+        for r in con.execute(
+            quantile_sketch_sql(
+                "l_extendedprice", ["l_returnflag"], "lineitem", probs,
+                k=128, sample_by="l_orderkey",
+            )
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_qsk_plan_partial_topk(spark):
+    df = spark.range(1000).select(
+        (F.col("id") % 3).alias("g"), F.col("id").cast("double").alias("v")
+    )
+    plan = formatted_plan(quantile_sketch(df, "v", "g", k=64, sample_by="v"))
+    assert "WindowGroupLimit" in plan
+
+
+def test_qsk_guards(spark):
+    df = spark.range(10).select(F.col("id").cast("double").alias("v"))
+    with pytest.raises(ValueError):
+        quantile_sketch(df, "v", None, k=1)
+    sk = quantile_sketch(df, "v", None, k=8)
+    with pytest.raises(ValueError):
+        quantile_estimate(sk, [])
+    with pytest.raises(ValueError):
+        quantile_estimate(sk, [1.5])
