@@ -3602,6 +3602,11 @@ ORDER BY cl.doc_id
 
 
 def _base_oracle_sql() -> dict[str, str]:
+    from pinecone_datasets_spark.functions.text import char_entropy_sql
+
+    # composed from the parity-tested helper so a fix to the entropy
+    # twin propagates to the q13 gate automatically
+    _q13_entropy_sql = char_entropy_sql("text").strip()
     return {
         "q01_pricing_summary": """
 SELECT l_returnflag, l_linestatus,
@@ -3704,7 +3709,7 @@ SELECT doc_id, lang FROM documents
 WHERE lang IN ('de', 'fr') OR n_chars <= 100
 ORDER BY doc_id
 """,
-        "q13_text_stats": """
+        "q13_text_stats": f"""
 SELECT doc_id,
        CASE WHEN trim(text) = '' THEN 0
             ELSE len(trim(text)) - len(replace(trim(text), ' ', '')) + 1
@@ -3715,13 +3720,7 @@ SELECT doc_id,
                ELSE len(trim(text)) - len(replace(trim(text), ' ', '')) + 1
           END)::BIGINT) AS n_tokens,
        n_chars,
-       round((CASE WHEN coalesce(length(text), 0) > 0 THEN
-  -list_sum(list_transform(
-     list_transform(list_sort(list_filter(list_distinct(string_split(text, '')), c -> c != '')),
-                    u -> length(text) - length(replace(text, u, ''))),
-     c -> (CAST(c AS DOUBLE) / length(text))
-          * ln(CAST(c AS DOUBLE) / length(text))))
-ELSE 0.0 END), 6) AS entropy
+       round(({_q13_entropy_sql}), 6) AS entropy
 FROM documents
 """,
         "q14_corpus_stats": """

@@ -48,8 +48,14 @@ def _tokens(text_col: str) -> "F.Column":
     )
 
 
+def _check_n(n: int) -> None:
+    if not 1 <= n <= 8:
+        raise ValueError(f"n must be in [1, 8], got {n}")
+
+
 def _ngrams(toks: "F.Column", n: int) -> "F.Column":
     """Adjacent word n-grams joined by a single space (n=1 → tokens)."""
+    _check_n(n)
     if n == 1:
         return toks
     out = F.slice(toks, 1, F.greatest(F.size(toks) - (n - 1), F.lit(0)))
@@ -185,8 +191,10 @@ def dsir_weights(
     # would shuffle the whole corpus on id just for this backfill; a
     # second MAP-ONLY pass selecting the (rare) gram-less docs unions
     # in instead — no corpus shuffle anywhere in the weight plan.
+    # coalesce: size() is NULL for NULL text, which must land in the
+    # weight-0 branch too (the SQL twin's LEFT JOIN already does)
     empty = raw_docs.where(
-        F.size(_ngrams(_tokens(text_col), n)) == 0
+        F.coalesce(F.size(_ngrams(_tokens(text_col), n)), F.lit(0)) == 0
     ).select(F.col(id_col), F.lit(0.0).alias("log_weight"))
     return scored.select(id_col, "log_weight").unionByName(empty)
 
@@ -268,6 +276,7 @@ def dsir_sql(
     seed: int = 42,
 ) -> str:
     """DuckDB replay of ``dsir_resample`` (same hash, LM, Gumbel)."""
+    _check_n(n)
     a = float(smoothing)
     if n == 1:
         gram_list = "toks"

@@ -74,7 +74,11 @@ def kmv_distinct(
         if isinstance(group_cols, str)
         else list(group_cols)
     )
-    hashed = df.select(*groups, _u01(value_col).alias("__u")).distinct()
+    hashed = (
+        df.where(F.col(value_col).isNotNull())
+        .select(*groups, _u01(value_col).alias("__u"))
+        .distinct()
+    )
 
     w = Window.partitionBy(*groups).orderBy("__u")
     # literal bound -> WindowGroupLimit partial top-k on the map side
@@ -108,6 +112,7 @@ WITH hashed AS (
          CAST(concat('0x', substr(md5(CAST({value_expr} AS VARCHAR)), 1, 13))
               AS BIGINT) / {_TWO_52!r} AS u
   FROM {from_clause}
+  WHERE {value_expr} IS NOT NULL
 ), ranked AS (
   SELECT {grp_sel}u,
          row_number() OVER ({part}ORDER BY u) AS rn
@@ -176,7 +181,7 @@ def cm_sketch(
     """
     if depth < 1 or width < 2:
         raise ValueError(f"need depth >= 1, width >= 2; got {depth}, {width}")
-    pairs = df.select(
+    pairs = df.where(F.col(value_col).isNotNull()).select(
         F.col(value_col).cast("string").alias("__v"),
         F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row"),
     )
@@ -244,6 +249,7 @@ WITH seeds AS (SELECT unnest(range({depth})) AS r),
 sketch AS (
   SELECT seeds.r AS row, {sk_bucket} AS bucket, count(*) AS c
   FROM {from_clause} CROSS JOIN seeds
+  WHERE {value_expr} IS NOT NULL
   GROUP BY 1, 2
 ),
 probes AS (
@@ -589,6 +595,7 @@ def hll_registers(
         .cast("long")
     )
     j = h.bitwiseAND(F.lit(m - 1))
+    df = df.where(F.col(value_col).isNotNull())
     w = F.shiftright(h, p)
     # leading zeros of the (52-p)-bit suffix + 1; bin() has no leading
     # zeros so bit-length == length(bin(w)) for w > 0
@@ -678,6 +685,7 @@ WITH h AS (
          CAST(concat('0x', substr(md5(CAST({value_expr} AS VARCHAR)), 1, 13))
               AS BIGINT) AS hv
   FROM {from_clause}
+  WHERE {value_expr} IS NOT NULL
 ), regs AS (
   SELECT {grp_sel}hv % {m} AS reg,
          max(CASE WHEN hv // {m} = 0 THEN {rmax}
@@ -741,6 +749,18 @@ def quantile_sketch(
         if isinstance(group_cols, str)
         else list(group_cols)
     )
+    if sample_by is None:
+        vt = df.schema[value_col].dataType.simpleString()
+        if vt in ("float", "double"):
+            # Double->string casts format differently across engines
+            # (Java '1.0E7' vs DuckDB '10000000.0'), so hashing a float
+            # VALUE would silently select different bottom-k rows than
+            # the SQL twin. Make the caller pick a portable key.
+            raise ValueError(
+                "quantile_sketch: pass sample_by=<a non-float key column>"
+                f" when the value column is {vt} — hashing float values"
+                " is not engine-portable"
+            )
     basis = sample_by or value_col
     sampled = df.where(F.col(value_col).isNotNull()).select(
         *groups, _u01(basis).alias("u"), F.col(value_col).alias("v")

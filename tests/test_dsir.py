@@ -143,3 +143,22 @@ def test_guards(spark, docs):
         dsir_resample(docs, docs, k=5, temperature=0.0)
     with pytest.raises(ValueError):
         dsir_weights(docs, docs, smoothing=0.0)
+
+
+def test_null_text_gets_zero_weight(spark):
+    raw = spark.createDataFrame(
+        [(1, "hello world hello"), (2, None), (3, "x")],
+        "doc_id long, text string",
+    )
+    tgt = raw.where(F.col("doc_id") == 1).select("text")
+    w = {r.doc_id: r.log_weight
+         for r in dsir_weights(raw, tgt, n=2, n_buckets=64).collect()}
+    assert set(w) == {1, 2, 3}       # NULL-text doc is not dropped
+    assert w[2] == 0.0 and w[3] == 0.0
+
+
+def test_n_guard(spark, docs):
+    with pytest.raises(ValueError, match="n must be"):
+        dsir_weights(docs, docs, n=0)
+    with pytest.raises(ValueError, match="n must be"):
+        dsir_sql("documents", "documents", k=5, n=0)

@@ -353,8 +353,54 @@ def test_qsk_guards(spark):
     df = spark.range(10).select(F.col("id").cast("double").alias("v"))
     with pytest.raises(ValueError):
         quantile_sketch(df, "v", None, k=1)
-    sk = quantile_sketch(df, "v", None, k=8)
+    sk = quantile_sketch(df, "v", None, k=8, sample_by="v")
     with pytest.raises(ValueError):
         quantile_estimate(sk, [])
     with pytest.raises(ValueError):
         quantile_estimate(sk, [1.5])
+
+
+# ---------------------------------------------------------------------------
+# NULL handling + portability guards (review findings)
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_hll_ignore_nulls(spark):
+    base = spark.range(100).select(F.col("id").alias("v"))
+    with_nulls = base.union(
+        spark.range(5).select(F.lit(None).cast("long").alias("v"))
+    )
+    assert (
+        kmv_distinct(base, "v", None, k=64).collect()[0].est_distinct
+        == kmv_distinct(with_nulls, "v", None, k=64).collect()[0].est_distinct
+    )
+    assert (
+        hll_distinct(base, "v", None, p=10).collect()[0].est_distinct
+        == hll_distinct(with_nulls, "v", None, p=10).collect()[0].est_distinct
+    )
+
+
+def test_cm_sketch_ignores_nulls(spark):
+    from pinecone_datasets_spark.operators.sketch import cm_sketch
+
+    base = spark.range(100).select((F.col("id") % 10).alias("v"))
+    with_nulls = base.union(
+        spark.range(7).select(F.lit(None).cast("long").alias("v"))
+    )
+    a = sorted(map(tuple, cm_sketch(base, "v", depth=2, width=32).collect()))
+    b = sorted(
+        map(tuple, cm_sketch(with_nulls, "v", depth=2, width=32).collect())
+    )
+    assert a == b
+
+
+def test_qsk_rejects_float_value_without_sample_by(spark):
+    # double->string casts format differently across engines; the
+    # default hash basis must refuse the silent divergence
+    df = spark.range(10).select(F.col("id").cast("double").alias("v"))
+    with pytest.raises(ValueError, match="sample_by"):
+        quantile_sketch(df, "v", None, k=8)
+    # fine with an explicit portable key, or a non-float value column
+    quantile_sketch(df, "v", None, k=8, sample_by="v")  # explicit opt-in
+    ints = spark.range(10).select(F.col("id").alias("v"))
+    quantile_sketch(ints, "v", None, k=8)
