@@ -222,3 +222,55 @@ def test_mg_heavy_hitters_shuffles_summaries_not_keys(spark, sf_dir):
     # scan (the pinned summaries), never re-runs the corpus scan
     assert "Scan ExistingRDD" in plan, plan[:1500]
     assert "Scan parquet" not in plan, plan[:1500]
+
+
+def test_dsir_plan_no_corpus_shuffle_joins(spark, sf_dir):
+    """DSIR's weight plan must have no corpus-keyed join: bucket-bounded
+    aggregates, a broadcast ratio join, and a TakeOrdered top-k only."""
+    from pinecone_datasets_spark.operators.dsir import dsir_resample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tgt = docs.where(F.col("lang") == "en").select("text")
+    plan = formatted_plan(dsir_resample(docs, tgt, k=50, n_buckets=500))
+    assert "TakeOrderedAndProject" in plan  # top-k, never a full sort
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # the <=n_buckets ratio table
+    # Per-doc aggregates shuffle on doc_id (bounded by distinct buckets
+    # per doc — fine); what must NOT exist is a JOIN keyed on the corpus
+    # id. Join keys appear in the detail section as "Left keys"/"Right
+    # keys" lines — none may mention doc_id.
+    joinkey_lines = [
+        ln for ln in plan.splitlines()
+        if "left keys [" in ln.lower() or "right keys [" in ln.lower()
+    ]
+    assert joinkey_lines  # the bucket-table merge is an equi-join
+    for line in joinkey_lines:
+        assert "doc_id" not in line, line
+
+
+def test_xe_rerank_plan_broadcasts_queries(spark, sf_dir):
+    """Query text broadcasts onto candidates; the top-k rank keeps its
+    literal bound (WindowGroupLimit)."""
+    from pinecone_datasets_spark.operators.rerank import crossencoder_rerank
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    queries = docs.where(F.col("doc_id") < 10).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("query_text")
+    )
+    cand = queries.select("query_id").crossJoin(
+        docs.select("doc_id").where(F.col("doc_id") < 50)
+    )
+    plan = formatted_plan(crossencoder_rerank(cand, queries, docs, k=5))
+    assert "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan
+
+
+def test_hll_plan_partial_aggregates(spark, sf_dir):
+    """Register MAX must fold map-side: two HashAggregates around one
+    Exchange keyed on (group, reg) — never a raw-value shuffle."""
+    from pinecone_datasets_spark.operators.sketch import hll_distinct
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    plan = formatted_plan(hll_distinct(ev, "user_id", "event_type", p=8))
+    assert plan.count("HashAggregate") >= 4  # partial+final for both aggs
+    assert "SortMergeJoin" not in plan
