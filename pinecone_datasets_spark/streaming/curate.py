@@ -1,0 +1,151 @@
+"""Streaming corpus curation: the batch gates, composed stream-legally.
+
+An ingest stream can run every *map-only* curation signal unchanged
+(word counts, quality score, repetition, entropy — all built-in column
+expressions) and exact dedup as a stateful ``dropDuplicates``; what it
+cannot do is re-fit corpus-level models per batch. The streaming answer
+is train-batch / apply-stream: fit the DSIR log-ratio model (or quality
+classifier) on a batch snapshot, then apply it to the stream as a
+map-only scorer.
+
+``dsir_gate`` implements the apply side without ANY stream-side join or
+aggregation: the (≤ n_buckets)-row ratio table collapses to a NumPy
+array in an Arrow-batched kernel's closure — the same shape a broadcast
+join would ship, minus the join — so each document's weight is computed
+within its own row. Stream-legal, checkpoint-free, and identical in
+expectation to ``operators.dsir.dsir_weights`` (same md5 bucket hash;
+float summation order differs per doc, so equality is to ~1e-9, not
+bit-exact — the batch path remains the oracle-gated one).
+
+``stream_curate`` chains the gates the batch ``curate_corpus_full``
+applies, in the same order, restricted to the stream-legal subset:
+length gate → quality gate → (optional) DSIR gate → exact dedup.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from typing import Iterator, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import quality_score, word_count
+from .dedup import stream_exact_dedup
+
+
+def _ratio_array(ratios: DataFrame, n_buckets: int) -> np.ndarray:
+    """Collect the bucket→log_ratio table into a dense array (bounded:
+    ≤ n_buckets doubles — the same driver-bounded size every broadcast
+    in this engine assumes)."""
+    arr = np.zeros(n_buckets, dtype=np.float64)
+    for row in ratios.select("bucket", "log_ratio").collect():
+        b = int(row["bucket"])
+        if not 0 <= b < n_buckets:
+            raise ValueError(
+                f"ratio bucket {b} outside [0, {n_buckets}) — wrong"
+                " n_buckets for this ratio table?"
+            )
+        arr[b] = float(row["log_ratio"])
+    return arr
+
+
+def dsir_score(
+    docs: DataFrame,
+    ratios: DataFrame,
+    text_col: str = "text",
+    n: int = 2,
+    n_buckets: int = 10_000,
+    out_col: str = "log_weight",
+) -> DataFrame:
+    """Score documents against a batch-fitted DSIR ratio model, map-only.
+
+    Works on static AND streaming frames: the ratio table rides in the
+    kernel closure, tokenization/hashing replicate the batch operator
+    (md5 52-bit bucket; buckets summed in sorted order for per-doc
+    determinism). Appends ``out_col`` (double).
+    """
+    arr = _ratio_array(ratios, n_buckets)
+    ws = re.compile(r"[ \t\n\r\f\v]+")
+
+    @F.pandas_udf("double")
+    def _weight(texts: pd.Series) -> pd.Series:
+        def one(t):
+            if t is None:
+                return 0.0
+            toks = [w for w in ws.split(str(t).lower().strip()) if w]
+            if len(toks) < n:
+                return 0.0
+            counts: dict[int, int] = {}
+            for i in range(len(toks) - n + 1):
+                g = " ".join(toks[i : i + n])
+                b = (
+                    int(hashlib.md5(g.encode("utf-8")).hexdigest()[:13], 16)
+                    % n_buckets
+                )
+                counts[b] = counts.get(b, 0) + 1
+            return float(
+                sum(c * arr[b] for b, c in sorted(counts.items()))
+            )
+
+        return texts.map(one)
+
+    return docs.withColumn(out_col, _weight(F.col(text_col)))
+
+
+def dsir_gate(
+    docs: DataFrame,
+    ratios: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    n: int = 2,
+    n_buckets: int = 10_000,
+    keep_weight: bool = False,
+) -> DataFrame:
+    """Keep documents whose DSIR log-weight ≥ ``threshold``."""
+    scored = dsir_score(docs, ratios, text_col, n, n_buckets)
+    kept = scored.where(F.col("log_weight") >= F.lit(float(threshold)))
+    return kept if keep_weight else kept.drop("log_weight")
+
+
+def stream_curate(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_words: int = 5,
+    min_quality: float = 0.0,
+    ratios: Optional[DataFrame] = None,
+    dsir_threshold: float = 0.0,
+    dsir_n: int = 2,
+    dsir_n_buckets: int = 10_000,
+    ts_col: Optional[str] = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-legal curation chain, batch-order:
+
+    1. length gate (``word_count >= min_words`` — map-only);
+    2. quality gate (``quality_score >= min_quality`` — map-only);
+    3. optional DSIR gate against a batch-fitted ratio table
+       (map-only Arrow kernel, see ``dsir_gate``);
+    4. exact dedup (stateful ``dropDuplicates`` on the content
+       fingerprint; watermark-bounded state when ``ts_col`` is given).
+
+    Filters run BEFORE dedup so rejected docs never enter dedup state —
+    at 100 TB/day ingest the state bound is the post-gate survivor
+    fingerprint set, not the raw stream. With ``availableNow`` over a
+    static directory the result equals applying the same batch gates
+    then batch exact-dedup (first arrival wins within each fingerprint;
+    test-pinned).
+    """
+    gated = docs.where(word_count(F.col(text_col)) >= F.lit(min_words))
+    if min_quality > 0.0:
+        gated = gated.where(
+            quality_score(F.col(text_col)) >= F.lit(float(min_quality))
+        )
+    if ratios is not None:
+        gated = dsir_gate(
+            gated, ratios, dsir_threshold, text_col, dsir_n, dsir_n_buckets
+        )
+    return stream_exact_dedup(gated, text_col, ts_col, watermark)
