@@ -1467,6 +1467,49 @@ def q57_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("day")
 
 
+def q22_q57_event_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged events entry: pushdown scan-filter (q22, part 'scan' —
+    predicate + 4-of-6-column projection reach the parquet scan) +
+    explicit-value-list pivot (q57, part 'pivot' — one pass, no
+    distinct-values pre-job), union-tagged on a common schema."""
+    scan = q22_event_scan_filter(spark, sf_dir).select(
+        F.lit("scan").alias("part"),
+        F.col("event_id").cast("string").alias("key"),
+        F.col("user_id").cast("long").alias("n1"),
+        F.unix_micros("ts").alias("n2"),
+        _nl("long").alias("n3"),
+        _nl("long").alias("n4"),
+        _nl("long").alias("n5"),
+        F.col("value").cast("double").alias("d1"),
+    )
+    piv = q57_pivot_events(spark, sf_dir).select(
+        F.lit("pivot").alias("part"),
+        F.col("day").alias("key"),
+        F.col("n_click").cast("long").alias("n1"),
+        F.col("n_error").cast("long").alias("n2"),
+        F.col("n_purchase").cast("long").alias("n3"),
+        F.col("n_signup").cast("long").alias("n4"),
+        F.col("n_view").cast("long").alias("n5"),
+        _nl("double").alias("d1"),
+    )
+    return scan.unionByName(piv).orderBy("part", "key")
+
+
+def q90_profile_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass dataset profile (operators/profile.py): per-column
+    null/range/HLL-distinct stats for the documents table in a FIXED
+    number of passes regardless of column count — one scalar agg row +
+    one multiplexed HLL whose shuffle is bounded at n_cols x 2^p rows.
+    Columns restricted to integer/string types (double min/max strings
+    format differently across engines — documented in the operator)."""
+    from pinecone_datasets_spark.operators.profile import profile_dataset
+
+    doc = _t(spark, sf_dir, "documents")
+    return profile_dataset(
+        doc, ["doc_id", "lang", "source", "n_chars"], p=12
+    )
+
+
 def q58_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus LM quality proxies (operators/terms.py): per-doc mean
     log10 token probability under the corpus's own unigram distribution,
@@ -3198,13 +3241,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_q21_neardup_pairs": q17_q21_neardup_pairs,
         "q18_minhash_bands": q18_minhash_bands,
         "q19_q20_topk_metrics": q19_q20_topk_metrics,
-        "q22_event_scan_filter": q22_event_scan_filter,
+        "q22_q57_event_queries": q22_q57_event_queries,
         "q23_q62_setops_subquery": q23_q62_setops_subquery,
         "q24_ann_lsh": q24_ann_lsh,
         "q25_q39_fingerprints": q25_q39_fingerprints,
         "q26_sessionize": q26_sessionize,
         "q27_running_revenue": q27_running_revenue,
         "q28_q69_distinct_sketch": q28_q69_distinct_sketch,
+        "q90_profile_dataset": q90_profile_dataset,
         "q31_stored_filter_search": q31_stored_filter_search,
         "q32_q86_multiscore": q32_q86_multiscore,
         "q33_q34_curation": q33_q34_curation,
@@ -3221,7 +3265,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q54_asof_join": q54_asof_join,
         "q55_range_join": q55_range_join,
         "q56_q61_rollup": q56_q61_rollup,
-        "q57_pivot_events": q57_pivot_events,
         "q58_unigram_lm": q58_unigram_lm,
         "q59_label_centroids": q59_label_centroids,
         "q63_q64_scd": q63_q64_scd,
@@ -4953,7 +4996,6 @@ def oracle_sql() -> dict[str, str]:
         "q01_pricing_summary",
         "q06_part_type_stats",
         "q18_minhash_bands",
-        "q22_event_scan_filter",
         "q24_ann_lsh",
         "q26_sessionize",
         "q27_running_revenue",
@@ -4965,7 +5007,6 @@ def oracle_sql() -> dict[str, str]:
         "q53_incremental_dedup",
         "q54_asof_join",
         "q55_range_join",
-        "q57_pivot_events",
         "q58_unigram_lm",
         "q59_label_centroids",
         "q65_salted_join",
@@ -5684,6 +5725,25 @@ ORDER BY doc_id
         "user_id",
         depth=4,
         width=256,
+    )
+    out["q22_q57_event_queries"] = f"""
+WITH sc AS ({b['q22_event_scan_filter']}),
+pv AS ({b['q57_pivot_events']})
+SELECT 'scan' AS part, CAST(event_id AS VARCHAR) AS key,
+       CAST(user_id AS BIGINT) AS n1, epoch_us(ts) AS n2,
+       CAST(NULL AS BIGINT) AS n3, CAST(NULL AS BIGINT) AS n4,
+       CAST(NULL AS BIGINT) AS n5, CAST(value AS DOUBLE) AS d1
+FROM sc
+UNION ALL
+SELECT 'pivot', day, n_click, n_error, n_purchase, n_signup, n_view,
+       CAST(NULL AS DOUBLE)
+FROM pv
+ORDER BY part, key
+"""
+    from pinecone_datasets_spark.operators.profile import profile_sql
+
+    out["q90_profile_dataset"] = profile_sql(
+        ["doc_id", "lang", "source", "n_chars"], "documents", p=12
     )
     out["q28_q69_distinct_sketch"] = f"""
 WITH kmv AS ({b['q69_kmv_distinct']}),

@@ -56,6 +56,7 @@ from .packing import (
     length_bucketed_batches,
     pack_documents,
 )
+from .profile import profile_dataset
 from .pca import train_pca, pca_project, train_opq_rotation
 from .sketch import (
     kmv_distinct,
@@ -110,6 +111,7 @@ __all__ = [
     "hll_estimate",
     "hll_registers",
     "quantile_sketch",
+    "profile_dataset",
     "quantile_estimate",
     "train_pca",
     "train_opq_rotation",
