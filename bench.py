@@ -218,6 +218,36 @@ def main() -> None:
         tgt = docs.where(F.col("lang") == "en").select("text")
         return dsir_resample(docs, tgt, k=500, n=2, n_buckets=10_000)
 
+    mh_path = bench_tmp + "/mhidx"
+
+    def bench_mh_index_build():
+        # persisted MinHash index: one signature pass + bb-sorted band
+        # rewrite + signature table (operators/dedup.py)
+        from pinecone_datasets_spark.operators.dedup import (
+            build_minhash_index,
+        )
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        build_minhash_index(docs, mh_path, num_hashes=64, bands=16)
+        return spark.range(1)
+
+    def bench_mh_index_probe():
+        # incremental near-dup: 500-doc ingest batch vs the persisted
+        # index — corpus never re-signed; literal bb IN pushed
+        from pinecone_datasets_spark.operators.dedup import (
+            minhash_index_neardup,
+        )
+
+        if not os.path.isdir(mh_path):
+            bench_mh_index_build()
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        batch = docs.where(F.col("doc_id") % 100 == 0).select(
+            (F.col("doc_id") + 10_000_000).alias("batch_id"), "text"
+        )
+        return minhash_index_neardup(
+            spark, mh_path, batch, threshold=0.5, max_literal_keys=20000
+        )
+
     def bench_xe_rerank():
         # cross-encoder re-rank plumbing: 100 queries x 50 candidates
         # through the Arrow pair-scoring kernel (deterministic default
@@ -692,6 +722,8 @@ def main() -> None:
         "quality_classifier": bench_quality_classifier,
         "dsir_select": bench_dsir,
         "xe_rerank_100q": bench_xe_rerank,
+        "mh_index_build": bench_mh_index_build,
+        "mh_index_probe": bench_mh_index_probe,
     }
 
     # Warm the JVM once with small representative jobs (parquet reader,

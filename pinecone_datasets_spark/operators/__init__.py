@@ -15,6 +15,8 @@ from .dedup import (
     ngram_jaccard_pairs,
     simhash64,
     embedding_neardup_pairs,
+    build_minhash_index,
+    minhash_index_neardup,
 )
 from .semdedup import semantic_dedup, semantic_dedup_pairs, srp_cells
 from .sampling import (
@@ -139,6 +141,8 @@ __all__ = [
     "exact_dup_groups",
     "minhash_signatures",
     "minhash_lsh_candidates",
+    "build_minhash_index",
+    "minhash_index_neardup",
     "ngram_jaccard_pairs",
     "simhash64",
     "embedding_neardup_pairs",

@@ -693,3 +693,213 @@ def embedding_neardup_pairs(
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted MinHash index: incremental NEAR-dup for streaming/batch ingest
+# ---------------------------------------------------------------------------
+
+MINHASH_META_FILE = "minhash_index.json"
+
+
+def _band_keys(
+    sigs: DataFrame, num_hashes: int, bands: int, id_col: str
+) -> DataFrame:
+    """Signatures → ``(id, bb)`` where ``bb = '<band>:<md5-of-slice>'``.
+
+    One combined key column (instead of (band, bucket)) so a probe can
+    push a single-column literal ``bb IN (...)`` into a bb-sorted
+    parquet scan — the same row-group-skipping trick as the BM25
+    term-sorted postings and the LSH band/sig layout.
+    """
+    rows_per_band = num_hashes // bands
+    keys = F.array(
+        *[
+            F.concat_ws(
+                ":",
+                F.lit(b),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col("signature")[b * rows_per_band + r].cast(
+                                "string"
+                            )
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ),
+            )
+            for b in range(bands)
+        ]
+    )
+    return (
+        sigs.select(F.col(id_col), F.explode_outer(keys).alias("bb"))
+        .where(F.col("bb").isNotNull())
+    )
+
+
+def build_minhash_index(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    hash_fn: str = "xxhash64",
+) -> None:
+    """Persist the corpus's MinHash state — the offline half of
+    incremental NEAR-dup ingestion (the text-similarity analogue of
+    ``incremental_dedup``'s exact-fingerprint store).
+
+    Layout:
+
+    * ``bands/`` — ``(bb, id)`` range-partitioned and sorted by ``bb``
+      (band:bucket key): a probe batch's keys push as one literal IN
+      filter and row-group min/max skipping serves them;
+    * ``signatures/`` — ``(id, signature)``: candidate verification by
+      signature-slot agreement needs NO access to the original text —
+      the index is self-contained and ~num_hashes longs per doc;
+    * sidecar JSON — the (num_hashes, bands, shingle_k, hash_fn,
+      id_col) recipe, so probes sign batches identically.
+
+    Build cost: one signature pass + a sorted rewrite of bands·N
+    three-scalar rows. Appending a deduplicated batch = append its
+    rows to both tables (parquet append, no rewrite).
+    """
+    import json as _json
+
+    from ..fs import FS, join as _join
+
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"bands ({bands}) must divide num_hashes ({num_hashes})"
+        )
+    sigs = minhash_signatures(
+        docs, text_col, id_col, num_hashes, shingle_k, hash_fn
+    )
+    sigs.persist()
+    try:
+        (
+            _band_keys(sigs, num_hashes, bands, id_col)
+            .repartitionByRange("bb")
+            .sortWithinPartitions("bb")
+            .write.mode("overwrite")
+            .parquet(_join(path, "bands"))
+        )
+        sigs.write.mode("overwrite").parquet(_join(path, "signatures"))
+    finally:
+        sigs.unpersist()
+    FS(docs.sparkSession).write_text(
+        _join(path, MINHASH_META_FILE),
+        _json.dumps(
+            {
+                "num_hashes": num_hashes,
+                "bands": bands,
+                "shingle_k": shingle_k,
+                "hash_fn": hash_fn,
+                "id_col": id_col,
+            }
+        ),
+    )
+
+
+def minhash_index_neardup(
+    spark,
+    path: str,
+    batch: DataFrame,
+    threshold: float = 0.7,
+    text_col: str = "text",
+    batch_id_col: str = "batch_id",
+    max_literal_keys: int = 1000,
+) -> DataFrame:
+    """Near-dup check of an ingest batch against a persisted
+    ``build_minhash_index`` — the corpus is never re-signed, re-scanned
+    in full, or shuffled.
+
+    Returns ``(batch_id, index_id, est_jaccard)`` for pairs sharing ≥ 1
+    LSH band with ``est_jaccard`` (signature-slot agreement — the
+    standard unbiased Jaccard estimate) ≥ ``threshold``.
+
+    Plan: the batch signs itself distributed (it may be large); its
+    distinct band keys either push into the bb-sorted band scan as one
+    literal IN (small batches — row-group skipping) or broadcast-join
+    it (large batches — the index still never shuffles). Candidate ids
+    then broadcast into the signature table scan, and verification is a
+    ``zip_with`` slot-agreement fold over candidate pairs only.
+    """
+    import json as _json
+
+    from ..fs import FS, join as _join
+
+    if not 0.0 <= threshold <= 1.0:
+        raise ValueError(f"threshold must be in [0, 1]: {threshold}")
+    meta = _json.loads(FS(spark).read_text(_join(path, MINHASH_META_FILE)))
+    num_hashes, bands = int(meta["num_hashes"]), int(meta["bands"])
+    id_col = meta["id_col"]
+
+    bsigs = minhash_signatures(
+        batch,
+        text_col,
+        batch_id_col,
+        num_hashes,
+        int(meta["shingle_k"]),
+        meta["hash_fn"],
+    )
+    bsigs.persist()
+    bkeys = _band_keys(bsigs, num_hashes, bands, batch_id_col)
+
+    index_bands = spark.read.parquet(_join(path, "bands"))
+    distinct_keys = [r.bb for r in bkeys.select("bb").distinct().limit(
+        max_literal_keys + 1
+    ).collect()]
+    if len(distinct_keys) <= max_literal_keys:
+        # literal IN pushes into the bb-sorted scan (row-group skipping)
+        index_hits = index_bands.where(F.col("bb").isin(distinct_keys))
+    else:
+        index_hits = index_bands.join(
+            F.broadcast(bkeys.select("bb").distinct()), "bb", "left_semi"
+        )
+    pairs = (
+        bkeys.join(
+            index_hits.withColumnRenamed(id_col, "index_id"), "bb"
+        )
+        .select(batch_id_col, "index_id")
+        .distinct()
+    )
+
+    # verification: slot agreement over candidate pairs only — index
+    # signatures restricted by a broadcast semi-join on candidate ids
+    isigs = spark.read.parquet(_join(path, "signatures")).select(
+        F.col(id_col).alias("index_id"), F.col("signature").alias("_is")
+    )
+    isigs = isigs.join(
+        F.broadcast(pairs.select("index_id").distinct()),
+        "index_id",
+        "left_semi",
+    )
+    agree = (
+        pairs.join(F.broadcast(bsigs.withColumnRenamed("signature", "_bs")),
+                   batch_id_col)
+        .join(isigs, "index_id")
+        .select(
+            batch_id_col,
+            "index_id",
+            (
+                F.aggregate(
+                    F.zip_with(
+                        "_bs", "_is",
+                        lambda a, b: F.when(a == b, 1).otherwise(0),
+                    ),
+                    F.lit(0),
+                    lambda acc, x: acc + x,
+                ).cast("double")
+                / F.lit(float(num_hashes))
+            ).alias("est_jaccard"),
+        )
+    )
+    out = agree.where(F.col("est_jaccard") >= F.lit(float(threshold))).select(
+        batch_id_col, "index_id", F.round("est_jaccard", 6).alias("est_jaccard")
+    )
+    return out

@@ -361,3 +361,128 @@ def test_incremental_dedup_corpus_not_shuffled(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Persisted MinHash index: incremental near-dup
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def mh_index(spark, tmp_path_factory):
+    from pinecone_datasets_spark.operators.dedup import build_minhash_index
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = docs.where(F.col("doc_id") < 400)
+    path = str(tmp_path_factory.mktemp("mh_index")) + "/idx"
+    build_minhash_index(corpus, path, num_hashes=32, bands=8)
+    return path, corpus
+
+
+def test_mh_index_finds_planted_copies(spark, mh_index):
+    from pinecone_datasets_spark.operators.dedup import minhash_index_neardup
+
+    path, corpus = mh_index
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    batch = (
+        docs.where((F.col("doc_id") % 8 == 0) & (F.col("doc_id") < 400))
+        .select((F.col("doc_id") + 10_000).alias("batch_id"), "text")
+    )
+    out = minhash_index_neardup(spark, path, batch, threshold=0.99)
+    got = {(r.batch_id, r.index_id) for r in out.collect()
+           if r.est_jaccard == 1.0}
+    planted = {(d + 10_000, d) for d in range(0, 400, 8)}
+    assert planted <= got  # every exact copy must verify at 1.0
+
+
+def test_mh_index_matches_inplan_candidates(spark, mh_index):
+    """Cross pairs from the index probe == the in-plan banded self-join
+    restricted to (batch x corpus) — same hashes, same banding."""
+    from pinecone_datasets_spark.operators.dedup import (
+        minhash_index_neardup,
+        minhash_lsh_candidates,
+    )
+
+    path, corpus = mh_index
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    batch = docs.where(F.col("doc_id") >= 400).select(
+        (F.col("doc_id") + 10_000).alias("batch_id"), "text"
+    )
+    via_index = {
+        (r.batch_id - 10_000, r.index_id)
+        for r in minhash_index_neardup(
+            spark, path, batch, threshold=0.0
+        ).collect()
+    }
+    # in-plan twin over corpus + batch (batch re-tagged into id space)
+    union = corpus.select("doc_id", "text").unionByName(
+        batch.select(
+            (F.col("batch_id") - 10_000 + 100_000).alias("doc_id"), "text"
+        )
+    )
+    cands = minhash_lsh_candidates(
+        union, num_hashes=32, bands=8, hash_fn="xxhash64"
+    )
+    cross = {
+        (max(r.id_a, r.id_b) - 100_000, min(r.id_a, r.id_b))
+        for r in cands.collect()
+        if (r.id_a >= 100_000) != (r.id_b >= 100_000)
+    }
+    assert via_index == cross
+
+
+def test_mh_index_est_jaccard_matches_signature_agreement(spark, mh_index):
+    from pinecone_datasets_spark.operators.dedup import (
+        minhash_index_neardup,
+        minhash_signatures,
+    )
+
+    path, corpus = mh_index
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    batch = docs.where(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 10_000).alias("batch_id"), "text"
+    )
+    out = minhash_index_neardup(spark, path, batch, threshold=0.0).collect()
+    bs = {
+        r.batch_id: r.signature
+        for r in minhash_signatures(
+            batch, "text", "batch_id", 32, 5, "xxhash64"
+        ).collect()
+    }
+    cs = {
+        r.doc_id: r.signature
+        for r in minhash_signatures(
+            corpus, "text", "doc_id", 32, 5, "xxhash64"
+        ).collect()
+    }
+    for r in out:
+        agree = sum(
+            1 for a, b in zip(bs[r.batch_id], cs[r.index_id]) if a == b
+        ) / 32.0
+        assert r.est_jaccard == pytest.approx(round(agree, 6))
+
+
+def test_mh_index_probe_pushes_literal_keys(spark, mh_index):
+    from pinecone_datasets_spark.operators.dedup import minhash_index_neardup
+    from pinecone_datasets_spark.plans.explain import formatted_plan
+
+    path, corpus = mh_index
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    batch = docs.where(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 10_000).alias("batch_id"), "text"
+    )
+    plan = formatted_plan(
+        minhash_index_neardup(spark, path, batch, threshold=0.5)
+    )
+    # small batch -> literal bb IN pushed into the band scan
+    assert "PushedFilters: [In(bb" in plan or "bb#" in plan and "In(bb" in plan
+
+
+def test_mh_index_threshold_guard(spark, mh_index):
+    from pinecone_datasets_spark.operators.dedup import minhash_index_neardup
+
+    path, corpus = mh_index
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    batch = docs.limit(1).select(F.col("doc_id").alias("batch_id"), "text")
+    with pytest.raises(ValueError):
+        minhash_index_neardup(spark, path, batch, threshold=1.5)
