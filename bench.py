@@ -218,8 +218,6 @@ def main() -> None:
         tgt = docs.where(F.col("lang") == "en").select("text")
         return dsir_resample(docs, tgt, k=500, n=2, n_buckets=10_000)
 
-    mh_path = bench_tmp + "/mhidx"
-
     def bench_mh_index_build():
         # persisted MinHash index: one signature pass + bb-sorted band
         # rewrite + signature table (operators/dedup.py)
@@ -440,6 +438,7 @@ def main() -> None:
         return ivf_index_topk(spark, ivf_path, queries, k=10, nprobe=4)
 
     lsh_path = bench_tmp + "/lsh"
+    mh_path = bench_tmp + "/mhidx"
 
     def bench_lsh_build():
         # persisted-LSH offline leg: one signature pass + sorted
