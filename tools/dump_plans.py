@@ -64,6 +64,11 @@ HEADLINE = [
     ("xe_rerank",
      "cross-encoder rerank: broadcast query text, Arrow pair kernel, "
      "window limit"),
+    ("mh_index_probe",
+     "persisted-MinHash probe: pushed bb IN filters, broadcast "
+     "candidates, slot-agreement verify"),
+    ("q90_profile_dataset",
+     "dataset profile: one scalar agg + one multiplexed HLL pass"),
 ]
 
 
@@ -216,6 +221,19 @@ def _extra_builders(spark, sf_dir):
         )
         return crossencoder_rerank(cand, queries, docs, k=10)
 
+    def mh_index_probe(spark, sf_dir):
+        from pinecone_datasets_spark.operators.dedup import (
+            build_minhash_index, minhash_index_neardup,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        path = tempfile.mkdtemp(prefix="plans_mh_") + "/idx"
+        build_minhash_index(docs, path, num_hashes=32, bands=8)
+        batch = docs.where(F.col("doc_id") < 20).select(
+            (F.col("doc_id") + 10_000).alias("batch_id"), "text"
+        )
+        return minhash_index_neardup(spark, path, batch, threshold=0.5)
+
     return {
         "cm_freq": cm_freq,
         "pca_project": pca_project,
@@ -229,6 +247,7 @@ def _extra_builders(spark, sf_dir):
         "hll_distinct": hll_distinct,
         "dsir_select": dsir_select,
         "xe_rerank": xe_rerank,
+        "mh_index_probe": mh_index_probe,
     }
 
 
