@@ -813,6 +813,7 @@ def minhash_index_neardup(
     text_col: str = "text",
     batch_id_col: str = "batch_id",
     max_literal_keys: int = 1000,
+    persist_batch: bool = True,
 ) -> DataFrame:
     """Near-dup check of an ingest batch against a persisted
     ``build_minhash_index`` — the corpus is never re-signed, re-scanned
@@ -847,7 +848,14 @@ def minhash_index_neardup(
         int(meta["shingle_k"]),
         meta["hash_fn"],
     )
-    bsigs.persist()
+    if persist_batch:
+        # The signatures feed the key-collect probe AND the verify join;
+        # persisting avoids re-shingling the batch. The returned frame
+        # is lazy, so this function cannot unpersist — the cache lives
+        # until LRU eviction; a long-running per-micro-batch ingest loop
+        # should pass persist_batch=False (or clear between batches),
+        # same contract as rm3_search's persist_tf.
+        bsigs.persist()
     bkeys = _band_keys(bsigs, num_hashes, bands, batch_id_col)
 
     index_bands = spark.read.parquet(_join(path, "bands"))
@@ -869,8 +877,9 @@ def minhash_index_neardup(
         .distinct()
     )
 
-    # verification: slot agreement over candidate pairs only — index
-    # signatures restricted by a broadcast semi-join on candidate ids
+    # verification: slot agreement over candidate pairs only — BOTH
+    # signature tables restricted by broadcast semi-joins on candidate
+    # ids (candidates are query-proportional; the raw batch may not be)
     isigs = spark.read.parquet(_join(path, "signatures")).select(
         F.col(id_col).alias("index_id"), F.col("signature").alias("_is")
     )
@@ -879,9 +888,13 @@ def minhash_index_neardup(
         "index_id",
         "left_semi",
     )
+    bsigs_hit = bsigs.withColumnRenamed("signature", "_bs").join(
+        F.broadcast(pairs.select(batch_id_col).distinct()),
+        batch_id_col,
+        "left_semi",
+    )
     agree = (
-        pairs.join(F.broadcast(bsigs.withColumnRenamed("signature", "_bs")),
-                   batch_id_col)
+        pairs.join(F.broadcast(bsigs_hit), batch_id_col)
         .join(isigs, "index_id")
         .select(
             batch_id_col,

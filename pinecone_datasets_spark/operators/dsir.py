@@ -116,7 +116,11 @@ def _corpus_bucket_counts(
 
 
 def _ratios_from_counts(
-    tgt_c: DataFrame, raw_c: DataFrame, n_buckets: int, a: float
+    tgt_c: DataFrame,
+    raw_c: DataFrame,
+    n_buckets: int,
+    a: float,
+    dense: bool = False,
 ) -> DataFrame:
     # full outer on the bounded bucket key; totals aggregate then
     # broadcast back (never a driver collect)
@@ -125,6 +129,21 @@ def _ratios_from_counts(
         F.coalesce("c_t", F.lit(0)).alias("c_t"),
         F.coalesce("c_r", F.lit(0)).alias("c_r"),
     )
+    if dense:
+        # emit EVERY bucket 0..B-1: unseen buckets carry the smoothed
+        # prior log((a/(n_t+aB)) / (a/(n_r+aB))) instead of being
+        # absent — required when the model is applied to data beyond
+        # its fit corpus (train-batch / apply-stream), where novel
+        # buckets occur. B rows; still broadcastable.
+        all_b = (
+            tgt_c.sparkSession.range(n_buckets)
+            .select(F.col("id").alias("bucket"))
+        )
+        joined = all_b.join(joined, "bucket", "left").select(
+            "bucket",
+            F.coalesce("c_t", F.lit(0)).alias("c_t"),
+            F.coalesce("c_r", F.lit(0)).alias("c_r"),
+        )
     totals = joined.agg(F.sum("c_t").alias("n_t"), F.sum("c_r").alias("n_r"))
     return joined.crossJoin(F.broadcast(totals)).select(
         "bucket",
@@ -148,18 +167,25 @@ def dsir_log_ratios(
     n: int = 2,
     n_buckets: int = 10_000,
     smoothing: float = 1.0,
+    dense: bool = False,
 ) -> DataFrame:
     """Bucket→``log_ratio`` table (≤ ``n_buckets`` rows, broadcastable).
 
     ``log_ratio(b) = ln p_target(b) - ln p_raw(b)`` with Laplace
     smoothing ``(c + a) / (N + a·B)`` on both sides, so unseen buckets
     are defined and the ratio is bounded.
+
+    ``dense=True`` materializes ALL ``n_buckets`` rows, filling buckets
+    unseen by either corpus with the smoothed prior — pass this when
+    the model will score data beyond its fit corpora (e.g. the
+    streaming ``dsir_score``), where novel buckets appear.
     """
     if smoothing <= 0:
         raise ValueError(f"smoothing must be > 0, got {smoothing}")
+    _check_n(n)
     tgt = _corpus_bucket_counts(target_docs, text_col, n, n_buckets, "c_t")
     raw = _corpus_bucket_counts(raw_docs, text_col, n, n_buckets, "c_r")
-    return _ratios_from_counts(tgt, raw, n_buckets, float(smoothing))
+    return _ratios_from_counts(tgt, raw, n_buckets, float(smoothing), dense)
 
 
 def dsir_weights(

@@ -98,9 +98,7 @@ def profile_dataset(
         ).alias("kv")
     ).select("kv.column", "kv.value")
     regs = hll_registers(pairs, "value", "column", p)
-    distinct = hll_estimate(regs, "column", p).withColumnRenamed(
-        "est_distinct", "est_distinct"
-    )
+    distinct = hll_estimate(regs, "column", p)
 
     return (
         stats.join(distinct, "column", "left")

@@ -762,7 +762,13 @@ def quantile_sketch(
                 " is not engine-portable"
             )
     basis = sample_by or value_col
-    sampled = df.where(F.col(value_col).isNotNull()).select(
+    # NULL sample keys would sort NULLS FIRST in Spark and NULLS LAST
+    # in DuckDB — and bias the sample toward the NULL-key rows; exclude
+    # them on both engines (documented: rows with a NULL sample key do
+    # not participate in the sample)
+    sampled = df.where(
+        F.col(value_col).isNotNull() & F.col(basis).isNotNull()
+    ).select(
         *groups, _u01(basis).alias("u"), F.col(value_col).alias("v")
     )
     w = Window.partitionBy(*groups).orderBy("u", "v")
@@ -850,7 +856,7 @@ WITH sampled AS (
               AS BIGINT) / {_TWO_52!r} AS u,
          {value_expr} AS v
   FROM {from_clause}
-  WHERE {value_expr} IS NOT NULL
+  WHERE {value_expr} IS NOT NULL AND ({basis}) IS NOT NULL
 ), sk AS (
   SELECT * FROM (
     SELECT {grp_sel}u, v,

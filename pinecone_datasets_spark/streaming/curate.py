@@ -34,15 +34,30 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import quality_score, word_count
+from ..operators.dsir import _check_n
 from .dedup import stream_exact_dedup
 
 
 def _ratio_array(ratios: DataFrame, n_buckets: int) -> np.ndarray:
     """Collect the bucket→log_ratio table into a dense array (bounded:
     ≤ n_buckets doubles — the same driver-bounded size every broadcast
-    in this engine assumes)."""
+    in this engine assumes).
+
+    The smoothed DSIR model defines a NONZERO prior for buckets unseen
+    by either fit corpus; a sparse ratio table cannot tell the scorer
+    what it is, so novel-vocabulary stream docs would silently score 0
+    per unseen gram. Require the dense table
+    (``dsir_log_ratios(..., dense=True)``) instead of guessing.
+    """
+    rows = ratios.select("bucket", "log_ratio").collect()
+    if len(rows) != n_buckets:
+        raise ValueError(
+            f"ratio table has {len(rows)} rows, expected {n_buckets} —"
+            " fit it with dsir_log_ratios(..., dense=True) so unseen"
+            " buckets carry the smoothed prior"
+        )
     arr = np.zeros(n_buckets, dtype=np.float64)
-    for row in ratios.select("bucket", "log_ratio").collect():
+    for row in rows:
         b = int(row["bucket"])
         if not 0 <= b < n_buckets:
             raise ValueError(
@@ -68,6 +83,7 @@ def dsir_score(
     (md5 52-bit bucket; buckets summed in sorted order for per-doc
     determinism). Appends ``out_col`` (double).
     """
+    _check_n(n)
     arr = _ratio_array(ratios, n_buckets)
     ws = re.compile(r"[ \t\n\r\f\v]+")
 

@@ -30,7 +30,7 @@ def docs(spark):
 @pytest.fixture(scope="module")
 def ratios(spark, docs):
     tgt = docs.where(F.col("lang") == "en").select("text")
-    return dsir_log_ratios(docs, tgt, n=2, n_buckets=500).cache()
+    return dsir_log_ratios(docs, tgt, n=2, n_buckets=500, dense=True).cache()
 
 
 def test_dsir_score_matches_batch_weights(spark, docs, ratios):
@@ -62,12 +62,28 @@ def test_dsir_gate_thresholds(spark, docs, ratios):
 
 
 def test_ratio_array_guard(spark, ratios):
-    with pytest.raises(ValueError, match="outside"):
+    with pytest.raises(ValueError, match="dense"):
         dsir_score(
             spark.createDataFrame([("x",)], "text string"),
             ratios,
             n_buckets=10,  # ratio table was fitted with 500 buckets
         )
+
+
+def test_unseen_buckets_carry_smoothed_prior(spark, docs):
+    # novel-vocabulary text (buckets unseen by either fit corpus) must
+    # score with the smoothed prior, not 0
+    import math
+
+    tgt = docs.where(F.col("lang") == "en").select("text")
+    dense = dsir_log_ratios(docs, tgt, n=2, n_buckets=500, dense=True)
+    novel = spark.createDataFrame(
+        [(1, "zzqx1 zzqx2 zzqx3")], "doc_id long, text string"
+    )
+    w = dsir_score(novel, dense, n=2, n_buckets=500).first().log_weight
+    # prior = ln((a/(n_t + aB)) / (a/(n_r + aB))) = ln((n_r+aB)/(n_t+aB));
+    # the raw corpus is larger than its English slice -> prior > 0
+    assert w > 0.0
 
 
 def test_stream_curate_available_now_equals_batch(
