@@ -58,6 +58,12 @@ from .packing import (
     length_bucketed_batches,
     pack_documents,
 )
+from .mixing import (
+    domain_mixture_sample,
+    interleave_by_weights,
+    mixture_edges,
+    mixture_report,
+)
 from .profile import profile_dataset
 from .pca import train_pca, pca_project, train_opq_rotation
 from .sketch import (
@@ -114,6 +120,10 @@ __all__ = [
     "hll_registers",
     "quantile_sketch",
     "profile_dataset",
+    "domain_mixture_sample",
+    "interleave_by_weights",
+    "mixture_edges",
+    "mixture_report",
     "quantile_estimate",
     "train_pca",
     "train_opq_rotation",

@@ -158,3 +158,79 @@ def mixture_report(
             ).alias("sampled_tokens"),
         )
     )
+
+
+def interleave_by_weights(
+    df: DataFrame,
+    weights: Mapping[str, float],
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    pos_col: str = "mix_pos",
+) -> DataFrame:
+    """Deterministic weighted interleaving order for sequential export
+    (the distributed analogue of ``datasets.interleave_datasets``).
+
+    A training dataloader reading the output sequentially sees domains
+    at their target RATES throughout — not one domain exhausted then
+    the next — because each domain's i-th row gets the virtual position
+    ``(i - 0.5) / weight`` (low-weight domains space out, high-weight
+    domains pack tight) and the frame is ordered by that position.
+    Deterministic: within a domain, rows order by ``id_col``; across
+    domains, position ties break on (domain, id).
+
+    Plan shape: one rank window per domain (single hash exchange on the
+    domain key) + the final range-partitioned ORDER BY — the sort is
+    the point (this is an ordered-export operator; follow with a
+    ``write`` to materialize the curriculum order). Weights need not
+    sum to 1 — only ratios matter.
+
+    Returns the input columns + ``pos_col`` (double), ordered.
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    for d, w in weights.items():
+        if w <= 0:
+            raise ValueError(f"weight for {d!r} must be > 0, got {w}")
+    from pyspark.sql import Window
+
+    wmap = F.create_map(
+        *[x for d, w in sorted(weights.items()) for x in (F.lit(d), F.lit(float(w)))]
+    )
+    rn = F.row_number().over(
+        Window.partitionBy(domain_col).orderBy(id_col)
+    )
+    out = (
+        df.where(F.col(domain_col).isin(list(weights)))
+        .withColumn("__w", wmap[F.col(domain_col)])
+        .withColumn(
+            pos_col, (rn.cast("double") - 0.5) / F.col("__w")
+        )
+        .drop("__w")
+    )
+    return out.orderBy(pos_col, domain_col, id_col)
+
+
+def interleave_sql(
+    weights: Mapping[str, float],
+    from_clause: str,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    pos_col: str = "mix_pos",
+    select_cols: str = "*",
+) -> str:
+    """DuckDB twin of ``interleave_by_weights``."""
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    cases = " ".join(
+        f"WHEN '{d}' THEN {float(w)!r}" for d, w in sorted(weights.items())
+    )
+    doms = ", ".join(f"'{d}'" for d in sorted(weights))
+    return f"""
+SELECT {select_cols},
+       (CAST(row_number() OVER (PARTITION BY {domain_col}
+                                ORDER BY {id_col}) AS DOUBLE) - 0.5)
+       / (CASE {domain_col} {cases} END) AS {pos_col}
+FROM {from_clause}
+WHERE {domain_col} IN ({doms})
+ORDER BY {pos_col}, {domain_col}, {id_col}
+"""

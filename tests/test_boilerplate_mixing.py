@@ -356,3 +356,77 @@ def test_remove_duplicated_spans_consistent_with_profile(spark, corpus):
         else:
             # a run of r positions covers r + k - 1 words
             assert rem[d] >= run + 3 - 1
+
+
+# ---------------------------------------------------------------------------
+# interleave_by_weights
+# ---------------------------------------------------------------------------
+
+
+def test_interleave_rates_hold_in_every_prefix(spark):
+    from pinecone_datasets_spark.operators.mixing import interleave_by_weights
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    w = {"src0": 3.0, "src1": 1.0}
+    out = interleave_by_weights(docs, w).collect()
+    doms = [r.source for r in out]
+    assert set(doms) == {"src0", "src1"}
+    n0, n1 = doms.count("src0"), doms.count("src1")
+    # BEFORE either domain exhausts, every position-window carries the
+    # domains at exactly their rate: up to virtual position P there are
+    # floor(3P + 0.5) src0 rows and floor(P + 0.5) src1 rows
+    safe = min((n0 - 0.5) / 3.0, (n1 - 0.5) / 1.0)
+    for frac in (0.25, 0.5, 1.0):
+        P = safe * frac
+        pre = [r.source for r in out if r.mix_pos <= P]
+        a, b = pre.count("src0"), pre.count("src1")
+        assert a == int(3 * P + 0.5) and b == int(P + 0.5), (P, a, b)
+    # positions are nondecreasing (the output IS the export order)
+    pos = [r.mix_pos for r in out]
+    assert pos == sorted(pos)
+
+
+def test_interleave_deterministic_and_duckdb_twin(spark):
+    import duckdb
+
+    from pinecone_datasets_spark.operators.mixing import (
+        interleave_by_weights,
+        interleave_sql,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    w = {"src2": 2.0, "src5": 1.0, "src7": 0.5}
+    got = [
+        (r.doc_id, r.source, round(r.mix_pos, 9))
+        for r in interleave_by_weights(docs, w).select(
+            "doc_id", "source", "mix_pos"
+        ).collect()
+    ]
+    assert got == [
+        (r.doc_id, r.source, round(r.mix_pos, 9))
+        for r in interleave_by_weights(docs, w).select(
+            "doc_id", "source", "mix_pos"
+        ).collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "'/root/testdata/sf0.001/documents.parquet'"
+    )
+    want = [
+        (r[0], r[1], round(r[2], 9))
+        for r in con.execute(
+            interleave_sql(w, "documents", select_cols="doc_id, source")
+        ).fetchall()
+    ]
+    assert got == want
+
+
+def test_interleave_guards(spark):
+    from pinecone_datasets_spark.operators.mixing import interleave_by_weights
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    with pytest.raises(ValueError):
+        interleave_by_weights(docs, {})
+    with pytest.raises(ValueError):
+        interleave_by_weights(docs, {"src0": 0.0})
