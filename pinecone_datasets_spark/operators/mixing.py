@@ -160,12 +160,24 @@ def mixture_report(
     )
 
 
+def _check_interleave_weights(weights: Mapping[str, float]) -> None:
+    import math
+
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    for d, w in weights.items():
+        if not math.isfinite(w) or w <= 0:
+            raise ValueError(f"weight for {d!r} must be finite and > 0, got {w}")
+
+
 def interleave_by_weights(
     df: DataFrame,
     weights: Mapping[str, float],
     domain_col: str = "source",
     id_col: str = "doc_id",
     pos_col: str = "mix_pos",
+    rank_buckets: int = 64,
+    seed: int = 7,
 ) -> DataFrame:
     """Deterministic weighted interleaving order for sequential export
     (the distributed analogue of ``datasets.interleave_datasets``).
@@ -175,37 +187,62 @@ def interleave_by_weights(
     the next — because each domain's i-th row gets the virtual position
     ``(i - 0.5) / weight`` (low-weight domains space out, high-weight
     domains pack tight) and the frame is ordered by that position.
-    Deterministic: within a domain, rows order by ``id_col``; across
+    Deterministic given unique, non-null ``id_col`` values per domain:
+    within a domain rows order by ``(md5-bucket(id), id)``; across
     domains, position ties break on (domain, id).
 
-    Plan shape: one rank window per domain (single hash exchange on the
-    domain key) + the final range-partitioned ORDER BY — the sort is
-    the point (this is an ordered-export operator; follow with a
-    ``write`` to materialize the curriculum order). Weights need not
-    sum to 1 — only ratios matter.
+    Scale shape: a bare ``row_number() OVER (PARTITION BY domain)``
+    would funnel each domain — possibly 10^10 rows — through ONE task,
+    so the per-domain index is computed two-level instead: rows land in
+    ``rank_buckets`` portable md5 buckets of ``id_col``; a tiny
+    (|domains| x buckets) count aggregate yields each bucket's starting
+    offset (map-side combinable, broadcast back); the rank window then
+    partitions by ``(domain, bucket)`` — parallelism multiplies by
+    ``rank_buckets`` and per-partition row counts stay within int32.
+    Raise ``rank_buckets`` (cores x a few) for wide clusters; the
+    output order is bucket-count-invariant ONLY in its per-domain
+    position multiset, not the row-to-position mapping, so pin it for
+    reproducible exports. The final ORDER BY is the point (this is an
+    ordered-export operator; follow with a ``write`` to materialize
+    the curriculum order). Weights need not sum to 1 — only ratios
+    matter.
 
     Returns the input columns + ``pos_col`` (double), ordered.
     """
-    if not weights:
-        raise ValueError("weights must be non-empty")
-    for d, w in weights.items():
-        if w <= 0:
-            raise ValueError(f"weight for {d!r} must be > 0, got {w}")
+    _check_interleave_weights(weights)
     from pyspark.sql import Window
 
     wmap = F.create_map(
         *[x for d, w in sorted(weights.items()) for x in (F.lit(d), F.lit(float(w)))]
     )
+    base = (
+        df.where(F.col(domain_col).isin(list(weights)))
+        .withColumn(
+            "__mb", split_bucket(F.col(id_col), seed=seed, buckets=rank_buckets)
+        )
+    )
+    counts = base.groupBy(domain_col, "__mb").agg(F.count(F.lit(1)).alias("__n"))
+    off_win = (
+        Window.partitionBy(domain_col)
+        .orderBy("__mb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        domain_col,
+        "__mb",
+        F.coalesce(F.sum("__n").over(off_win), F.lit(0)).cast("long").alias("__off"),
+    )
     rn = F.row_number().over(
-        Window.partitionBy(domain_col).orderBy(id_col)
+        Window.partitionBy(domain_col, "__mb").orderBy(id_col)
     )
     out = (
-        df.where(F.col(domain_col).isin(list(weights)))
+        base.join(F.broadcast(offsets), [domain_col, "__mb"])
         .withColumn("__w", wmap[F.col(domain_col)])
         .withColumn(
-            pos_col, (rn.cast("double") - 0.5) / F.col("__w")
+            pos_col,
+            ((F.col("__off") + rn).cast("double") - 0.5) / F.col("__w"),
         )
-        .drop("__w")
+        .drop("__w", "__off", "__mb")
     )
     return out.orderBy(pos_col, domain_col, id_col)
 
@@ -217,18 +254,28 @@ def interleave_sql(
     id_col: str = "doc_id",
     pos_col: str = "mix_pos",
     select_cols: str = "*",
+    rank_buckets: int = 64,
+    seed: int = 7,
 ) -> str:
-    """DuckDB twin of ``interleave_by_weights``."""
-    if not weights:
-        raise ValueError("weights must be non-empty")
+    """DuckDB twin of ``interleave_by_weights`` (same guards, same
+    bucketed within-domain order, quote-escaped domain literals)."""
+    _check_interleave_weights(weights)
+
+    def esc(d: str) -> str:
+        return d.replace("'", "''")
+
     cases = " ".join(
-        f"WHEN '{d}' THEN {float(w)!r}" for d, w in sorted(weights.items())
+        f"WHEN '{esc(d)}' THEN {float(w)!r}" for d, w in sorted(weights.items())
     )
-    doms = ", ".join(f"'{d}'" for d in sorted(weights))
+    doms = ", ".join(f"'{esc(d)}'" for d in sorted(weights))
+    bucket = (
+        f"(CAST('0x' || substr(md5('{seed}|' || CAST({id_col} AS VARCHAR)), 1, 8)"
+        f" AS BIGINT) % {rank_buckets})"
+    )
     return f"""
 SELECT {select_cols},
        (CAST(row_number() OVER (PARTITION BY {domain_col}
-                                ORDER BY {id_col}) AS DOUBLE) - 0.5)
+                                ORDER BY {bucket}, {id_col}) AS DOUBLE) - 0.5)
        / (CASE {domain_col} {cases} END) AS {pos_col}
 FROM {from_clause}
 WHERE {domain_col} IN ({doms})

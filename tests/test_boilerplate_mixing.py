@@ -375,8 +375,11 @@ def test_interleave_rates_hold_in_every_prefix(spark):
     # BEFORE either domain exhausts, every position-window carries the
     # domains at exactly their rate: up to virtual position P there are
     # floor(3P + 0.5) src0 rows and floor(P + 0.5) src1 rows
+    # probe strictly inside the last position — frac=1.0 would sit
+    # exactly on a row's position where one ULP of the /3.0 division
+    # flips the truncated expected count
     safe = min((n0 - 0.5) / 3.0, (n1 - 0.5) / 1.0)
-    for frac in (0.25, 0.5, 1.0):
+    for frac in (0.25, 0.5, 0.95):
         P = safe * frac
         pre = [r.source for r in out if r.mix_pos <= P]
         a, b = pre.count("src0"), pre.count("src1")
@@ -423,10 +426,48 @@ def test_interleave_deterministic_and_duckdb_twin(spark):
 
 
 def test_interleave_guards(spark):
-    from pinecone_datasets_spark.operators.mixing import interleave_by_weights
+    from pinecone_datasets_spark.operators.mixing import (
+        interleave_by_weights,
+        interleave_sql,
+    )
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     with pytest.raises(ValueError):
         interleave_by_weights(docs, {})
     with pytest.raises(ValueError):
         interleave_by_weights(docs, {"src0": 0.0})
+    # the SQL twin enforces the SAME guards (w > 0, finite, non-empty)
+    with pytest.raises(ValueError):
+        interleave_sql({}, "documents")
+    with pytest.raises(ValueError):
+        interleave_sql({"src0": 0.0}, "documents")
+    with pytest.raises(ValueError):
+        interleave_sql({"src0": float("nan")}, "documents")
+    with pytest.raises(ValueError):
+        interleave_by_weights(docs, {"src0": float("inf")})
+
+
+def test_interleave_sql_escapes_quotes():
+    from pinecone_datasets_spark.operators.mixing import interleave_sql
+
+    sql = interleave_sql({"o'reilly": 1.0}, "documents")
+    assert "'o''reilly'" in sql and "'o'reilly'" not in sql
+
+
+def test_interleave_rank_window_is_bucketed(spark):
+    """Scale shape: the rank window partitions by (domain, bucket), not
+    the bare low-cardinality domain column — each domain's rows spread
+    over rank_buckets window partitions."""
+    from pinecone_datasets_spark.operators.mixing import interleave_by_weights
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = interleave_by_weights(docs, {"src0": 2.0, "src1": 1.0})
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    wins = [ln for ln in plan.splitlines() if "row_number()" in ln]
+    assert wins, plan
+    # the row_number window spec must carry BOTH partition keys
+    assert any(
+        "source" in ln and "__mb" in ln for ln in wins
+    ), "\n".join(wins)
