@@ -2659,7 +2659,10 @@ def q17_q21_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     + embedding cosine via LSH candidates (q21) + SemDeDup-style
     semantic dedup over portable sign-projection cells ('semantic' =
     same-cell pairs at cosine ≥ 0.95, 'sem_keep' = survivors of the
-    smaller-id anti-join keep rule), tagged."""
+    smaller-id anti-join keep rule) + ED-Join Levenshtein ('edit')
+    + the pigeonhole-complete Hamming band join over portable 52-bit
+    hashes ('hamming', operators/phash.py — recall 1.0 by construction,
+    so the brute-force SQL twin is the exact contract), tagged."""
     from pinecone_datasets_spark.operators.semdedup import (
         semantic_dedup_pairs,
     )
@@ -2726,11 +2729,44 @@ def q17_q21_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         _nl("long").alias("n_common"),
         F.col("distance").cast("double").alias("sim"),
     )
+    # 'hamming' part: the pigeonhole-complete Hamming band join
+    # (operators/phash.py — the image-dedup join, here over portable
+    # 52-bit md5 text hashes with planted 3-bit-flip variants). The
+    # brute-force SQL twin is the exact contract BECAUSE the band
+    # join's recall is 1.0 by construction.
+    from pinecone_datasets_spark.operators.phash import (
+        hamming_neardup_pairs,
+    )
+
+    hhash = F.conv(F.substring(F.md5(F.col("text")), 1, 13), 16, 10).cast(
+        "long"
+    )
+    hbase = docs.where(F.col("text").isNotNull()).select(
+        "doc_id", hhash.alias("phash")
+    )
+    hflip = (1 << 3) | (1 << 17) | (1 << 29)
+    hcorp = hbase.unionByName(
+        hbase.where(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 4000000).alias("doc_id"),
+            F.col("phash").bitwiseXOR(F.lit(hflip)).alias("phash"),
+        )
+    )
+    ham = hamming_neardup_pairs(
+        hcorp, max_hamming=4, id_col="doc_id", hash_col="phash",
+        hash_bits=52,
+    ).select(
+        F.lit("hamming").alias("part"),
+        F.col("id_a"),
+        F.col("id_b"),
+        _nl("long").alias("n_common"),
+        F.col("hamming").cast("double").alias("sim"),
+    )
     return (
         jac.unionByName(cos)
         .unionByName(sem)
         .unionByName(keep)
         .unionByName(edit)
+        .unionByName(ham)
         .orderBy("part", "id_a", "id_b")
     )
 
@@ -5645,6 +5681,23 @@ edit AS (
     ON a.doc_id < b.doc_id
    AND abs(length(a.s) - length(b.s)) <= 4
   WHERE levenshtein(a.s, b.s) <= 4
+),
+hbase AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(text), 1, 13))::BIGINT AS phash
+  FROM documents WHERE text IS NOT NULL
+),
+hcorp AS (
+  SELECT * FROM hbase
+  UNION ALL
+  SELECT doc_id + 4000000, xor(phash, 537001992::BIGINT)
+  FROM hbase WHERE doc_id % 10 = 0
+),
+ham AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         bit_count(xor(a.phash, b.phash))::DOUBLE AS dist
+  FROM hcorp a JOIN hcorp b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.phash, b.phash)) <= 4
 )
 SELECT 'jaccard' AS part, id_a, id_b, n_common, jaccard AS sim FROM jac
 UNION ALL
@@ -5657,6 +5710,8 @@ SELECT 'sem_keep', vec_id, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
 FROM semk
 UNION ALL
 SELECT 'edit', id_a, id_b, CAST(NULL AS BIGINT), dist FROM edit
+UNION ALL
+SELECT 'hamming', id_a, id_b, CAST(NULL AS BIGINT), dist FROM ham
 ORDER BY part, id_a, id_b
 """
     out["q19_q20_topk_metrics"] = f"""

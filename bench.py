@@ -143,6 +143,63 @@ def main() -> None:
         media = docs.select("doc_id").mapInPandas(make_png, MEDIA_SCHEMA)
         return extract_image_features(media, feature_dim=16)
 
+    def bench_image_phash_dedup():
+        # image near-dup end-to-end: synthesize PNGs where every
+        # doc_id % 10 == 0 gets a near-identical twin (tiny corner
+        # perturbation), perceptual-hash all of them (real decode),
+        # pigeonhole Hamming band join at radius 6
+        import numpy as np
+        import pandas as pd
+
+        from pinecone_datasets_spark.operators.media_codecs import encode_png
+        from pinecone_datasets_spark.operators.multimodal import MEDIA_SCHEMA
+        from pinecone_datasets_spark.operators.phash import (
+            image_neardup_pairs,
+        )
+        from pinecone_datasets_spark.shipping import ensure_shipped
+
+        ensure_shipped(spark)
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+        def make_png_with_twins(batches):
+            for pdf in batches:
+                ids, content = [], []
+                for did in pdf["doc_id"]:
+                    rng = np.random.default_rng(int(did) & 0xFFFFFFFF)
+                    # blocky random pattern: distinct images land ~32
+                    # bits apart (smooth gradients collapse to near-
+                    # identical gradient-sign hashes — measured 150k
+                    # spurious pairs at 550 images)
+                    block = rng.integers(0, 256, (8, 8)).astype(np.uint8)
+                    gray = np.repeat(np.repeat(block, 4, 0), 4, 1)
+                    px = np.stack([gray] * 3, axis=2)
+                    ids.append(str(did))
+                    content.append(encode_png(px))
+                    if int(did) % 10 == 0:
+                        tw = px.copy()
+                        tw[:2, :2, :] = np.minimum(
+                            tw[:2, :2, :].astype(np.int32) + 12, 255
+                        ).astype(np.uint8)
+                        ids.append(f"{did}_twin")
+                        content.append(encode_png(tw))
+                n = len(ids)
+                yield pd.DataFrame(
+                    {
+                        "media_id": ids,
+                        "media_type": "image",
+                        "content": content,
+                        "width": pd.array([None] * n, dtype="Int32"),
+                        "height": pd.array([None] * n, dtype="Int32"),
+                        "duration_ms": pd.array([None] * n, dtype="Int64"),
+                        "format": "png",
+                    }
+                )
+
+        media = docs.select("doc_id").mapInPandas(
+            make_png_with_twins, MEDIA_SCHEMA
+        )
+        return image_neardup_pairs(media, max_hamming=6)
+
     def bench_substr_spans():
         # exact repeated-substring removal (Lee et al. ExactSubstr,
         # window-hash formulation): position-hash explode -> global
@@ -675,6 +732,7 @@ def main() -> None:
         "ann_lsh_100q": bench_ann_lsh,
         "q09_docs_conform": lambda: em.q09_docs_conform(spark, SF_DIR),
         "multimodal_decode": bench_multimodal_decode,
+        "image_phash_dedup": bench_image_phash_dedup,
         "decontaminate_3gram": lambda: em.q48_decontaminate(spark, SF_DIR),
         # q49's entry now unions packing + bucketed batches + RAG
         # chunks; bench the layouts separately so each series stays

@@ -63,6 +63,12 @@ from .mixing import (
     interleave_by_weights,
     mixture_edges,
     mixture_report,
+    write_curriculum,
+)
+from .phash import (
+    hamming_neardup_pairs,
+    image_neardup_pairs,
+    image_phash,
 )
 from .profile import profile_dataset
 from .pca import train_pca, pca_project, train_opq_rotation
@@ -121,9 +127,13 @@ __all__ = [
     "quantile_sketch",
     "profile_dataset",
     "domain_mixture_sample",
+    "hamming_neardup_pairs",
+    "image_neardup_pairs",
+    "image_phash",
     "interleave_by_weights",
     "mixture_edges",
     "mixture_report",
+    "write_curriculum",
     "quantile_estimate",
     "train_pca",
     "train_opq_rotation",

@@ -24,7 +24,7 @@ domain: raising the budget only ever *adds* rows.
 
 from __future__ import annotations
 
-from typing import Mapping
+from typing import Mapping, Optional
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -245,6 +245,79 @@ def interleave_by_weights(
         .drop("__w", "__off", "__mb")
     )
     return out.orderBy(pos_col, domain_col, id_col)
+
+
+def write_curriculum(
+    df: DataFrame,
+    path: str,
+    pos_col: str = "mix_pos",
+    num_files: Optional[int] = None,
+) -> list[dict]:
+    """Materialize an ordered curriculum (e.g. ``interleave_by_weights``
+    output) as range-partitioned parquet + a ``manifest.json`` naming
+    the files in global position order.
+
+    Spark's writer gives no cross-file ordering contract by itself; a
+    sequential dataloader needs one. ``repartitionByRange(pos)`` makes
+    file position ranges DISJOINT, ``sortWithinPartitions`` orders
+    inside each file, and the manifest (file → min/max position + row
+    count, sorted by min) is derived from one small aggregate over the
+    written data's ``_metadata.file_path`` hidden column — no driver
+    pass over rows. Reading the files in manifest order replays the
+    exact global order.
+
+    Scale shape: one range exchange (sampling pass + shuffle — the
+    inherent cost of a total order) and one file-grained aggregate of
+    the written output (rows = file count). Returns the manifest
+    (list of ``{file, rows, pos_min, pos_max}``).
+    """
+    import json as _json
+    import os as _os
+
+    from ..fs import is_local, normalize_uri
+
+    if not is_local(normalize_uri(path)):
+        # The parquet write itself is connector-agnostic; only the
+        # manifest sidecar uses a posix open() (same policy as
+        # compact_parquet_dir's rename-swap).
+        raise NotImplementedError(
+            "write_curriculum: manifest sidecar requires a local/posix "
+            "path in this environment"
+        )
+    spark = df.sparkSession
+    if num_files is None:
+        num_files = max(int(spark.sparkContext.defaultParallelism), 1)
+    (
+        df.repartitionByRange(num_files, F.col(pos_col))
+        .sortWithinPartitions(pos_col)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    files = (
+        back.groupBy(F.col("_metadata.file_path").alias("file"))
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.min(pos_col).alias("pos_min"),
+            F.max(pos_col).alias("pos_max"),
+        )
+        .orderBy("pos_min")
+        .collect()
+    )
+    manifest = [
+        {
+            "file": _os.path.basename(r["file"]),
+            "rows": int(r["rows"]),
+            "pos_min": float(r["pos_min"]),
+            "pos_max": float(r["pos_max"]),
+        }
+        for r in files
+    ]
+    with open(
+        _os.path.join(path.removeprefix("file:"), "manifest.json"), "w"
+    ) as f:
+        _json.dump(manifest, f, indent=1)
+    return manifest
 
 
 def interleave_sql(

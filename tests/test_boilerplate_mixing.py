@@ -454,6 +454,43 @@ def test_interleave_sql_escapes_quotes():
     assert "'o''reilly'" in sql and "'o'reilly'" not in sql
 
 
+def test_write_curriculum_manifest_order(spark, tmp_path):
+    """Reading the written files in manifest order replays the exact
+    global curriculum order: disjoint-ish ranges, nondecreasing concat."""
+    import pyarrow.parquet as pq
+
+    from pinecone_datasets_spark.operators.mixing import (
+        interleave_by_weights,
+        write_curriculum,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = interleave_by_weights(docs, {"src0": 3.0, "src1": 1.0})
+    path = str(tmp_path / "curriculum")
+    manifest = write_curriculum(out, path, num_files=4)
+    assert 1 <= len(manifest) <= 4
+    assert sum(m["rows"] for m in manifest) == out.count()
+    # ranges ordered by pos_min and non-inverted within each file
+    mins = [m["pos_min"] for m in manifest]
+    assert mins == sorted(mins)
+    for m in manifest:
+        assert m["pos_min"] <= m["pos_max"]
+    # concatenating files in manifest order yields nondecreasing pos
+    seq = []
+    for m in manifest:
+        seq.extend(
+            pq.read_table(f"{path}/{m['file']}", columns=["mix_pos"])
+            .column("mix_pos")
+            .to_pylist()
+        )
+    assert seq == sorted(seq)
+    # manifest.json landed next to the data
+    import json
+
+    with open(f"{path}/manifest.json") as f:
+        assert json.load(f) == manifest
+
+
 def test_interleave_rank_window_is_bucketed(spark):
     """Scale shape: the rank window partitions by (domain, bucket), not
     the bare low-cardinality domain column — each domain's rows spread

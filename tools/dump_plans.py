@@ -37,6 +37,8 @@ HEADLINE = [
     ("jsonl_ingest", "JSONL ingest: one text scan, good/quarantine projections"),
     ("mg_heavy_hitters", "heavy hitters: bounded per-partition summaries"),
     ("hamming_topk", "1-bit sign codes: all-codegen XOR/popcount + exact re-rank"),
+    ("phash_hamming_join",
+     "pigeonhole Hamming join: band-triple shuffle, codegen bit_count verify"),
     ("cm_freq", "Count-Min: bounded-key groupBy, broadcast sketch probe"),
     ("pca_project", "PCA projection: map-only Arrow matmul, no shuffle"),
     ("q81_repeated_spans",
@@ -234,7 +236,24 @@ def _extra_builders(spark, sf_dir):
         )
         return minhash_index_neardup(spark, path, batch, threshold=0.5)
 
+    def phash_hamming_join(spark, sf_dir):
+        from pinecone_datasets_spark.operators.phash import (
+            hamming_neardup_pairs,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        hashes = docs.select(
+            "doc_id",
+            F.conv(F.substring(F.md5("text"), 1, 13), 16, 10)
+            .cast("long")
+            .alias("phash"),
+        )
+        return hamming_neardup_pairs(
+            hashes, max_hamming=4, id_col="doc_id", hash_bits=52
+        )
+
     return {
+        "phash_hamming_join": phash_hamming_join,
         "cm_freq": cm_freq,
         "pca_project": pca_project,
         "lsh_probe": lsh_probe,
