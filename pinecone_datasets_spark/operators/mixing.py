@@ -187,9 +187,11 @@ def interleave_by_weights(
     the next — because each domain's i-th row gets the virtual position
     ``(i - 0.5) / weight`` (low-weight domains space out, high-weight
     domains pack tight) and the frame is ordered by that position.
-    Deterministic given unique, non-null ``id_col`` values per domain:
-    within a domain rows order by ``(md5-bucket(id), id)``; across
-    domains, position ties break on (domain, id).
+    Deterministic given unique ``id_col`` values per domain: within a
+    domain rows order by ``(md5-bucket(id), id)``; across domains,
+    position ties break on (domain, id). NULL ids raise at execution
+    time (they have no deterministic order and would otherwise be
+    silently dropped by the bucket-offset join).
 
     Scale shape: a bare ``row_number() OVER (PARTITION BY domain)``
     would funnel each domain — possibly 10^10 rows — through ONE task,
@@ -215,10 +217,26 @@ def interleave_by_weights(
     wmap = F.create_map(
         *[x for d, w in sorted(weights.items()) for x in (F.lit(d), F.lit(float(w)))]
     )
+    # Fail fast on NULL ids instead of silently dropping them: a NULL id
+    # yields a NULL md5 bucket, which the offsets equi-join would never
+    # match — the row would vanish from the export with no error (and
+    # the DuckDB twin, which keeps such rows, would diverge). NULL ids
+    # also have no deterministic order among themselves, so the only
+    # honest behavior is to reject them (map-side, no extra pass).
+    checked_id = F.when(
+        F.col(id_col).isNotNull(), F.col(id_col)
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                f"interleave_by_weights: NULL {id_col!r} — ids must be "
+                "unique and non-null for a deterministic order"
+            )
+        )
+    )
     base = (
         df.where(F.col(domain_col).isin(list(weights)))
         .withColumn(
-            "__mb", split_bucket(F.col(id_col), seed=seed, buckets=rank_buckets)
+            "__mb", split_bucket(checked_id, seed=seed, buckets=rank_buckets)
         )
     )
     counts = base.groupBy(domain_col, "__mb").agg(F.count(F.lit(1)).alias("__n"))
@@ -252,19 +270,29 @@ def write_curriculum(
     path: str,
     pos_col: str = "mix_pos",
     num_files: Optional[int] = None,
+    tiebreak_cols: tuple[str, ...] = ("source", "doc_id"),
 ) -> list[dict]:
     """Materialize an ordered curriculum (e.g. ``interleave_by_weights``
     output) as range-partitioned parquet + a ``manifest.json`` naming
     the files in global position order.
 
     Spark's writer gives no cross-file ordering contract by itself; a
-    sequential dataloader needs one. ``repartitionByRange(pos)`` makes
-    file position ranges DISJOINT, ``sortWithinPartitions`` orders
+    sequential dataloader needs one. ``repartitionByRange(pos, ties...)``
+    makes file position ranges DISJOINT, ``sortWithinPartitions`` orders
     inside each file, and the manifest (file → min/max position + row
     count, sorted by min) is derived from one small aggregate over the
     written data's ``_metadata.file_path`` hidden column — no driver
     pass over rows. Reading the files in manifest order replays the
     exact global order.
+
+    ``tiebreak_cols`` must match the interleave's tie-break order
+    (default: ``interleave_by_weights``'s ``(domain, id)``): positions
+    TIE whenever ``i/w_a == j/w_b`` (e.g. integer weight ratios), and a
+    range shuffle keyed on ``pos_col`` alone would leave tied rows in
+    shuffle-dependent order — same convention as ``packing.py``, which
+    carries its tie-breaks through both the range partitioning and the
+    within-file sort. Columns absent from ``df`` are skipped (not every
+    ordered frame has them).
 
     Scale shape: one range exchange (sampling pass + shuffle — the
     inherent cost of a total order) and one file-grained aggregate of
@@ -287,9 +315,12 @@ def write_curriculum(
     spark = df.sparkSession
     if num_files is None:
         num_files = max(int(spark.sparkContext.defaultParallelism), 1)
+    order_cols = [pos_col] + [
+        c for c in tiebreak_cols if c in df.columns and c != pos_col
+    ]
     (
-        df.repartitionByRange(num_files, F.col(pos_col))
-        .sortWithinPartitions(pos_col)
+        df.repartitionByRange(num_files, *[F.col(c) for c in order_cols])
+        .sortWithinPartitions(*order_cols)
         .write.mode("overwrite")
         .parquet(path)
     )
@@ -331,7 +362,9 @@ def interleave_sql(
     seed: int = 7,
 ) -> str:
     """DuckDB twin of ``interleave_by_weights`` (same guards, same
-    bucketed within-domain order, quote-escaped domain literals)."""
+    bucketed within-domain order, quote-escaped domain literals).
+    Twin equivalence assumes non-null ids — the Spark side raises on
+    NULL ``id_col``; plain SQL would keep such rows."""
     _check_interleave_weights(weights)
 
     def esc(d: str) -> str:

@@ -18,6 +18,8 @@ plumbing tests and cross-format benchmarks.
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from typing import Iterator
 
 import numpy as np
@@ -205,7 +207,8 @@ def extract_image_features(
                         hs.append(img.shape[0])
                         lumas.append(float(luma.mean()))
                         feats.append(luma_histogram(luma, feature_dim))
-                    except (UnsupportedMediaError, IndexError, ValueError):
+                    except (UnsupportedMediaError, IndexError, ValueError,
+                            struct.error, zlib.error):
                         ws.append(None)
                         hs.append(None)
                         lumas.append(None)
@@ -244,7 +247,8 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
                     rmss.append(float(np.sqrt(np.mean(samples**2))))
                     zc = np.mean(np.abs(np.diff(np.signbit(samples))))
                     zcrs.append(float(zc))
-                except (UnsupportedMediaError, IndexError, ValueError):
+                except (UnsupportedMediaError, IndexError, ValueError,
+                        struct.error, zlib.error):
                     rates.append(None)
                     durs.append(None)
                     rmss.append(None)
@@ -342,7 +346,8 @@ def audio_spectral_features(
                     out["rolloff_hz"].append(
                         float(freqs[1:][min(ridx, len(freqs) - 2)])
                     )
-                except (UnsupportedMediaError, IndexError, ValueError):
+                except (UnsupportedMediaError, IndexError, ValueError,
+                        struct.error, zlib.error):
                     out["n_frames"].append(None)
                     out["band_energy"].append(None)
                     out["spectral_centroid_hz"].append(None)

@@ -30,6 +30,8 @@ Scale shapes:
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from typing import Iterator, Optional
 
 import numpy as np
@@ -149,13 +151,24 @@ def image_phash(
                     ws.append(img.shape[1])
                     hs.append(img.shape[0])
                     vals.append(hash_fn(luma))
-                except (UnsupportedMediaError, IndexError, ValueError):
+                except (
+                    UnsupportedMediaError,
+                    IndexError,
+                    ValueError,
+                    struct.error,
+                    zlib.error,
+                ):
+                    # struct/zlib cover corrupt-but-PNG-magic payloads
+                    # (truncated IHDR, bad IDAT stream) — web-scraped
+                    # corpora hit these; the contract is NULL, not a
+                    # failed job.
                     ws.append(None)
                     hs.append(None)
                     vals.append(None)
             yield pd.DataFrame(
                 {
-                    "media_id": pdf[id_col],
+                    # the select below already aliased id_col to media_id
+                    "media_id": pdf["media_id"],
                     "width": pd.array(ws, dtype="Int32"),
                     "height": pd.array(hs, dtype="Int32"),
                     "phash": pd.array(vals, dtype="Int64"),

@@ -508,3 +508,52 @@ def test_interleave_rank_window_is_bucketed(spark):
     assert any(
         "source" in ln and "__mb" in ln for ln in wins
     ), "\n".join(wins)
+
+
+def test_interleave_null_id_raises(spark):
+    """NULL ids must fail loudly — a NULL md5 bucket would silently
+    vanish at the offsets equi-join (and diverge from the SQL twin)."""
+    from pinecone_datasets_spark.operators.mixing import interleave_by_weights
+
+    docs = spark.createDataFrame(
+        [("a", "src0"), (None, "src0"), ("b", "src1")],
+        "doc_id string, source string",
+    )
+    with pytest.raises(Exception) as exc:
+        interleave_by_weights(docs, {"src0": 1.0, "src1": 1.0}).collect()
+    assert "non-null" in str(exc.value)
+
+
+def test_write_curriculum_tied_positions_deterministic(spark, tmp_path):
+    """Integer weight ratios make positions tie ((i-.5)/3 == (j-.5)/1);
+    the written order must still be the interleave's (pos, domain, id)
+    order, not shuffle luck."""
+    import pyarrow.parquet as pq
+
+    from pinecone_datasets_spark.operators.mixing import (
+        interleave_by_weights,
+        write_curriculum,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = interleave_by_weights(docs, {"src0": 3.0, "src1": 1.0})
+    want = [
+        (round(r.mix_pos, 9), r.source, r.doc_id)
+        for r in out.select("mix_pos", "source", "doc_id").collect()
+    ]
+    assert len({w[0] for w in want}) < len(want), "fixture must have ties"
+    path = str(tmp_path / "curriculum_tied")
+    manifest = write_curriculum(out, path, num_files=5)
+    got = []
+    for m in manifest:
+        t = pq.read_table(
+            f"{path}/{m['file']}", columns=["mix_pos", "source", "doc_id"]
+        )
+        got.extend(
+            zip(
+                [round(p, 9) for p in t.column("mix_pos").to_pylist()],
+                t.column("source").to_pylist(),
+                t.column("doc_id").to_pylist(),
+            )
+        )
+    assert got == want

@@ -183,3 +183,36 @@ def test_image_phash_fake_plumbing(spark):
     assert out["a"] == out["b"] != out["c"]
     with pytest.raises(ValueError):
         image_phash(media, method="md5")
+
+
+def test_image_phash_non_default_id_col(spark):
+    """Regression: the kernel must read the post-select alias, not the
+    caller's id_col name (pdf[id_col] KeyError'd inside the worker)."""
+    base = (_grad_image(16, 16) % 200).astype(np.uint8).astype(float)
+    rows = [("d1", bytearray(_png_bytes(base)))]
+    media = spark.createDataFrame(rows, "doc_id string, content binary")
+    out = image_phash(media, id_col="doc_id").collect()
+    assert [r.media_id for r in out] == ["d1"]
+    assert out[0].phash is not None
+    # and through the pair join, which forwards id_col
+    pairs = image_neardup_pairs(media, id_col="doc_id")
+    assert pairs.count() == 0  # single image, no pairs — but no crash
+
+
+def test_image_phash_corrupt_png_magic_yields_null(spark):
+    """Bytes with a valid PNG magic but corrupt innards (truncated IHDR
+    -> struct.error, bad IDAT -> zlib.error) yield NULL, not a failed
+    job."""
+    magic = b"\x89PNG\r\n\x1a\n"
+    base = (_grad_image(16, 16) % 200).astype(np.uint8).astype(float)
+    good = _png_bytes(base)
+    rows = [
+        ("trunc_hdr", bytearray(magic + b"\x00\x00\x00\x0dIHDR\x01")),
+        ("bad_idat", bytearray(good[:40] + b"\xff" * 20)),
+        ("ok", bytearray(good)),
+    ]
+    media = spark.createDataFrame(rows, "media_id string, content binary")
+    out = {r.media_id: r.phash for r in image_phash(media).collect()}
+    assert out["trunc_hdr"] is None
+    assert out["bad_idat"] is None
+    assert out["ok"] is not None
