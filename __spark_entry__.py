@@ -921,6 +921,34 @@ def q41_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# planted prefix/suffix for q91: decomposed accents (e + U+0301), a C0
+# control char, and whitespace runs — the fixture text is clean ASCII,
+# so the scrub must be exercised synthetically (same trick as q41)
+_Q91_PRE = "  Café \x01ctrl\t"
+_Q91_SUF = "  tail é  "
+
+
+def q91_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode ingest scrub (functions/text.py:clean_text = NFC compose +
+    control-char strip + ASCII-whitespace collapse, Arrow-batched NFC,
+    regex stages codegen'd): plants dirty unicode per doc, cleans, and
+    emits the cleaned text's md5 + chars removed. The DuckDB twin
+    replays with nfc_normalize + the SAME regex patterns
+    (clean_text_sql keeps the dialect-parity contract in one place)."""
+    from pinecone_datasets_spark.functions.text import clean_text
+
+    doc = _t(spark, sf_dir, "documents")
+    planted = F.concat(F.lit(_Q91_PRE), F.col("text"), F.lit(_Q91_SUF))
+    cleaned = clean_text(planted)
+    return doc.select(
+        "doc_id",
+        F.md5(cleaned).alias("clean_fp"),
+        (F.length(planted) - F.length(cleaned)).alias(
+            "clean_chars_removed"
+        ),
+    ).orderBy("doc_id")
+
+
 def q42_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash candidate pairs → connected components → one cluster id
     per doc (operators/cluster.py: iterative min-label propagation;
@@ -1073,7 +1101,13 @@ def q48_q81_decontam_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merged corpus-hygiene entry, tagged: 'contam' = benchmark
     decontamination stats (q48), 'spans' = exact repeated-substring
     extents (q81), 'strip' = the span-removal rewrite with cleaned-text
-    fingerprints (q82)."""
+    fingerprints (q82), 'semantic' = embedding-space contamination vs a
+    held-out benchmark split (max cosine + hit count via the map-only
+    broadcast-GEMM kernel, operators/decontaminate.py
+    semantic_contamination; float64 both twins)."""
+    from pinecone_datasets_spark.operators.decontaminate import (
+        semantic_contamination,
+    )
     from pinecone_datasets_spark.operators.spans import (
         repeated_spans,
         strip_repeated_spans,
@@ -1115,9 +1149,22 @@ def q48_q81_decontam_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tokens_removed").cast("double").alias("c2"),
         F.col("clean_fp").cast("double").alias("c3"),
     )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    sem = semantic_contamination(
+        emb.where(F.col("vec_id") % 97 != 0),
+        emb.where(F.col("vec_id") % 97 == 0),
+        threshold=0.3,
+    ).select(
+        F.lit("semantic").alias("part"),
+        F.col("vec_id").alias("doc_id"),
+        F.round("max_cos", 6).alias("c1"),
+        F.col("n_bench_ge").cast("double").alias("c2"),
+        F.col("is_contaminated").cast("double").alias("c3"),
+    )
     return (
         contam.unionByName(spans)
         .unionByName(strip)
+        .unionByName(sem)
         .orderBy("part", "doc_id", "c1")
     )
 
@@ -2593,8 +2640,9 @@ def q77_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q13_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc text profile: q13 stats + q29 lang-ID + q30 quality + q40
     repetition + q41 PII redaction + q75 boilerplate score + q77
-    duplicated-span profile, one row per document (joined on doc_id; all
-    but the boilerplate/span DF-counts are map-only built-in
+    duplicated-span profile + q91 unicode scrub fingerprints, one row
+    per document (joined on doc_id; all but the boilerplate/span
+    DF-counts and the Arrow NFC stage are map-only built-in
     expressions)."""
     out = (
         q13_text_stats(spark, sf_dir)
@@ -2604,6 +2652,7 @@ def q13_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(q41_pii_redact(spark, sf_dir), "doc_id")
         .join(q75_boilerplate(spark, sf_dir), "doc_id")
         .join(q77_dup_spans(spark, sf_dir), "doc_id")
+        .join(q91_clean_text(spark, sf_dir), "doc_id")
     )
     return out.orderBy("doc_id")
 
@@ -5446,6 +5495,19 @@ strip AS (
                        coalesce(cps, []::BIGINT[]), i)) AS kept,
          len(words) AS n_words
   FROM wrd LEFT JOIN cvl USING (doc_id)
+),
+sem AS (
+  SELECT e.vec_id AS doc_id,
+         round(max(list_cosine_similarity(
+           CAST(e.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])
+         )), 6) AS mc,
+         sum(CASE WHEN list_cosine_similarity(
+           CAST(e.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])
+         ) >= 0.3 THEN 1 ELSE 0 END)::BIGINT AS ng
+  FROM embeddings e,
+       (SELECT embedding FROM embeddings WHERE vec_id % 97 = 0) b
+  WHERE e.vec_id % 97 <> 0
+  GROUP BY e.vec_id
 )
 SELECT 'contam' AS part, doc_id,
        CAST(n_doc_ngrams AS DOUBLE) AS c1,
@@ -5462,6 +5524,10 @@ SELECT 'strip', doc_id, CAST(len(kept) AS DOUBLE),
        CAST(('0x' || substr(md5(coalesce(array_to_string(kept, ' '), '')),
                             1, 8))::BIGINT AS DOUBLE)
 FROM strip
+UNION ALL
+SELECT 'semantic', doc_id, mc, CAST(ng AS DOUBLE),
+       CAST(CASE WHEN ng > 0 THEN 1 ELSE 0 END AS DOUBLE)
+FROM sem
 ORDER BY part, doc_id, c1
 """
     out["q03_q60_semi_anti"] = f"""
@@ -5519,8 +5585,18 @@ UNION ALL
 SELECT 'in_or', doc_id, lang FROM c
 ORDER BY part, doc_id
 """
+    from pinecone_datasets_spark.functions.text import clean_text_sql
+
+    _clean91 = clean_text_sql("t")
+    _s91 = f"""
+  SELECT doc_id, md5({_clean91}) AS clean_fp,
+         (length(t) - length({_clean91})) AS clean_chars_removed
+  FROM (SELECT doc_id, '{_Q91_PRE}' || text || '{_Q91_SUF}' AS t
+        FROM documents)
+"""
     out["q13_text_profile"] = f"""
 WITH s13 AS ({b['q13_text_stats']}),
+s91 AS ({_s91}),
 s29 AS ({b['q29_lang_detect']}),
 s30 AS ({b['q30_quality_score']}),
 s40 AS ({b['q40_repetition_signals']}),
@@ -5576,7 +5652,8 @@ SELECT s13.doc_id, s13.n_words, s13.n_tokens, s13.n_chars, s13.entropy,
        s41.redacted_fp, s41.chars_removed,
        s75.n_positions, s75.n_boiler, s75.boilerplate_frac,
        s77.span_positions, s77.n_dup_positions, s77.longest_dup_run,
-       s77.dup_frac
+       s77.dup_frac,
+       s91.clean_fp, s91.clean_chars_removed
 FROM s13
 JOIN s29 USING (doc_id)
 JOIN s30 USING (doc_id)
@@ -5584,6 +5661,7 @@ JOIN s40 USING (doc_id)
 JOIN s41 USING (doc_id)
 JOIN s75 USING (doc_id)
 JOIN s77 USING (doc_id)
+JOIN s91 USING (doc_id)
 ORDER BY doc_id
 """
     from pinecone_datasets_spark.operators.sketch import (

@@ -577,6 +577,21 @@ def main() -> None:
         probes = ev.select("user_id").distinct().orderBy("user_id").limit(100)
         return cm_estimate(sk, probes, "user_id", depth=4, width=1024)
 
+    def bench_semantic_decontam():
+        # Embedding-space benchmark decontamination: benchmark matrix in
+        # the UDF closure, one normalized GEMM per Arrow batch, per-row
+        # max+count reduced inside the kernel — map-only, zero shuffles.
+        from pinecone_datasets_spark.operators.decontaminate import (
+            semantic_decontaminate,
+        )
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        return semantic_decontaminate(
+            emb.where(F.col("vec_id") % 97 != 0),
+            emb.where(F.col("vec_id") % 97 == 0),
+            threshold=0.3,
+        )
+
     def bench_bloom_dedup():
         # Bloom-gated ingest admission: one corpus pass folds into a
         # <=n_bits/63-row word table (bounded keyspace, cm_sketch
@@ -734,6 +749,7 @@ def main() -> None:
         "multimodal_decode": bench_multimodal_decode,
         "image_phash_dedup": bench_image_phash_dedup,
         "decontaminate_3gram": lambda: em.q48_decontaminate(spark, SF_DIR),
+        "semantic_decontam": bench_semantic_decontam,
         # q49's entry now unions packing + bucketed batches + RAG
         # chunks; bench the layouts separately so each series stays
         # comparable round-over-round (the chunker has its own leg)

@@ -324,3 +324,83 @@ def compression_ratio(text: ColumnOrName, level: int = 6) -> Column:
         return s.map(one)
 
     return _ratio(_c(text))
+
+
+# ---------------------------------------------------------------------------
+# Unicode normalization / text cleaning — the first pass of every
+# web-scrape pipeline. NFC needs a real Unicode library (Arrow-batched
+# pandas_udf; Spark has no built-in normalizer); the control-strip and
+# whitespace-collapse parts are pure regex built-ins, dialect-portable
+# (Java regex and RE2 read the \x escapes identically), so a DuckDB
+# twin replays them with nfc_normalize + the same patterns.
+# ---------------------------------------------------------------------------
+
+# C0 controls except \t \n \r, then DEL + C1 controls. Both engines'
+# regex dialects accept this class verbatim.
+CONTROL_CHAR_PATTERN = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F-\x9F]"
+
+
+def nfc_normalize(text: ColumnOrName) -> Column:
+    """Unicode NFC normalization (composed forms: e + U+0301 -> é).
+    Arrow-batched ``unicodedata.normalize``; NULL stays NULL. Map-only —
+    fuses into whatever scan already runs."""
+    @F.pandas_udf("string")
+    def _nfc(s):  # type: ignore[no-untyped-def]
+        import unicodedata
+
+        return s.map(
+            lambda t: unicodedata.normalize("NFC", t)
+            if t is not None
+            else None
+        )
+
+    return _nfc(_c(text))
+
+
+def clean_text(
+    text: ColumnOrName,
+    nfc: bool = True,
+    strip_controls: bool = True,
+    collapse_whitespace: bool = True,
+) -> Column:
+    """The standard ingest scrub: NFC-compose, drop control characters
+    (keeping tab/newline/CR, which the whitespace pass then folds), and
+    collapse whitespace runs to single spaces + trim. Each stage is
+    independently optional; with ``nfc=False`` the whole expression is
+    built-in regex (whole-stage codegen, no Python crossing).
+
+    DuckDB twin: ``nfc_normalize`` + ``regexp_replace(..., 'g')`` with
+    the SAME patterns (see ``clean_text_sql``)."""
+    t = _c(text)
+    if nfc:
+        t = nfc_normalize(t)
+    if strip_controls:
+        t = F.regexp_replace(t, CONTROL_CHAR_PATTERN, "")
+    if collapse_whitespace:
+        # regex trim, NOT engine trim(): DuckDB's trim strips unicode
+        # spaces (NBSP) while Spark's strips only 0x20 — the regex
+        # keeps both engines at the same ASCII-whitespace contract
+        # (NBSP is content here, not whitespace; neither dialect's \s
+        # matches it).
+        t = F.regexp_replace(
+            F.regexp_replace(t, r"\s+", " "), "^ | $", ""
+        )
+    return t
+
+
+def clean_text_sql(
+    text_expr: str,
+    nfc: bool = True,
+    strip_controls: bool = True,
+    collapse_whitespace: bool = True,
+) -> str:
+    """DuckDB replay of ``clean_text`` (same stages, same patterns) —
+    keeps the Spark path and the oracle literally in one place."""
+    t = text_expr
+    if nfc:
+        t = f"nfc_normalize({t})"
+    if strip_controls:
+        t = f"regexp_replace({t}, '{CONTROL_CHAR_PATTERN}', '', 'g')"
+    if collapse_whitespace:
+        t = f"regexp_replace(regexp_replace({t}, '\\s+', ' ', 'g'), '^ | $', '', 'g')"
+    return t

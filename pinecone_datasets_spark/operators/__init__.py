@@ -18,6 +18,12 @@ from .dedup import (
     build_minhash_index,
     minhash_index_neardup,
 )
+from .decontaminate import (
+    decontaminate,
+    ngram_contamination,
+    semantic_contamination,
+    semantic_decontaminate,
+)
 from .semdedup import semantic_dedup, semantic_dedup_pairs, srp_cells
 from .sampling import (
     deterministic_sample,
@@ -166,6 +172,10 @@ __all__ = [
     "ngram_jaccard_pairs",
     "simhash64",
     "embedding_neardup_pairs",
+    "decontaminate",
+    "ngram_contamination",
+    "semantic_contamination",
+    "semantic_decontaminate",
     "semantic_dedup",
     "semantic_dedup_pairs",
     "srp_cells",

@@ -25,6 +25,8 @@ the n-grams exactly.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -166,4 +168,128 @@ def decontaminate(
     ).where(F.col("contamination_rate") > max_rate)
     return corpus.join(
         F.broadcast(flagged.select(id_col)), id_col, "left_anti"
+    )
+
+
+def _bench_matrix(
+    benchmark: DataFrame, vector_col: str, max_bench_rows: int
+):
+    """Collect the benchmark embeddings to one bounded ndarray. Eval
+    sets are small BY DEFINITION (10^3-10^6 rows); anything larger is a
+    caller bug, so over-size fails loudly instead of OOMing the driver
+    (same policy as ivf.py's bounded training sample)."""
+    rows = (
+        benchmark.select(vector_col)
+        .where(F.col(vector_col).isNotNull())
+        .limit(int(max_bench_rows) + 1)
+        .collect()
+    )
+    if len(rows) > max_bench_rows:
+        raise ValueError(
+            f"semantic contamination: benchmark exceeds max_bench_rows="
+            f"{max_bench_rows}; eval sets should be small — raise the "
+            "cap explicitly if this is intentional"
+        )
+    if not rows:
+        raise ValueError(
+            "semantic contamination: benchmark has no non-null vectors"
+        )
+    return np.asarray([r[0] for r in rows], dtype=np.float64)
+
+
+def semantic_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    bench_vector_col: str | None = None,
+    max_bench_rows: int = 1_000_000,
+    keep_columns: bool = False,
+) -> DataFrame:
+    """Per-corpus-row contamination against a benchmark *embedding* set:
+    ``(id, max_cos, n_bench_ge, is_contaminated)`` where ``max_cos`` is
+    the max cosine against any benchmark vector and ``n_bench_ge``
+    counts benchmark vectors at cosine >= ``threshold``.
+
+    The embedding-space analogue of ``ngram_contamination`` — catches
+    paraphrased/translated eval leakage that shares no exact n-gram
+    (Yang et al. 2023, "Rethinking Benchmark and Contamination").
+
+    Scale shape — **map-only, zero shuffles**: the benchmark matrix
+    rides in the UDF closure (bounded by ``max_bench_rows``, fail-loud),
+    each Arrow batch scores with ONE normalized GEMM against it, and the
+    per-row reduction (max + count) happens inside the kernel, so only
+    two scalars per corpus row leave Python. Cosine math is float64
+    regardless of the stored vector width (cast both twins to double —
+    float32 engine paths differ past ~7 significant digits).
+
+    ``keep_columns=True`` switches the output to the DECONTAMINATED
+    corpus (rows with ``n_bench_ge == 0``, original columns) — the
+    filter rides the scoring pass, one scan, no join.
+    """
+    from ..parallel import widen
+
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1]: {threshold}")
+    q = _bench_matrix(
+        benchmark, bench_vector_col or vector_col, max_bench_rows
+    )
+    qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-30)
+    thr = float(threshold)
+
+    @F.pandas_udf("struct<max_cos: double, n_bench_ge: long>")
+    def kernel(vecs: pd.Series) -> pd.DataFrame:
+        if len(vecs) == 0:
+            return pd.DataFrame({"max_cos": [], "n_bench_ge": []})
+        m = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in vecs]
+        )
+        mn = m / np.maximum(
+            np.linalg.norm(m, axis=1, keepdims=True), 1e-30
+        )
+        sims = mn @ qn.T  # (batch, B)
+        return pd.DataFrame(
+            {
+                "max_cos": sims.max(axis=1),
+                "n_bench_ge": (sims >= thr).sum(axis=1).astype("int64"),
+            }
+        )
+
+    scored = widen(corpus, id_col).withColumn(
+        "_s", kernel(F.col(vector_col))
+    )
+    if keep_columns:
+        return scored.where(F.col("_s.n_bench_ge") == 0).drop("_s")
+    return scored.select(
+        id_col,
+        F.col("_s.max_cos").alias("max_cos"),
+        F.col("_s.n_bench_ge").alias("n_bench_ge"),
+        (F.col("_s.n_bench_ge") > 0).alias("is_contaminated"),
+    )
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    bench_vector_col: str | None = None,
+    max_bench_rows: int = 1_000_000,
+) -> DataFrame:
+    """Corpus minus semantically contaminated rows: keep a row iff its
+    max cosine against every benchmark vector is < ``threshold``.
+    Same map-only shape as ``semantic_contamination`` — the filter
+    applies in the scoring pass itself (one scan, no join) and the
+    output keeps ``corpus``'s columns unchanged."""
+    return semantic_contamination(
+        corpus,
+        benchmark,
+        threshold=threshold,
+        id_col=id_col,
+        vector_col=vector_col,
+        bench_vector_col=bench_vector_col,
+        max_bench_rows=max_bench_rows,
+        keep_columns=True,
     )

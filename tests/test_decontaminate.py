@@ -99,3 +99,112 @@ def test_no_corpus_scale_shuffle(spark, docs):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# semantic (embedding-space) contamination
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def emb_frames(spark):
+    """4 corpus vectors, 2 bench vectors; c1 is (almost) a bench dup,
+    c2 is its exact negative, c3/c4 are orthogonal to the bench."""
+    corpus = spark.createDataFrame(
+        [
+            ("c1", [1.0, 0.01, 0.0]),
+            ("c2", [-1.0, 0.0, 0.0]),
+            ("c3", [0.0, 1.0, 0.0]),
+            ("c4", [0.0, 0.0, 1.0]),
+        ],
+        "vec_id string, embedding array<double>",
+    )
+    bench = spark.createDataFrame(
+        [("b1", [1.0, 0.0, 0.0]), ("b2", [0.7071, 0.7071, 0.0])],
+        "vec_id string, embedding array<double>",
+    )
+    return corpus, bench
+
+
+def test_semantic_contamination_known_answer(spark, emb_frames):
+    from pinecone_datasets_spark.operators.decontaminate import (
+        semantic_contamination,
+    )
+
+    corpus, bench = emb_frames
+    out = {
+        r.vec_id: r
+        for r in semantic_contamination(corpus, bench, threshold=0.9).collect()
+    }
+    assert out["c1"].is_contaminated and out["c1"].n_bench_ge == 1
+    assert abs(out["c1"].max_cos - (1.0 / (1.0 + 0.01**2) ** 0.5)) < 1e-9
+    assert not out["c2"].is_contaminated and out["c2"].max_cos < 0
+    # c3 hits b2 at cos ~0.7071 — below 0.9, above 0.5
+    assert not out["c3"].is_contaminated
+    assert abs(out["c3"].max_cos - 0.7071067811) < 1e-6
+    assert not out["c4"].is_contaminated and abs(out["c4"].max_cos) < 1e-12
+    # threshold 0.5: c1 hits both bench vectors, c3 hits b2
+    out5 = {
+        r.vec_id: r
+        for r in semantic_contamination(corpus, bench, threshold=0.5).collect()
+    }
+    assert out5["c1"].n_bench_ge == 2 and out5["c3"].n_bench_ge == 1
+
+
+def test_semantic_contamination_matches_expression_path(spark):
+    """UDF GEMM path == built-in cosine_similarity cross-join fold on
+    the real fixture (float64 both sides)."""
+    from pinecone_datasets_spark.functions.vector import cosine_similarity
+    from pinecone_datasets_spark.operators.decontaminate import (
+        semantic_contamination,
+    )
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    )
+    bench = emb.where(F.col("vec_id") % 31 == 0)
+    corpus = emb.where(F.col("vec_id") % 31 != 0)
+    got = {
+        r.vec_id: (round(r.max_cos, 9), r.n_bench_ge)
+        for r in semantic_contamination(corpus, bench, threshold=0.3).collect()
+    }
+    b = bench.select(F.col("embedding").alias("_bv"))
+    want = {
+        r.vec_id: (round(r.mc, 9), r.ng)
+        for r in corpus.crossJoin(F.broadcast(b))
+        .select(
+            "vec_id",
+            cosine_similarity("embedding", "_bv").alias("_c"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.max("_c").alias("mc"),
+            F.sum((F.col("_c") >= 0.3).cast("long")).alias("ng"),
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_semantic_decontaminate_one_pass_and_guards(spark, emb_frames):
+    from pinecone_datasets_spark.operators.decontaminate import (
+        semantic_contamination,
+        semantic_decontaminate,
+    )
+
+    corpus, bench = emb_frames
+    kept = semantic_decontaminate(corpus, bench, threshold=0.9)
+    assert sorted(r.vec_id for r in kept.collect()) == ["c2", "c3", "c4"]
+    assert kept.columns == corpus.columns
+    # one-pass shape: no join/exchange in the physical plan
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Exchange" not in plan, plan
+    # guards: empty benchmark, over-size benchmark, bad threshold
+    empty = bench.where(F.lit(False))
+    with pytest.raises(ValueError, match="no non-null"):
+        semantic_contamination(corpus, empty)
+    with pytest.raises(ValueError, match="max_bench_rows"):
+        semantic_contamination(corpus, bench, max_bench_rows=1)
+    with pytest.raises(ValueError, match="threshold"):
+        semantic_contamination(corpus, bench, threshold=0.0)

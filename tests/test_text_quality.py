@@ -174,3 +174,83 @@ def test_compression_ratio_null_and_level_guard(spark):
     assert df.select(compression_ratio("t").alias("c")).first().c is None
     with pytest.raises(ValueError):
         compression_ratio("t", level=11)
+
+
+# ---------------------------------------------------------------------------
+# Unicode normalization / clean_text
+# ---------------------------------------------------------------------------
+
+CLEAN_SAMPLES = [
+    "café composed?",          # decomposed é -> composed
+    "é already composed",
+    "tab\tand\nnewline\r\nand  runs   of spaces",
+    # \x01 not \x00 here: DuckDB's Python binding truncates bound
+    # strings at an embedded NUL, so NUL parity is untestable through
+    # literals (the Spark-only known-answer test covers \x00)
+    "ctrl\x01chars\x08here\x0b\x0c\x1f\x7f\x9fgone",
+    " nbsp stays a word joiner ",  # NBSP is content: not \s, not trimmed
+    "ＡＢＣ fullwidth stays (NFC, not NFKC)",
+    "emoji 🎉 and CJK 中文",
+    "",
+]
+
+
+def test_clean_text_known_answers(one):
+    from pinecone_datasets_spark.functions.text import clean_text
+
+    got = one("café  x\x00y\tz", clean_text)
+    assert got == "café x\x00y z".replace("\x00", "") == "café xy z"
+    # NFC only composes — fullwidth/compatibility forms survive
+    assert one("ＡＢＣ", clean_text) == "ＡＢＣ"
+    # stage toggles
+    assert one("a\x00b  c", lambda c: clean_text(c, nfc=False)) == "ab c"
+    assert (
+        one("a\x00b  c", lambda c: clean_text(c, collapse_whitespace=False))
+        == "ab  c"
+    )
+
+
+def test_clean_text_null_passthrough(spark):
+    from pinecone_datasets_spark.functions.text import clean_text
+
+    df = spark.createDataFrame([(None,), ("x",)], "t string")
+    vals = [r.v for r in df.select(clean_text("t").alias("v")).orderBy(
+        F.col("v").asc_nulls_first()
+    ).collect()]
+    assert vals == [None, "x"]
+
+
+def test_clean_text_duckdb_parity(spark):
+    """Spark clean_text == DuckDB clean_text_sql on unicode edge cases —
+    the dialect-parity contract the oracle relies on."""
+    import duckdb
+
+    from pinecone_datasets_spark.functions.text import (
+        clean_text,
+        clean_text_sql,
+    )
+
+    df = spark.createDataFrame([(s,) for s in CLEAN_SAMPLES], "t string")
+    got = [
+        r.v for r in df.select(clean_text("t").alias("v")).collect()
+    ]
+    con = duckdb.connect()
+    want = [
+        con.execute(
+            f"SELECT {clean_text_sql('?::VARCHAR')}", [s]
+        ).fetchone()[0]
+        for s in CLEAN_SAMPLES
+    ]
+    assert got == want
+    # codegen-only variant (nfc=False) must also agree
+    got2 = [
+        r.v
+        for r in df.select(clean_text("t", nfc=False).alias("v")).collect()
+    ]
+    want2 = [
+        con.execute(
+            f"SELECT {clean_text_sql('?::VARCHAR', nfc=False)}", [s]
+        ).fetchone()[0]
+        for s in CLEAN_SAMPLES
+    ]
+    assert got2 == want2

@@ -71,6 +71,9 @@ HEADLINE = [
      "candidates, slot-agreement verify"),
     ("q90_profile_dataset",
      "dataset profile: one scalar agg + one multiplexed HLL pass"),
+    ("semantic_decontam",
+     "semantic decontamination: map-only Arrow GEMM, in-kernel max+count, "
+     "filter rides the scoring pass"),
 ]
 
 
@@ -110,6 +113,18 @@ def _extra_builders(spark, sf_dir):
         )
         return got.good.groupBy("lang").agg(
             F.count(F.lit(1)).alias("n_docs")
+        )
+
+    def semantic_decontam(spark, sf_dir):
+        from pinecone_datasets_spark.operators.decontaminate import (
+            semantic_decontaminate,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return semantic_decontaminate(
+            emb.where(F.col("vec_id") % 97 != 0),
+            emb.where(F.col("vec_id") % 97 == 0),
+            threshold=0.3,
         )
 
     def mg_heavy_hitters(spark, sf_dir):
@@ -267,6 +282,7 @@ def _extra_builders(spark, sf_dir):
         "dsir_select": dsir_select,
         "xe_rerank": xe_rerank,
         "mh_index_probe": mh_index_probe,
+        "semantic_decontam": semantic_decontam,
     }
 
 
