@@ -197,6 +197,56 @@ def _bench_matrix(
     return np.asarray([r[0] for r in rows], dtype=np.float64)
 
 
+def maxcos_udf(bench_matrix, threshold: float):
+    """Arrow kernel: vector column -> ``struct<max_cos double,
+    n_bench_ge long>`` against the (raw, unnormalized) benchmark matrix
+    — one normalized float64 GEMM per batch, reduction in-kernel. Shared
+    by the batch operators below and the stream-legal gate
+    (``streaming/curate.py:semantic_gate``), which cannot call the
+    corpus-side wrappers (``widen`` probes partition counts — illegal on
+    a streaming frame)."""
+    q = np.asarray(bench_matrix, dtype=np.float64)
+    qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-30)
+    thr = float(threshold)
+
+    dim = q.shape[1]
+
+    @F.pandas_udf("struct<max_cos: double, n_bench_ge: long>")
+    def kernel(vecs):  # type: ignore[no-untyped-def]
+        n = len(vecs)
+        if n == 0:
+            return pd.DataFrame({"max_cos": [], "n_bench_ge": []})
+        # NULL/empty vectors score 0 against everything (same contract
+        # as lateinteraction's empty-token queries) instead of crashing
+        # the batch on a ragged asarray.
+        mats = []
+        for v in vecs:
+            if v is None or len(v) == 0:
+                mats.append(None)
+            elif len(v) != dim:
+                # wrong width is a data bug, not an empty row — fail loud
+                raise ValueError(
+                    f"semantic contamination: corpus vector of dim "
+                    f"{len(v)} vs benchmark dim {dim}"
+                )
+            else:
+                mats.append(np.asarray(v, dtype=np.float64))
+        keep = np.array([m is not None for m in mats])
+        max_cos = np.zeros(n, dtype=np.float64)
+        n_ge = np.zeros(n, dtype=np.int64)
+        if keep.any():
+            m = np.asarray([m for m in mats if m is not None])
+            mn = m / np.maximum(
+                np.linalg.norm(m, axis=1, keepdims=True), 1e-30
+            )
+            sims = mn @ qn.T  # (kept, B)
+            max_cos[keep] = sims.max(axis=1)
+            n_ge[keep] = (sims >= thr).sum(axis=1).astype("int64")
+        return pd.DataFrame({"max_cos": max_cos, "n_bench_ge": n_ge})
+
+    return kernel
+
+
 def semantic_contamination(
     corpus: DataFrame,
     benchmark: DataFrame,
@@ -235,27 +285,7 @@ def semantic_contamination(
     q = _bench_matrix(
         benchmark, bench_vector_col or vector_col, max_bench_rows
     )
-    qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-30)
-    thr = float(threshold)
-
-    @F.pandas_udf("struct<max_cos: double, n_bench_ge: long>")
-    def kernel(vecs: pd.Series) -> pd.DataFrame:
-        if len(vecs) == 0:
-            return pd.DataFrame({"max_cos": [], "n_bench_ge": []})
-        m = np.asarray(
-            [np.asarray(v, dtype=np.float64) for v in vecs]
-        )
-        mn = m / np.maximum(
-            np.linalg.norm(m, axis=1, keepdims=True), 1e-30
-        )
-        sims = mn @ qn.T  # (batch, B)
-        return pd.DataFrame(
-            {
-                "max_cos": sims.max(axis=1),
-                "n_bench_ge": (sims >= thr).sum(axis=1).astype("int64"),
-            }
-        )
-
+    kernel = maxcos_udf(q, threshold)
     scored = widen(corpus, id_col).withColumn(
         "_s", kernel(F.col(vector_col))
     )

@@ -1,7 +1,7 @@
 from .anomaly import stream_rolling_zscore
 from .dedup import stream_exact_dedup
 from .ingest import stream_documents, windowed_event_counts
-from .curate import dsir_gate, dsir_score, stream_curate
+from .curate import dsir_gate, dsir_score, semantic_gate, stream_curate
 from .sketch import stream_heavy_hitters, stream_hll_registers
 
 __all__ = [
@@ -11,6 +11,7 @@ __all__ = [
     "stream_curate",
     "dsir_score",
     "dsir_gate",
+    "semantic_gate",
     "stream_hll_registers",
     "stream_rolling_zscore",
     "windowed_event_counts",

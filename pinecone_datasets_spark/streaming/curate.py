@@ -165,3 +165,37 @@ def stream_curate(
             gated, ratios, dsir_threshold, text_col, dsir_n, dsir_n_buckets
         )
     return stream_exact_dedup(gated, text_col, ts_col, watermark)
+
+
+def semantic_gate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.9,
+    vector_col: str = "embedding",
+    bench_vector_col: str | None = None,
+    max_bench_rows: int = 1_000_000,
+    keep_score: bool = False,
+) -> DataFrame:
+    """Stream-legal semantic decontamination (train-batch/apply-stream,
+    same contract as ``dsir_gate``): the *batch* benchmark frame is
+    collected once at plan-definition time into the kernel closure; the
+    stream is then gated map-only — keep a row iff its max cosine
+    against every benchmark vector is < ``threshold``. No stream-side
+    join, no state; a refreshed benchmark means restarting the query
+    with a new plan (the same restart a refit DSIR model needs).
+
+    Equals batch ``semantic_decontaminate`` under ``availableNow``
+    (test-pinned). ``keep_score`` retains a ``max_cos`` column."""
+    from ..operators.decontaminate import _bench_matrix, maxcos_udf
+
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1]: {threshold}")
+    q = _bench_matrix(
+        benchmark, bench_vector_col or vector_col, max_bench_rows
+    )
+    kernel = maxcos_udf(q, threshold)
+    scored = docs.withColumn("_s", kernel(F.col(vector_col)))
+    kept = scored.where(F.col("_s.n_bench_ge") == 0)
+    if keep_score:
+        return kept.withColumn("max_cos", F.col("_s.max_cos")).drop("_s")
+    return kept.drop("_s")

@@ -208,3 +208,35 @@ def test_semantic_decontaminate_one_pass_and_guards(spark, emb_frames):
         semantic_contamination(corpus, bench, max_bench_rows=1)
     with pytest.raises(ValueError, match="threshold"):
         semantic_contamination(corpus, bench, threshold=0.0)
+
+
+def test_semantic_contamination_null_empty_and_dim_mismatch(spark):
+    from pinecone_datasets_spark.operators.decontaminate import (
+        semantic_contamination,
+    )
+
+    bench = spark.createDataFrame(
+        [("b1", [1.0, 0.0, 0.0])], "vec_id string, embedding array<double>"
+    )
+    corpus = spark.createDataFrame(
+        [
+            ("c1", [1.0, 0.0, 0.0]),
+            ("cnull", None),
+            ("cempty", []),
+        ],
+        "vec_id string, embedding array<double>",
+    )
+    out = {
+        r.vec_id: r
+        for r in semantic_contamination(corpus, bench, threshold=0.9).collect()
+    }
+    # NULL/empty vectors score 0 (not contaminated), never crash
+    for vid in ("cnull", "cempty"):
+        assert out[vid].max_cos == 0.0 and not out[vid].is_contaminated
+    assert out["c1"].is_contaminated
+    # a wrong-width vector is a data bug: the job fails loudly
+    bad = spark.createDataFrame(
+        [("cbad", [1.0, 0.0])], "vec_id string, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="dim"):
+        semantic_contamination(bad, bench, threshold=0.9).collect()

@@ -67,3 +67,46 @@ def test_streaming_curation_equals_batch(spark, jsonl_dir):
     assert (
         got.groupBy("text").count().where(F.col("count") > 1).count() == 0
     )
+
+
+def test_streaming_semantic_gate_equals_batch(spark, sf_dir, tmp_path):
+    """semantic_gate over availableNow == batch semantic_decontaminate
+    on the same files; benchmark collected at plan time, gate map-only."""
+    from pinecone_datasets_spark.operators.decontaminate import (
+        semantic_decontaminate,
+    )
+    from pinecone_datasets_spark.streaming.curate import semantic_gate
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    root = str(tmp_path / "emb_stream")
+    corpus = emb.where(F.col("vec_id") % 97 != 0)
+    bench = emb.where(F.col("vec_id") % 97 == 0)
+    corpus.write.mode("overwrite").parquet(root)
+
+    stream = (
+        spark.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(root)
+    )
+    gated = semantic_gate(stream, bench, threshold=0.3)
+    q = (
+        gated.writeStream.format("memory")
+        .queryName("sem_gated")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        r.vec_id for r in spark.sql("select vec_id from sem_gated").collect()
+    )
+    stored = spark.read.parquet(root)
+    want = sorted(
+        r.vec_id
+        for r in semantic_decontaminate(
+            stored, bench, threshold=0.3
+        ).collect()
+    )
+    assert got == want and 0 < len(got) < stored.count()
+    # guard parity with the batch wrapper
+    with pytest.raises(ValueError, match="threshold"):
+        semantic_gate(stream, bench, threshold=1.5)
