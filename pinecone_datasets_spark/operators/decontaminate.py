@@ -278,17 +278,18 @@ def semantic_contamination(
     corpus (rows with ``n_bench_ge == 0``, original columns) — the
     filter rides the scoring pass, one scan, no join.
     """
-    from ..parallel import widen
-
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1]: {threshold}")
     q = _bench_matrix(
         benchmark, bench_vector_col or vector_col, max_bench_rows
     )
     kernel = maxcos_udf(q, threshold)
-    scored = widen(corpus, id_col).withColumn(
-        "_s", kernel(F.col(vector_col))
-    )
+    # no widen() here: Catalyst pushes this deterministic projection
+    # BELOW a repartition, so widening cannot parallelize the kernel —
+    # it would only add an exchange that shuffles the full scored
+    # output for nothing (plan-verified; the scan's split count sets
+    # kernel parallelism, which is the right answer at scale).
+    scored = corpus.withColumn("_s", kernel(F.col(vector_col)))
     if keep_columns:
         return scored.where(F.col("_s.n_bench_ge") == 0).drop("_s")
     return scored.select(
