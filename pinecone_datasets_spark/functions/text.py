@@ -340,21 +340,36 @@ def compression_ratio(text: ColumnOrName, level: int = 6) -> Column:
 CONTROL_CHAR_PATTERN = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F-\x9F]"
 
 
-def nfc_normalize(text: ColumnOrName) -> Column:
-    """Unicode NFC normalization (composed forms: e + U+0301 -> é).
-    Arrow-batched ``unicodedata.normalize``; NULL stays NULL. Map-only —
-    fuses into whatever scan already runs."""
+def unicode_normalize(text: ColumnOrName, form: str = "NFC") -> Column:
+    """Unicode normalization, Arrow-batched ``unicodedata.normalize``;
+    NULL stays NULL. Map-only — fuses into whatever scan already runs.
+
+    ``form``: ``NFC`` (composed: e + U+0301 -> é; the ingest default)
+    or ``NFKC`` (compatibility fold on top: fullwidth ＡＢＣ -> ABC,
+    ligatures, superscripts — the right pass for CJK/web corpora, but
+    NOT SQL-replayable: DuckDB has ``nfc_normalize`` only, so NFKC
+    pipelines are pytest-verified, not oracle-gated). NFD/NFKD are
+    accepted for completeness."""
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"form must be NFC/NFKC/NFD/NFKD, got {form!r}")
+
     @F.pandas_udf("string")
-    def _nfc(s):  # type: ignore[no-untyped-def]
+    def _norm(s):  # type: ignore[no-untyped-def]
         import unicodedata
 
         return s.map(
-            lambda t: unicodedata.normalize("NFC", t)
+            lambda t: unicodedata.normalize(form, t)
             if t is not None
             else None
         )
 
-    return _nfc(_c(text))
+    return _norm(_c(text))
+
+
+def nfc_normalize(text: ColumnOrName) -> Column:
+    """Unicode NFC normalization (composed forms: e + U+0301 -> é) —
+    the oracle-replayable default; see ``unicode_normalize``."""
+    return unicode_normalize(text, "NFC")
 
 
 def clean_text(
@@ -362,18 +377,22 @@ def clean_text(
     nfc: bool = True,
     strip_controls: bool = True,
     collapse_whitespace: bool = True,
+    form: str = "NFC",
 ) -> Column:
     """The standard ingest scrub: NFC-compose, drop control characters
     (keeping tab/newline/CR, which the whitespace pass then folds), and
     collapse whitespace runs to single spaces + trim. Each stage is
     independently optional; with ``nfc=False`` the whole expression is
     built-in regex (whole-stage codegen, no Python crossing).
+    ``form="NFKC"`` upgrades the normalize stage to the compatibility
+    fold (fullwidth/ligatures; not SQL-replayable — see
+    ``unicode_normalize``).
 
     DuckDB twin: ``nfc_normalize`` + ``regexp_replace(..., 'g')`` with
     the SAME patterns (see ``clean_text_sql``)."""
     t = _c(text)
     if nfc:
-        t = nfc_normalize(t)
+        t = unicode_normalize(t, form)
     if strip_controls:
         t = F.regexp_replace(t, CONTROL_CHAR_PATTERN, "")
     if collapse_whitespace:

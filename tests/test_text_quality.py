@@ -254,3 +254,20 @@ def test_clean_text_duckdb_parity(spark):
         for s in CLEAN_SAMPLES
     ]
     assert got2 == want2
+
+
+def test_unicode_normalize_nfkc_and_guards(one):
+    from pinecone_datasets_spark.functions.text import (
+        clean_text,
+        unicode_normalize,
+    )
+
+    # NFKC folds compatibility forms NFC leaves alone
+    assert one("ＡＢＣ ﬁ ①", lambda c: unicode_normalize(c, "NFKC")) == "ABC fi 1"
+    assert one("ＡＢＣ", lambda c: unicode_normalize(c, "NFC")) == "ＡＢＣ"
+    # through the scrub
+    assert (
+        one("  ＡＢＣ  x ", lambda c: clean_text(c, form="NFKC")) == "ABC x"
+    )
+    with pytest.raises(ValueError, match="form"):
+        unicode_normalize("t", form="NFKX")
