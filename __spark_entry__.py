@@ -1149,7 +1149,9 @@ def q48_q81_decontam_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tokens_removed").cast("double").alias("c2"),
         F.col("clean_fp").cast("double").alias("c3"),
     )
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").where(
+        F.col("embedding").isNotNull() & (F.size("embedding") > 0)
+    )
     sem = semantic_contamination(
         emb.where(F.col("vec_id") % 97 != 0),
         emb.where(F.col("vec_id") % 97 == 0),
@@ -5497,17 +5499,26 @@ strip AS (
   FROM wrd LEFT JOIN cvl USING (doc_id)
 ),
 sem AS (
-  SELECT e.vec_id AS doc_id,
-         round(max(list_cosine_similarity(
-           CAST(e.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])
-         )), 6) AS mc,
-         sum(CASE WHEN list_cosine_similarity(
-           CAST(e.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])
-         ) >= 0.3 THEN 1 ELSE 0 END)::BIGINT AS ng
-  FROM embeddings e,
-       (SELECT embedding FROM embeddings WHERE vec_id % 97 = 0) b
-  WHERE e.vec_id % 97 <> 0
-  GROUP BY e.vec_id
+  -- non-null/non-empty on BOTH sides (the Spark entry filters the
+  -- same way): a NULL embedding would make mc NULL vs the kernel's
+  -- 0.0, and list_cosine_similarity on an empty list is a fatal
+  -- DuckDB error. Cosine projected ONCE, then aggregated.
+  SELECT doc_id,
+         round(max(c), 6) AS mc,
+         sum(CASE WHEN c >= 0.3 THEN 1 ELSE 0 END)::BIGINT AS ng
+  FROM (
+    SELECT e.vec_id AS doc_id,
+           list_cosine_similarity(
+             CAST(e.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])
+           ) AS c
+    FROM embeddings e,
+         (SELECT embedding FROM embeddings
+          WHERE vec_id % 97 = 0 AND embedding IS NOT NULL
+            AND len(embedding) > 0) b
+    WHERE e.vec_id % 97 <> 0 AND e.embedding IS NOT NULL
+      AND len(e.embedding) > 0
+  )
+  GROUP BY doc_id
 )
 SELECT 'contam' AS part, doc_id,
        CAST(n_doc_ngrams AS DOUBLE) AS c1,

@@ -7,12 +7,16 @@ from .vector import (
     sparse_dot_product,
 )
 from .text import (
+    clean_text,
+    clean_text_sql,
     detect_language,
     doc_fingerprint,
     char_entropy,
     compression_ratio,
+    nfc_normalize,
     quality_score,
     token_count,
+    unicode_normalize,
     word_count,
 )
 
@@ -23,11 +27,15 @@ __all__ = [
     "l2_distance",
     "l2_norm",
     "sparse_dot_product",
+    "clean_text",
+    "clean_text_sql",
     "detect_language",
     "doc_fingerprint",
     "char_entropy",
     "compression_ratio",
+    "nfc_normalize",
     "quality_score",
     "token_count",
+    "unicode_normalize",
     "word_count",
 ]

@@ -339,6 +339,12 @@ def compression_ratio(text: ColumnOrName, level: int = 6) -> Column:
 # regex dialects accept this class verbatim.
 CONTROL_CHAR_PATTERN = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F-\x9F]"
 
+# explicit ASCII whitespace, NOT \s: Java's \s matches vertical tab
+# (\x0B) while RE2's does not, so \s-based twins diverge whenever the
+# control-strip stage is toggled off. (\v is also unusable: Java reads
+# it as the vertical-whitespace CLASS, RE2 as the single char.)
+WHITESPACE_RUN_PATTERN = r"[ \t\n\r\f\x0B]+"
+
 
 def unicode_normalize(text: ColumnOrName, form: str = "NFC") -> Column:
     """Unicode normalization, Arrow-batched ``unicodedata.normalize``;
@@ -399,10 +405,9 @@ def clean_text(
         # regex trim, NOT engine trim(): DuckDB's trim strips unicode
         # spaces (NBSP) while Spark's strips only 0x20 — the regex
         # keeps both engines at the same ASCII-whitespace contract
-        # (NBSP is content here, not whitespace; neither dialect's \s
-        # matches it).
+        # (NBSP is content here, not whitespace).
         t = F.regexp_replace(
-            F.regexp_replace(t, r"\s+", " "), "^ | $", ""
+            F.regexp_replace(t, WHITESPACE_RUN_PATTERN, " "), "^ | $", ""
         )
     return t
 
@@ -421,5 +426,8 @@ def clean_text_sql(
     if strip_controls:
         t = f"regexp_replace({t}, '{CONTROL_CHAR_PATTERN}', '', 'g')"
     if collapse_whitespace:
-        t = f"regexp_replace(regexp_replace({t}, '\\s+', ' ', 'g'), '^ | $', '', 'g')"
+        t = (
+            f"regexp_replace(regexp_replace({t}, "
+            f"'{WHITESPACE_RUN_PATTERN}', ' ', 'g'), '^ | $', '', 'g')"
+        )
     return t

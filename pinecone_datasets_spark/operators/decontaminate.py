@@ -200,11 +200,10 @@ def _bench_matrix(
 def maxcos_udf(bench_matrix, threshold: float):
     """Arrow kernel: vector column -> ``struct<max_cos double,
     n_bench_ge long>`` against the (raw, unnormalized) benchmark matrix
-    — one normalized float64 GEMM per batch, reduction in-kernel. Shared
-    by the batch operators below and the stream-legal gate
-    (``streaming/curate.py:semantic_gate``), which cannot call the
-    corpus-side wrappers (``widen`` probes partition counts — illegal on
-    a streaming frame)."""
+    — one normalized float64 GEMM per batch, reduction in-kernel.
+    Shared by the batch operators below (whose exchange-free plans are
+    also stream-legal) and ``streaming/curate.py:semantic_gate``'s
+    score-retaining variant."""
     q = np.asarray(bench_matrix, dtype=np.float64)
     qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-30)
     thr = float(threshold)

@@ -184,10 +184,27 @@ def semantic_gate(
     join, no state; a refreshed benchmark means restarting the query
     with a new plan (the same restart a refit DSIR model needs).
 
-    Equals batch ``semantic_decontaminate`` under ``availableNow``
-    (test-pinned). ``keep_score`` retains a ``max_cos`` column."""
-    from ..operators.decontaminate import _bench_matrix, maxcos_udf
+    Without ``keep_score`` this IS ``operators.decontaminate.
+    semantic_decontaminate`` (delegated — the batch operator's plan is
+    exchange-free and therefore stream-legal as-is); ``keep_score``
+    additionally retains a ``max_cos`` column, which the batch wrapper
+    does not expose. Equals the batch operator under ``availableNow``
+    (test-pinned)."""
+    from ..operators.decontaminate import (
+        _bench_matrix,
+        maxcos_udf,
+        semantic_decontaminate,
+    )
 
+    if not keep_score:
+        return semantic_decontaminate(
+            docs,
+            benchmark,
+            threshold=threshold,
+            vector_col=vector_col,
+            bench_vector_col=bench_vector_col,
+            max_bench_rows=max_bench_rows,
+        )
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1]: {threshold}")
     q = _bench_matrix(
@@ -196,6 +213,4 @@ def semantic_gate(
     kernel = maxcos_udf(q, threshold)
     scored = docs.withColumn("_s", kernel(F.col(vector_col)))
     kept = scored.where(F.col("_s.n_bench_ge") == 0)
-    if keep_score:
-        return kept.withColumn("max_cos", F.col("_s.max_cos")).drop("_s")
-    return kept.drop("_s")
+    return kept.withColumn("max_cos", F.col("_s.max_cos")).drop("_s")

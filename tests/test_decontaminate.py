@@ -151,7 +151,7 @@ def test_semantic_contamination_known_answer(spark, emb_frames):
     assert out5["c1"].n_bench_ge == 2 and out5["c3"].n_bench_ge == 1
 
 
-def test_semantic_contamination_matches_expression_path(spark):
+def test_semantic_contamination_matches_expression_path(spark, sf_dir):
     """UDF GEMM path == built-in cosine_similarity cross-join fold on
     the real fixture (float64 both sides)."""
     from pinecone_datasets_spark.functions.vector import cosine_similarity
@@ -160,7 +160,7 @@ def test_semantic_contamination_matches_expression_path(spark):
     )
 
     emb = (
-        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
     )
     bench = emb.where(F.col("vec_id") % 31 == 0)
