@@ -171,13 +171,25 @@ def decontaminate(
     )
 
 
+#: Byte budget for the collected benchmark matrix. The matrix lives in
+#: the pandas_udf closure, so it is pickled to EVERY executor — a row
+#: cap alone does not bound memory (100k rows x 1536 dims x 8 B is
+#: already ~1.2 GB). rows x dim x 8 must also fit (ADVICE r5).
+_MAX_BENCH_BYTES = 512 * 1024 * 1024
+
+
 def _bench_matrix(
-    benchmark: DataFrame, vector_col: str, max_bench_rows: int
+    benchmark: DataFrame,
+    vector_col: str,
+    max_bench_rows: int,
+    max_bench_bytes: int = _MAX_BENCH_BYTES,
 ):
     """Collect the benchmark embeddings to one bounded ndarray. Eval
-    sets are small BY DEFINITION (10^3-10^6 rows); anything larger is a
+    sets are small BY DEFINITION (10^3-10^5 rows); anything larger is a
     caller bug, so over-size fails loudly instead of OOMing the driver
-    (same policy as ivf.py's bounded training sample)."""
+    (same policy as ivf.py's bounded training sample). Bounded on BOTH
+    axes: row count AND float64 bytes (rows x dim x 8) — wide embedding
+    columns blow the byte budget long before the row cap."""
     rows = (
         benchmark.select(vector_col)
         .where(F.col(vector_col).isNotNull())
@@ -193,6 +205,14 @@ def _bench_matrix(
     if not rows:
         raise ValueError(
             "semantic contamination: benchmark has no non-null vectors"
+        )
+    est = len(rows) * len(rows[0][0]) * 8
+    if est > max_bench_bytes:
+        raise ValueError(
+            f"semantic contamination: benchmark matrix would be ~{est} "
+            f"bytes (rows x dim x 8) > max_bench_bytes={max_bench_bytes}"
+            "; it is shipped in the UDF closure to every executor — "
+            "shrink the eval set or raise the byte budget explicitly"
         )
     return np.asarray([r[0] for r in rows], dtype=np.float64)
 
@@ -253,7 +273,7 @@ def semantic_contamination(
     id_col: str = "vec_id",
     vector_col: str = "embedding",
     bench_vector_col: str | None = None,
-    max_bench_rows: int = 1_000_000,
+    max_bench_rows: int = 100_000,
     keep_columns: bool = False,
 ) -> DataFrame:
     """Per-corpus-row contamination against a benchmark *embedding* set:
@@ -306,7 +326,7 @@ def semantic_decontaminate(
     id_col: str = "vec_id",
     vector_col: str = "embedding",
     bench_vector_col: str | None = None,
-    max_bench_rows: int = 1_000_000,
+    max_bench_rows: int = 100_000,
 ) -> DataFrame:
     """Corpus minus semantically contaminated rows: keep a row iff its
     max cosine against every benchmark vector is < ``threshold``.

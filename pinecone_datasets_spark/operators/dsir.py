@@ -40,10 +40,20 @@ from pyspark.sql import functions as F
 _TWO_52 = float(1 << 52)
 
 
+#: Explicit whitespace-run class shared by BOTH twins: Java ``\s``
+#: matches vertical tab (\x0B) but RE2's (DuckDB) does not, so a bare
+#: ``\s+`` tokenizes \x0B-bearing documents differently across engines
+#: — changing bucket counts, weights, and potentially the Gumbel
+#: keep-set. Same convention as functions/text.py
+#: WHITESPACE_RUN_PATTERN and the streaming dsir_score kernel.
+_WS_RUN = r"[ \t\n\r\f\x0B]+"
+
+
 def _tokens(text_col: str) -> "F.Column":
-    """The repo-canonical tokenizer (keyword.py): lower, trim, \\s+ split."""
+    """The repo-canonical tokenizer shape (keyword.py): lower, trim,
+    whitespace split — with the explicit engine-portable class."""
     return F.filter(
-        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        F.split(F.lower(F.trim(F.col(text_col))), _WS_RUN),
         lambda t: t != "",
     )
 
@@ -312,8 +322,8 @@ def dsir_sql(
             f"list_transform(range(1, len(toks) - {n - 2}), i -> {parts})"
         )
     tok_expr = (
-        f"list_filter(string_split_regex(lower(trim({text_col})), '\\s+'),"
-        " t -> t != '')"
+        f"list_filter(string_split_regex(lower(trim({text_col})),"
+        f" '{_WS_RUN}'), t -> t != '')"
     )
     bucket = (
         "CAST(concat('0x', substr(md5(g), 1, 13)) AS BIGINT) % "

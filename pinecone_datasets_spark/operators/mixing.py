@@ -294,25 +294,30 @@ def write_curriculum(
     within-file sort. Columns absent from ``df`` are skipped (not every
     ordered frame has them).
 
+    Manifest order is the FULL composite key, not ``pos_min`` alone:
+    when a tie-run straddles a range-partition boundary two files share
+    a ``pos_min``, and a pos-only sort would make file order — hence
+    the replayed order of tied rows — nondeterministic. Each entry
+    records the file's first-row composite key (``first_key``) and the
+    manifest sorts by it.
+
+    The manifest sidecar is written through the repo's FS facade
+    (``fs.py``), so curriculum export works against object-store URIs
+    (s3a/gs via the Hadoop FileSystem) exactly like ``metadata.json``
+    in ``writer.py`` — at the 100 TB design point the export lands on
+    an object store, not a posix mount.
+
     Scale shape: one range exchange (sampling pass + shuffle — the
     inherent cost of a total order) and one file-grained aggregate of
     the written output (rows = file count). Returns the manifest
-    (list of ``{file, rows, pos_min, pos_max}``).
+    (list of ``{file, rows, pos_min, pos_max, first_key}``).
     """
     import json as _json
-    import os as _os
 
-    from ..fs import is_local, normalize_uri
+    from ..fs import FS, join, normalize_uri
 
-    if not is_local(normalize_uri(path)):
-        # The parquet write itself is connector-agnostic; only the
-        # manifest sidecar uses a posix open() (same policy as
-        # compact_parquet_dir's rename-swap).
-        raise NotImplementedError(
-            "write_curriculum: manifest sidecar requires a local/posix "
-            "path in this environment"
-        )
     spark = df.sparkSession
+    path = normalize_uri(path)
     if num_files is None:
         num_files = max(int(spark.sparkContext.defaultParallelism), 1)
     order_cols = [pos_col] + [
@@ -331,23 +336,34 @@ def write_curriculum(
             F.count(F.lit(1)).alias("rows"),
             F.min(pos_col).alias("pos_min"),
             F.max(pos_col).alias("pos_max"),
+            # first-row composite key: struct min is lexicographic over
+            # (pos, tiebreaks...) — the typed sort key for the manifest
+            F.min(F.struct(*[F.col(c) for c in order_cols])).alias(
+                "__first"
+            ),
         )
-        .orderBy("pos_min")
+        .orderBy("__first")
         .collect()
     )
+
+    def _json_safe(v):
+        return v if isinstance(v, (str, int, float, bool, type(None))) else str(v)
+
     manifest = [
         {
-            "file": _os.path.basename(r["file"]),
+            "file": r["file"].rsplit("/", 1)[-1],
             "rows": int(r["rows"]),
             "pos_min": float(r["pos_min"]),
             "pos_max": float(r["pos_max"]),
+            "first_key": {
+                c: _json_safe(r["__first"][c]) for c in order_cols
+            },
         }
         for r in files
     ]
-    with open(
-        _os.path.join(path.removeprefix("file:"), "manifest.json"), "w"
-    ) as f:
-        _json.dump(manifest, f, indent=1)
+    FS(spark).write_text(
+        join(path, "manifest.json"), _json.dumps(manifest, indent=1)
+    )
     return manifest
 
 

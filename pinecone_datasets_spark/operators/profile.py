@@ -39,15 +39,21 @@ def profile_dataset(
     columns: list[str] | None = None,
     p: int = 12,
 ) -> DataFrame:
-    """Profile ``columns`` (default: all non-complex columns) of ``df``.
+    """Profile ``columns`` (default: all non-complex, non-float columns).
 
     Complex types (arrays/structs/maps/binary) are excluded by default —
     their min/max is meaningless and hashing megabyte blobs for a
-    cardinality estimate is rarely what you want; pass them explicitly
-    to opt in (they are cast to string for hashing).
+    cardinality estimate is rarely what you want. Float/double columns
+    are also excluded by default: the profile casts values to string for
+    both min/max and the HLL hash, and double-to-string rendering is
+    engine-specific (Java ``1.0E7`` vs DuckDB ``10000000.0``), so their
+    ``min_str``/``max_str``/``est_distinct`` are NOT oracle-replayable
+    (same hazard ``quantile_sketch`` raises on). Pass either kind
+    explicitly to opt in; the profile is still internally consistent,
+    just not DuckDB-hash-comparable for those columns.
     """
     if columns is None:
-        skip = ("array", "struct", "map", "binary")
+        skip = ("array", "struct", "map", "binary", "float", "double")
         columns = [
             f.name
             for f in df.schema.fields

@@ -173,7 +173,7 @@ def semantic_gate(
     threshold: float = 0.9,
     vector_col: str = "embedding",
     bench_vector_col: str | None = None,
-    max_bench_rows: int = 1_000_000,
+    max_bench_rows: int = 100_000,
     keep_score: bool = False,
 ) -> DataFrame:
     """Stream-legal semantic decontamination (train-batch/apply-stream,

@@ -136,6 +136,33 @@ def test_duckdb_twin_bit_exact(spark, docs):
     assert got == want
 
 
+def test_vertical_tab_tokenizes_identically_across_twins(spark):
+    # Java \s matches \x0B, RE2's does not — the dsir tokenizer uses an
+    # explicit class on BOTH sides so a \x0B-bearing document gets the
+    # same buckets/weights/keep-set in Spark and DuckDB (ADVICE r5).
+    import duckdb
+
+    rows = [("a", "alpha\x0bbeta gamma"), ("b", "alpha beta\x0bgamma")]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    sel = dsir_resample(df, df.select("text"), k=2, n=2, n_buckets=64,
+                        seed=3, id_col="doc_id")
+    got = sorted((r.doc_id, round(r.log_weight, 6), round(r.key, 6))
+                 for r in sel.collect())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW d AS SELECT * FROM (VALUES "
+        "('a', 'alpha' || chr(11) || 'beta gamma'), "
+        "('b', 'alpha beta' || chr(11) || 'gamma')) t(doc_id, text)"
+    )
+    want = sorted((r[0], round(r[1], 6), round(r[2], 6)) for r in con.execute(
+        dsir_sql("d", "(SELECT text FROM d)", k=2, n=2, n_buckets=64,
+                 seed=3, id_col="doc_id")
+    ).fetchall())
+    assert got == want
+    # and the Spark tokenizer itself splits on \x0B (Java-\s parity)
+    assert _grams_of(spark, "x\x0by", 1) == ["x", "y"]
+
+
 def test_guards(spark, docs):
     with pytest.raises(ValueError):
         dsir_resample(docs, docs, k=0)

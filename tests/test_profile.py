@@ -43,12 +43,19 @@ def test_profile_nulls_and_empty_column(spark):
     assert r.min_str is None and r.max_str is None
 
 
-def test_profile_default_excludes_complex(spark):
+def test_profile_default_excludes_complex_and_float(spark):
+    # float/double excluded by default: their string casts are not
+    # engine-portable (Java '1.0E7' vs DuckDB '10000000.0'), so the
+    # oracle-replayable default set skips them (ADVICE r5).
     df = spark.createDataFrame(
-        [(1, [1.0, 2.0], "t")], "id long, vec array<double>, s string"
+        [(1, [1.0, 2.0], "t", 1.5, 2.5)],
+        "id long, vec array<double>, s string, d double, f float",
     )
     cols = [r.column for r in profile_dataset(df).collect()]
     assert cols == ["id", "s"]
+    # explicit opt-in still works
+    cols = [r.column for r in profile_dataset(df, ["id", "d"]).collect()]
+    assert cols == ["d", "id"]
 
 
 def test_profile_guards(spark, docs):
