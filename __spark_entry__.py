@@ -1336,18 +1336,30 @@ def q52_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q53_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental ingest dedup, exact AND Bloom-gated: every 5th doc
-    plays the incoming batch, the rest the standing corpus. The exact
-    path (operators/dedup.py:incremental_dedup) probes the corpus once
-    per batch with the batch fingerprints broadcast; the Bloom path
+    """Incremental ingest dedup, exact, Bloom-gated AND near-dup, same
+    fixture throughout: every 5th doc plays the incoming batch, the
+    rest the standing corpus. 'ingest' part — the exact path
+    (operators/dedup.py:incremental_dedup) probes the corpus once per
+    batch with the batch fingerprints broadcast; the Bloom path
     (operators/sketch.py:bloom_build/bloom_might_contain) pays that
     corpus scan ONCE and then serves every batch from the broadcast
     word table — `bloom_new` implies `exact_new` (no false negatives),
-    the reverse can fail on a false positive. One row per first-in-batch
-    doc with both admission verdicts."""
+    the reverse can fail on a false positive; one row per
+    first-in-batch doc with both admission verdicts. 'mh_probe' part —
+    the PERSISTED MinHash index (dedup.py:build_minhash_index /
+    minhash_index_neardup): the corpus's md5-portable signatures land
+    in a bb-sorted band table once, then the batch signs only itself
+    and probes via literal `bb IN` pushed into the sorted scan; rows
+    are (batch doc, corpus doc, est_jaccard) pairs at >= 0.5 slot
+    agreement — the oracle replays signatures, banding, candidate
+    generation and the agreement estimate in SQL."""
+    import tempfile as _tempfile
+
     from pinecone_datasets_spark.operators.dedup import (
+        build_minhash_index,
         doc_fingerprint,
         incremental_dedup,
+        minhash_index_neardup,
     )
     from pinecone_datasets_spark.operators.sketch import (
         bloom_build,
@@ -1381,20 +1393,43 @@ def q53_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_hashes=4,
         out_col="_maybe_seen",
     )
-    return (
+    ingest = (
         first_in.join(F.broadcast(flags), "_fp")
         .join(admitted, "doc_id", "left")
         .select(
+            F.lit("ingest").alias("part"),
             "doc_id",
             "lang",
             "source",
-            "n_chars",
+            F.col("n_chars").cast("long").alias("n_chars"),
             F.coalesce(F.col("exact_new"), F.lit(False)).alias(
                 "exact_new"
             ),
             (~F.col("_maybe_seen")).alias("bloom_new"),
+            _nl("long").alias("index_id"),
+            _nl("double").alias("est_jaccard"),
         )
-        .orderBy("doc_id")
+    )
+    idx_path = _tempfile.mkdtemp(prefix="q53_mh_index_")
+    build_minhash_index(
+        corpus, idx_path, num_hashes=8, bands=4, shingle_k=5,
+        hash_fn="md5",
+    )
+    probe = minhash_index_neardup(
+        spark, idx_path, batch, threshold=0.5, batch_id_col="doc_id"
+    ).select(
+        F.lit("mh_probe").alias("part"),
+        "doc_id",
+        _nl("string").alias("lang"),
+        _nl("string").alias("source"),
+        _nl("long").alias("n_chars"),
+        _nl("boolean").alias("exact_new"),
+        _nl("boolean").alias("bloom_new"),
+        F.col("index_id").cast("long").alias("index_id"),
+        "est_jaccard",
+    )
+    return ingest.unionByName(probe).orderBy(
+        "part", "doc_id", "index_id"
     )
 
 
@@ -1958,8 +1993,14 @@ def q84_retrieval_eval(
 def q67_q84_hybrid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merged hybrid-retrieval entry, tagged: 'fused' = the RRF ranking
     (q67), 'metrics' = its per-query IR evaluation against exact-cosine
-    pseudo-qrels (q84). The RRF pipeline is built ONCE and shared by
-    both parts (q84 used to re-derive it — 2x the entry's cost)."""
+    pseudo-qrels (q84), 'xe' = cross-encoder rerank of a candidate set
+    (operators/rerank.py:crossencoder_rerank — candidates-only text
+    join, Arrow pair batches in the GPU feeding shape, WindowGroupLimit
+    top-k; the DEFAULT deterministic scorer is token-overlap + an
+    md5-derived tiebreak, both bit-portable, so the oracle replays
+    xe_score exactly via crossencoder_rerank_sql). The RRF pipeline is
+    built ONCE and shared by the first two parts (q84 used to re-derive
+    it — 2x the entry's cost)."""
     # persist: the union's two branches would otherwise re-execute the
     # full RRF plan (50 rows cached — driver-trivial)
     fused_base = q67_hybrid_rrf(spark, sf_dir).persist()
@@ -1983,7 +2024,36 @@ def q67_q84_hybrid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ndcg_at_k").alias("c4"),
         F.col("n_relevant").alias("n_rel"),
     )
-    return fused.unionByName(metrics).orderBy(
+    # 'xe' part: every 100th doc plays a query; the candidate set is a
+    # broadcast-small-side stub (5 queries x the 1/3 corpus slice) —
+    # test-scale stand-in for any first-stage output, which is what the
+    # operator takes at 100 TB. xe_score is unrounded: overlap ratio
+    # and md5 tiebreak are bit-identical across engines by construction.
+    from pinecone_datasets_spark.operators.rerank import (
+        crossencoder_rerank,
+    )
+
+    doc = _t(spark, sf_dir, "documents")
+    xe_queries = doc.where(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("text").alias("query_text"),
+    )
+    cands = F.broadcast(xe_queries.select("query_id")).crossJoin(
+        doc.where(F.col("doc_id") % 3 == 0).select("doc_id")
+    )
+    xe = crossencoder_rerank(
+        cands, xe_queries, doc.select("doc_id", "text"), k=10
+    ).select(
+        F.lit("xe").alias("part"),
+        F.col("query_id"),
+        F.col("doc_id"),
+        F.col("xe_score").alias("c1"),
+        F.col("rank").cast("double").alias("c2"),
+        _nl("double").alias("c3"),
+        _nl("double").alias("c4"),
+        _nl("long").alias("n_rel"),
+    )
+    return fused.unionByName(metrics).unionByName(xe).orderBy(
         "part", "query_id", "c2", "doc_id"
     )
 
@@ -3041,9 +3111,15 @@ def q76_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rep.unionByName(kept)
 
 
+#: Interleave-part weights (q45 'interleave' + its oracle): powers of
+#: two so positions are exact binary rationals — hash-stable.
+_ILV_WEIGHTS = {"src0": 4.0, "src1": 2.0, "src2": 1.0, "src3": 8.0}
+
+
 def q45_q46_q47_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sampling suite: hash-split census (q45) + exact stratified sample
-    (q46) + per-source cap (q47) + domain-mixture draw (q76), tagged."""
+    (q46) + per-source cap (q47) + domain-mixture draw (q76) + DSIR
+    resample + weighted-interleave order, tagged."""
     split = q45_hash_split(spark, sf_dir).select(
         F.lit("split_census").alias("part"),
         F.col("split").alias("k1"),
@@ -3123,6 +3199,23 @@ def q45_q46_q47_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("log_weight") * 1e6).cast("long").alias("n1"),
         F.round(F.col("key") * 1e6).cast("long").alias("n2"),
     )
+    # 'interleave' part: deterministic weighted interleave order
+    # (operators/mixing.py:interleave_by_weights — two-level bucketed
+    # rank, no single-task domains). Power-of-two weights make every
+    # virtual position (i-0.5)/w an exact binary rational, so the
+    # micro-scaled long is bit-identical in any IEEE-754 engine.
+    from pinecone_datasets_spark.operators.mixing import (
+        interleave_by_weights,
+    )
+
+    ilv = interleave_by_weights(docs, _ILV_WEIGHTS).select(
+        F.lit("interleave").alias("part"),
+        F.col("source").alias("k1"),
+        F.lit("ALL").alias("k2"),
+        F.col("doc_id"),
+        F.round(F.col("mix_pos") * 1e6).cast("long").alias("n1"),
+        _nl("long").alias("n2"),
+    )
     return (
         split.unionByName(strat)
         .unionByName(cap)
@@ -3130,6 +3223,7 @@ def q45_q46_q47_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(leak)
         .unionByName(q76_mixture(spark, sf_dir))
         .unionByName(dsir)
+        .unionByName(ilv)
         .orderBy("part", "k1", "k2", "doc_id")
     )
 
@@ -4021,15 +4115,57 @@ bpos AS (
   FROM ppos LEFT JOIN bloom USING (word)
   GROUP BY 1
 )
-SELECT b.doc_id, b.lang, b.source, b.n_chars,
+, mh_norm AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+  FROM documents
+), mh_sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+    generate_series(1, greatest(len(t) - 4, 1)),
+    i -> substr(t, i::int, 5))) AS shingles
+  FROM mh_norm
+), mh_sig AS (
+  SELECT doc_id, [__MH_SIG_ITEMS__] AS sig FROM mh_sh
+), mh_bands AS (
+  SELECT doc_id, band,
+         md5(concat_ws(',', sig[band*2 + 1], sig[band*2 + 2])) AS bucket
+  FROM mh_sig, (VALUES (0),(1),(2),(3)) b(band)
+), mh_pairs AS (
+  SELECT DISTINCT a.doc_id AS bid, b.doc_id AS iid
+  FROM mh_bands a JOIN mh_bands b
+    ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 != 0
+), mh_est AS (
+  SELECT bid, iid,
+    round(list_sum(list_transform(generate_series(1, 8),
+      i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) / 8.0,
+      6) AS ej
+  FROM mh_pairs
+  JOIN mh_sig sa ON sa.doc_id = bid
+  JOIN mh_sig sb ON sb.doc_id = iid
+)
+SELECT 'ingest' AS part, b.doc_id, b.lang, b.source,
+       CAST(b.n_chars AS BIGINT) AS n_chars,
        NOT EXISTS (
          SELECT 1 FROM fp c WHERE NOT c.is_batch AND c.f = b.f
        ) AS exact_new,
-       NOT flags.maybe_seen AS bloom_new
+       NOT flags.maybe_seen AS bloom_new,
+       CAST(NULL AS BIGINT) AS index_id,
+       CAST(NULL AS DOUBLE) AS est_jaccard
 FROM first_in b JOIN flags ON flags.f = b.f
 WHERE b.rk = 1
-ORDER BY doc_id
-""",
+UNION ALL
+SELECT 'mh_probe', bid, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+       CAST(NULL AS BIGINT), CAST(NULL AS BOOLEAN),
+       CAST(NULL AS BOOLEAN), iid, ej
+FROM mh_est WHERE ej >= 0.5
+ORDER BY part, doc_id, index_id
+""".replace(
+            "__MH_SIG_ITEMS__",
+            ", ".join(
+                f"list_min(list_transform(shingles, s -> md5('{i}|' || s)))"
+                for i in range(8)
+            ),
+        ),
         "q51_quantile_filter": """
 WITH t AS (
   SELECT doc_id, len(text) AS n,
@@ -5380,7 +5516,22 @@ ORDER BY part, query_id, rank
     # q67 + q84: the RRF ranking UNION its IR evaluation against exact-
     # cosine pseudo-qrels (rel = 4 - rank). The metrics replay is pure
     # SQL: DCG/IDCG via power/log2, first-relevant-rank MRR, judged-set
-    # spine so an all-miss query still emits a zero row.
+    # spine so an all-miss query still emits a zero row. The 'xe' part
+    # replays the cross-encoder's default deterministic scorer.
+    from pinecone_datasets_spark.operators.rerank import (
+        crossencoder_rerank_sql,
+    )
+
+    _xe_inner = crossencoder_rerank_sql(
+        "(SELECT q.query_id, d.doc_id"
+        " FROM (SELECT doc_id AS query_id FROM documents"
+        "       WHERE doc_id % 100 = 0) q,"
+        "      (SELECT doc_id FROM documents WHERE doc_id % 3 = 0) d)",
+        "(SELECT doc_id AS query_id, text AS query_text FROM documents"
+        " WHERE doc_id % 100 = 0)",
+        "documents",
+        k=10,
+    )
     out["q67_q84_hybrid_eval"] = f"""
 WITH fused_q67 AS ({b['q67_hybrid_rrf']}),
 qrels AS (
@@ -5433,6 +5584,13 @@ UNION ALL
 SELECT 'metrics', query_id, CAST(NULL AS BIGINT), recall_at_k,
        precision_at_k, mrr_at_k, ndcg_at_k, n_rel
 FROM mets
+UNION ALL
+-- cross-encoder rerank (operators/rerank.py): deterministic default
+-- scorer (token overlap + md5 tiebreak) over the same candidate stub
+SELECT 'xe', query_id, doc_id, xe_score,
+       CAST(rank AS DOUBLE), CAST(NULL AS DOUBLE),
+       CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT)
+FROM ({_xe_inner})
 ORDER BY part, query_id, c2, doc_id
 """
     # q48 + q81/q82: decontamination stats UNION exact repeated-substring
@@ -5949,6 +6107,7 @@ FROM ch
 ORDER BY part, doc_id, term
 """
     from pinecone_datasets_spark.operators.dsir import dsir_sql
+    from pinecone_datasets_spark.operators.mixing import interleave_sql
 
     _dsir_inner = dsir_sql(
         "documents",
@@ -5957,6 +6116,9 @@ ORDER BY part, doc_id, term
         n=2,
         n_buckets=2000,
         seed=11,
+    )
+    _ilv_inner = interleave_sql(
+        _ILV_WEIGHTS, "documents", select_cols="doc_id, source"
     )
     out["q45_q46_q47_sampling"] = f"""
 WITH sp AS ({b['q45_hash_split']}),
@@ -6016,6 +6178,12 @@ SELECT 'dsir', d.lang, 'ALL', ds.doc_id,
        CAST(round(ds.log_weight * 1e6) AS BIGINT),
        CAST(round(ds.key * 1e6) AS BIGINT)
 FROM ds JOIN documents d USING (doc_id)
+UNION ALL
+-- weighted interleave (operators/mixing.py): bucketed within-domain
+-- rank -> virtual position (i-0.5)/w; power-of-two weights => exact
+SELECT 'interleave', source, 'ALL', doc_id,
+       CAST(round(mix_pos * 1e6) AS BIGINT), CAST(NULL AS BIGINT)
+FROM ({_ilv_inner})
 ORDER BY part, k1, k2, doc_id
 """
     out["q56_q61_rollup"] = f"""
