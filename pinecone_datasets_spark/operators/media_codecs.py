@@ -67,6 +67,17 @@ def probe_bytes(
             if dims is not None:
                 return "jpeg", dims[0], dims[1], None
             return "jpeg", None, None, None
+        if content[:4] == b"RIFF" and content[8:12] == b"AVI ":
+            # avih sits in the leading hdrl list; header-probe only
+            at = content.find(b"avih", 12, 512)
+            if at >= 0 and at + 48 <= len(content):
+                base = at + 8
+                (usec,) = struct.unpack_from("<I", content, base)
+                (nframes,) = struct.unpack_from("<I", content, base + 16)
+                w, h = struct.unpack_from("<ii", content, base + 32)
+                dur = (usec // 1000) * nframes if usec else None
+                return "avi", w or None, abs(h) or None, dur
+            return "avi", None, None, None
         if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
             try:
                 with wave.open(io.BytesIO(content)) as wf:
@@ -259,6 +270,173 @@ def decode_mpng(content: bytes):
     if len(frames) != n:
         raise ValueError("truncated MPNG container")
     return interval_ms, frames
+
+
+# ---------------------------------------------------------------------------
+# AVI: minimal RIFF container (real, pure stdlib) — MJPG + uncompressed DIB
+# ---------------------------------------------------------------------------
+#
+# The standard interchange shape for "video without a codec stack":
+# Motion-JPEG AVIs store one complete JPEG per frame, uncompressed AVIs
+# one DIB (BMP-style) pixel array per frame — both extractable with
+# struct alone. Frame *extraction* (what sample_video_frames needs) never
+# requires JPEG entropy decode: MJPG frames come out as standalone JPEG
+# bytes (probe-able via the SOF walk above), DIB frames are re-wrapped
+# into spec-valid BMPs decodable by ``decode_bmp``.
+
+
+def is_avi(content: bytes) -> bool:
+    return (
+        len(content) >= 12
+        and content[:4] == b"RIFF"
+        and content[8:12] == b"AVI "
+    )
+
+
+def encode_avi(
+    frames,
+    interval_ms: int = 100,
+    fourcc: str = "MJPG",
+    width: int = 0,
+    height: int = 0,
+) -> bytes:
+    """Pack per-frame payloads into a minimal spec-valid AVI.
+
+    ``frames`` are the already-encoded per-frame bytes: complete JPEGs
+    for ``fourcc="MJPG"``, raw bottom-up 24-bpp BGR DIB rows (4-byte
+    aligned) for ``fourcc="DIB "``. Layout: RIFF(AVI ) { LIST hdrl
+    { avih, LIST strl { strh, strf } }, LIST movi { 00dc/00db ... } }.
+    No idx1 index — players tolerate its absence and ``decode_avi``
+    walks the movi list directly. Fixture encoder, same role as
+    ``encode_png``/``encode_wav``.
+    """
+    if interval_ms <= 0:
+        raise ValueError(f"interval_ms must be positive: {interval_ms}")
+    fcc = fourcc.encode("ascii").ljust(4)[:4]
+    if fcc not in (b"MJPG", b"DIB "):
+        raise ValueError(f"unsupported fourcc: {fourcc!r}")
+    usec = int(interval_ms) * 1000
+    n = len(frames)
+    max_len = max((len(f) for f in frames), default=0)
+
+    def chunk(cid: bytes, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) % 2 else b""
+        return cid + struct.pack("<I", len(data)) + data + pad
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    avih = struct.pack(
+        "<14I",
+        usec, 0, 0, 0x10,  # usec/frame, maxbytes/sec, padding, HASINDEX-less flags
+        n, 0, 1, max_len,  # total frames, initial, streams, sugg. buffer
+        width, height, 0, 0, 0, 0,
+    )
+    # dwScale/dwRate = (interval_ms, 1000) keeps fps exact for
+    # non-divisor intervals; avih's µs/frame stays authoritative.
+    strh = (
+        b"vids" + fcc
+        + struct.pack(
+            "<10I", 0, 0, 0, int(interval_ms), 1000, 0, n, max_len,
+            0xFFFFFFFF, 0,
+        )
+        + struct.pack("<4H", 0, 0, width, height)
+    )
+    biComp = 0 if fcc == b"DIB " else struct.unpack("<I", b"MJPG")[0]
+    strf = struct.pack(
+        "<IiiHHIIiiII",
+        40, width, height, 1, 24, biComp,
+        max_len, 0, 0, 0, 0,
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    cid = b"00dc" if fcc == b"MJPG" else b"00db"
+    movi = lst(b"movi", b"".join(chunk(cid, bytes(f)) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi(content: bytes):
+    """AVI bytes → ``(interval_ms, fourcc, (width, height), [frame_bytes])``.
+
+    Walks the RIFF tree with ``struct`` only: ``avih`` gives the frame
+    interval (µs/frame — authoritative over strh scale/rate), ``strh``
+    the stream handler fourcc, ``strf`` the dimensions, and the ``movi``
+    list the per-frame payloads (``..db``/``..dc`` chunks). Raises
+    ``UnsupportedMediaError`` on non-AVI bytes or a truncated tree.
+    """
+    if not is_avi(content):
+        raise UnsupportedMediaError("not an AVI")
+    usec_per_frame = None
+    fourcc = None
+    dims = (0, 0)
+    frames: list = []
+
+    def walk(lo: int, hi: int) -> None:
+        nonlocal usec_per_frame, fourcc, dims
+        pos = lo
+        while pos + 8 <= hi:
+            cid = content[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", content, pos + 4)
+            data_lo = pos + 8
+            data_hi = min(data_lo + size, hi)
+            if cid == b"LIST":
+                walk(data_lo + 4, data_hi)  # skip the list-type fourcc
+            elif cid == b"avih" and size >= 4:
+                (usec_per_frame,) = struct.unpack_from(
+                    "<I", content, data_lo
+                )
+            elif cid == b"strh" and size >= 8:
+                if content[data_lo : data_lo + 4] == b"vids":
+                    fourcc = (
+                        content[data_lo + 4 : data_lo + 8]
+                        .decode("ascii", "replace")
+                    )
+            elif cid == b"strf" and size >= 16:
+                w, h = struct.unpack_from("<ii", content, data_lo + 4)
+                if w and dims == (0, 0):
+                    dims = (w, abs(h))
+            elif cid[2:4] in (b"db", b"dc"):
+                frames.append(content[data_lo:data_hi])
+            pos = data_lo + size + (size % 2)
+
+    try:
+        walk(12, len(content))
+    except struct.error as e:
+        raise UnsupportedMediaError(f"truncated AVI: {e}") from e
+    if usec_per_frame is None:
+        raise UnsupportedMediaError("AVI without avih header")
+    interval_ms = max(int(usec_per_frame) // 1000, 1)
+    return interval_ms, (fourcc or "????"), dims, frames
+
+
+def bmp_wrap(dib_rows: bytes, width: int, height: int) -> bytes:
+    """Raw bottom-up 24-bpp BGR DIB rows → standalone BMP bytes that
+    ``decode_bmp`` (and anything else) accepts."""
+    header_size = 14 + 40
+    info = struct.pack(
+        "<IiiHHIIiiII",
+        40, width, height, 1, 24, 0,
+        len(dib_rows), 0, 0, 0, 0,
+    )
+    file_hdr = struct.pack(
+        "<2sIHHI", b"BM", header_size + len(dib_rows), 0, 0, header_size
+    )
+    return file_hdr + info + dib_rows
+
+
+def encode_dib_frame(pixels: np.ndarray) -> bytes:
+    """uint8 (h, w, 3) RGB → raw bottom-up BGR DIB rows (the ``DIB ``
+    AVI frame payload; ``bmp_wrap`` of the result is a valid BMP)."""
+    h, w = pixels.shape[:2]
+    row_bytes = (w * 3 + 3) & ~3
+    bgr = pixels[:, :, ::-1]
+    out = np.zeros((h, row_bytes), dtype=np.uint8)
+    out[:, : w * 3] = bgr.reshape(h, w * 3)
+    return out[::-1].tobytes()
 
 
 # ---------------------------------------------------------------------------

@@ -366,13 +366,16 @@ def sample_video_frames(
     """Frame sampling: one output row per sampled frame (media_id, ts_ms,
     frame bytes).
 
-    REAL path: content in the repo's MPNG motion container
+    REAL paths: (1) content in the repo's MPNG motion container
     (``media_codecs.encode_mpng`` — length-prefixed spec-valid PNG
-    frames; the honest stdlib stand-in for ffmpeg containers) is decoded
-    for real: at each ``every_ms`` tick the covering frame's PNG bytes
-    are emitted, decodable by ``decode_png`` / feedable to
-    ``extract_image_features``. Other containers (mp4/webm) still need
-    ffmpeg and raise ``NotImplementedError`` unless ``fake=True``, which
+    frames) and (2) **AVI** — Motion-JPEG (each sampled frame emitted
+    as its complete standalone JPEG bytes, dimension-probeable) or
+    uncompressed DIB (each frame re-wrapped into a spec-valid BMP that
+    ``decode_bmp``/``extract_image_features`` accept). Both are pure
+    struct/RIFF parses (``media_codecs.decode_avi``). At each
+    ``every_ms`` tick the covering frame's bytes are emitted.
+    Inter-frame-compressed containers (mp4/webm/h264) still need ffmpeg
+    and raise ``NotImplementedError`` unless ``fake=True``, which
     exercises the explode-shaped plumbing with deterministic sha256
     frame bytes. Arrow-batched ``mapInPandas`` either way; bytes stay
     columnar."""
@@ -385,7 +388,13 @@ def sample_video_frames(
     )
     _ship(media)
 
-    from .media_codecs import MPNG_MAGIC, decode_mpng
+    from .media_codecs import (
+        MPNG_MAGIC,
+        bmp_wrap,
+        decode_avi,
+        decode_mpng,
+        is_avi,
+    )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -394,8 +403,18 @@ def sample_video_frames(
                 pdf["media_id"], pdf["content"], pdf["duration_ms"]
             ):
                 raw = bytes(content or b"")
+                decoded = None
                 if raw.startswith(MPNG_MAGIC):
-                    interval, frames = decode_mpng(raw)
+                    decoded = decode_mpng(raw)
+                elif is_avi(raw):
+                    interval, fcc, (w, h), frames = decode_avi(raw)
+                    if fcc == "DIB ":
+                        frames = [bmp_wrap(f, w, h) for f in frames]
+                    decoded = (interval, frames)
+                if decoded is not None:
+                    interval, frames = decoded
+                    if not frames:
+                        continue  # empty container: no rows, no error
                     total = interval * len(frames)
                     for ts in range(0, max(total, 1), every_ms):
                         idx = min(ts // interval, len(frames) - 1)
@@ -405,9 +424,10 @@ def sample_video_frames(
                     continue
                 if not fake:
                     raise NotImplementedError(
-                        "non-MPNG video needs ffmpeg bindings (absent); "
-                        "use media_codecs.encode_mpng containers or pass "
-                        "fake=True to exercise the pipeline"
+                        "inter-frame-compressed video (mp4/webm/h264) "
+                        "needs ffmpeg bindings (absent); use MJPEG/DIB "
+                        "AVI or MPNG containers (both decoded for real) "
+                        "or pass fake=True to exercise the pipeline"
                     )
                 dur = int(dur) if dur is not None else 0
                 for ts in range(0, max(dur, 1), every_ms):

@@ -11,7 +11,7 @@ TESTDATA = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata/sf0.001")
 
 @pytest.fixture(scope="session")
 def spark():
-    spark = (
+    builder = (
         SparkSession.builder.master("local[8]")
         .appName("pinecone-datasets-spark-tests")
         .config("spark.sql.shuffle.partitions", "8")
@@ -19,8 +19,16 @@ def spark():
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", "4g")
-        .getOrCreate()
     )
+    # tools/partest.py shards the suite across worker processes; each
+    # worker gets its own warehouse so managed-table tests (bucketing)
+    # don't collide on ./spark-warehouse
+    shard = os.environ.get("SPARK_GRAFT_TEST_SHARD")
+    if shard:
+        builder = builder.config(
+            "spark.sql.warehouse.dir", f"/tmp/psds_test_wh_{shard}"
+        )
+    spark = builder.getOrCreate()
     yield spark
     spark.stop()
 

@@ -14,10 +14,10 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
     # clear both so reruns don't hit LOCATION_ALREADY_EXISTS
     import shutil
 
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
     for t in ("li_b", "ord_b"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
-        loc = f"spark-warehouse/{t}"
-        shutil.rmtree(loc, ignore_errors=True)
+        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     write_bucketed(li, "li_b", ["l_orderkey"], num_buckets=8,

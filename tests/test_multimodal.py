@@ -1,9 +1,11 @@
-"""Multimodal: real stdlib codecs (PNG/BMP/WAV/probe) + Spark plumbing
-(schema, mapInPandas batching, determinism, column pruning).
+"""Multimodal: real stdlib codecs (PNG/BMP/WAV/AVI/probe) + Spark
+plumbing (schema, mapInPandas batching, determinism, column pruning).
 
 Image and audio decode are REAL (media_codecs: zlib inflate + defilter,
-DIB pixel array, PCM-16); only video decode remains stubbed (needs
-ffmpeg, not in this environment)."""
+DIB pixel array, PCM-16), and so is frame extraction from MJPEG/DIB AVI
+and MPNG containers (pure RIFF/struct parses); only inter-frame-
+compressed video (mp4/webm) remains stubbed (needs ffmpeg, not in this
+environment)."""
 
 from __future__ import annotations
 
@@ -332,6 +334,108 @@ def test_mpng_frame_sampling_is_real(spark):
     # container roundtrip sanity
     interval, fr = decode_mpng(rows[0][2])
     assert interval == 500 and len(fr) == 6
+
+
+def _tiny_jpeg(w: int, h: int, seed: int) -> bytes:
+    """Probe-valid JPEG bytes: SOI + SOF0 carrying (w, h) + EOI, plus a
+    seed-dependent comment so payloads are distinct. Not entropy-
+    decodable — frame EXTRACTION must not require that."""
+    com = bytes([0xFF, 0xFE]) + struct.pack(">H", 4) + bytes([seed, 0])
+    sof = (
+        bytes([0xFF, 0xC0])
+        + struct.pack(">H", 11)
+        + bytes([8])
+        + struct.pack(">HH", h, w)
+        + bytes([1, 0x11, 0x00])
+    )
+    return b"\xff\xd8" + com + sof + b"\xff\xd9"
+
+
+def test_avi_mjpeg_frame_sampling_is_real(spark):
+    """MJPEG AVI: sampled frames are the exact standalone JPEG payloads
+    packed at encode time, and each probes to its true dimensions."""
+    from pinecone_datasets_spark.operators.media_codecs import (
+        decode_avi,
+        encode_avi,
+    )
+
+    vids = {}
+    rows = []
+    for i in range(2):
+        frames = [_tiny_jpeg(32, 24, 10 * i + j) for j in range(6)]
+        vids[f"av{i}"] = frames
+        rows.append(
+            (
+                f"av{i}",
+                "video",
+                encode_avi(frames, interval_ms=500, fourcc="MJPG",
+                           width=32, height=24),
+                32,
+                24,
+                3000,
+                "avi",
+            )
+        )
+    df = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    out = sample_video_frames(df, every_ms=1000)
+    got = {(r["media_id"], r["ts_ms"]): bytes(r["frame"])
+           for r in out.collect()}
+    assert sorted(ts for (m, ts) in got if m == "av0") == [0, 1000, 2000]
+    for mid, frames in vids.items():
+        for tick, idx in ((0, 0), (1000, 2), (2000, 4)):
+            assert got[(mid, tick)] == frames[idx]
+            assert probe_bytes(got[(mid, tick)]) == ("jpeg", 32, 24, None)
+    # container roundtrip sanity
+    interval, fcc, dims, fr = decode_avi(rows[0][2])
+    assert (interval, fcc, dims, len(fr)) == (500, "MJPG", (32, 24), 6)
+
+
+def test_avi_dib_frames_decode_to_pixels(spark):
+    """Uncompressed-DIB AVI: sampled frames come out as spec-valid BMPs
+    whose pixels equal the encoded arrays exactly (real decode chain:
+    RIFF walk -> BMP wrap -> decode_bmp)."""
+    from pinecone_datasets_spark.operators.media_codecs import (
+        encode_avi,
+        encode_dib_frame,
+    )
+
+    rng = np.random.default_rng(7)
+    frames_px = [
+        rng.integers(0, 256, (6, 5, 3), dtype=np.uint8) for _ in range(4)
+    ]
+    avi = encode_avi(
+        [encode_dib_frame(p) for p in frames_px],
+        interval_ms=250,
+        fourcc="DIB ",
+        width=5,
+        height=6,
+    )
+    rows = [("dv0", "video", avi, 5, 6, 1000, "avi")]
+    df = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    out = sample_video_frames(df, every_ms=250)
+    got = {r["ts_ms"]: bytes(r["frame"]) for r in out.collect()}
+    assert sorted(got) == [0, 250, 500, 750]
+    for ts, px in zip((0, 250, 500, 750), frames_px):
+        np.testing.assert_array_equal(decode_bmp(got[ts]), px)
+
+
+def test_avi_probe_and_guards():
+    from pinecone_datasets_spark.operators.media_codecs import (
+        decode_avi,
+        encode_avi,
+    )
+
+    avi = encode_avi(
+        [_tiny_jpeg(16, 8, 1)], interval_ms=40, fourcc="MJPG",
+        width=16, height=8,
+    )
+    assert probe_bytes(avi) == ("avi", 16, 8, 40)
+    with pytest.raises(UnsupportedMediaError, match="not an AVI"):
+        decode_avi(b"RIFF\x00\x00\x00\x00WAVE")
+    with pytest.raises(ValueError, match="fourcc"):
+        encode_avi([], fourcc="H264")
+    with pytest.raises(ValueError, match="positive"):
+        encode_avi([], interval_ms=0)
 
 
 def test_audio_spectral_features_real_fft(spark):
