@@ -3487,7 +3487,7 @@ def _oracle_simhash() -> str:
     return f"""
 WITH toks AS (
   SELECT doc_id,
-         unnest(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS tok
+         unnest(list_distinct(string_split_regex(lower(trim(text)), '[ \\t\\n\\r\\f\\x0B]+'))) AS tok
   FROM documents
 ), h AS (
   SELECT doc_id,
@@ -3509,7 +3509,7 @@ def _oracle_bm25_ctes(queries_cte: str, k: int) -> str:
 q AS ({queries_cte}),
 toks AS (
   SELECT doc_id,
-         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+         unnest(string_split_regex(lower(trim(text)), '[ \\t\\n\\r\\f\\x0B]+')) AS term
   FROM documents
 ), tf AS (
   SELECT doc_id, term, count(*) AS tf
@@ -3521,7 +3521,7 @@ toks AS (
 ), qt AS (
   SELECT DISTINCT query_id, term FROM (
     SELECT query_id,
-           unnest(string_split_regex(lower(trim(query_text)), '\\s+'))
+           unnest(string_split_regex(lower(trim(query_text)), '[ \\t\\n\\r\\f\\x0B]+'))
              AS term
     FROM q)
   WHERE term <> ''
@@ -3603,7 +3603,7 @@ def _oracle_minhash(num_hashes: int = 8, bands: int = 4, k: int = 5) -> str:
     )
     return f"""
 WITH norm AS (
-  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+  SELECT doc_id, regexp_replace(lower(trim(text)), '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g') AS t
   FROM documents
 ), sh AS (
   SELECT doc_id, list_distinct(list_transform(
@@ -3675,7 +3675,7 @@ ORDER BY cluster_id
 def _oracle_jaccard(threshold: float = 0.12, k: int = 5) -> str:
     return f"""
 WITH norm AS (
-  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+  SELECT doc_id, regexp_replace(lower(trim(text)), '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g') AS t
   FROM documents
 ), sh AS (
   SELECT doc_id, unnest(list_distinct(list_transform(
@@ -3706,7 +3706,7 @@ _DUP_CORPUS = """
   FROM documents WHERE doc_id % 10 = 0
 """
 
-_FP = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
+_FP = "md5(regexp_replace(lower(trim(text)), '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'))"
 
 # Annotation CTE shared by the curation oracles: word count + quality score
 # over an upstream relation named ``dedup`` (duckdb twin of
@@ -3726,10 +3726,10 @@ annotated AS (
                    '[.,;:!?''"()\\[\\]{}-]', '', 'g'))) / greatest(len(text), 1)) * 5
             END
           + least(1.0,
-              (len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+              (len(list_filter(string_split_regex(lower(trim(text)), '[ \\t\\n\\r\\f\\x0B]+'),
                  x -> x IN ('the','a','an','and','or','of','to','in','is','it',
                             'that','for','on','with','as','was','at','by','be')))
-               / greatest(len(string_split_regex(lower(trim(text)), '\\s+')), 1)) * 4.0)
+               / greatest(len(string_split_regex(lower(trim(text)), '[ \\t\\n\\r\\f\\x0B]+')), 1)) * 4.0)
          ) / 3.0 AS quality
   FROM dedup
 )
@@ -3764,7 +3764,7 @@ def _oracle_minhash_oph(num_hashes: int = 8, bands: int = 4, k: int = 5) -> str:
     )
     return f"""
 WITH norm AS (
-  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+  SELECT doc_id, regexp_replace(lower(trim(text)), '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g') AS t
   FROM documents
 ), h AS (
   SELECT doc_id,
@@ -4043,7 +4043,7 @@ ORDER BY query_id, rank
         "q43_top_terms": """
 SELECT term, count(*)::BIGINT AS n
 FROM (
-  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+  SELECT unnest(string_split_regex(lower(trim(text)), '[ \\t\\n\\r\\f\\x0B]+')) AS term
   FROM documents
 )
 WHERE len(term) > 0
@@ -4054,7 +4054,7 @@ LIMIT 50
         "q44_characteristic_terms": """
 WITH ex AS (
   SELECT doc_id,
-         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+         unnest(string_split_regex(lower(trim(text)), '[ \\t\\n\\r\\f\\x0B]+')) AS term
   FROM documents
 ), tc AS (
   SELECT doc_id, term, count(*)::BIGINT AS tf
@@ -4081,7 +4081,7 @@ ORDER BY doc_id, rank
         "q53_incremental_dedup": """
 WITH fp AS (
   SELECT doc_id, lang, source, n_chars,
-         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f,
+         md5(regexp_replace(lower(trim(text)), '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')) AS f,
          (doc_id % 5 = 0) AS is_batch
   FROM documents
 ), batch AS (
@@ -4116,7 +4116,7 @@ bpos AS (
   GROUP BY 1
 )
 , mh_norm AS (
-  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+  SELECT doc_id, regexp_replace(lower(trim(text)), '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g') AS t
   FROM documents
 ), mh_sh AS (
   SELECT doc_id, list_distinct(list_transform(
@@ -4169,7 +4169,7 @@ ORDER BY part, doc_id, index_id
         "q51_quantile_filter": """
 WITH t AS (
   SELECT doc_id, len(text) AS n,
-         string_split_regex(lower(trim(text)), '\\s+') AS ws,
+         string_split_regex(lower(trim(text)), '[ \\t\\n\\r\\f\\x0B]+') AS ws,
          len(text) - len(regexp_replace(text, '[.,;:!?''"()\\[\\]{}-]', '', 'g')) AS n_punct
   FROM documents
 ), parts AS (
@@ -4248,7 +4248,7 @@ ORDER BY query_id, rank
         "q49_pack_chunks": """
 WITH t AS (
   SELECT doc_id,
-         len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+         len(list_filter(string_split_regex(lower(trim(text)), '[ \\t\\n\\r\\f\\x0B]+'),
                          x -> len(x) > 0))::BIGINT AS n_tokens
   FROM documents
 ), c AS (
@@ -4268,7 +4268,7 @@ WITH t AS (
   FROM bk
 ), warr AS (
   SELECT doc_id,
-         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+         list_filter(string_split_regex(lower(trim(text)), '[ \\t\\n\\r\\f\\x0B]+'),
                      x -> len(x) > 0) AS w
   FROM documents
 ), rag0 AS (
@@ -4309,7 +4309,7 @@ ORDER BY part, doc_id, c1
         "q48_decontaminate": """
 WITH w AS (
   SELECT doc_id,
-         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+         list_filter(string_split_regex(lower(trim(text)), '[ \\t\\n\\r\\f\\x0B]+'),
                      x -> len(x) > 0) AS words
   FROM documents
 ), g AS (
@@ -4441,7 +4441,7 @@ ORDER BY day
 WITH toks AS (
   SELECT doc_id, term FROM (
     SELECT doc_id,
-           unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+           unnest(string_split_regex(lower(trim(text)), '[ \\t\\n\\r\\f\\x0B]+')) AS term
     FROM documents
   ) WHERE len(term) > 0
 ), vocab AS (
@@ -4455,7 +4455,7 @@ WITH toks AS (
   GROUP BY doc_id
 ), tarr AS (
   SELECT doc_id,
-         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+         list_filter(string_split_regex(lower(trim(text)), '[ \\t\\n\\r\\f\\x0B]+'),
                      t -> len(t) > 0) AS t
   FROM documents
 ), bstream AS (
@@ -4809,7 +4809,7 @@ FROM events GROUP BY event_type ORDER BY event_type
         "q29_lang_detect": """
 WITH toks AS (
   SELECT doc_id, lang,
-         string_split_regex(lower(trim(text)), '\\s+') AS ws
+         string_split_regex(lower(trim(text)), '[ \\t\\n\\r\\f\\x0B]+') AS ws
   FROM documents
 ), scores AS (
   SELECT doc_id, lang,
@@ -4830,7 +4830,7 @@ FROM scores ORDER BY doc_id
         "q30_quality_score": """
 WITH t AS (
   SELECT doc_id, text, len(text) AS n,
-         string_split_regex(lower(trim(text)), '\\s+') AS ws,
+         string_split_regex(lower(trim(text)), '[ \\t\\n\\r\\f\\x0B]+') AS ws,
          len(text) - len(regexp_replace(text, '[.,;:!?''"()\\[\\]{}-]', '', 'g')) AS n_punct
   FROM documents
 ), parts AS (
@@ -4898,7 +4898,7 @@ GROUP BY c_mktsegment ORDER BY c_mktsegment
 SELECT doc_id,
        list_reduce(
          list_prepend(0::BIGINT,
-           list_transform(string_split_regex(lower(trim(text)), '\\s+'),
+           list_transform(string_split_regex(lower(trim(text)), '[ \\t\\n\\r\\f\\x0B]+'),
                           t -> ('0x' || substr(md5(t), 1, 8))::BIGINT)),
          (a, b) -> (a * 1000003 + b) % 2147483647) AS fp
 FROM documents ORDER BY doc_id
@@ -4906,7 +4906,7 @@ FROM documents ORDER BY doc_id
         "q40_repetition_signals": """
 WITH w AS (
   SELECT doc_id,
-         string_split_regex(lower(trim(text)), '\\s+') AS words
+         string_split_regex(lower(trim(text)), '[ \\t\\n\\r\\f\\x0B]+') AS words
   FROM documents
 ), base AS (
   SELECT doc_id, words, len(words) AS n,
@@ -4954,7 +4954,7 @@ FROM red ORDER BY doc_id
         "q75_boilerplate": r"""
 WITH w AS (
   SELECT doc_id,
-         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+         list_filter(string_split_regex(lower(trim(text)), '[ \t\n\r\f\x0B]+'),
                      x -> len(x) > 0) AS words
   FROM documents
 ), g AS (
@@ -5467,7 +5467,7 @@ orig AS (
   FROM (SELECT query_id, term, count(*) AS cnt
         FROM (SELECT query_id,
                      unnest(string_split_regex(lower(trim(query_text)),
-                                               '\\s+')) AS term
+                                               '[ \\t\\n\\r\\f\\x0B]+')) AS term
               FROM q)
         WHERE term <> '' GROUP BY query_id, term)
 ),
@@ -5609,7 +5609,7 @@ corpus AS (
 ),
 wrd AS (
   SELECT doc_id,
-         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+         list_filter(string_split_regex(lower(trim(text)), '[ \\t\\n\\r\\f\\x0B]+'),
                      x -> len(x) > 0) AS words
   FROM corpus
 ),
@@ -5775,7 +5775,7 @@ s75 AS ({b['q75_boilerplate']}),
 -- repeated set, gaps-and-islands run lengths
 warr77 AS (
   SELECT doc_id,
-         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+         list_filter(string_split_regex(lower(trim(text)), '[ \\t\\n\\r\\f\\x0B]+'),
                      x -> len(x) > 0) AS w
   FROM documents
 ),
@@ -6243,12 +6243,12 @@ WITH rep AS (
          sum(length(text)) AS total_chars,
          count(DISTINCT lang) AS n_langs,
          count(DISTINCT md5(regexp_replace(lower(trim(text)),
-                                           '\s+', ' ', 'g'))) AS n_unique
+                                           '[ \t\n\r\f\x0B]+', ' ', 'g'))) AS n_unique
   FROM documents GROUP BY 1
 ),
 fpo AS (
   SELECT doc_id,
-         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f
+         md5(regexp_replace(lower(trim(text)), '[ \t\n\r\f\x0B]+', ' ', 'g')) AS f
   FROM documents
 ),
 v2 AS (
@@ -6260,7 +6260,7 @@ v2 AS (
 ),
 fpn AS (
   SELECT doc_id,
-         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f
+         md5(regexp_replace(lower(trim(text)), '[ \t\n\r\f\x0B]+', ' ', 'g')) AS f
   FROM v2
 ),
 dif AS (

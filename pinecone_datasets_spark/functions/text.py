@@ -61,7 +61,7 @@ _STOPWORDS = (
 def stopword_ratio(text: ColumnOrName) -> Column:
     """Fraction of whitespace tokens that are English stopwords.
     Built-ins only: split → filter → size."""
-    toks = F.split(F.lower(F.trim(_c(text))), r"\s+")
+    toks = F.split(F.lower(F.trim(_c(text))), WHITESPACE_RUN_PATTERN)
     stop = F.size(
         F.filter(toks, lambda w: w.isin(list(_STOPWORDS)))
     )
@@ -91,7 +91,7 @@ def detect_language(text: ColumnOrName) -> Column:
     A real system would plug fastText here; the Spark plumbing (pure
     column expressions, no shuffle) is the deliverable.
     """
-    toks = F.split(F.lower(F.trim(_c(text))), r"\s+")
+    toks = F.split(F.lower(F.trim(_c(text))), WHITESPACE_RUN_PATTERN)
     markers = {
         "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
         "en": ("the", "and", "is", "of", "to", "in", "that", "it"),
@@ -121,7 +121,7 @@ def detect_language(text: ColumnOrName) -> Column:
 def doc_fingerprint(text: ColumnOrName) -> Column:
     """Content fingerprint: lowercase, collapse whitespace, md5.
     Identical in any SQL engine; used as the exact-dedup key."""
-    normalized = F.regexp_replace(F.lower(F.trim(_c(text))), r"\s+", " ")
+    normalized = F.regexp_replace(F.lower(F.trim(_c(text))), WHITESPACE_RUN_PATTERN, " ")
     return F.md5(normalized)
 
 
@@ -138,7 +138,7 @@ def rolling_hash_fingerprint(text: ColumnOrName) -> Column:
     cross-engine reproducible: hash32 is the first 8 md5 hex digits, and
     any SQL engine can replay the fold (DuckDB: list_reduce).
     """
-    toks = F.split(F.lower(F.trim(_c(text))), r"\s+")
+    toks = F.split(F.lower(F.trim(_c(text))), WHITESPACE_RUN_PATTERN)
     tok_hash = lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast(  # noqa: E731
         "long"
     )
@@ -159,7 +159,7 @@ def rolling_hash_fingerprint(text: ColumnOrName) -> Column:
 def duplicate_word_fraction(text: ColumnOrName) -> Column:
     """Fraction of word occurrences that repeat an earlier word:
     1 - distinct_words / words. 0.0 for empty text."""
-    words = F.split(F.lower(F.trim(_c(text))), r"\s+")
+    words = F.split(F.lower(F.trim(_c(text))), WHITESPACE_RUN_PATTERN)
     n = F.size(words)
     return F.when(n <= 0, F.lit(0.0)).otherwise(
         (n - F.size(F.array_distinct(words))) / n.cast("double")
@@ -176,7 +176,7 @@ def top_bigram_fraction(text: ColumnOrName) -> Column:
     at 100 TB that's the whole corpus through the wire for a per-row
     scalar. Guarded for n < 2 words (sequence() would run backwards).
     """
-    words = F.split(F.lower(F.trim(_c(text))), r"\s+")
+    words = F.split(F.lower(F.trim(_c(text))), WHITESPACE_RUN_PATTERN)
     n = F.size(words)
     bigrams = F.transform(
         F.sequence(F.lit(1), n - 1),

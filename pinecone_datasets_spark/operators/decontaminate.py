@@ -30,10 +30,12 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.text import WHITESPACE_RUN_PATTERN as WS_RUN
+
 
 def _words(text_col: str) -> Column:
     return F.filter(
-        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        F.split(F.lower(F.trim(F.col(text_col))), WS_RUN),
         lambda w: F.length(w) > 0,
     )
 

@@ -23,6 +23,7 @@ from typing import Optional
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.text import WHITESPACE_RUN_PATTERN as WS_RUN
 from ..functions.text import doc_fingerprint
 from ..functions.vector import cosine_similarity
 from ..parallel import widen
@@ -109,7 +110,7 @@ def exact_dup_groups(
 
 def normalized_text(text: Column) -> Column:
     """Dedup normalization: lowercase, trim, collapse whitespace."""
-    return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    return F.regexp_replace(F.lower(F.trim(text)), WS_RUN, " ")
 
 
 def char_shingles(text: Column, k: int = 5) -> Column:
@@ -566,7 +567,7 @@ def simhash64(
     """
     df = widen(df, id_col)
     toks = F.array_distinct(
-        F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        F.split(F.lower(F.trim(F.col(text_col))), WS_RUN)
     )
     if hash_fn == "md5":
         return df.select(

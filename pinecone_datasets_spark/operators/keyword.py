@@ -37,9 +37,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.text import WHITESPACE_RUN_PATTERN as WS_RUN
+
 
 def _tokens(text_col: str) -> "F.Column":
-    return F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    return F.split(F.lower(F.trim(F.col(text_col))), WS_RUN)
 
 
 def _tf_frames(docs: DataFrame, id_col: str, text_col: str):

@@ -44,6 +44,8 @@ from typing import Optional
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.text import WHITESPACE_RUN_PATTERN as WS_RUN
+
 
 def whitespace_token_count(text_col: str) -> Column:
     """Token count = number of non-empty whitespace-separated words of
@@ -51,7 +53,7 @@ def whitespace_token_count(text_col: str) -> Column:
     token for token."""
     return F.size(
         F.filter(
-            F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+            F.split(F.lower(F.trim(F.col(text_col))), WS_RUN),
             lambda w: F.length(w) > 0,
         )
     ).cast("long")
@@ -260,7 +262,7 @@ def chunk_text(
         )
     stride = chunk_tokens - overlap
     words = F.filter(
-        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        F.split(F.lower(F.trim(F.col(text_col))), WS_RUN),
         lambda w: F.length(w) > 0,
     )
     # chunk starts: 0, stride, 2*stride, ... while start < n_tokens

@@ -20,11 +20,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.text import WHITESPACE_RUN_PATTERN as WS_RUN
+
 from ..parallel import widen
 
 
 def _words(text_col: str) -> F.Column:
-    return F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    return F.split(F.lower(F.trim(F.col(text_col))), WS_RUN)
 
 
 def top_terms(
@@ -154,9 +156,12 @@ def bigram_logprob(
     """
     if not 0.0 < lam <= 1.0:
         raise ValueError(f"lam must be in (0, 1]: {lam}")
-    toks = (
-        f"filter(split(lower(trim({text_col})), '\\\\s+'),"
-        " t -> length(t) > 0)"
+    # Column API, not an expr string: embedding the explicit whitespace
+    # class into a Spark-SQL literal would re-enter escape-dialect
+    # territory (\x0B is not a recognized SQL-literal escape)
+    toks_col = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), WS_RUN),
+        lambda t: F.length(t) > 0,
     )
     bigram_arr = (
         "CASE WHEN size(__toks) >= 2 THEN"
@@ -166,7 +171,7 @@ def bigram_logprob(
         " ELSE CAST(array() AS ARRAY<STRING>) END"
     )
     stream = (
-        df.select(F.col(id_col), F.expr(toks).alias("__toks"))
+        df.select(F.col(id_col), toks_col.alias("__toks"))
         .select(
             F.col(id_col),
             F.explode_outer(F.expr(bigram_arr)).alias("bg"),

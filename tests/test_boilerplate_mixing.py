@@ -83,7 +83,7 @@ def test_boilerplate_duckdb_replay(spark, sf_dir):
         r"""
 WITH w AS (
   SELECT doc_id,
-         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+         list_filter(string_split_regex(lower(trim(text)), '[ \t\n\r\f\x0B]+'),
                      x -> len(x) > 0) AS words
   FROM documents
 ), g AS (

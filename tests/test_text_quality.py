@@ -271,3 +271,32 @@ def test_unicode_normalize_nfkc_and_guards(one):
     )
     with pytest.raises(ValueError, match="form"):
         unicode_normalize("t", form="NFKX")
+
+
+def test_tokenizer_class_vertical_tab_parity(spark):
+    """The repo-wide tokenizer/normalizer class is the EXPLICIT
+    [ \\t\\n\\r\\f\\x0B]+ on BOTH engines (r6 sweep): Java \\s matches
+    \\x0B while RE2's does not, so a bare \\s+ silently diverges on
+    \\x0B-bearing text. doc_fingerprint is the representative twin —
+    Spark's md5(normalize(...)) must equal DuckDB's with the same
+    explicit class, including across a vertical tab."""
+    import duckdb
+
+    from pinecone_datasets_spark.functions.text import doc_fingerprint
+
+    df = spark.createDataFrame(
+        [("a\x0bb",), ("a b",), ("  x\t\ny  ",)], "t string"
+    )
+    got = [r[0] for r in df.select(doc_fingerprint("t")).collect()]
+    con = duckdb.connect()
+    want = [
+        con.execute(
+            "SELECT md5(regexp_replace(lower(trim(?)),"
+            " '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'))",
+            [t],
+        ).fetchone()[0]
+        for t in ("a\x0bb", "a b", "  x\t\ny  ")
+    ]
+    assert got == want
+    # and the \x0B collapse actually happened (same fp as the space form)
+    assert got[0] == got[1]
