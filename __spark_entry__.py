@@ -1252,14 +1252,29 @@ def q49_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q50_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Int8-quantized replay top-k (functions/vector.py): per-vector
-    symmetric scalar quantization, integer-code dot product rescaled by
-    both scales, broadcast queries + rank window. The 4×-smaller codes
-    are the shuffle/broadcast currency at scale; scoring is exact
-    integer arithmetic, so the DuckDB oracle reproduces it bit-for-bit."""
+    """Compressed-representation top-k, two compression levels of the
+    same dot-product score over the same corpus, tagged:
+
+    * 'int8' — per-vector symmetric scalar quantization
+      (functions/vector.py): integer-code dot rescaled by both scales;
+      exact integer arithmetic, bit-replayable.
+    * 'adc' — product quantization (operators/pq.py:train_pq_inplan,
+      VERDICT r6 item 4): m=4 subspaces × 8 codewords trained with the
+      deterministic in-plan Lloyd (smallest-id init, integer codeword
+      sums, sequential-fold cosine assignment — q35's trick applied per
+      subspace), then ADC scoring via the tested reconstruction
+      identity: dot(q, concat of codewords) with the sequential fold,
+      so every float lands where the SQL replay puts it.
+
+    The 4×/32×-smaller codes are the shuffle/broadcast currency at
+    scale; both scoring paths carry a FULL hash oracle."""
     from pinecone_datasets_spark.functions.vector import (
         int8_dot,
         with_int8_quantized,
+    )
+    from pinecone_datasets_spark.operators.pq import (
+        pq_reconstruct_inplan,
+        train_pq_inplan,
     )
     from pyspark.sql import Window
 
@@ -1282,17 +1297,49 @@ def q50_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.col("doc_id")
     )
-    ranked = scored.withColumn("rank", F.row_number().over(w))
-    return (
-        ranked.where(F.col("rank") <= 5)
+    int8 = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
         .select(
+            F.lit("int8").alias("part"),
             "query_id",
             "doc_id",
-            F.round("score", 4).alias("score_q8"),
+            F.round("score", 4).alias("score"),
             F.col("rank").cast("long").alias("rank"),
         )
-        .orderBy("query_id", "rank")
     )
+
+    codes, books = train_pq_inplan(
+        emb.select(F.col("vec_id").alias("id"), "embedding"),
+        m=4,
+        n_codes=8,
+        iters=2,
+        dim=64,
+        vector_col="embedding",
+        id_col="id",
+    )
+    recon = pq_reconstruct_inplan(codes, books, id_col="id")
+    qvecs = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("_qvec"),
+    )
+    adc_scored = recon.crossJoin(F.broadcast(qvecs)).select(
+        "query_id",
+        F.col("id").alias("doc_id"),
+        dot_product("_qvec", "recon").alias("score"),
+    )
+    adc = (
+        adc_scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select(
+            F.lit("adc").alias("part"),
+            "query_id",
+            "doc_id",
+            F.round("score", 6).alias("score"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+    return int8.unionByName(adc).orderBy("part", "query_id", "rank")
 
 
 def q51_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4273,34 +4320,7 @@ UNION ALL
 SELECT 'bucket', doc_id, round(quality, 4), bucket FROM bkt
 ORDER BY part, doc_id
 """,
-        "q50_quantized_topk": """
-WITH base AS (
-  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-), m AS (
-  SELECT vec_id, v,
-         list_max(list_transform(v, x -> abs(x))) AS amax
-  FROM base
-), q8 AS (
-  SELECT vec_id,
-         CASE WHEN amax > 0 THEN 127.0 / amax ELSE 1.0 END AS scale,
-         list_transform(
-           v, x -> round(x * (CASE WHEN amax > 0 THEN 127.0 / amax
-                                   ELSE 1.0 END))::BIGINT) AS q
-  FROM m
-)
-SELECT query_id, doc_id, round(score, 4) AS score_q8, rank FROM (
-  SELECT qq.vec_id AS query_id, d.vec_id AS doc_id,
-         list_dot_product(d.q::DOUBLE[], qq.q::DOUBLE[])
-           / (d.scale * qq.scale) AS score,
-         row_number() OVER (
-           PARTITION BY qq.vec_id
-           ORDER BY list_dot_product(d.q::DOUBLE[], qq.q::DOUBLE[])
-                      / (d.scale * qq.scale) DESC,
-                    d.vec_id) AS rank
-  FROM q8 d, q8 qq WHERE qq.vec_id < 10)
-WHERE rank <= 5
-ORDER BY query_id, rank
-""",
+        "q50_quantized_topk": _oracle_quantized_topk(),
         "q49_pack_chunks": """
 WITH t AS (
   SELECT doc_id,
@@ -5140,6 +5160,141 @@ SELECT nationkey, 'intersect' AS tag FROM (
 ORDER BY tag, nationkey
 """,
     }
+
+
+def _oracle_quantized_topk(
+    m: int = 4,
+    n_codes: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    scale: int = 1000,
+    k: int = 5,
+) -> str:
+    """DuckDB twin of q50's two compressed scoring paths. 'int8' is the
+    integer-code dot rescaled by both scales (exact by construction).
+    'adc' replays pq.train_pq_inplan subspace-by-subspace with the same
+    CTE unrolling as q35's Lloyd (smallest-id init per subspace, integer
+    codeword sums, sequential-fold cosine assignment with a (sim DESC,
+    code ASC) tiebreak), then reconstructs (flatten of codewords in
+    subspace order) and scores with the sequential-fold dot — bit-exact
+    on both engines."""
+    subdim = dim // m
+
+    def cos(a: str, b: str) -> str:
+        return (
+            f"(list_reduce(list_transform(range(1, len({a}) + 1),"
+            f" i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
+            f" / (sqrt(list_reduce(list_transform({a}, x -> x * x),"
+            " (x, y) -> x + y))"
+            f" * sqrt(list_reduce(list_transform({b}, x -> x * x),"
+            " (x, y) -> x + y))))"
+        )
+
+    def dot(a: str, b: str) -> str:
+        return (
+            f"list_reduce(list_transform(range(1, len({a}) + 1),"
+            f" i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
+        )
+
+    parts = [
+        f"""
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), mx AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) AS amax
+  FROM base
+), q8 AS (
+  SELECT vec_id,
+         CASE WHEN amax > 0 THEN 127.0 / amax ELSE 1.0 END AS scale,
+         list_transform(
+           v, x -> round(x * (CASE WHEN amax > 0 THEN 127.0 / amax
+                                   ELSE 1.0 END))::BIGINT) AS q
+  FROM mx
+), int8 AS (
+  SELECT query_id, doc_id, round(score, 4) AS score, rank FROM (
+    SELECT qq.vec_id AS query_id, d.vec_id AS doc_id,
+           list_dot_product(d.q::DOUBLE[], qq.q::DOUBLE[])
+             / (d.scale * qq.scale) AS score,
+           row_number() OVER (
+             PARTITION BY qq.vec_id
+             ORDER BY list_dot_product(d.q::DOUBLE[], qq.q::DOUBLE[])
+                        / (d.scale * qq.scale) DESC,
+                      d.vec_id) AS rank
+    FROM q8 d, q8 qq WHERE qq.vec_id < 10)
+  WHERE rank <= {k}
+),
+subs AS (
+  SELECT vec_id AS id, t.s,
+         v[t.s*{subdim}+1 : t.s*{subdim}+{subdim}] AS sv,
+         list_transform(v[t.s*{subdim}+1 : t.s*{subdim}+{subdim}],
+                        x -> CAST(round(x * {scale}) AS BIGINT)) AS qv
+  FROM base, (SELECT unnest(generate_series(0, {m - 1})) AS s) t
+),
+b0 AS (
+  SELECT s, rn - 1 AS code, list_transform(qv, x -> x::DOUBLE) AS cvec
+  FROM (
+    SELECT s, qv,
+           row_number() OVER (PARTITION BY s ORDER BY id) AS rn
+    FROM subs)
+  WHERE rn <= {n_codes}
+)"""
+    ]
+    for it in range(iters):
+        parts.append(
+            f""",
+pa{it} AS (
+  SELECT id, s, code, qv FROM (
+    SELECT d.id, d.s, c.code, d.qv,
+           row_number() OVER (PARTITION BY d.id, d.s
+             ORDER BY {cos('d.sv', 'c.cvec')} DESC, c.code) AS rn
+    FROM subs d JOIN b{it} c ON d.s = c.s) WHERE rn = 1
+),
+b{it + 1} AS (
+  SELECT s, code, list(md ORDER BY dim) AS cvec FROM (
+    SELECT s, code, dim, CAST(sum(q) AS DOUBLE) / count(*) AS md FROM (
+      SELECT s, code, generate_subscripts(qv, 1) - 1 AS dim,
+             unnest(qv) AS q
+      FROM pa{it})
+    GROUP BY s, code, dim)
+  GROUP BY s, code
+)"""
+        )
+    bf = f"b{iters}"
+    parts.append(
+        f""",
+codes AS (
+  SELECT id, s, code FROM (
+    SELECT d.id, d.s, c.code,
+           row_number() OVER (PARTITION BY d.id, d.s
+             ORDER BY {cos('d.sv', 'c.cvec')} DESC, c.code) AS rn
+    FROM subs d JOIN {bf} c ON d.s = c.s) WHERE rn = 1
+),
+recon AS (
+  SELECT id, flatten(list(cvec ORDER BY s)) AS r
+  FROM codes JOIN {bf} USING (s, code)
+  GROUP BY id
+),
+qsv AS (
+  SELECT vec_id AS query_id, v AS qvec FROM base WHERE vec_id < 10
+),
+adc AS (
+  SELECT query_id, doc_id, round(score, 6) AS score, rank FROM (
+    SELECT q.query_id, r.id AS doc_id, {dot('q.qvec', 'r.r')} AS score,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY {dot('q.qvec', 'r.r')} DESC, r.id) AS rank
+    FROM recon r CROSS JOIN qsv q)
+  WHERE rank <= {k}
+)
+SELECT 'int8' AS part, query_id, doc_id, score, CAST(rank AS BIGINT) AS rank
+FROM int8
+UNION ALL
+SELECT 'adc', query_id, doc_id, score, CAST(rank AS BIGINT) AS rank
+FROM adc
+ORDER BY part, query_id, rank
+"""
+    )
+    return "".join(parts)
 
 
 def _oracle_ivf_inplan(

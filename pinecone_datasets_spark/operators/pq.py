@@ -621,3 +621,144 @@ def ivfpq_index_topk(
     return exact.withColumn("rank", F.row_number().over(w)).where(
         F.col("rank") <= k
     )
+
+
+def train_pq_inplan(
+    documents: DataFrame,
+    m: int = 4,
+    n_codes: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    vector_col: str = "values",
+    id_col: str = "id",
+    scale: int = 1000,
+):
+    """Deterministic distributed PQ trainer + encoder, every float op
+    replayable bit-for-bit in SQL — the value-level-oracle twin of
+    ``train_pq_codebooks``/``pq_encode``, built on the same three
+    determinism choices as ``ivf.train_centroids_inplan`` (smallest-id
+    init, integer codeword sums, sequential-fold cosine assignment with
+    a (sim DESC, code ASC) tiebreak).
+
+    The subspace index rides as a KEY COLUMN: one explode turns the
+    corpus into ``m·N`` (id, s, subvector) rows and all ``m`` Lloyd
+    problems train in the SAME plan — per round one broadcast codebook
+    join into a hash agg plus one codebook-sized integer aggregate, not
+    m sequential jobs. Driver traffic per round is the (m × n_codes ×
+    subdim) codebook, nothing corpus-sized.
+
+    Returns ``(codes, codebooks)``: ``codes`` is ``(id, s, code)`` with
+    one row per (document, subspace); ``codebooks`` a list of
+    ``(s, code, codeword)``. Codes that lose all members drop out, as
+    in the IVF twin. For cheap approximate training at production m and
+    n_codes prefer ``train_pq_codebooks`` (bounded driver sample); this
+    variant buys exact cross-engine replay and full-corpus training at
+    iters× the scan cost.
+
+    Constraint: subvectors must be non-zero (cosine assignment — a
+    zero-norm slice raises DIVIDE_BY_ZERO under ANSI mode rather than
+    silently mis-assigning)."""
+    from ..functions.vector import cosine_similarity
+
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    if n_codes < 1 or iters < 0:
+        raise ValueError(f"bad n_codes/iters: {n_codes}/{iters}")
+    subdim = dim // m
+    spark = documents.sparkSession
+    subs = (
+        documents.select(
+            F.col(id_col),
+            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s"),
+            F.col(vector_col).cast("array<double>").alias("_v64"),
+        )
+        .select(
+            id_col,
+            "s",
+            F.expr(f"slice(_v64, s * {subdim} + 1, {subdim})").alias("_v"),
+        )
+        .withColumn(
+            "_qv",
+            F.expr(
+                f"transform(_v, x -> CAST(round(x * {scale}) AS BIGINT))"
+            ),
+        )
+    )
+    w = Window.partitionBy("s").orderBy(id_col)
+    init = (
+        subs.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= n_codes)
+        .select("s", (F.col("_rn") - 1).alias("code"), "_qv")
+        .collect()
+    )
+    books = [
+        (int(r["s"]), int(r["code"]), [float(x) for x in r["_qv"]])
+        for r in init
+    ]
+
+    def assign(df: DataFrame, books_now) -> DataFrame:
+        cdf = spark.createDataFrame(
+            books_now, "s int, code int, cvec array<double>"
+        )
+        return (
+            df.join(F.broadcast(cdf), "s")
+            .withColumn(
+                "_sim", cosine_similarity(F.col("_v"), F.col("cvec"))
+            )
+            .groupBy(id_col, "s")
+            .agg(
+                F.expr("max_by(code, struct(_sim, -code))").alias("code"),
+                F.first("_qv").alias("_qv"),
+            )
+        )
+
+    for _ in range(iters):
+        sums = (
+            assign(subs, books)
+            .select("s", "code", F.posexplode("_qv").alias("dim", "q"))
+            .groupBy("s", "code", "dim")
+            .agg(F.sum("q").alias("t"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        acc: dict[tuple[int, int], dict[int, float]] = {}
+        for r in sums:
+            acc.setdefault((int(r["s"]), int(r["code"])), {})[
+                int(r["dim"])
+            ] = float(r["t"]) / float(r["n"])
+        books = [
+            (s, code, [by_dim[d] for d in sorted(by_dim)])
+            for (s, code), by_dim in sorted(acc.items())
+        ]
+    codes = assign(subs, books).select(id_col, "s", "code")
+    return codes, books
+
+
+def pq_reconstruct_inplan(
+    codes: DataFrame, codebooks, id_col: str = "id"
+) -> DataFrame:
+    """Decode ``train_pq_inplan`` codes back to reconstruction vectors
+    IN-PLAN: broadcast-join the (s, code) keys to their codewords and
+    concatenate in subspace order (``array_sort`` over (s, codeword)
+    structs keeps the flatten deterministic — s is unique per id).
+
+    ADC scoring against the reconstruction is this module's tested
+    exactness anchor (``dot(q, recon) == Σ_s dot(q_s, codeword_s)``
+    up to summation order — and the repo's sequential-fold dot pins
+    even that order), so downstream scoring of the returned ``recon``
+    column replays bit-for-bit in SQL. Returns ``(id, recon)``."""
+    spark = codes.sparkSession
+    cdf = spark.createDataFrame(
+        codebooks, "s int, code int, cvec array<double>"
+    )
+    return (
+        codes.join(F.broadcast(cdf), ["s", "code"])
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("s", "cvec"))),
+                    lambda x: x["cvec"],
+                )
+            ).alias("recon")
+        )
+    )

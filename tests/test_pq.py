@@ -246,3 +246,87 @@ def test_opq_index_off_by_default(spark, sf_dir):
     build_ivfpq_index(docs, path, n_centroids=4, m=8, n_codes=16)
     _, meta = load_ivfpq_index(spark, path)
     assert meta.get("opq_rotation") is None
+
+
+# -- in-plan deterministic trainer (the q50 'adc' oracle path) -----------
+
+
+def test_train_pq_inplan_shapes_and_determinism(corpus):
+    from pinecone_datasets_spark.operators.pq import train_pq_inplan
+
+    codes1, books1 = train_pq_inplan(
+        corpus, m=4, n_codes=8, iters=2, dim=64
+    )
+    codes2, books2 = train_pq_inplan(
+        corpus, m=4, n_codes=8, iters=2, dim=64
+    )
+    assert books1 == books2  # float-exact: integer sums / counts
+    n = corpus.count()
+    assert codes1.count() == 4 * n
+    rows = codes1.collect()
+    assert {r["s"] for r in rows} == {0, 1, 2, 3}
+    assert all(0 <= r["code"] < 8 for r in rows)
+    assert sorted((r["id"], r["s"]) for r in rows) == sorted(
+        set((r["id"], r["s"]) for r in rows)
+    )  # exactly one code per (doc, subspace)
+    assert codes1.collect() == codes2.collect() or (
+        sorted(map(tuple, codes1.collect()))
+        == sorted(map(tuple, codes2.collect()))
+    )
+    with pytest.raises(ValueError, match="not divisible"):
+        train_pq_inplan(corpus, m=7, dim=64)
+
+
+def test_pq_reconstruct_inplan_adc_identity(spark, corpus):
+    """dot(q, recon) must equal the sum of per-subspace codeword dots —
+    the ADC identity the 'adc' oracle part rests on."""
+    from pinecone_datasets_spark.functions.vector import dot_product
+    from pinecone_datasets_spark.operators.pq import (
+        pq_reconstruct_inplan,
+        train_pq_inplan,
+    )
+
+    small = corpus.where(F.col("id") < 60)
+    codes, books = train_pq_inplan(small, m=4, n_codes=4, iters=1, dim=64)
+    recon = pq_reconstruct_inplan(codes, books)
+    rec_rows = {r["id"]: r["recon"] for r in recon.collect()}
+    assert all(len(v) == 64 for v in rec_rows.values())
+
+    book = {(s, c): v for s, c, v in books}
+    code_rows = {}
+    for r in codes.collect():
+        code_rows.setdefault(r["id"], {})[r["s"]] = r["code"]
+    q = np.asarray(
+        corpus.where(F.col("id") == 3).collect()[0]["values"],
+        dtype=np.float64,
+    )
+    for did, recv in rec_rows.items():
+        manual = np.concatenate(
+            [np.asarray(book[(s, code_rows[did][s])]) for s in range(4)]
+        )
+        assert np.array_equal(np.asarray(recv), manual)
+        # per-subspace LUT sum == full-vector dot (float-exact here:
+        # the subspace partial sums are exactly the fold's running
+        # values at the boundaries... not in general; compare at 1e-9)
+        lut = sum(
+            float(np.dot(q[s * 16 : s * 16 + 16], manual[s * 16 : s * 16 + 16]))
+            for s in range(4)
+        )
+        assert abs(lut - float(np.dot(q, manual))) < 1e-9
+
+
+def test_train_pq_inplan_empty_codes_drop(spark):
+    """With more codewords than distinct subvectors, losing codes drop
+    out instead of surfacing NaN centroids."""
+    from pinecone_datasets_spark.operators.pq import train_pq_inplan
+
+    rows = [(i, [float(1 + i % 2)] * 8) for i in range(12)]
+    df = spark.createDataFrame(rows, "id long, values array<double>")
+    # two parallel subvector directions per subspace: cosine ties
+    # everywhere, the (sim DESC, code ASC) tiebreak funnels members to
+    # the lowest codes and the rest must drop (no NaN centroids)
+    codes, books = train_pq_inplan(
+        df, m=2, n_codes=6, iters=2, dim=8, scale=1000
+    )
+    assert all(np.isfinite(v).all() for _, _, v in [(s, c, np.asarray(v)) for s, c, v in books])
+    assert codes.count() == 24
