@@ -587,3 +587,65 @@ def test_write_curriculum_tied_positions_deterministic(spark, tmp_path):
             )
         )
     assert got == want
+
+
+def test_read_curriculum_replays_exact_order(spark, tmp_path):
+    """read_curriculum(write_curriculum(df)) == df row-for-row in order,
+    with deliberate position ties straddling file boundaries (num_files
+    high enough that tie-runs split across files)."""
+    from pinecone_datasets_spark.operators.mixing import (
+        interleave_by_weights,
+        read_curriculum,
+        write_curriculum,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = interleave_by_weights(docs, {"src0": 3.0, "src1": 1.0})
+    want = [
+        (round(r.mix_pos, 9), r.source, r.doc_id)
+        for r in out.orderBy("mix_pos", "source", "doc_id")
+        .select("mix_pos", "source", "doc_id")
+        .collect()
+    ]
+    assert len({w[0] for w in want}) < len(want), "fixture must have ties"
+    path = str(tmp_path / "curriculum_replay")
+    write_curriculum(out, path, num_files=7)
+    got = [
+        (round(r.mix_pos, 9), r.source, r.doc_id)
+        for r in read_curriculum(spark, path)
+        .select("mix_pos", "source", "doc_id")
+        .collect()
+    ]
+    assert got == want
+
+
+def test_read_curriculum_detects_manifest_drift(spark, tmp_path):
+    """A parquet file added behind the manifest's back (or one named in
+    the manifest but deleted) must fail loud, not replay a wrong order."""
+    import json
+    import shutil
+
+    from pinecone_datasets_spark.operators.mixing import (
+        interleave_by_weights,
+        read_curriculum,
+        write_curriculum,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = interleave_by_weights(docs, {"src0": 1.0, "src1": 1.0})
+    path = str(tmp_path / "curriculum_drift")
+    manifest = write_curriculum(out, path, num_files=3)
+
+    # extra file on disk, not in manifest
+    src = f"{path}/{manifest[0]['file']}"
+    shutil.copy(src, f"{path}/part-zzz-extra.snappy.parquet")
+    with pytest.raises(ValueError, match="manifest/directory mismatch"):
+        read_curriculum(spark, path).collect()
+
+    # manifest names a file that is gone
+    import os
+
+    os.remove(f"{path}/part-zzz-extra.snappy.parquet")
+    os.remove(src)
+    with pytest.raises(ValueError, match="manifest/directory mismatch"):
+        read_curriculum(spark, path).collect()
