@@ -298,6 +298,14 @@ def semantic_contamination(
     ``keep_columns=True`` switches the output to the DECONTAMINATED
     corpus (rows with ``n_bench_ge == 0``, original columns) — the
     filter rides the scoring pass, one scan, no join.
+
+    .. note:: **Breaking default change (r6)** — ``max_bench_rows``
+       tightened from 1,000,000 to 100,000 and a 512 MiB byte budget
+       (rows × dim × 8) was added, here and in
+       ``streaming.curate.semantic_gate``. Callers with 100k–1M-row
+       benchmark sets that previously worked now raise ``ValueError``;
+       pass ``max_bench_rows`` (and see ``_MAX_BENCH_BYTES``)
+       explicitly if the larger closure is intentional.
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1]: {threshold}")

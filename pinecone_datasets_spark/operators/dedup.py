@@ -18,6 +18,7 @@ it bit-for-bit — used by the correctness gate).
 
 from __future__ import annotations
 
+from contextlib import contextmanager
 from typing import Optional
 
 from pyspark.sql import Column, DataFrame, Window
@@ -815,6 +816,7 @@ def minhash_index_neardup(
     batch_id_col: str = "batch_id",
     max_literal_keys: int = 1000,
     persist_batch: bool = True,
+    _persisted: Optional[list] = None,
 ) -> DataFrame:
     """Near-dup check of an ingest batch against a persisted
     ``build_minhash_index`` — the corpus is never re-signed, re-scanned
@@ -852,11 +854,13 @@ def minhash_index_neardup(
     if persist_batch:
         # The signatures feed the key-collect probe AND the verify join;
         # persisting avoids re-shingling the batch. The returned frame
-        # is lazy, so this function cannot unpersist — the cache lives
-        # until LRU eviction; a long-running per-micro-batch ingest loop
-        # should pass persist_batch=False (or clear between batches),
-        # same contract as rm3_search's persist_tf.
+        # is lazy, so this function cannot unpersist itself — use
+        # ``minhash_probe_session`` in per-micro-batch ingest loops (it
+        # unpersists on exit), or pass persist_batch=False. ``_persisted``
+        # is the session wrapper's hook to take ownership of the cache.
         bsigs.persist()
+        if _persisted is not None:
+            _persisted.append(bsigs)
     bkeys = _band_keys(bsigs, num_hashes, bands, batch_id_col)
 
     index_bands = spark.read.parquet(_join(path, "bands"))
@@ -917,3 +921,36 @@ def minhash_index_neardup(
         batch_id_col, "index_id", F.round("est_jaccard", 6).alias("est_jaccard")
     )
     return out
+
+
+@contextmanager
+def minhash_probe_session(
+    spark,
+    path: str,
+    batch: DataFrame,
+    **kwargs,
+):
+    """Footgun-free ``minhash_index_neardup`` for micro-batch ingest
+    loops (VERDICT r6 item 5): the probe's batch-signature cache is
+    unpersisted when the block exits, so an N-batch loop holds at most
+    ONE batch's signatures in storage memory instead of accumulating N
+    caches until LRU eviction.
+
+    ::
+
+        for batch in micro_batches:
+            with minhash_probe_session(spark, idx, batch) as dupes:
+                admit(batch, dupes.collect())
+
+    Consume the yielded frame INSIDE the block — after exit its cache is
+    gone and any further action re-signs the batch (correct, just not
+    cached). Accepts every ``minhash_index_neardup`` keyword."""
+    holder: list = []
+    out = minhash_index_neardup(
+        spark, path, batch, _persisted=holder, **kwargs
+    )
+    try:
+        yield out
+    finally:
+        for cached in holder:
+            cached.unpersist()

@@ -68,8 +68,12 @@ def probe_bytes(
                 return "jpeg", dims[0], dims[1], None
             return "jpeg", None, None, None
         if content[:4] == b"RIFF" and content[8:12] == b"AVI ":
-            # avih sits in the leading hdrl list; header-probe only
-            at = content.find(b"avih", 12, 512)
+            # avih leads the hdrl list (normally within the first ~40
+            # bytes); 4 KiB headroom covers writers that pad JUNK ahead
+            # of it (ADVICE r6: 512 was tighter than some muxers).
+            # Dims come from avih's own dwWidth/dwHeight words, never
+            # from strf, so no stream-type dependence here.
+            at = content.find(b"avih", 12, 4096)
             if at >= 0 and at + 48 <= len(content):
                 base = at + 8
                 (usec,) = struct.unpack_from("<I", content, base)
@@ -375,6 +379,13 @@ def decode_avi(content: bytes):
     dims = (0, 0)
     frames: list = []
 
+    # stream type of the most recent strh: strf's layout depends on it
+    # (BITMAPINFOHEADER for 'vids', WAVEFORMATEX for 'auds' — ADVICE r6:
+    # a multi-stream AVI whose first strl is audio must not read dims
+    # out of audio-format bytes). Per spec strh precedes strf within
+    # each strl list, so "last seen" is the enclosing stream's type.
+    cur_stream = [b"    "]
+
     def walk(lo: int, hi: int) -> None:
         nonlocal usec_per_frame, fourcc, dims
         pos = lo
@@ -384,21 +395,25 @@ def decode_avi(content: bytes):
             data_lo = pos + 8
             data_hi = min(data_lo + size, hi)
             if cid == b"LIST":
+                if content[data_lo : data_lo + 4] == b"strl":
+                    cur_stream[0] = b"    "  # new stream scope
                 walk(data_lo + 4, data_hi)  # skip the list-type fourcc
             elif cid == b"avih" and size >= 4:
                 (usec_per_frame,) = struct.unpack_from(
                     "<I", content, data_lo
                 )
             elif cid == b"strh" and size >= 8:
-                if content[data_lo : data_lo + 4] == b"vids":
+                cur_stream[0] = content[data_lo : data_lo + 4]
+                if cur_stream[0] == b"vids":
                     fourcc = (
                         content[data_lo + 4 : data_lo + 8]
                         .decode("ascii", "replace")
                     )
             elif cid == b"strf" and size >= 16:
-                w, h = struct.unpack_from("<ii", content, data_lo + 4)
-                if w and dims == (0, 0):
-                    dims = (w, abs(h))
+                if cur_stream[0] == b"vids":
+                    w, h = struct.unpack_from("<ii", content, data_lo + 4)
+                    if w and dims == (0, 0):
+                        dims = (w, abs(h))
             elif cid[2:4] in (b"db", b"dc"):
                 frames.append(content[data_lo:data_hi])
             pos = data_lo + size + (size % 2)

@@ -189,7 +189,12 @@ def semantic_gate(
     exchange-free and therefore stream-legal as-is); ``keep_score``
     additionally retains a ``max_cos`` column, which the batch wrapper
     does not expose. Equals the batch operator under ``availableNow``
-    (test-pinned)."""
+    (test-pinned).
+
+    .. note:: ``max_bench_rows`` default tightened 1,000,000 → 100,000
+       in r6 (plus a 512 MiB closure byte budget) — see
+       ``operators.decontaminate.semantic_contamination`` for the
+       migration note; pass the cap explicitly for larger eval sets."""
     from ..operators.decontaminate import (
         _bench_matrix,
         maxcos_udf,

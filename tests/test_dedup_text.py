@@ -486,3 +486,54 @@ def test_mh_index_threshold_guard(spark, mh_index):
     batch = docs.limit(1).select(F.col("doc_id").alias("batch_id"), "text")
     with pytest.raises(ValueError):
         minhash_index_neardup(spark, path, batch, threshold=1.5)
+
+
+def test_mh_probe_session_releases_cache_per_batch(spark, mh_index):
+    """minhash_probe_session (VERDICT r6 item 5): an N-batch ingest loop
+    must not accumulate persisted batch-signature RDDs — storage returns
+    to its pre-loop state after every with-block."""
+    from pinecone_datasets_spark.operators.dedup import (
+        minhash_probe_session,
+    )
+
+    path, corpus = mh_index
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    def n_cached() -> int:
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    base = n_cached()
+    results = []
+    for mod in (3, 5, 7):
+        batch = docs.where(F.col("doc_id") % mod == 0).select(
+            (F.col("doc_id") + 10_000).alias("batch_id"), "text"
+        )
+        with minhash_probe_session(
+            spark, path, batch, threshold=0.99
+        ) as dupes:
+            inside = n_cached()
+            results.append(dupes.count())
+            assert inside >= base  # the batch cache is live in-block
+        assert n_cached() == base, "probe cache leaked past the block"
+    assert all(r >= 0 for r in results) and results[0] > 0
+
+
+def test_mh_probe_session_same_rows_as_plain_probe(spark, mh_index):
+    from pinecone_datasets_spark.operators.dedup import (
+        minhash_index_neardup,
+        minhash_probe_session,
+    )
+
+    path, corpus = mh_index
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    batch = docs.where(F.col("doc_id") % 8 == 0).select(
+        (F.col("doc_id") + 10_000).alias("batch_id"), "text"
+    )
+    plain = sorted(
+        map(tuple, minhash_index_neardup(
+            spark, path, batch, threshold=0.5
+        ).collect())
+    )
+    with minhash_probe_session(spark, path, batch, threshold=0.5) as out:
+        managed = sorted(map(tuple, out.collect()))
+    assert managed == plain

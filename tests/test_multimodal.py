@@ -477,3 +477,54 @@ def test_audio_spectral_features_real_fft(spark):
     assert max(nb) < 5 * min(nb)
     assert got["junk"]["spectral_centroid_hz"] is None
     assert got["junk"]["band_energy"] is None
+
+
+def test_decode_avi_audio_first_stream_does_not_leak_dims():
+    """ADVICE r6: a multi-stream AVI whose FIRST strl is audio must not
+    read width/height out of the audio strf (WAVEFORMATEX bytes) — dims
+    come only from the 'vids' stream's BITMAPINFOHEADER."""
+    import struct
+
+    from pinecone_datasets_spark.operators.media_codecs import (
+        decode_avi,
+        encode_avi,
+    )
+
+    base = encode_avi(
+        [b"\x00" * 64], interval_ms=100, fourcc="DIB ", width=4, height=4
+    )
+
+    def chunk(cid, data):
+        pad = b"\x00" if len(data) % 2 else b""
+        return cid + struct.pack("<I", len(data)) + data + pad
+
+    def lst(ltype, body):
+        return chunk(b"LIST", ltype + body)
+
+    # audio strl: strh fccType='auds'; strf = WAVEFORMATEX whose bytes
+    # at offset 4 (nSamplesPerSec) are a plausible-looking nonzero word
+    auds_strh = b"auds" + b"\x00" * 52
+    wavefmt = struct.pack("<HHIIHH", 1, 1, 44100, 88200, 2, 16)
+    audio_strl = lst(
+        b"strl", chunk(b"strh", auds_strh) + chunk(b"strf", wavefmt)
+    )
+    # splice the audio strl BEFORE the video strl inside hdrl
+    at = base.find(b"LIST", 12)
+    assert base[at + 8 : at + 12] == b"hdrl"
+    (hdrl_size,) = struct.unpack("<I", base[at + 4 : at + 8])
+    hdrl_body = base[at + 12 : at + 8 + hdrl_size]
+    vid_strl_at = hdrl_body.find(b"LIST")
+    new_body = (
+        hdrl_body[:vid_strl_at] + audio_strl + hdrl_body[vid_strl_at:]
+    )
+    new = (
+        base[:at]
+        + lst(b"hdrl", new_body)
+        + base[at + 8 + hdrl_size + (hdrl_size % 2):]
+    )
+    new = new[:4] + struct.pack("<I", len(new) - 8) + new[8:]
+
+    interval, fcc, dims, frames = decode_avi(new)
+    assert dims == (4, 4), dims  # not (44100, ...) from WAVEFORMATEX
+    assert fcc == "DIB "
+    assert len(frames) == 1

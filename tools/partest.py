@@ -8,10 +8,13 @@ warehouse (``SPARK_GRAFT_TEST_SHARD`` — see tests/conftest.py), so
 managed-table and filesystem tests cannot collide. Every test file runs
 exactly once; the exit code is nonzero iff any shard fails.
 
-File→shard assignment is greedy longest-processing-time over a static
-cost table measured from a full ``--durations`` run (fallback: file
-size), which keeps the slowest shard near the mean instead of one
-worker dragging the tail.
+File→shard assignment is greedy longest-processing-time over per-file
+costs LEARNED from the previous run: every shard runs with
+``--durations=0`` and the parsed per-file totals are merged into
+``tools/partest_durations.json`` at exit, so the balance tracks the
+suite as tests are added (VERDICT r6 item 8 — the static table
+silently unbalanced). Fallbacks, in order: the durations file, the
+static table from the last hand-measured full run, file size.
 
 Usage::
 
@@ -53,11 +56,52 @@ MEASURED_COST = {
 }
 
 
-def _cost(path: str) -> float:
+DURATIONS_FILE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "partest_durations.json"
+)
+
+
+def _learned() -> dict[str, float]:
+    try:
+        import json
+
+        with open(DURATIONS_FILE) as fh:
+            d = json.load(fh)
+        return {k: float(v) for k, v in d.items() if v > 0}
+    except Exception:  # noqa: BLE001 — heuristic, never a failure
+        return {}
+
+
+def _cost(path: str, learned: dict[str, float]) -> float:
     base = os.path.basename(path)
+    if base in learned:
+        return learned[base]
     if base in MEASURED_COST:
         return float(MEASURED_COST[base])
     return os.path.getsize(path) / 1024.0 * 0.7
+
+
+def _parse_durations(log_path: str) -> dict[str, float]:
+    """Sum pytest --durations=0 lines ('1.23s call tests/f.py::t') per
+    file; session-fixture setup (Spark start) lands on the first test's
+    setup line, which is real cost the balancer should see."""
+    import re
+
+    per_file: dict[str, float] = {}
+    pat = re.compile(
+        r"^\s*([0-9.]+)s\s+(?:call|setup|teardown)\s+"
+        r".*?tests/(test_[A-Za-z0-9_]+\.py)::"
+    )
+    try:
+        with open(log_path) as fh:
+            for line in fh:
+                m = pat.match(line)
+                if m:
+                    f = m.group(2)
+                    per_file[f] = per_file.get(f, 0.0) + float(m.group(1))
+    except OSError:
+        pass
+    return {k: round(v, 1) for k, v in per_file.items()}
 
 
 def main() -> int:
@@ -68,12 +112,13 @@ def main() -> int:
         print("partest: no test files found", file=sys.stderr)
         return 2
 
+    learned = _learned()
     shards: list[list[str]] = [[] for _ in range(n)]
     loads = [0.0] * n
-    for f in sorted(files, key=_cost, reverse=True):
+    for f in sorted(files, key=lambda p: _cost(p, learned), reverse=True):
         i = loads.index(min(loads))
         shards[i].append(f)
-        loads[i] += _cost(f)
+        loads[i] += _cost(f, learned)
 
     t0 = time.time()
     procs = []
@@ -92,6 +137,7 @@ def main() -> int:
                     [
                         sys.executable, "-m", "pytest", "-q",
                         "-p", "no:cacheprovider",
+                        "--durations=0", "--durations-min=0.05",
                         f"--basetemp=/tmp/partest_tmp_{i}",
                         *shard,
                     ],
@@ -109,6 +155,7 @@ def main() -> int:
         )
 
     rc = 0
+    measured: dict[str, float] = {}
     for i, log, fh, p in procs:
         p.wait()
         fh.close()
@@ -116,6 +163,7 @@ def main() -> int:
             tail = lf.readlines()[-1].strip() if os.path.getsize(log) else ""
         status = "ok" if p.returncode == 0 else f"FAILED rc={p.returncode}"
         print(f"partest: shard {i} {status}: {tail}", flush=True)
+        measured.update(_parse_durations(log))
         if p.returncode != 0:
             rc = 1
             with open(log) as lf:
@@ -124,6 +172,18 @@ def main() -> int:
             for line in body.splitlines():
                 if line.startswith("FAILED") or line.startswith("ERROR"):
                     print(f"  shard {i}: {line}", flush=True)
+    if measured and rc == 0:
+        # merge (subset runs only refresh the files they ran) so the
+        # next invocation balances on real, current numbers
+        try:
+            import json
+
+            merged = {**_learned(), **measured}
+            with open(DURATIONS_FILE, "w") as fh:
+                json.dump(dict(sorted(merged.items())), fh, indent=1)
+                fh.write("\n")
+        except OSError:
+            pass
     print(f"partest: total wall {time.time() - t0:.0f}s", flush=True)
     return rc
 
