@@ -274,3 +274,50 @@ def test_hll_plan_partial_aggregates(spark, sf_dir):
     plan = formatted_plan(hll_distinct(ev, "user_id", "event_type", p=8))
     assert plan.count("HashAggregate") >= 4  # partial+final for both aggs
     assert "SortMergeJoin" not in plan
+
+
+def test_read_curriculum_plan_no_join_one_sort(spark, tmp_path, sf_dir):
+    """The manifest-ordered replay must be scan -> literal file-rank map
+    -> ONE sort exchange: no join against a file-rank table, no second
+    shuffle."""
+    from pinecone_datasets_spark.operators.mixing import (
+        interleave_by_weights,
+        read_curriculum,
+        write_curriculum,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ordered = interleave_by_weights(
+        docs.select("doc_id", "source"), {"src0": 3.0, "src1": 1.0}
+    )
+    path = str(tmp_path / "plans_curr")
+    write_curriculum(ordered, path, num_files=4)
+    plan = formatted_plan(read_curriculum(spark, path))
+    assert "Join" not in plan, plan[:1500]
+    # one Exchange NODE (the name also appears once in the detail
+    # section per node, hence "+-" anchored)
+    assert plan.count("+- Exchange") == 1, plan[:1500]
+    assert "Sort" in plan
+
+
+def test_pq_adc_plan_broadcast_codebook_no_corpus_shuffle(spark, sf_dir):
+    """In-plan PQ assignment joins the corpus against the BROADCAST
+    codebook; the only corpus-keyed exchange is the (id, s) hash agg."""
+    from pinecone_datasets_spark.operators.pq import (
+        pq_reconstruct_inplan,
+        train_pq_inplan,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    codes, books = train_pq_inplan(
+        emb.select(F.col("vec_id").alias("id"), "embedding"),
+        m=4,
+        n_codes=4,
+        iters=1,
+        dim=64,
+        vector_col="embedding",
+    )
+    plan = formatted_plan(pq_reconstruct_inplan(codes, books))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -24,7 +24,7 @@ HEADLINE = [
     ("q47_source_cap", "per-group cap (WindowGroupLimit)"),
     ("q48_decontaminate", "decontamination: broadcast-only joins"),
     ("q49_pack_chunks", "packing: distributed prefix sum, no global window"),
-    ("q50_quantized_topk", "int8-quantized scoring"),
+    ("q50_quantized_topk", "int8-quantized scoring ∪ in-plan PQ/ADC reconstruction scoring"),
     ("q53_incremental_dedup", "incremental dedup: corpus never shuffles"),
     ("q54_asof_join", "as-of join: union-tag + one running window"),
     ("q55_range_join", "interval join: bucketed equi-join, no theta-join"),
@@ -74,6 +74,9 @@ HEADLINE = [
     ("semantic_decontam",
      "semantic decontamination: map-only Arrow GEMM, in-kernel max+count, "
      "filter rides the scoring pass"),
+    ("curriculum_replay",
+     "manifest-ordered curriculum replay: literal file-rank map + one "
+     "global sort, no join"),
 ]
 
 
@@ -126,6 +129,21 @@ def _extra_builders(spark, sf_dir):
             emb.where(F.col("vec_id") % 97 == 0),
             threshold=0.3,
         )
+
+    def curriculum_replay(spark, sf_dir):
+        from pinecone_datasets_spark.operators.mixing import (
+            interleave_by_weights,
+            read_curriculum,
+            write_curriculum,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        ordered = interleave_by_weights(
+            docs.select("doc_id", "source"), {"src0": 3.0, "src1": 1.0}
+        )
+        path = tempfile.mkdtemp(prefix="plans_curr_") + "/c"
+        write_curriculum(ordered, path, num_files=4)
+        return read_curriculum(spark, path)
 
     def mg_heavy_hitters(spark, sf_dir):
         from pinecone_datasets_spark.operators.sketch import (
@@ -283,6 +301,7 @@ def _extra_builders(spark, sf_dir):
         "xe_rerank": xe_rerank,
         "mh_index_probe": mh_index_probe,
         "semantic_decontam": semantic_decontam,
+        "curriculum_replay": curriculum_replay,
     }
 
 
