@@ -826,16 +826,81 @@ def q86_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def q86_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity rerank (operators/rerank.py:mmr_rerank) with a full
+    hash oracle: vectors are quantized to the dyadic grid k/1024 (dim 64,
+    |x| <= 0.6, so every product and 64-term dot is an exact multiple of
+    2^-20 well inside float64's 53-bit mantissa — summation order cannot
+    matter), relevance is the raw inner product, and ``normalize=False``
+    keeps the redundancy term on the same exact grid. With lam=0.5 every
+    greedy marginal is an exact multiple of 2^-21, so the NumPy
+    applyInPandas trace and the DuckDB unrolled-greedy replay select
+    identical candidates bit-for-bit; ties break on doc_id identically
+    (first-max over a doc_id-sorted frame == ORDER BY marginal DESC,
+    doc_id)."""
+    from pinecone_datasets_spark.operators.rerank import mmr_rerank
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.round(x * 1024, 0) / 1024,
+        ).alias("vec"),
+    )
+    docs = qv.select(
+        F.col("vec_id").alias("doc_id"), F.col("vec").alias("doc_vec")
+    )
+    queries = qv.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("q_vec")
+    )
+    scored = docs.crossJoin(F.broadcast(queries)).select(
+        "query_id",
+        "doc_id",
+        "doc_vec",
+        F.aggregate(
+            F.zip_with("q_vec", "doc_vec", lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("rel"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rel"), F.col("doc_id")
+    )
+    cand = scored.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= 20
+    )
+    out = mmr_rerank(
+        cand,
+        k=5,
+        lam=0.5,
+        query_id_col="query_id",
+        doc_id_col="doc_id",
+        score_col="rel",
+        vector_col="doc_vec",
+        normalize=False,
+    )
+    return out.select(
+        "query_id",
+        "doc_id",
+        F.col("mmr_score").alias("score"),
+        F.col("mmr_rank").cast("long").alias("rank"),
+    ).orderBy("query_id", "rank")
+
+
 def q32_q86_multiscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merged alternative-scoring entry, tagged: 'sparse' = map-based
     sparse dot top-k (q32), 'maxsim' = multi-vector late interaction
-    (q86) over the same embeddings."""
+    (q86), 'mmr' = greedy diversity rerank over dyadic-quantized
+    vectors — all over the same embeddings."""
     sp = q32_sparse_dot_topk(spark, sf_dir).withColumn(
         "part", F.lit("sparse")
     )
     ms = q86_maxsim_topk(spark, sf_dir).withColumn("part", F.lit("maxsim"))
+    mm = q86_mmr_rerank(spark, sf_dir).withColumn("part", F.lit("mmr"))
     return (
         sp.unionByName(ms)
+        .unionByName(mm)
         .select("part", "query_id", "doc_id", "score", "rank")
         .orderBy("part", "query_id", "rank")
     )
@@ -5594,11 +5659,39 @@ SELECT 'anomaly', hour, event_type, z, CAST(NULL AS DOUBLE),
 FROM anz
 ORDER BY part, event_type, hour
 """
-    # q32 + q86: sparse-dot top-k UNION MaxSim late interaction over the
-    # same embeddings. The maxsim replay slices each embedding into 8x8
-    # tokens and folds nested list lambdas — list_inner_product matches
-    # Spark's sequential-fold dot bit-for-bit (same precedent as q20's
-    # list_cosine_similarity).
+    # q32 + q86: sparse-dot top-k UNION MaxSim late interaction UNION the
+    # MMR greedy diversity rerank over the same embeddings. The maxsim
+    # replay slices each embedding into 8x8 tokens and folds nested list
+    # lambdas — list_inner_product matches Spark's sequential-fold dot
+    # bit-for-bit (same precedent as q20's list_cosine_similarity). The
+    # mmr replay unrolls the k=5 greedy loop as chained CTEs: vectors sit
+    # on the dyadic grid k/1024 so every dot, max-redundancy, and 0.5-
+    # weighted marginal is EXACT in float64 — the NumPy trace
+    # (rerank.py:mmr_rerank, normalize=False) and this replay pick the
+    # same doc at every step with no rounding contract at all.
+    mmr_steps = []
+    for i in range(2, 6):
+        p = i - 1
+        mmr_steps.append(f"""
+mm{i} AS (
+  SELECT c.query_id, c.doc_id, c.rel, c.vec,
+         0.5 * c.rel
+           - 0.5 * max(list_inner_product(c.vec, s.vec)) AS marginal
+  FROM mcand c JOIN msel{p} s ON c.query_id = s.query_id
+  WHERE NOT EXISTS (SELECT 1 FROM msel{p} x
+                    WHERE x.query_id = c.query_id
+                      AND x.doc_id = c.doc_id)
+  GROUP BY c.query_id, c.doc_id, c.rel, c.vec
+),
+mp{i} AS (
+  SELECT query_id, doc_id, rel, marginal AS mmr_score,
+         CAST({i} AS BIGINT) AS rank, vec
+  FROM (SELECT m.*, row_number() OVER (PARTITION BY query_id
+          ORDER BY marginal DESC, doc_id) AS rn2 FROM mm{i} m)
+  WHERE rn2 = 1
+),
+msel{i} AS (SELECT * FROM msel{p} UNION ALL SELECT * FROM mp{i})""")
+    mmr_sql = ",".join(mmr_steps)
     out["q32_q86_multiscore"] = f"""
 WITH sp AS ({b['q32_sparse_dot_topk']}),
 tok AS (
@@ -5620,10 +5713,37 @@ msr AS (
          row_number() OVER (PARTITION BY query_id
                             ORDER BY ms.score DESC, doc_id) AS rank
   FROM ms
-)
+),
+mq AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> round(x * 1024) / 1024) AS vec
+  FROM embeddings
+),
+mrel AS (
+  SELECT q.vec_id AS query_id, d.vec_id AS doc_id, d.vec,
+         list_inner_product(d.vec, q.vec) AS rel
+  FROM mq d, mq q WHERE q.vec_id < 5
+),
+mcand AS (
+  SELECT query_id, doc_id, vec, rel FROM (
+    SELECT m.*, row_number() OVER (PARTITION BY query_id
+             ORDER BY rel DESC, doc_id) AS rn FROM mrel m)
+  WHERE rn <= 20
+),
+mp1 AS (
+  SELECT query_id, doc_id, rel, 0.5 * rel AS mmr_score,
+         CAST(1 AS BIGINT) AS rank, vec
+  FROM (SELECT c.*, row_number() OVER (PARTITION BY query_id
+          ORDER BY rel DESC, doc_id) AS rn2 FROM mcand c)
+  WHERE rn2 = 1
+),
+msel1 AS (SELECT * FROM mp1),{mmr_sql}
 SELECT 'sparse' AS part, query_id, doc_id, score, rank FROM sp
 UNION ALL
 SELECT 'maxsim', query_id, doc_id, score, rank FROM msr WHERE rank <= 5
+UNION ALL
+SELECT 'mmr', query_id, doc_id, mmr_score AS score, rank FROM msel5
 ORDER BY part, query_id, rank
 """
     # q66 + q85: plain BM25 UNION the RM3-expanded weighted re-search.

@@ -47,6 +47,7 @@ def mmr_rerank(
     doc_id_col: str = "id",
     score_col: str = "score",
     vector_col: str = "values",
+    normalize: bool = True,
 ) -> DataFrame:
     """Greedy MMR top-k per query over a scored candidate frame that
     carries the candidates' vectors (``vector_col``).
@@ -56,6 +57,16 @@ def mmr_rerank(
     pick time (the first pick's is ``lam * rel`` — no redundancy term
     yet), ``score`` the original relevance. ``lam=1`` degenerates to
     pure relevance order.
+
+    ``normalize=False`` uses raw dot products as the redundancy term
+    (the caller vouches for the vectors' scaling — e.g. they are
+    already unit vectors, or an un-normalized inner-product geometry is
+    wanted). Besides the geometric choice, this makes the greedy trace
+    *exactly* replayable: vectors quantized to a dyadic grid (say
+    multiples of 1/1024 with dim·max²·2^20 < 2^53) have dot products
+    that are exact in float64 regardless of summation order, so the
+    NumPy path here and a sequential-fold SQL replay pick identical
+    candidates bit-for-bit — no epsilon, no rounding contract.
     """
     if not 0.0 < lam <= 1.0:
         raise ValueError(f"lam must be in (0, 1]: {lam}")
@@ -83,8 +94,11 @@ def mmr_rerank(
         mat = np.stack(
             [np.asarray(v, dtype=np.float64) for v in pdf[vector_col]]
         )
-        norms = np.maximum(np.linalg.norm(mat, axis=1), 1e-30)
-        unit = mat / norms[:, None]
+        if normalize:
+            norms = np.maximum(np.linalg.norm(mat, axis=1), 1e-30)
+            unit = mat / norms[:, None]
+        else:
+            unit = mat
         n = len(pdf)
         chosen: list[int] = []
         obj: list[float] = []

@@ -96,6 +96,53 @@ def test_mmr_determinism_and_bounds(spark, cands):
         mmr_rerank(cands, lam=0.0)
 
 
+def test_mmr_normalize_false_equals_true_on_unit_vectors(spark, cands):
+    """With pre-normalized vectors, raw-dot redundancy == cosine
+    redundancy, so the two modes must select identically; mmr_score may
+    differ only by float rounding of the explicit normalize step."""
+    unit = cands.withColumn(
+        "norm",
+        F.sqrt(
+            F.aggregate(
+                F.transform("values", lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ),
+    ).withColumn(
+        "values", F.transform("values", lambda x: x / F.col("norm"))
+    ).drop("norm")
+    a = sorted(
+        (r["query_id"], r["id"], r["mmr_rank"])
+        for r in mmr_rerank(unit, k=3, lam=0.5, normalize=True).collect()
+    )
+    b = sorted(
+        (r["query_id"], r["id"], r["mmr_rank"])
+        for r in mmr_rerank(unit, k=3, lam=0.5, normalize=False).collect()
+    )
+    assert a == b
+
+
+def test_mmr_normalize_false_dyadic_grid_is_exact(spark):
+    """normalize=False on dyadic-grid vectors: mmr_score values are
+    exact multiples of 2^-21 (lam=0.5 over 1/1024-grid dots) — the
+    property the q32_q86 'mmr' oracle part relies on."""
+    rows = [
+        (1, d, float(5 - d) / 8.0, [float(v) / 1024.0 for v in vec])
+        for d, vec in enumerate(
+            [[513, -37, 200], [511, -37, 201], [-900, 44, 3], [2, 1023, -5]]
+        )
+    ]
+    cands = spark.createDataFrame(
+        rows, "query_id long, id long, score double, values array<double>"
+    )
+    out = mmr_rerank(cands, k=4, lam=0.5, normalize=False).collect()
+    assert len(out) == 4
+    for r in out:
+        scaled = r["mmr_score"] * (1 << 21)
+        assert scaled == int(scaled)  # exactly on the 2^-21 grid
+
+
 def test_mmr_composes_with_topk_search(spark, sf_dir):
     """End-to-end: retrieval candidates -> vector join -> MMR."""
     from pinecone_datasets_spark.operators.search import topk_search
