@@ -3559,7 +3559,69 @@ def q88_domains_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("new_fingerprint"), F.lit("")),
         ).alias("s2"),
     )
-    return rep.unionByName(dif).orderBy("part", "key")
+    url = q89_url_canonical(spark, sf_dir).select(
+        F.lit("url").alias("part"),
+        F.col("canonical_url").alias("key"),
+        F.col("n_variants").alias("n1"),
+        F.col("min_doc_id").alias("n2"),
+        _nl("long").alias("n3"),
+        _nl("double").alias("d1"),
+        _nl("double").alias("d2"),
+        F.col("reg_domain").alias("s1"),
+        _nl("string").alias("s2"),
+    )
+    return rep.unionByName(dif).unionByName(url).orderBy("part", "key")
+
+
+def q89_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + exact URL-key dedup
+    (operators/domains.py:normalize_url/dedup_by_url — the C4/CC-Net
+    first gate). The fixture plants messy variants deterministically
+    (scheme/host case, default :443 port, duplicate+trailing slashes,
+    fragments, shuffled query params, utm/fbclid tracking noise); the
+    oracle rebuilds the same raw strings and replays the identical
+    canonicalization via normalize_url_sql, so group counts and keys
+    hash-match exactly. Pure string algebra — no float contract."""
+    from pinecone_datasets_spark.operators.domains import (
+        normalize_url,
+        registrable_domain,
+        url_host,
+    )
+
+    doc = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    raw = F.concat(
+        F.when(d % 3 == 0, F.lit("HTTPS")).otherwise(F.lit("https")),
+        F.lit("://"),
+        F.when(d % 2 == 0, F.lit("WWW.SRC")).otherwise(F.lit("www.src")),
+        (d % 40).cast("string"),
+        F.lit(".com"),
+        F.when(d % 5 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/"),
+        F.col("lang"),
+        F.when(d % 2 == 0, F.lit("//")).otherwise(F.lit("/")),
+        (d % 25).cast("string"),
+        F.when(d % 7 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(d % 2 == 0, F.lit("?b=2&a=1&utm_source=mail")).otherwise(
+            F.lit("?a=1&b=2")
+        ),
+        F.when(d % 11 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    urls = doc.select("doc_id", raw.alias("url"))
+    norm = urls.select(
+        "doc_id", normalize_url("url").alias("canonical_url")
+    )
+    return (
+        norm.groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_variants"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .withColumn(
+            "reg_domain", registrable_domain(url_host("canonical_url"))
+        )
+        .orderBy("canonical_url")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -6568,8 +6630,46 @@ UNION ALL
 SELECT 'below_avg', p_brand, n_lineitems, revenue FROM ba
 ORDER BY part, key
 """
-    out["q88_domains_snapshot"] = r"""
-WITH rep AS (
+    # 'url' part: rebuild the deterministic messy-URL fixture, replay
+    # the exact canonicalization (normalize_url_sql is the same split/
+    # tracking/rebuild algebra the Spark op compiles to), then group.
+    # The registrable-domain replay takes the host's last two labels —
+    # the fixture plants no two-level public suffixes (the generic PSL
+    # branch is pytest-covered in test_domains_snapshot.py).
+    from pinecone_datasets_spark.operators.domains import (
+        normalize_url_sql as _nurl_sql,
+    )
+
+    _url_norm = _nurl_sql("url")
+    out["q88_domains_snapshot"] = rf"""
+WITH uraw AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS' ELSE 'https' END) || '://' ||
+    (CASE WHEN doc_id % 2 = 0 THEN 'WWW.SRC' ELSE 'www.src' END) ||
+    CAST(doc_id % 40 AS VARCHAR) || '.com' ||
+    (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END) || '/' || lang ||
+    (CASE WHEN doc_id % 2 = 0 THEN '//' ELSE '/' END) ||
+    CAST(doc_id % 25 AS VARCHAR) ||
+    (CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END) ||
+    (CASE WHEN doc_id % 2 = 0 THEN '?b=2&a=1&utm_source=mail'
+          ELSE '?a=1&b=2' END) ||
+    (CASE WHEN doc_id % 11 = 0 THEN '#frag' ELSE '' END) AS url
+  FROM documents
+),
+unorm AS (SELECT doc_id, {_url_norm} AS canonical_url FROM uraw),
+ugrp AS (
+  SELECT canonical_url, count(*) AS n_variants, min(doc_id) AS min_doc_id
+  FROM unorm GROUP BY 1
+),
+uout AS (
+  SELECT canonical_url, n_variants, min_doc_id,
+         array_to_string(list_slice(hparts, len(hparts) - 1,
+                                    len(hparts)), '.') AS reg_domain
+  FROM (SELECT u.*, str_split(regexp_extract(canonical_url,
+          '^[a-z0-9+.-]+://(?:[^@/]*@)?([^/:?#]*)', 1), '.') AS hparts
+        FROM ugrp u)
+),
+rep AS (
   SELECT source AS domain, count(*) AS n_docs,
          sum(length(text)) AS total_chars,
          count(DISTINCT lang) AS n_langs,
@@ -6615,6 +6715,11 @@ SELECT 'diff', CAST(doc_id AS VARCHAR), CAST(NULL AS BIGINT),
        CAST(NULL AS DOUBLE), status,
        concat(COALESCE(old_f, ''), '|', COALESCE(new_f, ''))
 FROM dif WHERE status != 'unchanged'
+UNION ALL
+SELECT 'url', canonical_url, n_variants, min_doc_id,
+       CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       reg_domain, CAST(NULL AS VARCHAR)
+FROM uout
 ORDER BY part, key
 """
     return out

@@ -183,3 +183,153 @@ def cap_domains(
 
     order = list(order_by) if order_by is not None else [F.col(id_col)]
     return cap_per_group(docs, domain_col, n, order)
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization: the dedup key of every crawl pipeline
+# ---------------------------------------------------------------------------
+
+#: Anchored pattern for one ``key=value`` query token that is tracking
+#: noise, not content (utm campaign tags, click ids, mail-merge ids).
+#: Shared verbatim by the SQL twin — alternation + anchors only, no
+#: lookaround, so it means the same thing to Java regex and RE2.
+TRACKING_PARAM_PATTERN = (
+    r"^(utm_[^=&]*|fbclid|gclid|dclid|msclkid|wbraid|gbraid|yclid|"
+    r"mc_cid|mc_eid|igshid|spm|ref|ref_src|_ga|s_kwcid)(=.*)?$"
+)
+
+#: URL splitter: scheme :// authority path ?query #fragment. Capture
+#: groups 1-4; the fragment is matched but never captured (canonical
+#: form drops it). Non-capturing groups only — portable to RE2.
+_URL_SPLIT_PATTERN = (
+    r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)"
+    r"(?:\?([^#]*))?(?:#.*)?$"
+)
+
+
+def normalize_url(
+    url: Column | str,
+    tracking_param_pattern: str = TRACKING_PARAM_PATTERN,
+    strip_www: bool = False,
+) -> Column:
+    """Canonical form of a URL column — the dedup key every crawl
+    pipeline hangs exact URL-dedup on (C4 / CC-Net dedup by normalized
+    URL before any content pass).
+
+    Canonicalization, applied only when the value parses as
+    ``scheme://...`` (anything else passes through trimmed — a
+    pass-through is auditable, a guessed parse is corpus damage):
+
+    * scheme and host lower-cased (userinfo, path, query keep case)
+    * fragment dropped
+    * default port dropped (``:80`` for http, ``:443`` for https)
+    * ``www.`` prefix dropped when ``strip_www=True``
+    * duplicate slashes in the path collapsed, trailing slashes dropped
+      (``/a/`` == ``/a``; a bare ``/`` root drops entirely)
+    * query tokens split on ``&``: empties and tracking params
+      (``tracking_param_pattern``) removed, the rest sorted bytewise
+      and rejoined — param order never distinguishes two URLs
+
+    Pure column expressions (regexp + array built-ins): codegen'd,
+    no Python crossing, and dialect-portable — ``normalize_url_sql``
+    emits the identical transformation for DuckDB replay.
+    """
+    c = F.col(url) if isinstance(url, str) else url
+    c = F.trim(c)
+    scheme = F.lower(F.regexp_extract(c, _URL_SPLIT_PATTERN, 1))
+    auth = F.regexp_extract(c, _URL_SPLIT_PATTERN, 2)
+    path = F.regexp_extract(c, _URL_SPLIT_PATTERN, 3)
+    query = F.regexp_extract(c, _URL_SPLIT_PATTERN, 4)
+
+    userinfo = F.regexp_extract(auth, r"^([^@]*@)", 1)
+    host = F.lower(F.regexp_extract(auth, r"^(?:[^@]*@)?([^:]*)", 1))
+    if strip_www:
+        host = F.regexp_replace(host, r"^www\.", "")
+    port = F.regexp_extract(auth, r":([0-9]+)$", 1)
+    port_part = F.when(
+        (port == "")
+        | ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443")),
+        F.lit(""),
+    ).otherwise(F.concat(F.lit(":"), port))
+
+    path_n = F.regexp_replace(
+        F.regexp_replace(path, r"/{2,}", "/"), r"/+$", ""
+    )
+
+    kept = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda t: (t != "") & ~t.rlike(tracking_param_pattern),
+        )
+    )
+    q_part = F.when(
+        F.size(kept) > 0,
+        F.concat(F.lit("?"), F.array_join(kept, "&")),
+    ).otherwise(F.lit(""))
+
+    rebuilt = F.concat(
+        scheme, F.lit("://"), userinfo, host, port_part, path_n, q_part
+    )
+    return F.when(scheme == "", c).otherwise(rebuilt)
+
+
+def normalize_url_sql(
+    url_expr: str,
+    tracking_param_pattern: str = TRACKING_PARAM_PATTERN,
+    strip_www: bool = False,
+) -> str:
+    """DuckDB twin of ``normalize_url`` — same split pattern, same
+    tracking-param pattern, same rebuild, for oracle replay."""
+    split = _URL_SPLIT_PATTERN.replace("'", "''")
+    track = tracking_param_pattern.replace("'", "''")
+    u = f"trim({url_expr})"
+    scheme = f"lower(regexp_extract({u}, '{split}', 1))"
+    auth = f"regexp_extract({u}, '{split}', 2)"
+    path = f"regexp_extract({u}, '{split}', 3)"
+    query = f"regexp_extract({u}, '{split}', 4)"
+    userinfo = f"regexp_extract({auth}, '^([^@]*@)', 1)"
+    host = f"lower(regexp_extract({auth}, '^(?:[^@]*@)?([^:]*)', 1))"
+    if strip_www:
+        host = f"regexp_replace({host}, '^www\\.', '')"
+    port = f"regexp_extract({auth}, ':([0-9]+)$', 1)"
+    port_part = (
+        f"CASE WHEN {port} = '' OR ({scheme} = 'http' AND {port} = '80')"
+        f" OR ({scheme} = 'https' AND {port} = '443') THEN ''"
+        f" ELSE ':' || {port} END"
+    )
+    path_n = (
+        f"regexp_replace(regexp_replace({path}, '/{{2,}}', '/', 'g'),"
+        f" '/+$', '')"
+    )
+    kept = (
+        f"list_sort(list_filter(str_split({query}, '&'),"
+        f" t -> t <> '' AND NOT regexp_matches(t, '{track}')))"
+    )
+    q_part = (
+        f"CASE WHEN len({kept}) > 0"
+        f" THEN '?' || list_aggregate({kept}, 'string_agg', '&')"
+        f" ELSE '' END"
+    )
+    rebuilt = (
+        f"{scheme} || '://' || {userinfo} || {host} || {port_part}"
+        f" || {path_n} || {q_part}"
+    )
+    return f"CASE WHEN {scheme} = '' THEN {u} ELSE {rebuilt} END"
+
+
+def dedup_by_url(
+    docs: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    strip_www: bool = False,
+) -> DataFrame:
+    """Exact URL dedup: keep the lowest-id row per canonical URL —
+    the first corpus gate of a crawl pipeline (cheaper than any content
+    pass; C4/CC-Net run it before text ever shuffles). Same two-narrow-
+    shuffles shape as ``dedup.exact_dedup``: only (canonical-url hash,
+    id) pairs move, payloads stay put."""
+    key = F.md5(normalize_url(F.col(url_col), strip_www=strip_www))
+    fp = docs.select(F.col(id_col), key.alias("_ufp"))
+    keep = fp.groupBy("_ufp").agg(F.min(id_col).alias(id_col))
+    return docs.join(keep.select(id_col), on=id_col, how="left_semi")

@@ -216,3 +216,92 @@ def test_fixture_scale_snapshot_and_report(spark, sf_dir):
         F.sum("n_docs").alias("nd"), F.sum("corpus_share").alias("cs")
     ).collect()[0]
     assert tot.nd == n and abs(tot.cs - 1.0) < 1e-3
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization
+# ---------------------------------------------------------------------------
+
+_MESSY_URLS = [
+    "HTTPS://WWW.Example.COM:443/a//b/c/?utm_source=x&b=2&a=1&fbclid=z#f",
+    "http://example.com:80/",
+    "http://example.com",
+    "http://user:Pw@Example.com:8080/Path/?z=1&y=2",
+    "https://example.co.uk/a/b//c///d/",
+    "not a url at all",
+    "   https://a.b/c?utm_campaign=1   ",
+    "https://a.b/x?ref=home&q=hello%20world&REF=keep",
+    None,
+]
+
+
+def test_normalize_url_known_answers(spark):
+    from pinecone_datasets_spark.operators.domains import normalize_url
+
+    df = spark.createDataFrame([(u,) for u in _MESSY_URLS], "url string")
+    got = [r[0] for r in df.select(normalize_url("url")).collect()]
+    assert got[0] == "https://www.example.com/a/b/c?a=1&b=2"
+    assert got[1] == "http://example.com"       # default port + bare /
+    assert got[2] == "http://example.com"       # already canonical
+    # non-default port and userinfo survive; path case survives
+    assert got[3] == "http://user:Pw@example.com:8080/Path?y=2&z=1"
+    assert got[4] == "https://example.co.uk/a/b/c/d"
+    assert got[5] == "not a url at all"          # pass-through, trimmed
+    assert got[6] == "https://a.b/c"             # tracking-only query drops
+    # params sort bytewise; REF (uppercase) is NOT the tracking token
+    assert got[7] == "https://a.b/x?REF=keep&q=hello%20world"
+    assert got[8] is None
+
+
+def test_normalize_url_duckdb_twin_parity(spark):
+    duckdb = pytest.importorskip("duckdb")
+    from pinecone_datasets_spark.operators.domains import (
+        normalize_url,
+        normalize_url_sql,
+    )
+
+    df = spark.createDataFrame([(u,) for u in _MESSY_URLS], "url string")
+    got = [r[0] for r in df.select(normalize_url("url")).collect()]
+    con = duckdb.connect()
+    expr = normalize_url_sql("url")
+    for u, a in zip(_MESSY_URLS, got):
+        b = con.execute(
+            f"SELECT {expr} FROM (SELECT ? AS url)", [u]
+        ).fetchone()[0]
+        assert a == b, (u, a, b)
+
+
+def test_normalize_url_strip_www_and_idempotent(spark):
+    from pinecone_datasets_spark.operators.domains import normalize_url
+
+    df = spark.createDataFrame(
+        [("https://WWW.a.b/x?b=1&a=2#z",), ("https://wwwx.a.b/",)],
+        "url string",
+    )
+    got = [
+        r[0]
+        for r in df.select(normalize_url("url", strip_www=True)).collect()
+    ]
+    assert got == ["https://a.b/x?a=2&b=1", "https://wwwx.a.b"]
+    # canonicalizing a canonical URL is a no-op
+    once = df.select(normalize_url("url", strip_www=True).alias("url"))
+    twice = [
+        r[0]
+        for r in once.select(normalize_url("url", strip_www=True)).collect()
+    ]
+    assert twice == got
+
+
+def test_dedup_by_url_collapses_variants(spark):
+    from pinecone_datasets_spark.operators.domains import dedup_by_url
+
+    rows = [
+        (1, "https://A.com/x?b=2&a=1"),
+        (2, "HTTPS://a.COM/x/?a=1&b=2&utm_source=mail"),  # same canonical
+        (3, "https://a.com/x?a=1"),                        # different query
+        (4, "https://a.com:443/x?b=2&a=1#frag"),           # same canonical
+        (5, "https://b.com/x?b=2&a=1"),                    # different host
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    kept = sorted(r["doc_id"] for r in dedup_by_url(df).collect())
+    assert kept == [1, 3, 5]
