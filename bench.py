@@ -760,6 +760,47 @@ def main() -> None:
             F.sum("n_chars").alias("sum_chars"),
         )
 
+    warc_path = bench_tmp + "/docs_warc"
+
+    def bench_warc_ingest():
+        # Crawl-archive ingest: per-record-gzipped WARC segments →
+        # stdlib member-chain parse (mapInPandas) → WET text view →
+        # corpus stats. Setup writes 8 segments once (file count IS the
+        # parallelism grain for .warc.gz — see sources/warc.py); the
+        # measured leg is binaryFile scan + Arrow parse + aggregate.
+        from pinecone_datasets_spark.sources.warc import (
+            encode_warc,
+            read_warc,
+            wet_text,
+        )
+
+        if not os.path.isdir(warc_path):
+            os.makedirs(warc_path)
+            rows = (
+                spark.read.parquet(f"{SF_DIR}/documents.parquet")
+                .select("doc_id", "text")
+                .collect()
+            )
+            segs = [[] for _ in range(8)]
+            for r in rows:
+                segs[r["doc_id"] % 8].append(
+                    {
+                        "warc_type": "conversion",
+                        "record_id": f"<urn:doc:{r['doc_id']}>",
+                        "target_uri": f"https://corpus/{r['doc_id']}",
+                        "content_type": "text/plain",
+                        "content": r["text"],
+                    }
+                )
+            for i, seg in enumerate(segs):
+                with open(f"{warc_path}/seg-{i}.warc.gz", "wb") as f:
+                    f.write(encode_warc(seg, gzip_records=True))
+        got = read_warc(spark, warc_path)
+        return wet_text(got.records).agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).alias("sum_chars"),
+        )
+
     def bench_domain_report():
         # one corpus pass: groupBy(domain) with map-side partials;
         # corpus-share denominator from a window over the tiny
@@ -879,6 +920,7 @@ def main() -> None:
         "ivfpq_build": bench_ivfpq_build,
         "ivfpq_search": bench_ivfpq_search,
         "jsonl_ingest": bench_jsonl_ingest,
+        "warc_ingest": bench_warc_ingest,
         "bpe_tokens": bench_bpe_tokens,
         "cm_freq": bench_cm_freq,
         "bloom_dedup": bench_bloom_dedup,

@@ -16,8 +16,13 @@ from .corpus import (
     read_text_files,
     stream_jsonl,
 )
+from .warc import WarcRead, encode_warc, read_warc, wet_text
 
 __all__ = [
+    "WarcRead",
+    "encode_warc",
+    "read_warc",
+    "wet_text",
     "read_documents",
     "read_metadata",
     "read_queries",

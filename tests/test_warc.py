@@ -1,0 +1,178 @@
+"""WARC / WET source (sources/warc.py): pure-stdlib parse of Common
+Crawl's container format, quarantining + resync, gzip members, WET
+text extraction."""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+
+from pinecone_datasets_spark.sources.warc import (
+    encode_warc,
+    iter_warc_records,
+    read_warc,
+    wet_text,
+)
+
+
+def _recs(n: int = 4, binary_payload: bytes | None = None):
+    rows = []
+    for i in range(n):
+        rows.append(
+            {
+                "warc_type": "conversion",
+                "record_id": f"<urn:uuid:0000-{i:04d}>",
+                "target_uri": f"https://example.com/p/{i}",
+                "warc_date": "2024-01-02T03:04:05Z",
+                "content_type": "text/plain",
+                "content": f"document {i} text\nwith a second line",
+            }
+        )
+    if binary_payload is not None:
+        rows.append(
+            {
+                "warc_type": "resource",
+                "record_id": "<urn:uuid:bin>",
+                "target_uri": "https://example.com/img",
+                "content_type": "application/octet-stream",
+                "content": binary_payload,
+            }
+        )
+    return rows
+
+
+def test_roundtrip_plain_including_binary_with_crlf():
+    # payload deliberately contains \r\n\r\n and a fake version line —
+    # Content-Length slicing must not be confused by either
+    payload = b"\x89PNG\r\n\x1a\n\r\n\r\nWARC/1.0\r\nnot-a-record" * 3
+    blob = encode_warc(_recs(3, binary_payload=payload))
+    got = list(iter_warc_records(blob, "f.warc"))
+    assert [g["error"] for g in got] == [None] * 4
+    assert got[3]["content"] == payload
+    assert got[3]["content_length"] == len(payload)
+    assert got[0]["warc_type"] == "conversion"
+    assert got[0]["target_uri"] == "https://example.com/p/0"
+    assert got[0]["content"].decode() == "document 0 text\nwith a second line"
+
+
+def test_roundtrip_gzip_members_deterministic():
+    blob1 = encode_warc(_recs(3), gzip_records=True)
+    blob2 = encode_warc(_recs(3), gzip_records=True)
+    assert blob1 == blob2  # mtime pinned — fixture bytes reproducible
+    assert blob1[:2] == b"\x1f\x8b"
+    got = list(iter_warc_records(blob1, "f.warc.gz"))
+    assert [g["error"] for g in got] == [None] * 3
+    # whole-blob gzip (single member) parses identically
+    whole = gzip.compress(encode_warc(_recs(3)), mtime=0)
+    got2 = list(iter_warc_records(whole, "x"))
+    assert [(g["record_id"], g["content"]) for g in got] == [
+        (g["record_id"], g["content"]) for g in got2
+    ]
+
+
+def test_quarantine_and_resync():
+    good = encode_warc(_recs(2))
+    garbage = b"HTTP/1.1 200 OK\r\nthis is not warc\r\n\r\n"
+    # garbage prepended AND spliced between records
+    blob = garbage + good[: len(good) // 2 // 2 * 2]
+    # simpler deterministic splice: garbage + rec0 + garbage + rec1
+    one = encode_warc(_recs(1))
+    two = encode_warc(
+        [dict(_recs(2)[1], record_id="<urn:uuid:second>")]
+    )
+    blob = garbage + one + garbage + two
+    got = list(iter_warc_records(blob, "f"))
+    errors = [g for g in got if g["error"]]
+    goods = [g for g in got if not g["error"]]
+    assert len(goods) == 2
+    assert {g["record_id"] for g in goods} == {
+        "<urn:uuid:0000-0000>", "<urn:uuid:second>"
+    }
+    assert len(errors) == 2
+    assert all("resynced" in e["error"] for e in errors)
+
+
+def test_missing_content_length_quarantined():
+    raw = (
+        b"WARC/1.0\r\nWARC-Type: metadata\r\n"
+        b"WARC-Record-ID: <urn:uuid:x>\r\n\r\npayload"
+    )
+    got = list(iter_warc_records(raw, "f"))
+    assert len(got) == 1 and "Content-Length" in got[0]["error"]
+
+
+def test_truncated_payload_quarantined():
+    blob = encode_warc(_recs(1))[:-10]
+    got = list(iter_warc_records(blob, "f"))
+    assert got[-1]["error"] == "payload truncated"
+
+
+def test_header_case_insensitive_and_lf_only():
+    raw = (
+        b"WARC/1.0\nwarc-type: CONVERSION-ish\ncontent-length: 5\n"
+        b"WARC-RECORD-ID: <urn:uuid:lf>\n\nhello"
+    )
+    got = list(iter_warc_records(raw, "f"))
+    assert got[0]["error"] is None
+    assert got[0]["warc_type"] == "CONVERSION-ish"
+    assert got[0]["record_id"] == "<urn:uuid:lf>"
+    assert got[0]["content"] == b"hello"
+
+
+def test_read_warc_spark_end_to_end(spark, tmp_path):
+    d = tmp_path / "crawl"
+    d.mkdir()
+    (d / "seg-0.warc.gz").write_bytes(
+        encode_warc(_recs(3), gzip_records=True)
+    )
+    (d / "seg-1.warc").write_bytes(encode_warc(_recs(2)))
+    (d / "notes.txt").write_text("not a warc")  # glob-pruned
+    bad = b"garbage" + encode_warc(_recs(1))
+    (d / "seg-2.warc").write_bytes(bad)
+    got = read_warc(spark, str(d))
+    recs = got.records.collect()
+    assert len(recs) == 6
+    assert {r["warc_type"] for r in recs} == {"conversion"}
+    q = got.quarantined.collect()
+    assert len(q) == 1 and q[0]["path"].endswith("seg-2.warc")
+    assert q[0]["record_offset"] == 0
+
+    txt = wet_text(got.records)
+    rows = txt.where(txt.target_uri == "https://example.com/p/1").collect()
+    assert rows and all(
+        r["text"] == "document 1 text\nwith a second line" for r in rows
+    )
+
+
+def test_read_warc_counts_match_jsonl_equivalent(spark, sf_dir, tmp_path):
+    """Ingest parity: documents exported as WET records read back with
+    the same row count and char mass as the parquet source."""
+    import pyspark.sql.functions as F
+
+    doc = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    rows = [
+        {
+            "warc_type": "conversion",
+            "record_id": f"<urn:doc:{r['doc_id']}>",
+            "target_uri": f"https://corpus/{r['doc_id']}",
+            "content_type": "text/plain",
+            "content": r["text"],
+        }
+        for r in doc.select("doc_id", "text").collect()
+    ]
+    (tmp_path / "docs.warc.gz").write_bytes(
+        encode_warc(rows, gzip_records=True)
+    )
+    got = read_warc(spark, str(tmp_path))
+    assert got.quarantined.count() == 0
+    wet = wet_text(got.records)
+    a = wet.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.length("text")).alias("chars"),
+    ).collect()[0]
+    b = doc.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.length("text")).alias("chars"),
+    ).collect()[0]
+    assert (a["n"], a["chars"]) == (b["n"], b["chars"])
