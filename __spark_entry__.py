@@ -1040,6 +1040,46 @@ def q91_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# planted HTML template for q92: comment, style + script blocks (script
+# holding a bare '<'), heading block, the doc text as a paragraph, a
+# trailer div exercising entity decode + nbsp. Brace-free so the oracle
+# f-string embeds the literals untouched.
+_Q92_PRE = (
+    "<html><!-- meta --><head><style>.red,a:hover</style>"
+    "<script>var a = 1 < 2;</script></head><body><h1>D"
+)
+_Q92_MID = "</h1><p>"
+_Q92_SUF = "</p><div>tail &amp; &lt;end&gt;&nbsp;.</div></body></html>"
+
+
+def q92_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → text extraction (functions/html.py:html_to_text — the
+    C4-class expression path: comment/script/style strip, block tags
+    to newlines, entity decode, whitespace normalize; every stage a
+    codegen'd regexp_replace). Wraps each doc in a deterministic HTML
+    template and emits the extracted text's md5 + chars removed; the
+    DuckDB twin replays the identical stage chain via
+    html_to_text_sql."""
+    from pinecone_datasets_spark.functions.html import html_to_text
+
+    doc = _t(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.lit(_Q92_PRE),
+        F.col("doc_id").cast("string"),
+        F.lit(_Q92_MID),
+        F.col("text"),
+        F.lit(_Q92_SUF),
+    )
+    extracted = html_to_text(planted)
+    return doc.select(
+        "doc_id",
+        F.md5(extracted).alias("html_fp"),
+        (F.length(planted) - F.length(extracted)).alias(
+            "html_chars_removed"
+        ),
+    ).orderBy("doc_id")
+
+
 def q42_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash candidate pairs → connected components → one cluster id
     per doc (operators/cluster.py: iterative min-label propagation;
@@ -2873,10 +2913,10 @@ def q77_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q13_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc text profile: q13 stats + q29 lang-ID + q30 quality + q40
     repetition + q41 PII redaction + q75 boilerplate score + q77
-    duplicated-span profile + q91 unicode scrub fingerprints, one row
-    per document (joined on doc_id; all but the boilerplate/span
-    DF-counts and the Arrow NFC stage are map-only built-in
-    expressions)."""
+    duplicated-span profile + q91 unicode scrub fingerprints + q92
+    HTML-extraction fingerprints, one row per document (joined on
+    doc_id; all but the boilerplate/span DF-counts and the Arrow NFC
+    stage are map-only built-in expressions)."""
     out = (
         q13_text_stats(spark, sf_dir)
         .join(q29_lang_detect(spark, sf_dir), "doc_id")
@@ -2886,6 +2926,7 @@ def q13_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(q75_boilerplate(spark, sf_dir), "doc_id")
         .join(q77_dup_spans(spark, sf_dir), "doc_id")
         .join(q91_clean_text(spark, sf_dir), "doc_id")
+        .join(q92_html_extract(spark, sf_dir), "doc_id")
     )
     return out.orderBy("doc_id")
 
@@ -6156,9 +6197,27 @@ ORDER BY part, doc_id
   FROM (SELECT doc_id, '{_Q91_PRE}' || text || '{_Q91_SUF}' AS t
         FROM documents)
 """
+    # q92 HTML extraction twin: the same planted template, the same
+    # regexp stage chain (html_to_text_sql keeps parity in one place)
+    from pinecone_datasets_spark.functions.html import (
+        html_to_text_sql as _h2t_sql,
+    )
+
+    _q92_planted = (
+        f"'{_Q92_PRE}' || CAST(doc_id AS VARCHAR) || '{_Q92_MID}'"
+        f" || text || '{_Q92_SUF}'"
+    )
+    _s92 = f"""
+  SELECT doc_id, md5(x) AS html_fp,
+         CAST(plen - length(x) AS BIGINT) AS html_chars_removed
+  FROM (SELECT doc_id, length({_q92_planted}) AS plen,
+               {_h2t_sql(_q92_planted)} AS x
+        FROM documents)
+"""
     out["q13_text_profile"] = f"""
 WITH s13 AS ({b['q13_text_stats']}),
 s91 AS ({_s91}),
+s92 AS ({_s92}),
 s29 AS ({b['q29_lang_detect']}),
 s30 AS ({b['q30_quality_score']}),
 s40 AS ({b['q40_repetition_signals']}),
@@ -6215,7 +6274,8 @@ SELECT s13.doc_id, s13.n_words, s13.n_tokens, s13.n_chars, s13.entropy,
        s75.n_positions, s75.n_boiler, s75.boilerplate_frac,
        s77.span_positions, s77.n_dup_positions, s77.longest_dup_run,
        s77.dup_frac,
-       s91.clean_fp, s91.clean_chars_removed
+       s91.clean_fp, s91.clean_chars_removed,
+       s92.html_fp, s92.html_chars_removed
 FROM s13
 JOIN s29 USING (doc_id)
 JOIN s30 USING (doc_id)
@@ -6224,6 +6284,7 @@ JOIN s41 USING (doc_id)
 JOIN s75 USING (doc_id)
 JOIN s77 USING (doc_id)
 JOIN s91 USING (doc_id)
+JOIN s92 USING (doc_id)
 ORDER BY doc_id
 """
     from pinecone_datasets_spark.operators.sketch import (

@@ -801,6 +801,25 @@ def main() -> None:
             F.sum(F.length("text")).alias("sum_chars"),
         )
 
+    def bench_html_extract():
+        # HTML -> text over the whole corpus: 15 chained regexp_replace
+        # stages, all whole-stage codegen, map-only — the raw-crawl
+        # extraction hop (C4-class) with zero Python crossings.
+        from pinecone_datasets_spark.functions.html import html_to_text
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        planted = F.concat(
+            F.lit("<html><head><style>.a:hover</style></head><body><h1>D"),
+            F.col("doc_id").cast("string"),
+            F.lit("</h1><script>var a = 1 < 2;</script><p>"),
+            F.col("text"),
+            F.lit("</p><div>tail &amp; &lt;end&gt;</div></body></html>"),
+        )
+        return docs.select(html_to_text(planted).alias("t")).agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("t")).alias("sum_chars"),
+        )
+
     def bench_domain_report():
         # one corpus pass: groupBy(domain) with map-side partials;
         # corpus-share denominator from a window over the tiny
@@ -921,6 +940,7 @@ def main() -> None:
         "ivfpq_search": bench_ivfpq_search,
         "jsonl_ingest": bench_jsonl_ingest,
         "warc_ingest": bench_warc_ingest,
+        "html_extract": bench_html_extract,
         "bpe_tokens": bench_bpe_tokens,
         "cm_freq": bench_cm_freq,
         "bloom_dedup": bench_bloom_dedup,

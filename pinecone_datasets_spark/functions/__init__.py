@@ -6,6 +6,7 @@ from .vector import (
     l2_norm,
     sparse_dot_product,
 )
+from .html import html_to_text, html_to_text_py, html_to_text_sql
 from .text import (
     clean_text,
     clean_text_sql,
@@ -22,6 +23,9 @@ from .text import (
 
 __all__ = [
     "compile_filter",
+    "html_to_text",
+    "html_to_text_py",
+    "html_to_text_sql",
     "cosine_similarity",
     "dot_product",
     "l2_distance",
