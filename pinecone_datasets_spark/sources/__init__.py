@@ -16,11 +16,20 @@ from .corpus import (
     read_text_files,
     stream_jsonl,
 )
-from .warc import WarcRead, encode_warc, read_warc, wet_text
+from .warc import (
+    WarcRead,
+    encode_warc,
+    http_body,
+    http_status,
+    read_warc,
+    wet_text,
+)
 
 __all__ = [
     "WarcRead",
     "encode_warc",
+    "http_body",
+    "http_status",
     "read_warc",
     "wet_text",
     "read_documents",

@@ -294,3 +294,33 @@ def encode_warc(
             blob = buf.getvalue()
         out.write(blob)
     return out.getvalue()
+
+
+def http_status(content) -> "F.Column":
+    """HTTP status code of a WARC ``response`` record's payload (the
+    payload embeds the full HTTP message: status line, headers, blank
+    line, body). NULL when the payload carries no HTTP envelope.
+    Pure expression — no Python crossing."""
+    c = F.col(content) if isinstance(content, str) else content
+    s = c.cast("string")
+    code = F.regexp_extract(s, r"^HTTP/[0-9.]+ ([0-9]{3})", 1)
+    return F.when(code == "", F.lit(None)).otherwise(
+        code.cast("int")
+    )
+
+
+def http_body(content) -> "F.Column":
+    """Body of a WARC ``response`` record's HTTP payload: everything
+    after the first blank line (CRLF CRLF, with LF LF tolerated). NULL
+    when the payload has no HTTP envelope. Pure expression; meant for
+    text bodies (HTML) feeding ``functions.html.html_to_text`` — binary
+    bodies should stay in the raw ``content`` column."""
+    c = F.col(content) if isinstance(content, str) else content
+    s = c.cast("string")
+    has_envelope = s.rlike(r"^HTTP/[0-9.]+ [0-9]{3}")
+    crlf = F.instr(s, "\r\n\r\n")
+    lflf = F.instr(s, "\n\n")
+    body = F.when(crlf > 0, F.substring(s, crlf + 4, 2147483647)).when(
+        lflf > 0, F.substring(s, lflf + 2, 2147483647)
+    )
+    return F.when(has_envelope, body)

@@ -161,3 +161,126 @@ def test_crawl_to_corpus(spark, sf_dir, crawl_dir, tmp_path):
     back = Catalog(spark, base_path=base).load().load_dataset("crawl-e2e")
     assert back.documents.count() == n_final
     curated.unpersist()
+
+
+def test_raw_warc_crawl_to_corpus(spark, sf_dir, tmp_path):
+    """The RAW-crawl variant of the first hop, composed from the r7
+    pieces: .warc.gz response records (HTTP envelope + HTML) with URL
+    variants and damage planted →
+
+      read_warc (quarantine + resync, sources/warc.py)
+        → http_status / http_body (envelope split)
+        → html_to_text (functions/html.py)
+        → dedup_by_url on the canonical target URI (operators/domains)
+        → exact content dedup (operators/dedup.py)
+
+    and the surviving text must equal the fixture docs exactly."""
+    from pinecone_datasets_spark.functions.html import html_to_text
+    from pinecone_datasets_spark.operators.dedup import exact_dedup
+    from pinecone_datasets_spark.operators.domains import dedup_by_url
+    from pinecone_datasets_spark.sources.warc import (
+        encode_warc,
+        http_body,
+        http_status,
+        read_warc,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(60)
+        .collect()
+    )
+
+    def response(doc_id, text, url, status="200 OK"):
+        html = (
+            f"<html><head><script>var a = 1 < 2;</script></head>"
+            f"<body><p>{text}</p></body></html>"
+        )
+        payload = (
+            f"HTTP/1.1 {status}\r\nContent-Type: text/html\r\n\r\n{html}"
+        )
+        return {
+            "warc_type": "response",
+            "record_id": f"<urn:rec:{doc_id}:{url}>",
+            "target_uri": url,
+            "content_type": "application/http; msgtype=response",
+            "content": payload,
+        }
+
+    recs = []
+    for r in docs:
+        i, t = r["doc_id"], r["text"]
+        recs.append(response(i, t, f"https://site.test/p/{i}?a=1&b=2"))
+        if i % 5 == 0:  # URL variant of the same page (same content)
+            recs.append(
+                response(
+                    i, t,
+                    f"HTTPS://SITE.test:443/p//{i}/?b=2&a=1&utm_source=x",
+                )
+            )
+        if i % 7 == 0:  # 404 page — must be status-gated out
+            recs.append(
+                response(i, "gone", f"https://site.test/err/{i}",
+                         status="404 Not Found")
+            )
+        if i % 9 == 0:  # exact content copy at a genuinely new URL
+            recs.append(
+                response(i, t, f"https://mirror.test/m/{i}")
+            )
+
+    d = tmp_path / "rawcrawl"
+    d.mkdir()
+    half = len(recs) // 2
+    (d / "seg-0.warc.gz").write_bytes(
+        encode_warc(recs[:half], gzip_records=True)
+    )
+    # damage spliced between two records of the second segment
+    seg1 = (
+        encode_warc(recs[half : half + 1])
+        + b"%% TRANSFER GARBAGE %%\r\n\r\n"
+        + encode_warc(recs[half + 1 :])
+    )
+    (d / "seg-1.warc").write_bytes(seg1)
+
+    got = read_warc(spark, str(d))
+    assert got.quarantined.count() == 1
+
+    pages = got.records.select(
+        "target_uri",
+        http_status("content").alias("status"),
+        http_body("content").alias("body"),
+    ).where(F.col("status") == 200)
+    n_404 = sum(1 for r in docs if r["doc_id"] % 7 == 0)
+    # the damage sits BETWEEN records, so resync loses nothing: every
+    # planted record parses, the garbage costs exactly one quarantine row
+    n_parsed = got.records.count()
+    assert n_parsed == len(recs)
+    assert pages.count() == n_parsed - n_404
+
+    texts = pages.select(
+        (F.monotonically_increasing_id()).alias("row_id"),
+        "target_uri",
+        html_to_text("body").alias("text"),
+    )
+
+    # URL dedup collapses the planted variants (case/port/slash/params)
+    by_url = dedup_by_url(texts, url_col="target_uri", id_col="row_id")
+    urls = [r["target_uri"] for r in by_url.collect()]
+    assert len(urls) == len(set(urls))
+    # every %5 page lost its variant twin; mirror copies survive (the
+    # mirror URL is genuinely different)
+    n_variant = sum(
+        1 for r in docs if r["doc_id"] % 5 == 0 and r["doc_id"] % 7 != 0
+    ) + sum(
+        1 for r in docs if r["doc_id"] % 5 == 0 and r["doc_id"] % 7 == 0
+    )
+    assert by_url.count() <= pages.count() - n_variant + 1
+
+    # exact content dedup then kills the mirrors; surviving text equals
+    # the fixture docs byte-for-byte
+    final = exact_dedup(by_url, text_col="text", id_col="row_id")
+    survived = {r["text"] for r in final.collect()}
+    expected = {r["text"] for r in docs}
+    assert survived == expected

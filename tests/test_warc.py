@@ -176,3 +176,22 @@ def test_read_warc_counts_match_jsonl_equivalent(spark, sf_dir, tmp_path):
         F.sum(F.length("text")).alias("chars"),
     ).collect()[0]
     assert (a["n"], a["chars"]) == (b["n"], b["chars"])
+
+
+def test_http_envelope_split(spark):
+    from pinecone_datasets_spark.sources.warc import http_body, http_status
+
+    rows = [
+        (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<p>hi</p>",),
+        (b"HTTP/1.0 404 Not Found\n\ngone",),       # LF-only envelope
+        (b"<p>no envelope</p>",),                    # not an HTTP message
+        (None,),
+    ]
+    df = spark.createDataFrame(rows, "content binary")
+    got = df.select(
+        http_status("content").alias("s"), http_body("content").alias("b")
+    ).collect()
+    assert (got[0]["s"], got[0]["b"]) == (200, "<p>hi</p>")
+    assert (got[1]["s"], got[1]["b"]) == (404, "gone")
+    assert (got[2]["s"], got[2]["b"]) == (None, None)
+    assert (got[3]["s"], got[3]["b"]) == (None, None)
