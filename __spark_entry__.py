@@ -3600,7 +3600,7 @@ def q88_domains_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("new_fingerprint"), F.lit("")),
         ).alias("s2"),
     )
-    url = q89_url_canonical(spark, sf_dir).select(
+    url = q93_url_canonical(spark, sf_dir).select(
         F.lit("url").alias("part"),
         F.col("canonical_url").alias("key"),
         F.col("n_variants").alias("n1"),
@@ -3614,7 +3614,7 @@ def q88_domains_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rep.unionByName(dif).unionByName(url).orderBy("part", "key")
 
 
-def q89_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q93_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization + exact URL-key dedup
     (operators/domains.py:normalize_url/dedup_by_url — the C4/CC-Net
     first gate). The fixture plants messy variants deterministically

@@ -321,3 +321,62 @@ def test_pq_adc_plan_broadcast_codebook_no_corpus_shuffle(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_html_extract_is_map_only_jvm_side(spark, sf_dir):
+    from pinecone_datasets_spark.functions.html import html_to_text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = docs.select(html_to_text("text").alias("t"))
+    plan = formatted_plan(df)
+    assert "Exchange" not in plan          # map-only
+    assert "EvalPython" not in plan        # expression path, no UDF
+    read = scan_read_schema(df)
+    assert set(read) == {"text"}, read     # pruned to the one column
+
+
+def test_normalize_url_map_only_and_dedup_key_only_shuffles(spark, sf_dir):
+    from pinecone_datasets_spark.operators.domains import (
+        dedup_by_url,
+        normalize_url,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.concat(F.lit("https://h/"), F.col("doc_id").cast("string"))
+        .alias("url"),
+        "text",
+    )
+    norm = docs.select(normalize_url("url"))
+    assert "Exchange" not in formatted_plan(norm)
+    plan = formatted_plan(dedup_by_url(docs))
+    # the join back to payload rows must be broadcast (keep-set is the
+    # grouped key frame) — the full text column never shuffles
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_warc_parse_single_exchange_to_aggregate(spark, sf_dir, tmp_path):
+    from pinecone_datasets_spark.sources.warc import (
+        encode_warc,
+        read_warc,
+        wet_text,
+    )
+
+    (tmp_path / "s.warc").write_bytes(
+        encode_warc(
+            [
+                {
+                    "warc_type": "conversion",
+                    "record_id": "<urn:x:1>",
+                    "content": "hello world",
+                }
+            ]
+        )
+    )
+    got = read_warc(spark, str(tmp_path))
+    agg = wet_text(got.records).agg(F.count(F.lit(1)).alias("n"))
+    plan = formatted_plan(agg)
+    # one Arrow parse stage, partial agg before the single exchange
+    # (count tree nodes, not the detail section's repeats)
+    assert plan.count("+- Exchange") == 1
+    assert "MapInPandas" in plan

@@ -77,6 +77,17 @@ HEADLINE = [
     ("curriculum_replay",
      "manifest-ordered curriculum replay: literal file-rank map + one "
      "global sort, no join"),
+    ("q86_mmr_rerank",
+     "MMR diversity rerank: exact-dot candidates + per-query greedy "
+     "(applyInPandas), corpus never re-read"),
+    ("q92_html_extract",
+     "HTML→text: 15 chained codegen regexp stages, map-only"),
+    ("q93_url_canonical",
+     "URL canonicalization: map-only expression rebuild + group on "
+     "canonical key"),
+    ("warc_ingest",
+     "WARC ingest: whole-file binary scan + Arrow record parse, "
+     "map-only to the aggregate"),
 ]
 
 
@@ -144,6 +155,31 @@ def _extra_builders(spark, sf_dir):
         path = tempfile.mkdtemp(prefix="plans_curr_") + "/c"
         write_curriculum(ordered, path, num_files=4)
         return read_curriculum(spark, path)
+
+    def warc_ingest(spark, sf_dir):
+        from pinecone_datasets_spark.sources.warc import (
+            encode_warc, read_warc, wet_text,
+        )
+
+        rows = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text").limit(50).collect()
+        )
+        path = tempfile.mkdtemp(prefix="plans_warc_")
+        with open(f"{path}/seg-0.warc.gz", "wb") as fh:
+            fh.write(encode_warc(
+                [{"warc_type": "conversion",
+                  "record_id": f"<urn:doc:{r['doc_id']}>",
+                  "target_uri": f"https://corpus/{r['doc_id']}",
+                  "content_type": "text/plain",
+                  "content": r["text"]} for r in rows],
+                gzip_records=True,
+            ))
+        got = read_warc(spark, path)
+        return wet_text(got.records).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.length("text")).alias("chars"),
+        )
 
     def mg_heavy_hitters(spark, sf_dir):
         from pinecone_datasets_spark.operators.sketch import (
@@ -302,6 +338,7 @@ def _extra_builders(spark, sf_dir):
         "mh_index_probe": mh_index_probe,
         "semantic_decontam": semantic_decontam,
         "curriculum_replay": curriculum_replay,
+        "warc_ingest": warc_ingest,
     }
 
 
