@@ -22,6 +22,7 @@ from .warc import (
     http_body,
     http_status,
     read_warc,
+    stream_warc,
     wet_text,
 )
 
@@ -31,6 +32,7 @@ __all__ = [
     "http_body",
     "http_status",
     "read_warc",
+    "stream_warc",
     "wet_text",
     "read_documents",
     "read_metadata",

@@ -324,3 +324,49 @@ def http_body(content) -> "F.Column":
         lflf > 0, F.substring(s, lflf + 2, 2147483647)
     )
     return F.when(has_envelope, body)
+
+
+def stream_warc(
+    spark: SparkSession,
+    path: str,
+    glob: str = "*.warc*",
+    max_files_per_trigger: int = 16,
+) -> DataFrame:
+    """Append-only WARC directory as a stream of parsed records (good
+    rows only) — the live-crawl twin of ``read_warc``, same
+    ``maxFilesPerTrigger`` discipline as ``stream_jsonl`` (a dumped
+    backlog of segments becomes bounded micro-batches, and each
+    micro-batch's parallelism is its file count — the batch reader's
+    grain argument applies unchanged). Malformed regions are DROPPED
+    here — streaming state can't hold an unbounded quarantine; run the
+    batch ``read_warc`` over the same directory for a reject audit
+    (identical parser, identical verdicts). The streaming file source
+    needs the schema up front; ``binaryFile``'s is fixed."""
+    raw = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+        .option("pathGlobFilter", glob)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(path)
+        .select("path", "content")
+    )
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for p, blob in zip(pdf["path"], pdf["content"]):
+                rows.extend(iter_warc_records(bytes(blob), str(p)))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "path", "record_offset", "warc_type", "record_id",
+                    "target_uri", "warc_date", "content_type",
+                    "content_length", "content", "error",
+                ],
+            )
+
+    parsed = raw.mapInPandas(parse, WARC_PARSE_DDL)
+    return parsed.where(F.col("error").isNull()).drop("error")

@@ -195,3 +195,34 @@ def test_http_envelope_split(spark):
     assert (got[1]["s"], got[1]["b"]) == (404, "gone")
     assert (got[2]["s"], got[2]["b"]) == (None, None)
     assert (got[3]["s"], got[3]["b"]) == (None, None)
+
+
+def test_stream_warc_availablenow_equals_batch(spark, tmp_path):
+    """stream_warc over availableNow == read_warc records (the batch
+    reader's good frame), record for record; malformed regions are
+    dropped by the stream (documented) and quarantined by batch."""
+    from pinecone_datasets_spark.sources.warc import read_warc, stream_warc
+
+    d = tmp_path / "stream"
+    d.mkdir()
+    (d / "a.warc.gz").write_bytes(encode_warc(_recs(3), gzip_records=True))
+    (d / "b.warc").write_bytes(
+        b"junk" + encode_warc([dict(_recs(1)[0], record_id="<urn:b>")])
+    )
+
+    q = (
+        stream_warc(spark, str(d), max_files_per_trigger=1)
+        .writeStream.format("memory")
+        .queryName("warc_stream_t")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT record_id, content_length FROM warc_stream_t"
+    ).collect()
+    batch = read_warc(spark, str(d)).records.select(
+        "record_id", "content_length"
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, batch))
+    assert len(got) == 4  # junk dropped, records all survive
