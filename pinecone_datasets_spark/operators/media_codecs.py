@@ -11,8 +11,9 @@ formats are decodable with nothing beyond the standard library + numpy:
   baseline entropy decode/encode lives in ``jpeg.py`` (Huffman + IDCT,
   stdlib + numpy) — extracted MJPEG frames and still JPEGs both decode
   for real.
-* **GIF** — header probe only (dimensions from the logical screen
-  descriptor).
+* **GIF** — header probe here (dimensions from the logical screen
+  descriptor); FULL LZW decode, animation composition, and the fixture
+  encoder live in ``gif.py``.
 
 These run *inside* Arrow-batched kernels (see ``multimodal.py``), so all
 functions here are plain ``bytes -> python/numpy`` — no Spark imports.

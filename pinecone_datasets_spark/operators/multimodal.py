@@ -6,10 +6,11 @@ Parquet stores the bytes columnar, column pruning skips them unless asked).
 Decode / feature-extract run as Arrow-batched ``mapInPandas`` kernels so
 the Python crossing is per-batch, not per-row.
 
-Decoding is REAL for the formats the standard library can express
-(see ``media_codecs``): PNG (zlib inflate + defilter), BMP (24-bpp),
-WAV (PCM-16), and header probes for JPEG/GIF. Formats beyond that
-(JPEG pixel data, video containers) still raise
+Decoding is REAL for the formats the standard library can express:
+PNG (zlib inflate + defilter), BMP (24-bpp), WAV (PCM-16)
+(``media_codecs``), baseline JPEG (``jpeg.py``), GIF incl. animation
+(``gif.py``). Formats beyond that (progressive JPEG, mp4/webm) still
+raise
 ``NotImplementedError``/decode-to-null — ffmpeg/Pillow are not in this
 environment — and ``fake=True`` keeps the deterministic stand-in for
 plumbing tests and cross-format benchmarks.
@@ -142,9 +143,9 @@ def _fake_decode(
 
 def _real_decode(content: bytes) -> np.ndarray:
     """Dispatch on magic to a real stdlib decoder (PNG / BMP / baseline
-    JPEG) — one dispatch point shared by image features and phash, so
-    extracted MJPEG AVI frames (standalone JPEGs) flow through the same
-    feature/dedup paths as stills (VERDICT r6 item 7)."""
+    JPEG / GIF) — one dispatch point shared by image features and phash,
+    so extracted MJPEG AVI frames (standalone JPEGs) and GIF stills flow
+    through the same feature/dedup paths (VERDICT r6 item 7)."""
     if content[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png(content)
     if content[:2] == b"BM":
@@ -153,6 +154,10 @@ def _real_decode(content: bytes) -> np.ndarray:
         from .jpeg import decode_jpeg
 
         return decode_jpeg(content)
+    if content[:6] in (b"GIF87a", b"GIF89a"):
+        from .gif import decode_gif
+
+        return decode_gif(content)
     raise UnsupportedMediaError("no stdlib decoder for this format")
 
 
@@ -420,6 +425,35 @@ def sample_video_frames(
                     if fcc == "DIB ":
                         frames = [bmp_wrap(f, w, h) for f in frames]
                     decoded = (interval, frames)
+                elif raw[:6] in (b"GIF87a", b"GIF89a"):
+                    # animated GIF: compose frames (disposal-aware),
+                    # re-emit each as a spec-valid PNG so downstream
+                    # feature/phash paths decode them like any still.
+                    # Per-frame delays are honored (variable-rate), so
+                    # this branch samples on cumulative timestamps
+                    # instead of the fixed-interval path below.
+                    from .gif import iter_gif_frames
+                    from .media_codecs import encode_png
+
+                    gframes = list(iter_gif_frames(raw))
+                    if not gframes:
+                        continue
+                    starts, t = [], 0
+                    for fr in gframes:
+                        starts.append(t)
+                        t += max(int(fr["delay_cs"]) * 10, 0)
+                    png_frames = [
+                        encode_png(fr["image"]) for fr in gframes
+                    ]
+                    for ts in range(0, max(t, 1), every_ms):
+                        idx = 0
+                        for k, s in enumerate(starts):
+                            if s <= ts:
+                                idx = k
+                        rows["media_id"].append(mid)
+                        rows["ts_ms"].append(ts)
+                        rows["frame"].append(png_frames[idx])
+                    continue
                 if decoded is not None:
                     interval, frames = decoded
                     if not frames:
