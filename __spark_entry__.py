@@ -1080,6 +1080,41 @@ def q92_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q94_structure_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line + sentence structure signals (functions/text.py: the five
+    FineWeb/Gopher line gates + sentence segmentation). The corpus
+    fixture is single-line unpunctuated word salad, so structure is
+    planted deterministically — every literal ' a ' becomes a sentence
+    break + bullet line ('.\\n- A '), density varying per doc — plus a
+    fixed tail with guaranteed duplicate lines. All five fractions are
+    exact integer ratios (identical IEEE doubles cross-engine, no
+    rounding contract); the oracle replays via line_stats_sql /
+    split_sentences_sql."""
+    from pinecone_datasets_spark.functions.text import (
+        bullet_line_fraction,
+        duplicate_line_char_fraction,
+        duplicate_line_fraction,
+        end_punct_line_fraction,
+        mean_words_per_line,
+        split_sentences,
+    )
+
+    doc = _t(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.regexp_replace(F.col("text"), " a ", ".\n- A "),
+        F.lit("\n- A\n- A\nEnd line."),
+    )
+    return doc.select(
+        "doc_id",
+        F.size(split_sentences(planted)).cast("long").alias("n_sentences"),
+        duplicate_line_fraction(planted).alias("dup_line_frac"),
+        duplicate_line_char_fraction(planted).alias("dup_line_char_frac"),
+        bullet_line_fraction(planted).alias("bullet_line_frac"),
+        end_punct_line_fraction(planted).alias("end_punct_line_frac"),
+        mean_words_per_line(planted).alias("mean_words_per_line"),
+    ).orderBy("doc_id")
+
+
 def q42_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash candidate pairs → connected components → one cluster id
     per doc (operators/cluster.py: iterative min-label propagation;
@@ -2927,6 +2962,7 @@ def q13_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(q77_dup_spans(spark, sf_dir), "doc_id")
         .join(q91_clean_text(spark, sf_dir), "doc_id")
         .join(q92_html_extract(spark, sf_dir), "doc_id")
+        .join(q94_structure_stats(spark, sf_dir), "doc_id")
     )
     return out.orderBy("doc_id")
 
@@ -6214,10 +6250,33 @@ ORDER BY part, doc_id
                {_h2t_sql(_q92_planted)} AS x
         FROM documents)
 """
+    # q94 structure twin: same planted sentence/bullet structure, the
+    # five line gates + sentence count replayed via the shared twins.
+    from pinecone_datasets_spark.functions.text import (
+        line_stats_sql as _lstats_sql,
+        split_sentences_sql as _sents_sql,
+    )
+
+    _q94_planted = (
+        "regexp_replace(text, ' a ', e'.\\n- A ', 'g')"
+        " || e'\\n- A\\n- A\\nEnd line.'"
+    )
+    _ls = _lstats_sql("planted")
+    _s94 = f"""
+  SELECT doc_id,
+         CAST(len({_sents_sql("planted")}) AS BIGINT) AS n_sentences,
+         {_ls["dup_line_frac"]} AS dup_line_frac,
+         {_ls["dup_line_char_frac"]} AS dup_line_char_frac,
+         {_ls["bullet_line_frac"]} AS bullet_line_frac,
+         {_ls["end_punct_line_frac"]} AS end_punct_line_frac,
+         {_ls["mean_words_per_line"]} AS mean_words_per_line
+  FROM (SELECT doc_id, {_q94_planted} AS planted FROM documents)
+"""
     out["q13_text_profile"] = f"""
 WITH s13 AS ({b['q13_text_stats']}),
 s91 AS ({_s91}),
 s92 AS ({_s92}),
+s94 AS ({_s94}),
 s29 AS ({b['q29_lang_detect']}),
 s30 AS ({b['q30_quality_score']}),
 s40 AS ({b['q40_repetition_signals']}),
@@ -6275,7 +6334,10 @@ SELECT s13.doc_id, s13.n_words, s13.n_tokens, s13.n_chars, s13.entropy,
        s77.span_positions, s77.n_dup_positions, s77.longest_dup_run,
        s77.dup_frac,
        s91.clean_fp, s91.clean_chars_removed,
-       s92.html_fp, s92.html_chars_removed
+       s92.html_fp, s92.html_chars_removed,
+       s94.n_sentences, s94.dup_line_frac, s94.dup_line_char_frac,
+       s94.bullet_line_frac, s94.end_punct_line_frac,
+       s94.mean_words_per_line
 FROM s13
 JOIN s29 USING (doc_id)
 JOIN s30 USING (doc_id)
@@ -6285,6 +6347,7 @@ JOIN s75 USING (doc_id)
 JOIN s77 USING (doc_id)
 JOIN s91 USING (doc_id)
 JOIN s92 USING (doc_id)
+JOIN s94 USING (doc_id)
 ORDER BY doc_id
 """
     from pinecone_datasets_spark.operators.sketch import (

@@ -431,3 +431,199 @@ def clean_text_sql(
             f"'{WHITESPACE_RUN_PATTERN}', ' ', 'g'), '^ | $', '', 'g')"
         )
     return t
+
+
+# ---------------------------------------------------------------------------
+# Line-level quality signals (Gopher / FineWeb gates)
+# ---------------------------------------------------------------------------
+
+#: Trim class for line edges — ASCII-explicit like WHITESPACE_RUN_PATTERN
+#: (\n excluded: it is the line delimiter itself).
+_LINE_TRIM_PATTERN = r"^[ \t\r\f\x0B]+|[ \t\r\f\x0B]+$"
+
+#: A line that is a list bullet: -, *, •, or "1." / "1)" enumeration.
+_BULLET_PATTERN = r"^([-*•]|[0-9]+[.)])"
+
+#: A line ending in terminal punctuation (FineWeb keeps docs where most
+#: lines end like prose, not nav fragments).
+_END_PUNCT_PATTERN = "[.!?\"']$"
+
+
+def _lines(text: ColumnOrName) -> Column:
+    """Non-empty, edge-trimmed lines of a text column."""
+    return F.filter(
+        F.transform(
+            F.split(_c(text), "\n"),
+            lambda l: F.regexp_replace(l, _LINE_TRIM_PATTERN, ""),
+        ),
+        lambda l: l != "",
+    )
+
+
+def duplicate_line_fraction(text: ColumnOrName) -> Column:
+    """Fraction of line occurrences that repeat an earlier line —
+    the line-level Gopher repetition gate (nav bars, chat spam).
+    0.0 for text with no lines."""
+    lines = _lines(text)
+    n = F.size(lines)
+    return F.when(n <= 0, F.lit(0.0)).otherwise(
+        (n - F.size(F.array_distinct(lines))) / n.cast("double")
+    )
+
+
+def duplicate_line_char_fraction(text: ColumnOrName) -> Column:
+    """Fraction of line characters that are repetition: chars beyond
+    each line value's first occurrence / total line chars (both after
+    edge-trim). 0.0 when there are no line chars. The array-local
+    formulation (total - distinct-value chars) keeps it map-only."""
+    lines = _lines(text)
+    tot = F.aggregate(
+        lines,
+        F.lit(0).cast("long"),
+        lambda a, x: a + F.length(x),
+    )
+    uniq = F.aggregate(
+        F.array_distinct(lines),
+        F.lit(0).cast("long"),
+        lambda a, x: a + F.length(x),
+    )
+    return F.when(tot <= 0, F.lit(0.0)).otherwise(
+        (tot - uniq) / tot.cast("double")
+    )
+
+
+def bullet_line_fraction(text: ColumnOrName) -> Column:
+    """Fraction of lines that are list bullets / enumerations (FineWeb
+    drops docs that are mostly bullets). 0.0 for no lines."""
+    lines = _lines(text)
+    n = F.size(lines)
+    hits = F.size(F.filter(lines, lambda l: l.rlike(_BULLET_PATTERN)))
+    return F.when(n <= 0, F.lit(0.0)).otherwise(hits / n.cast("double"))
+
+
+def end_punct_line_fraction(text: ColumnOrName) -> Column:
+    """Fraction of lines ending in terminal punctuation — prose ends
+    sentences, scraped nav fragments don't. 0.0 for no lines."""
+    lines = _lines(text)
+    n = F.size(lines)
+    hits = F.size(F.filter(lines, lambda l: l.rlike(_END_PUNCT_PATTERN)))
+    return F.when(n <= 0, F.lit(0.0)).otherwise(hits / n.cast("double"))
+
+
+def mean_words_per_line(text: ColumnOrName) -> Column:
+    """Mean whitespace-delimited words per non-empty line (FineWeb's
+    short-line gate). 0.0 for no lines."""
+    lines = _lines(text)
+    n = F.size(lines)
+    words = F.aggregate(
+        lines,
+        F.lit(0).cast("long"),
+        lambda a, l: a
+        + F.size(
+            F.filter(
+                F.split(l, WHITESPACE_RUN_PATTERN), lambda w: w != ""
+            )
+        ),
+    )
+    return F.when(n <= 0, F.lit(0.0)).otherwise(words / n.cast("double"))
+
+
+def line_stats_sql(text_expr: str) -> dict:
+    """DuckDB twins of the five line-level signals — same trim class,
+    same patterns, same array-local formulations, for oracle replay."""
+    trim = _LINE_TRIM_PATTERN.replace("'", "''")
+    lines = (
+        f"list_filter(list_transform(string_split({text_expr}, chr(10)),"
+        f" l -> regexp_replace(l, '{trim}', '', 'g')), l -> l <> '')"
+    )
+    n = f"len({lines})"
+    tot = f"coalesce(list_sum(list_transform({lines}, l -> length(l))), 0)"
+    uniq = (
+        f"coalesce(list_sum(list_transform(list_distinct({lines}),"
+        f" l -> length(l))), 0)"
+    )
+    bullet_pat = _BULLET_PATTERN.replace("'", "''")
+    endp_pat = _END_PUNCT_PATTERN.replace("'", "''")
+    bullet = (
+        f"len(list_filter({lines},"
+        f" l -> regexp_matches(l, '{bullet_pat}')))"
+    )
+    endp = (
+        f"len(list_filter({lines},"
+        f" l -> regexp_matches(l, '{endp_pat}')))"
+    )
+    ws = WHITESPACE_RUN_PATTERN.replace("\\", "\\").replace("'", "''")
+    words = (
+        f"coalesce(list_sum(list_transform({lines},"
+        f" l -> len(list_filter(string_split_regex(l, '{ws}'),"
+        f" w -> w <> '')))), 0)"
+    )
+    frac = "CASE WHEN {n} <= 0 THEN 0.0 ELSE {num} / CAST({n} AS DOUBLE) END"
+    # the coalesce(…, 0) inside tot would turn NULL text into 0.0 here
+    # while the Spark side null-propagates — guard explicitly
+    char_frac = (
+        f"CASE WHEN {text_expr} IS NULL THEN NULL ELSE "
+        + frac.format(n=tot, num=f"({tot} - {uniq})")
+        + " END"
+    )
+    return {
+        "dup_line_frac": frac.format(
+            n=n, num=f"({n} - len(list_distinct({lines})))"
+        ),
+        "dup_line_char_frac": char_frac,
+        "bullet_line_frac": frac.format(n=n, num=bullet),
+        "end_punct_line_frac": frac.format(n=n, num=endp),
+        "mean_words_per_line": frac.format(n=n, num=words),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Sentence segmentation (the C4 dedup unit)
+# ---------------------------------------------------------------------------
+
+#: A sentence: a maximal run without terminal punctuation, plus any run
+#: of terminal punctuation that ends it (a trailing fragment keeps its
+#: words even without punctuation). Portable: no lookaround.
+SENTENCE_PATTERN = r"[^.!?]+[.!?]*"
+
+
+def split_sentences(text: ColumnOrName) -> Column:
+    """Array of sentences (edge-trimmed, empties dropped) — the unit
+    C4 hangs its three-sentence-span dedup on. Heuristic by design
+    (abbreviation dots split; a real tokenizer is a model, not an
+    expression) but identical cross-engine, so spans built on it
+    replay exactly."""
+    return F.filter(
+        F.transform(
+            F.regexp_extract_all(_c(text), F.lit(SENTENCE_PATTERN), 0),
+            lambda s: F.regexp_replace(s, WHITESPACE_RUN_PATTERN + "$|^" + WHITESPACE_RUN_PATTERN, ""),
+        ),
+        lambda s: s != "",
+    )
+
+
+def sentence_ngrams(text: ColumnOrName, n: int = 3) -> Column:
+    """Array of n-sentence windows (sentences joined by a single
+    space) — feed to ``boilerplate.frequent_ngrams``-style DF counting
+    for C4's three-sentence-span dedup. Empty array when the text has
+    fewer than n sentences."""
+    sents = split_sentences(text)
+    size = F.size(sents)
+    return F.when(size < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), size - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(sents, i, n)),
+        )
+    )
+
+
+def split_sentences_sql(text_expr: str) -> str:
+    """DuckDB twin of ``split_sentences``."""
+    pat = SENTENCE_PATTERN.replace("'", "''")
+    ws = WHITESPACE_RUN_PATTERN.replace("'", "''")
+    return (
+        f"list_filter(list_transform("
+        f"regexp_extract_all({text_expr}, '{pat}'),"
+        f" s -> regexp_replace(s, '{ws}$|^{ws}', '', 'g')),"
+        f" s -> s <> '')"
+    )

@@ -300,3 +300,110 @@ def test_tokenizer_class_vertical_tab_parity(spark):
     assert got == want
     # and the \x0B collapse actually happened (same fp as the space form)
     assert got[0] == got[1]
+
+
+# ---------------------------------------------------------------------------
+# Line-level gates (FineWeb/Gopher) + sentence segmentation
+# ---------------------------------------------------------------------------
+
+
+def test_line_gates_known_answers(one):
+    from pinecone_datasets_spark.functions.text import (
+        bullet_line_fraction,
+        duplicate_line_char_fraction,
+        duplicate_line_fraction,
+        end_punct_line_fraction,
+        mean_words_per_line,
+    )
+
+    t = "First line.\nSecond line!\n- b one\n- b one\n* b2\n\n  \nshort"
+    # 7 non-empty lines, "- b one" repeats once
+    assert one(t, duplicate_line_fraction) == pytest.approx(1 / 6)
+    # chars: repeated "- b one" contributes its 7 chars once as dup
+    assert one(t, duplicate_line_char_fraction) == pytest.approx(
+        7 / (11 + 12 + 7 + 7 + 4 + 5)
+    )
+    assert one(t, bullet_line_fraction) == pytest.approx(3 / 6)
+    assert one(t, end_punct_line_fraction) == pytest.approx(2 / 6)
+    assert one(t, mean_words_per_line) == pytest.approx(13 / 6)
+    for fn in (
+        duplicate_line_fraction,
+        duplicate_line_char_fraction,
+        bullet_line_fraction,
+        end_punct_line_fraction,
+        mean_words_per_line,
+    ):
+        assert one("", fn) == 0.0
+        assert one("   \n  \n", fn) == 0.0
+
+
+def test_line_gates_duckdb_twins(spark):
+    duckdb = pytest.importorskip("duckdb")
+    from pinecone_datasets_spark.functions.text import (
+        bullet_line_fraction,
+        duplicate_line_char_fraction,
+        duplicate_line_fraction,
+        end_punct_line_fraction,
+        line_stats_sql,
+        mean_words_per_line,
+    )
+
+    docs = [
+        "First line.\nSecond!\n- b\n- b\n* c\n\nshort",
+        "1. e\n2) e\n• dot\nplain\nends? ",
+        "a\na\na\nb",
+        "single line no punct",
+        "",
+        None,
+    ]
+    df = spark.createDataFrame([(d,) for d in docs], "text string")
+    got = df.select(
+        duplicate_line_fraction("text").alias("dup_line_frac"),
+        duplicate_line_char_fraction("text").alias("dup_line_char_frac"),
+        bullet_line_fraction("text").alias("bullet_line_frac"),
+        end_punct_line_fraction("text").alias("end_punct_line_frac"),
+        mean_words_per_line("text").alias("mean_words_per_line"),
+    ).collect()
+    con = duckdb.connect()
+    sqls = line_stats_sql("text")
+    sel = "SELECT " + ", ".join(f"{v} AS {k}" for k, v in sqls.items())
+    for d, row in zip(docs, got):
+        exp = con.execute(sel + " FROM (SELECT ? AS text)", [d]).fetchone()
+        assert tuple(row) == tuple(exp), (d, tuple(row), tuple(exp))
+
+
+def test_split_sentences_and_ngrams(spark):
+    duckdb = pytest.importorskip("duckdb")
+    from pinecone_datasets_spark.functions.text import (
+        sentence_ngrams,
+        split_sentences,
+        split_sentences_sql,
+    )
+
+    docs = [
+        "First sentence. Second one! Third?? And a trailing fragment",
+        "No punctuation here at all",
+        "...",
+        "One. Two. Three. Four.",
+        "",
+        None,
+    ]
+    df = spark.createDataFrame([(d,) for d in docs], "text string")
+    sents = [r[0] for r in df.select(split_sentences("text")).collect()]
+    assert sents[0] == [
+        "First sentence.", "Second one!", "Third??",
+        "And a trailing fragment",
+    ]
+    assert sents[1] == ["No punctuation here at all"]
+    assert sents[2] == []  # punctuation-only: no sentence content
+    assert sents[4] == [] and sents[5] is None
+    con = duckdb.connect()
+    expr = split_sentences_sql("text")
+    for d, x in zip(docs, sents):
+        y = con.execute(
+            f"SELECT {expr} FROM (SELECT ? AS text)", [d]
+        ).fetchone()[0]
+        assert (x is None and y is None) or list(x or []) == list(y or [])
+    grams = [r[0] for r in df.select(sentence_ngrams("text", 3)).collect()]
+    assert grams[3] == ["One. Two. Three.", "Two. Three. Four."]
+    assert grams[1] == []  # fewer than n sentences -> empty
