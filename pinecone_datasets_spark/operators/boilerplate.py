@@ -351,3 +351,94 @@ def boilerplate_profile(
             .alias("boilerplate_frac"),
         )
     )
+
+
+def remove_duplicated_sentence_spans(
+    documents: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "clean_text",
+    min_count: int = 2,
+) -> DataFrame:
+    """C4's actual dedup rule (Raffel et al. 2020): remove any
+    ``n``-sentence span occurring ``min_count`` or more times in the
+    corpus — counting ALL occurrences, within-document repeats included
+    (C4 counts occurrences, not documents; the word-k-gram ops above
+    use document frequency). A sentence is removed iff some repeated
+    span window covers it; the rewrite keeps surviving sentences in
+    order, joined by one space.
+
+    Same symmetric semantics as ``remove_duplicated_spans``: the span
+    disappears from every occurrence — deterministic and
+    engine-replayable (sentence segmentation is
+    ``functions.text.split_sentences``, which has a DuckDB twin).
+
+    Plan shape: one sentence-window explode; the repeated-span set
+    derives from a count aggregate on the spans' md5 (16-byte shuffle
+    keys, never sentence text) and broadcasts — bounded because a
+    qualifying span needs ≥ min_count occurrences, so at most
+    total_spans/min_count distinct values qualify, and real boilerplate
+    thresholds keep it policy-sized. Hit positions ride back per doc as
+    a doc-length-bounded sorted array; the rewrite is one in-plan
+    filter. Returns the input plus ``out_col`` and
+    ``n_removed_sentences``.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1: {n}")
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2: {min_count}")
+    from ..functions.text import split_sentences
+
+    sents = split_sentences(F.col(text_col))
+    pos = (
+        documents.select(F.col(id_col), sents.alias("__s"))
+        .select(
+            F.col(id_col),
+            F.posexplode_outer(
+                _position_grams(F.col("__s"), n)
+            ).alias("pos", "span"),
+        )
+        .where(F.col("span").isNotNull())
+        .select(F.col(id_col), "pos", F.md5("span").alias("__h"))
+    )
+    repeated = (
+        pos.groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .where(F.col("__c") >= int(min_count))
+        .select("__h")
+    )
+    hit_arrays = (
+        pos.join(F.broadcast(repeated), "__h")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_set("pos")).alias("__hits"))
+    )
+    kept = F.expr(
+        "filter(__si, s -> NOT exists(__hits,"
+        f" p -> p <= s.i AND s.i <= p + {int(n) - 1}))"
+    )
+    out = (
+        documents.join(hit_arrays, id_col, "left")
+        .withColumn(
+            "__hits",
+            F.coalesce(
+                F.col("__hits"), F.expr("CAST(array() AS ARRAY<INT>)")
+            ),
+        )
+        .withColumn("__s", sents)
+        .withColumn(
+            "__si",
+            F.expr(
+                "transform(__s, (s, i) -> named_struct('s', s, 'i', i))"
+            ),
+        )
+        .withColumn("__kept", kept)
+        .withColumn(
+            out_col, F.concat_ws(" ", F.expr("transform(__kept, x -> x.s)"))
+        )
+        .withColumn(
+            "n_removed_sentences",
+            (F.size("__s") - F.size("__kept")).cast("long"),
+        )
+    )
+    return out.drop("__hits", "__s", "__si", "__kept")

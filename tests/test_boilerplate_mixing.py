@@ -649,3 +649,123 @@ def test_read_curriculum_detects_manifest_drift(spark, tmp_path):
     os.remove(src)
     with pytest.raises(ValueError, match="manifest/directory mismatch"):
         read_curriculum(spark, path).collect()
+
+
+# ---------------------------------------------------------------------------
+# C4 sentence-span dedup
+# ---------------------------------------------------------------------------
+
+
+def test_remove_duplicated_sentence_spans_cross_doc(spark):
+    from pinecone_datasets_spark.operators.boilerplate import (
+        remove_duplicated_sentence_spans,
+    )
+
+    shared = "Alpha one. Beta two. Gamma three."
+    rows = [
+        (1, f"Unique opener here. {shared} Unique closer one."),
+        (2, f"Different intro text. {shared} Different outro two."),
+        (3, "Totally unrelated. Nothing shared at all. Every part unique."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_removed_sentences"])
+        for r in remove_duplicated_sentence_spans(df, n=3).collect()
+    }
+    # the shared 3-sentence span dies in BOTH docs (symmetric);
+    # its sentences are covered, the unique flanks survive
+    assert out[1] == ("Unique opener here. Unique closer one.", 3)
+    assert out[2] == ("Different intro text. Different outro two.", 3)
+    assert out[3][1] == 0 and "Totally unrelated." in out[3][0]
+
+
+def test_remove_duplicated_sentence_spans_within_doc_counts(spark):
+    """C4 counts OCCURRENCES, not documents: a span repeated inside one
+    doc qualifies and every occurrence is removed."""
+    from pinecone_datasets_spark.operators.boilerplate import (
+        remove_duplicated_sentence_spans,
+    )
+
+    rep = "One. Two. Three."
+    df = spark.createDataFrame(
+        [(1, f"Start here. {rep} Middle part. {rep} End bit.")],
+        "doc_id long, text string",
+    )
+    r = remove_duplicated_sentence_spans(df, n=3).collect()[0]
+    assert r["clean_text"] == "Start here. Middle part. End bit."
+    assert r["n_removed_sentences"] == 6
+
+
+def test_remove_duplicated_sentence_spans_short_docs_untouched(spark):
+    from pinecone_datasets_spark.operators.boilerplate import (
+        remove_duplicated_sentence_spans,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "Only two. Sentences here."), (2, "Only two. Sentences here.")],
+        "doc_id long, text string",
+    )
+    got = remove_duplicated_sentence_spans(df, n=3).collect()
+    for r in got:
+        assert r["n_removed_sentences"] == 0
+        assert r["clean_text"] == "Only two. Sentences here."
+    with pytest.raises(ValueError):
+        remove_duplicated_sentence_spans(df, n=0)
+    with pytest.raises(ValueError):
+        remove_duplicated_sentence_spans(df, min_count=1)
+
+
+def test_remove_duplicated_sentence_spans_duckdb_replay(spark):
+    """Engine-replayability: the same rule implemented in DuckDB SQL on
+    the same fixture produces identical rewrites."""
+    duckdb = pytest.importorskip("duckdb")
+    from pinecone_datasets_spark.functions.text import split_sentences_sql
+    from pinecone_datasets_spark.operators.boilerplate import (
+        remove_duplicated_sentence_spans,
+    )
+
+    shared = "Alpha one. Beta two. Gamma three."
+    rows = [
+        (1, f"Opener A. {shared} Closer A. Extra A."),
+        (2, f"Opener B. {shared} Closer B."),
+        (3, "Lone doc. No overlap. All original. Kept whole."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["clean_text"]
+        for r in remove_duplicated_sentence_spans(df, n=3).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?, ?)", rows)
+    sents = split_sentences_sql("text")
+    exp = con.execute(f"""
+WITH s AS (SELECT doc_id, {sents} AS sents FROM docs),
+spans AS (
+  SELECT doc_id, g - 1 AS pos,
+         md5(array_to_string(sents[g:g+2], ' ')) AS h
+  FROM (SELECT doc_id, sents,
+               unnest(generate_series(1, greatest(len(sents) - 2, 0))) AS g
+        FROM s)
+),
+rep AS (SELECT h FROM spans GROUP BY h HAVING count(*) >= 2),
+hits AS (
+  SELECT doc_id,
+         flatten(list_transform(list(pos), p -> [p, p + 1, p + 2])) AS cov
+  FROM spans JOIN rep USING (h) GROUP BY doc_id
+),
+rewritten AS (
+  SELECT s.doc_id,
+         array_to_string(
+           list_transform(
+             list_filter(
+               list_transform(sents,
+                 (v, i) -> struct_pack(s := v, i := i - 1)),
+               x -> NOT list_contains(coalesce(cov, []), x.i)),
+             x -> x.s),
+           ' ') AS clean_text
+  FROM s LEFT JOIN hits USING (doc_id)
+)
+SELECT doc_id, clean_text FROM rewritten ORDER BY doc_id
+""").fetchall()
+    assert got == dict(exp)
