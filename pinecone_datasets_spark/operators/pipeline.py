@@ -234,8 +234,12 @@ def curate_corpus_full(
     domain_col: str = "source",
     token_col: str = "n_chars",
     seed: int = 42,
+    url_col: Optional[str] = None,
+    sentence_span_n: Optional[int] = None,
+    line_gates: Optional[dict] = None,
 ) -> DataFrame:
     """The full curation chain as ONE declarative composition:
+    [URL-key dedup] → [C4 sentence-span removal] → [line gates] →
     exact dedup → near-dup drop (verified Jaccard, smaller-id keep) →
     quality gate → length gate → boilerplate gate → benchmark
     decontamination → optional domain-mixture draw. Optional stages
@@ -243,7 +247,73 @@ def curate_corpus_full(
     annotated frame, so Catalyst sees the whole funnel at once and the
     corpus text crosses no exchange (the join stages move ids and
     fingerprints only).
+
+    The three crawl-side pre-stages (all default-off, order = cost):
+    ``url_col`` dedups on the canonical URL before any content pass
+    (``domains.dedup_by_url`` — 24-byte key shuffle); ``sentence_span_n``
+    rewrites documents minus corpus-repeated n-sentence spans
+    (``boilerplate.remove_duplicated_sentence_spans`` — C4's rule,
+    applied before fingerprinting so span-stripped copies dedup
+    exactly); ``line_gates`` is a map-only structural filter taking any
+    of ``max_dup_line_frac``, ``max_bullet_line_frac``,
+    ``min_end_punct_line_frac``, ``min_mean_words_per_line``.
     """
+    if url_col is not None:
+        from .domains import dedup_by_url
+
+        df = dedup_by_url(df, url_col=url_col, id_col=id_col)
+    if sentence_span_n is not None:
+        from .boilerplate import remove_duplicated_sentence_spans
+
+        df = (
+            remove_duplicated_sentence_spans(
+                df,
+                n=sentence_span_n,
+                text_col=text_col,
+                id_col=id_col,
+                out_col="__c4_clean",
+            )
+            .withColumn(text_col, F.col("__c4_clean"))
+            .drop("__c4_clean", "n_removed_sentences")
+        )
+    if line_gates:
+        from ..functions.text import (
+            bullet_line_fraction,
+            duplicate_line_fraction,
+            end_punct_line_fraction,
+            mean_words_per_line,
+        )
+
+        known = {
+            "max_dup_line_frac",
+            "max_bullet_line_frac",
+            "min_end_punct_line_frac",
+            "min_mean_words_per_line",
+        }
+        bad = set(line_gates) - known
+        if bad:
+            raise ValueError(f"unknown line_gates: {sorted(bad)}")
+        t = F.col(text_col)
+        if "max_dup_line_frac" in line_gates:
+            df = df.where(
+                duplicate_line_fraction(t)
+                <= float(line_gates["max_dup_line_frac"])
+            )
+        if "max_bullet_line_frac" in line_gates:
+            df = df.where(
+                bullet_line_fraction(t)
+                <= float(line_gates["max_bullet_line_frac"])
+            )
+        if "min_end_punct_line_frac" in line_gates:
+            df = df.where(
+                end_punct_line_fraction(t)
+                >= float(line_gates["min_end_punct_line_frac"])
+            )
+        if "min_mean_words_per_line" in line_gates:
+            df = df.where(
+                mean_words_per_line(t)
+                >= float(line_gates["min_mean_words_per_line"])
+            )
     ann = _stage_flags(
         df, text_col, id_col, min_quality, min_words,
         max_boilerplate, neardup_jaccard, benchmark, decontam_n,

@@ -202,3 +202,59 @@ def test_quantile_buckets_approx_path_and_validation(spark, sf_dir):
     assert agree > 0.9  # sketch boundaries wobble only near band edges
     with pytest.raises(ValueError):
         quantile_bucket_by_group(docs, "q", "source", n_buckets=1)
+
+
+def test_full_chain_crawl_pre_stages(spark):
+    """r7 pre-stages compose: URL dedup, C4 sentence-span removal (so
+    span-stripped copies exact-dedup), and line gates."""
+    from pinecone_datasets_spark.operators.pipeline import (
+        curate_corpus_full,
+    )
+
+    shared = (
+        "Alpha beta gamma one. Delta epsilon zeta two. Eta theta iota three."
+    )
+    base1 = (
+        "Original body one with plenty of distinct words in this text. "
+        "More unique prose follows in a second sentence here. "
+        "And a third original sentence closes it out."
+    )
+    base3 = (
+        "Completely different body three with its own vocabulary set. "
+        "Nothing here repeats the first document at all. "
+        "Its closing sentence is also entirely its own."
+    )
+    rows = [
+        # 1 and 2: same canonical URL (variants) — URL dedup keeps 1,
+        # so doc 2's copy of `shared` never reaches the span counter
+        (1, f"{base1} {shared}", "https://a.com/x?b=2&a=1"),
+        (2, f"{base1} {shared}", "HTTPS://A.com:443/x/?a=1&b=2&utm_source=m"),
+        # 3: different body, same boilerplate span — the span dies in
+        # BOTH 1 and 3 (symmetric), the unique bodies survive
+        (3, f"{base3} {shared}", "https://b.com/y"),
+        # 4: bullet spam — dies at the line gates
+        (4, "- one\n- two\n- three\n- four\n- five\n- six", "https://c.com/z"),
+        # 5: clean unique doc — survives everything untouched
+        (5, "Unique survivor five. Plain prose only here.", "https://d.com/w"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, url string")
+    out = curate_corpus_full(
+        df,
+        min_quality=0.0,
+        min_words=1,
+        url_col="url",
+        sentence_span_n=3,
+        line_gates={"max_bullet_line_frac": 0.5},
+    ).cache()
+    kept = sorted(r["doc_id"] for r in out.collect())
+    assert kept == [1, 3, 5]
+    texts = {r["doc_id"]: r["text"] for r in out.collect()}
+    # the shared boilerplate span is gone from both carriers; the
+    # unique bodies (and doc 5) are intact
+    for d in (1, 3):
+        assert "Alpha beta gamma one." not in texts[d]
+    assert texts[1].startswith("Original body one")
+    assert texts[3].startswith("Completely different body three")
+    assert texts[5] == rows[4][1]
+    with pytest.raises(ValueError):
+        curate_corpus_full(df, line_gates={"nope": 1})
