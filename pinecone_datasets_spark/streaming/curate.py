@@ -138,14 +138,18 @@ def stream_curate(
     dsir_n_buckets: int = 10_000,
     ts_col: Optional[str] = None,
     watermark: str = "1 hour",
+    line_gates: Optional[dict] = None,
 ) -> DataFrame:
     """Stream-legal curation chain, batch-order:
 
     1. length gate (``word_count >= min_words`` — map-only);
     2. quality gate (``quality_score >= min_quality`` — map-only);
-    3. optional DSIR gate against a batch-fitted ratio table
+    3. optional line gates (FineWeb/Gopher structural thresholds —
+       map-only array expressions, same keys as
+       ``pipeline.curate_corpus_full``);
+    4. optional DSIR gate against a batch-fitted ratio table
        (map-only Arrow kernel, see ``dsir_gate``);
-    4. exact dedup (stateful ``dropDuplicates`` on the content
+    5. exact dedup (stateful ``dropDuplicates`` on the content
        fingerprint; watermark-bounded state when ``ts_col`` is given).
 
     Filters run BEFORE dedup so rejected docs never enter dedup state —
@@ -160,6 +164,44 @@ def stream_curate(
         gated = gated.where(
             quality_score(F.col(text_col)) >= F.lit(float(min_quality))
         )
+    if line_gates:
+        from ..functions.text import (
+            bullet_line_fraction,
+            duplicate_line_fraction,
+            end_punct_line_fraction,
+            mean_words_per_line,
+        )
+
+        known = {
+            "max_dup_line_frac",
+            "max_bullet_line_frac",
+            "min_end_punct_line_frac",
+            "min_mean_words_per_line",
+        }
+        bad = set(line_gates) - known
+        if bad:
+            raise ValueError(f"unknown line_gates: {sorted(bad)}")
+        t = F.col(text_col)
+        if "max_dup_line_frac" in line_gates:
+            gated = gated.where(
+                duplicate_line_fraction(t)
+                <= float(line_gates["max_dup_line_frac"])
+            )
+        if "max_bullet_line_frac" in line_gates:
+            gated = gated.where(
+                bullet_line_fraction(t)
+                <= float(line_gates["max_bullet_line_frac"])
+            )
+        if "min_end_punct_line_frac" in line_gates:
+            gated = gated.where(
+                end_punct_line_fraction(t)
+                >= float(line_gates["min_end_punct_line_frac"])
+            )
+        if "min_mean_words_per_line" in line_gates:
+            gated = gated.where(
+                mean_words_per_line(t)
+                >= float(line_gates["min_mean_words_per_line"])
+            )
     if ratios is not None:
         gated = dsir_gate(
             gated, ratios, dsir_threshold, text_col, dsir_n, dsir_n_buckets

@@ -110,3 +110,56 @@ def test_streaming_semantic_gate_equals_batch(spark, sf_dir, tmp_path):
     # guard parity with the batch wrapper
     with pytest.raises(ValueError, match="threshold"):
         semantic_gate(stream, bench, threshold=1.5)
+
+
+def test_stream_curate_line_gates_equal_batch(spark, tmp_path):
+    """stream_curate(line_gates=...) over availableNow == the same
+    map-only structural filters applied in batch."""
+    from pinecone_datasets_spark.functions.text import (
+        bullet_line_fraction,
+        duplicate_line_fraction,
+    )
+    from pinecone_datasets_spark.streaming.curate import stream_curate
+
+    rows = [
+        {"doc_id": 1, "text": "Plain prose sentence here.\nAnother good line."},
+        {"doc_id": 2, "text": "- b\n- b\n- b\n- b"},            # bullet spam
+        {"doc_id": 3, "text": "same\nsame\nsame\nsame\nend"},   # dup lines
+        {"doc_id": 4, "text": "One decent line of text.\nAnd one more."},
+    ]
+    import json as _json
+
+    d = tmp_path / "lines"
+    d.mkdir()
+    (d / "a.jsonl").write_text(
+        "\n".join(_json.dumps(r) for r in rows) + "\n"
+    )
+    gates = {"max_bullet_line_frac": 0.5, "max_dup_line_frac": 0.5}
+    stream = spark.readStream.schema("doc_id long, text string").json(
+        str(d)
+    )
+    out = stream_curate(stream, min_words=1, line_gates=gates)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("line_gate_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        r["doc_id"]
+        for r in spark.sql("select doc_id from line_gate_stream").collect()
+    )
+    batch = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in rows], "doc_id long, text string"
+    )
+    exp = sorted(
+        r["doc_id"]
+        for r in batch.where(
+            (bullet_line_fraction("text") <= 0.5)
+            & (duplicate_line_fraction("text") <= 0.5)
+        ).collect()
+    )
+    assert got == exp == [1, 4]
+    with pytest.raises(ValueError):
+        stream_curate(stream, line_gates={"bogus": 1})
