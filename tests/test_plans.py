@@ -323,10 +323,16 @@ def test_pq_adc_plan_broadcast_codebook_no_corpus_shuffle(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
-def test_html_extract_is_map_only_jvm_side(spark, sf_dir):
+def test_html_extract_is_map_only_jvm_side(spark, sf_dir, tmp_path):
     from pinecone_datasets_spark.functions.html import html_to_text
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # own parquet: the shared fixture may be cache()d by another test
+    # in the same session, which would hide the scan and its pruning
+    path = str(tmp_path / "docs")
+    spark.read.parquet(f"{sf_dir}/documents.parquet").limit(
+        50
+    ).write.parquet(path)
+    docs = spark.read.parquet(path)
     df = docs.select(html_to_text("text").alias("t"))
     plan = formatted_plan(df)
     assert "Exchange" not in plan          # map-only
