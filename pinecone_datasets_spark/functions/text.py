@@ -627,3 +627,24 @@ def split_sentences_sql(text_expr: str) -> str:
         f" s -> regexp_replace(s, '{ws}$|^{ws}', '', 'g')),"
         f" s -> s <> '')"
     )
+
+
+def badword_fraction(
+    text: ColumnOrName, blocklist: "list[str] | tuple[str, ...]"
+) -> Column:
+    """Fraction of whitespace tokens that hit a blocklist (the C4
+    "bad words" gate — token-boundary matching, so 'class' never hits
+    'ass'). The list is a policy artifact (hundreds to thousands of
+    terms): it folds into the plan as a literal array, no join. 0.0
+    for empty text; tokens are lowercased first, so supply a
+    lowercase list."""
+    if not blocklist:
+        raise ValueError("blocklist must be non-empty")
+    terms = [str(w).lower() for w in blocklist]
+    toks = F.filter(
+        F.split(F.lower(F.trim(_c(text))), WHITESPACE_RUN_PATTERN),
+        lambda w: w != "",
+    )
+    n = F.size(toks)
+    hits = F.size(F.filter(toks, lambda w: w.isin(terms)))
+    return F.when(n <= 0, F.lit(0.0)).otherwise(hits / n.cast("double"))

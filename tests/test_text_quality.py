@@ -407,3 +407,17 @@ def test_split_sentences_and_ngrams(spark):
     grams = [r[0] for r in df.select(sentence_ngrams("text", 3)).collect()]
     assert grams[3] == ["One. Two. Three.", "Two. Three. Four."]
     assert grams[1] == []  # fewer than n sentences -> empty
+
+
+def test_badword_fraction(one, spark):
+    from pinecone_datasets_spark.functions.text import badword_fraction
+
+    bl = ["bad", "worse"]
+    col = lambda t: badword_fraction(t, bl)  # noqa: E731
+    assert one("all clean words here", col) == 0.0
+    assert one("one bad word", col) == pytest.approx(1 / 3)
+    assert one("BAD Worse bad", col) == 1.0       # case-folded
+    assert one("badge embadded", col) == 0.0      # token boundaries
+    assert one("", col) == 0.0
+    with pytest.raises(ValueError):
+        badword_fraction(F.col("t"), [])
