@@ -71,23 +71,32 @@ class WarcRead(NamedTuple):
     quarantined: DataFrame
 
 
-def _gunzip_members(data: bytes) -> bytes:
-    """Decompress a (possibly multi-member) gzip stream to one blob.
+def _gunzip_members(data: bytes) -> tuple[bytes, bool]:
+    """Decompress a (possibly multi-member) gzip stream to one blob,
+    plus a completeness flag.
 
     WARC convention is one gzip member per record; after decompression
     the member boundaries are irrelevant because records self-delimit
-    via Content-Length.
+    via Content-Length. A corrupt or truncated member stops the walk:
+    what decoded is returned with ``ok=False`` so the caller can
+    quarantine the loss instead of silently shortening the file.
     """
     out = io.BytesIO()
     rest = data
+    ok = True
     while rest:
         d = zlib.decompressobj(wbits=47)  # auto-detect gzip/zlib header
-        out.write(d.decompress(rest))
-        out.write(d.flush())
-        if not d.eof:  # truncated member: surface what decoded
+        try:
+            out.write(d.decompress(rest))
+            out.write(d.flush())
+        except zlib.error:
+            ok = False
+            break
+        if not d.eof:  # truncated member
+            ok = False
             break
         rest = d.unused_data
-    return out.getvalue()
+    return out.getvalue(), ok
 
 
 def _parse_headers(block: bytes) -> Optional[dict[str, str]]:
@@ -112,9 +121,23 @@ def iter_warc_records(data: bytes, path: str = "") -> Iterator[dict]:
     """Pure parser: yield one dict per record (``error`` None) or per
     malformed region (``error`` set, other fields None), resyncing on
     the next ``WARC/`` version line after damage. Accepts plain or
-    gzipped (multi-member) input."""
+    gzipped (multi-member) input; a corrupt/truncated gzip stream
+    yields whatever decoded plus one quarantine row for the loss."""
+    gz_ok = True
     if data[:2] == _GZIP_MAGIC:
-        data = _gunzip_members(data)
+        data, gz_ok = _gunzip_members(data)
+    yield from _iter_decoded(data, path)
+    if not gz_ok:
+        yield {
+            **{c: None for c in _PARSE_COLUMNS},
+            "path": path,
+            "record_offset": len(data),
+            "error": "gzip member corrupt or truncated; decoded prefix "
+                     "parsed, remainder lost",
+        }
+
+
+def _iter_decoded(data: bytes, path: str) -> Iterator[dict]:
     pos = 0
     n = len(data)
 
@@ -194,6 +217,32 @@ def iter_warc_records(data: bytes, path: str = "") -> Iterator[dict]:
         pos = body_start + length
 
 
+
+_PARSE_COLUMNS = [
+    "path", "record_offset", "warc_type", "record_id", "target_uri",
+    "warc_date", "content_type", "content_length", "content", "error",
+]
+
+
+def _parse_file(path: str, blob: bytes) -> list[dict]:
+    """One file → rows, never an exception: any parser bug or
+    pathological input becomes a single quarantine row (the contract —
+    one damaged file costs its unparsed remainder, not the job)."""
+    rows: list[dict] = []
+    try:
+        rows.extend(iter_warc_records(blob, path))
+    except Exception as exc:  # noqa: BLE001 — quarantine, never die
+        rows.append(
+            {
+                **{c: None for c in _PARSE_COLUMNS},
+                "path": path,
+                "record_offset": len(rows),
+                "error": f"parser error: {type(exc).__name__}: {exc}",
+            }
+        )
+    return rows
+
+
 def read_warc(
     spark: SparkSession,
     path: str,
@@ -220,15 +269,8 @@ def read_warc(
         for pdf in batches:
             rows = []
             for p, blob in zip(pdf["path"], pdf["content"]):
-                rows.extend(iter_warc_records(bytes(blob), str(p)))
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "path", "record_offset", "warc_type", "record_id",
-                    "target_uri", "warc_date", "content_type",
-                    "content_length", "content", "error",
-                ],
-            )
+                rows.extend(_parse_file(str(p), bytes(blob)))
+            yield pd.DataFrame(rows, columns=_PARSE_COLUMNS)
 
     parsed = raw.mapInPandas(parse, WARC_PARSE_DDL)
     records = parsed.where(F.col("error").isNull()).drop("error")
@@ -358,15 +400,8 @@ def stream_warc(
         for pdf in batches:
             rows = []
             for p, blob in zip(pdf["path"], pdf["content"]):
-                rows.extend(iter_warc_records(bytes(blob), str(p)))
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "path", "record_offset", "warc_type", "record_id",
-                    "target_uri", "warc_date", "content_type",
-                    "content_length", "content", "error",
-                ],
-            )
+                rows.extend(_parse_file(str(p), bytes(blob)))
+            yield pd.DataFrame(rows, columns=_PARSE_COLUMNS)
 
     parsed = raw.mapInPandas(parse, WARC_PARSE_DDL)
     return parsed.where(F.col("error").isNull()).drop("error")

@@ -226,3 +226,17 @@ def test_stream_warc_availablenow_equals_batch(spark, tmp_path):
     ).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, batch))
     assert len(got) == 4  # junk dropped, records all survive
+
+
+def test_corrupt_gzip_quarantines_not_dies(spark, tmp_path):
+    """A corrupt gzip member (or trailing garbage after valid members)
+    must cost a quarantine row, never the job."""
+    good = encode_warc(_recs(2), gzip_records=True)
+    (tmp_path / "a.warc.gz").write_bytes(good + b"\x1f\x8b\x08CORRUPT")
+    (tmp_path / "b.warc.gz").write_bytes(b"\x1f\x8b\x08TOTALLY BROKEN")
+    got = read_warc(spark, str(tmp_path))
+    recs = got.records.collect()
+    assert len(recs) == 2  # the two valid records decode
+    q = got.quarantined.collect()
+    assert len(q) >= 1  # the broken file surfaces, the job survives
+    assert any(r["path"].endswith("b.warc.gz") for r in q)
