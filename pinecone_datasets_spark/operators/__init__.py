@@ -52,6 +52,7 @@ from .boilerplate import (
     boilerplate_profile,
     duplicated_spans,
     frequent_ngrams,
+    remove_duplicated_sentence_spans,
     remove_duplicated_spans,
 )
 from .spans import (
@@ -111,8 +112,10 @@ from .pipeline import (
 from .timeseries import gapfill, interpolate_linear, locf, rolling_zscore
 from .domains import (
     cap_domains,
+    dedup_by_url,
     domain_report,
     filter_domains,
+    normalize_url,
     registrable_domain,
     url_host,
 )
@@ -200,6 +203,7 @@ __all__ = [
     "bm25_weighted_topk",
     "edit_distance_pairs",
     "boilerplate_profile",
+    "remove_duplicated_sentence_spans",
     "duplicated_spans",
     "frequent_ngrams",
     "remove_duplicated_spans",
@@ -218,6 +222,8 @@ __all__ = [
     "locf",
     "rolling_zscore",
     "cap_domains",
+    "dedup_by_url",
+    "normalize_url",
     "domain_report",
     "filter_domains",
     "registrable_domain",
