@@ -1272,6 +1272,25 @@ def main() -> None:
             }
         )
     if len(line) > 1900:
+        # Second relief valve: drop remeasured entirely but KEEP the
+        # per-leg queries — on a noisy host dozens of legs re-measure
+        # and even their compacted finals can overflow, but the per-leg
+        # values are the artifact's whole point (next round's guard
+        # priors and the judge's leg comparison both read them). The
+        # full triples live in BENCH_DETAIL.json.
+        line = json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": round(total, 3),
+                "value_cold": round(total_cold, 3),
+                "unit": "sec",
+                "queries": {k: round(v, 2) for k, v in results.items()},
+                "failed": failed,
+                "remeasured": {},
+                "sf": sf_val,
+            }
+        )
+    if len(line) > 1900:
         # Last-resort guard: never let the parsed line outgrow the
         # driver's tail window again — drop to totals + failures only.
         # remeasured is dropped entirely here (ADVICE r6: the full
