@@ -1329,12 +1329,64 @@ def q48_q81_decontam_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_bench_ge").cast("double").alias("c2"),
         F.col("is_contaminated").cast("double").alias("c3"),
     )
+    c4 = q95_c4_sentence_dedup(spark, sf_dir).select(
+        F.lit("c4").alias("part"),
+        "doc_id",
+        F.col("n_removed").cast("double").alias("c1"),
+        F.col("n_kept").cast("double").alias("c2"),
+        F.col("clean_fp").cast("double").alias("c3"),
+    )
     return (
         contam.unionByName(spans)
         .unionByName(strip)
         .unionByName(sem)
+        .unionByName(c4)
         .orderBy("part", "doc_id", "c1")
     )
+
+
+def q95_c4_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 sentence-span dedup
+    (operators/boilerplate.py:remove_duplicated_sentence_spans — any
+    3-sentence span occurring >= 2 times corpus-wide dies, within-doc
+    repeats counted). The fixture plants sentence structure (' the '
+    becomes a sentence break) plus a shared 3-sentence boilerplate
+    trailer on every doc_id % 4 == 0 — the trailer trio repeats
+    corpus-wide and must vanish from every carrier while the word-salad
+    sentences stay. The oracle replays segmentation (split_sentences_sql),
+    window hashing, occurrence counting, coverage and the rewrite
+    fingerprint in SQL."""
+    from pinecone_datasets_spark.functions.text import split_sentences
+    from pinecone_datasets_spark.operators.boilerplate import (
+        remove_duplicated_sentence_spans,
+    )
+
+    doc = _t(spark, sf_dir, "documents")
+    planted = doc.select(
+        "doc_id",
+        F.concat(
+            F.regexp_replace(F.col("text"), " the ", ". "),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.lit(
+                    " Boiler one alpha. Boiler two beta."
+                    " Boiler three gamma."
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = remove_duplicated_sentence_spans(planted, n=3)
+    return out.select(
+        "doc_id",
+        F.col("n_removed_sentences").alias("n_removed"),
+        (
+            F.size(split_sentences(F.col("text")))
+            - F.col("n_removed_sentences")
+        ).cast("long").alias("n_kept"),
+        F.conv(F.substring(F.md5("clean_text"), 1, 8), 16, 10)
+        .cast("long")
+        .alias("clean_fp"),
+    ).orderBy("doc_id")
 
 
 def q49_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6069,8 +6121,50 @@ ORDER BY part, query_id, c2, doc_id
     # position and hash), global HAVING count(*) > 1, gaps-and-islands
     # merge (break when pos > prev + window), then covered positions
     # expand back so the strip filter and cleaned-text md5 are exact.
+    # 'c4' part: sentence-span dedup replay — same planted structure,
+    # segmentation via split_sentences_sql, 3-window md5 hashing,
+    # occurrence >= 2, coverage expansion, rewrite fingerprint.
+    from pinecone_datasets_spark.functions.text import (
+        split_sentences_sql as _ss_sql,
+    )
+
+    _c4_sents = _ss_sql("text")
+    _c4_sql = f"""
+c4src AS (
+  SELECT doc_id,
+         regexp_replace(text, ' the ', '. ', 'g') ||
+         (CASE WHEN doc_id % 4 = 0
+               THEN ' Boiler one alpha. Boiler two beta. Boiler three gamma.'
+               ELSE '' END) AS text
+  FROM documents
+),
+c4s AS (SELECT doc_id, {_c4_sents} AS sents FROM c4src),
+c4spans AS (
+  SELECT doc_id, g - 1 AS pos,
+         md5(array_to_string(sents[g:g+2], ' ')) AS h
+  FROM (SELECT doc_id, sents,
+               unnest(generate_series(1, greatest(len(sents) - 2, 0))) AS g
+        FROM c4s)
+),
+c4rep AS (SELECT h FROM c4spans GROUP BY h HAVING count(*) >= 2),
+c4hits AS (
+  SELECT doc_id,
+         flatten(list_transform(list(pos), p -> [p, p + 1, p + 2])) AS cov
+  FROM c4spans JOIN c4rep USING (h) GROUP BY doc_id
+),
+c4out AS (
+  SELECT c4s.doc_id, len(sents) AS n_total,
+         list_transform(
+           list_filter(
+             list_transform(sents,
+               (v, i) -> struct_pack(s := v, i := i - 1)),
+             x -> NOT list_contains(coalesce(cov, []), x.i)),
+           x -> x.s) AS kept
+  FROM c4s LEFT JOIN c4hits USING (doc_id)
+)"""
     out["q48_q81_decontam_spans"] = f"""
-WITH contam AS ({b['q48_decontaminate']}),
+WITH {_c4_sql},
+contam AS ({b['q48_decontaminate']}),
 corpus AS (
   SELECT doc_id, text FROM documents
   UNION ALL
@@ -6167,6 +6261,12 @@ UNION ALL
 SELECT 'semantic', doc_id, mc, CAST(ng AS DOUBLE),
        CAST(CASE WHEN ng > 0 THEN 1 ELSE 0 END AS DOUBLE)
 FROM sem
+UNION ALL
+SELECT 'c4', doc_id, CAST(n_total - len(kept) AS DOUBLE),
+       CAST(len(kept) AS DOUBLE),
+       CAST(('0x' || substr(md5(array_to_string(kept, ' ')), 1, 8))::BIGINT
+            AS DOUBLE)
+FROM c4out
 ORDER BY part, doc_id, c1
 """
     out["q03_q60_semi_anti"] = f"""
