@@ -2954,7 +2954,69 @@ def q09_q10_conform(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("filter"),
         F.col("top_k"),
     )
-    return docs.unionByName(qs).orderBy("part", "id", "vec_sum")
+    wr = q96_warc_roundtrip(spark, sf_dir).select(
+        F.lit("warc").alias("part"),
+        F.col("id"),
+        F.col("content_bytes").alias("vec_sum"),
+        _nl("int").alias("vec_dim"),
+        F.col("content_md5").alias("metadata"),
+        _nl("string").alias("blob"),
+        _nl("string").alias("filter"),
+        _nl("long").alias("top_k"),
+    )
+    return (
+        docs.unionByName(qs)
+        .unionByName(wr)
+        .orderBy("part", "id", "vec_sum")
+    )
+
+
+def q96_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC source round-trip with a full hash oracle
+    (sources/warc.py): the documents table is serialized once per
+    session into per-record-gzipped WARC segments (deterministic
+    encode_warc bytes), read back through the binaryFile + Arrow record
+    parser, and emitted as (doc id, payload byte length, payload md5).
+    The oracle computes the same digests directly from the parquet
+    table — if the container writer or parser shifted a single byte,
+    every fingerprint breaks. Setup is one-time per process
+    (_session_index_path, sf-scoped); the measured plan is the real
+    scan + parse."""
+    from pinecone_datasets_spark.sources.warc import (
+        encode_warc,
+        read_warc,
+    )
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    path = _session_index_path(f"q96_warc_{tag}")
+    seg = os.path.join(path, "docs.warc.gz")
+    if not os.path.exists(seg):
+        rows = sorted(
+            _t(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .collect(),
+            key=lambda r: r["doc_id"],
+        )
+        recs = [
+            {
+                "warc_type": "conversion",
+                "record_id": f"<urn:doc:{r['doc_id']}>",
+                "target_uri": f"https://corpus/{r['doc_id']}",
+                "content_type": "text/plain",
+                "content": r["text"],
+            }
+            for r in rows
+        ]
+        with open(seg, "wb") as fh:
+            fh.write(encode_warc(recs, gzip_records=True))
+    got = read_warc(spark, path)
+    return got.records.select(
+        F.regexp_extract("record_id", r"<urn:doc:([0-9]+)>", 1).alias(
+            "id"
+        ),
+        F.col("content_length").cast("double").alias("content_bytes"),
+        F.md5("content").alias("content_md5"),
+    ).orderBy("id")
 
 
 def q11_q12_filter_compile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6307,13 +6369,19 @@ ORDER BY part, grp, rn, item_id
 WITH d AS ({b['q09_docs_conform']}),
 q AS ({b['q10_queries_conform']})
 SELECT 'documents' AS part, id, values_sum AS vec_sum,
-       values_dim AS vec_dim, metadata, blob,
+       values_dim AS vec_dim, CAST(metadata AS VARCHAR) AS metadata,
+       blob,
        CAST(NULL AS VARCHAR) AS filter, CAST(NULL AS BIGINT) AS top_k
 FROM d
 UNION ALL
 SELECT 'queries', CAST(NULL AS VARCHAR), vector_sum, vector_dim,
        CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), filter, top_k
 FROM q
+UNION ALL
+SELECT 'warc', CAST(doc_id AS VARCHAR), CAST(strlen(text) AS DOUBLE),
+       CAST(NULL AS INTEGER), md5(text), CAST(NULL AS VARCHAR),
+       CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)
+FROM documents
 ORDER BY part, id, vec_sum
 """
     out["q11_q12_filter_compile"] = f"""
