@@ -305,3 +305,50 @@ def test_dedup_by_url_collapses_variants(spark):
     df = spark.createDataFrame(rows, "doc_id long, url string")
     kept = sorted(r["doc_id"] for r in dedup_by_url(df).collect())
     assert kept == [1, 3, 5]
+
+
+def test_normalize_url_generated_parity_sweep(spark):
+    """200 generated messy URLs (deterministic LCG over parts): Spark
+    and the DuckDB twin must agree on every one — the fuzz version of
+    the known-answer parity test."""
+    duckdb = pytest.importorskip("duckdb")
+    from pinecone_datasets_spark.operators.domains import (
+        normalize_url,
+        normalize_url_sql,
+    )
+
+    schemes = ["http", "HTTP", "https", "HTTPS", "ftp"]
+    hosts = ["Example.COM", "a.b.co.uk", "WWW.site.ORG", "x.y", "h0st.io"]
+    ports = ["", ":80", ":443", ":8080"]
+    userinfos = ["", "u@", "User:Pw@"]
+    paths = ["", "/", "/A//b/", "/p/q", "//", "/trail/"]
+    queries = [
+        "", "?a=1&b=2", "?b=2&a=1&utm_source=x", "?utm_campaign=1",
+        "?REF=keep&ref=drop", "?z&=&a=1", "?gclid=9&q=hello%20x",
+    ]
+    frags = ["", "#f", "#a#b"]
+    seed = 123456789
+    urls = []
+    for i in range(200):
+        seed = (seed * 1103515245 + 12345) % (1 << 31)
+        s = seed
+        pick = []
+        for options in (schemes, userinfos, hosts, ports, paths, queries,
+                        frags):
+            pick.append(options[s % len(options)])
+            s //= 7
+        sch, ui, host, port, path, q, frag = pick
+        urls.append(f"{sch}://{ui}{host}{port}{path}{q}{frag}")
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = [r[0] for r in df.select(normalize_url("url")).collect()]
+    con = duckdb.connect()
+    expr = normalize_url_sql("url")
+    for u, a in zip(urls, got):
+        b = con.execute(
+            f"SELECT {expr} FROM (SELECT ? AS url)", [u]
+        ).fetchone()[0]
+        assert a == b, (u, a, b)
+    # idempotence over the whole sweep
+    once = df.select(normalize_url("url").alias("url"))
+    twice = [r[0] for r in once.select(normalize_url("url")).collect()]
+    assert twice == got
