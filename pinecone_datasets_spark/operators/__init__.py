@@ -119,6 +119,7 @@ from .domains import (
     registrable_domain,
     url_host,
 )
+from .shards import read_token_shards, write_token_shards
 from .snapshot import diff_datasets, snapshot_diff, snapshot_summary
 from .quality_model import (
     score_quality,
@@ -222,6 +223,8 @@ __all__ = [
     "locf",
     "rolling_zscore",
     "cap_domains",
+    "read_token_shards",
+    "write_token_shards",
     "dedup_by_url",
     "normalize_url",
     "domain_report",

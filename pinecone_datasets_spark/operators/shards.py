@@ -1,0 +1,219 @@
+"""Indexed token-shard sink/loader: the training-loader egress.
+
+After curation → tokenization (``bpe.bpe_tokenize_udf(ids=True)``) →
+packing, an LLM training job wants token ids as flat binary shards with
+a sidecar index — the Megatron-LM "indexed dataset" shape (public
+format family; this is a self-contained variant, spec below) that a
+dataloader can memory-map and slice without any decode. This module
+writes and reads that layout Spark-natively.
+
+Format (little-endian throughout):
+
+* ``shard-NNNNN.bin`` — each document's token ids concatenated, as
+  uint16 or uint32.
+* ``shard-NNNNN.idx`` — ``TOKIDX01`` magic (8 bytes), dtype size
+  (1 byte: 2 or 4), padding (7 bytes), doc count (uint64), then per
+  document ``(doc_id int64, token_count int64)`` in file order. Byte
+  offsets are prefix sums of counts × dtype size — derivable, not
+  stored.
+* ``manifest.json`` — shard list in name order with per-shard doc and
+  token totals plus the dtype, so a loader can size epochs without
+  touching the shards.
+
+Scale shape (the parts that must survive 100 TB):
+
+* **Write**: ONE shuffle on the shard key (``xxhash64(id) % shards``,
+  deterministic), then each shard is streamed out by its own task via
+  ``applyInPandas`` — token bytes never visit the driver; the driver
+  collects only per-shard summary rows (= shard count) to write the
+  manifest. Within a shard, docs are written in id order, so output
+  bytes are reproducible run-to-run.
+* **Read**: ``binaryFile`` over the ``.idx``/``.bin`` pairs — one task
+  per shard, the same whole-file grain as the WARC source (shard size
+  is chosen at write time, so the grain is under the pipeline's
+  control).
+* Fail-loud: token ids must fit the dtype and be non-negative (the
+  BPE encoder marks unknown tokens as -1 precisely so this guard
+  trips instead of wrapping to 65535).
+
+Reference scope note: the reference (pinecone-io/pinecone-datasets) has
+no training egress; Layer-B extension (SURVEY.md §2 "beyond the
+reference"), cited against its data model only (cfg.py:23-36).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_MAGIC = b"TOKIDX01"
+_DTYPES = {"uint16": 2, "uint32": 4}
+
+
+def write_token_shards(
+    df: DataFrame,
+    path: str,
+    token_col: str = "token_ids",
+    id_col: str = "doc_id",
+    num_shards: int = 8,
+    dtype: str = "uint16",
+) -> dict:
+    """Write ``(id, array<int> token ids)`` rows as indexed binary
+    shards + ``manifest.json`` (format in the module docstring).
+
+    Returns the manifest dict. Deterministic: shard assignment is
+    ``xxhash64(id) % num_shards``, docs within a shard are written in
+    id order, so bytes reproduce run-to-run. Raises (task-side, fail
+    loud) on negative ids or ids that overflow ``dtype``.
+    """
+    if dtype not in _DTYPES:
+        raise ValueError(f"dtype must be one of {sorted(_DTYPES)}: {dtype}")
+    if num_shards < 1:
+        raise ValueError(f"num_shards must be >= 1: {num_shards}")
+    size = _DTYPES[dtype]
+    limit = 1 << (8 * size)
+    os.makedirs(path, exist_ok=True)
+
+    assigned = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(token_col).alias("toks"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_shards))
+        .cast("int")
+        .alias("shard"),
+    )
+
+    def write_one(pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(pdf["shard"].iloc[0])
+        pdf = pdf.sort_values("doc_id", kind="mergesort")
+        np_dtype = np.dtype(f"<u{size}")
+        bin_path = os.path.join(path, f"shard-{shard:05d}.bin")
+        idx_path = os.path.join(path, f"shard-{shard:05d}.idx")
+        n_tokens = 0
+        entries = []
+        with open(bin_path, "wb") as fb:
+            for doc_id, toks in zip(pdf["doc_id"], pdf["toks"]):
+                arr = np.asarray(
+                    [] if toks is None else list(toks), dtype=np.int64
+                )
+                if arr.size and (arr.min() < 0 or arr.max() >= limit):
+                    raise ValueError(
+                        f"token id out of {dtype} range in doc {doc_id}: "
+                        f"[{arr.min()}, {arr.max()}] (unknown-token -1s "
+                        "must be resolved before export)"
+                    )
+                fb.write(arr.astype(np_dtype).tobytes())
+                entries.append((int(doc_id), int(arr.size)))
+                n_tokens += int(arr.size)
+        with open(idx_path, "wb") as fi:
+            fi.write(_MAGIC)
+            fi.write(struct.pack("<B7x", size))
+            fi.write(struct.pack("<Q", len(entries)))
+            for doc_id, cnt in entries:
+                fi.write(struct.pack("<qq", doc_id, cnt))
+        return pd.DataFrame(
+            {
+                "shard": [shard],
+                "n_docs": [len(entries)],
+                "n_tokens": [n_tokens],
+                "bin_bytes": [n_tokens * size],
+            }
+        )
+
+    summary = (
+        assigned.groupBy("shard")
+        .applyInPandas(
+            write_one,
+            "shard int, n_docs long, n_tokens long, bin_bytes long",
+        )
+        .collect()
+    )
+    shards = sorted(
+        (
+            {
+                "name": f"shard-{r['shard']:05d}",
+                "n_docs": r["n_docs"],
+                "n_tokens": r["n_tokens"],
+                "bin_bytes": r["bin_bytes"],
+            }
+            for r in summary
+        ),
+        key=lambda s: s["name"],
+    )
+    manifest = {
+        "format": "TOKIDX01",
+        "dtype": dtype,
+        "shards": shards,
+        "n_docs": int(sum(s["n_docs"] for s in shards)),
+        "n_tokens": int(sum(s["n_tokens"] for s in shards)),
+    }
+    with open(os.path.join(path, "manifest.json"), "w") as fh:
+        json.dump(manifest, fh, indent=1, sort_keys=True)
+    return manifest
+
+
+def read_token_shards(spark: SparkSession, path: str) -> DataFrame:
+    """Read an indexed token-shard directory back as
+    ``(doc_id long, token_ids array<int>)`` — one task per shard
+    (binaryFile grain), index and payload validated against each other
+    (magic, dtype, byte totals) with loud errors on drift."""
+    idx = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.idx")
+        .load(path)
+        .select(
+            F.regexp_replace("path", r"\.idx$", "").alias("stem"),
+            F.col("content").alias("idx_bytes"),
+        )
+    )
+    bin_ = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(path)
+        .select(
+            F.regexp_replace("path", r"\.bin$", "").alias("stem"),
+            F.col("content").alias("bin_bytes"),
+        )
+    )
+    paired = idx.join(bin_, "stem", "full_outer")
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            toks: list[list[int]] = []
+            for stem, ib, bb in zip(
+                pdf["stem"], pdf["idx_bytes"], pdf["bin_bytes"]
+            ):
+                if ib is None or bb is None:
+                    raise ValueError(f"shard missing .idx or .bin: {stem}")
+                ib = bytes(ib)
+                if ib[:8] != _MAGIC:
+                    raise ValueError(f"bad index magic in {stem}")
+                size = ib[8]
+                if size not in (2, 4):
+                    raise ValueError(f"bad dtype size {size} in {stem}")
+                (n_docs,) = struct.unpack_from("<Q", ib, 16)
+                entries = np.frombuffer(
+                    ib, dtype="<i8", count=n_docs * 2, offset=24
+                ).reshape(n_docs, 2)
+                flat = np.frombuffer(bytes(bb), dtype=f"<u{size}")
+                if int(entries[:, 1].sum()) != flat.size:
+                    raise ValueError(
+                        f"index/payload token-count drift in {stem}"
+                    )
+                off = 0
+                for doc_id, cnt in entries:
+                    ids.append(int(doc_id))
+                    toks.append(
+                        flat[off : off + int(cnt)].astype(np.int32).tolist()
+                    )
+                    off += int(cnt)
+            yield pd.DataFrame({"doc_id": ids, "token_ids": toks})
+
+    return paired.mapInPandas(decode, "doc_id long, token_ids array<int>")

@@ -1,0 +1,120 @@
+"""Indexed token shards (operators/shards.py): round-trips,
+determinism, guards, BPE composition."""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pinecone_datasets_spark.operators.shards import (
+    read_token_shards,
+    write_token_shards,
+)
+
+
+def _fixture(spark, n=40, max_id=60000):
+    rows = [
+        (
+            i,
+            [((i * 37 + j * 11) % max_id) for j in range(3 + i % 7)]
+            if i % 9 != 0
+            else [],
+        )
+        for i in range(n)
+    ]
+    return rows, spark.createDataFrame(
+        rows, "doc_id long, token_ids array<int>"
+    )
+
+
+@pytest.mark.parametrize("dtype", ["uint16", "uint32"])
+def test_roundtrip_exact(spark, tmp_path, dtype):
+    rows, df = _fixture(spark)
+    path = str(tmp_path / dtype)
+    manifest = write_token_shards(
+        df, path, num_shards=4, dtype=dtype
+    )
+    assert manifest["n_docs"] == len(rows)
+    assert manifest["n_tokens"] == sum(len(t) for _, t in rows)
+    assert len(manifest["shards"]) <= 4
+    back = {
+        r["doc_id"]: r["token_ids"]
+        for r in read_token_shards(spark, path).collect()
+    }
+    assert back == {i: t for i, t in rows}
+    # manifest on disk matches the returned dict
+    on_disk = json.load(open(os.path.join(path, "manifest.json")))
+    assert on_disk == manifest
+
+
+def test_deterministic_bytes(spark, tmp_path):
+    _, df = _fixture(spark)
+    hashes = []
+    for run in ("a", "b"):
+        path = str(tmp_path / run)
+        write_token_shards(df.repartition(7 if run == "a" else 3), path)
+        digest = hashlib.md5()
+        for name in sorted(os.listdir(path)):
+            digest.update(name.encode())
+            digest.update(open(os.path.join(path, name), "rb").read())
+        hashes.append(digest.hexdigest())
+    assert hashes[0] == hashes[1]  # partitioning cannot change the bytes
+
+
+def test_guards(spark, tmp_path):
+    bad_neg = spark.createDataFrame(
+        [(1, [5, -1, 7])], "doc_id long, token_ids array<int>"
+    )
+    with pytest.raises(Exception, match="uint16 range"):
+        write_token_shards(bad_neg, str(tmp_path / "neg"), num_shards=1)
+    bad_big = spark.createDataFrame(
+        [(1, [70000])], "doc_id long, token_ids array<int>"
+    )
+    with pytest.raises(Exception, match="uint16 range"):
+        write_token_shards(bad_big, str(tmp_path / "big"), num_shards=1)
+    # uint32 takes the same ids fine
+    write_token_shards(
+        bad_big, str(tmp_path / "ok"), num_shards=1, dtype="uint32"
+    )
+    ok = read_token_shards(spark, str(tmp_path / "ok")).collect()
+    assert ok[0]["token_ids"] == [70000]
+    with pytest.raises(ValueError):
+        write_token_shards(bad_big, str(tmp_path / "x"), dtype="float32")
+    # drift detection: damage a .bin
+    _, df = _fixture(spark, n=10)
+    p = str(tmp_path / "drift")
+    write_token_shards(df, p, num_shards=1)
+    bins = [f for f in os.listdir(p) if f.endswith(".bin")]
+    with open(os.path.join(p, bins[0]), "ab") as fh:
+        fh.write(b"\x00\x00")
+    with pytest.raises(Exception, match="drift"):
+        read_token_shards(spark, p).collect()
+
+
+def test_composes_with_bpe_ids(spark, sf_dir, tmp_path):
+    """corpus → BPE ids → shards → read back: token mass conserved."""
+    from pinecone_datasets_spark.operators.bpe import (
+        bpe_tokenize_udf,
+        train_bpe,
+        word_histogram,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(100)
+    merges = train_bpe(word_histogram(docs, max_words=5000), 200)
+    ids_udf = bpe_tokenize_udf(merges, ids=True)
+    toks = docs.select(
+        "doc_id", ids_udf(F.col("text")).alias("token_ids")
+    )
+    path = str(tmp_path / "bpe")
+    manifest = write_token_shards(toks, path, num_shards=3)
+    back = read_token_shards(spark, path)
+    a = back.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.size("token_ids")).alias("toks"),
+    ).collect()[0]
+    assert a["n"] == 100
+    assert a["toks"] == manifest["n_tokens"] > 0
