@@ -64,14 +64,27 @@ def write_token_shards(
     id_col: str = "doc_id",
     num_shards: int = 8,
     dtype: str = "uint16",
+    order_col: str | None = None,
 ) -> dict:
     """Write ``(id, array<int> token ids)`` rows as indexed binary
     shards + ``manifest.json`` (format in the module docstring).
 
-    Returns the manifest dict. Deterministic: shard assignment is
-    ``xxhash64(id) % num_shards``, docs within a shard are written in
-    id order, so bytes reproduce run-to-run. Raises (task-side, fail
-    loud) on negative ids or ids that overflow ``dtype``.
+    Returns the manifest dict. Two assignment modes:
+
+    * default (``order_col=None``): shard = ``xxhash64(id) %
+      num_shards``, docs within a shard in id order — fully
+      deterministic, bytes reproduce run-to-run regardless of input
+      partitioning.
+    * ``order_col=...``: range-partitioned on the order key (one range
+      exchange — the inherent cost of a total order, same as
+      ``mixing.write_curriculum``), shards hold disjoint ascending
+      ranges and docs within a shard follow the key, so reading shards
+      in name order replays the global order — the curriculum-to-
+      token-shards path. Range boundaries are sampled by Spark, so
+      shard BOUNDARIES (not content order) may vary run-to-run.
+
+    Raises (task-side, fail loud) on negative ids or ids that overflow
+    ``dtype``.
     """
     if dtype not in _DTYPES:
         raise ValueError(f"dtype must be one of {sorted(_DTYPES)}: {dtype}")
@@ -81,17 +94,32 @@ def write_token_shards(
     limit = 1 << (8 * size)
     os.makedirs(path, exist_ok=True)
 
-    assigned = df.select(
-        F.col(id_col).cast("long").alias("doc_id"),
-        F.col(token_col).alias("toks"),
-        F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_shards))
-        .cast("int")
-        .alias("shard"),
-    )
+    if order_col is None:
+        assigned = df.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.col(token_col).alias("toks"),
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_shards))
+            .cast("int")
+            .alias("shard"),
+        )
+        sort_keys = ["doc_id"]
+    else:
+        assigned = (
+            df.select(
+                F.col(id_col).cast("long").alias("doc_id"),
+                F.col(token_col).alias("toks"),
+                F.col(order_col).cast("double").alias("__ord"),
+            )
+            .repartitionByRange(
+                num_shards, F.col("__ord"), F.col("doc_id")
+            )
+            .withColumn("shard", F.spark_partition_id())
+        )
+        sort_keys = ["__ord", "doc_id"]
 
     def write_one(pdf: pd.DataFrame) -> pd.DataFrame:
         shard = int(pdf["shard"].iloc[0])
-        pdf = pdf.sort_values("doc_id", kind="mergesort")
+        pdf = pdf.sort_values(sort_keys, kind="mergesort")
         np_dtype = np.dtype(f"<u{size}")
         bin_path = os.path.join(path, f"shard-{shard:05d}.bin")
         idx_path = os.path.join(path, f"shard-{shard:05d}.idx")
@@ -149,6 +177,7 @@ def write_token_shards(
     manifest = {
         "format": "TOKIDX01",
         "dtype": dtype,
+        "order": "hash" if order_col is None else f"range:{order_col}",
         "shards": shards,
         "n_docs": int(sum(s["n_docs"] for s in shards)),
         "n_tokens": int(sum(s["n_tokens"] for s in shards)),

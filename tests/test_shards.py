@@ -118,3 +118,38 @@ def test_composes_with_bpe_ids(spark, sf_dir, tmp_path):
     ).collect()[0]
     assert a["n"] == 100
     assert a["toks"] == manifest["n_tokens"] > 0
+
+
+def test_order_preserving_shards_replay_global_order(spark, tmp_path):
+    """order_col mode: disjoint ascending ranges per shard — reading
+    shards in name order replays the global order (the curriculum →
+    token-shards path)."""
+    rows = [(i, float(1000 - i), [i % 100, (i * 3) % 100]) for i in range(60)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, position double, token_ids array<int>"
+    )
+    path = str(tmp_path / "ordered")
+    manifest = write_token_shards(
+        df.repartition(5), path, num_shards=4, order_col="position"
+    )
+    assert manifest["order"] == "range:position"
+    pos = {i: p for i, p, _ in rows}
+    # decode shard-by-shard in name order, concatenating doc ids
+    import struct as _struct
+
+    global_ids = []
+    for s in manifest["shards"]:
+        ib = open(os.path.join(path, s["name"] + ".idx"), "rb").read()
+        (n_docs,) = _struct.unpack_from("<Q", ib, 16)
+        for k in range(n_docs):
+            doc_id, _cnt = _struct.unpack_from("<qq", ib, 24 + 16 * k)
+            global_ids.append(doc_id)
+    assert len(global_ids) == 60
+    keys = [pos[i] for i in global_ids]
+    assert keys == sorted(keys)  # shard-major order == global order
+    # content round-trips identically in this mode too
+    back = {
+        r["doc_id"]: r["token_ids"]
+        for r in read_token_shards(spark, path).collect()
+    }
+    assert back == {i: t for i, _, t in rows}
