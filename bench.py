@@ -801,6 +801,36 @@ def main() -> None:
             F.sum(F.length("text")).alias("sum_chars"),
         )
 
+    shards_path = bench_tmp + "/token_shards"
+
+    def bench_token_shards():
+        # Training-loader egress: indexed token shards read back at
+        # binaryFile grain (one task per shard) + validated slice-out.
+        # Setup writes 8 shards once from deterministic per-word ids
+        # (the write path is one shard-key shuffle + task-side IO).
+        from pinecone_datasets_spark.operators.shards import (
+            read_token_shards,
+            write_token_shards,
+        )
+
+        if not os.path.isdir(shards_path):
+            docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            toks = docs.select(
+                "doc_id",
+                F.transform(
+                    F.split(F.col("text"), " "),
+                    lambda w: F.pmod(F.xxhash64(w), F.lit(60000)).cast(
+                        "int"
+                    ),
+                ).alias("token_ids"),
+            )
+            write_token_shards(toks, shards_path, num_shards=8)
+        back = read_token_shards(spark, shards_path)
+        return back.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size("token_ids")).alias("n_tokens"),
+        )
+
     def bench_html_extract():
         # HTML -> text over the whole corpus: 15 chained regexp_replace
         # stages, all whole-stage codegen, map-only — the raw-crawl
@@ -941,6 +971,7 @@ def main() -> None:
         "jsonl_ingest": bench_jsonl_ingest,
         "warc_ingest": bench_warc_ingest,
         "html_extract": bench_html_extract,
+        "token_shards": bench_token_shards,
         "bpe_tokens": bench_bpe_tokens,
         "cm_freq": bench_cm_freq,
         "bloom_dedup": bench_bloom_dedup,
