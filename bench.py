@@ -928,6 +928,37 @@ def main() -> None:
         # one (key) shuffle reused across the window stages
         return em.q89_hourly_anomaly(spark, SF_DIR)
 
+    def bench_q13_counts():
+        # The r1 q13_text_stats workload, EXACTLY: word/token counts +
+        # n_chars, no entropy. The entry fn later grew char_entropy
+        # (commit eac4664), which silently tripled this leg against its
+        # r1 first recording — r7 verdict item 1 splits the series (q49
+        # precedent): this leg stays comparable to its r1 baseline, the
+        # added scope gets its own leg + baseline below.
+        from pinecone_datasets_spark.functions.text import (
+            token_count,
+            word_count,
+        )
+
+        doc = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        return doc.select(
+            "doc_id",
+            word_count("text").cast("long").alias("n_words"),
+            token_count("text").cast("long").alias("n_tokens"),
+            "n_chars",
+        )
+
+    def bench_text_entropy():
+        # The post-r1 scope of the q13 entry — char entropy (O(alphabet)
+        # lambda evals, map-only) — split out of q13_text_stats with its
+        # own first recording as of r8.
+        from pinecone_datasets_spark.functions.text import char_entropy
+
+        doc = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        return doc.select(
+            "doc_id", F.round(char_entropy("text"), 6).alias("entropy")
+        )
+
     headline = {
         "q01_scan_agg": lambda: em.q01_pricing_summary(spark, SF_DIR),
         "q02_join_topn": lambda: em.q02_top_customers(spark, SF_DIR),
@@ -937,7 +968,11 @@ def main() -> None:
         ),
         "q07_events_hourly": lambda: em.q07_events_hourly(spark, SF_DIR),
         "q12_filter_compile": lambda: em.q12_filter_in_or(spark, SF_DIR),
-        "q13_text_stats": lambda: em.q13_text_stats(spark, SF_DIR),
+        # q13's entry grew entropy after r1; bench the r1 counts and
+        # the entropy scope as separate series (r7 verdict item 1, q49
+        # precedent) so each leg stays <=2x its own first recording
+        "q13_text_stats": bench_q13_counts,
+        "text_entropy": bench_text_entropy,
         "q16_dedup_exact": lambda: em.q16_dedup_exact_keep(spark, SF_DIR),
         "minhash_lsh_64x16": bench_minhash_fast,
         "minhash_oph_64x16": bench_minhash_oph,
@@ -1077,6 +1112,19 @@ def main() -> None:
                 results_cold[name] = -1.0
                 failed.append(name)
                 continue
+            if min(times[1:]) < 2.0:
+                # Sub-2s legs: warm = min-of-3 in-suite (r7 verdict
+                # item 6). Their noise band is a large fraction of the
+                # measurement, and a third sample here is cheaper than
+                # the isolated re-runs the round-over-round guard would
+                # otherwise spend on drift-just-under-threshold legs.
+                _gc_hint()
+                t0 = time.time()
+                try:
+                    make().write.format("noop").mode("overwrite").save()
+                    times.append(round(time.time() - t0, 3))
+                except Exception:  # noqa: BLE001 — keep the 3-pass times
+                    pass
             if min(times[1:]) > times[0]:
                 # Both steady-state passes slower than cold = an external
                 # stall (host contention, heap pressure from 35 other

@@ -143,18 +143,36 @@ class Dataset:
     @property
     def documents(self) -> DataFrame:
         if self._documents is None:
+            if self._path is None:
+                raise ValueError(
+                    "Dataset has no documents: constructed without a "
+                    "dataset_path and without a documents DataFrame "
+                    "(use Dataset.from_dataframe for in-memory data)"
+                )
             self._documents = _reader.read_documents(self._spark, self._path)
         return self._documents
 
     @property
     def queries(self) -> DataFrame:
         if self._queries is None:
-            self._queries = _reader.read_queries(self._spark, self._path)
+            if self._path is None:
+                # In-memory dataset built without queries: an empty
+                # conformant frame (the reference's documents-only
+                # datasets have no queries/ dir and read as empty too).
+                _, qschema = SCHEMAS_BY_KIND["queries"]
+                self._queries = self._spark.createDataFrame([], qschema)
+            else:
+                self._queries = _reader.read_queries(self._spark, self._path)
         return self._queries
 
     @property
     def metadata(self) -> DatasetMetadata:
         if self._metadata is None:
+            if self._path is None:
+                raise ValueError(
+                    "Dataset has no metadata: constructed without a "
+                    "dataset_path and without a DatasetMetadata"
+                )
             self._metadata = _reader.read_metadata(self._spark, self._path)
         return self._metadata
 

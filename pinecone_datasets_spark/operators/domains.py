@@ -328,8 +328,19 @@ def dedup_by_url(
     the first corpus gate of a crawl pipeline (cheaper than any content
     pass; C4/CC-Net run it before text ever shuffles). Same two-narrow-
     shuffles shape as ``dedup.exact_dedup``: only (canonical-url hash,
-    id) pairs move, payloads stay put."""
+    id) pairs move, payloads stay put.
+
+    Rows whose URL is NULL (so the canonical key is NULL) are kept
+    UNCONDITIONALLY — a missing URL is absence of evidence, not
+    evidence of duplication, and grouping NULL keys together would
+    silently drop every URL-less doc but one."""
     key = F.md5(normalize_url(F.col(url_col), strip_www=strip_www))
     fp = docs.select(F.col(id_col), key.alias("_ufp"))
-    keep = fp.groupBy("_ufp").agg(F.min(id_col).alias(id_col))
-    return docs.join(keep.select(id_col), on=id_col, how="left_semi")
+    keep = (
+        fp.where(F.col("_ufp").isNotNull())
+        .groupBy("_ufp")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+        .unionByName(fp.where(F.col("_ufp").isNull()).select(id_col))
+    )
+    return docs.join(keep, on=id_col, how="left_semi")

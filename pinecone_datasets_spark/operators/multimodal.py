@@ -18,6 +18,7 @@ plumbing tests and cross-format benchmarks.
 
 from __future__ import annotations
 
+import bisect
 import hashlib
 import struct
 import zlib
@@ -446,10 +447,12 @@ def sample_video_frames(
                         encode_png(fr["image"]) for fr in gframes
                     ]
                     for ts in range(0, max(t, 1), every_ms):
-                        idx = 0
-                        for k, s in enumerate(starts):
-                            if s <= ts:
-                                idx = k
+                        # last start <= ts, then the EARLIEST frame at
+                        # that start — zero-delay runs (all starts
+                        # equal) resolve to the first frame, matching
+                        # the fixed-interval path's frames[0] at ts=0
+                        j = bisect.bisect_right(starts, ts) - 1
+                        idx = bisect.bisect_left(starts, starts[j])
                         rows["media_id"].append(mid)
                         rows["ts_ms"].append(ts)
                         rows["frame"].append(png_frames[idx])

@@ -250,32 +250,26 @@ def curate_corpus_full(
 
     The three crawl-side pre-stages (all default-off, order = cost):
     ``url_col`` dedups on the canonical URL before any content pass
-    (``domains.dedup_by_url`` — 24-byte key shuffle); ``sentence_span_n``
-    rewrites documents minus corpus-repeated n-sentence spans
+    (``domains.dedup_by_url`` — 24-byte key shuffle); ``line_gates`` is
+    a map-only structural filter taking any of ``max_dup_line_frac``,
+    ``max_bullet_line_frac``, ``min_end_punct_line_frac``,
+    ``min_mean_words_per_line``; ``sentence_span_n`` rewrites documents
+    minus corpus-repeated n-sentence spans
     (``boilerplate.remove_duplicated_sentence_spans`` — C4's rule,
     applied before fingerprinting so span-stripped copies dedup
-    exactly); ``line_gates`` is a map-only structural filter taking any
-    of ``max_dup_line_frac``, ``max_bullet_line_frac``,
-    ``min_end_punct_line_frac``, ``min_mean_words_per_line``.
+    exactly).
+
+    Ordering constraint: the line gates run on the ORIGINAL text,
+    BEFORE the sentence-span rewrite. The rewrite joins surviving
+    sentences with single spaces, collapsing the line structure the
+    gates measure — evaluated afterwards, ``duplicate_line_fraction``
+    would read ~0 and ``mean_words_per_line`` would read the whole-doc
+    word count, silently disabling the FineWeb/Gopher thresholds.
     """
     if url_col is not None:
         from .domains import dedup_by_url
 
         df = dedup_by_url(df, url_col=url_col, id_col=id_col)
-    if sentence_span_n is not None:
-        from .boilerplate import remove_duplicated_sentence_spans
-
-        df = (
-            remove_duplicated_sentence_spans(
-                df,
-                n=sentence_span_n,
-                text_col=text_col,
-                id_col=id_col,
-                out_col="__c4_clean",
-            )
-            .withColumn(text_col, F.col("__c4_clean"))
-            .drop("__c4_clean", "n_removed_sentences")
-        )
     if line_gates:
         from ..functions.text import (
             bullet_line_fraction,
@@ -314,6 +308,20 @@ def curate_corpus_full(
                 mean_words_per_line(t)
                 >= float(line_gates["min_mean_words_per_line"])
             )
+    if sentence_span_n is not None:
+        from .boilerplate import remove_duplicated_sentence_spans
+
+        df = (
+            remove_duplicated_sentence_spans(
+                df,
+                n=sentence_span_n,
+                text_col=text_col,
+                id_col=id_col,
+                out_col="__c4_clean",
+            )
+            .withColumn(text_col, F.col("__c4_clean"))
+            .drop("__c4_clean", "n_removed_sentences")
+        )
     ann = _stage_flags(
         df, text_col, id_col, min_quality, min_words,
         max_boilerplate, neardup_jaccard, benchmark, decontam_n,

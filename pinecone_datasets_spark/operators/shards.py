@@ -85,6 +85,18 @@ def write_token_shards(
 
     Raises (task-side, fail loud) on negative ids or ids that overflow
     ``dtype``.
+
+    Task-commit protocol: each task writes ``shard-NNNNN.{bin,idx}`` to
+    attempt-suffixed temp names and ``os.replace``-renames them into
+    place (bin first, then idx) only after both are fully written — a
+    retried or speculative task attempt can therefore never interleave
+    bytes into a shard another attempt is writing; last completed
+    attempt wins atomically, and the temp names never match the
+    reader's ``*.bin``/``*.idx`` globs. REQUIRES that ``path`` is a
+    filesystem shared by driver and executors (local mode, NFS, or a
+    FUSE-mounted object store) and that rename is atomic on it —
+    object-store FUSE mounts without atomic rename need speculation
+    disabled (``spark.speculation=false``) instead.
     """
     if dtype not in _DTYPES:
         raise ValueError(f"dtype must be one of {sorted(_DTYPES)}: {dtype}")
@@ -118,19 +130,31 @@ def write_token_shards(
         sort_keys = ["__ord", "doc_id"]
 
     def write_one(pdf: pd.DataFrame) -> pd.DataFrame:
+        from pyspark import TaskContext
+
         shard = int(pdf["shard"].iloc[0])
         pdf = pdf.sort_values(sort_keys, kind="mergesort")
         np_dtype = np.dtype(f"<u{size}")
+        os.makedirs(path, exist_ok=True)  # executor-side: executors
+        # need not share the driver's view of mkdir at function entry
         bin_path = os.path.join(path, f"shard-{shard:05d}.bin")
         idx_path = os.path.join(path, f"shard-{shard:05d}.idx")
+        tc = TaskContext.get()
+        attempt = tc.taskAttemptId() if tc is not None else os.getpid()
+        # attempt-unique temp names (never matching the reader's
+        # *.bin/*.idx globs), atomically renamed only once complete —
+        # see the task-commit protocol note in the docstring
+        bin_tmp = f"{bin_path}.inprogress-{attempt}"
+        idx_tmp = f"{idx_path}.inprogress-{attempt}"
         n_tokens = 0
         entries = []
-        with open(bin_path, "wb") as fb:
+        with open(bin_tmp, "wb") as fb:
             for doc_id, toks in zip(pdf["doc_id"], pdf["toks"]):
                 arr = np.asarray(
                     [] if toks is None else list(toks), dtype=np.int64
                 )
                 if arr.size and (arr.min() < 0 or arr.max() >= limit):
+                    os.unlink(bin_tmp)
                     raise ValueError(
                         f"token id out of {dtype} range in doc {doc_id}: "
                         f"[{arr.min()}, {arr.max()}] (unknown-token -1s "
@@ -139,12 +163,14 @@ def write_token_shards(
                 fb.write(arr.astype(np_dtype).tobytes())
                 entries.append((int(doc_id), int(arr.size)))
                 n_tokens += int(arr.size)
-        with open(idx_path, "wb") as fi:
+        with open(idx_tmp, "wb") as fi:
             fi.write(_MAGIC)
             fi.write(struct.pack("<B7x", size))
             fi.write(struct.pack("<Q", len(entries)))
             for doc_id, cnt in entries:
                 fi.write(struct.pack("<qq", doc_id, cnt))
+        os.replace(bin_tmp, bin_path)
+        os.replace(idx_tmp, idx_path)
         return pd.DataFrame(
             {
                 "shard": [shard],

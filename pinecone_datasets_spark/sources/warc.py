@@ -362,9 +362,15 @@ def http_body(content) -> "F.Column":
     has_envelope = s.rlike(r"^HTTP/[0-9.]+ [0-9]{3}")
     crlf = F.instr(s, "\r\n\r\n")
     lflf = F.instr(s, "\n\n")
-    body = F.when(crlf > 0, F.substring(s, crlf + 4, 2147483647)).when(
-        lflf > 0, F.substring(s, lflf + 2, 2147483647)
-    )
+    # the FIRST blank line wins, whichever convention produced it: an
+    # LF-terminated header block whose BODY happens to contain CRLFCRLF
+    # bytes later must cut at the earlier LFLF, not the later CRLF
+    # (note "\r\n\r\n" contains no "\n\n" substring, so a pure-CRLF
+    # header never ties with itself)
+    body = F.when(
+        (crlf > 0) & ((lflf == 0) | (crlf < lflf)),
+        F.substring(s, crlf + 4, 2147483647),
+    ).when(lflf > 0, F.substring(s, lflf + 2, 2147483647))
     return F.when(has_envelope, body)
 
 

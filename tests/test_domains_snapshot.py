@@ -307,6 +307,24 @@ def test_dedup_by_url_collapses_variants(spark):
     assert kept == [1, 3, 5]
 
 
+def test_dedup_by_url_keeps_all_null_url_rows(spark):
+    """ADVICE r7: NULL canonical keys must not be grouped together —
+    every URL-less doc survives (absence of a URL is not evidence of
+    duplication), while real variants still collapse."""
+    from pinecone_datasets_spark.operators.domains import dedup_by_url
+
+    rows = [
+        (1, "https://a.com/x"),
+        (2, "https://a.com:443/x#frag"),  # same canonical as 1
+        (3, None),
+        (4, None),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    kept = sorted(r["doc_id"] for r in dedup_by_url(df).collect())
+    assert kept == [1, 3, 4, 5]
+
+
 def test_normalize_url_generated_parity_sweep(spark):
     """200 generated messy URLs (deterministic LCG over parts): Spark
     and the DuckDB twin must agree on every one — the fuzz version of

@@ -167,3 +167,41 @@ def test_animated_gif_frame_sampling(spark):
     assert [
         r["ts_ms"] for r in sample_video_frames(still, every_ms=250).collect()
     ] == [0]
+
+
+def test_zero_delay_gif_samples_first_frame(spark):
+    """ADVICE r7: all-zero delays (single-loop / malformed GIFs) must
+    resolve ties at a timestamp to the EARLIEST covering frame, matching
+    the fixed-interval path's frames[0] at ts=0 — the pre-fix scan
+    picked the LAST frame."""
+    from pinecone_datasets_spark.operators.media_codecs import decode_png
+    from pinecone_datasets_spark.operators.multimodal import (
+        sample_video_frames,
+    )
+
+    frames = [_idx_frame(8, 8, s) for s in range(3)]
+    blob = encode_gif(frames, _PAL, delays_cs=[0, 0, 0])
+    df = spark.createDataFrame(
+        [("z", blob, None)],
+        "media_id string, content binary, duration_ms long",
+    )
+    got = sample_video_frames(df, every_ms=250).collect()
+    assert [r["ts_ms"] for r in got] == [0]
+    assert np.array_equal(decode_png(bytes(got[0]["frame"])), _PAL[frames[0]])
+    # mixed: a zero-delay run inside a variable-rate animation — the
+    # tick landing on the run's shared start picks the run's FIRST frame
+    frames4 = [_idx_frame(8, 8, s) for s in range(4)]
+    blob4 = encode_gif(frames4, _PAL, delays_cs=[50, 0, 0, 50])
+    df4 = spark.createDataFrame(
+        [("m", blob4, None)],
+        "media_id string, content binary, duration_ms long",
+    )
+    got4 = {
+        r["ts_ms"]: bytes(r["frame"])
+        for r in sample_video_frames(df4, every_ms=500).collect()
+    }
+    assert sorted(got4) == [0, 500]
+    assert np.array_equal(decode_png(got4[0]), _PAL[frames4[0]])
+    # starts are [0, 500, 500, 500]; ts=500 covers the run starting at
+    # 500 and resolves to its earliest member (frame 1, not 3)
+    assert np.array_equal(decode_png(got4[500]), _PAL[frames4[1]])

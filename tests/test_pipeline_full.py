@@ -258,3 +258,31 @@ def test_full_chain_crawl_pre_stages(spark):
     assert texts[5] == rows[4][1]
     with pytest.raises(ValueError):
         curate_corpus_full(df, line_gates={"nope": 1})
+
+
+def test_line_gates_see_pre_rewrite_text(spark):
+    """ADVICE r7: line gates must run on the ORIGINAL text, before the
+    sentence-span rewrite collapses newlines — post-rewrite, a doc
+    that is pure duplicated-line spam reads as one long line with
+    duplicate_line_fraction ~0 and would sail through the gate."""
+    from pinecone_datasets_spark.operators.pipeline import (
+        curate_corpus_full,
+    )
+
+    spam_line = "Click here to subscribe to our newsletter now."
+    spam = "\n".join([spam_line] * 6 + ["One unique closing thought here."])
+    clean = (
+        "Plain paragraph of ordinary prose for the survivor doc.\n"
+        "A second distinct line keeps its duplicate fraction at zero."
+    )
+    df = spark.createDataFrame(
+        [(1, spam), (2, clean)], "doc_id long, text string"
+    )
+    out = curate_corpus_full(
+        df,
+        min_quality=0.0,
+        min_words=1,
+        sentence_span_n=3,
+        line_gates={"max_dup_line_frac": 0.3},
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == [2]

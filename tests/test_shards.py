@@ -51,6 +51,39 @@ def test_roundtrip_exact(spark, tmp_path, dtype):
     assert on_disk == manifest
 
 
+def test_atomic_commit_leaves_no_temp_files(spark, tmp_path):
+    """ADVICE r7 task-commit protocol: shards land via temp-write +
+    os.replace, so after a successful write no ``.inprogress-*`` files
+    remain, and a stale temp from a dead attempt neither matches the
+    reader's globs nor survives an overwrite of its shard."""
+    rows, df = _fixture(spark)
+    path = str(tmp_path / "atomic")
+    # stale temp from a hypothetical killed attempt, present BEFORE the
+    # write: must not confuse the reader (glob-proof name)
+    os.makedirs(path, exist_ok=True)
+    stale = os.path.join(path, "shard-00000.bin.inprogress-99999")
+    open(stale, "wb").write(b"\xde\xad")
+    write_token_shards(df, path, num_shards=4)
+    names = sorted(os.listdir(path))
+    assert not [n for n in names if ".inprogress-" in n and n != os.path.basename(stale)]
+    back = {
+        r["doc_id"]: r["token_ids"]
+        for r in read_token_shards(spark, path).collect()
+    }
+    assert back == {i: t for i, t in rows}
+    # a failed write (dtype guard) must not leave a partial FINAL shard
+    bad = spark.createDataFrame(
+        [(1, [70000])], "doc_id long, token_ids array<int>"
+    )
+    path2 = str(tmp_path / "fails")
+    with pytest.raises(Exception, match="uint16 range"):
+        write_token_shards(bad, path2, num_shards=1, dtype="uint16")
+    leftover = [
+        n for n in os.listdir(path2) if n.endswith((".bin", ".idx"))
+    ] if os.path.isdir(path2) else []
+    assert leftover == []
+
+
 def test_deterministic_bytes(spark, tmp_path):
     _, df = _fixture(spark)
     hashes = []

@@ -197,6 +197,26 @@ def test_http_envelope_split(spark):
     assert (got[3]["s"], got[3]["b"]) == (None, None)
 
 
+def test_http_body_first_blank_line_wins(spark):
+    """ADVICE r7: an LF-terminated header whose BODY contains CRLFCRLF
+    bytes later must cut at the earlier LFLF — the pre-fix code
+    preferred any CRLF occurrence unconditionally, truncating the body."""
+    from pinecone_datasets_spark.sources.warc import http_body
+
+    rows = [
+        # LF header, CRLFCRLF later inside the body
+        (b"HTTP/1.1 200 OK\nContent-Type: text/html\n\n"
+         b"<pre>head\r\n\r\ntail</pre>",),
+        # CRLF header, LFLF later inside the body (symmetric case)
+        (b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n"
+         b"a\n\nb",),
+    ]
+    df = spark.createDataFrame(rows, "content binary")
+    got = [r["b"] for r in df.select(http_body("content").alias("b")).collect()]
+    assert got[0] == "<pre>head\r\n\r\ntail</pre>"
+    assert got[1] == "a\n\nb"
+
+
 def test_stream_warc_availablenow_equals_batch(spark, tmp_path):
     """stream_warc over availableNow == read_warc records (the batch
     reader's good frame), record for record; malformed regions are
