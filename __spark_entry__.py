@@ -1389,12 +1389,84 @@ def q95_c4_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _bpe_fixture(spark: SparkSession, sf_dir: str):
+    """Shared BPE fixture for q49's 'bpe*'/'shards' parts: one
+    histogram pass (operators/bpe.py:word_histogram), driver-side
+    training (train_bpe — deterministic count-then-lexicographic merge
+    selection), and a COMPLETE vocab (bpe_vocab + the sorted single
+    characters it misses) so every token has a non-negative id and the
+    uint16 shard export cannot trip its -1 guard. Returns (merges,
+    vocab_full, ids_df) where ids_df = (doc_id, token_ids array<int>).
+    The oracle replays training and encoding in pure SQL via recursive
+    CTEs — see the q49 oracle."""
+    from pinecone_datasets_spark.operators.bpe import (
+        EOW,
+        bpe_tokenize_udf,
+        bpe_vocab,
+        train_bpe,
+        word_histogram,
+    )
+
+    doc = _t(spark, sf_dir, "documents")
+    hist = word_histogram(doc, max_words=1000)
+    merges = train_bpe(hist, n_merges=40)
+    vocab = bpe_vocab(merges)
+    extras = [
+        c
+        for c in sorted({ch for w, _ in hist for ch in w} | {EOW})
+        if c not in set(vocab)
+    ]
+    vocab_full = vocab + extras
+    udf = bpe_tokenize_udf(merges, ids=True, vocab=vocab_full)
+    ids_df = doc.select(
+        "doc_id", udf(F.col("text")).alias("token_ids")
+    )
+    return merges, vocab_full, ids_df
+
+
+def _ids_hash_int(col: str):
+    """array<int> → the q49 'rag'-style portable 64-bit fingerprint:
+    md5 of the comma-joined ids, first 8 hex chars as a long."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(",", F.col(col).cast("array<string>"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+    )
+
+
 def q49_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-loader layouts (operators/packing.py), tagged: 'chunks'
     = concat-then-chunk packing (global token offsets via two-phase
     distributed prefix sum — no single-partition window), 'batches' =
     length-bucketed batch assignment (per-bucket distributed rank, same
-    prefix-sum machinery one level down)."""
+    prefix-sum machinery one level down). r8 adds the other end of the
+    training-egress path (VERDICT r7 items 2-3), tagged:
+
+    * 'bpe_merges' — the TRAINED merge table (operators/bpe.py:
+      word_histogram + train_bpe): rank + pair fingerprint. The oracle
+      re-derives the full merge sequence in SQL (recursive CTE over the
+      word histogram: per-iteration pair counts via window sums, global
+      argmin of (-count, pair), left-to-right non-overlapping rewrite
+      via separator-armored string replace) — merge SELECTION itself is
+      hash-gated, not just the encoding.
+    * 'bpe' — per-doc token ids from the Arrow encoder
+      (bpe_tokenize_udf(ids=True) with the completed vocab): token
+      count + id-sequence fingerprint; the oracle replays _encode_word
+      exactly (recursive CTE per distinct word: min-(rank, position)
+      applicable pair, single-occurrence list surgery per step).
+    * 'shards' — the SAME triples read back through the indexed
+      token-shard round-trip (operators/shards.py: write_token_shards →
+      binaryFile → read_token_shards): byte-level egress/ingest parity
+      is what makes 'shards' hash-equal to the oracle's directly
+      computed triples.
+    """
     from pinecone_datasets_spark.operators.packing import (
         length_bucketed_batches,
         pack_documents,
@@ -1436,9 +1508,63 @@ def q49_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         _nl("long").alias("c3"),
         _nl("long").alias("c4"),
     )
+
+    from pinecone_datasets_spark.operators.shards import (
+        read_token_shards,
+        write_token_shards,
+    )
+
+    merges, _vocab_full, ids_df = _bpe_fixture(spark, sf_dir)
+    merges_part = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank long, pa string, pb string",
+    ).select(
+        F.lit("bpe_merges").alias("part"),
+        F.col("rank").alias("doc_id"),
+        _nl("long").alias("n_tokens"),
+        F.conv(
+            F.substring(
+                F.md5(F.concat("pa", F.lit("\x1f"), "pb")), 1, 8
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("c1"),
+        _nl("long").alias("c2"),
+        _nl("long").alias("c3"),
+        _nl("long").alias("c4"),
+    )
+    bpe_part = ids_df.select(
+        F.lit("bpe").alias("part"),
+        "doc_id",
+        F.size("token_ids").cast("long").alias("n_tokens"),
+        _ids_hash_int("token_ids").alias("c1"),
+        _nl("long").alias("c2"),
+        _nl("long").alias("c3"),
+        _nl("long").alias("c4"),
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    shard_dir = _session_index_path(f"q49_shards_{tag}")
+    if not os.path.exists(os.path.join(shard_dir, "manifest.json")):
+        write_token_shards(
+            ids_df, shard_dir, num_shards=4, dtype="uint16"
+        )
+    shards_part = read_token_shards(spark, shard_dir).select(
+        F.lit("shards").alias("part"),
+        "doc_id",
+        F.size("token_ids").cast("long").alias("n_tokens"),
+        _ids_hash_int("token_ids").alias("c1"),
+        _nl("long").alias("c2"),
+        _nl("long").alias("c3"),
+        _nl("long").alias("c4"),
+    )
     return (
         chunks.unionByName(batches)
         .unionByName(rag)
+        .unionByName(merges_part)
+        .unionByName(bpe_part)
+        .unionByName(shards_part)
         .orderBy("part", "doc_id", "c1")
     )
 
@@ -4640,7 +4766,7 @@ ORDER BY part, doc_id
 """,
         "q50_quantized_topk": _oracle_quantized_topk(),
         "q49_pack_chunks": """
-WITH t AS (
+WITH RECURSIVE t AS (
   SELECT doc_id,
          len(list_filter(string_split_regex(lower(trim(text)), '[ \\t\\n\\r\\f\\x0B]+'),
                          x -> len(x) > 0))::BIGINT AS n_tokens
@@ -4681,6 +4807,147 @@ WITH t AS (
            AS chunk_text,
          (least(i * 48 + 64, len(w)) - i * 48)::BIGINT AS chunk_n
   FROM rag0 WHERE i * 48 < len(w)
+),
+-- ---- BPE training + encoding + token-shard round-trip replay ----
+-- (r8: VERDICT r7 items 2-3.) Replays operators/bpe.py exactly:
+-- word_histogram (one pass, ties (count desc, word)), train_bpe
+-- (greedy merges: per-iteration pair counts, argmin of (-count, a, b),
+-- left-to-right non-overlapping rewrite — the chr(31)-armored string
+-- replace reproduces Python's single-scan splice), _encode_word
+-- (min-(rank, position) pair per step, ONE occurrence merged via list
+-- surgery), bpe_vocab + the completed single-char vocab, and the
+-- per-doc id sequences the shard files must round-trip byte-exactly.
+hist AS (
+  SELECT w, n FROM (
+    SELECT w, count(*)::BIGINT AS n,
+           row_number() OVER (ORDER BY count(*) DESC, w) AS rk
+    FROM (SELECT unnest(regexp_extract_all(lower(text),
+            '[a-z0-9]+|[^a-z0-9 \\t\\n\\r\\f\\x0B]')) AS w
+          FROM documents)
+    GROUP BY w) hh
+  WHERE rk <= 1000 AND w <> ''
+),
+train AS (
+  SELECT 0 AS it,
+         chr(31) || array_to_string(
+           list_append(string_split(w, ''), '</w>'),
+           chr(31) || chr(31)) || chr(31) AS s,
+         n, CAST(NULL AS VARCHAR) AS pa, CAST(NULL AS VARCHAR) AS pb
+  FROM hist
+  UNION ALL
+  SELECT it + 1,
+         replace(s, chr(31)||best.a||chr(31)||chr(31)||best.b||chr(31),
+                    chr(31)||best.a||best.b||chr(31)),
+         n, best.a, best.b
+  FROM (
+    SELECT DISTINCT it, s, n, best FROM (
+      SELECT it, s, n,
+             min(CASE WHEN cnt >= 2
+                      THEN struct_pack(nc := -cnt, a := pa2, b := pb2)
+                 END) OVER () AS best
+      FROM (
+        SELECT it, s, n, pa2, pb2,
+               sum(n) OVER (PARTITION BY pa2, pb2) AS cnt
+        FROM (
+          SELECT it, s, n, syms[i] AS pa2, syms[i+1] AS pb2
+          FROM (
+            SELECT it, s, n,
+                   string_split(s[2:-2], chr(31)||chr(31)) AS syms,
+                   unnest(range(1, greatest(len(string_split(s[2:-2],
+                     chr(31)||chr(31))), 1))) AS i
+            FROM train) tp
+        ) te
+      ) tc
+    ) tb
+  ) td
+  WHERE best IS NOT NULL AND it < 40
+),
+merges AS (
+  SELECT DISTINCT it - 1 AS rank, pa, pb FROM train WHERE pa IS NOT NULL
+),
+vocab AS (
+  SELECT tok, row_number() OVER (ORDER BY ord) - 1 AS tid FROM (
+    SELECT tok, min(ord) AS ord FROM (
+      SELECT rank * 3 + off AS ord,
+             CASE off WHEN 0 THEN pa WHEN 1 THEN pb ELSE pa || pb END AS tok
+      FROM merges CROSS JOIN (SELECT unnest([0, 1, 2]) AS off) vo
+    ) vv GROUP BY tok) vm
+),
+extras AS (
+  SELECT c AS tok,
+         (SELECT count(*) FROM vocab)
+           + row_number() OVER (ORDER BY c) - 1 AS tid
+  FROM (
+    SELECT DISTINCT unnest(string_split(w, '')) AS c FROM hist
+    UNION SELECT '</w>'
+  ) ch
+  WHERE c NOT IN (SELECT tok FROM vocab)
+),
+vocab_full AS (SELECT * FROM vocab UNION ALL SELECT * FROM extras),
+dw AS (
+  SELECT doc_id, regexp_extract_all(lower(text),
+           '[a-z0-9]+|[^a-z0-9 \\t\\n\\r\\f\\x0B]') AS ws
+  FROM documents
+),
+encwords AS (SELECT DISTINCT unnest(ws) AS w FROM dw),
+enc AS (
+  SELECT w,
+         chr(31) || array_to_string(
+           list_append(string_split(w, ''), '</w>'),
+           chr(31) || chr(31)) || chr(31) AS s,
+         0 AS it
+  FROM encwords
+  UNION ALL
+  SELECT w,
+         chr(31) || array_to_string(
+           list_concat(list_concat(
+             syms[1:best.i - 1],
+             [syms[best.i] || syms[best.i + 1]]),
+             syms[best.i + 2:]),
+           chr(31) || chr(31)) || chr(31),
+         it + 1
+  FROM (
+    SELECT w, any_value(syms) AS syms, it,
+           min(struct_pack(r := m.rank, i := ep.i)) AS best
+    FROM (
+      SELECT w, s, it,
+             string_split(s[2:-2], chr(31)||chr(31)) AS syms,
+             unnest(range(1, greatest(len(string_split(s[2:-2],
+               chr(31)||chr(31))), 1))) AS i
+      FROM enc) ep
+    JOIN merges m ON m.pa = ep.syms[ep.i] AND m.pb = ep.syms[ep.i + 1]
+    GROUP BY w, it
+  ) eg
+),
+enc_final AS (
+  SELECT w, string_split(s[2:-2], chr(31)||chr(31)) AS toks
+  FROM enc
+  QUALIFY row_number() OVER (PARTITION BY w ORDER BY it DESC) = 1
+),
+dwx AS (
+  SELECT doc_id, unnest(ws) AS w,
+         unnest(range(1, len(ws) + 1)) AS pos
+  FROM dw
+),
+dtok AS (
+  SELECT doc_id, flatten(list(toks ORDER BY pos)) AS toks
+  FROM dwx JOIN enc_final USING (w) GROUP BY doc_id
+),
+dte AS (
+  SELECT doc_id, unnest(toks) AS tok,
+         unnest(range(1, len(toks) + 1)) AS pos
+  FROM dtok
+),
+dti AS (
+  SELECT doc_id, list(coalesce(v.tid, -1) ORDER BY pos) AS ids
+  FROM dte LEFT JOIN vocab_full v USING (tok) GROUP BY doc_id
+),
+bpe_triples AS (
+  SELECT d.doc_id,
+         coalesce(len(ids), 0)::BIGINT AS n_tokens,
+         ('0x' || substr(md5(coalesce(array_to_string(ids, ','), '')),
+                         1, 8))::BIGINT AS idhash
+  FROM documents d LEFT JOIN dti USING (doc_id)
 )
 SELECT 'chunks' AS part, doc_id, n_tokens, global_start AS c1,
        (global_start // 512)::BIGINT AS c2,
@@ -4698,6 +4965,19 @@ SELECT 'rag', doc_id, chunk_n, chunk_idx,
        ('0x' || substr(md5(chunk_text), 1, 8))::BIGINT,
        CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
 FROM rag
+UNION ALL
+SELECT 'bpe_merges', rank, CAST(NULL AS BIGINT),
+       ('0x' || substr(md5(pa || chr(31) || pb), 1, 8))::BIGINT,
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+FROM merges
+UNION ALL
+SELECT 'bpe', doc_id, n_tokens, idhash,
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+FROM bpe_triples
+UNION ALL
+SELECT 'shards', doc_id, n_tokens, idhash,
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+FROM bpe_triples
 ORDER BY part, doc_id, c1
 """,
         "q48_decontaminate": """
