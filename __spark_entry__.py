@@ -3445,9 +3445,188 @@ def q25_q39_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _crawl_funnel_frames(spark: SparkSession, sf_dir: str):
+    """Composed raw-crawl funnel (VERDICT r7 item 4): WARC parse →
+    HTTP-status gate → html_to_text → URL-key dedup → line gates →
+    C4 sentence-span dedup, chained through the REAL operators
+    (sources/warc.py, functions/html.py, operators/domains.py,
+    functions/text.py, operators/boilerplate.py) in pipeline order —
+    each stage has its own hash oracle elsewhere; this part proves the
+    COMPOSITION the way q33_q34's curation funnel does for the
+    content-side gates. The WARC fixture is deterministic string
+    algebra over the documents table (messy URL variants à la q93, a
+    per-doc HTML page whose paragraphs come from ' the '→'. '
+    sentence planting, bullet spam on doc_id%13, a shared 3-sentence
+    footer that span-dedup must strip everywhere, and 404s on
+    doc_id%17 for the status gate), serialized once per process
+    through encode_warc — so the oracle replays every hop from the
+    parquet table in pure SQL. Returns (docs_df, stages_df).
+
+    Reference scope note: the reference's only ingest is the parquet
+    reader (dataset_fsreader.py:75-151); the crawl chain is Layer-B
+    extension per SURVEY.md §2."""
+    from pinecone_datasets_spark.functions.html import html_to_text
+    from pinecone_datasets_spark.functions.text import (
+        bullet_line_fraction,
+        split_sentences,
+    )
+    from pinecone_datasets_spark.operators.boilerplate import (
+        remove_duplicated_sentence_spans,
+    )
+    from pinecone_datasets_spark.operators.domains import dedup_by_url
+    from pinecone_datasets_spark.sources.warc import (
+        encode_warc,
+        http_body,
+        http_status,
+        read_warc,
+    )
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    path = _session_index_path(f"q98_crawl_{tag}")
+    seg = os.path.join(path, "crawl.warc.gz")
+    if not os.path.exists(seg):
+        doc = _t(spark, sf_dir, "documents")
+        d = F.col("doc_id")
+        url = F.concat(
+            F.when(d % 3 == 0, F.lit("HTTPS")).otherwise(F.lit("https")),
+            F.lit("://"),
+            F.when(d % 2 == 0, F.lit("WWW.SRC")).otherwise(
+                F.lit("www.src")
+            ),
+            (d % 40).cast("string"),
+            F.lit(".com"),
+            F.when(d % 5 == 0, F.lit(":443")).otherwise(F.lit("")),
+            F.lit("/"),
+            F.col("lang"),
+            F.when(d % 2 == 0, F.lit("//")).otherwise(F.lit("/")),
+            (d % 25).cast("string"),
+            F.when(d % 7 == 0, F.lit("/")).otherwise(F.lit("")),
+            F.when(
+                d % 2 == 0, F.lit("?b=2&a=1&utm_source=mail")
+            ).otherwise(F.lit("?a=1&b=2")),
+            F.when(d % 11 == 0, F.lit("#frag")).otherwise(F.lit("")),
+        )
+        body = F.concat(
+            F.lit("<p>"),
+            F.regexp_replace(
+                F.regexp_replace("text", " the ", ". "),
+                r"\. ",
+                ".</p><p>",
+            ),
+            F.lit(".</p>"),
+        )
+        html = F.concat(
+            F.lit("<html><!-- chrome --><head><title>D"),
+            d.cast("string"),
+            F.lit(
+                "</title><style>.x{color:red}</style></head>"
+                "<body><h1>Doc "
+            ),
+            d.cast("string"),
+            F.lit("</h1>"),
+            body,
+            F.when(
+                d % 13 == 0,
+                F.lit(
+                    "<ul><li>- spam one</li><li>- spam two</li>"
+                    "<li>- spam three</li></ul>"
+                ),
+            ).otherwise(F.lit("")),
+            F.lit(
+                "<p>Site footer alpha. Site footer beta."
+                " Site footer gamma.</p></body></html>"
+            ),
+        )
+        payload = F.concat(
+            F.when(d % 17 == 0, F.lit("HTTP/1.1 404 Not Found")).otherwise(
+                F.lit("HTTP/1.1 200 OK")
+            ),
+            F.lit("\r\nContent-Type: text/html\r\n\r\n"),
+            F.when(
+                d % 17 == 0, F.lit("<html><body>gone</body></html>")
+            ).otherwise(html),
+        )
+        rows = (
+            doc.select(
+                d.alias("doc_id"),
+                url.alias("url"),
+                payload.alias("payload"),
+            )
+            .orderBy("doc_id")
+            .collect()
+        )
+        recs = [
+            {
+                "warc_type": "response",
+                "record_id": f"<urn:doc:{r['doc_id']}>",
+                "target_uri": r["url"],
+                "content_type": "application/http; msgtype=response",
+                "content": r["payload"],
+            }
+            for r in rows
+        ]
+        with open(seg, "wb") as fh:
+            fh.write(encode_warc(recs, gzip_records=True))
+
+    recs_df = read_warc(spark, path).records
+    parsed = recs_df.select(
+        F.regexp_extract("record_id", r"<urn:doc:([0-9]+)>", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("target_uri").alias("url"),
+        http_status("content").alias("status"),
+        http_body("content").alias("body"),
+    )
+    ok = parsed.where(F.col("status") == 200)
+    txt = ok.select(
+        "doc_id", "url", html_to_text(F.col("body")).alias("text")
+    )
+    udp = dedup_by_url(txt, url_col="url", id_col="doc_id")
+    gated = udp.where(bullet_line_fraction(F.col("text")) <= 0.05)
+    clean = remove_duplicated_sentence_spans(gated, n=3)
+    docs_df = clean.select(
+        "doc_id",
+        (
+            F.size(split_sentences(F.col("text")))
+            - F.col("n_removed_sentences")
+        )
+        .cast("long")
+        .alias("n_kept"),
+        F.col("n_removed_sentences").alias("n_removed"),
+        F.conv(F.substring(F.md5("clean_text"), 1, 8), 16, 10)
+        .cast("long")
+        .alias("clean_fp"),
+    )
+
+    def _cnt(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        ).select(F.lit(name).alias("stage"), "n")
+
+    stages_df = (
+        _cnt(parsed, "s1_parsed")
+        .unionByName(_cnt(ok, "s2_status_ok"))
+        .unionByName(_cnt(udp, "s3_url_dedup"))
+        .unionByName(_cnt(gated, "s4_line_gates"))
+        .unionByName(
+            clean.agg(
+                F.coalesce(
+                    F.sum("n_removed_sentences"), F.lit(0)
+                )
+                .cast("long")
+                .alias("n")
+            ).select(F.lit("s5_span_removed").alias("stage"), "n")
+        )
+    )
+    return docs_df, stages_df
+
+
 def q33_q34_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curation pipeline: per-doc survivors (q33) + per-lang report
-    (q34), tagged."""
+    (q34), tagged. r8 adds the crawl-side composition (VERDICT r7
+    item 4), tagged 'crawl_docs' (per-surviving-doc kept/removed
+    sentence counts + clean-text fingerprint) and 'crawl_stages'
+    (per-stage survivor counts) — see ``_crawl_funnel_frames``."""
     docs = q33_curation_pipeline(spark, sf_dir).select(
         F.lit("docs").alias("part"),
         F.col("doc_id").cast("string").alias("key"),
@@ -3466,7 +3645,31 @@ def q33_q34_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_quality_pass"),
         F.col("n_curated"),
     )
-    return docs.unionByName(rep).orderBy("part", "key")
+    cdocs, cstages = _crawl_funnel_frames(spark, sf_dir)
+    crawl_docs = cdocs.select(
+        F.lit("crawl_docs").alias("part"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.col("n_kept").alias("n_words"),
+        _nl("double").alias("quality"),
+        F.col("clean_fp").alias("n_deduped"),
+        F.col("n_removed").alias("n_quality_pass"),
+        _nl("long").alias("n_curated"),
+    )
+    crawl_stages = cstages.select(
+        F.lit("crawl_stages").alias("part"),
+        F.col("stage").alias("key"),
+        _nl("long").alias("n_words"),
+        _nl("double").alias("quality"),
+        _nl("long").alias("n_deduped"),
+        _nl("long").alias("n_quality_pass"),
+        F.col("n").alias("n_curated"),
+    )
+    return (
+        docs.unionByName(rep)
+        .unionByName(crawl_docs)
+        .unionByName(crawl_stages)
+        .orderBy("part", "key")
+    )
 
 
 def q37_q38_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7030,9 +7233,99 @@ FROM cm JOIN (SELECT user_id, count(*) AS n_exact
               FROM events GROUP BY user_id) ex USING (user_id)
 ORDER BY part, key
 """
+    # 'crawl_docs'/'crawl_stages': the composed crawl funnel — rebuild
+    # the deterministic WARC fixture's url/html/status from documents
+    # (the WARC hop itself is the byte-identity q09_q10 'warc' part
+    # already proves), then replay html_to_text (html_to_text_sql),
+    # URL-key dedup (normalize_url_sql + min-id group), the bullet line
+    # gate (line_stats_sql), and C4 sentence-span dedup (the q48_q81
+    # 'c4' machinery) over the SURVIVOR corpus, in pipeline order.
+    from pinecone_datasets_spark.functions.html import (
+        html_to_text_sql as _h2t_sql,
+    )
+    from pinecone_datasets_spark.functions.text import (
+        line_stats_sql as _lstats_sql,
+    )
+    from pinecone_datasets_spark.functions.text import (
+        split_sentences_sql as _cf_ss_sql,
+    )
+    from pinecone_datasets_spark.operators.domains import (
+        normalize_url_sql as _cf_nurl_sql,
+    )
+
+    _cf_bullet = _lstats_sql("text")["bullet_line_frac"]
     out["q33_q34_curation"] = f"""
 WITH docs AS ({b['q33_curation_pipeline']}),
-rep AS ({b['q34_curation_report']})
+rep AS ({b['q34_curation_report']}),
+cf_src AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS' ELSE 'https' END) || '://' ||
+    (CASE WHEN doc_id % 2 = 0 THEN 'WWW.SRC' ELSE 'www.src' END) ||
+    CAST(doc_id % 40 AS VARCHAR) || '.com' ||
+    (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END) || '/' || lang ||
+    (CASE WHEN doc_id % 2 = 0 THEN '//' ELSE '/' END) ||
+    CAST(doc_id % 25 AS VARCHAR) ||
+    (CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END) ||
+    (CASE WHEN doc_id % 2 = 0 THEN '?b=2&a=1&utm_source=mail'
+          ELSE '?a=1&b=2' END) ||
+    (CASE WHEN doc_id % 11 = 0 THEN '#frag' ELSE '' END) AS url,
+    CASE WHEN doc_id % 17 = 0 THEN 404 ELSE 200 END AS status,
+    CASE WHEN doc_id % 17 = 0 THEN '<html><body>gone</body></html>'
+         ELSE
+    '<html><!-- chrome --><head><title>D' || CAST(doc_id AS VARCHAR) ||
+    '</title><style>.x{{color:red}}</style></head><body><h1>Doc ' ||
+    CAST(doc_id AS VARCHAR) || '</h1><p>' ||
+    regexp_replace(regexp_replace(text, ' the ', '. ', 'g'),
+                   '\\. ', '.</p><p>', 'g') || '.</p>' ||
+    (CASE WHEN doc_id % 13 = 0
+          THEN '<ul><li>- spam one</li><li>- spam two</li>' ||
+               '<li>- spam three</li></ul>'
+          ELSE '' END) ||
+    '<p>Site footer alpha. Site footer beta.' ||
+    ' Site footer gamma.</p></body></html>'
+    END AS html
+  FROM documents
+),
+cf_ok AS (SELECT * FROM cf_src WHERE status = 200),
+cf_txt AS (
+  SELECT doc_id, url, {_h2t_sql('html')} AS text FROM cf_ok
+),
+cf_keep AS (
+  SELECT min(doc_id) AS doc_id
+  FROM (SELECT doc_id, md5({_cf_nurl_sql('url')}) AS k FROM cf_txt) ku
+  GROUP BY k
+),
+cf_udp AS (
+  SELECT t.doc_id, t.text FROM cf_txt t
+  JOIN cf_keep USING (doc_id)
+),
+cf_gated AS (
+  SELECT doc_id, text FROM cf_udp WHERE {_cf_bullet} <= 0.05
+),
+cfs AS (SELECT doc_id, {_cf_ss_sql('text')} AS sents FROM cf_gated),
+cfspans AS (
+  SELECT doc_id, g - 1 AS pos,
+         md5(array_to_string(sents[g:g+2], ' ')) AS h
+  FROM (SELECT doc_id, sents,
+               unnest(generate_series(1, greatest(len(sents) - 2, 0))) AS g
+        FROM cfs) cfg
+),
+cfrep AS (SELECT h FROM cfspans GROUP BY h HAVING count(*) >= 2),
+cfhits AS (
+  SELECT doc_id,
+         flatten(list_transform(list(pos), p -> [p, p + 1, p + 2])) AS cov
+  FROM cfspans JOIN cfrep USING (h) GROUP BY doc_id
+),
+cfout AS (
+  SELECT cfs.doc_id, len(sents) AS n_total,
+         list_transform(
+           list_filter(
+             list_transform(sents,
+               (v, i) -> struct_pack(s := v, i := i - 1)),
+             x -> NOT list_contains(coalesce(cov, []), x.i)),
+           x -> x.s) AS kept
+  FROM cfs LEFT JOIN cfhits USING (doc_id)
+)
 SELECT 'docs' AS part, CAST(doc_id AS VARCHAR) AS key, n_words, quality,
        CAST(NULL AS BIGINT) AS n_deduped,
        CAST(NULL AS BIGINT) AS n_quality_pass,
@@ -7042,6 +7335,28 @@ UNION ALL
 SELECT 'report', lang, CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
        n_deduped, n_quality_pass, n_curated
 FROM rep
+UNION ALL
+SELECT 'crawl_docs', CAST(doc_id AS VARCHAR),
+       len(kept)::BIGINT, CAST(NULL AS DOUBLE),
+       ('0x' || substr(md5(array_to_string(kept, ' ')), 1, 8))::BIGINT,
+       (n_total - len(kept))::BIGINT, CAST(NULL AS BIGINT)
+FROM cfout
+UNION ALL
+SELECT 'crawl_stages', s.stage, CAST(NULL AS BIGINT),
+       CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT),
+       CAST(NULL AS BIGINT), s.n
+FROM (
+  SELECT 's1_parsed' AS stage, count(*)::BIGINT AS n FROM cf_src
+  UNION ALL
+  SELECT 's2_status_ok', count(*)::BIGINT FROM cf_ok
+  UNION ALL
+  SELECT 's3_url_dedup', count(*)::BIGINT FROM cf_udp
+  UNION ALL
+  SELECT 's4_line_gates', count(*)::BIGINT FROM cf_gated
+  UNION ALL
+  SELECT 's5_span_removed',
+         coalesce(sum(n_total - len(kept)), 0)::BIGINT FROM cfout
+) s
 ORDER BY part, key
 """
     out["q37_q38_order_stats"] = f"""
