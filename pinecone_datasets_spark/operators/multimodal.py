@@ -8,9 +8,9 @@ the Python crossing is per-batch, not per-row.
 
 Decoding is REAL for the formats the standard library can express:
 PNG (zlib inflate + defilter), BMP (24-bpp), WAV (PCM-16)
-(``media_codecs``), baseline JPEG (``jpeg.py``), GIF incl. animation
-(``gif.py``). Formats beyond that (progressive JPEG, mp4/webm) still
-raise
+(``media_codecs``), baseline AND progressive JPEG (``jpeg.py``), GIF
+incl. animation (``gif.py``). Formats beyond that (mp4/webm,
+arithmetic-coded JPEG) still raise
 ``NotImplementedError``/decode-to-null — ffmpeg/Pillow are not in this
 environment — and ``fake=True`` keeps the deterministic stand-in for
 plumbing tests and cross-format benchmarks.
@@ -168,11 +168,12 @@ def extract_image_features(
     """binary content → (dims, mean luma, luma-histogram feature) via
     mapInPandas.
 
-    The default path REALLY decodes PNG, BMP, and baseline JPEG
-    (``media_codecs``: zlib inflate + scanline defilter / DIB pixel
-    array; ``jpeg``: Huffman + IDCT) and emits a normalized luma
-    histogram as the feature vector. Rows whose bytes no stdlib codec
-    can decode (progressive JPEG, corrupt blobs) yield NULL features
+    The default path REALLY decodes PNG, BMP, and JPEG — baseline
+    and progressive (``media_codecs``: zlib inflate + scanline
+    defilter / DIB pixel array; ``jpeg``: Huffman + IDCT + SOF2 scan
+    accumulation) — and emits a normalized luma histogram as the
+    feature vector. Rows whose bytes no stdlib codec can decode
+    (arithmetic-coded JPEG, corrupt blobs) yield NULL features
     instead of failing the job. ``fake=True`` swaps in the
     deterministic sha256-seeded stand-in through the identical plan —
     useful for format-independent plumbing tests.

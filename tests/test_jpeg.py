@@ -107,20 +107,87 @@ def test_probe_agrees_with_decoder():
     assert decode_jpeg(enc).shape == (33, 47, 3)
 
 
-def test_rejects_progressive_and_garbage():
+def test_rejects_malformed_and_garbage():
     img = _smooth_rgb(16, 16)
     enc = bytearray(encode_jpeg(img, quality=80))
-    # flip SOF0 (FFC0) to SOF2 (FFC2): progressive must refuse, not
-    # mis-decode
+    # flip SOF0 (FFC0) to SOF2 (FFC2): the stream CLAIMS progressive
+    # but carries a baseline full-band scan (Ss=0, Se=63 — illegal in
+    # SOF2, G.1.1.1.1) — must refuse, not mis-decode
     at = bytes(enc).find(b"\xff\xc0")
     assert at > 0
     enc[at + 1] = 0xC2
-    with pytest.raises(UnsupportedMediaError, match="baseline"):
+    with pytest.raises(UnsupportedMediaError, match="spectral band"):
         decode_jpeg(bytes(enc))
+    # arithmetic-coded SOF (SOF9/0xC9) stays an honest refusal
+    enc2 = bytearray(encode_jpeg(img, quality=80))
+    enc2[at + 1] = 0xC9
+    with pytest.raises(UnsupportedMediaError, match="supported"):
+        decode_jpeg(bytes(enc2))
     with pytest.raises(UnsupportedMediaError):
         decode_jpeg(b"\x89PNG not a jpeg")
     with pytest.raises(UnsupportedMediaError):
         decode_jpeg(b"\xff\xd8\xff\xd9")  # SOI+EOI, no frame
+
+
+@pytest.mark.parametrize(
+    "shape,sub",
+    [
+        ((16, 24, 3), "444"),
+        ((17, 23, 3), "420"),
+        ((32, 32, 3), "422"),
+        ((8, 8), "444"),
+        ((9, 15, 3), "444"),
+    ],
+)
+def test_progressive_roundtrip_matches_baseline(shape, sub):
+    """SOF2 decode (VERDICT r7 item 5): the progressive encoder's
+    quantized coefficients are identical to the baseline encoder's, so
+    BOTH streams must decode to bit-identical pixels — this pins the
+    whole spectral-selection + successive-approximation + EOB-run
+    machinery to the already-trusted baseline path."""
+    from pinecone_datasets_spark.operators.jpeg import (
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(sum(shape))
+    px = rng.integers(0, 256, shape, dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg(px, quality=85, subsample=sub))
+    prog = decode_jpeg(
+        encode_jpeg_progressive(px, quality=85, subsample=sub)
+    )
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_flat_and_gradient_eob_runs():
+    """Flat blocks exercise pure EOB-run scans; gradients exercise long
+    runs + refinement correction bits."""
+    from pinecone_datasets_spark.operators.jpeg import (
+        encode_jpeg_progressive,
+    )
+
+    flat = np.full((24, 24, 3), 128, np.uint8)
+    grad = (
+        np.linspace(0, 255, 64 * 48 * 3).reshape(64, 48, 3)
+    ).astype(np.uint8)
+    for px in (flat, grad):
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg(px)),
+            decode_jpeg(encode_jpeg_progressive(px)),
+        )
+
+
+def test_progressive_quality_sweep():
+    from pinecone_datasets_spark.operators.jpeg import (
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, (20, 28, 3), dtype=np.uint8)
+    for q in (30, 60, 95):
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg(px, quality=q)),
+            decode_jpeg(encode_jpeg_progressive(px, quality=q)),
+        )
 
 
 def test_truncated_scan_refuses():

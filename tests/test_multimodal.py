@@ -237,6 +237,61 @@ def test_extract_image_features_real(real_media_df):
     assert rows["wav0"]["width"] is None
 
 
+def test_image_quarantine_contract_end_to_end(spark):
+    """VERDICT r7 item 7: the full image quarantine chain in ONE
+    pipeline — decode_jpeg raises a typed UnsupportedMediaError for a
+    format it cannot decode (arithmetic-coded SOF9) → multimodal
+    decode-to-null → the `width IS NULL` filter isolates the
+    quarantine slice; meanwhile a PROGRESSIVE JPEG (r8) flows through
+    features AND pHash like any other still instead of being lost to
+    quarantine."""
+    import pytest as _pytest
+
+    from pinecone_datasets_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+    from pinecone_datasets_spark.operators.phash import image_phash
+
+    rng = np.random.default_rng(21)
+    px = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    prog = encode_jpeg_progressive(px)
+    arith = bytearray(encode_jpeg(px))
+    at = bytes(arith).find(b"\xff\xc0")
+    arith[at + 1] = 0xC9  # claim arithmetic coding (SOF9)
+    arith = bytes(arith)
+    # layer 1: the codec refuses with the typed error and a reason
+    with _pytest.raises(UnsupportedMediaError) as exc:
+        decode_jpeg(arith)
+    assert "supported" in str(exc.value)
+    df = spark.createDataFrame(
+        [
+            ("prog0", "image", prog, None, None, None, "jpeg"),
+            ("arith0", "image", arith, None, None, None, "jpeg"),
+        ],
+        schema=MEDIA_SCHEMA,
+    )
+    # layer 2: decode-to-null in the feature kernel
+    feats = {
+        r["media_id"]: r for r in extract_image_features(df).collect()
+    }
+    assert feats["arith0"]["width"] is None
+    assert feats["arith0"]["feature"] is None
+    assert feats["prog0"]["width"] == 16
+    assert abs(sum(feats["prog0"]["feature"]) - 1.0) < 1e-5
+    # layer 3: the quarantine filter isolates exactly the bad row
+    out = extract_image_features(df)
+    assert [
+        r["media_id"]
+        for r in out.where(out.width.isNull()).collect()
+    ] == ["arith0"]
+    # and the progressive still participates in pHash dedup
+    ph = {r["media_id"]: r for r in image_phash(df).collect()}
+    assert ph["prog0"]["phash"] is not None
+    assert ph["arith0"]["phash"] is None
+
+
 def test_extract_audio_features_real(real_media_df):
     out = extract_audio_features(real_media_df)
     rows = {r["media_id"]: r for r in out.collect()}
