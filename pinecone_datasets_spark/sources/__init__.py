@@ -24,6 +24,7 @@ from .warc import (
     read_warc,
     stream_warc,
     wet_text,
+    write_wet,
 )
 
 __all__ = [
@@ -34,6 +35,7 @@ __all__ = [
     "read_warc",
     "stream_warc",
     "wet_text",
+    "write_wet",
     "read_documents",
     "read_metadata",
     "read_queries",

@@ -338,6 +338,141 @@ def encode_warc(
     return out.getvalue()
 
 
+def write_wet(
+    df: DataFrame,
+    path: str,
+    uri_col: str = "url",
+    text_col: str = "text",
+    num_files: int = 8,
+    warc_date: str = "2026-01-01T00:00:00Z",
+    gzip_records: bool = True,
+) -> dict:
+    """Distributed WET sink (VERDICT r7 item 8): write an extracted-
+    text frame as spec-shaped ``.warc.wet.gz`` segments — the format
+    the crawl funnel CONSUMES, so extract → write_wet → read_warc →
+    wet_text closes the loop and fixture generation is self-contained.
+
+    Layout mirrors Common Crawl's WET drop: each segment leads with a
+    ``warcinfo`` record, then one ``conversion`` record per document
+    (``WARC-Target-URI``, ``Content-Type: text/plain``, one gzip
+    member per record when ``gzip_records``). Determinism: rows
+    hash-assign to segments on ``xxhash64(uri)`` and sort by uri
+    within a segment, record ids are ``<urn:md5:...>`` of the uri, and
+    gzip mtime is pinned — bytes reproduce run-to-run regardless of
+    input partitioning.
+
+    Scale shape: ONE shuffle (the segment key); segment bytes are
+    written task-side (applyInPandas) under the same task-commit
+    protocol as ``operators/shards.py`` — attempt-suffixed temp file,
+    ``os.replace`` once complete — so retried/speculative attempts
+    can't interleave; the driver sees only per-segment summary rows.
+    Requires a driver/executor-shared filesystem with atomic rename.
+    Returns the manifest dict (also written as ``manifest.json``,
+    which ``read_warc``'s default ``*.warc*`` glob ignores)."""
+    import hashlib as _hashlib
+    import json as _json
+    import os as _os
+
+    import pandas as _pd
+
+    if num_files < 1:
+        raise ValueError(f"num_files must be >= 1: {num_files}")
+    assigned = df.select(
+        F.col(uri_col).cast("string").alias("uri"),
+        F.col(text_col).cast("string").alias("text"),
+        F.pmod(F.xxhash64(F.col(uri_col)), F.lit(num_files))
+        .cast("int")
+        .alias("seg"),
+    )
+
+    def write_one(pdf: _pd.DataFrame) -> _pd.DataFrame:
+        from pyspark import TaskContext
+
+        seg = int(pdf["seg"].iloc[0])
+        pdf = pdf.sort_values("uri", kind="mergesort")
+        _os.makedirs(path, exist_ok=True)
+        name = f"wet-{seg:05d}.warc.wet" + (".gz" if gzip_records else "")
+        final = _os.path.join(path, name)
+        tc = TaskContext.get()
+        attempt = tc.taskAttemptId() if tc is not None else _os.getpid()
+        tmp = f"{final}.inprogress-{attempt}"
+        recs = [
+            {
+                "warc_type": "warcinfo",
+                "record_id": f"<urn:wet:seg:{seg}>",
+                "warc_date": warc_date,
+                "content_type": "application/warc-fields",
+                "content": (
+                    "software: pinecone-datasets-spark write_wet\r\n"
+                    "format: WARC File Format 1.0\r\n"
+                ),
+            }
+        ]
+        n_chars = 0
+        for uri, text in zip(pdf["uri"], pdf["text"]):
+            body = text if text is not None else ""
+            n_chars += len(body)
+            recs.append(
+                {
+                    "warc_type": "conversion",
+                    "record_id": "<urn:md5:"
+                    + _hashlib.md5(
+                        (uri or "").encode("utf-8")
+                    ).hexdigest()
+                    + ">",
+                    "target_uri": uri,
+                    "warc_date": warc_date,
+                    "content_type": "text/plain",
+                    "content": body,
+                }
+            )
+        blob = encode_warc(recs, gzip_records=gzip_records)
+        with open(tmp, "wb") as fh:
+            fh.write(blob)
+        _os.replace(tmp, final)
+        return _pd.DataFrame(
+            {
+                "seg": [seg],
+                "name": [name],
+                "n_records": [len(recs) - 1],
+                "n_chars": [n_chars],
+                "n_bytes": [len(blob)],
+            }
+        )
+
+    summary = (
+        assigned.groupBy("seg")
+        .applyInPandas(
+            write_one,
+            "seg int, name string, n_records long, n_chars long,"
+            " n_bytes long",
+        )
+        .collect()
+    )
+    files = sorted(
+        (
+            {
+                "name": r["name"],
+                "n_records": r["n_records"],
+                "n_chars": r["n_chars"],
+                "n_bytes": r["n_bytes"],
+            }
+            for r in summary
+        ),
+        key=lambda s: s["name"],
+    )
+    manifest = {
+        "format": "WET",
+        "files": files,
+        "n_records": int(sum(f["n_records"] for f in files)),
+        "n_chars": int(sum(f["n_chars"] for f in files)),
+    }
+    _os.makedirs(path, exist_ok=True)
+    with open(_os.path.join(path, "manifest.json"), "w") as fh:
+        _json.dump(manifest, fh, indent=1, sort_keys=True)
+    return manifest
+
+
 def http_status(content) -> "F.Column":
     """HTTP status code of a WARC ``response`` record's payload (the
     payload embeds the full HTTP message: status line, headers, blank

@@ -260,3 +260,52 @@ def test_corrupt_gzip_quarantines_not_dies(spark, tmp_path):
     q = got.quarantined.collect()
     assert len(q) >= 1  # the broken file surfaces, the job survives
     assert any(r["path"].endswith("b.warc.gz") for r in q)
+
+
+def test_write_wet_roundtrip_deterministic(spark, tmp_path):
+    """r8 WET writer twin: extract -> write_wet -> read_warc -> wet_text
+    closes the crawl loop; bytes are partitioning-independent and the
+    task-commit protocol leaves no temp files."""
+    import hashlib
+    import json
+    import os
+
+    from pinecone_datasets_spark.sources.warc import (
+        read_warc,
+        wet_text,
+        write_wet,
+    )
+
+    rows = [
+        (f"https://ex.com/{i}", f"extracted text {i}\nsecond line {i%3}")
+        for i in range(25)
+    ] + [("https://ex.com/empty", "")]
+    df = spark.createDataFrame(rows, "url string, text string")
+    hashes = []
+    for run, parts in (("a", 7), ("b", 3)):
+        path = str(tmp_path / run)
+        man = write_wet(df.repartition(parts), path, num_files=4)
+        assert man["n_records"] == len(rows)
+        digest = hashlib.md5()
+        for name in sorted(os.listdir(path)):
+            if name == "manifest.json":
+                continue
+            digest.update(name.encode())
+            digest.update(open(os.path.join(path, name), "rb").read())
+        hashes.append(digest.hexdigest())
+        assert not [n for n in os.listdir(path) if ".inprogress-" in n]
+    assert hashes[0] == hashes[1]
+
+    path = str(tmp_path / "a")
+    on_disk = json.load(open(os.path.join(path, "manifest.json")))
+    assert on_disk["n_records"] == len(rows)
+    got = read_warc(spark, path)
+    assert got.quarantined.count() == 0
+    back = {
+        r["target_uri"]: r["text"]
+        for r in wet_text(got.records).collect()
+    }
+    assert back == dict(rows)
+    # every segment leads with a warcinfo record
+    info = got.records.where("warc_type = 'warcinfo'").count()
+    assert info == len(on_disk["files"])
