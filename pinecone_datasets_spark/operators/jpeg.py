@@ -37,6 +37,11 @@ import numpy as np
 
 from .media_codecs import UnsupportedMediaError
 
+#: Decode-side allocation guard: frames claiming more pixels than this
+#: raise ``UnsupportedMediaError`` before any coefficient array is
+#: allocated (a corrupt SOF is otherwise a ~32 GB OOM vector).
+MAX_DECODE_PIXELS = 100_000_000
+
 # ---------------------------------------------------------------------------
 # Tables (ITU-T T.81 Annex K)
 # ---------------------------------------------------------------------------
@@ -824,10 +829,11 @@ def decode_jpeg(content: bytes) -> np.ndarray:
     """
     try:
         return _decode_jpeg(content)
-    except (struct.error, IndexError) as e:
-        # truncated headers/tables surface as short reads; same honest
+    except (struct.error, IndexError, KeyError, ValueError) as e:
+        # truncated headers/tables surface as short reads; corrupt
+        # component/table ids as missing-key lookups; same honest
         # refusal as the bit reader's in-scan truncation path
-        raise UnsupportedMediaError(f"malformed JPEG: {e}") from e
+        raise UnsupportedMediaError(f"malformed JPEG: {e!r}") from e
 
 
 def _decode_jpeg(content: bytes) -> np.ndarray:
@@ -938,6 +944,15 @@ def _decode_jpeg(content: bytes) -> np.ndarray:
     fh, fw, comps = sof
     if fh < 1 or fw < 1:
         raise UnsupportedMediaError("empty JPEG frame")
+    if fh * fw > MAX_DECODE_PIXELS:
+        # a corrupt/hostile SOF claiming 65535×65535 would otherwise
+        # allocate ~32 GB of coefficient arrays before any scan data
+        # is read — at corpus scale one such blob must cost a
+        # quarantine row, not an executor OOM
+        raise UnsupportedMediaError(
+            f"JPEG frame {fw}x{fh} exceeds MAX_DECODE_PIXELS"
+            f" ({MAX_DECODE_PIXELS})"
+        )
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     if hmax > 2 or vmax > 2:
@@ -966,6 +981,10 @@ def _decode_jpeg(content: bytes) -> np.ndarray:
     }
     comp_by_id = {cid: (hi, vi, tq) for cid, hi, vi, tq in comps}
     scan_tabs = {cid: (dc, ac) for cid, dc, ac in scan_comps}
+    if set(scan_tabs) - set(comp_by_id):
+        raise UnsupportedMediaError(
+            "SOS references a component id absent from SOF"
+        )
 
     n_mcu_total = mcus_x * mcus_y
     mcu_index = 0
@@ -1081,6 +1100,10 @@ def _decode_progressive_scans(scans, fh, fw, comps, hmax, vmax):
     comp_by_id = {cid: (hi, vi, tq) for cid, hi, vi, tq in comps}
 
     for scan_comps, ss, se, ah, al, restart, segments, htabs in scans:
+        if {c[0] for c in scan_comps} - set(comp_by_id):
+            raise UnsupportedMediaError(
+                "SOS references a component id absent from SOF"
+            )
         if ss == 0 and se == 0:
             _dc_scan(
                 scan_comps, ah, al, restart, segments, htabs, coefs,

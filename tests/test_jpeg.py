@@ -290,3 +290,46 @@ def test_jpeg_phash_detects_planted_near_dups(spark):
         for r in image_neardup_pairs(media, max_hamming=10).collect()
     }
     assert ("a", "b") in pairs or ("b", "a") in pairs
+
+
+def test_dimension_guard_refuses_before_allocating():
+    """A corrupt SOF claiming a 65535x65535 frame must cost a typed
+    refusal, not a ~32 GB coefficient allocation (corpus robustness:
+    one hostile blob = one quarantine row, never an executor OOM)."""
+    import struct as _struct
+
+    img = _smooth_rgb(16, 16)
+    enc = bytearray(encode_jpeg(img, quality=80))
+    at = bytes(enc).find(b"\xff\xc0")
+    # SOF payload: len(2) prec(1) height(2) width(2) — patch dims
+    enc[at + 5 : at + 9] = _struct.pack(">HH", 65535, 65535)
+    with pytest.raises(UnsupportedMediaError, match="MAX_DECODE_PIXELS"):
+        decode_jpeg(bytes(enc))
+
+
+@pytest.mark.parametrize("mode", ["baseline", "progressive"])
+def test_corruption_fuzz_never_uncontrolled(mode):
+    """Byte-flip fuzz over header AND scan bytes: every mutation must
+    either decode to a picture (possibly different) or raise the typed
+    UnsupportedMediaError — no IndexError/ValueError/infinite work
+    escapes the decode boundary."""
+    from pinecone_datasets_spark.operators.jpeg import (
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, (16, 24, 3), dtype=np.uint8)
+    enc = (
+        encode_jpeg(px, quality=70)
+        if mode == "baseline"
+        else encode_jpeg_progressive(px, quality=70)
+    )
+    positions = rng.integers(2, len(enc), size=120)
+    for pos in positions:
+        mutated = bytearray(enc)
+        mutated[pos] ^= 1 << int(rng.integers(0, 8))
+        try:
+            out = decode_jpeg(bytes(mutated))
+            assert isinstance(out, np.ndarray) and out.ndim == 3
+        except UnsupportedMediaError:
+            pass
