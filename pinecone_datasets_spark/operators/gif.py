@@ -147,6 +147,16 @@ def iter_gif_frames(content: bytes) -> Iterator[dict]:
         i += n * 3
     if sw == 0 or sh == 0:
         raise UnsupportedMediaError("GIF: zero logical screen")
+    from .media_codecs import MAX_DECODE_PIXELS
+
+    if sw * sh > MAX_DECODE_PIXELS:
+        # a corrupt/hostile screen descriptor must cost a quarantine
+        # row, not a multi-GB canvas allocation (same guard as
+        # jpeg.MAX_DECODE_PIXELS / decode_png)
+        raise UnsupportedMediaError(
+            f"GIF screen {sw}x{sh} exceeds MAX_DECODE_PIXELS"
+            f" ({MAX_DECODE_PIXELS})"
+        )
     # background canvas: bg color when a GCT exists, else black
     if gct is not None and bg_idx < len(gct):
         bg_rgb = gct[bg_idx]

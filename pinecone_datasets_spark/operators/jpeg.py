@@ -35,12 +35,7 @@ from typing import Optional
 
 import numpy as np
 
-from .media_codecs import UnsupportedMediaError
-
-#: Decode-side allocation guard: frames claiming more pixels than this
-#: raise ``UnsupportedMediaError`` before any coefficient array is
-#: allocated (a corrupt SOF is otherwise a ~32 GB OOM vector).
-MAX_DECODE_PIXELS = 100_000_000
+from .media_codecs import MAX_DECODE_PIXELS, UnsupportedMediaError
 
 # ---------------------------------------------------------------------------
 # Tables (ITU-T T.81 Annex K)

@@ -32,6 +32,12 @@ from typing import Optional, Tuple
 import numpy as np
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+#: Decode-side allocation guard shared by the stdlib codecs (PNG here,
+#: GIF's screen canvas, and — as ``jpeg.MAX_DECODE_PIXELS`` — the JPEG
+#: coefficient arrays): a corrupt or hostile header claiming a huge
+#: frame must cost one quarantine row, never a multi-GB allocation.
+MAX_DECODE_PIXELS = 100_000_000
 _PNG_CHANNELS = {0: 1, 2: 3, 6: 4}  # gray, RGB, RGBA
 
 
@@ -162,9 +168,19 @@ def decode_png(content: bytes) -> np.ndarray:
             f"color={color_type}, interlace={interlace})"
         )
     ch = _PNG_CHANNELS[color_type]
+    if width * height * ch > MAX_DECODE_PIXELS:
+        raise UnsupportedMediaError(
+            f"PNG {width}x{height} exceeds MAX_DECODE_PIXELS"
+            f" ({MAX_DECODE_PIXELS})"
+        )
     stride = width * ch
-    raw = zlib.decompress(b"".join(idat))
-    if len(raw) != (stride + 1) * height:
+    expected = (stride + 1) * height
+    # bounded inflate: a zip-bomb IDAT must not expand past the size
+    # the header promises (+1 to detect overflow) before the mismatch
+    # check can reject it
+    dec = zlib.decompressobj()
+    raw = dec.decompress(b"".join(idat), expected + 1)
+    if len(raw) != expected or dec.unconsumed_tail:
         raise UnsupportedMediaError("PNG payload size mismatch")
     rows = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
     filters = rows[:, 0]

@@ -583,3 +583,56 @@ def test_decode_avi_audio_first_stream_does_not_leak_dims():
     assert dims == (4, 4), dims  # not (44100, ...) from WAVEFORMATEX
     assert fcc == "DIB "
     assert len(frames) == 1
+
+
+def test_decode_dimension_guards_refuse_before_allocating():
+    """r8: corrupt/hostile headers claiming huge frames must cost a
+    typed refusal (one quarantine row at corpus scale), never a
+    multi-GB allocation — PNG IHDR, GIF screen descriptor, and a
+    zip-bomb IDAT that inflates past the promised size."""
+    import struct
+    import zlib
+
+    from pinecone_datasets_spark.operators.gif import iter_gif_frames
+    from pinecone_datasets_spark.operators.media_codecs import (
+        MAX_DECODE_PIXELS,
+        encode_png,
+    )
+
+    base = encode_png(np.zeros((4, 4, 3), np.uint8))
+    # patch IHDR dims to 60000x60000 (10.8G pixels > cap)
+    at = base.find(b"IHDR")
+    huge = (
+        base[: at + 4]
+        + struct.pack(">II", 60000, 60000)
+        + base[at + 12 :]
+    )
+    with pytest.raises(UnsupportedMediaError, match="MAX_DECODE_PIXELS"):
+        decode_png(huge)
+
+    # zip bomb: header promises 4x4 but IDAT inflates to ~10 MB — the
+    # bounded inflate must reject at the promised size, not expand it
+    bomb_raw = zlib.compress(b"\x00" * 10_000_000)
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+    bombed = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", bomb_raw)
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(UnsupportedMediaError, match="size mismatch"):
+        decode_png(bombed)
+
+    gif_hdr = b"GIF89a" + struct.pack("<HHBBB", 60000, 60000, 0, 0, 0)
+    with pytest.raises(UnsupportedMediaError, match="MAX_DECODE_PIXELS"):
+        list(iter_gif_frames(gif_hdr + b"\x3b"))
+    assert MAX_DECODE_PIXELS >= 64_000_000  # real photos must pass
