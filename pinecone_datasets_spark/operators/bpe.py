@@ -24,6 +24,24 @@ Determinism: merge selection breaks count ties lexicographically on
 the pair, so the same histogram always yields the same vocabulary —
 training is reproducible across cluster sizes because the histogram
 (an integer aggregation) is itself order-independent.
+
+Two tokenization levels share the machinery:
+
+* **word-level** (the Sennrich original): lowercase pre-tokens, an
+  ``</w>`` end-of-word marker, merges within words. Fully
+  SQL-replayable (the q49 oracle re-derives training AND encoding in
+  DuckDB recursive CTEs).
+* **byte-level** (r8; the GPT-2 / Radford et al. 2019 shape modern
+  LLM tokenizers use): the GPT-2 pre-token regex (contractions,
+  leading-space letter/number/punct runs, trailing-whitespace split),
+  each pre-token's UTF-8 bytes mapped through the reversible
+  byte→unicode table, merges over byte symbols with NO end-of-word
+  marker. Losslessly reversible: decode(encode(text)) == text
+  byte-for-byte, whitespace included — the property that makes it the
+  production choice. The pre-token regex needs lookahead
+  (``\\s+(?!\\S)``), which RE2 lacks, so this level is pytest-proved
+  rather than oracle-replayed (the shared merge trainer IS oracled via
+  the word level).
 """
 
 from __future__ import annotations
@@ -70,6 +88,7 @@ def word_histogram(
 def train_bpe(
     histogram: Iterable[tuple[str, int]],
     n_merges: int = 1000,
+    eow: bool = True,
 ) -> list[tuple[str, str]]:
     """Learn ``n_merges`` merge rules from a word histogram (driver-side;
     the histogram is bounded, so this is corpus-size-independent).
@@ -77,13 +96,16 @@ def train_bpe(
     Classic greedy BPE: repeatedly merge the most frequent adjacent
     symbol pair, counts weighted by word frequency; ties break on the
     pair lexicographically for determinism. Returns merges in rank
-    order — the rank IS the encode priority.
+    order — the rank IS the encode priority. ``eow=False`` trains
+    without the end-of-word marker (byte-level mode, where pre-tokens
+    already carry their leading-space boundary).
     """
+    tail = (EOW,) if eow else ()
     words: dict[tuple[str, ...], int] = {}
     for w, n in histogram:
         if not w:
             continue
-        words[tuple(w) + (EOW,)] = words.get(tuple(w) + (EOW,), 0) + n
+        words[tuple(w) + tail] = words.get(tuple(w) + tail, 0) + n
 
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
@@ -130,8 +152,12 @@ def bpe_vocab(merges: list[tuple[str, str]]) -> list[str]:
     return list(seen)
 
 
-def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
-    sym = list(word) + [EOW]
+def _encode_word(
+    word: str,
+    ranks: dict[tuple[str, str], int],
+    eow: bool = True,
+) -> list[str]:
+    sym = list(word) + ([EOW] if eow else [])
     while len(sym) > 1:
         best_rank = None
         best_i = -1
@@ -191,6 +217,157 @@ def bpe_tokenize_udf(
     return F.pandas_udf(
         kernel, ArrayType(IntegerType() if ids else StringType())
     )
+
+
+# ---------------------------------------------------------------------------
+# Byte-level (GPT-2-style) mode
+# ---------------------------------------------------------------------------
+
+#: The GPT-2 pre-tokenization pattern (public; Radford et al. 2019):
+#: contractions, optionally-space-led letter/number/other runs, and a
+#: whitespace split that keeps the last space attached to the next
+#: token. Java regex (Spark) and Python ``re`` both support the
+#: lookahead; RE2 (DuckDB) does not — byte-level is pytest-proved.
+BYTE_PRETOKEN_RE = (
+    r"'s|'t|'re|'ve|'m|'ll|'d"
+    r"| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+"
+)
+#: Python-re spelling of the same pattern (re has no \p classes:
+#: [^\W\d_] is the unicode letter class, \d the decimal digits, and
+#: "other" = non-space non-word OR underscore). On ASCII corpora the
+#: two spellings tokenize identically (tested); exotic scripts may
+#: split marks/number-letters slightly differently between the Spark
+#: histogram and the Arrow encoder — harmless, because byte-level
+#: encoding is lossless for ANY pre-tokenization.
+_BYTE_PRETOKEN_PY = (
+    r"'s|'t|'re|'ve|'m|'ll|'d"
+    r"| ?[^\W\d_]+| ?\d+| ?(?:[^\s\w]|_)+|\s+(?!\S)|\s+"
+)
+
+
+def bytes_to_unicode() -> dict[int, str]:
+    """GPT-2's reversible byte→printable-unicode map (public
+    algorithm): printable latin bytes map to themselves, the rest to
+    a contiguous private range starting at U+0100, so every byte
+    string becomes a string of visible symbols the merge machinery
+    can treat as characters."""
+    bs = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(ord("\xa1"), ord("\xac") + 1))
+        + list(range(ord("\xae"), ord("\xff") + 1))
+    )
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, (chr(c) for c in cs)))
+
+
+def _byte_map_str(s: str, table: dict[int, str]) -> str:
+    return "".join(table[b] for b in s.encode("utf-8"))
+
+
+def byte_pretoken_histogram(
+    df: DataFrame,
+    text_col: str = "text",
+    max_words: int = 100_000,
+) -> list[tuple[str, int]]:
+    """Byte-level twin of ``word_histogram``: ONE distributed pass
+    counting GPT-2 pre-tokens (case preserved, whitespace-led tokens
+    kept), then the bounded result is byte-mapped on the driver — the
+    map is bijective, so counting raw pre-tokens first moves no extra
+    data and keeps the Spark pass a plain string aggregation."""
+    counts = (
+        df.select(
+            F.explode(
+                F.regexp_extract_all(
+                    F.col(text_col), F.lit(BYTE_PRETOKEN_RE), 0
+                )
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.col("w"))
+        .limit(max_words)
+    )
+    table = bytes_to_unicode()
+    return [(_byte_map_str(r["w"], table), r["n"]) for r in counts.collect()]
+
+
+def train_byte_bpe(
+    histogram: Iterable[tuple[str, int]],
+    n_merges: int = 1000,
+) -> list[tuple[str, str]]:
+    """Byte-level training: the shared greedy trainer without the
+    end-of-word marker (pre-tokens carry their boundary as the leading
+    space byte)."""
+    return train_bpe(histogram, n_merges=n_merges, eow=False)
+
+
+def byte_bpe_vocab(merges: list[tuple[str, str]]) -> list[str]:
+    """GPT-2 vocab layout: the 256 byte units (in byte-value order,
+    through the unicode map) then one token per merge in rank order —
+    ids 0..255 are the closed byte alphabet, so NO input can ever
+    produce an unknown token."""
+    table = bytes_to_unicode()
+    return [table[b] for b in range(256)] + [a + b for a, b in merges]
+
+
+def byte_bpe_tokenize_udf(
+    merges: list[tuple[str, str]],
+    ids: bool = False,
+    vocab: Optional[list[str]] = None,
+):
+    """text → array<string> byte-level tokens (or array<int> ids).
+    Losslessly reversible: byte-demapping the concatenated tokens and
+    UTF-8-decoding reproduces the input exactly, whitespace included.
+    Same Arrow-batched shape and per-batch pre-token memoization as the
+    word-level UDF."""
+    import re
+
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    tok_ids = (
+        {t: i for i, t in enumerate(vocab or byte_bpe_vocab(merges))}
+        if ids
+        else None
+    )
+    pat = re.compile(_BYTE_PRETOKEN_PY)
+    table = bytes_to_unicode()
+
+    def kernel(texts: pd.Series) -> pd.Series:
+        cache: dict[str, list[str]] = {}
+        out = []
+        for t in texts:
+            if t is None:
+                out.append([])
+                continue
+            toks: list[str] = []
+            for w in pat.findall(t):
+                bw = _byte_map_str(w, table)
+                enc = cache.get(bw)
+                if enc is None:
+                    enc = _encode_word(bw, ranks, eow=False)
+                    cache[bw] = enc
+                toks.extend(enc)
+            if tok_ids is not None:
+                out.append([tok_ids.get(t_, -1) for t_ in toks])
+            else:
+                out.append(toks)
+        return pd.Series(out)
+
+    return F.pandas_udf(
+        kernel, ArrayType(IntegerType() if ids else StringType())
+    )
+
+
+def byte_bpe_decode(tokens: Iterable[str]) -> str:
+    """Inverse of the byte-level encoder: concatenate, demap the byte
+    table, UTF-8 decode. ``byte_bpe_decode(encode(text)) == text``."""
+    inv = {c: b for b, c in bytes_to_unicode().items()}
+    return bytes(inv[c] for c in "".join(tokens)).decode("utf-8")
 
 
 def bpe_token_counts(

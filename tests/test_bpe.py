@@ -125,3 +125,142 @@ def test_histogram_cap_keeps_most_frequent(spark):
     # truncation keeps a top slice: nothing dropped outranks anything kept
     assert all(full[w] == n for w, n in capped)
     assert sum(1 for n in full.values() if n > floor) <= 50
+
+
+# -- byte-level (GPT-2-style) mode (r8) -------------------------------------
+
+
+def test_bytes_to_unicode_is_bijective():
+    from pinecone_datasets_spark.operators.bpe import bytes_to_unicode
+
+    table = bytes_to_unicode()
+    assert len(table) == 256
+    assert len(set(table.values())) == 256
+    # printable latin bytes map to themselves
+    assert table[ord("A")] == "A" and table[ord("~")] == "~"
+    # control/space bytes map OUT of the raw range (visible symbols)
+    assert ord(table[0x20]) >= 256 and ord(table[0x0A]) >= 256
+
+
+def test_byte_bpe_lossless_roundtrip():
+    """The property word-level BPE cannot give: decode(encode(text))
+    reproduces the input EXACTLY — case, whitespace, punctuation,
+    unicode, everything."""
+    from pinecone_datasets_spark.operators.bpe import (
+        byte_bpe_decode,
+        byte_bpe_tokenize_udf,
+        bytes_to_unicode,
+        train_byte_bpe,
+        _byte_map_str,
+        _encode_word,
+    )
+    import re
+
+    from pinecone_datasets_spark.operators.bpe import _BYTE_PRETOKEN_PY
+
+    texts = [
+        "Hello, World!  Multiple  spaces\tand\ttabs.\nNewlines too.",
+        "CamelCase and snake_case and 'contractions' don't break",
+        "unicode: café — emoji \U0001f600 CJK 中文",
+        "   leading and trailing   ",
+        "",
+    ]
+    hist = {}
+    table = bytes_to_unicode()
+    pat = re.compile(_BYTE_PRETOKEN_PY)
+    for t in texts:
+        for w in pat.findall(t):
+            bw = _byte_map_str(w, table)
+            hist[bw] = hist.get(bw, 0) + 1
+    merges = train_byte_bpe(sorted(hist.items()), n_merges=50)
+    ranks = {p: i for i, p in enumerate(merges)}
+    for t in texts:
+        toks = []
+        for w in pat.findall(t):
+            toks.extend(_encode_word(_byte_map_str(w, table), ranks, eow=False))
+        assert byte_bpe_decode(toks) == t
+
+
+def test_byte_bpe_no_unknown_ids_ever():
+    """ids 0..255 are the closed byte alphabet — NO input can produce
+    -1, unlike the word-level vocab (which surfaces unknowns)."""
+    from pinecone_datasets_spark.operators.bpe import (
+        byte_bpe_vocab,
+        bytes_to_unicode,
+        train_byte_bpe,
+        _byte_map_str,
+        _encode_word,
+    )
+
+    table = bytes_to_unicode()
+    merges = train_byte_bpe([(_byte_map_str("the the", table), 5)], 10)
+    vocab = byte_bpe_vocab(merges)
+    assert len(vocab) == 256 + len(merges)
+    tid = {t: i for i, t in enumerate(vocab)}
+    # adversarial input sharing nothing with training
+    weird = _byte_map_str("\x00\xff ZZZ €", table)
+    ids = [tid.get(t, -1) for t in _encode_word(weird, {p: i for i, p in enumerate(merges)}, eow=False)]
+    assert ids and all(i >= 0 for i in ids)
+
+
+def test_byte_bpe_spark_path_and_java_python_pretoken_parity(spark):
+    """End-to-end on the fixture corpus: Spark histogram (Java regex) +
+    driver training + Arrow encode; every doc decodes back exactly; and
+    the Java and Python pre-tokenizations agree on this (ASCII) corpus."""
+    from pinecone_datasets_spark.operators.bpe import (
+        BYTE_PRETOKEN_RE,
+        byte_bpe_decode,
+        byte_bpe_tokenize_udf,
+        byte_pretoken_histogram,
+        train_byte_bpe,
+        _BYTE_PRETOKEN_PY,
+    )
+    import re
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    hist = byte_pretoken_histogram(docs, max_words=5000)
+    assert hist and all(n > 0 for _, n in hist)
+    merges = train_byte_bpe(hist, n_merges=150)
+    assert merges
+    sample = docs.select("doc_id", "text").limit(15)
+    toks = sample.withColumn(
+        "toks", byte_bpe_tokenize_udf(merges)(F.col("text"))
+    ).collect()
+    texts = {r["doc_id"]: r["text"] for r in sample.collect()}
+    for r in toks:
+        assert byte_bpe_decode(r["toks"]) == texts[r["doc_id"]]
+    # ids mode: closed alphabet, token-count parity
+    ids = sample.withColumn(
+        "ids", byte_bpe_tokenize_udf(merges, ids=True)(F.col("text"))
+    ).collect()
+    for ri, rt in zip(ids, toks):
+        assert len(ri["ids"]) == len(rt["toks"])
+        assert all(i >= 0 for i in ri["ids"])
+    # Java-vs-Python pre-token parity on this corpus
+    pat = re.compile(_BYTE_PRETOKEN_PY)
+    jrows = (
+        sample.select(
+            "doc_id",
+            F.regexp_extract_all(
+                F.col("text"), F.lit(BYTE_PRETOKEN_RE), 0
+            ).alias("pt"),
+        )
+    ).collect()
+    for r in jrows:
+        assert list(r["pt"]) == pat.findall(texts[r["doc_id"]])
+
+
+def test_byte_bpe_compresses_fixture(spark):
+    from pinecone_datasets_spark.operators.bpe import (
+        byte_bpe_tokenize_udf,
+        byte_pretoken_histogram,
+        train_byte_bpe,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    merges = train_byte_bpe(byte_pretoken_histogram(docs), n_merges=300)
+    agg = docs.select(
+        F.size(byte_bpe_tokenize_udf(merges)(F.col("text"))).alias("t"),
+        F.length("text").alias("c"),
+    ).agg(F.sum("t").alias("t"), F.sum("c").alias("c")).collect()[0]
+    assert 0 < agg["t"] < agg["c"]  # beats 1 token/byte on its corpus
