@@ -528,6 +528,54 @@ def mean_words_per_line(text: ColumnOrName) -> Column:
     return F.when(n <= 0, F.lit(0.0)).otherwise(words / n.cast("double"))
 
 
+#: The line-gate keys ``apply_line_gates`` understands (FineWeb/Gopher
+#: structural thresholds).
+LINE_GATE_KEYS = frozenset(
+    {
+        "max_dup_line_frac",
+        "max_bullet_line_frac",
+        "min_end_punct_line_frac",
+        "min_mean_words_per_line",
+    }
+)
+
+
+def apply_line_gates(df, line_gates: dict, text_col: str = "text"):
+    """Apply FineWeb/Gopher line-structure gates as map-only filters —
+    the ONE implementation shared by the batch curation chain
+    (``operators.pipeline.curate_corpus_full``), the streaming chain
+    (``streaming.curate.stream_curate``), and the streaming crawl
+    extractor. Unknown keys raise; an empty/None dict is a no-op.
+    Stream-legal by construction (pure column expressions)."""
+    if not line_gates:
+        return df
+    bad = set(line_gates) - LINE_GATE_KEYS
+    if bad:
+        raise ValueError(f"unknown line_gates: {sorted(bad)}")
+    t = _c(text_col)
+    if "max_dup_line_frac" in line_gates:
+        df = df.where(
+            duplicate_line_fraction(t)
+            <= float(line_gates["max_dup_line_frac"])
+        )
+    if "max_bullet_line_frac" in line_gates:
+        df = df.where(
+            bullet_line_fraction(t)
+            <= float(line_gates["max_bullet_line_frac"])
+        )
+    if "min_end_punct_line_frac" in line_gates:
+        df = df.where(
+            end_punct_line_fraction(t)
+            >= float(line_gates["min_end_punct_line_frac"])
+        )
+    if "min_mean_words_per_line" in line_gates:
+        df = df.where(
+            mean_words_per_line(t)
+            >= float(line_gates["min_mean_words_per_line"])
+        )
+    return df
+
+
 def line_stats_sql(text_expr: str) -> dict:
     """DuckDB twins of the five line-level signals — same trim class,
     same patterns, same array-local formulations, for oracle replay."""

@@ -271,43 +271,9 @@ def curate_corpus_full(
 
         df = dedup_by_url(df, url_col=url_col, id_col=id_col)
     if line_gates:
-        from ..functions.text import (
-            bullet_line_fraction,
-            duplicate_line_fraction,
-            end_punct_line_fraction,
-            mean_words_per_line,
-        )
+        from ..functions.text import apply_line_gates
 
-        known = {
-            "max_dup_line_frac",
-            "max_bullet_line_frac",
-            "min_end_punct_line_frac",
-            "min_mean_words_per_line",
-        }
-        bad = set(line_gates) - known
-        if bad:
-            raise ValueError(f"unknown line_gates: {sorted(bad)}")
-        t = F.col(text_col)
-        if "max_dup_line_frac" in line_gates:
-            df = df.where(
-                duplicate_line_fraction(t)
-                <= float(line_gates["max_dup_line_frac"])
-            )
-        if "max_bullet_line_frac" in line_gates:
-            df = df.where(
-                bullet_line_fraction(t)
-                <= float(line_gates["max_bullet_line_frac"])
-            )
-        if "min_end_punct_line_frac" in line_gates:
-            df = df.where(
-                end_punct_line_fraction(t)
-                >= float(line_gates["min_end_punct_line_frac"])
-            )
-        if "min_mean_words_per_line" in line_gates:
-            df = df.where(
-                mean_words_per_line(t)
-                >= float(line_gates["min_mean_words_per_line"])
-            )
+        df = apply_line_gates(df, line_gates, text_col=text_col)
     if sentence_span_n is not None:
         from .boilerplate import remove_duplicated_sentence_spans
 

@@ -1,13 +1,20 @@
 from .anomaly import stream_rolling_zscore
 from .dedup import stream_exact_dedup
 from .ingest import stream_documents, windowed_event_counts
-from .curate import dsir_gate, dsir_score, semantic_gate, stream_curate
+from .curate import (
+    dsir_gate,
+    dsir_score,
+    semantic_gate,
+    stream_crawl_extract,
+    stream_curate,
+)
 from .sketch import stream_heavy_hitters, stream_hll_registers
 
 __all__ = [
     "stream_documents",
     "stream_exact_dedup",
     "stream_heavy_hitters",
+    "stream_crawl_extract",
     "stream_curate",
     "dsir_score",
     "dsir_gate",

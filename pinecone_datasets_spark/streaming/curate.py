@@ -165,43 +165,9 @@ def stream_curate(
             quality_score(F.col(text_col)) >= F.lit(float(min_quality))
         )
     if line_gates:
-        from ..functions.text import (
-            bullet_line_fraction,
-            duplicate_line_fraction,
-            end_punct_line_fraction,
-            mean_words_per_line,
-        )
+        from ..functions.text import apply_line_gates
 
-        known = {
-            "max_dup_line_frac",
-            "max_bullet_line_frac",
-            "min_end_punct_line_frac",
-            "min_mean_words_per_line",
-        }
-        bad = set(line_gates) - known
-        if bad:
-            raise ValueError(f"unknown line_gates: {sorted(bad)}")
-        t = F.col(text_col)
-        if "max_dup_line_frac" in line_gates:
-            gated = gated.where(
-                duplicate_line_fraction(t)
-                <= float(line_gates["max_dup_line_frac"])
-            )
-        if "max_bullet_line_frac" in line_gates:
-            gated = gated.where(
-                bullet_line_fraction(t)
-                <= float(line_gates["max_bullet_line_frac"])
-            )
-        if "min_end_punct_line_frac" in line_gates:
-            gated = gated.where(
-                end_punct_line_fraction(t)
-                >= float(line_gates["min_end_punct_line_frac"])
-            )
-        if "min_mean_words_per_line" in line_gates:
-            gated = gated.where(
-                mean_words_per_line(t)
-                >= float(line_gates["min_mean_words_per_line"])
-            )
+        gated = apply_line_gates(gated, line_gates, text_col=text_col)
     if ratios is not None:
         gated = dsir_gate(
             gated, ratios, dsir_threshold, text_col, dsir_n, dsir_n_buckets
@@ -261,3 +227,80 @@ def semantic_gate(
     scored = docs.withColumn("_s", kernel(F.col(vector_col)))
     kept = scored.where(F.col("_s.n_bench_ge") == 0)
     return kept.withColumn("max_cos", F.col("_s.max_cos")).drop("_s")
+
+
+def stream_crawl_extract(
+    spark,
+    path: str,
+    glob: str = "*.warc*",
+    max_files_per_trigger: int = 16,
+    url_dedup: bool = True,
+    line_gates: Optional[dict] = None,
+    ts_col: Optional[str] = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming twin of the crawl pre-stages (the live-crawl front of
+    the q33_q34 'crawl_funnel' composition): stream_warc → HTTP-status
+    gate → html_to_text → stateful URL-key dedup → line gates, all
+    stream-legal:
+
+    1. WARC record stream (``sources.warc.stream_warc`` — bounded
+       micro-batches, malformed regions dropped; the batch reader
+       audits them);
+    2. keep ``response`` records with HTTP status 200 (map-only
+       envelope parse);
+    3. extract visible text (``functions.html.html_to_text`` — chained
+       codegen'd regexps, zero Python crossings);
+    4. URL-key dedup as stateful ``dropDuplicates`` on
+       ``md5(normalize_url(url))`` — FIRST ARRIVAL wins (the batch
+       ``dedup_by_url`` keeps the lowest id; on an ordered replay the
+       two agree — test-pinned). With ``ts_col`` (e.g. a parsed
+       ``warc_date``) state is watermark-bounded via
+       ``dropDuplicatesWithinWatermark``; rows with a NULL canonical
+       key are kept unconditionally, matching the batch rule;
+    5. optional FineWeb/Gopher line gates (shared
+       ``functions.text.apply_line_gates``).
+
+    What stays batch-only, by design: C4 sentence-span dedup needs
+    GLOBAL span occurrence counts — a corpus-level aggregate no
+    watermark bounds — so the streaming chain hands survivors to the
+    batch ``remove_duplicated_sentence_spans`` at snapshot points.
+
+    Output: ``(doc_uri, url, warc_date, text)`` rows ready for
+    ``stream_curate``'s content gates.
+    """
+    from ..functions.html import html_to_text
+    from ..functions.text import apply_line_gates
+    from ..operators.domains import normalize_url
+    from ..sources.warc import http_body, http_status, stream_warc
+
+    recs = stream_warc(
+        spark, path, glob=glob,
+        max_files_per_trigger=max_files_per_trigger,
+    )
+    parsed = recs.where(F.col("warc_type") == "response").select(
+        F.col("record_id").alias("doc_uri"),
+        F.col("target_uri").alias("url"),
+        F.col("warc_date"),
+        http_status("content").alias("status"),
+        http_body("content").alias("body"),
+    )
+    txt = (
+        parsed.where(F.col("status") == 200)
+        .withColumn("text", html_to_text(F.col("body")))
+        .drop("status", "body")
+    )
+    if url_dedup:
+        keyed = txt.withColumn(
+            "_ukey", F.md5(normalize_url(F.col("url")))
+        )
+        with_key = keyed.where(F.col("_ukey").isNotNull())
+        null_key = keyed.where(F.col("_ukey").isNull())
+        if ts_col is not None:
+            deduped = with_key.withWatermark(
+                ts_col, watermark
+            ).dropDuplicatesWithinWatermark(["_ukey"])
+        else:
+            deduped = with_key.dropDuplicates(["_ukey"])
+        txt = deduped.unionByName(null_key).drop("_ukey")
+    return apply_line_gates(txt, line_gates, text_col="text")

@@ -284,3 +284,110 @@ def test_raw_warc_crawl_to_corpus(spark, sf_dir, tmp_path):
     survived = {r["text"] for r in final.collect()}
     expected = {r["text"] for r in docs}
     assert survived == expected
+
+
+def test_stream_crawl_extract_availablenow_equals_batch(
+    spark, tmp_path, tmp_path_factory
+):
+    """r8 streaming twin of the crawl pre-stages: availableNow replay of
+    stream_crawl_extract (status gate → html_to_text → stateful URL
+    dedup → line gates) equals the batch chain (read_warc → http gates
+    → html_to_text → dedup_by_url → apply_line_gates) on an ordered
+    fixture where first arrival = lowest id."""
+    from pinecone_datasets_spark.functions.html import html_to_text
+    from pinecone_datasets_spark.functions.text import apply_line_gates
+    from pinecone_datasets_spark.operators.domains import dedup_by_url
+    from pinecone_datasets_spark.sources.warc import (
+        encode_warc,
+        http_body,
+        http_status,
+        read_warc,
+    )
+    from pinecone_datasets_spark.streaming.curate import (
+        stream_crawl_extract,
+    )
+
+    d = tmp_path / "crawl"
+    d.mkdir()
+    recs = []
+    for i in range(30):
+        status = "404 Not Found" if i % 9 == 0 else "200 OK"
+        # ids i and i+15 share a canonical URL (variant casing) — the
+        # lower id is serialized first, so stream first-arrival and
+        # batch min-id agree
+        host = f"ex{i % 15}.com"
+        url = (
+            f"https://{host}/p?a=1"
+            if i < 15
+            else f"HTTPS://{host.upper()}/p?a=1"
+        )
+        bullets = (
+            "<ul><li>- s1</li><li>- s2</li><li>- s3</li></ul>"
+            if i % 7 == 0
+            else ""
+        )
+        html = (
+            f"<html><body><p>Doc {i} body text here.</p>"
+            f"<p>More prose for doc {i}.</p>{bullets}</body></html>"
+        )
+        recs.append(
+            {
+                "warc_type": "response",
+                "record_id": f"<urn:doc:{i}>",
+                "target_uri": url,
+                "warc_date": "2026-01-01T00:00:00Z",
+                "content_type": "application/http; msgtype=response",
+                "content": f"HTTP/1.1 {status}\r\n\r\n{html}",
+            }
+        )
+    # two segment files (two micro-batch candidates), ordered by id
+    (d / "seg-0.warc.gz").write_bytes(
+        encode_warc(recs[:15], gzip_records=True)
+    )
+    (d / "seg-1.warc.gz").write_bytes(
+        encode_warc(recs[15:], gzip_records=True)
+    )
+
+    gates = {"max_bullet_line_frac": 0.4}
+    out = stream_crawl_extract(
+        spark, str(d), max_files_per_trigger=1, line_gates=gates
+    )
+    ckpt = str(tmp_path_factory.mktemp("ckpt_crawl"))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("crawl_stream")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_uri"]: r["text"]
+        for r in spark.sql("SELECT * FROM crawl_stream").collect()
+    }
+
+    recs_b = read_warc(spark, str(d)).records
+    parsed = recs_b.where(F.col("warc_type") == "response").select(
+        F.col("record_id").alias("doc_uri"),
+        F.col("target_uri").alias("url"),
+        http_status("content").alias("status"),
+        http_body("content").alias("body"),
+    )
+    txt = (
+        parsed.where(F.col("status") == 200)
+        .withColumn("text", html_to_text(F.col("body")))
+        .withColumn(
+            "doc_id",
+            F.regexp_extract("doc_uri", r"<urn:doc:([0-9]+)>", 1).cast(
+                "long"
+            ),
+        )
+    )
+    batch = apply_line_gates(
+        dedup_by_url(txt, url_col="url", id_col="doc_id"), gates
+    )
+    want = {r["doc_uri"]: r["text"] for r in batch.collect()}
+    assert got == want
+    # the funnel actually bit: 404s, URL dups, and bullet spam all gone
+    assert 0 < len(want) < 30
