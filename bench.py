@@ -737,6 +737,55 @@ def main() -> None:
             F.count(F.lit(1)).alias("n_docs"),
         )
 
+    def bench_byte_bpe_tokens():
+        # Byte-level (GPT-2-style) twin: same one-pass histogram +
+        # driver training + Arrow encode shape; first recording r8.
+        from pinecone_datasets_spark.operators.bpe import (
+            byte_bpe_tokenize_udf,
+            byte_pretoken_histogram,
+            train_byte_bpe,
+        )
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        merges = train_byte_bpe(
+            byte_pretoken_histogram(docs, max_words=50_000), 500
+        )
+        ids = byte_bpe_tokenize_udf(merges, ids=True)
+        return docs.select(
+            "lang", F.size(ids(F.col("text"))).alias("t")
+        ).groupBy("lang").agg(
+            F.sum("t").alias("total_tokens"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+
+    def bench_wet_export():
+        # Distributed WET sink (r8): one xxhash64-uri shuffle, segment
+        # bytes written task-side under the atomic task-commit
+        # protocol; the leg prices write + manifest + a read-back
+        # count so the round trip is what is measured.
+        import shutil as _shutil
+
+        from pinecone_datasets_spark.sources.warc import (
+            read_warc,
+            wet_text,
+            write_wet,
+        )
+
+        out_dir = os.path.join(bench_tmp, "wet_export")
+        if os.path.isdir(out_dir):
+            _shutil.rmtree(out_dir)
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+            F.concat(
+                F.lit("https://corpus/"), F.col("doc_id").cast("string")
+            ).alias("url"),
+            "text",
+        )
+        write_wet(docs, out_dir, num_files=32)
+        return wet_text(read_warc(spark, out_dir).records).groupBy().agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.length("text")).alias("chars"),
+        )
+
     jsonl_path = bench_tmp + "/docs_jsonl"
     DOCS_TEXT_SCHEMA = (
         "doc_id long, text string, lang string, "
@@ -1008,6 +1057,8 @@ def main() -> None:
         "html_extract": bench_html_extract,
         "token_shards": bench_token_shards,
         "bpe_tokens": bench_bpe_tokens,
+        "byte_bpe_tokens": bench_byte_bpe_tokens,
+        "wet_export": bench_wet_export,
         "cm_freq": bench_cm_freq,
         "bloom_dedup": bench_bloom_dedup,
         "pca_project_16": bench_pca_project,

@@ -359,6 +359,11 @@ def test_normalize_url_map_only_and_dedup_key_only_shuffles(spark, sf_dir):
     # the join back to payload rows must be broadcast (keep-set is the
     # grouped key frame) — the full text column never shuffles
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    # r8: the NULL-key keep-unconditionally branch is a union of two
+    # key-only frames — no cartesian anywhere, and both branches stay
+    # (doc_id, fingerprint)-narrow
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_warc_parse_single_exchange_to_aggregate(spark, sf_dir, tmp_path):

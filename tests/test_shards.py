@@ -186,3 +186,41 @@ def test_order_preserving_shards_replay_global_order(spark, tmp_path):
         for r in read_token_shards(spark, path).collect()
     }
     assert back == {i: t for i, _, t in rows}
+
+
+def test_composes_with_byte_bpe_ids(spark, tmp_path):
+    """r8: byte-level BPE ids (closed 256+merges alphabet, never -1)
+    flow straight into the uint16 shard export and back, losslessly —
+    the GPT-2-style end of the training-egress path."""
+    from pinecone_datasets_spark.operators.bpe import (
+        byte_bpe_decode,
+        byte_bpe_tokenize_udf,
+        byte_bpe_vocab,
+        byte_pretoken_histogram,
+        train_byte_bpe,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(40)
+    merges = train_byte_bpe(byte_pretoken_histogram(docs), n_merges=100)
+    vocab = byte_bpe_vocab(merges)
+    assert len(vocab) < 1 << 16  # uint16-exportable
+    ids_df = docs.select(
+        "doc_id",
+        byte_bpe_tokenize_udf(merges, ids=True)(F.col("text")).alias(
+            "token_ids"
+        ),
+    )
+    path = str(tmp_path / "byte_shards")
+    man = write_token_shards(ids_df, path, num_shards=3, dtype="uint16")
+    back = {
+        r["doc_id"]: r["token_ids"]
+        for r in read_token_shards(spark, path).collect()
+    }
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert man["n_docs"] == len(texts)
+    # full lossless circle: text -> ids -> shard bytes -> ids -> text
+    for did, ids in back.items():
+        toks = [vocab[i] for i in ids]
+        assert byte_bpe_decode(toks) == texts[did]
