@@ -380,7 +380,13 @@ def write_wet(
     assigned = df.select(
         F.col(uri_col).cast("string").alias("uri"),
         F.col(text_col).cast("string").alias("text"),
-        F.pmod(F.xxhash64(F.col(uri_col)), F.lit(num_files))
+        # coalesce: a NULL uri must still land in a segment (xxhash64
+        # of NULL is NULL, which would make the group key NULL and the
+        # writer crash); the record keeps its NULL target_uri
+        F.pmod(
+            F.xxhash64(F.coalesce(F.col(uri_col).cast("string"), F.lit(""))),
+            F.lit(num_files),
+        )
         .cast("int")
         .alias("seg"),
     )

@@ -279,7 +279,7 @@ def test_write_wet_roundtrip_deterministic(spark, tmp_path):
     rows = [
         (f"https://ex.com/{i}", f"extracted text {i}\nsecond line {i%3}")
         for i in range(25)
-    ] + [("https://ex.com/empty", "")]
+    ] + [("https://ex.com/empty", ""), (None, "doc with no url")]
     df = spark.createDataFrame(rows, "url string, text string")
     hashes = []
     for run, parts in (("a", 7), ("b", 3)):
