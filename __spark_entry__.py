@@ -3568,6 +3568,13 @@ def _crawl_funnel_frames(spark: SparkSession, sf_dir: str):
         with open(seg, "wb") as fh:
             fh.write(encode_warc(recs, gzip_records=True))
 
+    # One flags-annotated frame instead of per-stage subtrees: naive
+    # per-stage counts would re-run the WARC parse once PER STAGE (6
+    # binaryFile+Arrow passes — at crawl scale, 6x the scan); here the
+    # gates become boolean columns over a single parse, stage counts
+    # are one conditional aggregation of those flags, and only the
+    # span-dedup stage (which genuinely needs the survivor corpus)
+    # adds passes.
     recs_df = read_warc(spark, path).records
     parsed = recs_df.select(
         F.regexp_extract("record_id", r"<urn:doc:([0-9]+)>", 1)
@@ -3577,12 +3584,41 @@ def _crawl_funnel_frames(spark: SparkSession, sf_dir: str):
         http_status("content").alias("status"),
         http_body("content").alias("body"),
     )
-    ok = parsed.where(F.col("status") == 200)
-    txt = ok.select(
-        "doc_id", "url", html_to_text(F.col("body")).alias("text")
+    txt = parsed.select(
+        "doc_id",
+        "url",
+        (F.col("status") == 200).alias("f_ok"),
+        F.when(
+            F.col("status") == 200, html_to_text(F.col("body"))
+        ).alias("text"),
     )
-    udp = dedup_by_url(txt, url_col="url", id_col="doc_id")
-    gated = udp.where(bullet_line_fraction(F.col("text")) <= 0.05)
+    # URL-dedup keep set over the status-OK slice (the pipeline-order
+    # semantics): min doc_id per canonical key, NULL keys kept — the
+    # same rule as operators.domains.dedup_by_url, expressed as a flag
+    from pinecone_datasets_spark.operators.domains import normalize_url
+
+    ukey = F.md5(normalize_url(F.col("url")))
+    keep = (
+        txt.where("f_ok")
+        .select("doc_id", ukey.alias("_ukey"))
+        .groupBy("_ukey")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", F.lit(True).alias("f_url_rep"))
+    )
+    flags = (
+        txt.join(keep, "doc_id", "left")
+        .withColumn(
+            "f_url",
+            F.col("f_ok")
+            & (F.col("f_url_rep").isNotNull() | ukey.isNull()),
+        )
+        .withColumn(
+            "f_gate",
+            F.col("f_url")
+            & (bullet_line_fraction(F.col("text")) <= 0.05),
+        )
+    )
+    gated = flags.where("f_gate").select("doc_id", "text")
     clean = remove_duplicated_sentence_spans(gated, n=3)
     docs_df = clean.select(
         "doc_id",
@@ -3597,26 +3633,28 @@ def _crawl_funnel_frames(spark: SparkSession, sf_dir: str):
         .cast("long")
         .alias("clean_fp"),
     )
-
-    def _cnt(df: DataFrame, name: str) -> DataFrame:
-        return df.agg(
-            F.count(F.lit(1)).cast("long").alias("n")
-        ).select(F.lit(name).alias("stage"), "n")
-
-    stages_df = (
-        _cnt(parsed, "s1_parsed")
-        .unionByName(_cnt(ok, "s2_status_ok"))
-        .unionByName(_cnt(udp, "s3_url_dedup"))
-        .unionByName(_cnt(gated, "s4_line_gates"))
-        .unionByName(
-            clean.agg(
-                F.coalesce(
-                    F.sum("n_removed_sentences"), F.lit(0)
-                )
-                .cast("long")
-                .alias("n")
-            ).select(F.lit("s5_span_removed").alias("stage"), "n")
-        )
+    counts = flags.agg(
+        F.count(F.lit(1)).cast("long").alias("s1_parsed"),
+        F.sum(F.col("f_ok").cast("long")).cast("long").alias(
+            "s2_status_ok"
+        ),
+        F.sum(F.col("f_url").cast("long")).cast("long").alias(
+            "s3_url_dedup"
+        ),
+        F.sum(F.col("f_gate").cast("long")).cast("long").alias(
+            "s4_line_gates"
+        ),
+    )
+    stages_df = counts.selectExpr(
+        "stack(4, 's1_parsed', s1_parsed, 's2_status_ok', s2_status_ok,"
+        " 's3_url_dedup', s3_url_dedup, 's4_line_gates', s4_line_gates)"
+        " AS (stage, n)"
+    ).unionByName(
+        clean.agg(
+            F.coalesce(F.sum("n_removed_sentences"), F.lit(0))
+            .cast("long")
+            .alias("n")
+        ).select(F.lit("s5_span_removed").alias("stage"), "n")
     )
     return docs_df, stages_df
 
