@@ -636,3 +636,63 @@ def test_decode_dimension_guards_refuse_before_allocating():
     with pytest.raises(UnsupportedMediaError, match="MAX_DECODE_PIXELS"):
         list(iter_gif_frames(gif_hdr + b"\x3b"))
     assert MAX_DECODE_PIXELS >= 64_000_000  # real photos must pass
+
+
+def test_audio_fingerprint_neardup_matrix(spark):
+    """r8: the audio twin of image pHash — noisy/attenuated copies land
+    within a small Hamming radius, distinct signals far away; the
+    pigeonhole pair join finds exactly the planted near-dups; silence
+    is deterministic and undecodable rows fingerprint to NULL."""
+    from pinecone_datasets_spark.operators.multimodal import (
+        audio_fingerprint,
+        audio_neardup_pairs,
+    )
+    from pinecone_datasets_spark.operators.media_codecs import encode_wav
+
+    rng = np.random.default_rng(5)
+    t = np.arange(16000) / 16000.0
+
+    def tone_mix(seed):
+        r = np.random.default_rng(seed)
+        f = r.uniform(300, 2500, size=4)
+        a = r.uniform(0.1, 0.3, size=4)
+        return sum(ai * np.sin(2 * np.pi * fi * t) for fi, ai in zip(f, a))
+
+    base = tone_mix(1)
+    other = tone_mix(2)
+    rows = [
+        ("a0", "audio", encode_wav(base, rate=16000), None, None, None, None),
+        # near-dups: additive noise and 0.5x attenuation
+        ("a0_noisy", "audio",
+         encode_wav(base + rng.normal(0, 0.003, len(base)), rate=16000),
+         None, None, None, None),
+        ("a0_quiet", "audio", encode_wav(0.5 * base, rate=16000),
+         None, None, None, None),
+        ("b0", "audio", encode_wav(other, rate=16000), None, None, None, None),
+        ("sil", "audio", encode_wav(np.zeros(16000), rate=16000),
+         None, None, None, None),
+        ("bad", "audio", b"not a wav", None, None, None, None),
+    ]
+    df = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    fps = {r["media_id"]: r for r in audio_fingerprint(df).collect()}
+    assert fps["bad"]["afp"] is None
+    assert fps["sil"]["afp"] == 0  # all-zero diffs -> all-zero bits
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert ham(fps["a0"]["afp"], fps["a0_quiet"]["afp"]) == 0  # scale-invariant
+    assert ham(fps["a0"]["afp"], fps["a0_noisy"]["afp"]) <= 6
+    assert ham(fps["a0"]["afp"], fps["b0"]["afp"]) > 12
+    pairs = {
+        tuple(sorted((r["id_a"], r["id_b"])))
+        for r in audio_neardup_pairs(df, max_hamming=6).collect()
+    }
+    assert ("a0", "a0_noisy") in pairs
+    assert ("a0", "a0_quiet") in pairs
+    assert not any("b0" in p and "a0" in p for p in pairs)
+    # parameter guard
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="must be 64"):
+        audio_fingerprint(df, n_bands=10, segments=4).collect()
