@@ -395,7 +395,7 @@ def write_wet(
         from pyspark import TaskContext
 
         seg = int(pdf["seg"].iloc[0])
-        pdf = pdf.sort_values("uri", kind="mergesort")
+        pdf = pdf.sort_values(["uri", "text"], kind="mergesort")
         _os.makedirs(path, exist_ok=True)
         name = f"wet-{seg:05d}.warc.wet" + (".gz" if gzip_records else "")
         final = _os.path.join(path, name)

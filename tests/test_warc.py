@@ -279,7 +279,8 @@ def test_write_wet_roundtrip_deterministic(spark, tmp_path):
     rows = [
         (f"https://ex.com/{i}", f"extracted text {i}\nsecond line {i%3}")
         for i in range(25)
-    ] + [("https://ex.com/empty", ""), (None, "doc with no url")]
+    ] + [("https://ex.com/empty", ""), (None, "doc with no url"),
+         ("https://ex.com/dup", "version B"), ("https://ex.com/dup", "version A")]
     df = spark.createDataFrame(rows, "url string, text string")
     hashes = []
     for run, parts in (("a", 7), ("b", 3)):
@@ -301,11 +302,13 @@ def test_write_wet_roundtrip_deterministic(spark, tmp_path):
     assert on_disk["n_records"] == len(rows)
     got = read_warc(spark, path)
     assert got.quarantined.count() == 0
-    back = {
-        r["target_uri"]: r["text"]
-        for r in wet_text(got.records).collect()
-    }
-    assert back == dict(rows)
+    keyf = lambda p: (p[0] is not None, p[0] or "", p[1])  # noqa: E731
+    back = sorted(
+        ((r["target_uri"], r["text"])
+         for r in wet_text(got.records).collect()),
+        key=keyf,
+    )
+    assert back == sorted(rows, key=keyf)
     # every segment leads with a warcinfo record
     info = got.records.where("warc_type = 'warcinfo'").count()
     assert info == len(on_disk["files"])
