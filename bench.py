@@ -737,6 +737,62 @@ def main() -> None:
             F.count(F.lit(1)).alias("n_docs"),
         )
 
+    def bench_audio_fp_dedup():
+        # audio near-dup end-to-end (r8): synthesize 1s PCM-16 tone
+        # mixes per doc (doc_id % 10 == 0 gets a noisy twin), 64-bit
+        # band-energy fingerprint (real WAV decode + rfft), pigeonhole
+        # Hamming pair join — the audio mirror of image_phash_dedup.
+        import numpy as np
+        import pandas as pd
+
+        from pinecone_datasets_spark.operators.media_codecs import (
+            encode_wav,
+        )
+        from pinecone_datasets_spark.operators.multimodal import (
+            MEDIA_SCHEMA,
+            audio_neardup_pairs,
+        )
+        from pinecone_datasets_spark.shipping import ensure_shipped
+
+        ensure_shipped(spark)
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+        def make_wav_with_twins(batches):
+            t = np.arange(8000) / 16000.0
+            for pdf in batches:
+                ids, content = [], []
+                for did in pdf["doc_id"]:
+                    rng = np.random.default_rng(int(did) & 0xFFFFFFFF)
+                    f = rng.uniform(300, 2500, size=4)
+                    a = rng.uniform(0.1, 0.3, size=4)
+                    sig = sum(
+                        ai * np.sin(2 * np.pi * fi * t)
+                        for fi, ai in zip(f, a)
+                    )
+                    ids.append(str(did))
+                    content.append(encode_wav(sig, rate=16000))
+                    if int(did) % 10 == 0:
+                        noisy = sig + rng.normal(0, 0.003, len(sig))
+                        ids.append(f"{did}_twin")
+                        content.append(encode_wav(noisy, rate=16000))
+                n = len(ids)
+                yield pd.DataFrame(
+                    {
+                        "media_id": ids,
+                        "media_type": "audio",
+                        "content": content,
+                        "width": pd.array([None] * n, dtype="Int32"),
+                        "height": pd.array([None] * n, dtype="Int32"),
+                        "duration_ms": pd.array([None] * n, dtype="Int64"),
+                        "format": "wav",
+                    }
+                )
+
+        media = docs.select("doc_id").mapInPandas(
+            make_wav_with_twins, MEDIA_SCHEMA
+        )
+        return audio_neardup_pairs(media, max_hamming=6)
+
     def bench_byte_bpe_tokens():
         # Byte-level (GPT-2-style) twin: same one-pass histogram +
         # driver training + Arrow encode shape; first recording r8.
@@ -1058,6 +1114,7 @@ def main() -> None:
         "token_shards": bench_token_shards,
         "bpe_tokens": bench_bpe_tokens,
         "byte_bpe_tokens": bench_byte_bpe_tokens,
+        "audio_fp_dedup": bench_audio_fp_dedup,
         "wet_export": bench_wet_export,
         "cm_freq": bench_cm_freq,
         "bloom_dedup": bench_bloom_dedup,

@@ -423,7 +423,16 @@ def _afp_bits(
         ],
         axis=1,
     )  # (n_frames, n_bands)
-    bits = energies[:, :-1] > energies[:, 1:]  # (n_frames, n_bands-1)
+    # Tie-break floor: a band-pair where BOTH energies sit >=20 dB
+    # below the clip's mean band energy is comparing noise floor
+    # against noise floor — its sign bit would be re-rolled by any
+    # re-encode. Pin those bits to 0 (deterministic) instead; bands
+    # with real content are untouched. This is what keeps the
+    # signature stable on sparse spectra (pure tones, narrowband
+    # speech), where half the bands are empty.
+    floor = 1e-2 * max(energies.mean(), 1e-30)
+    live = (energies[:, :-1] > floor) | (energies[:, 1:] > floor)
+    bits = (energies[:, :-1] > energies[:, 1:]) & live
     n_frames = bits.shape[0]
     chunks = np.array_split(bits, segments, axis=0)
     folded = np.concatenate(
