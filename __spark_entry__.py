@@ -1411,9 +1411,38 @@ def _bpe_fixture(spark: SparkSession, sf_dir: str):
     hist = word_histogram(doc, max_words=1000)
     merges = train_bpe(hist, n_merges=40)
     vocab = bpe_vocab(merges)
+    # extras must cover the chars of EVERY corpus pre-token, not just
+    # the top-max_words histogram slice — a rare character living only
+    # in tail words would otherwise encode to -1 and trip the uint16
+    # shard export's fail-loud guard. One bounded aggregation (the
+    # distinct character set); the oracle derives extras from the same
+    # all-words universe (its `encwords` CTE).
+    corpus_chars = {
+        r["c"]
+        for r in doc.select(
+            F.explode(
+                F.array_distinct(
+                    F.split(
+                        F.concat_ws(
+                            "",
+                            F.regexp_extract_all(
+                                F.lower(F.col("text")),
+                                F.lit(r"[a-z0-9]+|[^a-z0-9\s]"),
+                                0,
+                            ),
+                        ),
+                        "",
+                    )
+                )
+            ).alias("c")
+        )
+        .where(F.col("c") != "")
+        .distinct()
+        .collect()
+    }
     extras = [
         c
-        for c in sorted({ch for w, _ in hist for ch in w} | {EOW})
+        for c in sorted(corpus_chars | {EOW})
         if c not in set(vocab)
     ]
     vocab_full = vocab + extras
@@ -5114,23 +5143,26 @@ vocab AS (
       FROM merges CROSS JOIN (SELECT unnest([0, 1, 2]) AS off) vo
     ) vv GROUP BY tok) vm
 ),
-extras AS (
-  SELECT c AS tok,
-         (SELECT count(*) FROM vocab)
-           + row_number() OVER (ORDER BY c) - 1 AS tid
-  FROM (
-    SELECT DISTINCT unnest(string_split(w, '')) AS c FROM hist
-    UNION SELECT '</w>'
-  ) ch
-  WHERE c NOT IN (SELECT tok FROM vocab)
-),
-vocab_full AS (SELECT * FROM vocab UNION ALL SELECT * FROM extras),
 dw AS (
   SELECT doc_id, regexp_extract_all(lower(text),
            '[a-z0-9]+|[^a-z0-9 \\t\\n\\r\\f\\x0B]') AS ws
   FROM documents
 ),
 encwords AS (SELECT DISTINCT unnest(ws) AS w FROM dw),
+-- extras cover the chars of EVERY corpus pre-token (encwords), not
+-- just the histogram slice — matching the Spark side's fix for rare
+-- tail-word characters
+extras AS (
+  SELECT c AS tok,
+         (SELECT count(*) FROM vocab)
+           + row_number() OVER (ORDER BY c) - 1 AS tid
+  FROM (
+    SELECT DISTINCT unnest(string_split(w, '')) AS c FROM encwords
+    UNION SELECT '</w>'
+  ) ch
+  WHERE c <> '' AND c NOT IN (SELECT tok FROM vocab)
+),
+vocab_full AS (SELECT * FROM vocab UNION ALL SELECT * FROM extras),
 enc AS (
   SELECT w,
          chr(31) || array_to_string(

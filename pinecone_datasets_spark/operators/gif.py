@@ -37,7 +37,7 @@ from typing import Iterator, Optional, Sequence
 
 import numpy as np
 
-from .media_codecs import UnsupportedMediaError
+from .media_codecs import MAX_DECODE_PIXELS, UnsupportedMediaError
 
 _MAGICS = (b"GIF87a", b"GIF89a")
 
@@ -147,8 +147,6 @@ def iter_gif_frames(content: bytes) -> Iterator[dict]:
         i += n * 3
     if sw == 0 or sh == 0:
         raise UnsupportedMediaError("GIF: zero logical screen")
-    from .media_codecs import MAX_DECODE_PIXELS
-
     if sw * sh > MAX_DECODE_PIXELS:
         # a corrupt/hostile screen descriptor must cost a quarantine
         # row, not a multi-GB canvas allocation (same guard as

@@ -824,6 +824,9 @@ def decode_jpeg(content: bytes) -> np.ndarray:
     """
     try:
         return _decode_jpeg(content)
+    except UnsupportedMediaError:
+        raise  # intentional refusals keep their own message (a
+        # ValueError subclass — the clause below would double-wrap it)
     except (struct.error, IndexError, KeyError, ValueError) as e:
         # truncated headers/tables surface as short reads; corrupt
         # component/table ids as missing-key lookups; same honest

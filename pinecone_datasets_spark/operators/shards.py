@@ -130,7 +130,7 @@ def write_token_shards(
         sort_keys = ["__ord", "doc_id"]
 
     def write_one(pdf: pd.DataFrame) -> pd.DataFrame:
-        from pyspark import TaskContext
+        from ..taskio import attempt_tmp_path, commit_file
 
         shard = int(pdf["shard"].iloc[0])
         pdf = pdf.sort_values(sort_keys, kind="mergesort")
@@ -139,13 +139,11 @@ def write_token_shards(
         # need not share the driver's view of mkdir at function entry
         bin_path = os.path.join(path, f"shard-{shard:05d}.bin")
         idx_path = os.path.join(path, f"shard-{shard:05d}.idx")
-        tc = TaskContext.get()
-        attempt = tc.taskAttemptId() if tc is not None else os.getpid()
         # attempt-unique temp names (never matching the reader's
         # *.bin/*.idx globs), atomically renamed only once complete —
-        # see the task-commit protocol note in the docstring
-        bin_tmp = f"{bin_path}.inprogress-{attempt}"
-        idx_tmp = f"{idx_path}.inprogress-{attempt}"
+        # the shared task-commit protocol (taskio.py)
+        bin_tmp = attempt_tmp_path(bin_path)
+        idx_tmp = attempt_tmp_path(idx_path)
         n_tokens = 0
         entries = []
         with open(bin_tmp, "wb") as fb:
@@ -169,8 +167,8 @@ def write_token_shards(
             fi.write(struct.pack("<Q", len(entries)))
             for doc_id, cnt in entries:
                 fi.write(struct.pack("<qq", doc_id, cnt))
-        os.replace(bin_tmp, bin_path)
-        os.replace(idx_tmp, idx_path)
+        commit_file(bin_tmp, bin_path)
+        commit_file(idx_tmp, idx_path)
         return pd.DataFrame(
             {
                 "shard": [shard],

@@ -356,22 +356,28 @@ def write_wet(
     ``warcinfo`` record, then one ``conversion`` record per document
     (``WARC-Target-URI``, ``Content-Type: text/plain``, one gzip
     member per record when ``gzip_records``). Determinism: rows
-    hash-assign to segments on ``xxhash64(uri)`` and sort by uri
-    within a segment, record ids are ``<urn:md5:...>`` of the uri, and
-    gzip mtime is pinned — bytes reproduce run-to-run regardless of
-    input partitioning.
+    hash-assign to segments on ``xxhash64(uri)`` and sort by
+    (uri, text) within a segment, record ids are ``<urn:md5:...>`` of
+    (uri, text) with a duplicate-ordinal suffix (unique per record, as
+    the WARC spec requires, even for repeated rows), and gzip mtime is
+    pinned — bytes reproduce run-to-run regardless of input
+    partitioning. Non-ASCII uris (IRIs) are RFC-3986 percent-encoded
+    into the ``WARC-Target-URI`` header (WARC headers are
+    byte-oriented; one raw IRI must cost an escaped header, not a
+    crashed export).
 
     Scale shape: ONE shuffle (the segment key); segment bytes are
-    written task-side (applyInPandas) under the same task-commit
-    protocol as ``operators/shards.py`` — attempt-suffixed temp file,
-    ``os.replace`` once complete — so retried/speculative attempts
-    can't interleave; the driver sees only per-segment summary rows.
+    written task-side (applyInPandas) under the shared task-commit
+    protocol (``taskio.py`` — attempt-suffixed temp file, atomic
+    rename once complete) so retried/speculative attempts can't
+    interleave; the driver sees only per-segment summary rows.
     Requires a driver/executor-shared filesystem with atomic rename.
     Returns the manifest dict (also written as ``manifest.json``,
     which ``read_warc``'s default ``*.warc*`` glob ignores)."""
     import hashlib as _hashlib
     import json as _json
     import os as _os
+    from urllib.parse import quote as _quote
 
     import pandas as _pd
 
@@ -391,17 +397,20 @@ def write_wet(
         .alias("seg"),
     )
 
+    # RFC-3986-safe set: every reserved + unreserved ASCII char stays
+    # raw, so already-valid URIs pass through byte-identical and only
+    # genuine IRI characters (non-ASCII, spaces, quotes) get escaped
+    _URI_SAFE = ":/?#[]@!$&'()*+,;=%~-._"
+
     def write_one(pdf: _pd.DataFrame) -> _pd.DataFrame:
-        from pyspark import TaskContext
+        from ..taskio import attempt_tmp_path, commit_file
 
         seg = int(pdf["seg"].iloc[0])
         pdf = pdf.sort_values(["uri", "text"], kind="mergesort")
         _os.makedirs(path, exist_ok=True)
         name = f"wet-{seg:05d}.warc.wet" + (".gz" if gzip_records else "")
         final = _os.path.join(path, name)
-        tc = TaskContext.get()
-        attempt = tc.taskAttemptId() if tc is not None else _os.getpid()
-        tmp = f"{final}.inprogress-{attempt}"
+        tmp = attempt_tmp_path(final)
         recs = [
             {
                 "warc_type": "warcinfo",
@@ -415,18 +424,27 @@ def write_wet(
             }
         ]
         n_chars = 0
+        seen_ids: dict = {}
         for uri, text in zip(pdf["uri"], pdf["text"]):
             body = text if text is not None else ""
             n_chars += len(body)
+            base = _hashlib.md5(
+                (uri or "").encode("utf-8")
+                + b"\x1f"
+                + body.encode("utf-8")
+            ).hexdigest()
+            ordinal = seen_ids.get(base, 0)
+            seen_ids[base] = ordinal + 1
+            rid = base if ordinal == 0 else f"{base}-{ordinal}"
             recs.append(
                 {
                     "warc_type": "conversion",
-                    "record_id": "<urn:md5:"
-                    + _hashlib.md5(
-                        (uri or "").encode("utf-8")
-                    ).hexdigest()
-                    + ">",
-                    "target_uri": uri,
+                    "record_id": f"<urn:md5:{rid}>",
+                    "target_uri": (
+                        _quote(uri, safe=_URI_SAFE)
+                        if uri is not None
+                        else None
+                    ),
                     "warc_date": warc_date,
                     "content_type": "text/plain",
                     "content": body,
@@ -435,7 +453,7 @@ def write_wet(
         blob = encode_warc(recs, gzip_records=gzip_records)
         with open(tmp, "wb") as fh:
             fh.write(blob)
-        _os.replace(tmp, final)
+        commit_file(tmp, final)
         return _pd.DataFrame(
             {
                 "seg": [seg],

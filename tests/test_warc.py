@@ -312,3 +312,32 @@ def test_write_wet_roundtrip_deterministic(spark, tmp_path):
     # every segment leads with a warcinfo record
     info = got.records.where("warc_type = 'warcinfo'").count()
     assert info == len(on_disk["files"])
+
+
+def test_write_wet_iri_and_duplicate_record_ids(spark, tmp_path):
+    """r8 review fixes: a non-latin-1 IRI must cost a percent-encoded
+    WARC-Target-URI header (not a crashed export), and duplicate rows
+    get UNIQUE record ids (ordinal suffix) so id-keyed consumers can't
+    silently collapse them."""
+    from pinecone_datasets_spark.sources.warc import (
+        read_warc,
+        write_wet,
+    )
+
+    rows = [
+        ("https://ex.com/café/中文", "iri doc"),
+        ("https://ex.com/same", "dup body"),
+        ("https://ex.com/same", "dup body"),  # exact duplicate row
+    ]
+    df = spark.createDataFrame(rows, "url string, text string")
+    path = str(tmp_path / "iri")
+    man = write_wet(df, path, num_files=2)
+    assert man["n_records"] == 3
+    got = read_warc(spark, path)
+    assert got.quarantined.count() == 0
+    recs = got.records.where("warc_type = 'conversion'").collect()
+    assert len(recs) == 3
+    uris = {r["target_uri"] for r in recs}
+    assert "https://ex.com/caf%C3%A9/%E4%B8%AD%E6%96%87" in uris
+    ids = [r["record_id"] for r in recs]
+    assert len(set(ids)) == 3  # unique even for identical rows
