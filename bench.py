@@ -758,21 +758,25 @@ def main() -> None:
         docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
 
         def make_wav_with_twins(batches):
-            t = np.arange(8000) / 16000.0
+            # full-band clips via frequency-domain synthesis (random
+            # per-doc band magnitudes -> irfft): every fingerprint bit
+            # is informative, so distinct docs land ~32 bits apart and
+            # the pigeonhole buckets stay small — a pure-tone corpus
+            # pins its empty-band bits identically across docs and the
+            # band join degenerates toward quadratic
+            n = 4000
             for pdf in batches:
                 ids, content = [], []
                 for did in pdf["doc_id"]:
                     rng = np.random.default_rng(int(did) & 0xFFFFFFFF)
-                    f = rng.uniform(300, 2500, size=4)
-                    a = rng.uniform(0.1, 0.3, size=4)
-                    sig = sum(
-                        ai * np.sin(2 * np.pi * fi * t)
-                        for fi, ai in zip(f, a)
-                    )
+                    mag = rng.uniform(0.0, 1.0, size=n // 2 + 1)
+                    phase = rng.uniform(0, 2 * np.pi, size=n // 2 + 1)
+                    sig = np.fft.irfft(mag * np.exp(1j * phase), n=n)
+                    sig = 0.5 * sig / max(np.abs(sig).max(), 1e-9)
                     ids.append(str(did))
                     content.append(encode_wav(sig, rate=16000))
                     if int(did) % 10 == 0:
-                        noisy = sig + rng.normal(0, 0.003, len(sig))
+                        noisy = sig + rng.normal(0, 0.002, len(sig))
                         ids.append(f"{did}_twin")
                         content.append(encode_wav(noisy, rate=16000))
                 n = len(ids)
@@ -788,8 +792,12 @@ def main() -> None:
                     }
                 )
 
-        media = docs.select("doc_id").mapInPandas(
-            make_wav_with_twins, MEDIA_SCHEMA
+        # the documents table is one parquet file at bench scale — fan
+        # the synthesize+decode+fingerprint kernel across all cores
+        media = (
+            docs.select("doc_id")
+            .repartition(int(CPUS))
+            .mapInPandas(make_wav_with_twins, MEDIA_SCHEMA)
         )
         return audio_neardup_pairs(media, max_hamming=6)
 
