@@ -1,0 +1,545 @@
+"""Pure-stdlib FLAC codec (decode + fixture encoder twin).
+
+Completes the honest-codec policy for audio the way ``jpeg.py``/
+``gif.py`` did for images: WAV was the only REAL audio decode, yet
+archived speech/music corpora ship overwhelmingly as FLAC. This module
+decodes the format for real — metadata walk, frame sync, UTF-8-coded
+frame numbers, CONSTANT/VERBATIM/FIXED/LPC subframes, partitioned
+Rice residuals (4- and 5-bit parameters, escape partitions), wasted
+bits, and left/right/mid/side stereo decorrelation — with the same
+typed-refusal contract as the other codecs (``UnsupportedMediaError``
+on malformed/unsupported streams, never wrong samples).
+
+Scope (honest, spec-cited — the format per xiph's public FLAC spec):
+
+* 8/16/24-bit samples, 1–2 channels, fixed and variable blocksize
+  streams, all four channel assignments, FIXED orders 0–4 and LPC
+  orders 1–32, Rice methods 0 (4-bit) and 1 (5-bit) incl. escaped
+  (verbatim-residual) partitions.
+* CRC-8 (poly 0x07) of every frame header is VERIFIED; a mismatch is
+  a refusal, not a guess. (The frame-footer CRC-16 and the STREAMINFO
+  decoded-audio md5 are parsed past, as most tolerant readers do.)
+* >2 channels and 32-bit samples refuse honestly.
+
+The encoder twin ``encode_flac`` emits spec-valid fixed-blocksize
+streams for fixtures: VERBATIM subframes by default (trivially
+correct), ``fixed_order`` 1/2 for real prediction+Rice coding so the
+decoder's residual path is exercised by round-trips. decode∘encode is
+EXACT (lossless format — tests assert sample equality, not bounds).
+
+Scale shape: decoding is per-file Python inside the existing Arrow
+audio kernels (``multimodal.decode_audio`` dispatch) — the same grain
+as WAV/JPEG; nothing shuffles samples.
+
+Reference scope note: the reference (pinecone-io/pinecone-datasets)
+has no media surface; Layer-B extension (SURVEY.md §2 "beyond the
+reference"), cited against its data model only (cfg.py:23-36).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from .media_codecs import UnsupportedMediaError
+
+_MAGIC = b"fLaC"
+
+#: FIXED-predictor coefficients by order (spec §9.2.1): the predictor
+#: for order k is the k-th difference reconstruction.
+_FIXED_COEFS = {
+    0: [],
+    1: [1],
+    2: [2, -1],
+    3: [3, -3, 1],
+    4: [4, -6, 4, -1],
+}
+
+_BLOCKSIZE_CODES = {
+    1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608,
+    8: 256, 9: 512, 10: 1024, 11: 2048, 12: 4096,
+    13: 8192, 14: 16384, 15: 32768,
+}
+
+_RATE_CODES = {
+    1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000, 6: 22050,
+    7: 24000, 8: 32000, 9: 44100, 10: 48000, 11: 96000,
+}
+
+_SIZE_CODES = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24}
+
+
+def _crc8(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = (
+                ((crc << 1) ^ 0x8005) & 0xFFFF
+                if crc & 0x8000
+                else (crc << 1) & 0xFFFF
+            )
+    return crc
+
+
+class _Bits:
+    """MSB-first bit reader over bytes."""
+
+    def __init__(self, data: bytes, pos: int = 0) -> None:
+        self.data = data
+        self.byte = pos
+        self.bit = 0
+
+    def read(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            if self.byte >= len(self.data):
+                raise UnsupportedMediaError("FLAC: bitstream truncated")
+            v = (v << 1) | (
+                (self.data[self.byte] >> (7 - self.bit)) & 1
+            )
+            self.bit += 1
+            if self.bit == 8:
+                self.bit = 0
+                self.byte += 1
+        return v
+
+    def read_signed(self, n: int) -> int:
+        v = self.read(n)
+        if n and v >= 1 << (n - 1):
+            v -= 1 << n
+        return v
+
+    def unary(self) -> int:
+        q = 0
+        while self.read(1) == 0:
+            q += 1
+            if q > 1 << 24:
+                raise UnsupportedMediaError("FLAC: runaway unary code")
+        return q
+
+    def align(self) -> None:
+        if self.bit:
+            self.bit = 0
+            self.byte += 1
+
+
+def _read_utf8_coded(bits: _Bits) -> int:
+    """The frame header's UTF-8-style coded number (up to 36 bits)."""
+    first = bits.read(8)
+    if first < 0x80:
+        return first
+    n = 0
+    mask = 0x40
+    while first & mask:
+        n += 1
+        mask >>= 1
+    if n < 1 or n > 6:
+        raise UnsupportedMediaError("FLAC: bad UTF-8-coded number")
+    v = first & (mask - 1)
+    for _ in range(n):
+        c = bits.read(8)
+        if c & 0xC0 != 0x80:
+            raise UnsupportedMediaError("FLAC: bad UTF-8 continuation")
+        v = (v << 6) | (c & 0x3F)
+    return v
+
+
+def _rice_residual(bits: _Bits, n: int, pred_order: int, method: int):
+    """Partitioned Rice residuals for one subframe → int64 array."""
+    p_bits = 4 if method == 0 else 5
+    escape = (1 << p_bits) - 1
+    porder = bits.read(4)
+    n_part = 1 << porder
+    if n % n_part != 0:
+        # spec: the block size must divide evenly into partitions (the
+        # first partition is then shorter by the predictor order)
+        raise UnsupportedMediaError("FLAC: bad partition order")
+    out = np.empty(n - pred_order, dtype=np.int64)
+    k = 0
+    for p in range(n_part):
+        cnt = n // n_part - (pred_order if p == 0 else 0)
+        if cnt < 0:
+            raise UnsupportedMediaError("FLAC: partition underflow")
+        param = bits.read(p_bits)
+        if param == escape:
+            raw = bits.read(5)
+            for i in range(cnt):
+                out[k + i] = bits.read_signed(raw) if raw else 0
+        else:
+            for i in range(cnt):
+                q = bits.unary()
+                r = bits.read(param) if param else 0
+                u = (q << param) | r
+                out[k + i] = (u >> 1) ^ -(u & 1)  # zigzag
+        k += cnt
+    return out
+
+
+def _subframe(bits: _Bits, n: int, bps: int) -> np.ndarray:
+    pad = bits.read(1)
+    if pad:
+        raise UnsupportedMediaError("FLAC: subframe padding bit set")
+    ftype = bits.read(6)
+    wasted = 0
+    if bits.read(1):
+        wasted = 1 + bits.unary()
+    eff = bps - wasted
+    if eff <= 0:
+        raise UnsupportedMediaError("FLAC: wasted bits exceed bps")
+    if ftype == 0:  # CONSTANT
+        v = bits.read_signed(eff)
+        out = np.full(n, v, dtype=np.int64)
+    elif ftype == 1:  # VERBATIM
+        out = np.array(
+            [bits.read_signed(eff) for _ in range(n)], dtype=np.int64
+        )
+    elif 8 <= ftype <= 12:  # FIXED order 0-4
+        order = ftype - 8
+        warm = [bits.read_signed(eff) for _ in range(order)]
+        method = bits.read(2)
+        if method > 1:
+            raise UnsupportedMediaError("FLAC: reserved residual method")
+        res = _rice_residual(bits, n, order, method)
+        out = np.empty(n, dtype=np.int64)
+        out[:order] = warm
+        coefs = _FIXED_COEFS[order]
+        for i in range(order, n):
+            pred = sum(
+                c * out[i - 1 - j] for j, c in enumerate(coefs)
+            )
+            out[i] = res[i - order] + pred
+    elif ftype >= 32:  # LPC
+        order = (ftype & 0x1F) + 1
+        warm = [bits.read_signed(eff) for _ in range(order)]
+        prec = bits.read(4)
+        if prec == 15:
+            raise UnsupportedMediaError("FLAC: invalid LPC precision")
+        prec += 1
+        shift = bits.read_signed(5)
+        if shift < 0:
+            raise UnsupportedMediaError("FLAC: negative LPC shift")
+        coefs = [bits.read_signed(prec) for _ in range(order)]
+        method = bits.read(2)
+        if method > 1:
+            raise UnsupportedMediaError("FLAC: reserved residual method")
+        res = _rice_residual(bits, n, order, method)
+        out = np.empty(n, dtype=np.int64)
+        out[:order] = warm
+        for i in range(order, n):
+            acc = 0
+            for j, c in enumerate(coefs):
+                acc += c * int(out[i - 1 - j])
+            out[i] = res[i - order] + (acc >> shift)
+    else:
+        raise UnsupportedMediaError(f"FLAC: reserved subframe type {ftype}")
+    if wasted:
+        out = out << wasted
+    return out
+
+
+def decode_flac(content: bytes):
+    """FLAC bytes → (float32 mono samples in [-1, 1], sample_rate) —
+    the same egress contract as ``media_codecs.decode_wav`` (stereo is
+    mean-downmixed), so the audio kernels treat both formats alike.
+    Raises ``UnsupportedMediaError`` on anything malformed or outside
+    the documented scope."""
+    samples, rate, _bps = decode_flac_pcm(content)
+    if samples.ndim == 2:
+        mono = samples.mean(axis=1)
+    else:
+        mono = samples.astype(np.float64)
+    peak = float(1 << (_bps - 1))
+    return (mono / peak).astype(np.float32), rate
+
+
+def decode_flac_pcm(content: bytes):
+    """FLAC bytes → (int PCM array [n] or [n, ch], sample_rate, bps)."""
+    if content[:4] != _MAGIC:
+        raise UnsupportedMediaError("not a FLAC stream")
+    pos = 4
+    streaminfo = None
+    last = False
+    while not last:
+        if pos + 4 > len(content):
+            raise UnsupportedMediaError("FLAC: truncated metadata")
+        hdr = content[pos]
+        last = bool(hdr & 0x80)
+        btype = hdr & 0x7F
+        (length,) = struct.unpack(">I", b"\x00" + content[pos + 1 : pos + 4])
+        body = content[pos + 4 : pos + 4 + length]
+        if btype == 0:
+            if length < 34:
+                raise UnsupportedMediaError("FLAC: short STREAMINFO")
+            sr = (body[10] << 12) | (body[11] << 4) | (body[12] >> 4)
+            ch = ((body[12] >> 1) & 0x07) + 1
+            bps = (((body[12] & 1) << 4) | (body[13] >> 4)) + 1
+            total = (
+                ((body[13] & 0x0F) << 32)
+                | (body[14] << 24)
+                | (body[15] << 16)
+                | (body[16] << 8)
+                | body[17]
+            )
+            streaminfo = (sr, ch, bps, total)
+        pos += 4 + length
+    if streaminfo is None:
+        raise UnsupportedMediaError("FLAC: missing STREAMINFO")
+    sr, ch, bps, total = streaminfo
+    if sr == 0:
+        raise UnsupportedMediaError("FLAC: zero sample rate")
+    if ch > 2:
+        raise UnsupportedMediaError(f"FLAC: {ch}-channel unsupported")
+    if bps not in (8, 16, 24):
+        raise UnsupportedMediaError(f"FLAC: {bps}-bit unsupported")
+
+    chans: list[list[np.ndarray]] = [[] for _ in range(ch)]
+    n_done = 0
+    while pos < len(content) - 1:
+        # frame sync: 14 bits 0b11111111111110
+        if content[pos] != 0xFF or (content[pos + 1] & 0xFC) != 0xF8:
+            raise UnsupportedMediaError("FLAC: lost frame sync")
+        bits = _Bits(content, pos)
+        bits.read(14)
+        if bits.read(1):
+            raise UnsupportedMediaError("FLAC: reserved sync bit")
+        _variable = bits.read(1)
+        bs_code = bits.read(4)
+        sr_code = bits.read(4)
+        ca = bits.read(4)
+        ss_code = bits.read(3)
+        if bits.read(1):
+            raise UnsupportedMediaError("FLAC: reserved header bit")
+        _read_utf8_coded(bits)
+        if bs_code == 0:
+            raise UnsupportedMediaError("FLAC: reserved blocksize code")
+        elif bs_code == 6:
+            n = bits.read(8) + 1
+        elif bs_code == 7:
+            n = bits.read(16) + 1
+        else:
+            n = _BLOCKSIZE_CODES[bs_code]
+        if sr_code == 12:
+            bits.read(8)
+        elif sr_code in (13, 14):
+            bits.read(16)
+        elif sr_code == 15:
+            raise UnsupportedMediaError("FLAC: invalid sample-rate code")
+        f_bps = bps if ss_code == 0 else _SIZE_CODES.get(ss_code)
+        if f_bps is None:
+            raise UnsupportedMediaError("FLAC: reserved sample-size code")
+        hdr_end = bits.byte + (1 if bits.bit else 0)
+        crc = bits.read(8)
+        if _crc8(content[pos:hdr_end]) != crc:
+            raise UnsupportedMediaError("FLAC: frame header CRC mismatch")
+
+        if ca < 8:
+            if ca + 1 != ch:
+                raise UnsupportedMediaError(
+                    "FLAC: frame channel count differs from STREAMINFO"
+                )
+            subs = [_subframe(bits, n, f_bps) for _ in range(ch)]
+        elif ca in (8, 9, 10):
+            if ch != 2:
+                raise UnsupportedMediaError(
+                    "FLAC: stereo decorrelation in non-stereo stream"
+                )
+            if ca == 8:  # left/side
+                left = _subframe(bits, n, f_bps)
+                side = _subframe(bits, n, f_bps + 1)
+                subs = [left, left - side]
+            elif ca == 9:  # right/side
+                side = _subframe(bits, n, f_bps + 1)
+                right = _subframe(bits, n, f_bps)
+                subs = [right + side, right]
+            else:  # mid/side
+                mid = _subframe(bits, n, f_bps)
+                side = _subframe(bits, n, f_bps + 1)
+                m2 = (mid << 1) | (side & 1)
+                subs = [(m2 + side) >> 1, (m2 - side) >> 1]
+        else:
+            raise UnsupportedMediaError(
+                f"FLAC: reserved channel assignment {ca}"
+            )
+        bits.align()
+        bits.read(16)  # frame footer CRC-16 (parsed past)
+        for c in range(ch):
+            chans[c].append(subs[c])
+        n_done += n
+        pos = bits.byte
+        if total and n_done >= total:
+            break
+
+    if not chans[0]:
+        raise UnsupportedMediaError("FLAC: no audio frames")
+    arrs = [np.concatenate(c) for c in chans]
+    if total:
+        arrs = [a[:total] for a in arrs]
+    pcm = arrs[0] if ch == 1 else np.stack(arrs, axis=1)
+    return pcm, sr, bps
+
+
+# ---------------------------------------------------------------------------
+# Fixture encoder twin
+# ---------------------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, v: int, n: int) -> None:
+        if n == 0:
+            return
+        self.acc = (self.acc << n) | (v & ((1 << n) - 1))
+        self.n += n
+        while self.n >= 8:
+            self.n -= 8
+            self.buf.append((self.acc >> self.n) & 0xFF)
+
+    def align(self) -> None:
+        if self.n:
+            self.write(0, 8 - self.n)
+
+    def bytes(self) -> bytes:
+        return bytes(self.buf)
+
+
+def _write_utf8_coded(w: _BitWriter, v: int) -> None:
+    if v < 0x80:
+        w.write(v, 8)
+        return
+    # minimal multi-byte form: nbytes-byte coding carries 5*nbytes+1
+    # payload bits (7-nbytes in the lead byte, 6 per continuation)
+    for nbytes in range(2, 8):
+        if v < (1 << (5 * nbytes + 1)):
+            break
+    lead_prefix = (0xFF << (8 - nbytes)) & 0xFF  # nbytes ones, then 0
+    w.write(lead_prefix | (v >> (6 * (nbytes - 1))), 8)
+    for i in range(nbytes - 2, -1, -1):
+        w.write(0x80 | ((v >> (6 * i)) & 0x3F), 8)
+
+
+def encode_flac(
+    samples: np.ndarray,
+    rate: int = 16000,
+    bps: int = 16,
+    block_size: int = 4096,
+    fixed_order: int = 0,
+) -> bytes:
+    """PCM → spec-valid FLAC bytes (fixture twin; lossless, so
+    round-trip tests assert EXACT sample equality).
+
+    ``samples``: float in [-1, 1] (scaled to ``bps``) or integer PCM,
+    shape [n] or [n, 2]. ``fixed_order`` 0 emits VERBATIM subframes;
+    1/2 emit FIXED-predictor subframes with single-partition Rice
+    residuals, exercising the decoder's prediction + Rice paths."""
+    samples = np.asarray(samples)
+    if samples.dtype.kind == "f":
+        peak = (1 << (bps - 1)) - 1
+        pcm = np.clip(
+            np.round(samples * peak), -(1 << (bps - 1)), peak
+        ).astype(np.int64)
+    else:
+        pcm = samples.astype(np.int64)
+    if pcm.ndim == 1:
+        pcm = pcm[:, None]
+    n_total, ch = pcm.shape
+    if ch > 2:
+        raise ValueError("encode_flac: at most 2 channels")
+    if bps not in (8, 16, 24):
+        raise ValueError("encode_flac: bps must be 8/16/24")
+    if fixed_order not in (0, 1, 2):
+        raise ValueError("encode_flac: fixed_order must be 0/1/2")
+
+    out = bytearray(_MAGIC)
+    info = bytearray()
+    info += struct.pack(">HH", block_size, block_size)
+    info += b"\x00\x00\x00" * 2  # min/max frame size unknown
+    info.append((rate >> 12) & 0xFF)
+    info.append((rate >> 4) & 0xFF)
+    info.append(
+        ((rate & 0x0F) << 4) | ((ch - 1) << 1) | ((bps - 1) >> 4)
+    )
+    info.append((((bps - 1) & 0x0F) << 4) | ((n_total >> 32) & 0x0F))
+    info += struct.pack(">I", n_total & 0xFFFFFFFF)
+    info += b"\x00" * 16  # md5 unset (permitted)
+    out.append(0x80)  # last-metadata-block, type 0
+    out += struct.pack(">I", len(info))[1:]
+    out += info
+
+    def emit_subframe(w: _BitWriter, x: np.ndarray, n: int) -> None:
+        if fixed_order == 0 or n <= fixed_order:
+            w.write(0, 1)
+            w.write(1, 6)  # VERBATIM
+            w.write(0, 1)
+            for v in x:
+                w.write(int(v) & ((1 << bps) - 1), bps)
+            return
+        order = fixed_order
+        w.write(0, 1)
+        w.write(8 + order, 6)  # FIXED
+        w.write(0, 1)
+        for v in x[:order]:
+            w.write(int(v) & ((1 << bps) - 1), bps)
+        if order == 1:
+            res = x[1:] - x[:-1]
+        else:
+            res = x[2:] - 2 * x[1:-1] + x[:-2]
+        w.write(0, 2)  # rice method 0
+        w.write(0, 4)  # partition order 0 (one partition)
+        u = (res << 1) ^ (res >> 63)  # zigzag (arithmetic shift)
+        # parameter from the LARGEST residual so every unary quotient
+        # stays <= 31 bits — simple, always-valid, fixture-grade
+        top = int(u.max()) if len(u) else 0
+        param = min(max(top.bit_length() - 5, 0), 14)
+        w.write(param, 4)
+        for uv in u:
+            q = int(uv) >> param
+            for _ in range(q):
+                w.write(0, 1)
+            w.write(1, 1)
+            if param:
+                w.write(int(uv) & ((1 << param) - 1), param)
+
+    frame_no = 0
+    for start in range(0, max(n_total, 1), block_size):
+        blk = pcm[start : start + block_size]
+        n = len(blk)
+        if n == 0:
+            break
+        w = _BitWriter()
+        w.write(0b11111111111110, 14)
+        w.write(0, 1)
+        w.write(0, 1)  # fixed blocksize
+        w.write(7, 4)  # 16-bit blocksize-1 follows
+        w.write(0, 4)  # rate from STREAMINFO
+        w.write(ch - 1, 4)  # independent channels
+        w.write(0, 3)  # size from STREAMINFO
+        w.write(0, 1)
+        _write_utf8_coded(w, frame_no)
+        w.write(n - 1, 16)
+        w.align()
+        hdr = w.bytes()
+        hdr += bytes([_crc8(hdr)])
+        body = _BitWriter()
+        for c in range(ch):
+            emit_subframe(body, blk[:, c], n)
+        body.align()
+        frame_wo_crc = hdr + body.bytes()
+        out += frame_wo_crc
+        out += struct.pack(">H", _crc16(frame_wo_crc))
+        frame_no += 1
+    return bytes(out)

@@ -99,6 +99,23 @@ def probe_bytes(
                 return "wav", None, None, dur
             except wave.Error:
                 return "wav", None, None, None
+        if content[:4] == b"fLaC":
+            # STREAMINFO (first metadata block, type 0): rate is 20
+            # bits at byte offset 18 of the block body; total samples
+            # the trailing 36 bits
+            body = content[8:]
+            if (content[4] & 0x7F) == 0 and len(body) >= 34:
+                rate = (body[10] << 12) | (body[11] << 4) | (body[12] >> 4)
+                total = (
+                    ((body[13] & 0x0F) << 32)
+                    | (body[14] << 24)
+                    | (body[15] << 16)
+                    | (body[16] << 8)
+                    | body[17]
+                )
+                dur = total * 1000 // rate if rate else None
+                return "flac", None, None, dur
+            return "flac", None, None, None
     except (struct.error, IndexError):
         return None, None, None, None
     return None, None, None, None
@@ -524,6 +541,21 @@ def decode_wav(content: bytes) -> Tuple[np.ndarray, int]:
     if nch > 1:
         samples = samples.reshape(-1, nch).mean(axis=1)
     return samples, rate
+
+
+def decode_audio(content: bytes) -> Tuple[np.ndarray, int]:
+    """Magic-dispatched audio decode — (float32 mono [-1, 1], rate)
+    from WAV (stdlib PCM-16) or FLAC (``operators/flac.py``, the real
+    pure-stdlib decoder). The one entry point the audio kernels use,
+    mirroring ``multimodal._real_decode`` for images; unknown magic
+    raises the shared typed refusal."""
+    if content[:4] == b"RIFF":
+        return decode_wav(content)
+    if content[:4] == b"fLaC":
+        from .flac import decode_flac
+
+        return decode_flac(content)
+    raise UnsupportedMediaError("no stdlib audio decoder for this format")
 
 
 def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:

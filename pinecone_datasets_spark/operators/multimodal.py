@@ -9,8 +9,9 @@ the Python crossing is per-batch, not per-row.
 Decoding is REAL for the formats the standard library can express:
 PNG (zlib inflate + defilter), BMP (24-bpp), WAV (PCM-16)
 (``media_codecs``), baseline AND progressive JPEG (``jpeg.py``), GIF
-incl. animation (``gif.py``). Formats beyond that (mp4/webm,
-arithmetic-coded JPEG) still raise
+incl. animation (``gif.py``), FLAC (``flac.py`` — Rice/LPC decode,
+r8). Formats beyond that (mp4/webm, arithmetic-coded JPEG) still
+raise
 ``NotImplementedError``/decode-to-null — ffmpeg/Pillow are not in this
 environment — and ``fake=True`` keeps the deterministic stand-in for
 plumbing tests and cross-format benchmarks.
@@ -32,9 +33,9 @@ from pyspark.sql import types as T
 
 from .media_codecs import (
     UnsupportedMediaError,
+    decode_audio,
     decode_bmp,
     decode_png,
-    decode_wav,
     image_luma,
     luma_histogram,
     probe_bytes,
@@ -254,7 +255,7 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
             rates, durs, rmss, zcrs = [], [], [], []
             for content in pdf["content"]:
                 try:
-                    samples, rate = decode_wav(
+                    samples, rate = decode_audio(
                         bytes(content) if content is not None else b""
                     )
                     rates.append(rate)
@@ -324,7 +325,7 @@ def audio_spectral_features(
             }
             for content in pdf["content"]:
                 try:
-                    samples, rate = decode_wav(
+                    samples, rate = decode_audio(
                         bytes(content) if content is not None else b""
                     )
                     x = samples.astype(np.float64)
@@ -481,7 +482,7 @@ def audio_fingerprint(
             ids, fps, nfs = [], [], []
             for mid, content in zip(pdf[id_col], pdf[content_col]):
                 try:
-                    samples, rate = decode_wav(
+                    samples, rate = decode_audio(
                         bytes(content) if content is not None else b""
                     )
                     fp, nf = _afp_bits(
