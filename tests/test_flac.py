@@ -179,3 +179,20 @@ def test_decode_audio_dispatch_and_fingerprint(spark):
     # sanity: dispatch rejects unknown magic with the typed error
     with pytest.raises(UnsupportedMediaError):
         decode_audio(b"\x00\x01\x02\x03 not audio")
+
+
+def test_flac_corruption_fuzz_never_uncontrolled():
+    """Byte-flip fuzz: every mutation either decodes or raises the
+    typed UnsupportedMediaError — no uncontrolled exception escapes
+    the decode boundary (the audio kernels' quarantine contract)."""
+    sig = _sig(4000)
+    enc = encode_flac(sig, rate=16000, fixed_order=1)
+    rng = np.random.default_rng(13)
+    for pos in rng.integers(4, len(enc), size=150):
+        mutated = bytearray(enc)
+        mutated[pos] ^= 1 << int(rng.integers(0, 8))
+        try:
+            pcm, sr, bps = decode_flac_pcm(bytes(mutated))
+            assert sr > 0 and bps in (8, 16, 24)
+        except UnsupportedMediaError:
+            pass
