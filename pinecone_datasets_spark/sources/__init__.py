@@ -16,6 +16,7 @@ from .corpus import (
     read_text_files,
     stream_jsonl,
 )
+from .media import read_media
 from .warc import (
     WarcRead,
     encode_warc,
@@ -29,6 +30,7 @@ from .warc import (
 
 __all__ = [
     "WarcRead",
+    "read_media",
     "encode_warc",
     "http_body",
     "http_status",

@@ -202,3 +202,63 @@ def test_jsonl_wrong_types_quarantined_not_nulled(spark, tmp_path):
     assert [r["doc_id"] for r in good] == [7]
     bad = got.quarantined.collect()
     assert len(bad) == 1 and "NOT A NUMBER" in bad[0]["raw_record"]
+
+
+def test_read_media_directory(spark, tmp_path):
+    """r8 media directory source: binaryFile scan + real header probes
+    -> the MEDIA_SCHEMA frame every multimodal operator consumes; types
+    come from bytes, not extensions; junk keeps its content with
+    format NULL / media_type 'unknown'."""
+    import numpy as np
+
+    from pinecone_datasets_spark.operators.flac import encode_flac
+    from pinecone_datasets_spark.operators.media_codecs import (
+        encode_png,
+        encode_wav,
+    )
+    from pinecone_datasets_spark.operators.multimodal import (
+        extract_audio_features,
+        extract_image_features,
+    )
+    from pinecone_datasets_spark.sources.media import read_media
+
+    d = tmp_path / "media"
+    d.mkdir()
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, (6, 9, 3), dtype=np.uint8)
+    (d / "img.bin").write_bytes(encode_png(px))  # wrong extension: ok
+    sig = 0.3 * np.sin(np.arange(4000) / 9.0)
+    (d / "clip.wav").write_bytes(encode_wav(sig, rate=16000))
+    (d / "clip.flac").write_bytes(encode_flac(sig, rate=16000))
+    (d / "junk.dat").write_bytes(b"\x00\x01 not media")
+
+    media = read_media(spark, str(d))
+    rows = {
+        r["media_id"].rsplit("/", 1)[-1]: r for r in media.collect()
+    }
+    assert rows["img.bin"]["format"] == "png"
+    assert rows["img.bin"]["media_type"] == "image"
+    assert (rows["img.bin"]["width"], rows["img.bin"]["height"]) == (9, 6)
+    assert rows["clip.wav"]["media_type"] == "audio"
+    assert rows["clip.flac"]["format"] == "flac"
+    assert rows["clip.flac"]["duration_ms"] == 4000 * 1000 // 16000
+    assert rows["junk.dat"]["format"] is None
+    assert rows["junk.dat"]["media_type"] == "unknown"
+    assert bytes(rows["junk.dat"]["content"]) == b"\x00\x01 not media"
+
+    # the frame plugs straight into the feature kernels
+    feats = {
+        r["media_id"].rsplit("/", 1)[-1]: r
+        for r in extract_image_features(
+            media.where("media_type = 'image'")
+        ).collect()
+    }
+    assert feats["img.bin"]["width"] == 9
+    au = {
+        r["media_id"].rsplit("/", 1)[-1]: r
+        for r in extract_audio_features(
+            media.where("media_type = 'audio'")
+        ).collect()
+    }
+    assert au["clip.wav"]["sample_rate"] == 16000
+    assert au["clip.flac"]["sample_rate"] == 16000
