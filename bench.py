@@ -738,13 +738,16 @@ def main() -> None:
         )
 
     def bench_audio_fp_dedup():
-        # audio near-dup end-to-end (r8): synthesize 1s PCM-16 tone
-        # mixes per doc (doc_id % 10 == 0 gets a noisy twin), 64-bit
-        # band-energy fingerprint (real WAV decode + rfft), pigeonhole
-        # Hamming pair join — the audio mirror of image_phash_dedup.
+        # audio near-dup end-to-end (r8): synthesize full-band clips
+        # per doc (doc_id % 10 == 0 gets a noisy FLAC-encoded twin, so
+        # the leg prices BOTH real decoders and the dedup is
+        # cross-format), 64-bit band-energy fingerprint (decode +
+        # rfft), pigeonhole Hamming pair join — the audio mirror of
+        # image_phash_dedup.
         import numpy as np
         import pandas as pd
 
+        from pinecone_datasets_spark.operators.flac import encode_flac
         from pinecone_datasets_spark.operators.media_codecs import (
             encode_wav,
         )
@@ -778,7 +781,11 @@ def main() -> None:
                     if int(did) % 10 == 0:
                         noisy = sig + rng.normal(0, 0.002, len(sig))
                         ids.append(f"{did}_twin")
-                        content.append(encode_wav(noisy, rate=16000))
+                        content.append(
+                            encode_flac(
+                                noisy, rate=16000, fixed_order=1
+                            )
+                        )
                 n = len(ids)
                 yield pd.DataFrame(
                     {

@@ -93,7 +93,9 @@ def _crc16(data: bytes) -> int:
 
 
 class _Bits:
-    """MSB-first bit reader over bytes."""
+    """MSB-first bit reader over bytes — byte-chunked (consumes up to
+    8 bits per Python operation, not one), because Rice decoding is
+    the decoder's hot loop."""
 
     def __init__(self, data: bytes, pos: int = 0) -> None:
         self.data = data
@@ -102,16 +104,21 @@ class _Bits:
 
     def read(self, n: int) -> int:
         v = 0
-        for _ in range(n):
-            if self.byte >= len(self.data):
+        data = self.data
+        while n > 0:
+            if self.byte >= len(data):
                 raise UnsupportedMediaError("FLAC: bitstream truncated")
-            v = (v << 1) | (
-                (self.data[self.byte] >> (7 - self.bit)) & 1
+            avail = 8 - self.bit
+            take = n if n < avail else avail
+            cur = data[self.byte]
+            v = (v << take) | (
+                (cur >> (avail - take)) & ((1 << take) - 1)
             )
-            self.bit += 1
+            self.bit += take
             if self.bit == 8:
                 self.bit = 0
                 self.byte += 1
+            n -= take
         return v
 
     def read_signed(self, n: int) -> int:
@@ -122,11 +129,28 @@ class _Bits:
 
     def unary(self) -> int:
         q = 0
-        while self.read(1) == 0:
-            q += 1
-            if q > 1 << 24:
-                raise UnsupportedMediaError("FLAC: runaway unary code")
-        return q
+        data = self.data
+        while True:
+            if self.byte >= len(data):
+                raise UnsupportedMediaError("FLAC: bitstream truncated")
+            rem = data[self.byte] & ((1 << (8 - self.bit)) - 1)
+            if rem == 0:
+                q += 8 - self.bit
+                self.bit = 0
+                self.byte += 1
+                if q > 1 << 24:
+                    raise UnsupportedMediaError(
+                        "FLAC: runaway unary code"
+                    )
+                continue
+            top = rem.bit_length()  # 1..8-bit position of first 1
+            zeros = (8 - self.bit) - top
+            q += zeros
+            self.bit += zeros + 1
+            if self.bit >= 8:
+                self.bit -= 8
+                self.byte += 1
+            return q
 
     def align(self) -> None:
         if self.bit:
@@ -213,12 +237,25 @@ def _subframe(bits: _Bits, n: int, bps: int) -> np.ndarray:
         res = _rice_residual(bits, n, order, method)
         out = np.empty(n, dtype=np.int64)
         out[:order] = warm
-        coefs = _FIXED_COEFS[order]
-        for i in range(order, n):
-            pred = sum(
-                c * out[i - 1 - j] for j, c in enumerate(coefs)
-            )
-            out[i] = res[i - order] + pred
+        if order == 0:
+            out[:] = res
+        elif order == 1:
+            # first-difference reconstruction is a prefix sum
+            out[0] = warm[0]
+            out[1:] = warm[0] + np.cumsum(res)
+        elif order == 2:
+            # second difference: integrate twice
+            d1 = np.empty(n - 1, dtype=np.int64)
+            d1[0] = warm[1] - warm[0]
+            d1[1:] = d1[0] + np.cumsum(res)
+            out[1:] = warm[0] + np.cumsum(d1)
+        else:
+            coefs = _FIXED_COEFS[order]
+            for i in range(order, n):
+                pred = sum(
+                    c * out[i - 1 - j] for j, c in enumerate(coefs)
+                )
+                out[i] = res[i - order] + pred
     elif ftype >= 32:  # LPC
         order = (ftype & 0x1F) + 1
         warm = [bits.read_signed(eff) for _ in range(order)]
@@ -508,9 +545,7 @@ def encode_flac(
         w.write(param, 4)
         for uv in u:
             q = int(uv) >> param
-            for _ in range(q):
-                w.write(0, 1)
-            w.write(1, 1)
+            w.write(1, q + 1)  # q zero bits then the terminating 1
             if param:
                 w.write(int(uv) & ((1 << param) - 1), param)
 
