@@ -99,6 +99,19 @@ def probe_bytes(
                 return "wav", None, None, dur
             except wave.Error:
                 return "wav", None, None, None
+        if content[:4] == b"FORM" and content[8:12] in (b"AIFF", b"AIFC"):
+            at = content.find(b"COMM", 12)
+            if at >= 0 and at + 26 <= len(content):
+                nch, nframes, bits_ = struct.unpack(
+                    ">HIH", content[at + 8 : at + 16]
+                )
+                try:
+                    rate = int(round(_f80(content[at + 16 : at + 26])))
+                except UnsupportedMediaError:
+                    rate = 0
+                dur = nframes * 1000 // rate if rate else None
+                return "aiff", None, None, dur
+            return "aiff", None, None, None
         if content[:4] == b"fLaC":
             # STREAMINFO (first metadata block, type 0): rate is 20
             # bits at byte offset 18 of the block body; total samples
@@ -543,18 +556,110 @@ def decode_wav(content: bytes) -> Tuple[np.ndarray, int]:
     return samples, rate
 
 
+def _f80(b: bytes) -> float:
+    """80-bit IEEE-754 extended float → float (AIFF's sample rate
+    field; stdlib's ``aifc`` parser was removed in Python 3.13)."""
+    if len(b) != 10:
+        raise UnsupportedMediaError("AIFF: bad extended float")
+    sign = -1.0 if b[0] & 0x80 else 1.0
+    exp = ((b[0] & 0x7F) << 8) | b[1]
+    mant = int.from_bytes(b[2:10], "big")
+    if exp == 0 and mant == 0:
+        return 0.0
+    if exp == 0x7FFF:
+        raise UnsupportedMediaError("AIFF: non-finite sample rate")
+    return sign * mant * 2.0 ** (exp - 16383 - 63)
+
+
+def decode_aiff(content: bytes) -> Tuple[np.ndarray, int]:
+    """AIFF bytes → (float32 mono samples in [-1, 1], sample_rate).
+    Uncompressed big-endian PCM (8/16/24-bit), the 'AIFF' form type —
+    'AIFC' compression variants refuse honestly."""
+    if content[:4] != b"FORM" or content[8:12] not in (b"AIFF", b"AIFC"):
+        raise UnsupportedMediaError("not an AIFF stream")
+    if content[8:12] == b"AIFC":
+        raise UnsupportedMediaError("AIFC (compressed AIFF) unsupported")
+    i = 12
+    comm = ssnd = None
+    n = len(content)
+    while i + 8 <= n:
+        cid = content[i : i + 4]
+        (length,) = struct.unpack(">I", content[i + 4 : i + 8])
+        body = content[i + 8 : i + 8 + length]
+        if cid == b"COMM":
+            comm = body
+        elif cid == b"SSND":
+            ssnd = body
+        i += 8 + length + (length & 1)  # chunks are word-aligned
+    if comm is None or ssnd is None or len(comm) < 18 or len(ssnd) < 8:
+        raise UnsupportedMediaError("AIFF: missing COMM/SSND")
+    nch, nframes, bits = struct.unpack(">HIH", comm[:8])
+    rate = int(round(_f80(comm[8:18])))
+    if rate <= 0:
+        raise UnsupportedMediaError("AIFF: bad sample rate")
+    if bits not in (8, 16, 24):
+        raise UnsupportedMediaError(f"AIFF: {bits}-bit unsupported")
+    (offset,) = struct.unpack(">I", ssnd[:4])
+    raw = ssnd[8 + offset :]
+    step = bits // 8
+    need = nframes * nch * step
+    if len(raw) < need:
+        raise UnsupportedMediaError("AIFF: truncated sample data")
+    raw = raw[:need]
+    if bits == 8:
+        pcm = np.frombuffer(raw, dtype=np.int8).astype(np.float32) / 128.0
+    elif bits == 16:
+        pcm = np.frombuffer(raw, dtype=">i2").astype(np.float32) / 32768.0
+    else:  # 24-bit big-endian
+        b3 = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3).astype(
+            np.int64
+        )
+        v = (b3[:, 0] << 16) | (b3[:, 1] << 8) | b3[:, 2]
+        v = np.where(v >= 1 << 23, v - (1 << 24), v)
+        pcm = v.astype(np.float32) / float(1 << 23)
+    if nch > 1:
+        pcm = pcm.reshape(-1, nch).mean(axis=1)
+    return pcm, rate
+
+
+def encode_aiff(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """float mono [-1, 1] → 16-bit big-endian AIFF bytes (fixture
+    encoder twin; the 80-bit rate field written for real)."""
+    pcm = np.clip(np.asarray(samples) * 32767.0, -32768, 32767).astype(
+        ">i2"
+    )
+    nframes = len(pcm)
+    # 80-bit extended float for the rate
+    exp = 16383 + 63
+    mant = int(rate)
+    while mant < 1 << 63:
+        mant <<= 1
+        exp -= 1
+    f80 = bytes([(exp >> 8) & 0x7F, exp & 0xFF]) + mant.to_bytes(8, "big")
+    comm = struct.pack(">HIH", 1, nframes, 16) + f80
+    ssnd = struct.pack(">II", 0, 0) + pcm.tobytes()
+    body = (
+        b"AIFF"
+        + b"COMM" + struct.pack(">I", len(comm)) + comm
+        + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd
+    )
+    return b"FORM" + struct.pack(">I", len(body)) + body
+
+
 def decode_audio(content: bytes) -> Tuple[np.ndarray, int]:
     """Magic-dispatched audio decode — (float32 mono [-1, 1], rate)
-    from WAV (stdlib PCM-16) or FLAC (``operators/flac.py``, the real
-    pure-stdlib decoder). The one entry point the audio kernels use,
-    mirroring ``multimodal._real_decode`` for images; unknown magic
-    raises the shared typed refusal."""
+    from WAV (stdlib PCM-16), FLAC (``operators/flac.py``, the real
+    pure-stdlib decoder), or AIFF (big-endian PCM). The one entry
+    point the audio kernels use, mirroring ``multimodal._real_decode``
+    for images; unknown magic raises the shared typed refusal."""
     if content[:4] == b"RIFF":
         return decode_wav(content)
     if content[:4] == b"fLaC":
         from .flac import decode_flac
 
         return decode_flac(content)
+    if content[:4] == b"FORM":
+        return decode_aiff(content)
     raise UnsupportedMediaError("no stdlib audio decoder for this format")
 
 

@@ -44,6 +44,7 @@ _TYPE_BY_FORMAT = {
     "jpeg": "image",
     "wav": "audio",
     "flac": "audio",
+    "aiff": "audio",
     "avi": "video",
     "mpng": "video",
 }

@@ -696,3 +696,42 @@ def test_audio_fingerprint_neardup_matrix(spark):
 
     with _pytest.raises(ValueError, match="must be 64"):
         audio_fingerprint(df, n_bands=10, segments=4).collect()
+
+
+def test_aiff_roundtrip_and_dispatch(spark):
+    """r8: AIFF (big-endian PCM; stdlib aifc was removed in 3.13)
+    completes the archival audio trio WAV/FLAC/AIFF — exact 16-bit
+    round-trip, probe duration, kernel dispatch, AIFC refusal."""
+    from pinecone_datasets_spark.operators.media_codecs import (
+        decode_aiff,
+        decode_audio,
+        encode_aiff,
+        encode_wav,
+    )
+    from pinecone_datasets_spark.operators.multimodal import (
+        extract_audio_features,
+    )
+
+    sig = 0.3 * np.sin(np.arange(4000) / 9.0)
+    blob = encode_aiff(sig, rate=16000)
+    samples, rate = decode_aiff(blob)
+    assert rate == 16000 and len(samples) == 4000
+    # identical quantization to the WAV encoder -> identical samples
+    wav_samples, _ = decode_audio(encode_wav(sig, rate=16000))
+    np.testing.assert_array_equal(samples, wav_samples)
+    fmt, w, h, dur = probe_bytes(blob)
+    assert (fmt, dur) == ("aiff", 4000 * 1000 // 16000)
+    # kernel dispatch
+    df = spark.createDataFrame(
+        [("a0", "audio", blob, None, None, None, None)],
+        schema=MEDIA_SCHEMA,
+    )
+    r = extract_audio_features(df).collect()[0]
+    assert r["sample_rate"] == 16000
+    # AIFC refuses honestly
+    bad = bytearray(blob)
+    bad[8:12] = b"AIFC"
+    with pytest.raises(UnsupportedMediaError, match="AIFC"):
+        decode_aiff(bytes(bad))
+    with pytest.raises(UnsupportedMediaError):
+        decode_aiff(blob[:30])  # truncated
