@@ -17,6 +17,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
+# Legs above the 2 s min-of-3 threshold that still earn a third warm
+# pass: each has a cross-round no-code-change noise band documented in
+# BASELINE.md "Bench-leg series notes" (minhash_oph: 2.65–4.09 s over
+# r3–r8 with dedup.py untouched — an irreducible shingle-explode
+# shuffle that breathes with host state).
+EXTRA_WARM_PASS = {"minhash_oph_64x16"}
+
 
 def main() -> None:
     from pyspark.sql import SparkSession
@@ -786,15 +793,17 @@ def main() -> None:
                                 noisy, rate=16000, fixed_order=1
                             )
                         )
-                n = len(ids)
+                n_rows = len(ids)
                 yield pd.DataFrame(
                     {
                         "media_id": ids,
                         "media_type": "audio",
                         "content": content,
-                        "width": pd.array([None] * n, dtype="Int32"),
-                        "height": pd.array([None] * n, dtype="Int32"),
-                        "duration_ms": pd.array([None] * n, dtype="Int64"),
+                        "width": pd.array([None] * n_rows, dtype="Int32"),
+                        "height": pd.array([None] * n_rows, dtype="Int32"),
+                        "duration_ms": pd.array(
+                            [None] * n_rows, dtype="Int64"
+                        ),
                         "format": "wav",
                     }
                 )
@@ -1235,12 +1244,15 @@ def main() -> None:
                 results_cold[name] = -1.0
                 failed.append(name)
                 continue
-            if min(times[1:]) < 2.0:
+            if min(times[1:]) < 2.0 or name in EXTRA_WARM_PASS:
                 # Sub-2s legs: warm = min-of-3 in-suite (r7 verdict
                 # item 6). Their noise band is a large fraction of the
                 # measurement, and a third sample here is cheaper than
                 # the isolated re-runs the round-over-round guard would
                 # otherwise spend on drift-just-under-threshold legs.
+                # EXTRA_WARM_PASS names legs with a DOCUMENTED
+                # cross-round noise band (BASELINE.md series notes)
+                # that earn the same treatment above 2 s.
                 _gc_hint()
                 t0 = time.time()
                 try:

@@ -942,19 +942,29 @@ def _decode_jpeg(content: bytes) -> np.ndarray:
     fh, fw, comps = sof
     if fh < 1 or fw < 1:
         raise UnsupportedMediaError("empty JPEG frame")
-    if fh * fw > MAX_DECODE_PIXELS:
-        # a corrupt/hostile SOF claiming 65535×65535 would otherwise
-        # allocate ~32 GB of coefficient arrays before any scan data
-        # is read — at corpus scale one such blob must cost a
-        # quarantine row, not an executor OOM
-        raise UnsupportedMediaError(
-            f"JPEG frame {fw}x{fh} exceeds MAX_DECODE_PIXELS"
-            f" ({MAX_DECODE_PIXELS})"
-        )
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     if hmax > 2 or vmax > 2:
         raise UnsupportedMediaError("sampling factors > 2 unsupported")
+    # Guard on the ACTUAL coefficient allocation, not the bare frame
+    # pixel count: both decode paths hold one array element per coded
+    # sample per COMPONENT, padded to whole MCUs, so a just-under-cap
+    # 4:4:4 frame used to allocate 3× what the same cap bounds for a
+    # uint8 PNG/GIF canvas (×8 B/elem on top).  Cap the summed padded
+    # samples instead (≤ 100M elems → ≤ 400 MB int32 progressive /
+    # 800 MB float64 sequential, linear in the same constant that
+    # bounds the PNG canvas); a 64 MP 4:2:0 photo (96M samples) still
+    # passes.  A hostile SOF costs a quarantine row, never an OOM.
+    mx, my = -(-fw // (8 * hmax)), -(-fh // (8 * vmax))
+    coef_samples = sum(
+        (my * vi * 8) * (mx * hi * 8) for _, hi, vi, _ in comps
+    )
+    if coef_samples > MAX_DECODE_PIXELS:
+        raise UnsupportedMediaError(
+            f"JPEG frame {fw}x{fh}x{len(comps)} coefficient storage"
+            f" ({coef_samples} samples) exceeds MAX_DECODE_PIXELS"
+            f" ({MAX_DECODE_PIXELS})"
+        )
 
     if progressive:
         coefs = _decode_progressive_scans(
@@ -1076,8 +1086,8 @@ def _reconstruct(coefs, qtabs, fh, fw, comps, hmax, vmax) -> np.ndarray:
 # machine: DC first/refine scans (interleaved MCU order), AC
 # first/refine scans (single component, raster block order), EOB runs,
 # and successive-approximation bit planes. Coefficients accumulate as
-# int64 across scans (refinement is bitwise), then feed the shared
-# ``_reconstruct`` tail.
+# int32 across scans (refinement is bitwise; |coef| < 2^15), then feed
+# the shared ``_reconstruct`` tail.
 # ---------------------------------------------------------------------------
 
 
@@ -1092,7 +1102,10 @@ def _decode_progressive_scans(scans, fh, fw, comps, hmax, vmax):
     mcus_x = -(-fw // (8 * hmax))
     mcus_y = -(-fh // (8 * vmax))
     coefs = {
-        cid: np.zeros((mcus_y * vi, mcus_x * hi, 64), dtype=np.int64)
+        # int32 suffices: |coef| < 2^15 and successive-approximation
+        # shifts stay within the 12-bit-precision coded range (T.81
+        # F.1.2.1) — halves the refinement-state footprint vs int64
+        cid: np.zeros((mcus_y * vi, mcus_x * hi, 64), dtype=np.int32)
         for cid, hi, vi, _ in comps
     }
     comp_by_id = {cid: (hi, vi, tq) for cid, hi, vi, tq in comps}
