@@ -1453,6 +1453,78 @@ def _bpe_fixture(spark: SparkSession, sf_dir: str):
     return merges, vocab_full, ids_df
 
 
+#: RE2-safe byte-BPE fixture pre-tokenization (r8 verdict item 5): the
+#: production GPT-2 regex needs lookahead (bpe.py:BYTE_PRETOKEN_RE), so
+#: the byte-level ORACLE holds pre-tokenization fixed with this pattern
+#: — ASCII-only GPT-2 classes (optionally-space-led letter / digit /
+#: printable-punct runs), identical under Java regex and RE2, and every
+#: fixture pre-token survives the production regex UNSPLIT (letters
+#: never contain apostrophes, punct runs never contain letters, so the
+#: contraction alternatives can't fire) — proven by the pytest twin.
+#: ASCII-only also makes the GPT-2 byte→unicode map SQL-trivial: the
+#: printable bytes map to themselves and space to chr(288) ('Ġ').
+_BYTE_FIXTURE_PAT = r" ?[A-Za-z]+| ?[0-9]+| ?[!-/:-@\[-`{-~]+"
+
+
+def _byte_bpe_fixture(spark: SparkSession, sf_dir: str):
+    """Byte-level BPE fixture: fixture pre-tokens (one Spark pass) →
+    histogram → driver training (operators/bpe.py:train_byte_bpe, the
+    REAL shared trainer) → per-pre-token Arrow encoding with the REAL
+    byte_bpe_tokenize_udf (its internal regex keeps every fixture
+    pre-token whole). Returns (merges, ids_df) with ids under the
+    GPT-2 vocab layout (byte units 0..255, then merges in rank
+    order). The oracle re-derives merges AND encodings in recursive
+    CTEs over the same fixture pre-tokens."""
+    from pinecone_datasets_spark.operators.bpe import (
+        _byte_map_str,
+        byte_bpe_tokenize_udf,
+        bytes_to_unicode,
+        train_byte_bpe,
+    )
+
+    doc = _t(spark, sf_dir, "documents")
+    pre = doc.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all(
+                "text", F.lit(_BYTE_FIXTURE_PAT), F.lit(0)
+            )
+        ).alias("pos", "w"),
+    )
+    hist_rows = (
+        pre.where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "w")
+        .limit(300)
+        .collect()
+    )
+    table = bytes_to_unicode()
+    bhist = [(_byte_map_str(r["w"], table), r["n"]) for r in hist_rows]
+    merges = train_byte_bpe(bhist, n_merges=30)
+    udf = byte_bpe_tokenize_udf(merges, ids=True)
+    enc = pre.withColumn("toks", udf(F.col("w")))
+    ids_df = enc.groupBy("doc_id").agg(
+        F.flatten(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "toks"))),
+                lambda s: s.toks,
+            )
+        ).alias("token_ids")
+    )
+    ids_df = (
+        doc.select("doc_id")
+        .join(ids_df, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(
+                "token_ids", F.array().cast("array<int>")
+            ).alias("token_ids"),
+        )
+    )
+    return merges, ids_df
+
+
 def _ids_hash_int(col: str):
     """array<int> → the q49 'rag'-style portable 64-bit fingerprint:
     md5 of the comma-joined ids, first 8 hex chars as a long."""
@@ -1495,6 +1567,15 @@ def q49_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
       binaryFile → read_token_shards): byte-level egress/ingest parity
       is what makes 'shards' hash-equal to the oracle's directly
       computed triples.
+    * 'byte_merges' / 'byte_bpe' (r9, r8 verdict item 5) — the
+      byte-level GPT-2-style mode under a FULL hash oracle:
+      pre-tokenization held fixed by the RE2-safe `_BYTE_FIXTURE_PAT`
+      (the production regex's lookahead stays pytest-proved), merges
+      from the real train_byte_bpe over the fixture histogram, ids
+      from the real byte_bpe_tokenize_udf applied per pre-token (which
+      its internal regex provably keeps whole). The oracle re-derives
+      merge training, encoding, AND the GPT-2 byte-unit/merge-rank id
+      layout in recursive CTEs.
     """
     from pinecone_datasets_spark.operators.packing import (
         length_bucketed_batches,
@@ -1588,12 +1669,49 @@ def q49_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         _nl("long").alias("c3"),
         _nl("long").alias("c4"),
     )
+    # r9 (r8 verdict item 5): byte-level (GPT-2-style) BPE under a
+    # FULL hash oracle — pre-tokenization held fixed by the RE2-safe
+    # fixture pattern, merges trained by the real train_byte_bpe,
+    # encoding by the real Arrow UDF; the oracle replays training AND
+    # encoding AND the byte-unit/merge-rank id layout in SQL.
+    bmerges, bids_df = _byte_bpe_fixture(spark, sf_dir)
+    byte_merges_part = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(bmerges)],
+        "rank long, pa string, pb string",
+    ).select(
+        F.lit("byte_merges").alias("part"),
+        F.col("rank").alias("doc_id"),
+        _nl("long").alias("n_tokens"),
+        F.conv(
+            F.substring(
+                F.md5(F.concat("pa", F.lit("\x1f"), "pb")), 1, 8
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("c1"),
+        _nl("long").alias("c2"),
+        _nl("long").alias("c3"),
+        _nl("long").alias("c4"),
+    )
+    byte_bpe_part = bids_df.select(
+        F.lit("byte_bpe").alias("part"),
+        "doc_id",
+        F.size("token_ids").cast("long").alias("n_tokens"),
+        _ids_hash_int("token_ids").alias("c1"),
+        _nl("long").alias("c2"),
+        _nl("long").alias("c3"),
+        _nl("long").alias("c4"),
+    )
     return (
         chunks.unionByName(batches)
         .unionByName(rag)
         .unionByName(merges_part)
         .unionByName(bpe_part)
         .unionByName(shards_part)
+        .unionByName(byte_merges_part)
+        .unionByName(byte_bpe_part)
         .orderBy("part", "doc_id", "c1")
     )
 
@@ -3464,13 +3582,215 @@ def q19_q20_topk_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.unionByName(hn).orderBy("metric", "query_id", "rank")
 
 
+# ---- audio oracle fixture (r8 verdict items 1+7) --------------------------
+# Deterministic, SQL-replayable audio:
+#  * 'audio_rt' — integer PCM from a pure-integer recurrence, encoded by
+#    the library's WAV/AIFF/FLAC encoder twins, probed (probe_media) and
+#    decoded (decode_audio) for real; the float→int16 conversion in
+#    encode_wav/encode_aiff is exactly ``u - sign(u)`` for inputs u/32768
+#    (clip(x*32767) truncates toward zero; u*32767/32768 = u - u*2^-15 is
+#    EXACT in float64), FLAC takes integer PCM verbatim (lossless), so
+#    DuckDB replays every decoded sample bit-for-bit.
+#  * 'afp' — 64-bit audio fingerprint (multimodal._afp_bits) over clips of
+#    17 bin-centered tones whose amplitude RANKS are a doc_id-keyed mod-17
+#    permutation: adjacent-rank band-energy ratio is 1.35 (sign bits
+#    certain, leakage ~1e-8), min band energy sits 4.9x above the live
+#    floor, and the stationary signal makes every time-segment majority
+#    equal the per-frame bit — so the whole 64-bit hash is pure integer
+#    arithmetic on doc_id, replayed in SQL with no FFT.
+_AUDIO_RT_N = 600
+_AUDIO_RT_DOCS = 40
+_AFP_DOCS = 64
+_AFP_RATE, _AFP_NFFT = 8000, 2048
+_AFP_BANDS, _AFP_SEGS = 17, 4
+_AFP_FMIN, _AFP_FMAX = 300.0, 3000.0
+_AFP_LEN = 8192  # -> (8192-2048)//1024 + 1 = 7 frames
+
+
+def _audio_rt_pcm(doc_id: int) -> "np.ndarray":
+    """Integer recurrence in [-32760, 32760] — same formula as the
+    oracle's ``((doc_id*7919 + t*t*31 + t*1009) % 65521) - 32760``."""
+    import numpy as np
+
+    t = np.arange(_AUDIO_RT_N, dtype=np.int64)
+    return ((doc_id * 7919 + t * t * 31 + t * 1009) % 65521) - 32760
+
+
+def _afp_tone_clip(doc_id: int) -> "np.ndarray":
+    """Sum of bin-centered tones, one per band, amplitude rank
+    ``(doc_id + j*(1 + doc_id%16)) % 17`` (a bijection mod 17)."""
+    import numpy as np
+
+    freqs = np.fft.rfftfreq(_AFP_NFFT, d=1.0 / _AFP_RATE)
+    edges = np.geomspace(_AFP_FMIN, _AFP_FMAX, _AFP_BANDS + 1)
+    idx = np.searchsorted(freqs, edges)
+    c = 1 + (doc_id % 16)
+    t = np.arange(_AFP_LEN)
+    x = np.zeros(_AFP_LEN)
+    for j in range(_AFP_BANDS):
+        center = (int(idx[j]) + int(idx[j + 1])) // 2
+        rank = (doc_id + j * c) % 17
+        x += 1.35 ** (rank / 2.0) * np.cos(
+            2 * np.pi * center * t / _AFP_NFFT
+        )
+    return 0.9 * x / np.abs(x).max()
+
+
+def _audio_media_frames(spark: SparkSession, sf_dir: str):
+    """(rt_media, afp_media) binary fixtures built from documents
+    doc_ids via the library encoder twins (media_codecs.encode_wav/
+    encode_aiff, flac.encode_flac)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n_parts = 8
+
+    def rt_kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        from pinecone_datasets_spark.operators.flac import encode_flac
+        from pinecone_datasets_spark.operators.media_codecs import (
+            encode_aiff,
+            encode_wav,
+        )
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                u = _audio_rt_pcm(did)
+                rate = 8000 + (did % 5) * 1000
+                x = u.astype(np.float64) / 32768.0
+                for fmt, blob in (
+                    ("wav", encode_wav(x, rate=rate)),
+                    ("aiff", encode_aiff(x, rate=rate)),
+                    (
+                        "flac",
+                        encode_flac(
+                            u.astype(np.int16), rate=rate, fixed_order=2
+                        ),
+                    ),
+                ):
+                    ids.append(f"{did}:{fmt}")
+                    blobs.append(blob)
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    def afp_kernel(batches):
+        import pandas as pd
+
+        from pinecone_datasets_spark.operators.media_codecs import (
+            encode_wav,
+        )
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                ids.append(str(did))
+                blobs.append(
+                    encode_wav(_afp_tone_clip(did), rate=_AFP_RATE)
+                )
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    schema = "media_id string, content binary"
+    rt = (
+        docs.where(F.col("doc_id") < _AUDIO_RT_DOCS)
+        .repartition(n_parts)
+        .mapInPandas(rt_kernel, schema)
+    )
+    afp = (
+        docs.where(F.col("doc_id") < _AFP_DOCS)
+        .repartition(n_parts)
+        .mapInPandas(afp_kernel, schema)
+    )
+    return rt, afp
+
+
 def q25_q39_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc fingerprints: SimHash-64 (q25) + order-sensitive rolling
-    hash (q39), one row per document."""
-    return (
+    """Tagged fingerprint union: 'fp' = SimHash-64 (q25) + rolling hash
+    (q39) per document; 'audio_rt' = WAV/AIFF/FLAC encode→probe→decode
+    round-trip, every decoded sample hash-checked (operators/
+    media_codecs.py, operators/flac.py, multimodal.probe_media); 'afp'
+    = the 64-bit audio fingerprint + frame count
+    (multimodal.audio_fingerprint), integer-predicted by the oracle."""
+    from pinecone_datasets_spark.operators.multimodal import (
+        audio_fingerprint,
+        probe_media,
+    )
+
+    fp = (
         q25_simhash(spark, sf_dir)
         .join(q39_rolling_hash(spark, sf_dir), "doc_id")
-        .orderBy("doc_id")
+        .select(
+            F.lit("fp").alias("part"),
+            F.col("doc_id").cast("string").alias("key"),
+            F.col("simhash").cast("long").alias("h1"),
+            F.col("fp").cast("long").alias("h2"),
+            _nl("string").alias("s1"),
+        )
+    )
+
+    rt_media, afp_media = _audio_media_frames(spark, sf_dir)
+
+    def rt_decode_kernel(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        from pinecone_datasets_spark.operators.media_codecs import (
+            decode_audio,
+        )
+
+        for pdf in batches:
+            ids, sums, md5s = [], [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                samples, _rate = decode_audio(bytes(content))
+                k = np.round(
+                    samples.astype(np.float64) * 32768.0
+                ).astype(np.int64)
+                ids.append(mid)
+                sums.append(int((k * (np.arange(len(k)) + 1)).sum()))
+                md5s.append(
+                    hashlib.md5(
+                        ",".join(str(v) for v in k).encode()
+                    ).hexdigest()
+                )
+            yield pd.DataFrame(
+                {"media_id": ids, "pcm_sum": sums, "pcm_md5": md5s}
+            )
+
+    decoded = rt_media.mapInPandas(
+        rt_decode_kernel,
+        "media_id string, pcm_sum long, pcm_md5 string",
+    )
+    rt = (
+        decoded.join(probe_media(rt_media), "media_id")
+        .select(
+            F.lit("audio_rt").alias("part"),
+            F.col("media_id").alias("key"),
+            F.col("pcm_sum").alias("h1"),
+            F.col("duration_ms").cast("long").alias("h2"),
+            F.concat_ws("/", "format", "pcm_md5").alias("s1"),
+        )
+    )
+
+    afp = audio_fingerprint(
+        afp_media,
+        n_fft=_AFP_NFFT,
+        n_bands=_AFP_BANDS,
+        segments=_AFP_SEGS,
+        fmin=_AFP_FMIN,
+        fmax=_AFP_FMAX,
+    ).select(
+        F.lit("afp").alias("part"),
+        F.col("media_id").alias("key"),
+        F.col("afp").cast("long").alias("h1"),
+        F.col("n_frames").cast("long").alias("h2"),
+        _nl("string").alias("s1"),
+    )
+
+    return (
+        fp.unionByName(rt).unionByName(afp).orderBy("part", "key")
     )
 
 
@@ -5221,6 +5541,138 @@ bpe_triples AS (
          ('0x' || substr(md5(coalesce(array_to_string(ids, ','), '')),
                          1, 8))::BIGINT AS idhash
   FROM documents d LEFT JOIN dti USING (doc_id)
+),
+-- r9: byte-level (GPT-2-style) BPE replay. Pre-tokenization is held
+-- fixed by the RE2-safe ASCII fixture pattern (the production regex
+-- needs lookahead); the byte->unicode map on ASCII is identity for
+-- printable bytes and space->chr(288) ('G-dot'); training reuses the
+-- armored-string recursive rewrite (NO end-of-word marker); ids are
+-- the GPT-2 layout: single mapped chars = their byte value, merge
+-- products = 256 + rank (ties: later merge wins, matching the
+-- enumerate-dict overwrite in byte_bpe_vocab).
+bpre AS (
+  SELECT doc_id, regexp_extract_all(text,
+    ' ?[A-Za-z]+| ?[0-9]+| ?[!-/:-@\[-`{-~]+') AS ws
+  FROM documents
+),
+bhist AS (
+  SELECT replace(w, ' ', chr(288)) AS w, n FROM (
+    SELECT w, count(*)::BIGINT AS n,
+           row_number() OVER (ORDER BY count(*) DESC, w) AS rk
+    FROM (SELECT unnest(ws) AS w FROM bpre)
+    GROUP BY w) hh
+  WHERE rk <= 300 AND w <> ''
+),
+btrain AS (
+  SELECT 0 AS it,
+         chr(31) || array_to_string(string_split(w, ''),
+           chr(31) || chr(31)) || chr(31) AS s,
+         n, CAST(NULL AS VARCHAR) AS pa, CAST(NULL AS VARCHAR) AS pb
+  FROM bhist
+  UNION ALL
+  SELECT it + 1,
+         replace(s, chr(31)||best.a||chr(31)||chr(31)||best.b||chr(31),
+                    chr(31)||best.a||best.b||chr(31)),
+         n, best.a, best.b
+  FROM (
+    SELECT DISTINCT it, s, n, best FROM (
+      SELECT it, s, n,
+             min(CASE WHEN cnt >= 2
+                      THEN struct_pack(nc := -cnt, a := pa2, b := pb2)
+                 END) OVER () AS best
+      FROM (
+        SELECT it, s, n, pa2, pb2,
+               sum(n) OVER (PARTITION BY pa2, pb2) AS cnt
+        FROM (
+          SELECT it, s, n, syms[i] AS pa2, syms[i+1] AS pb2
+          FROM (
+            SELECT it, s, n,
+                   string_split(s[2:-2], chr(31)||chr(31)) AS syms,
+                   unnest(range(1, greatest(len(string_split(s[2:-2],
+                     chr(31)||chr(31))), 1))) AS i
+            FROM btrain) btp
+        ) bte
+      ) btc
+    ) btb
+  ) btd
+  WHERE best IS NOT NULL AND it < 30
+),
+bmerges AS (
+  SELECT DISTINCT it - 1 AS rank, pa, pb FROM btrain WHERE pa IS NOT NULL
+),
+bencw AS (
+  SELECT DISTINCT replace(w, ' ', chr(288)) AS w
+  FROM (SELECT unnest(ws) AS w FROM bpre) WHERE w <> ''
+),
+benc AS (
+  SELECT w,
+         chr(31) || array_to_string(string_split(w, ''),
+           chr(31) || chr(31)) || chr(31) AS s,
+         0 AS it
+  FROM bencw
+  UNION ALL
+  SELECT w,
+         chr(31) || array_to_string(
+           list_concat(list_concat(
+             syms[1:best.i - 1],
+             [syms[best.i] || syms[best.i + 1]]),
+             syms[best.i + 2:]),
+           chr(31) || chr(31)) || chr(31),
+         it + 1
+  FROM (
+    SELECT w, any_value(syms) AS syms, it,
+           min(struct_pack(r := m.rank, i := bep.i)) AS best
+    FROM (
+      SELECT w, s, it,
+             string_split(s[2:-2], chr(31)||chr(31)) AS syms,
+             unnest(range(1, greatest(len(string_split(s[2:-2],
+               chr(31)||chr(31))), 1))) AS i
+      FROM benc) bep
+    JOIN bmerges m ON m.pa = bep.syms[bep.i]
+                  AND m.pb = bep.syms[bep.i + 1]
+    GROUP BY w, it
+  ) beg
+),
+benc_final AS (
+  SELECT w, string_split(s[2:-2], chr(31)||chr(31)) AS toks
+  FROM benc
+  QUALIFY row_number() OVER (PARTITION BY w ORDER BY it DESC) = 1
+),
+bvocab AS (
+  SELECT pa || pb AS tok, 256 + max(rank) AS tid
+  FROM bmerges GROUP BY pa || pb
+),
+bdwx AS (
+  SELECT doc_id, replace(w, ' ', chr(288)) AS w, pos
+  FROM (SELECT doc_id, unnest(ws) AS w,
+               unnest(range(1, len(ws) + 1)) AS pos
+        FROM bpre)
+  WHERE w <> ''
+),
+bdtok AS (
+  SELECT doc_id, flatten(list(toks ORDER BY pos)) AS toks
+  FROM bdwx JOIN benc_final USING (w) GROUP BY doc_id
+),
+bdte AS (
+  SELECT doc_id, unnest(toks) AS tok,
+         unnest(range(1, len(toks) + 1)) AS pos
+  FROM bdtok
+),
+bdti AS (
+  SELECT doc_id, list(
+    coalesce(v.tid,
+             CASE WHEN unicode(bdte.tok) = 288 THEN 32
+                  ELSE unicode(bdte.tok) END)
+    ORDER BY pos) AS ids
+  FROM bdte LEFT JOIN bvocab v ON v.tok = bdte.tok
+  GROUP BY doc_id
+),
+byte_triples AS (
+  SELECT d.doc_id,
+         coalesce(len(ids), 0)::BIGINT AS n_tokens,
+         ('0x' || substr(md5(coalesce(array_to_string(ids, ','), '')),
+                         1, 8))::BIGINT AS idhash
+  FROM documents d LEFT JOIN bdti USING (doc_id)
 )
 SELECT 'chunks' AS part, doc_id, n_tokens, global_start AS c1,
        (global_start // 512)::BIGINT AS c2,
@@ -5251,6 +5703,15 @@ UNION ALL
 SELECT 'shards', doc_id, n_tokens, idhash,
        CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
 FROM bpe_triples
+UNION ALL
+SELECT 'byte_merges', rank, CAST(NULL AS BIGINT),
+       ('0x' || substr(md5(pa || chr(31) || pb), 1, 8))::BIGINT,
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+FROM bmerges
+UNION ALL
+SELECT 'byte_bpe', doc_id, n_tokens, idhash,
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+FROM byte_triples
 ORDER BY part, doc_id, c1
 """,
         "q48_decontaminate": """
@@ -7249,12 +7710,68 @@ FROM hn_negs n LEFT JOIN hn_floor f USING (query_id)
 WHERE n.neg_rank <= 5
 ORDER BY metric, query_id, rank
 """
+    # 'audio_rt': every decoded PCM sample replayed bit-for-bit — the
+    # recurrence is pure integer math; encode_wav/encode_aiff's
+    # clip(x*32767) truncation on inputs u/32768 is exactly u-sign(u)
+    # (u*32767/32768 = u - u*2^-15 is exact in float64); FLAC is
+    # lossless on integer input. 'afp': the 64-bit fingerprint is the
+    # doc_id-keyed rank permutation's adjacent-comparison bits packed
+    # LSB-first and repeated across the 4 stationary time segments
+    # (bit 63 handled via two's complement to stay in BIGINT).
     out["q25_q39_fingerprints"] = f"""
 WITH sh AS ({_oracle_simhash()}),
-rh AS ({b['q39_rolling_hash']})
-SELECT sh.doc_id, sh.simhash, rh.fp
+rh AS ({b['q39_rolling_hash']}),
+rt_pcm AS (
+  SELECT d.doc_id, f.fmt, t.t,
+         CASE WHEN f.fmt = 'flac' THEN u.u
+              WHEN u.u > 0 THEN u.u - 1
+              WHEN u.u < 0 THEN u.u + 1
+              ELSE 0 END AS pcm
+  FROM (SELECT DISTINCT doc_id FROM documents
+        WHERE doc_id < {_AUDIO_RT_DOCS}) d
+  CROSS JOIN (VALUES ('wav'), ('aiff'), ('flac')) f(fmt)
+  CROSS JOIN range(0, {_AUDIO_RT_N}) t(t),
+  LATERAL (SELECT ((d.doc_id * 7919 + t.t * t.t * 31 + t.t * 1009)
+                   % 65521) - 32760 AS u) u
+),
+rt AS (
+  SELECT 'audio_rt' AS part,
+         doc_id::VARCHAR || ':' || fmt AS key,
+         SUM(pcm * (t + 1))::BIGINT AS h1,
+         ({_AUDIO_RT_N} * 1000 // (8000 + (doc_id % 5) * 1000))::BIGINT
+           AS h2,
+         fmt || '/' || md5(string_agg(pcm::VARCHAR, ',' ORDER BY t))
+           AS s1
+  FROM rt_pcm GROUP BY doc_id, fmt
+),
+afp_bits AS (
+  SELECT d.doc_id, j.j,
+         CASE WHEN ((d.doc_id + j.j * (1 + d.doc_id % 16)) % 17) >
+                   ((d.doc_id + (j.j + 1) * (1 + d.doc_id % 16)) % 17)
+              THEN 1 ELSE 0 END AS b
+  FROM (SELECT DISTINCT doc_id FROM documents
+        WHERE doc_id < {_AFP_DOCS}) d
+  CROSS JOIN range(0, {_AFP_BANDS - 1}) j(j)
+),
+afp AS (
+  SELECT 'afp' AS part, doc_id::VARCHAR AS key,
+         (SUM(b * ((1::BIGINT << j) + (1::BIGINT << (j + 16))
+                   + (1::BIGINT << (j + 32))
+                   + CASE WHEN j < 15 THEN (1::BIGINT << (j + 48))
+                          ELSE 0 END))
+          + SUM(CASE WHEN j = 15 AND b = 1
+                     THEN -9223372036854775807 - 1 ELSE 0 END)
+         )::BIGINT AS h1,
+         7::BIGINT AS h2, CAST(NULL AS VARCHAR) AS s1
+  FROM afp_bits GROUP BY doc_id
+)
+SELECT 'fp' AS part, sh.doc_id::VARCHAR AS key,
+       sh.simhash::BIGINT AS h1, rh.fp::BIGINT AS h2,
+       CAST(NULL AS VARCHAR) AS s1
 FROM sh JOIN rh USING (doc_id)
-ORDER BY doc_id
+UNION ALL SELECT * FROM rt
+UNION ALL SELECT * FROM afp
+ORDER BY part, key
 """
     from pinecone_datasets_spark.operators.sketch import cm_sql
 

@@ -264,3 +264,40 @@ def test_byte_bpe_compresses_fixture(spark):
         F.length("text").alias("c"),
     ).agg(F.sum("t").alias("t"), F.sum("c").alias("c")).collect()[0]
     assert 0 < agg["t"] < agg["c"]  # beats 1 token/byte on its corpus
+
+
+def test_byte_fixture_pretokens_survive_production_regex():
+    """The q49 'byte_bpe' oracle holds pre-tokenization fixed with the
+    RE2-safe `_BYTE_FIXTURE_PAT`; its correctness rests on the
+    invariant that the production GPT-2 regex, applied to any single
+    fixture pre-token, returns that pre-token WHOLE (so the real
+    byte_bpe_tokenize_udf per pre-token equals _encode_word on its
+    byte-mapped form). Property-check the invariant over every fixture
+    pre-token of a text zoo that exercises contractions, underscores,
+    mixed alnum, punct runs, and multi-space gaps."""
+    import re
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from __spark_entry__ import _BYTE_FIXTURE_PAT
+
+    from pinecone_datasets_spark.operators.bpe import _BYTE_PRETOKEN_PY
+
+    fix = re.compile(_BYTE_FIXTURE_PAT)
+    prod = re.compile(_BYTE_PRETOKEN_PY)
+    zoo = [
+        "it's a don't-stop world, isn't it?",
+        "x_y __init__ a_b_c",
+        "ab12 34cd A1B2",
+        "!!! ?!? ... ''' `{~} [a](b)",
+        "multi   space\tand\nnewlines  end  ",
+        "'s 't 're 've 'm 'll 'd '",
+        "CamelCase UPPER lower 0123456789",
+        "a'b c'd e'' 'f",
+    ]
+    checked = 0
+    for text in zoo:
+        for w in fix.findall(text):
+            assert prod.findall(w) == [w], (text, w, prod.findall(w))
+            checked += 1
+    assert checked > 40
