@@ -57,6 +57,22 @@ _MAGIC = b"TOKIDX01"
 _DTYPES = {"uint16": 2, "uint32": 4}
 
 
+def _load_manifest(path: str, missing_ok: bool = False):
+    """Driver-side ``manifest.json`` load. ``missing_ok`` returns None
+    when absent or unreadable (the glob reader's best-effort
+    manifest-mode refusal check); otherwise raises loudly."""
+    mpath = os.path.join(path, "manifest.json")
+    try:
+        with open(mpath) as fh:
+            return json.load(fh)
+    except OSError:
+        if missing_ok:
+            return None
+        raise FileNotFoundError(
+            f"use_manifest=True but no readable manifest.json in {path}"
+        )
+
+
 def write_token_shards(
     df: DataFrame,
     path: str,
@@ -65,6 +81,7 @@ def write_token_shards(
     num_shards: int = 8,
     dtype: str = "uint16",
     order_col: str | None = None,
+    commit: str = "rename",
 ) -> dict:
     """Write ``(id, array<int> token ids)`` rows as indexed binary
     shards + ``manifest.json`` (format in the module docstring).
@@ -86,22 +103,36 @@ def write_token_shards(
     Raises (task-side, fail loud) on negative ids or ids that overflow
     ``dtype``.
 
-    Task-commit protocol: each task writes ``shard-NNNNN.{bin,idx}`` to
-    attempt-suffixed temp names and ``os.replace``-renames them into
-    place (bin first, then idx) only after both are fully written — a
-    retried or speculative task attempt can therefore never interleave
-    bytes into a shard another attempt is writing; last completed
-    attempt wins atomically, and the temp names never match the
-    reader's ``*.bin``/``*.idx`` globs. REQUIRES that ``path`` is a
-    filesystem shared by driver and executors (local mode, NFS, or a
-    FUSE-mounted object store) and that rename is atomic on it —
-    object-store FUSE mounts without atomic rename need speculation
-    disabled (``spark.speculation=false``) instead.
+    Task-commit protocol (``commit=``, see ``taskio.py``):
+
+    * ``"rename"`` (default): each task writes ``shard-NNNNN.{bin,
+      idx}`` to attempt-suffixed temp names and ``os.replace``-renames
+      them into place (bin first, then idx) only after both are fully
+      written — a retried or speculative task attempt can therefore
+      never interleave bytes into a shard another attempt is writing;
+      last completed attempt wins atomically, and the temp names never
+      match the reader's ``*.bin``/``*.idx`` globs. REQUIRES that
+      ``path`` is a filesystem shared by driver and executors (local
+      mode, NFS, or a FUSE-mounted object store) and that rename is
+      atomic on it — object-store FUSE mounts without atomic rename
+      need speculation disabled (``spark.speculation=false``) instead.
+    * ``"manifest"`` (r9 — the object-store-safe commit log): each
+      attempt writes directly to the attempt-UNIQUE final stem
+      ``shard-NNNNN-a<attempt>`` (single PUT per file, no rename), and
+      the manifest lists only the winning attempts' stems (the driver
+      hears back from exactly one attempt per task). Read such a
+      directory with ``read_token_shards(..., use_manifest=True)`` —
+      the default glob reader refuses it loudly, because an orphaned
+      loser attempt would otherwise duplicate its shard.
     """
+    from ..taskio import COMMIT_MODES
+
     if dtype not in _DTYPES:
         raise ValueError(f"dtype must be one of {sorted(_DTYPES)}: {dtype}")
     if num_shards < 1:
         raise ValueError(f"num_shards must be >= 1: {num_shards}")
+    if commit not in COMMIT_MODES:
+        raise ValueError(f"commit must be one of {COMMIT_MODES}: {commit}")
     size = _DTYPES[dtype]
     limit = 1 << (8 * size)
     os.makedirs(path, exist_ok=True)
@@ -130,20 +161,28 @@ def write_token_shards(
         sort_keys = ["__ord", "doc_id"]
 
     def write_one(pdf: pd.DataFrame) -> pd.DataFrame:
-        from ..taskio import attempt_tmp_path, commit_file
+        from ..taskio import attempt_stem, attempt_tmp_path, commit_file
 
         shard = int(pdf["shard"].iloc[0])
         pdf = pdf.sort_values(sort_keys, kind="mergesort")
         np_dtype = np.dtype(f"<u{size}")
         os.makedirs(path, exist_ok=True)  # executor-side: executors
         # need not share the driver's view of mkdir at function entry
-        bin_path = os.path.join(path, f"shard-{shard:05d}.bin")
-        idx_path = os.path.join(path, f"shard-{shard:05d}.idx")
-        # attempt-unique temp names (never matching the reader's
-        # *.bin/*.idx globs), atomically renamed only once complete —
-        # the shared task-commit protocol (taskio.py)
-        bin_tmp = attempt_tmp_path(bin_path)
-        idx_tmp = attempt_tmp_path(idx_path)
+        stem = f"shard-{shard:05d}"
+        if commit == "manifest":
+            # attempt-unique FINAL names, no rename: the manifest (not
+            # the filesystem namespace) decides which attempt is read
+            stem = attempt_stem(stem)
+        bin_path = os.path.join(path, stem + ".bin")
+        idx_path = os.path.join(path, stem + ".idx")
+        if commit == "manifest":
+            bin_tmp, idx_tmp = bin_path, idx_path
+        else:
+            # attempt-unique temp names (never matching the reader's
+            # *.bin/*.idx globs), atomically renamed only once complete
+            # — the shared task-commit protocol (taskio.py)
+            bin_tmp = attempt_tmp_path(bin_path)
+            idx_tmp = attempt_tmp_path(idx_path)
         n_tokens = 0
         entries = []
         with open(bin_tmp, "wb") as fb:
@@ -167,11 +206,13 @@ def write_token_shards(
             fi.write(struct.pack("<Q", len(entries)))
             for doc_id, cnt in entries:
                 fi.write(struct.pack("<qq", doc_id, cnt))
-        commit_file(bin_tmp, bin_path)
-        commit_file(idx_tmp, idx_path)
+        if commit != "manifest":
+            commit_file(bin_tmp, bin_path)
+            commit_file(idx_tmp, idx_path)
         return pd.DataFrame(
             {
                 "shard": [shard],
+                "name": [stem],
                 "n_docs": [len(entries)],
                 "n_tokens": [n_tokens],
                 "bin_bytes": [n_tokens * size],
@@ -182,14 +223,15 @@ def write_token_shards(
         assigned.groupBy("shard")
         .applyInPandas(
             write_one,
-            "shard int, n_docs long, n_tokens long, bin_bytes long",
+            "shard int, name string, n_docs long, n_tokens long,"
+            " bin_bytes long",
         )
         .collect()
     )
     shards = sorted(
         (
             {
-                "name": f"shard-{r['shard']:05d}",
+                "name": r["name"],
                 "n_docs": r["n_docs"],
                 "n_tokens": r["n_tokens"],
                 "bin_bytes": r["bin_bytes"],
@@ -201,6 +243,7 @@ def write_token_shards(
     manifest = {
         "format": "TOKIDX01",
         "dtype": dtype,
+        "commit": commit,
         "order": "hash" if order_col is None else f"range:{order_col}",
         "shards": shards,
         "n_docs": int(sum(s["n_docs"] for s in shards)),
@@ -211,28 +254,55 @@ def write_token_shards(
     return manifest
 
 
-def read_token_shards(spark: SparkSession, path: str) -> DataFrame:
+def read_token_shards(
+    spark: SparkSession, path: str, use_manifest: bool = False
+) -> DataFrame:
     """Read an indexed token-shard directory back as
     ``(doc_id long, token_ids array<int>)`` — one task per shard
     (binaryFile grain), index and payload validated against each other
-    (magic, dtype, byte totals) with loud errors on drift."""
-    idx = (
-        spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.idx")
-        .load(path)
-        .select(
-            F.regexp_replace("path", r"\.idx$", "").alias("stem"),
-            F.col("content").alias("idx_bytes"),
+    (magic, dtype, byte totals) with loud errors on drift.
+
+    ``use_manifest=True`` treats ``manifest.json`` as the commit log:
+    only the shard stems it lists are opened, so orphaned loser
+    attempts from a ``commit="manifest"`` write are never read. The
+    default glob mode REFUSES a manifest-committed directory (the glob
+    would read both attempts of a speculated shard) — pass
+    ``use_manifest=True`` for those."""
+    if use_manifest:
+        manifest = _load_manifest(path)
+        stems = [s["name"] for s in manifest["shards"]]
+        if not stems:
+            raise ValueError(f"manifest lists no shards: {path}")
+        idx_paths = [os.path.join(path, s + ".idx") for s in stems]
+        bin_paths = [os.path.join(path, s + ".bin") for s in stems]
+        idx = spark.read.format("binaryFile").load(idx_paths)
+        bin_ = spark.read.format("binaryFile").load(bin_paths)
+    else:
+        manifest = _load_manifest(path, missing_ok=True)
+        if manifest is not None and manifest.get("commit") == "manifest":
+            raise ValueError(
+                "this shard directory was written with"
+                " commit='manifest' (attempt-unique file names); the"
+                " glob reader could double-read a speculated shard —"
+                " call read_token_shards(..., use_manifest=True)"
+            )
+        idx = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.idx")
+            .load(path)
         )
+        bin_ = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.bin")
+            .load(path)
+        )
+    idx = idx.select(
+        F.regexp_replace("path", r"\.idx$", "").alias("stem"),
+        F.col("content").alias("idx_bytes"),
     )
-    bin_ = (
-        spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.bin")
-        .load(path)
-        .select(
-            F.regexp_replace("path", r"\.bin$", "").alias("stem"),
-            F.col("content").alias("bin_bytes"),
-        )
+    bin_ = bin_.select(
+        F.regexp_replace("path", r"\.bin$", "").alias("stem"),
+        F.col("content").alias("bin_bytes"),
     )
     paired = idx.join(bin_, "stem", "full_outer")
 

@@ -248,6 +248,7 @@ def read_warc(
     path: str,
     glob: str = "*.warc*",
     recursive: bool = False,
+    use_manifest: bool = False,
 ) -> WarcRead:
     """Read a directory (or file) of WARC / WET archives, plain or
     gzipped. Returns ``WarcRead(records, quarantined)``; both frames
@@ -256,14 +257,43 @@ def read_warc(
     Each task parses whole files (see module docstring for why that is
     the correct parallelism grain for ``.warc.gz``); point this at a
     crawl's segment directory and the file count IS the parallelism.
-    """
-    raw = (
-        spark.read.format("binaryFile")
-        .option("pathGlobFilter", glob)
-        .option("recursiveFileLookup", "true" if recursive else "false")
-        .load(path)
-        .select("path", "content")
-    )
+
+    ``use_manifest=True`` (for directories produced by ``write_wet(...,
+    commit="manifest")``) treats ``manifest.json`` as the commit log:
+    only the files it lists are opened, so orphaned loser attempts
+    (speculative twins, zombies that died mid-write) are never read —
+    the object-store-safe read path (``taskio.py``)."""
+    if use_manifest:
+        import json as _json
+        import os as _os
+
+        mpath = _os.path.join(path, "manifest.json")
+        try:
+            with open(mpath) as fh:
+                manifest = _json.load(fh)
+        except OSError:
+            raise FileNotFoundError(
+                f"use_manifest=True but no readable manifest.json in"
+                f" {path}"
+            )
+        names = [f["name"] for f in manifest.get("files", [])]
+        if not names:
+            raise ValueError(f"manifest lists no files: {mpath}")
+        raw = (
+            spark.read.format("binaryFile")
+            .load([_os.path.join(path, n) for n in names])
+            .select("path", "content")
+        )
+    else:
+        raw = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", glob)
+            .option(
+                "recursiveFileLookup", "true" if recursive else "false"
+            )
+            .load(path)
+            .select("path", "content")
+        )
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -346,6 +376,7 @@ def write_wet(
     num_files: int = 8,
     warc_date: str = "2026-01-01T00:00:00Z",
     gzip_records: bool = True,
+    commit: str = "rename",
 ) -> dict:
     """Distributed WET sink (VERDICT r7 item 8): write an extracted-
     text frame as spec-shaped ``.warc.wet.gz`` segments — the format
@@ -368,12 +399,16 @@ def write_wet(
 
     Scale shape: ONE shuffle (the segment key); segment bytes are
     written task-side (applyInPandas) under the shared task-commit
-    protocol (``taskio.py`` — attempt-suffixed temp file, atomic
-    rename once complete) so retried/speculative attempts can't
-    interleave; the driver sees only per-segment summary rows.
-    Requires a driver/executor-shared filesystem with atomic rename.
-    Returns the manifest dict (also written as ``manifest.json``,
-    which ``read_warc``'s default ``*.warc*`` glob ignores)."""
+    protocol (``taskio.py``): ``commit="rename"`` (default) writes an
+    attempt-suffixed temp file and atomically renames once complete
+    (requires a driver/executor-shared filesystem with atomic
+    rename); ``commit="manifest"`` (r9, object-store-safe) writes
+    directly to an attempt-unique final name — one PUT, no rename —
+    and the manifest lists only the winning attempts, so read back
+    with ``read_warc(..., use_manifest=True)``. The driver sees only
+    per-segment summary rows either way. Returns the manifest dict
+    (also written as ``manifest.json``, which ``read_warc``'s default
+    ``*.warc*`` glob ignores)."""
     import hashlib as _hashlib
     import json as _json
     import os as _os
@@ -381,8 +416,12 @@ def write_wet(
 
     import pandas as _pd
 
+    from ..taskio import COMMIT_MODES
+
     if num_files < 1:
         raise ValueError(f"num_files must be >= 1: {num_files}")
+    if commit not in COMMIT_MODES:
+        raise ValueError(f"commit must be one of {COMMIT_MODES}: {commit}")
     assigned = df.select(
         F.col(uri_col).cast("string").alias("uri"),
         F.col(text_col).cast("string").alias("text"),
@@ -403,14 +442,19 @@ def write_wet(
     _URI_SAFE = ":/?#[]@!$&'()*+,;=%~-._"
 
     def write_one(pdf: _pd.DataFrame) -> _pd.DataFrame:
-        from ..taskio import attempt_tmp_path, commit_file
+        from ..taskio import attempt_stem, attempt_tmp_path, commit_file
 
         seg = int(pdf["seg"].iloc[0])
         pdf = pdf.sort_values(["uri", "text"], kind="mergesort")
         _os.makedirs(path, exist_ok=True)
-        name = f"wet-{seg:05d}.warc.wet" + (".gz" if gzip_records else "")
+        stem = f"wet-{seg:05d}"
+        if commit == "manifest":
+            # attempt-unique FINAL name, never renamed — the manifest
+            # (not the filesystem namespace) picks the winner
+            stem = attempt_stem(stem)
+        name = stem + ".warc.wet" + (".gz" if gzip_records else "")
         final = _os.path.join(path, name)
-        tmp = attempt_tmp_path(final)
+        tmp = final if commit == "manifest" else attempt_tmp_path(final)
         recs = [
             {
                 "warc_type": "warcinfo",
@@ -453,7 +497,8 @@ def write_wet(
         blob = encode_warc(recs, gzip_records=gzip_records)
         with open(tmp, "wb") as fh:
             fh.write(blob)
-        commit_file(tmp, final)
+        if commit != "manifest":
+            commit_file(tmp, final)
         return _pd.DataFrame(
             {
                 "seg": [seg],
@@ -487,6 +532,7 @@ def write_wet(
     )
     manifest = {
         "format": "WET",
+        "commit": commit,
         "files": files,
         "n_records": int(sum(f["n_records"] for f in files)),
         "n_chars": int(sum(f["n_chars"] for f in files)),

@@ -224,3 +224,78 @@ def test_composes_with_byte_bpe_ids(spark, tmp_path):
     for did, ids in back.items():
         toks = [vocab[i] for i in ids]
         assert byte_bpe_decode(toks) == texts[did]
+
+
+def test_manifest_commit_ignores_loser_attempts(spark, tmp_path):
+    """r8 verdict item 3 — manifest-as-commit-log: a manifest-mode
+    write uses attempt-unique FINAL names (no rename), the manifest
+    lists only winners, and the manifest-trusting reader never opens a
+    planted loser attempt (a speculative twin with different bytes).
+    The glob reader refuses such a directory loudly instead of
+    double-reading the speculated shard."""
+    import struct
+
+    rows, df = _fixture(spark)
+    path = str(tmp_path / "mcommit")
+    manifest = write_token_shards(
+        df, path, num_shards=4, dtype="uint16", commit="manifest"
+    )
+    assert manifest["commit"] == "manifest"
+    stems = [s["name"] for s in manifest["shards"]]
+    assert all("-a" in s for s in stems)  # attempt-unique final names
+    # no rename-protocol temp files in manifest mode
+    assert not [f for f in os.listdir(path) if ".inprogress-" in f]
+
+    # plant a LOSER attempt for shard 0: same shard number, different
+    # attempt id, drifted payload — exactly what a speculative twin
+    # that also finished (or died mid-write) leaves on an object store
+    loser_stem = "shard-00000-a999999999"
+    with open(os.path.join(path, loser_stem + ".bin"), "wb") as fb:
+        fb.write(b"\xff" * 64)
+    with open(os.path.join(path, loser_stem + ".idx"), "wb") as fi:
+        fi.write(b"TOKIDX01")
+        fi.write(struct.pack("<B7x", 2))
+        fi.write(struct.pack("<Q", 1))
+        fi.write(struct.pack("<qq", 424242, 32))
+
+    back = {
+        r["doc_id"]: r["token_ids"]
+        for r in read_token_shards(spark, path, use_manifest=True).collect()
+    }
+    assert back == {i: t for i, t in rows}  # loser never read
+    assert 424242 not in back
+
+    # the glob reader would read BOTH attempts — it must refuse
+    with pytest.raises(ValueError, match="use_manifest"):
+        read_token_shards(spark, path).collect()
+
+
+def test_use_manifest_reads_rename_mode_dirs_too(spark, tmp_path):
+    """The manifest-trusting reader is mode-agnostic: a default
+    (rename-committed) directory lists plain stems in its manifest and
+    reads back identically through use_manifest=True."""
+    rows, df = _fixture(spark, n=20)
+    path = str(tmp_path / "rename")
+    write_token_shards(df, path, num_shards=2, dtype="uint16")
+    back = {
+        r["doc_id"]: r["token_ids"]
+        for r in read_token_shards(spark, path, use_manifest=True).collect()
+    }
+    assert back == {i: t for i, t in rows}
+
+
+def test_manifest_reader_requires_manifest(spark, tmp_path):
+    rows, df = _fixture(spark, n=5)
+    path = str(tmp_path / "nomanifest")
+    write_token_shards(df, path, num_shards=1)
+    os.unlink(os.path.join(path, "manifest.json"))
+    with pytest.raises(FileNotFoundError, match="manifest.json"):
+        read_token_shards(spark, path, use_manifest=True)
+    # glob mode still works without a manifest (pre-r9 directories)
+    assert read_token_shards(spark, path).count() == len(rows)
+
+
+def test_bad_commit_mode_rejected(spark, tmp_path):
+    _, df = _fixture(spark, n=3)
+    with pytest.raises(ValueError, match="commit"):
+        write_token_shards(df, str(tmp_path / "x"), commit="yolo")

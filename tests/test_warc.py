@@ -341,3 +341,73 @@ def test_write_wet_iri_and_duplicate_record_ids(spark, tmp_path):
     assert "https://ex.com/caf%C3%A9/%E4%B8%AD%E6%96%87" in uris
     ids = [r["record_id"] for r in recs]
     assert len(set(ids)) == 3  # unique even for identical rows
+
+
+def test_write_wet_manifest_commit_ignores_losers(spark, tmp_path):
+    """r8 verdict item 3 on the WET sink: commit='manifest' writes
+    attempt-unique final segment names, and read_warc(use_manifest=
+    True) opens only the manifest's winners — a planted loser segment
+    (speculative twin with drifted records) is never parsed. Record
+    content matches a rename-mode write of the same frame."""
+    import os
+
+    from pinecone_datasets_spark.sources.warc import (
+        encode_warc,
+        read_warc,
+        wet_text,
+        write_wet,
+    )
+
+    rows = [
+        (f"https://ex.com/{i}", f"text {i}") for i in range(12)
+    ] + [(None, "no url")]
+    df = spark.createDataFrame(rows, "url string, text string")
+    path = str(tmp_path / "m")
+    man = write_wet(df, path, num_files=3, commit="manifest")
+    assert man["commit"] == "manifest"
+    names = [f["name"] for f in man["files"]]
+    assert all("-a" in n for n in names)
+    assert not [n for n in os.listdir(path) if ".inprogress-" in n]
+
+    # plant a loser attempt for segment 0 with a record that must NOT
+    # appear in the manifest-trusting read
+    loser = encode_warc(
+        [
+            {
+                "warc_type": "conversion",
+                "record_id": "<urn:loser:1>",
+                "target_uri": "https://ex.com/LOSER",
+                "warc_date": "2026-01-01T00:00:00Z",
+                "content_type": "text/plain",
+                "content": "loser attempt payload",
+            }
+        ],
+        gzip_records=True,
+    )
+    with open(
+        os.path.join(path, "wet-00000-a999999999.warc.wet.gz"), "wb"
+    ) as fh:
+        fh.write(loser)
+
+    got = read_warc(spark, path, use_manifest=True)
+    texts = {
+        (r["target_uri"], r["text"])
+        for r in wet_text(got.records).collect()
+    }
+    expect = {
+        (u, t)
+        for u, t in [
+            (f"https://ex.com/{i}", f"text {i}") for i in range(12)
+        ]
+        + [(None, "no url")]
+    }
+    assert texts == expect  # loser record absent, all winners present
+    assert got.quarantined.count() == 0
+
+    # default glob mode would see the loser too (documented hazard) —
+    # and use_manifest without a manifest refuses loudly
+    os.unlink(os.path.join(path, "manifest.json"))
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError, match="manifest.json"):
+        read_warc(spark, path, use_manifest=True)
