@@ -50,6 +50,129 @@ class UnsupportedMediaError(ValueError):
 # probing (format + dimensions/duration from headers — all real parses)
 # ---------------------------------------------------------------------------
 
+#: MPEG audio header tables (ISO/IEC 11172-3 / 13818-3 frame headers —
+#: public structural constants). Bitrate in kbit/s per (version-group,
+#: layer); index 0 = "free format" (frame size not derivable from the
+#: header alone), index 15 = invalid.
+_MPEG_BITRATES = {
+    # MPEG-1
+    (1, 1): (0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352,
+             384, 416, 448),
+    (1, 2): (0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256,
+             320, 384),
+    (1, 3): (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+             256, 320),
+    # MPEG-2 / 2.5 (LSF)
+    (2, 1): (0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192,
+             224, 256),
+    (2, 2): (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144,
+             160),
+    (2, 3): (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144,
+             160),
+}
+_MPEG_RATES = {
+    3: (44100, 48000, 32000),   # version bits 11 = MPEG-1
+    2: (22050, 24000, 16000),   # version bits 10 = MPEG-2
+    0: (11025, 12000, 8000),    # version bits 00 = MPEG-2.5
+}
+
+
+def _mpeg_frame(data: bytes, pos: int):
+    """Parse one MPEG audio frame header at ``pos``. Returns
+    ``(frame_bytes, samples_per_frame, sample_rate, bitrate_kbps,
+    layer, n_channels)`` or None when the 4 bytes there are not a
+    valid header. ``frame_bytes`` is None for free-format streams
+    (bitrate index 0 — size not derivable from the header)."""
+    if pos + 4 > len(data):
+        return None
+    h = int.from_bytes(data[pos : pos + 4], "big")
+    if (h >> 21) & 0x7FF != 0x7FF:
+        return None
+    vbits = (h >> 19) & 0x3
+    lbits = (h >> 17) & 0x3
+    if vbits == 1 or lbits == 0:
+        return None  # reserved version / reserved layer
+    layer = 4 - lbits  # bits 11->layer I, 10->II, 01->III
+    vgroup = 1 if vbits == 3 else 2
+    bidx = (h >> 12) & 0xF
+    ridx = (h >> 10) & 0x3
+    if bidx == 15 or ridx == 3:
+        return None
+    rate = _MPEG_RATES[vbits][ridx]
+    bitrate = _MPEG_BITRATES[(vgroup, layer)][bidx]
+    padding = (h >> 9) & 0x1
+    mode = (h >> 6) & 0x3
+    n_channels = 1 if mode == 3 else 2
+    if layer == 1:
+        spf = 384
+        nbytes = (
+            (12 * bitrate * 1000 // rate + padding) * 4 if bitrate else None
+        )
+    else:
+        spf = 1152 if (layer == 2 or vgroup == 1) else 576
+        factor = 144 if spf == 1152 else 72
+        nbytes = (
+            factor * bitrate * 1000 // rate + padding if bitrate else None
+        )
+    return nbytes, spf, rate, bitrate, layer, n_channels
+
+
+def probe_mp3(content: bytes):
+    """Walk an MPEG audio stream's frame chain (ID3v2 skipped, ID3v1
+    tail tolerated): ``(n_frames, duration_ms, sample_rate, layer,
+    n_channels, truncated)`` or None when no complete valid frame with
+    a consistent successor exists. Probe-only — Layer III DECODE stays
+    a typed refusal (see ``decode_audio``)."""
+    if not content:
+        return None
+    pos = 0
+    if content[:3] == b"ID3" and len(content) >= 10:
+        sz = 0
+        for b in content[6:10]:
+            sz = (sz << 7) | (b & 0x7F)  # syncsafe
+        pos = 10 + sz
+    end = len(content)
+    if end >= 128 and content[-128:-125] == b"TAG":
+        end -= 128  # ID3v1 tail
+    # find the first header whose implied NEXT position is either the
+    # stream end or another valid header — one random 0xFFF in junk
+    # bytes must not probe as mp3
+    start = None
+    first = None
+    scan_limit = min(end - 4, pos + 65536)
+    while pos <= scan_limit:
+        fr = _mpeg_frame(content, pos)
+        if fr is not None:
+            nbytes = fr[0]
+            if nbytes is not None and pos + nbytes <= end:
+                nxt = pos + nbytes
+                if nxt == end or _mpeg_frame(content, nxt) is not None:
+                    start, first = pos, fr
+                    break
+        pos += 1
+    if start is None:
+        return None
+    n_frames = 0
+    samples = 0
+    truncated = False
+    _, spf, rate, _, layer, nch = first
+    pos = start
+    while pos + 4 <= end:
+        fr = _mpeg_frame(content, pos)
+        if fr is None:
+            break  # garbage after a valid chain: stop counting
+        nbytes = fr[0]
+        if nbytes is None or pos + nbytes > end:
+            truncated = nbytes is not None
+            break
+        n_frames += 1
+        samples += fr[1]
+        pos += nbytes
+    if n_frames == 0:
+        return None
+    duration_ms = samples * 1000 // rate
+    return n_frames, duration_ms, rate, layer, nch, truncated
+
 
 def probe_bytes(
     content: Optional[bytes],
@@ -129,6 +252,10 @@ def probe_bytes(
                 dur = total * 1000 // rate if rate else None
                 return "flac", None, None, dur
             return "flac", None, None, None
+        mp3 = probe_mp3(content)
+        if mp3 is not None:
+            _n, dur, _rate, _layer, _nch, _trunc = mp3
+            return "mp3", None, None, dur
     except (struct.error, IndexError):
         return None, None, None, None
     return None, None, None, None
@@ -353,6 +480,8 @@ def encode_avi(
     fourcc: str = "MJPG",
     width: int = 0,
     height: int = 0,
+    audio=None,
+    audio_rate: int = 16000,
 ) -> bytes:
     """Pack per-frame payloads into a minimal spec-valid AVI.
 
@@ -363,7 +492,11 @@ def encode_avi(
     No idx1 index — players tolerate its absence and ``decode_avi``
     walks the movi list directly. Fixture encoder, same role as
     ``encode_png``/``encode_wav``.
-    """
+
+    ``audio`` (r9): optional float mono samples in [-1, 1] — adds a
+    second stream (``auds`` strh + PCM-16 WAVEFORMATEX strf, payload
+    in ``01wb`` movi chunks split at ~64 KiB like real muxers), the
+    audio-visual container ``decode_avi_audio`` extracts."""
     if interval_ms <= 0:
         raise ValueError(f"interval_ms must be positive: {interval_ms}")
     fcc = fourcc.encode("ascii").ljust(4)[:4]
@@ -380,10 +513,11 @@ def encode_avi(
     def lst(ltype: bytes, body: bytes) -> bytes:
         return chunk(b"LIST", ltype + body)
 
+    n_streams = 1 if audio is None else 2
     avih = struct.pack(
         "<14I",
         usec, 0, 0, 0x10,  # usec/frame, maxbytes/sec, padding, HASINDEX-less flags
-        n, 0, 1, max_len,  # total frames, initial, streams, sugg. buffer
+        n, 0, n_streams, max_len,  # total frames, initial, streams, sugg. buffer
         width, height, 0, 0, 0, 0,
     )
     # dwScale/dwRate = (interval_ms, 1000) keeps fps exact for
@@ -402,13 +536,37 @@ def encode_avi(
         40, width, height, 1, 24, biComp,
         max_len, 0, 0, 0, 0,
     )
-    hdrl = lst(
-        b"hdrl",
-        chunk(b"avih", avih)
-        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
-    )
+    strls = lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf))
+    audio_chunks = b""
+    if audio is not None:
+        pcm = np.clip(
+            np.asarray(audio) * 32767.0, -32768, 32767
+        ).astype("<i2").tobytes()
+        a_strh = (
+            b"auds" + b"\x00" * 4
+            + struct.pack(
+                "<10I", 0, 0, 0, 1, int(audio_rate), 0,
+                len(pcm) // 2, len(pcm), 0xFFFFFFFF, 0,
+            )
+            + struct.pack("<4H", 0, 0, 0, 0)
+        )
+        # WAVEFORMATEX: PCM (tag 1), mono, 16-bit
+        a_strf = struct.pack(
+            "<HHIIHH", 1, 1, int(audio_rate), int(audio_rate) * 2, 2, 16
+        )
+        strls += lst(
+            b"strl", chunk(b"strh", a_strh) + chunk(b"strf", a_strf)
+        )
+        audio_chunks = b"".join(
+            chunk(b"01wb", pcm[i : i + 65536])
+            for i in range(0, max(len(pcm), 1), 65536)
+        )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + strls)
     cid = b"00dc" if fcc == b"MJPG" else b"00db"
-    movi = lst(b"movi", b"".join(chunk(cid, bytes(f)) for f in frames))
+    movi = lst(
+        b"movi",
+        b"".join(chunk(cid, bytes(f)) for f in frames) + audio_chunks,
+    )
     body = b"AVI " + hdrl + movi
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
@@ -476,6 +634,94 @@ def decode_avi(content: bytes):
         raise UnsupportedMediaError("AVI without avih header")
     interval_ms = max(int(usec_per_frame) // 1000, 1)
     return interval_ms, (fourcc or "????"), dims, frames
+
+
+def decode_avi_audio(content: bytes):
+    """AVI bytes → (float32 mono samples in [-1, 1], sample_rate) from
+    the container's first ``auds`` stream (r8 verdict item 8 — the
+    audio half of the audio-visual pair; ``decode_avi`` extracts the
+    frames, this the soundtrack, so one container feeds BOTH sides of
+    the multimodal dedup matrix).
+
+    Walks the same RIFF tree as ``decode_avi``: the nth ``strl`` list
+    is stream n, whose movi chunks are ``NNwb``/``NNwa``. Supports
+    uncompressed PCM (WAVEFORMATEX tag 1, 8/16-bit, any channel count
+    — downmixed to mono like every other decoder here); compressed
+    audio tags (MP3=0x55, AAC, ADPCM...) refuse with the typed error.
+    Returns None when the AVI simply has no audio stream — absence is
+    not an error, it is the common case for MJPG captures."""
+    if not is_avi(content):
+        raise UnsupportedMediaError("not an AVI")
+    stream_types: list = []  # fourcc per strl, in order
+    wfx = {}  # stream index -> (format_tag, nch, rate, bits)
+    payload: dict = {}
+
+    def walk(lo: int, hi: int) -> None:
+        pos = lo
+        while pos + 8 <= hi:
+            cid = content[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", content, pos + 4)
+            data_lo = pos + 8
+            data_hi = min(data_lo + size, hi)
+            if cid == b"LIST":
+                if content[data_lo : data_lo + 4] == b"strl":
+                    stream_types.append(b"    ")
+                walk(data_lo + 4, data_hi)
+            elif cid == b"strh" and size >= 4 and stream_types:
+                stream_types[-1] = content[data_lo : data_lo + 4]
+            elif (
+                cid == b"strf"
+                and size >= 16
+                and stream_types
+                and stream_types[-1] == b"auds"
+            ):
+                tag, nch, rate, _avg, _align, bits = struct.unpack_from(
+                    "<HHIIHH", content, data_lo
+                )
+                wfx[len(stream_types) - 1] = (tag, nch, rate, bits)
+            elif cid[2:4] in (b"wb", b"wa") and cid[:2].isdigit():
+                payload.setdefault(int(cid[:2]), []).append(
+                    content[data_lo:data_hi]
+                )
+            pos = data_lo + size + (size % 2)
+
+    try:
+        walk(12, len(content))
+    except struct.error as e:
+        raise UnsupportedMediaError(f"truncated AVI: {e}") from e
+    auds = [i for i, t in enumerate(stream_types) if t == b"auds"]
+    if not auds:
+        return None
+    idx = auds[0]
+    if idx not in wfx:
+        raise UnsupportedMediaError("AVI auds stream without strf")
+    tag, nch, rate, bits = wfx[idx]
+    if tag != 1:
+        raise UnsupportedMediaError(
+            f"AVI audio format tag 0x{tag:x} unsupported (PCM only)"
+        )
+    if bits not in (8, 16) or nch < 1 or rate <= 0:
+        raise UnsupportedMediaError(
+            f"AVI PCM shape unsupported: {bits}-bit x{nch} @{rate}"
+        )
+    raw = b"".join(payload.get(idx, []))
+    if not raw:
+        raise UnsupportedMediaError("AVI auds stream without payload")
+    if bits == 8:
+        # RIFF convention: 8-bit PCM is unsigned
+        samples = (
+            np.frombuffer(raw, dtype=np.uint8).astype(np.float32)
+            - 128.0
+        ) / 128.0
+    else:
+        raw = raw[: len(raw) - (len(raw) % (2 * nch))]
+        samples = (
+            np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+        )
+    if nch > 1:
+        samples = samples[: len(samples) - (len(samples) % nch)]
+        samples = samples.reshape(-1, nch).mean(axis=1)
+    return samples, int(rate)
 
 
 def bmp_wrap(dib_rows: bytes, width: int, height: int) -> bytes:
@@ -660,6 +906,23 @@ def decode_audio(content: bytes) -> Tuple[np.ndarray, int]:
         return decode_flac(content)
     if content[:4] == b"FORM":
         return decode_aiff(content)
+    if content[:3] == b"ID3" or (
+        len(content) >= 4
+        and _mpeg_frame(content, 0) is not None
+    ):
+        # Recognized but deliberately undecodable here: MPEG audio
+        # decode requires the spec's numeric data tables (Layer III
+        # Huffman tables B.7, the 512-tap synthesis window D.1) which
+        # are published constants, not derivable algorithms — this
+        # clean-room, no-network build refuses rather than ship an
+        # unverifiable reconstruction that would decode silently
+        # WRONG. probe_mp3/probe_bytes still inventory the stream
+        # (frames, duration, rate, layer) so the slice is typed and
+        # auditable in quarantine, not invisible.
+        raise UnsupportedMediaError(
+            "MPEG audio (mp3) decode unsupported: spec data tables"
+            " unavailable in this build; stream is probed, not decoded"
+        )
     raise UnsupportedMediaError("no stdlib audio decoder for this format")
 
 

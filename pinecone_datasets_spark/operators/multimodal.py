@@ -528,6 +528,67 @@ def audio_neardup_pairs(
     )
 
 
+def extract_container_audio(media: DataFrame) -> DataFrame:
+    """Audio tracks out of video containers (r8 verdict item 8): for
+    every AVI row with a PCM ``auds`` stream, emit a MEDIA_SCHEMA
+    audio row whose content is the track re-encoded as WAV — directly
+    consumable by ``extract_audio_features`` / ``audio_fingerprint``,
+    so ONE container feeds both the frame side (``sample_video_frames``
+    → pHash) and the audio side (→ afp) of the multimodal dedup
+    matrix. Quarantine contract: rows that are not AVIs, have no audio
+    stream, or carry a compressed/unsupported track yield content NULL
+    with the typed reason in ``format`` left NULL (filter
+    ``content IS NULL``); nothing raises across the batch."""
+    _ship(media)
+
+    from .media_codecs import decode_avi_audio, encode_wav, is_avi
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": [],
+                "media_type": [],
+                "content": [],
+                "width": [],
+                "height": [],
+                "duration_ms": [],
+                "format": [],
+            }
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                raw = bytes(content or b"")
+                wav = None
+                dur = None
+                try:
+                    if is_avi(raw):
+                        track = decode_avi_audio(raw)
+                        if track is not None:
+                            samples, rate = track
+                            wav = encode_wav(samples, rate=rate)
+                            dur = len(samples) * 1000 // max(rate, 1)
+                except (UnsupportedMediaError, struct.error, ValueError,
+                        IndexError):
+                    wav = None
+                    dur = None
+                out["media_id"].append(f"{mid}#audio")
+                out["media_type"].append("audio")
+                out["content"].append(wav)
+                out["width"].append(None)
+                out["height"].append(None)
+                out["duration_ms"].append(dur)
+                out["format"].append("wav" if wav is not None else None)
+            pdf_out = pd.DataFrame(out)
+            pdf_out["width"] = pd.array(out["width"], dtype="Int32")
+            pdf_out["height"] = pd.array(out["height"], dtype="Int32")
+            pdf_out["duration_ms"] = pd.array(
+                out["duration_ms"], dtype="Int64"
+            )
+            yield pdf_out
+
+    return media.select("media_id", "content").mapInPandas(
+        kernel, MEDIA_SCHEMA
+    )
+
+
 def sample_video_frames(
     media: DataFrame, every_ms: int = 1000, fake: bool = False
 ) -> DataFrame:

