@@ -3705,13 +3705,129 @@ def _audio_media_frames(spark: SparkSession, sf_dir: str):
     return rt, afp
 
 
+_IMG_H, _IMG_W = 24, 16  # image_rt fixture dims
+_IMG_DOCS = 40
+_AHASH_DOCS = 64
+
+
+def _image_rt_pixels(doc_id: int) -> "np.ndarray":
+    """(24,16,3) uint8 from the oracle's integer recurrence."""
+    import numpy as np
+
+    y, x, c = np.meshgrid(
+        np.arange(_IMG_H), np.arange(_IMG_W), np.arange(3), indexing="ij"
+    )
+    return ((doc_id * 31 + y * 7 + x * 13 + c * 101) % 256).astype(
+        np.uint8
+    )
+
+
+def _image_gif_parts(doc_id: int):
+    """(index frame, 64-color palette) — both pure integer recurrences
+    so the oracle replays decoded pixels as palette[idx] per channel."""
+    import numpy as np
+
+    y, x = np.meshgrid(
+        np.arange(_IMG_H), np.arange(_IMG_W), indexing="ij"
+    )
+    idx = ((doc_id + y * 5 + x * 11) % 64).astype(np.uint8)
+    i = np.arange(64)
+    pal = np.stack(
+        [(i * 3 + doc_id) % 256, (i * 7 + 1) % 256, (i * 11 + 2) % 256],
+        axis=1,
+    ).astype(np.uint8)
+    return idx, pal
+
+
+def _ahash_pixels(doc_id: int) -> "np.ndarray":
+    """32×32 gray image of 8×8 constant cells, cell value 4×rank with
+    rank = (doc_id + k*(1 + 2*(doc_id%32))) % 64 (bijective: the
+    multiplier is odd) — grid mean is exactly 126.0, so ahash bit k is
+    exactly rank >= 32, margin 2 luma units against the ~1e-13 float
+    noise of the Rec.601 gray dot product."""
+    import numpy as np
+
+    c = 1 + 2 * (doc_id % 32)
+    v = np.zeros((32, 32), np.uint8)
+    for k in range(64):
+        p = (doc_id + k * c) % 64
+        i, j = divmod(k, 8)
+        v[i * 4 : (i + 1) * 4, j * 4 : (j + 1) * 4] = 4 * p
+    return np.repeat(v[:, :, None], 3, axis=2)
+
+
+def _image_media_frames(spark: SparkSession, sf_dir: str):
+    """(rt_media, ahash_media) image fixtures via the library encoder
+    twins (media_codecs.encode_png/encode_dib_frame/bmp_wrap,
+    gif.encode_gif) — the image twin of ``_audio_media_frames``."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def rt_kernel(batches):
+        import pandas as pd
+
+        from pinecone_datasets_spark.operators.gif import encode_gif
+        from pinecone_datasets_spark.operators.media_codecs import (
+            bmp_wrap,
+            encode_dib_frame,
+            encode_png,
+        )
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                pix = _image_rt_pixels(did)
+                idx, pal = _image_gif_parts(did)
+                for fmt, blob in (
+                    ("png", encode_png(pix)),
+                    ("bmp", bmp_wrap(encode_dib_frame(pix), _IMG_W, _IMG_H)),
+                    ("gif", encode_gif([idx], pal)),
+                ):
+                    ids.append(f"{did}:{fmt}")
+                    blobs.append(blob)
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    def ahash_kernel(batches):
+        import pandas as pd
+
+        from pinecone_datasets_spark.operators.media_codecs import (
+            encode_png,
+        )
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                ids.append(str(did))
+                blobs.append(encode_png(_ahash_pixels(did)))
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    schema = "media_id string, content binary"
+    rt = (
+        docs.where(F.col("doc_id") < _IMG_DOCS)
+        .repartition(8)
+        .mapInPandas(rt_kernel, schema)
+    )
+    ah = (
+        docs.where(F.col("doc_id") < _AHASH_DOCS)
+        .repartition(8)
+        .mapInPandas(ahash_kernel, schema)
+    )
+    return rt, ah
+
+
 def q25_q39_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tagged fingerprint union: 'fp' = SimHash-64 (q25) + rolling hash
     (q39) per document; 'audio_rt' = WAV/AIFF/FLAC encode→probe→decode
     round-trip, every decoded sample hash-checked (operators/
     media_codecs.py, operators/flac.py, multimodal.probe_media); 'afp'
     = the 64-bit audio fingerprint + frame count
-    (multimodal.audio_fingerprint), integer-predicted by the oracle."""
+    (multimodal.audio_fingerprint), integer-predicted by the oracle;
+    'image_rt' = PNG/BMP/GIF encode→probe→decode round-trip, every
+    decoded pixel hash-checked (the lossless image codecs' twin of
+    'audio_rt' — zlib/filter path, DIB path, LZW+palette path); 'ahash'
+    = the 64-bit average hash (phash.ahash64 over image_luma of a real
+    PNG decode), integer-predicted from a rank permutation."""
     from pinecone_datasets_spark.operators.multimodal import (
         audio_fingerprint,
         probe_media,
@@ -3789,8 +3905,91 @@ def q25_q39_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         _nl("string").alias("s1"),
     )
 
+    img_media, ahash_media = _image_media_frames(spark, sf_dir)
+
+    def img_decode_kernel(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        from pinecone_datasets_spark.operators.multimodal import (
+            _real_decode,
+        )
+
+        for pdf in batches:
+            ids, sums, md5s = [], [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                pix = _real_decode(bytes(content)).astype(np.int64)
+                flat = pix.ravel()  # (y, x, c) C-order
+                ids.append(mid)
+                sums.append(
+                    int((flat * (np.arange(flat.size) + 1)).sum())
+                )
+                md5s.append(
+                    hashlib.md5(
+                        ",".join(str(v) for v in flat).encode()
+                    ).hexdigest()
+                )
+            yield pd.DataFrame(
+                {"media_id": ids, "px_sum": sums, "px_md5": md5s}
+            )
+
+    img_rt = (
+        img_media.mapInPandas(
+            img_decode_kernel,
+            "media_id string, px_sum long, px_md5 string",
+        )
+        .join(probe_media(img_media), "media_id")
+        .select(
+            F.lit("image_rt").alias("part"),
+            F.col("media_id").alias("key"),
+            F.col("px_sum").alias("h1"),
+            (F.col("width").cast("long") * 1000
+             + F.col("height").cast("long")).alias("h2"),
+            F.concat_ws("/", "format", "px_md5").alias("s1"),
+        )
+    )
+
+    def ahash_decode_kernel(batches):
+        import pandas as pd
+
+        from pinecone_datasets_spark.operators.media_codecs import (
+            image_luma,
+        )
+        from pinecone_datasets_spark.operators.multimodal import (
+            _real_decode,
+        )
+        from pinecone_datasets_spark.operators.phash import ahash64
+
+        for pdf in batches:
+            ids, hs = [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                ids.append(mid)
+                hs.append(ahash64(image_luma(_real_decode(bytes(content)))))
+            yield pd.DataFrame({"media_id": ids, "ah": hs})
+
+    ahash = (
+        ahash_media.mapInPandas(
+            ahash_decode_kernel, "media_id string, ah long"
+        )
+        .join(probe_media(ahash_media), "media_id")
+        .select(
+            F.lit("ahash").alias("part"),
+            F.col("media_id").alias("key"),
+            F.col("ah").alias("h1"),
+            (F.col("width").cast("long") * 1000
+             + F.col("height").cast("long")).alias("h2"),
+            _nl("string").alias("s1"),
+        )
+    )
+
     return (
-        fp.unionByName(rt).unionByName(afp).orderBy("part", "key")
+        fp.unionByName(rt)
+        .unionByName(afp)
+        .unionByName(img_rt)
+        .unionByName(ahash)
+        .orderBy("part", "key")
     )
 
 
@@ -7764,6 +7963,54 @@ afp AS (
          )::BIGINT AS h1,
          7::BIGINT AS h2, CAST(NULL AS VARCHAR) AS s1
   FROM afp_bits GROUP BY doc_id
+),
+img_px AS (
+  SELECT d.doc_id, f.fmt, y.y, x.x, cc.c,
+         CASE WHEN f.fmt IN ('png', 'bmp')
+              THEN (d.doc_id * 31 + y.y * 7 + x.x * 13 + cc.c * 101)
+                   % 256
+              WHEN cc.c = 0
+              THEN (((d.doc_id + y.y * 5 + x.x * 11) % 64) * 3
+                    + d.doc_id) % 256
+              WHEN cc.c = 1
+              THEN (((d.doc_id + y.y * 5 + x.x * 11) % 64) * 7 + 1)
+                   % 256
+              ELSE (((d.doc_id + y.y * 5 + x.x * 11) % 64) * 11 + 2)
+                   % 256
+         END AS v
+  FROM (SELECT DISTINCT doc_id FROM documents
+        WHERE doc_id < {_IMG_DOCS}) d
+  CROSS JOIN (VALUES ('png'), ('bmp'), ('gif')) f(fmt)
+  CROSS JOIN range(0, {_IMG_H}) y(y)
+  CROSS JOIN range(0, {_IMG_W}) x(x)
+  CROSS JOIN range(0, 3) cc(c)
+),
+img_rt AS (
+  SELECT 'image_rt' AS part,
+         doc_id::VARCHAR || ':' || fmt AS key,
+         SUM(v * (((y * {_IMG_W}) + x) * 3 + c + 1))::BIGINT AS h1,
+         {_IMG_W * 1000 + _IMG_H}::BIGINT AS h2,
+         fmt || '/' || md5(string_agg(v::VARCHAR, ','
+                                      ORDER BY y, x, c)) AS s1
+  FROM img_px GROUP BY doc_id, fmt
+),
+ah_bits AS (
+  SELECT d.doc_id, k.k,
+         CASE WHEN ((d.doc_id + k.k * (1 + 2 * (d.doc_id % 32))) % 64)
+                   >= 32 THEN 1 ELSE 0 END AS b
+  FROM (SELECT DISTINCT doc_id FROM documents
+        WHERE doc_id < {_AHASH_DOCS}) d
+  CROSS JOIN range(0, 64) k(k)
+),
+ahash AS (
+  SELECT 'ahash' AS part, doc_id::VARCHAR AS key,
+         (SUM(CASE WHEN k < 63 THEN b * (1::BIGINT << k)
+                   ELSE 0 END)
+          + SUM(CASE WHEN k = 63 AND b = 1
+                     THEN -9223372036854775807 - 1 ELSE 0 END)
+         )::BIGINT AS h1,
+         32032::BIGINT AS h2, CAST(NULL AS VARCHAR) AS s1
+  FROM ah_bits GROUP BY doc_id
 )
 SELECT 'fp' AS part, sh.doc_id::VARCHAR AS key,
        sh.simhash::BIGINT AS h1, rh.fp::BIGINT AS h2,
@@ -7771,6 +8018,8 @@ SELECT 'fp' AS part, sh.doc_id::VARCHAR AS key,
 FROM sh JOIN rh USING (doc_id)
 UNION ALL SELECT * FROM rt
 UNION ALL SELECT * FROM afp
+UNION ALL SELECT * FROM img_rt
+UNION ALL SELECT * FROM ahash
 ORDER BY part, key
 """
     from pinecone_datasets_spark.operators.sketch import cm_sql

@@ -174,6 +174,210 @@ def probe_mp3(content: bytes):
     return n_frames, duration_ms, rate, layer, nch, truncated
 
 
+def probe_mp4(content: bytes):
+    """ISO-BMFF (mp4/mov/m4a) container probe: walk the box tree for
+    moov/mvhd (timescale + duration), the first ``vide`` track's tkhd
+    dimensions, and the set of track handler types. Returns ``(width,
+    height, duration_ms, handlers)`` or None when the bytes are not a
+    BMFF stream. Probe-only — inter-frame video DECODE stays the
+    honest ``NotImplementedError`` (``multimodal.sample_video_frames``):
+    H.264/AAC entropy decode needs codec data tables this clean-room
+    build cannot verifiably reproduce; the probe keeps the slice typed
+    and inventoried instead of invisible."""
+    if len(content) < 12 or content[4:8] != b"ftyp":
+        return None
+    dur_ms = None
+    width = height = None
+    handlers = set()
+
+    def boxes(lo: int, hi: int):
+        pos = lo
+        while pos + 8 <= hi:
+            (size,) = struct.unpack_from(">I", content, pos)
+            btype = content[pos + 4 : pos + 8]
+            body = pos + 8
+            if size == 1:
+                if pos + 16 > hi:
+                    return
+                (size,) = struct.unpack_from(">Q", content, pos + 8)
+                body = pos + 16
+            elif size == 0:
+                size = hi - pos
+            if size < 8 or pos + size > hi:
+                return  # truncated/corrupt box: stop, keep what we have
+            yield btype, body, pos + size
+            pos += size
+
+    def walk(lo: int, hi: int, in_trak: bool) -> None:
+        nonlocal dur_ms, width, height
+        for btype, body, end in boxes(lo, hi):
+            if btype in (b"moov", b"trak", b"mdia"):
+                walk(body, end, in_trak or btype == b"trak")
+            elif btype == b"mvhd" and end - body >= 20:
+                ver = content[body]
+                if ver == 1 and end - body >= 28:
+                    (ts,) = struct.unpack_from(">I", content, body + 20)
+                    (dur,) = struct.unpack_from(">Q", content, body + 24)
+                else:
+                    (ts,) = struct.unpack_from(">I", content, body + 12)
+                    (dur,) = struct.unpack_from(">I", content, body + 16)
+                if ts:
+                    dur_ms = dur * 1000 // ts
+            elif btype == b"hdlr" and end - body >= 12:
+                handlers.add(
+                    content[body + 8 : body + 12].decode("ascii", "replace")
+                )
+            elif btype == b"tkhd" and in_trak:
+                # width/height (16.16 fixed) trail the 36-byte matrix:
+                # v0 layout 4+20+8+8+36 = 76, v1 adds 12 (64-bit times)
+                ver = content[body]
+                off = body + (88 if ver == 1 else 76)
+                if off + 8 <= end and width is None:
+                    w16, h16 = struct.unpack_from(">II", content, off)
+                    if w16 and h16:  # 16.16 fixed point; audio traks are 0
+                        width, height = w16 >> 16, h16 >> 16
+
+    try:
+        walk(0, len(content), False)
+    except (struct.error, IndexError):
+        pass
+    return width, height, dur_ms, handlers
+
+
+def probe_ogg(content: bytes):
+    """Ogg container probe: page-header walk ("OggS" capture pattern,
+    segment-table sizing), codec identification from the first
+    packet's magic (OpusHead / \\x01vorbis / \\x7fFLAC), duration from
+    the LAST page's granule position (Opus granules run at 48 kHz by
+    spec with a 312-ms pre-skip subtracted; Vorbis/FLAC granules at
+    the stream's own rate). Returns ``(codec, rate, duration_ms)`` or
+    None when the bytes are not an Ogg stream. Probe-only: Opus/Vorbis
+    DECODE needs codebook data this build cannot verifiably reproduce
+    (same honest scoping as mp3 — see ``decode_audio``)."""
+    if content[:4] != b"OggS" or len(content) < 28:
+        return None
+    codec = None
+    rate = None
+    pre_skip = 0
+    last_granule = None
+    pos = 0
+    n = len(content)
+    first = True
+    while pos + 27 <= n and content[pos : pos + 4] == b"OggS":
+        granule = int.from_bytes(
+            content[pos + 6 : pos + 14], "little", signed=True
+        )
+        nseg = content[pos + 26]
+        seg_table = content[pos + 27 : pos + 27 + nseg]
+        if len(seg_table) < nseg:
+            break  # truncated page header
+        body_len = sum(seg_table)
+        body = pos + 27 + nseg
+        if first:
+            pkt = content[body : body + min(body_len, 64)]
+            if pkt[:8] == b"OpusHead" and len(pkt) >= 14:
+                codec = "opus"
+                pre_skip = int.from_bytes(pkt[10:12], "little")
+                rate = 48000  # Opus granules are 48 kHz by spec
+            elif pkt[:7] == b"\x01vorbis" and len(pkt) >= 16:
+                codec = "vorbis"
+                rate = int.from_bytes(pkt[12:16], "little")
+            elif pkt[:5] == b"\x7fFLAC" and len(pkt) >= 31:
+                codec = "flac"
+                body17 = pkt[13:]  # embedded STREAMINFO block
+                if len(body17) >= 18:
+                    rate = (
+                        (body17[14] << 12)
+                        | (body17[15] << 4)
+                        | (body17[16] >> 4)
+                    )
+            first = False
+        if granule >= 0:
+            last_granule = granule
+        if body + body_len > n:
+            break  # truncated body: keep what we have
+        pos = body + body_len
+    if codec is None:
+        return "ogg", None, None  # Ogg, unknown payload codec
+    dur = None
+    if last_granule is not None and rate:
+        samples = max(last_granule - pre_skip, 0)
+        dur = samples * 1000 // rate
+    return codec, rate, dur
+
+
+def _ebml_vint(data: bytes, pos: int, keep_marker: bool):
+    """One EBML variable-length integer at ``pos`` → (value, next_pos)
+    or None. ``keep_marker`` keeps the length-marker bit (element IDs)
+    or strips it (sizes)."""
+    if pos >= len(data):
+        return None
+    first = data[pos]
+    if first == 0:
+        return None
+    length = 9 - first.bit_length()
+    if pos + length > len(data):
+        return None
+    val = first if keep_marker else first & ((1 << (8 - length)) - 1)
+    for i in range(1, length):
+        val = (val << 8) | data[pos + i]
+    return val, pos + length
+
+
+def probe_webm(content: bytes):
+    """Matroska/WebM probe: EBML header docType, then the first
+    Segment Info's TimecodeScale (default 10^6 ns) and float Duration.
+    Returns ``(doctype, duration_ms)`` or None when not EBML. Cluster
+    payloads (VP8/VP9/AV1/Opus blocks) stay undecoded — same honest
+    scoping as mp4."""
+    if content[:4] != b"\x1a\x45\xdf\xa3":
+        return None
+    doctype = None
+    tscale = 1_000_000
+    duration = None
+
+    def walk(lo: int, hi: int, depth: int) -> None:
+        nonlocal doctype, tscale, duration
+        pos = lo
+        while pos < hi and depth < 6:
+            got = _ebml_vint(content, pos, True)
+            if got is None:
+                return
+            eid, pos = got
+            got = _ebml_vint(content, pos, False)
+            if got is None:
+                return
+            size, pos = got
+            end = min(pos + size, hi)
+            if eid in (0x1A45DFA3, 0x18538067, 0x1549A966):
+                # EBML header, Segment, Info — recurse
+                walk(pos, end, depth + 1)
+            elif eid == 0x4282:  # DocType
+                doctype = content[pos:end].decode("ascii", "replace")
+            elif eid == 0x2AD7B1:  # TimecodeScale (ns per tick)
+                tscale = int.from_bytes(content[pos:end], "big") or tscale
+            elif eid == 0x4489:  # Duration (float ticks)
+                raw = content[pos:end]
+                if len(raw) == 4:
+                    (duration,) = struct.unpack(">f", raw)
+                elif len(raw) == 8:
+                    (duration,) = struct.unpack(">d", raw)
+            pos = end
+
+    try:
+        walk(0, len(content), 0)
+    except (struct.error, IndexError):
+        pass
+    if doctype is None:
+        doctype = "matroska"
+    dur_ms = (
+        int(duration * tscale / 1_000_000)
+        if duration is not None
+        else None
+    )
+    return doctype, dur_ms
+
+
 def probe_bytes(
     content: Optional[bytes],
 ) -> Tuple[Optional[str], Optional[int], Optional[int], Optional[int]]:
@@ -252,6 +456,28 @@ def probe_bytes(
                 dur = total * 1000 // rate if rate else None
                 return "flac", None, None, dur
             return "flac", None, None, None
+        mp4 = probe_mp4(content)
+        if mp4 is not None:
+            w, h, dur, _handlers = mp4
+            return "mp4", w, h, dur
+        ogg = probe_ogg(content)
+        if ogg is not None:
+            codec, _rate, dur = ogg
+            return (
+                "ogg" if codec == "ogg" else f"ogg-{codec}",
+                None,
+                None,
+                dur,
+            )
+        ebml = probe_webm(content)
+        if ebml is not None:
+            doctype, dur = ebml
+            return (
+                "webm" if doctype == "webm" else "mkv",
+                None,
+                None,
+                dur,
+            )
         mp3 = probe_mp3(content)
         if mp3 is not None:
             _n, dur, _rate, _layer, _nch, _trunc = mp3
@@ -906,6 +1132,12 @@ def decode_audio(content: bytes) -> Tuple[np.ndarray, int]:
         return decode_flac(content)
     if content[:4] == b"FORM":
         return decode_aiff(content)
+    if content[:4] == b"OggS":
+        raise UnsupportedMediaError(
+            "Ogg audio (opus/vorbis) decode unsupported: codebook data"
+            " tables unavailable in this build; stream is probed, not"
+            " decoded"
+        )
     if content[:3] == b"ID3" or (
         len(content) >= 4
         and _mpeg_frame(content, 0) is not None

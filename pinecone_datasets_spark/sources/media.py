@@ -46,8 +46,15 @@ _TYPE_BY_FORMAT = {
     "flac": "audio",
     "aiff": "audio",
     "mp3": "audio",
+    "ogg": "audio",
+    "ogg-opus": "audio",
+    "ogg-vorbis": "audio",
+    "ogg-flac": "audio",
+    "webm": "video",
+    "mkv": "video",
     "avi": "video",
     "mpng": "video",
+    "mp4": "video",
 }
 
 

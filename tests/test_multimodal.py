@@ -977,3 +977,162 @@ def test_avi_audio_track_extraction(spark):
     bad[at : at + 2] = _struct.pack("<H", 0x55)
     with pytest.raises(UnsupportedMediaError, match="format tag"):
         decode_avi_audio(bytes(bad))
+
+
+def _mp4_fixture(
+    timescale=1000, duration=7500, w=64, h=48, mvhd_v1=False
+):
+    """Minimal spec-shaped ISO-BMFF: ftyp + moov{mvhd, trak{tkhd,
+    mdia{hdlr vide}}, trak{tkhd zero-dims, mdia{hdlr soun}}} + mdat."""
+    import struct
+
+    def box(btype, payload):
+        return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+    if mvhd_v1:
+        mvhd = box(
+            b"mvhd",
+            bytes([1, 0, 0, 0]) + struct.pack(">QQIQ", 0, 0, timescale,
+                                              duration) + b"\x00" * 80,
+        )
+    else:
+        mvhd = box(
+            b"mvhd",
+            b"\x00" * 4 + struct.pack(">IIII", 0, 0, timescale, duration)
+            + b"\x00" * 80,
+        )
+
+    def tkhd(width, height):
+        return box(
+            b"tkhd",
+            b"\x00" * 4 + struct.pack(">IIII", 0, 0, 1, 0) + b"\x00" * 56
+            + struct.pack(">II", width << 16, height << 16),
+        )
+
+    def hdlr(kind):
+        return box(b"hdlr", b"\x00" * 8 + kind + b"\x00" * 14)
+
+    vtrak = box(b"trak", tkhd(w, h) + box(b"mdia", hdlr(b"vide")))
+    strak = box(b"trak", tkhd(0, 0) + box(b"mdia", hdlr(b"soun")))
+    moov = box(b"moov", mvhd + vtrak + strak)
+    mdat = box(b"mdat", b"\x00" * 32)
+    return ftyp + moov + mdat
+
+
+def test_mp4_container_probe():
+    """MP4/ISO-BMFF is PROBED for real (box-tree walk: mvhd timescale/
+    duration in both versions, first vide tkhd 16.16 dims, handler
+    inventory) so the mp4 slice of a corpus is typed with its real
+    metadata; decode stays the honest refusal (codec tables)."""
+    from pinecone_datasets_spark.operators.media_codecs import (
+        probe_bytes,
+        probe_mp4,
+    )
+
+    blob = _mp4_fixture()
+    w, h, dur, handlers = probe_mp4(blob)
+    assert (w, h, dur) == (64, 48, 7500)
+    assert handlers == {"vide", "soun"}
+    assert probe_bytes(blob) == ("mp4", 64, 48, 7500)
+
+    v1 = _mp4_fixture(timescale=90000, duration=90000 * 3, mvhd_v1=True)
+    assert probe_mp4(v1)[2] == 3000
+
+    # truncated moov: keep what parsed, never raise
+    cut = blob[: len(blob) - 40]
+    got = probe_mp4(cut)
+    assert got is not None
+    # junk that merely starts with a size is not BMFF
+    assert probe_mp4(b"\x00\x00\x00\x08junk") is None
+    assert probe_bytes(b"\x00\x00\x00\x08junkmore")[0] is None
+
+
+def test_mp4_typed_in_media_source(spark, tmp_path):
+    from pinecone_datasets_spark.sources.media import read_media
+
+    (tmp_path / "clip.mp4").write_bytes(_mp4_fixture())
+    r = read_media(spark, str(tmp_path)).collect()[0]
+    assert (r["format"], r["media_type"]) == ("mp4", "video")
+    assert (r["width"], r["height"], r["duration_ms"]) == (64, 48, 7500)
+
+
+def _ogg_page(body, granule=-1, seq=0, header_type=0):
+    import struct
+
+    segs = []
+    left = len(body)
+    while left >= 255:
+        segs.append(255)
+        left -= 255
+    segs.append(left)
+    return (
+        b"OggS" + bytes([0, header_type])
+        + struct.pack("<q", granule)
+        + struct.pack("<III", 0xBEEF, seq, 0)
+        + bytes([len(segs)]) + bytes(segs) + body
+    )
+
+
+def test_ogg_and_webm_probes():
+    """Ogg (Opus/Vorbis/FLAC-in-Ogg) and Matroska/WebM containers are
+    probed for real — codec id from the first packet, duration from
+    the last granule position (Opus pre-skip honored) / the Info
+    Duration float — so those corpus slices are typed + inventoried;
+    decode stays the same honest refusal class as mp3/mp4."""
+    import struct
+
+    from pinecone_datasets_spark.operators.media_codecs import (
+        decode_audio,
+        probe_bytes,
+        probe_ogg,
+        probe_webm,
+    )
+
+    # Opus: 48 kHz granules, 312-sample pre-skip in the head
+    head = b"OpusHead" + bytes([1, 2]) + struct.pack("<H", 312) + b"\x00" * 8
+    blob = (
+        _ogg_page(head, granule=0, header_type=2)
+        + _ogg_page(b"\x00" * 100, granule=96000, seq=1)
+        + _ogg_page(b"\x00" * 10, granule=96312, seq=2, header_type=4)
+    )
+    codec, rate, dur = probe_ogg(blob)
+    assert (codec, rate) == ("opus", 48000)
+    assert dur == 96000 * 1000 // 48000  # pre-skip subtracted: 2 s
+    assert probe_bytes(blob)[0] == "ogg-opus"
+    assert probe_bytes(blob)[3] == 2000
+
+    # Vorbis id header carries its own rate
+    vhead = b"\x01vorbis" + struct.pack("<IBI", 0, 1, 16000) + b"\x00" * 9
+    vblob = (
+        _ogg_page(vhead, granule=0, header_type=2)
+        + _ogg_page(b"\x00" * 40, granule=8000, seq=1, header_type=4)
+    )
+    codec, rate, dur = probe_ogg(vblob)
+    assert (codec, rate, dur) == ("vorbis", 16000, 500)
+
+    # Ogg with an unknown payload still types as plain ogg
+    ublob = _ogg_page(b"\x00unknowncodec", granule=0, header_type=2)
+    assert probe_ogg(ublob) == ("ogg", None, None)
+
+    # decode refuses typed, probe-not-decode
+    with pytest.raises(UnsupportedMediaError, match="probed, not"):
+        decode_audio(blob)
+
+    # WebM: EBML header docType + Segment>Info duration
+    def ebml(eid_bytes, payload):
+        return eid_bytes + bytes([0x80 | len(payload)]) + payload
+
+    ehdr = ebml(b"\x1a\x45\xdf\xa3", ebml(b"\x42\x82", b"webm"))
+    info = ebml(
+        b"\x15\x49\xa9\x66",
+        ebml(b"\x2a\xd7\xb1", (1_000_000).to_bytes(3, "big"))
+        + ebml(b"\x44\x89", struct.pack(">d", 2500.0)),
+    )
+    seg = ebml(b"\x18\x53\x80\x67", info)
+    wblob = ehdr + seg
+    assert probe_webm(wblob) == ("webm", 2500)
+    assert probe_bytes(wblob) == ("webm", None, None, 2500)
+    # truncated segment: docType still probed, duration None
+    assert probe_webm(ehdr)[0] == "webm"
+    assert probe_bytes(b"\x1a\x45\xdf\xa3\x00")[0] == "mkv"
