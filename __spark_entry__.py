@@ -3739,6 +3739,26 @@ def _image_gif_parts(doc_id: int):
     return idx, pal
 
 
+def _jpeg_block_pixels(doc_id: int) -> "np.ndarray":
+    """(24,24,3) gray image of 8×8 CONSTANT blocks: the FDCT of a
+    constant block is DC-only (AC exactly 0), and at quality 100 the
+    DC quantizer is 1, so 8*(v-128) survives quantization exactly and
+    the whole decode chain — marker parse, Huffman, dequant, IDCT,
+    color transform — reproduces the source pixels bit-for-bit
+    (verified for every doc_id by the entry's own hash). This is what
+    makes a LOSSY codec hash-oracle-able: restrict the fixture to the
+    subspace the transform preserves."""
+    import numpy as np
+
+    v = np.zeros((24, 24), np.uint8)
+    for i in range(3):
+        for j in range(3):
+            v[i * 8 : (i + 1) * 8, j * 8 : (j + 1) * 8] = (
+                doc_id * 13 + i * 5 + j * 3
+            ) % 256
+    return np.repeat(v[:, :, None], 3, axis=2)
+
+
 def _ahash_pixels(doc_id: int) -> "np.ndarray":
     """32×32 gray image of 8×8 constant cells, cell value 4×rank with
     rank = (doc_id + k*(1 + 2*(doc_id%32))) % 64 (bijective: the
@@ -3766,6 +3786,10 @@ def _image_media_frames(spark: SparkSession, sf_dir: str):
         import pandas as pd
 
         from pinecone_datasets_spark.operators.gif import encode_gif
+        from pinecone_datasets_spark.operators.jpeg import (
+            encode_jpeg,
+            encode_jpeg_progressive,
+        )
         from pinecone_datasets_spark.operators.media_codecs import (
             bmp_wrap,
             encode_dib_frame,
@@ -3778,10 +3802,13 @@ def _image_media_frames(spark: SparkSession, sf_dir: str):
                 did = int(did)
                 pix = _image_rt_pixels(did)
                 idx, pal = _image_gif_parts(did)
+                jpix = _jpeg_block_pixels(did)
                 for fmt, blob in (
                     ("png", encode_png(pix)),
                     ("bmp", bmp_wrap(encode_dib_frame(pix), _IMG_W, _IMG_H)),
                     ("gif", encode_gif([idx], pal)),
+                    ("jpeg", encode_jpeg(jpix, quality=100)),
+                    ("jpegp", encode_jpeg_progressive(jpix, quality=100)),
                 ):
                     ids.append(f"{did}:{fmt}")
                     blobs.append(blob)
@@ -3823,9 +3850,12 @@ def q25_q39_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     media_codecs.py, operators/flac.py, multimodal.probe_media); 'afp'
     = the 64-bit audio fingerprint + frame count
     (multimodal.audio_fingerprint), integer-predicted by the oracle;
-    'image_rt' = PNG/BMP/GIF encode→probe→decode round-trip, every
-    decoded pixel hash-checked (the lossless image codecs' twin of
-    'audio_rt' — zlib/filter path, DIB path, LZW+palette path); 'ahash'
+    'image_rt' = PNG/BMP/GIF/JPEG(baseline)/JPEG(progressive)
+    encode→probe→decode round-trip, every decoded pixel hash-checked
+    (zlib/filter path, DIB path, LZW+palette path; the LOSSY JPEG
+    paths oracle via DC-only block-constant gray fixtures at quality
+    100, where the full decode chain is pixel-exact — see
+    _jpeg_block_pixels); 'ahash'
     = the 64-bit average hash (phash.ahash64 over image_luma of a real
     PNG decode), integer-predicted from a rank permutation."""
     from pinecone_datasets_spark.operators.multimodal import (
@@ -7966,7 +7996,10 @@ afp AS (
 ),
 img_px AS (
   SELECT d.doc_id, f.fmt, y.y, x.x, cc.c,
-         CASE WHEN f.fmt IN ('png', 'bmp')
+         CASE WHEN f.fmt IN ('jpeg', 'jpegp')
+              THEN (d.doc_id * 13 + (y.y // 8) * 5 + (x.x // 8) * 3)
+                   % 256
+              WHEN f.fmt IN ('png', 'bmp')
               THEN (d.doc_id * 31 + y.y * 7 + x.x * 13 + cc.c * 101)
                    % 256
               WHEN cc.c = 0
@@ -7977,22 +8010,28 @@ img_px AS (
                    % 256
               ELSE (((d.doc_id + y.y * 5 + x.x * 11) % 64) * 11 + 2)
                    % 256
-         END AS v
+         END AS v,
+         CASE WHEN f.fmt IN ('jpeg', 'jpegp') THEN 24
+              ELSE {_IMG_W} END AS wf
   FROM (SELECT DISTINCT doc_id FROM documents
         WHERE doc_id < {_IMG_DOCS}) d
-  CROSS JOIN (VALUES ('png'), ('bmp'), ('gif')) f(fmt)
+  CROSS JOIN (VALUES ('png'), ('bmp'), ('gif'), ('jpeg'),
+              ('jpegp')) f(fmt)
   CROSS JOIN range(0, {_IMG_H}) y(y)
-  CROSS JOIN range(0, {_IMG_W}) x(x)
+  CROSS JOIN range(0, 24) x(x)
   CROSS JOIN range(0, 3) cc(c)
+  WHERE x.x < CASE WHEN f.fmt IN ('jpeg', 'jpegp') THEN 24
+                   ELSE {_IMG_W} END
 ),
 img_rt AS (
   SELECT 'image_rt' AS part,
          doc_id::VARCHAR || ':' || fmt AS key,
-         SUM(v * (((y * {_IMG_W}) + x) * 3 + c + 1))::BIGINT AS h1,
-         {_IMG_W * 1000 + _IMG_H}::BIGINT AS h2,
-         fmt || '/' || md5(string_agg(v::VARCHAR, ','
-                                      ORDER BY y, x, c)) AS s1
-  FROM img_px GROUP BY doc_id, fmt
+         SUM(v * (((y * wf) + x) * 3 + c + 1))::BIGINT AS h1,
+         (wf * 1000 + {_IMG_H})::BIGINT AS h2,
+         CASE WHEN fmt IN ('jpeg', 'jpegp') THEN 'jpeg' ELSE fmt END
+           || '/' || md5(string_agg(v::VARCHAR, ','
+                                    ORDER BY y, x, c)) AS s1
+  FROM img_px GROUP BY doc_id, fmt, wf
 ),
 ah_bits AS (
   SELECT d.doc_id, k.k,

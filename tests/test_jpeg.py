@@ -333,3 +333,33 @@ def test_corruption_fuzz_never_uncontrolled(mode):
             assert isinstance(out, np.ndarray) and out.ndim == 3
         except UnsupportedMediaError:
             pass
+
+
+def test_dc_only_quality100_roundtrip_is_pixel_exact():
+    """The q25_q39 'image_rt' jpeg/jpegp oracle rests on this
+    invariant: an 8x8-block-constant GRAY image at quality 100
+    round-trips bit-exactly through BOTH decode paths — constant
+    blocks make the FDCT DC-only (AC exactly 0) and the quality-100 DC
+    quantizer is 1, so nothing is lost; the gray input keeps the color
+    transform's float noise (~1e-13) far from every rounding
+    boundary. If a future quality table or IDCT change breaks this,
+    the oracle breaks loudly here first."""
+    import numpy as np
+
+    from pinecone_datasets_spark.operators.jpeg import (
+        encode_jpeg_progressive,
+    )
+
+    for doc_id in (0, 7, 41, 255, 65535):
+        v = np.zeros((24, 24), np.uint8)
+        for i in range(3):
+            for j in range(3):
+                v[i * 8:(i + 1) * 8, j * 8:(j + 1) * 8] = (
+                    doc_id * 13 + i * 5 + j * 3
+                ) % 256
+        pix = np.repeat(v[:, :, None], 3, axis=2)
+        for enc in (
+            encode_jpeg(pix, quality=100),
+            encode_jpeg_progressive(pix, quality=100),
+        ):
+            np.testing.assert_array_equal(decode_jpeg(enc), pix)
