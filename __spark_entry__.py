@@ -3650,6 +3650,7 @@ def _audio_media_frames(spark: SparkSession, sf_dir: str):
         from pinecone_datasets_spark.operators.flac import encode_flac
         from pinecone_datasets_spark.operators.media_codecs import (
             encode_aiff,
+            encode_avi,
             encode_wav,
         )
 
@@ -3668,6 +3669,12 @@ def _audio_media_frames(spark: SparkSession, sf_dir: str):
                         encode_flac(
                             u.astype(np.int16), rate=rate, fixed_order=2
                         ),
+                    ),
+                    # r9: the AVI container's PCM soundtrack rides the
+                    # same oracle — decode_audio dispatches it natively
+                    (
+                        "avi",
+                        encode_avi([], audio=x, audio_rate=rate),
                     ),
                 ):
                     ids.append(f"{did}:{fmt}")
@@ -3755,6 +3762,21 @@ def _jpeg_block_pixels(doc_id: int) -> "np.ndarray":
         for j in range(3):
             v[i * 8 : (i + 1) * 8, j * 8 : (j + 1) * 8] = (
                 doc_id * 13 + i * 5 + j * 3
+            ) % 256
+    return np.repeat(v[:, :, None], 3, axis=2)
+
+
+def _jpeg_frame_pixels(doc_id: int, f: int) -> "np.ndarray":
+    """Frame ``f`` of the vframes fixture: the DC-only block pattern
+    shifted per frame index so every sampled tick pins a DISTINCT
+    frame's pixels in the hash."""
+    import numpy as np
+
+    v = np.zeros((24, 24), np.uint8)
+    for i in range(3):
+        for j in range(3):
+            v[i * 8 : (i + 1) * 8, j * 8 : (j + 1) * 8] = (
+                doc_id * 13 + i * 5 + j * 3 + f * 7
             ) % 256
     return np.repeat(v[:, :, None], 3, axis=2)
 
@@ -4014,11 +4036,102 @@ def q25_q39_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+    # 'vframes' (r9): MJPG AVI of 3 DC-only JPEG frames (40 ms apart)
+    # through the REAL container walk + frame sampler
+    # (multimodal.sample_video_frames, every_ms == interval so tick k
+    # pins frame k), each sampled frame decoded by the real JPEG path
+    # and hash-replayed pixel-for-pixel.
+    from pinecone_datasets_spark.operators.multimodal import (
+        sample_video_frames,
+    )
+
+    docs40 = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") < _IMG_DOCS)
+        .repartition(8)
+    )
+
+    def avi_kernel(batches):
+        import pandas as pd
+
+        from pinecone_datasets_spark.operators.jpeg import encode_jpeg
+        from pinecone_datasets_spark.operators.media_codecs import (
+            encode_avi,
+        )
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                frames = [
+                    encode_jpeg(_jpeg_frame_pixels(did, f), quality=100)
+                    for f in range(3)
+                ]
+                ids.append(str(did))
+                blobs.append(
+                    encode_avi(
+                        frames, interval_ms=40, fourcc="MJPG",
+                        width=24, height=24,
+                    )
+                )
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    avi_media = docs40.mapInPandas(
+        avi_kernel, "media_id string, content binary"
+    ).withColumn("duration_ms", _nl("long"))
+    sampled = sample_video_frames(avi_media, every_ms=40)
+
+    def frame_hash_kernel(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        from pinecone_datasets_spark.operators.jpeg import decode_jpeg
+
+        for pdf in batches:
+            keys, sums, md5s, tss = [], [], [], []
+            for mid, ts, frame in zip(
+                pdf["media_id"], pdf["ts_ms"], pdf["frame"]
+            ):
+                pix = decode_jpeg(bytes(frame)).astype(np.int64)
+                flat = pix.ravel()
+                keys.append(f"{mid}:{int(ts)}")
+                sums.append(
+                    int((flat * (np.arange(flat.size) + 1)).sum())
+                )
+                md5s.append(
+                    hashlib.md5(
+                        ",".join(str(v) for v in flat).encode()
+                    ).hexdigest()
+                )
+                tss.append(int(ts))
+            yield pd.DataFrame(
+                {
+                    "key": keys,
+                    "h1": sums,
+                    "h2": tss,
+                    "s1": md5s,
+                }
+            )
+
+    vframes = sampled.mapInPandas(
+        frame_hash_kernel, "key string, h1 long, h2 long, s1 string"
+    ).select(
+        F.lit("vframes").alias("part"),
+        "key",
+        "h1",
+        "h2",
+        F.concat(F.lit("jpeg/"), "s1").alias("s1"),
+    )
+
     return (
         fp.unionByName(rt)
         .unionByName(afp)
         .unionByName(img_rt)
         .unionByName(ahash)
+        .unionByName(vframes)
         .orderBy("part", "key")
     )
 
@@ -7958,7 +8071,7 @@ rt_pcm AS (
               ELSE 0 END AS pcm
   FROM (SELECT DISTINCT doc_id FROM documents
         WHERE doc_id < {_AUDIO_RT_DOCS}) d
-  CROSS JOIN (VALUES ('wav'), ('aiff'), ('flac')) f(fmt)
+  CROSS JOIN (VALUES ('wav'), ('aiff'), ('flac'), ('avi')) f(fmt)
   CROSS JOIN range(0, {_AUDIO_RT_N}) t(t),
   LATERAL (SELECT ((d.doc_id * 7919 + t.t * t.t * 31 + t.t * 1009)
                    % 65521) - 32760 AS u) u
@@ -7967,8 +8080,10 @@ rt AS (
   SELECT 'audio_rt' AS part,
          doc_id::VARCHAR || ':' || fmt AS key,
          SUM(pcm * (t + 1))::BIGINT AS h1,
-         ({_AUDIO_RT_N} * 1000 // (8000 + (doc_id % 5) * 1000))::BIGINT
-           AS h2,
+         -- avi: probe duration comes from avih (0 video frames -> 0)
+         CASE WHEN fmt = 'avi' THEN 0
+              ELSE {_AUDIO_RT_N} * 1000 // (8000 + (doc_id % 5) * 1000)
+         END::BIGINT AS h2,
          fmt || '/' || md5(string_agg(pcm::VARCHAR, ',' ORDER BY t))
            AS s1
   FROM rt_pcm GROUP BY doc_id, fmt
@@ -8050,6 +8165,26 @@ ahash AS (
          )::BIGINT AS h1,
          32032::BIGINT AS h2, CAST(NULL AS VARCHAR) AS s1
   FROM ah_bits GROUP BY doc_id
+),
+vf_px AS (
+  SELECT d.doc_id, fr.f, y.y, x.x, cc.c,
+         (d.doc_id * 13 + (y.y // 8) * 5 + (x.x // 8) * 3 + fr.f * 7)
+           % 256 AS v
+  FROM (SELECT DISTINCT doc_id FROM documents
+        WHERE doc_id < {_IMG_DOCS}) d
+  CROSS JOIN range(0, 3) fr(f)
+  CROSS JOIN range(0, 24) y(y)
+  CROSS JOIN range(0, 24) x(x)
+  CROSS JOIN range(0, 3) cc(c)
+),
+vframes AS (
+  SELECT 'vframes' AS part,
+         doc_id::VARCHAR || ':' || (f * 40)::VARCHAR AS key,
+         SUM(v * (((y * 24) + x) * 3 + c + 1))::BIGINT AS h1,
+         (f * 40)::BIGINT AS h2,
+         'jpeg/' || md5(string_agg(v::VARCHAR, ','
+                                   ORDER BY y, x, c)) AS s1
+  FROM vf_px GROUP BY doc_id, f
 )
 SELECT 'fp' AS part, sh.doc_id::VARCHAR AS key,
        sh.simhash::BIGINT AS h1, rh.fp::BIGINT AS h2,
@@ -8059,6 +8194,7 @@ UNION ALL SELECT * FROM rt
 UNION ALL SELECT * FROM afp
 UNION ALL SELECT * FROM img_rt
 UNION ALL SELECT * FROM ahash
+UNION ALL SELECT * FROM vframes
 ORDER BY part, key
 """
     from pinecone_datasets_spark.operators.sketch import cm_sql

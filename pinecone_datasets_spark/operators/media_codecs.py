@@ -1125,6 +1125,14 @@ def decode_audio(content: bytes) -> Tuple[np.ndarray, int]:
     point the audio kernels use, mirroring ``multimodal._real_decode``
     for images; unknown magic raises the shared typed refusal."""
     if content[:4] == b"RIFF":
+        if content[8:12] == b"AVI ":
+            # r9: an AVI's PCM soundtrack IS audio — dispatch it here
+            # so every audio kernel (features, fingerprint) consumes
+            # video containers natively, like any other format
+            track = decode_avi_audio(content)
+            if track is None:
+                raise UnsupportedMediaError("AVI without an audio track")
+            return track
         return decode_wav(content)
     if content[:4] == b"fLaC":
         from .flac import decode_flac
