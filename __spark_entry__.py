@@ -4126,12 +4126,79 @@ def q25_q39_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("jpeg/"), "s1").alias("s1"),
     )
 
+    # 'meta' (r9): embedded-metadata envelopes (operators/mediameta.py)
+    # — ID3v2 text frames, EXIF IFD0 + GPS rationals (N/S/E/W refs,
+    # decimal strings), PNG tEXt — built by the module's encoder twins
+    # from doc_id-derived strings and .5/.25-fraction GPS coordinates
+    # (exact in float64, so the decimal strings are literal SQL
+    # concatenations), parsed back by the REAL extractors.
+    from pinecone_datasets_spark.operators.mediameta import (
+        extract_media_metadata,
+    )
+
+    def meta_kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        from pinecone_datasets_spark.operators.media_codecs import (
+            encode_png,
+        )
+        from pinecone_datasets_spark.operators.mediameta import (
+            append_png_text,
+            encode_exif_jpeg,
+            encode_id3v2,
+        )
+
+        base_png = encode_png(np.zeros((2, 2, 3), np.uint8))
+        for pdf in batches:
+            ids, blobs = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                ids.append(f"{did}:id3")
+                blobs.append(
+                    encode_id3v2(
+                        [
+                            ("TIT2", f"title {did}", 0),
+                            ("TPE1", f"artist {did % 7}", 3),
+                        ]
+                    )
+                )
+                ids.append(f"{did}:exif")
+                blobs.append(
+                    encode_exif_jpeg(
+                        {0x010F: f"cam{did % 5}", 0x0110: f"m{did}"},
+                        gps=(
+                            (did % 90) + 0.5,
+                            -((did % 180) + 0.25),
+                        ),
+                    )
+                )
+                ids.append(f"{did}:png")
+                blobs.append(
+                    append_png_text(
+                        base_png, [("Software", f"gen-{did}")]
+                    )
+                )
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    meta_media = docs40.mapInPandas(
+        meta_kernel, "media_id string, content binary"
+    )
+    meta = extract_media_metadata(meta_media).select(
+        F.lit("meta").alias("part"),
+        F.concat_ws(":", "media_id", "key").alias("key"),
+        F.length("value").cast("long").alias("h1"),
+        _nl("long").alias("h2"),
+        F.col("value").alias("s1"),
+    )
+
     return (
         fp.unionByName(rt)
         .unionByName(afp)
         .unionByName(img_rt)
         .unionByName(ahash)
         .unionByName(vframes)
+        .unionByName(meta)
         .orderBy("part", "key")
     )
 
@@ -8185,6 +8252,32 @@ vframes AS (
          'jpeg/' || md5(string_agg(v::VARCHAR, ','
                                    ORDER BY y, x, c)) AS s1
   FROM vf_px GROUP BY doc_id, f
+),
+meta_kv AS (
+  SELECT d.doc_id, kv.kind, kv.k, kv.v
+  FROM (SELECT DISTINCT doc_id FROM documents
+        WHERE doc_id < {_IMG_DOCS}) d,
+  LATERAL (
+    SELECT * FROM (VALUES
+      ('id3', 'TIT2', 'title ' || d.doc_id::VARCHAR),
+      ('id3', 'TPE1', 'artist ' || (d.doc_id % 7)::VARCHAR),
+      ('exif', 'Make', 'cam' || (d.doc_id % 5)::VARCHAR),
+      ('exif', 'Model', 'm' || d.doc_id::VARCHAR),
+      ('exif', 'gps', '1'),
+      ('exif', 'gps_lat', (d.doc_id % 90)::VARCHAR || '.500000'),
+      ('exif', 'gps_lon',
+       '-' || (d.doc_id % 180)::VARCHAR || '.250000'),
+      ('png', 'Software', 'gen-' || d.doc_id::VARCHAR)
+    ) t(kind, k, v)
+  ) kv
+),
+meta AS (
+  SELECT 'meta' AS part,
+         doc_id::VARCHAR || ':' || kind || ':' || k AS key,
+         length(v)::BIGINT AS h1,
+         CAST(NULL AS BIGINT) AS h2,
+         v AS s1
+  FROM meta_kv
 )
 SELECT 'fp' AS part, sh.doc_id::VARCHAR AS key,
        sh.simhash::BIGINT AS h1, rh.fp::BIGINT AS h2,
@@ -8195,6 +8288,7 @@ UNION ALL SELECT * FROM afp
 UNION ALL SELECT * FROM img_rt
 UNION ALL SELECT * FROM ahash
 UNION ALL SELECT * FROM vframes
+UNION ALL SELECT * FROM meta
 ORDER BY part, key
 """
     from pinecone_datasets_spark.operators.sketch import cm_sql

@@ -744,6 +744,69 @@ def main() -> None:
             F.count(F.lit(1)).alias("n_docs"),
         )
 
+    def bench_container_audio_fp():
+        # r9: video-container audio path — synthesize an AVI with a
+        # PCM soundtrack per 4th doc, fingerprint THROUGH the
+        # decode_audio AVI dispatch (RIFF walk + downmix + fft), then
+        # aggregate. Prices the container-track extraction the
+        # audio_fp_dedup leg doesn't touch; first recording r9.
+        import numpy as np
+        import pandas as pd
+
+        from pinecone_datasets_spark.operators.media_codecs import (
+            encode_avi,
+        )
+        from pinecone_datasets_spark.operators.multimodal import (
+            MEDIA_SCHEMA,
+            audio_fingerprint,
+        )
+        from pinecone_datasets_spark.shipping import ensure_shipped
+
+        ensure_shipped(spark)
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+        def make_avi(batches):
+            n = 4000
+            for pdf in batches:
+                ids, content = [], []
+                for did in pdf["doc_id"]:
+                    rng = np.random.default_rng(int(did) & 0xFFFFFFFF)
+                    mag = rng.uniform(0.0, 1.0, size=n // 2 + 1)
+                    phase = rng.uniform(0, 2 * np.pi, size=n // 2 + 1)
+                    sig = np.fft.irfft(mag * np.exp(1j * phase), n=n)
+                    sig = 0.5 * sig / max(np.abs(sig).max(), 1e-9)
+                    ids.append(str(did))
+                    content.append(
+                        encode_avi([], audio=sig, audio_rate=16000)
+                    )
+                n_rows = len(ids)
+                yield pd.DataFrame(
+                    {
+                        "media_id": ids,
+                        "media_type": "video",
+                        "content": content,
+                        "width": pd.array([None] * n_rows, dtype="Int32"),
+                        "height": pd.array([None] * n_rows, dtype="Int32"),
+                        "duration_ms": pd.array(
+                            [None] * n_rows, dtype="Int64"
+                        ),
+                        "format": "avi",
+                    }
+                )
+
+        media = (
+            docs.select("doc_id")
+            .where(F.col("doc_id") % 4 == 0)
+            .repartition(int(CPUS))
+            .mapInPandas(make_avi, MEDIA_SCHEMA)
+        )
+        fps = audio_fingerprint(media)
+        return fps.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("afp").alias("n_fp"),
+            F.sum(F.bit_count(F.col("afp"))).alias("bits"),
+        )
+
     def bench_audio_fp_dedup():
         # audio near-dup end-to-end (r8): synthesize full-band clips
         # per doc (doc_id % 10 == 0 gets a noisy FLAC-encoded twin, so
@@ -1139,6 +1202,7 @@ def main() -> None:
         "bpe_tokens": bench_bpe_tokens,
         "byte_bpe_tokens": bench_byte_bpe_tokens,
         "audio_fp_dedup": bench_audio_fp_dedup,
+        "container_audio_fp": bench_container_audio_fp,
         "wet_export": bench_wet_export,
         "cm_freq": bench_cm_freq,
         "bloom_dedup": bench_bloom_dedup,

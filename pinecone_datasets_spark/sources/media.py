@@ -58,6 +58,41 @@ _TYPE_BY_FORMAT = {
 }
 
 
+
+def _probe_kernel(batches: "Iterator[pd.DataFrame]"):
+    """Shared Arrow kernel for read_media/stream_media: real header
+    probes -> typed MEDIA_SCHEMA rows; quarantine keeps content."""
+    from ..operators.media_codecs import probe_bytes
+
+    for pdf in batches:
+        out = {
+            "media_id": [],
+            "media_type": [],
+            "content": [],
+            "width": [],
+            "height": [],
+            "duration_ms": [],
+            "format": [],
+        }
+        for p, content in zip(pdf["path"], pdf["content"]):
+            blob = bytes(content) if content is not None else None
+            fmt, w, h, dur = probe_bytes(blob)
+            out["media_id"].append(str(p))
+            out["media_type"].append(_TYPE_BY_FORMAT.get(fmt, "unknown"))
+            out["content"].append(blob)
+            out["width"].append(w)
+            out["height"].append(h)
+            out["duration_ms"].append(dur)
+            out["format"].append(fmt)
+        pdf_out = pd.DataFrame(out)
+        pdf_out["width"] = pd.array(out["width"], dtype="Int32")
+        pdf_out["height"] = pd.array(out["height"], dtype="Int32")
+        pdf_out["duration_ms"] = pd.array(
+            out["duration_ms"], dtype="Int64"
+        )
+        yield pdf_out
+
+
 def read_media(
     spark: SparkSession,
     path: str,
@@ -70,7 +105,6 @@ def read_media(
     ``media_type`` is 'unknown' (and format NULL) for unrecognized
     bytes, but the row KEEPS its content so a quarantine audit can
     inspect it."""
-    from ..operators.media_codecs import probe_bytes
     from ..operators.multimodal import MEDIA_SCHEMA
     from ..shipping import ensure_shipped
 
@@ -83,33 +117,37 @@ def read_media(
         .select("path", "content")
     )
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = {
-                "media_id": [],
-                "media_type": [],
-                "content": [],
-                "width": [],
-                "height": [],
-                "duration_ms": [],
-                "format": [],
-            }
-            for p, content in zip(pdf["path"], pdf["content"]):
-                blob = bytes(content) if content is not None else None
-                fmt, w, h, dur = probe_bytes(blob)
-                out["media_id"].append(str(p))
-                out["media_type"].append(_TYPE_BY_FORMAT.get(fmt, "unknown"))
-                out["content"].append(blob)
-                out["width"].append(w)
-                out["height"].append(h)
-                out["duration_ms"].append(dur)
-                out["format"].append(fmt)
-            pdf_out = pd.DataFrame(out)
-            pdf_out["width"] = pd.array(out["width"], dtype="Int32")
-            pdf_out["height"] = pd.array(out["height"], dtype="Int32")
-            pdf_out["duration_ms"] = pd.array(
-                out["duration_ms"], dtype="Int64"
-            )
-            yield pdf_out
+    return raw.mapInPandas(_probe_kernel, MEDIA_SCHEMA)
 
-    return raw.mapInPandas(kernel, MEDIA_SCHEMA)
+
+def stream_media(
+    spark: SparkSession,
+    path: str,
+    glob: str = "*",
+    max_files_per_trigger: int = 16,
+) -> DataFrame:
+    """Append-only media directory as a stream of typed MEDIA_SCHEMA
+    rows — the live-ingest twin of ``read_media``, same probe kernel,
+    same ``maxFilesPerTrigger`` discipline as ``stream_warc`` (a
+    dumped backlog of files becomes bounded micro-batches whose
+    parallelism is the file count). Unrecognized bytes keep the batch
+    reader's quarantine contract (format NULL, media_type 'unknown',
+    content retained) — no rows are dropped, so batch and streaming
+    reads of the same directory are row-identical."""
+    from ..operators.multimodal import MEDIA_SCHEMA
+    from ..shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    raw = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+        .option("pathGlobFilter", glob)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(path)
+        .select("path", "content")
+    )
+
+    return raw.mapInPandas(_probe_kernel, MEDIA_SCHEMA)

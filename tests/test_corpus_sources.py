@@ -262,3 +262,57 @@ def test_read_media_directory(spark, tmp_path):
     }
     assert au["clip.wav"]["sample_rate"] == 16000
     assert au["clip.flac"]["sample_rate"] == 16000
+
+
+def test_stream_media_availablenow_equals_batch(spark, tmp_path):
+    """stream_media over availableNow == read_media row-for-row (same
+    probe kernel; quarantine rows INCLUDED in both, unlike the WARC
+    stream, because the probe has no unbounded reject state)."""
+    import numpy as np
+
+    from pinecone_datasets_spark.operators.media_codecs import (
+        encode_png,
+        encode_wav,
+    )
+    from pinecone_datasets_spark.sources.media import (
+        read_media,
+        stream_media,
+    )
+
+    d = tmp_path / "mstream"
+    d.mkdir()
+    (d / "a.png").write_bytes(
+        encode_png(np.full((5, 7, 3), 9, np.uint8))
+    )
+    (d / "b.wav").write_bytes(
+        encode_wav(0.1 * np.sin(np.arange(800) / 5.0), rate=8000)
+    )
+    (d / "junk.bin").write_bytes(b"\x00\x01nonsense")
+
+    q = (
+        stream_media(spark, str(d), max_files_per_trigger=1)
+        .writeStream.format("memory")
+        .queryName("media_stream_t")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["media_id"].split("/")[-1]: r
+        for r in spark.sql(
+            "SELECT media_id, media_type, format, width, height,"
+            " duration_ms FROM media_stream_t"
+        ).collect()
+    }
+    batch = {
+        r["media_id"].split("/")[-1]: r
+        for r in read_media(spark, str(d)).select(
+            "media_id", "media_type", "format", "width", "height",
+            "duration_ms"
+        ).collect()
+    }
+    assert set(got) == set(batch) == {"a.png", "b.wav", "junk.bin"}
+    for k in got:
+        assert got[k].asDict() == batch[k].asDict(), k
+    assert got["junk.bin"]["media_type"] == "unknown"
+    assert got["a.png"]["width"] == 7 and got["a.png"]["height"] == 5
