@@ -3816,6 +3816,7 @@ def _image_media_frames(spark: SparkSession, sf_dir: str):
             bmp_wrap,
             encode_dib_frame,
             encode_png,
+            encode_tiff,
         )
 
         for pdf in batches:
@@ -3829,6 +3830,7 @@ def _image_media_frames(spark: SparkSession, sf_dir: str):
                     ("png", encode_png(pix)),
                     ("bmp", bmp_wrap(encode_dib_frame(pix), _IMG_W, _IMG_H)),
                     ("gif", encode_gif([idx], pal)),
+                    ("tiff", encode_tiff(pix)),
                     ("jpeg", encode_jpeg(jpix, quality=100)),
                     ("jpegp", encode_jpeg_progressive(jpix, quality=100)),
                 ):
@@ -3872,7 +3874,7 @@ def q25_q39_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     media_codecs.py, operators/flac.py, multimodal.probe_media); 'afp'
     = the 64-bit audio fingerprint + frame count
     (multimodal.audio_fingerprint), integer-predicted by the oracle;
-    'image_rt' = PNG/BMP/GIF/JPEG(baseline)/JPEG(progressive)
+    'image_rt' = PNG/BMP/GIF/TIFF/JPEG(baseline)/JPEG(progressive)
     encode→probe→decode round-trip, every decoded pixel hash-checked
     (zlib/filter path, DIB path, LZW+palette path; the LOSSY JPEG
     paths oracle via DC-only block-constant gray fixtures at quality
@@ -8181,7 +8183,7 @@ img_px AS (
          CASE WHEN f.fmt IN ('jpeg', 'jpegp')
               THEN (d.doc_id * 13 + (y.y // 8) * 5 + (x.x // 8) * 3)
                    % 256
-              WHEN f.fmt IN ('png', 'bmp')
+              WHEN f.fmt IN ('png', 'bmp', 'tiff')
               THEN (d.doc_id * 31 + y.y * 7 + x.x * 13 + cc.c * 101)
                    % 256
               WHEN cc.c = 0
@@ -8197,7 +8199,7 @@ img_px AS (
               ELSE {_IMG_W} END AS wf
   FROM (SELECT DISTINCT doc_id FROM documents
         WHERE doc_id < {_IMG_DOCS}) d
-  CROSS JOIN (VALUES ('png'), ('bmp'), ('gif'), ('jpeg'),
+  CROSS JOIN (VALUES ('png'), ('bmp'), ('gif'), ('tiff'), ('jpeg'),
               ('jpegp')) f(fmt)
   CROSS JOIN range(0, {_IMG_H}) y(y)
   CROSS JOIN range(0, 24) x(x)

@@ -419,6 +419,25 @@ def probe_bytes(
                 dur = (usec // 1000) * nframes if usec else None
                 return "avi", w or None, abs(h) or None, dur
             return "avi", None, None, None
+        if content[:4] == b"RIFF" and content[8:12] == b"WEBP":
+            # VP8X extended header: 24-bit canvas dims minus one;
+            # VP8 (lossy): 14-bit dims in the frame tag;
+            # VP8L (lossless): 14-bit dims packed after the 0x2F byte
+            c4 = content[12:16]
+            if c4 == b"VP8X" and len(content) >= 30:
+                w = int.from_bytes(content[24:27], "little") + 1
+                h = int.from_bytes(content[27:30], "little") + 1
+                return "webp", w, h, None
+            if c4 == b"VP8 " and len(content) >= 30:
+                w = int.from_bytes(content[26:28], "little") & 0x3FFF
+                h = int.from_bytes(content[28:30], "little") & 0x3FFF
+                return "webp", w or None, h or None, None
+            if c4 == b"VP8L" and len(content) >= 25 and content[20] == 0x2F:
+                bits = int.from_bytes(content[21:25], "little")
+                w = (bits & 0x3FFF) + 1
+                h = ((bits >> 14) & 0x3FFF) + 1
+                return "webp", w, h, None
+            return "webp", None, None, None
         if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
             try:
                 with wave.open(io.BytesIO(content)) as wf:
@@ -439,6 +458,20 @@ def probe_bytes(
                 dur = nframes * 1000 // rate if rate else None
                 return "aiff", None, None, dur
             return "aiff", None, None, None
+        if content[:4] in (b"II*\x00", b"MM\x00*"):
+            endian = "<" if content[:2] == b"II" else ">"
+            try:
+                tags = _tiff_ifd_entries(content, endian)
+                w = h = None
+                if 256 in tags:
+                    typ, count, off = tags[256]
+                    w = _tiff_ints(content, endian, typ, count, off)[0]
+                if 257 in tags:
+                    typ, count, off = tags[257]
+                    h = _tiff_ints(content, endian, typ, count, off)[0]
+                return "tiff", w, h, None
+            except UnsupportedMediaError:
+                return "tiff", None, None, None
         if content[:4] == b"fLaC":
             # STREAMINFO (first metadata block, type 0): rate is 20
             # bits at byte offset 18 of the block body; total samples
@@ -459,7 +492,18 @@ def probe_bytes(
         mp4 = probe_mp4(content)
         if mp4 is not None:
             w, h, dur, _handlers = mp4
-            return "mp4", w, h, dur
+            brand = content[8:12]
+            if brand in (b"heic", b"heix", b"mif1", b"msf1"):
+                fmt = "heic"
+            elif brand in (b"avif", b"avis"):
+                fmt = "avif"
+            elif brand == b"M4A ":
+                fmt = "m4a"
+            elif brand.startswith(b"qt"):
+                fmt = "mov"
+            else:
+                fmt = "mp4"
+            return fmt, w, h, dur
         ogg = probe_ogg(content)
         if ogg is not None:
             codec, _rate, dur = ogg
@@ -1008,6 +1052,161 @@ def decode_bmp(content: bytes) -> np.ndarray:
 # ---------------------------------------------------------------------------
 # WAV decode (real: stdlib wave + PCM16 samples)
 # ---------------------------------------------------------------------------
+
+
+# ---------------------------------------------------------------------------
+# TIFF: baseline uncompressed (the scan/export shape) — real IFD walk
+# ---------------------------------------------------------------------------
+
+
+def _tiff_ifd_entries(content: bytes, endian: str):
+    """IFD0 entries of a TIFF stream → {tag: (type, count, value_off)}.
+    Raises UnsupportedMediaError on a malformed header."""
+    if len(content) < 8:
+        raise UnsupportedMediaError("truncated TIFF header")
+    (ifd0,) = struct.unpack_from(endian + "I", content, 4)
+    if ifd0 + 2 > len(content):
+        raise UnsupportedMediaError("TIFF IFD offset out of range")
+    (n,) = struct.unpack_from(endian + "H", content, ifd0)
+    out = {}
+    for k in range(n):
+        e = ifd0 + 2 + 12 * k
+        if e + 12 > len(content):
+            raise UnsupportedMediaError("truncated TIFF IFD")
+        tag, typ, count = struct.unpack_from(endian + "HHI", content, e)
+        out[tag] = (typ, count, e + 8)
+    return out
+
+
+def _tiff_ints(content, endian, typ, count, off):
+    """SHORT/LONG scalar-or-array value of one IFD entry."""
+    size = {3: 2, 4: 4}.get(typ)
+    if size is None:
+        raise UnsupportedMediaError(f"TIFF value type {typ} unsupported")
+    total = size * count
+    vpos = off
+    if total > 4:
+        (vpos,) = struct.unpack_from(endian + "I", content, off)
+    if vpos + total > len(content):
+        raise UnsupportedMediaError("TIFF value out of range")
+    fmt = "H" if typ == 3 else "I"
+    return list(struct.unpack_from(endian + fmt * count, content, vpos))
+
+
+def decode_tiff(content: bytes) -> np.ndarray:
+    """Baseline TIFF bytes → uint8 (height, width, channels) array.
+
+    Uncompressed (Compression=1), 8-bit, chunky planar, gray or RGB,
+    strip layout — the shape scanners and exporters emit. Anything
+    else (LZW/JPEG-in-TIFF, 16-bit, tiles, planar=2) refuses with the
+    typed error: one exotic scan must cost a quarantine row."""
+    if content[:4] == b"II*\x00":
+        endian = "<"
+    elif content[:4] == b"MM\x00*":
+        endian = ">"
+    else:
+        raise UnsupportedMediaError("not a TIFF")
+    tags = _tiff_ifd_entries(content, endian)
+
+    def one(tag, default=None):
+        if tag not in tags:
+            if default is None:
+                raise UnsupportedMediaError(f"TIFF missing tag {tag}")
+            return default
+        typ, count, off = tags[tag]
+        return _tiff_ints(content, endian, typ, count, off)[0]
+
+    w = one(256)
+    h = one(257)
+    comp = one(259, default=1)
+    spp = one(277, default=1)
+    planar = one(284, default=1)
+    if comp != 1:
+        raise UnsupportedMediaError(f"TIFF compression {comp} unsupported")
+    if planar != 1:
+        raise UnsupportedMediaError("TIFF planar configuration 2 unsupported")
+    if spp not in (1, 3):
+        raise UnsupportedMediaError(f"TIFF {spp} samples/px unsupported")
+    if 258 in tags:
+        typ, count, off = tags[258]
+        bps = _tiff_ints(content, endian, typ, count, off)
+        if any(b != 8 for b in bps):
+            raise UnsupportedMediaError(f"TIFF {bps}-bit unsupported")
+    if w < 1 or h < 1 or w * h * spp > MAX_DECODE_PIXELS:
+        raise UnsupportedMediaError(
+            f"TIFF frame {w}x{h}x{spp} outside decodable range"
+        )
+    typ, count, off = tags.get(273, (None, None, None))
+    if typ is None:
+        raise UnsupportedMediaError("TIFF missing StripOffsets")
+    offsets = _tiff_ints(content, endian, typ, count, off)
+    typ2, count2, off2 = tags.get(279, (None, None, None))
+    if typ2 is None:
+        # single uncompressed strip without byte counts: derive
+        counts = [w * h * spp] if len(offsets) == 1 else None
+        if counts is None:
+            raise UnsupportedMediaError("TIFF missing StripByteCounts")
+    else:
+        counts = _tiff_ints(content, endian, typ2, count2, off2)
+    data = bytearray()
+    for o, c in zip(offsets, counts):
+        if o + c > len(content):
+            raise UnsupportedMediaError("TIFF strip out of range")
+        data += content[o : o + c]
+    need = w * h * spp
+    if len(data) < need:
+        raise UnsupportedMediaError("TIFF pixel data truncated")
+    arr = np.frombuffer(bytes(data[:need]), dtype=np.uint8).reshape(
+        h, w, spp
+    )
+    if spp == 1:
+        photometric = one(262, default=1)
+        if photometric == 0:  # WhiteIsZero
+            arr = 255 - arr
+        arr = np.repeat(arr, 3, axis=2)
+    return arr
+
+
+def encode_tiff(pixels: np.ndarray) -> bytes:
+    """uint8 (h, w[, 3]) → single-strip uncompressed little-endian
+    TIFF (fixture encoder twin; ``decode_tiff`` round-trips exactly)."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, spp = px.shape
+    if spp not in (1, 3):
+        raise ValueError(f"encode_tiff: {spp} channels unsupported")
+    data = px.tobytes()
+    entries = []
+
+    def entry(tag, typ, count, value):
+        entries.append(struct.pack("<HHII", tag, typ, count, value))
+
+    n_entries = 9
+    ifd_off = 8
+    data_off = ifd_off + 2 + 12 * n_entries + 4
+    bps_off = data_off + len(data)
+    entry(256, 4, 1, w)
+    entry(257, 4, 1, h)
+    if spp == 3:
+        entry(258, 3, 3, bps_off)  # three SHORTs live past the data
+    else:
+        entry(258, 3, 1, 8)
+    entry(259, 3, 1, 1)  # uncompressed
+    entry(262, 3, 1, 2 if spp == 3 else 1)  # RGB / BlackIsZero
+    entry(273, 4, 1, data_off)
+    entry(277, 3, 1, spp)
+    entry(278, 4, 1, h)  # one strip
+    entry(279, 4, 1, len(data))
+    out = bytearray(b"II*\x00")
+    out += struct.pack("<I", ifd_off)
+    out += struct.pack("<H", n_entries)
+    out += b"".join(entries)
+    out += struct.pack("<I", 0)
+    out += data
+    if spp == 3:
+        out += struct.pack("<HHH", 8, 8, 8)
+    return bytes(out)
 
 
 def decode_wav(content: bytes) -> Tuple[np.ndarray, int]:

@@ -160,6 +160,10 @@ def _real_decode(content: bytes) -> np.ndarray:
         from .gif import decode_gif
 
         return decode_gif(content)
+    if content[:4] in (b"II*\x00", b"MM\x00*"):
+        from .media_codecs import decode_tiff
+
+        return decode_tiff(content)
     raise UnsupportedMediaError("no stdlib decoder for this format")
 
 

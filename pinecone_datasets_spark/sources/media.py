@@ -52,6 +52,12 @@ _TYPE_BY_FORMAT = {
     "ogg-flac": "audio",
     "webm": "video",
     "mkv": "video",
+    "webp": "image",
+    "tiff": "image",
+    "heic": "image",
+    "avif": "image",
+    "m4a": "audio",
+    "mov": "video",
     "avi": "video",
     "mpng": "video",
     "mp4": "video",

@@ -1,0 +1,152 @@
+"""Archive-member source (sources/archives.py)."""
+
+from __future__ import annotations
+
+import gzip
+import io
+import tarfile
+import zipfile
+
+import pytest
+
+from pinecone_datasets_spark.sources.archives import read_archive_members
+
+
+def _zip_bytes(files: dict) -> bytes:
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        for name, data in files.items():
+            zf.writestr(name, data)
+    return buf.getvalue()
+
+
+def _tgz_bytes(files: dict) -> bytes:
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w:gz") as tf:
+        for name, data in files.items():
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+    return buf.getvalue()
+
+
+def test_zip_tar_and_lone_gz_members(spark, tmp_path):
+    """One scan over a mixed dump directory: zip + tar.gz + a lone
+    .json.gz, every member a typed row; nested dirs skipped; the
+    member row composes directly with downstream text parsing."""
+    (tmp_path / "a.zip").write_bytes(
+        _zip_bytes(
+            {
+                "docs/one.txt": b"hello zip",
+                "docs/two.jsonl": b'{"x": 1}\n{"x": 2}',
+                "empty_dir/": b"",
+            }
+        )
+    )
+    (tmp_path / "b.tar.gz").write_bytes(
+        _tgz_bytes({"three.txt": b"hello tar", "sub/four.bin": b"\x00\x01"})
+    )
+    (tmp_path / "dump.json.gz").write_bytes(
+        gzip.compress(b'{"solo": true}')
+    )
+
+    got = read_archive_members(spark, str(tmp_path))
+    rows = {
+        (r["archive"].split("/")[-1], r["member"]): r
+        for r in got.members.collect()
+    }
+    assert rows[("a.zip", "docs/one.txt")]["content"] == b"hello zip"
+    assert rows[("a.zip", "docs/one.txt")]["size"] == 9
+    assert rows[("b.tar.gz", "three.txt")]["content"] == b"hello tar"
+    assert rows[("b.tar.gz", "sub/four.bin")]["content"] == b"\x00\x01"
+    # lone stream: member named after the archive minus the codec suffix
+    assert rows[("dump.json.gz", "dump.json")]["content"] == b'{"solo": true}'
+    assert len(rows) == 5
+    assert got.quarantined.count() == 0
+
+    # composes with text parsing downstream
+    from pyspark.sql import functions as F
+
+    jl = (
+        got.members.where(F.col("member").endswith(".jsonl"))
+        .select(
+            F.explode(
+                F.split(F.col("content").cast("string"), "\n")
+            ).alias("line")
+        )
+        .select(F.from_json("line", "x int").alias("j"))
+        .select("j.x")
+        .collect()
+    )
+    assert sorted(r["x"] for r in jl) == [1, 2]
+
+
+def test_corrupt_and_bomb_quarantine(spark, tmp_path):
+    """Corrupt archives and size-cap violations quarantine typed; good
+    archives in the same directory still extract."""
+    (tmp_path / "good.zip").write_bytes(_zip_bytes({"ok.txt": b"fine"}))
+    (tmp_path / "broken.zip").write_bytes(b"PK\x03\x04garbage" + b"\x00" * 30)
+    (tmp_path / "trunc.tar.gz").write_bytes(
+        _tgz_bytes({"big.txt": b"x" * 1000})[:40]
+    )
+    # a member larger than the cap (use a tiny cap to simulate a bomb)
+    (tmp_path / "bomb.zip").write_bytes(
+        _zip_bytes({"huge.bin": b"A" * 5000})
+    )
+
+    got = read_archive_members(
+        spark, str(tmp_path), max_member_bytes=1024
+    )
+    members = {
+        (r["archive"].split("/")[-1], r["member"])
+        for r in got.members.collect()
+    }
+    assert members == {("good.zip", "ok.txt")}
+    q = {
+        r["archive"].split("/")[-1]: r["error"]
+        for r in got.quarantined.collect()
+    }
+    assert "bad zip" in q["broken.zip"]
+    assert "max_member_bytes" in q["bomb.zip"]
+    assert "trunc.tar.gz" in q  # truncated stream quarantines
+
+
+def test_lying_zip_header_quarantines(spark, tmp_path):
+    """A zip whose local header under-declares the member size (the
+    classic bomb disguise) is caught at inflate time, not trusted."""
+    blob = bytearray(_zip_bytes({"lie.bin": b"B" * 4096}))
+    # patch the central-directory uncompressed-size field to 10
+    at = blob.rfind(b"lie.bin") - 46  # central header is 46 bytes + name
+    import struct
+
+    assert blob[at : at + 4] == b"PK\x01\x02"
+    blob[at + 24 : at + 28] = struct.pack("<I", 10)
+    (tmp_path / "liar.zip").write_bytes(bytes(blob))
+    got = read_archive_members(spark, str(tmp_path), max_member_bytes=100)
+    assert got.members.count() == 0
+    q = got.quarantined.collect()
+    # zipfile enforces the declared size itself (truncated read → CRC
+    # mismatch) — either its typed error or our cap guard is fine, as
+    # long as the lying member costs a quarantine row, not bytes
+    assert len(q) == 1
+    assert (
+        "max_member_bytes" in q[0]["error"]
+        or "bad zip member" in q[0]["error"]
+    )
+
+
+def test_plain_tar_and_unknown_bytes(spark, tmp_path):
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        info = tarfile.TarInfo("plain.txt")
+        info.size = 4
+        tf.addfile(info, io.BytesIO(b"data"))
+    (tmp_path / "plain.tar").write_bytes(buf.getvalue())
+    (tmp_path / "junk.bin").write_bytes(b"\x00\x01\x02not an archive")
+    got = read_archive_members(spark, str(tmp_path))
+    assert [
+        (r["member"], bytes(r["content"]))
+        for r in got.members.collect()
+    ] == [("plain.txt", b"data")]
+    q = got.quarantined.collect()
+    assert len(q) == 1 and "unrecognized" in q[0]["error"]

@@ -1136,3 +1136,108 @@ def test_ogg_and_webm_probes():
     # truncated segment: docType still probed, duration None
     assert probe_webm(ehdr)[0] == "webm"
     assert probe_bytes(b"\x1a\x45\xdf\xa3\x00")[0] == "mkv"
+
+
+def test_webp_and_bmff_brand_probes():
+    """WebP dims from all three chunk layouts (VP8X canvas / VP8 frame
+    tag / VP8L packed bits); ISO-BMFF major brands name heic/avif/m4a
+    instead of blanket 'mp4' — the inventory slices a curation report
+    actually wants to see."""
+    import struct
+
+    from pinecone_datasets_spark.operators.media_codecs import (
+        probe_bytes,
+    )
+
+    def riff_webp(c4, payload):
+        body = b"WEBP" + c4 + struct.pack("<I", len(payload)) + payload
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    vp8x = riff_webp(
+        b"VP8X",
+        b"\x00\x00\x00\x00"
+        + (639).to_bytes(3, "little") + (479).to_bytes(3, "little"),
+    )
+    assert probe_bytes(vp8x) == ("webp", 640, 480, None)
+
+    # VP8 lossy: 3-byte frame tag + start code + 14-bit dims
+    vp8 = riff_webp(
+        b"VP8 ",
+        b"\x00" * 3 + b"\x9d\x01\x2a"
+        + struct.pack("<HH", 320, 240) + b"\x00" * 8,
+    )
+    assert probe_bytes(vp8) == ("webp", 320, 240, None)
+
+    bits = (100 - 1) | ((50 - 1) << 14)
+    vp8l = riff_webp(b"VP8L", b"\x2f" + struct.pack("<I", bits))
+    assert probe_bytes(vp8l) == ("webp", 100, 50, None)
+
+    ftyp = lambda brand: (
+        struct.pack(">I", 16) + b"ftyp" + brand + struct.pack(">I", 0)
+        + struct.pack(">I", 16) + b"mdat" + b"\x00" * 8
+    )
+    assert probe_bytes(ftyp(b"heic"))[0] == "heic"
+    assert probe_bytes(ftyp(b"avif"))[0] == "avif"
+    assert probe_bytes(ftyp(b"M4A "))[0] == "m4a"
+    assert probe_bytes(ftyp(b"isom"))[0] == "mp4"
+
+
+def test_tiff_codec_roundtrip_and_guards(spark):
+    """Baseline uncompressed TIFF: exact RGB + gray round-trips (both
+    through the shared _real_decode dispatch), WhiteIsZero inversion,
+    probe dims, and typed refusals for the exotic variants (LZW,
+    16-bit, planar=2) — one exotic scan costs a quarantine row."""
+    import struct
+
+    from pinecone_datasets_spark.operators.media_codecs import (
+        decode_tiff,
+        encode_tiff,
+        probe_bytes,
+    )
+    from pinecone_datasets_spark.operators.multimodal import (
+        _real_decode,
+        extract_image_features,
+    )
+
+    rng = np.random.default_rng(5)
+    rgb = rng.integers(0, 256, (13, 9, 3), dtype=np.uint8)
+    blob = encode_tiff(rgb)
+    np.testing.assert_array_equal(decode_tiff(blob), rgb)
+    np.testing.assert_array_equal(_real_decode(blob), rgb)
+    assert probe_bytes(blob) == ("tiff", 9, 13, None)
+
+    gray = rng.integers(0, 256, (6, 8), dtype=np.uint8)
+    back = decode_tiff(encode_tiff(gray))
+    np.testing.assert_array_equal(back, np.repeat(gray[:, :, None], 3, 2))
+
+    # WhiteIsZero: photometric 0 inverts
+    inv = bytearray(encode_tiff(gray))
+    at = bytes(inv).find(struct.pack("<HHII", 262, 3, 1, 1))
+    inv[at : at + 12] = struct.pack("<HHII", 262, 3, 1, 0)
+    back = decode_tiff(bytes(inv))
+    np.testing.assert_array_equal(
+        back, np.repeat((255 - gray)[:, :, None], 3, 2)
+    )
+
+    # typed refusals: LZW compression, 16-bit, hostile dims
+    bad = bytearray(encode_tiff(rgb))
+    at = bytes(bad).find(struct.pack("<HHII", 259, 3, 1, 1))
+    bad[at : at + 12] = struct.pack("<HHII", 259, 3, 1, 5)
+    with pytest.raises(UnsupportedMediaError, match="compression"):
+        decode_tiff(bytes(bad))
+    huge = bytearray(encode_tiff(rgb))
+    at = bytes(huge).find(struct.pack("<HHII", 256, 4, 1, 9))
+    huge[at : at + 12] = struct.pack("<HHII", 256, 4, 1, 2_000_000_000)
+    with pytest.raises(UnsupportedMediaError, match="decodable range"):
+        decode_tiff(bytes(huge))
+    with pytest.raises(UnsupportedMediaError, match="not a TIFF"):
+        decode_tiff(b"II**junk")
+
+    # flows through the standard image kernel like any other still
+    df = spark.createDataFrame(
+        [("t0", "image", blob, None, None, None, "tiff")],
+        schema=MEDIA_SCHEMA,
+    )
+    r = extract_image_features(df).collect()[0]
+    assert (r["width"], r["height"]) == (9, 13)
+    assert r["feature"] is not None
