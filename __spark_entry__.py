@@ -3237,11 +3237,78 @@ def q09_q10_conform(spark: SparkSession, sf_dir: str) -> DataFrame:
         _nl("string").alias("filter"),
         _nl("long").alias("top_k"),
     )
+    ar = q97_archive_roundtrip(spark, sf_dir).select(
+        F.concat(F.lit("arch_"), "kind").alias("part"),
+        F.col("id"),
+        F.col("member_bytes").alias("vec_sum"),
+        _nl("int").alias("vec_dim"),
+        F.col("member_md5").alias("metadata"),
+        _nl("string").alias("blob"),
+        _nl("string").alias("filter"),
+        _nl("long").alias("top_k"),
+    )
     return (
         docs.unionByName(qs)
         .unionByName(wr)
+        .unionByName(ar)
         .orderBy("part", "id", "vec_sum")
     )
+
+
+def q97_archive_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Archive source round-trip with a full hash oracle
+    (sources/archives.py, r9): the documents table is packed once per
+    session into BOTH container families — one member per document in
+    a ZIP (deflate) and a tar.gz — then read back through
+    read_archive_members' binaryFile + stdlib walk and emitted as
+    (kind, doc id, member byte length, member md5). The oracle
+    computes the same digests straight from the parquet table, so a
+    single corrupted member byte in either container path breaks its
+    fingerprint."""
+    import io
+    import tarfile
+    import zipfile
+
+    from pinecone_datasets_spark.sources.archives import (
+        read_archive_members,
+    )
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    path = _session_index_path(f"q97_arch_{tag}")
+    zpath = os.path.join(path, "docs.zip")
+    if not os.path.exists(zpath):
+        rows = sorted(
+            _t(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .collect(),
+            key=lambda r: r["doc_id"],
+        )
+        os.makedirs(path, exist_ok=True)
+        with zipfile.ZipFile(
+            zpath + ".tmp", "w", zipfile.ZIP_DEFLATED
+        ) as zf:
+            for r in rows:
+                zf.writestr(
+                    f"docs/{r['doc_id']}.txt", r["text"] or ""
+                )
+        os.replace(zpath + ".tmp", zpath)
+        tpath = os.path.join(path, "docs.tar.gz")
+        with tarfile.open(tpath + ".tmp", "w:gz") as tf:
+            for r in rows:
+                data = (r["text"] or "").encode("utf-8")
+                info = tarfile.TarInfo(f"docs/{r['doc_id']}.txt")
+                info.size = len(data)
+                tf.addfile(info, io.BytesIO(data))
+        os.replace(tpath + ".tmp", tpath)
+    got = read_archive_members(spark, path)
+    return got.members.select(
+        F.when(F.col("archive").endswith(".zip"), "zip")
+        .otherwise("tar")
+        .alias("kind"),
+        F.regexp_extract("member", r"docs/([0-9]+)\.txt", 1).alias("id"),
+        F.col("size").cast("double").alias("member_bytes"),
+        F.md5("content").alias("member_md5"),
+    ).orderBy("kind", "id")
 
 
 def q96_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7807,6 +7874,12 @@ SELECT 'warc', CAST(doc_id AS VARCHAR), CAST(strlen(text) AS DOUBLE),
        CAST(NULL AS INTEGER), md5(text), CAST(NULL AS VARCHAR),
        CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)
 FROM documents
+UNION ALL
+SELECT 'arch_' || kind.k, CAST(doc_id AS VARCHAR),
+       CAST(strlen(text) AS DOUBLE),
+       CAST(NULL AS INTEGER), md5(text), CAST(NULL AS VARCHAR),
+       CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)
+FROM documents CROSS JOIN (VALUES ('zip'), ('tar')) kind(k)
 ORDER BY part, id, vec_sum
 """
     out["q11_q12_filter_compile"] = f"""
