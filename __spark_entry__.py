@@ -3848,6 +3848,110 @@ def _jpeg_frame_pixels(doc_id: int, f: int) -> "np.ndarray":
     return np.repeat(v[:, :, None], 3, axis=2)
 
 
+def _probe_fixture_blobs(did: int):
+    """Spec-shaped blobs for the UNDECODED container families — MPEG
+    audio, ISO-BMFF, Ogg/Opus, Matroska/WebM, WebP — parameterized by
+    integers so every probe output (format, dims, duration) is pure
+    SQL arithmetic. The decodable families' probes are already inside
+    the 'audio_rt'/'image_rt' hashes; this closes the rest."""
+    import struct
+
+    out = []
+    # MPEG-1 Layer III CBR 128k, rate cycling, alternating padding
+    nfr = 5 + did % 7
+    ridx = did % 3
+    rate = (44100, 48000, 32000)[ridx]
+    frames = b""
+    for i in range(nfr):
+        pad = i % 2
+        h = (
+            (0x7FF << 21) | (3 << 19) | (1 << 17) | (1 << 16)
+            | (9 << 12) | (ridx << 10) | (pad << 9)
+        )
+        nb = 144 * 128000 // rate + pad
+        frames += h.to_bytes(4, "big") + b"\x00" * (nb - 4)
+    out.append(("mp3", frames))
+
+    # ISO-BMFF: ftyp + moov{mvhd(ts=1000, dur=100*did), trak{tkhd dims,
+    # mdia{hdlr vide}}}
+    def box(btype, payload):
+        return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+    w, h2 = 16 + did % 100, 16 + did % 50
+    mvhd = box(
+        b"mvhd",
+        b"\x00" * 4
+        + struct.pack(">IIII", 0, 0, 1000, 100 * did)
+        + b"\x00" * 80,
+    )
+    tkhd = box(
+        b"tkhd",
+        b"\x00" * 4 + struct.pack(">IIII", 0, 0, 1, 0) + b"\x00" * 56
+        + struct.pack(">II", w << 16, h2 << 16),
+    )
+    hdlr = box(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 14)
+    moov = box(b"moov", mvhd + box(b"trak", tkhd + box(b"mdia", hdlr)))
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512))
+    out.append(("mp4", ftyp + moov))
+
+    # Ogg/Opus: head page + data page + EOS page; duration =
+    # (granule - preskip)/48kHz with granule = 48000*(did%10+1) + 312
+    def page(body, granule, seq, htype):
+        segs = []
+        left = len(body)
+        while left >= 255:
+            segs.append(255)
+            left -= 255
+        segs.append(left)
+        return (
+            b"OggS" + bytes([0, htype])
+            + struct.pack("<q", granule)
+            + struct.pack("<III", 1, seq, 0)
+            + bytes([len(segs)]) + bytes(segs) + body
+        )
+
+    head = (
+        b"OpusHead" + bytes([1, 2]) + struct.pack("<H", 312)
+        + b"\x00" * 8
+    )
+    gran = 48000 * (did % 10 + 1) + 312
+    ogg = (
+        page(head, 0, 0, 2)
+        + page(b"\x00" * 64, gran, 1, 4)
+    )
+    out.append(("ogg-opus", ogg))
+
+    # WebM: EBML header docType + Segment>Info{tscale 1e6, dur float}
+    def ebml(eid, payload):
+        return eid + bytes([0x80 | len(payload)]) + payload
+
+    info = ebml(
+        b"\x15\x49\xa9\x66",
+        ebml(b"\x2a\xd7\xb1", (1_000_000).to_bytes(3, "big"))
+        + ebml(b"\x44\x89", struct.pack(">d", float(250 * did))),
+    )
+    out.append(
+        (
+            "webm",
+            ebml(b"\x1a\x45\xdf\xa3", ebml(b"\x42\x82", b"webm"))
+            + ebml(b"\x18\x53\x80\x67", info),
+        )
+    )
+
+    # WebP VP8X: 24-bit canvas dims minus one
+    ww, hh = 1 + did % 300, 1 + did % 200
+    payload = (
+        b"\x00\x00\x00\x00"
+        + (ww - 1).to_bytes(3, "little")
+        + (hh - 1).to_bytes(3, "little")
+    )
+    body = (
+        b"WEBP" + b"VP8X" + struct.pack("<I", len(payload)) + payload
+    )
+    out.append(("webp", b"RIFF" + struct.pack("<I", len(body)) + body))
+    return out
+
+
 def _ahash_pixels(doc_id: int) -> "np.ndarray":
     """32×32 gray image of 8×8 constant cells, cell value 4×rank with
     rank = (doc_id + k*(1 + 2*(doc_id%32))) % 64 (bijective: the
@@ -4261,6 +4365,34 @@ def q25_q39_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("s1"),
     )
 
+    # 'probe' (r9): the UNDECODED container families' probes —
+    # MPEG audio frame walk, ISO-BMFF box walk, Ogg granule math,
+    # Matroska duration, WebP canvas dims — every output predicted by
+    # integer SQL (see _probe_fixture_blobs).
+    def probe_kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                for fmt, blob in _probe_fixture_blobs(did):
+                    ids.append(f"{did}:{fmt}")
+                    blobs.append(blob)
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    probe_media_df = docs40.mapInPandas(
+        probe_kernel, "media_id string, content binary"
+    )
+    probe_part = probe_media(probe_media_df).select(
+        F.lit("probe").alias("part"),
+        F.col("media_id").alias("key"),
+        (F.col("width").cast("long") * 1000
+         + F.col("height").cast("long")).alias("h1"),
+        F.col("duration_ms").cast("long").alias("h2"),
+        F.col("format").alias("s1"),
+    )
+
     return (
         fp.unionByName(rt)
         .unionByName(afp)
@@ -4268,6 +4400,7 @@ def q25_q39_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(ahash)
         .unionByName(vframes)
         .unionByName(meta)
+        .unionByName(probe_part)
         .orderBy("part", "key")
     )
 
@@ -8353,6 +8486,30 @@ meta AS (
          CAST(NULL AS BIGINT) AS h2,
          v AS s1
   FROM meta_kv
+),
+probe_p AS (
+  SELECT 'probe' AS part,
+         d.doc_id::VARCHAR || ':' || f.fmt AS key,
+         CASE f.fmt
+           WHEN 'mp4'
+           THEN (16 + d.doc_id % 100) * 1000 + (16 + d.doc_id % 50)
+           WHEN 'webp'
+           THEN (1 + d.doc_id % 300) * 1000 + (1 + d.doc_id % 200)
+         END::BIGINT AS h1,
+         CASE f.fmt
+           WHEN 'mp3'
+           THEN (5 + d.doc_id % 7) * 1152 * 1000
+                // CASE d.doc_id % 3 WHEN 0 THEN 44100
+                        WHEN 1 THEN 48000 ELSE 32000 END
+           WHEN 'mp4' THEN 100 * d.doc_id
+           WHEN 'ogg-opus' THEN (d.doc_id % 10 + 1) * 1000
+           WHEN 'webm' THEN 250 * d.doc_id
+         END::BIGINT AS h2,
+         f.fmt AS s1
+  FROM (SELECT DISTINCT doc_id FROM documents
+        WHERE doc_id < {_IMG_DOCS}) d
+  CROSS JOIN (VALUES ('mp3'), ('mp4'), ('ogg-opus'), ('webm'),
+              ('webp')) f(fmt)
 )
 SELECT 'fp' AS part, sh.doc_id::VARCHAR AS key,
        sh.simhash::BIGINT AS h1, rh.fp::BIGINT AS h2,
@@ -8364,6 +8521,7 @@ UNION ALL SELECT * FROM img_rt
 UNION ALL SELECT * FROM ahash
 UNION ALL SELECT * FROM vframes
 UNION ALL SELECT * FROM meta
+UNION ALL SELECT * FROM probe_p
 ORDER BY part, key
 """
     from pinecone_datasets_spark.operators.sketch import cm_sql

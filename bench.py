@@ -993,6 +993,49 @@ def main() -> None:
             F.sum(F.length("text")).alias("sum_chars"),
         )
 
+    arch_path = bench_tmp + "/docs_arch"
+
+    def bench_archive_ingest():
+        # r9: archive-dump ingest — documents packed into 8 zips once
+        # (file count IS the parallelism grain: archives aren't
+        # byte-splittable), then binaryFile scan + stdlib member walk
+        # + text stats. First recording r9.
+        import io
+        import zipfile
+
+        from pinecone_datasets_spark.sources.archives import (
+            read_archive_members,
+        )
+
+        if not os.path.isdir(arch_path):
+            os.makedirs(arch_path)
+            rows = (
+                spark.read.parquet(f"{SF_DIR}/documents.parquet")
+                .select("doc_id", "text")
+                .collect()
+            )
+            bufs = [io.BytesIO() for _ in range(8)]
+            zfs = [
+                zipfile.ZipFile(b, "w", zipfile.ZIP_DEFLATED)
+                for b in bufs
+            ]
+            for r in rows:
+                zfs[r["doc_id"] % 8].writestr(
+                    f"docs/{r['doc_id']}.txt", r["text"] or ""
+                )
+            for i, (zf, b) in enumerate(zip(zfs, bufs)):
+                zf.close()
+                with open(f"{arch_path}/part-{i}.zip", "wb") as f:
+                    f.write(b.getvalue())
+        got = read_archive_members(spark, arch_path)
+        return got.members.agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("size").alias("sum_bytes"),
+            F.sum(
+                F.length(F.col("content").cast("string"))
+            ).alias("sum_chars"),
+        )
+
     shards_path = bench_tmp + "/token_shards"
 
     def bench_token_shards():
@@ -1197,6 +1240,7 @@ def main() -> None:
         "ivfpq_search": bench_ivfpq_search,
         "jsonl_ingest": bench_jsonl_ingest,
         "warc_ingest": bench_warc_ingest,
+        "archive_ingest": bench_archive_ingest,
         "html_extract": bench_html_extract,
         "token_shards": bench_token_shards,
         "bpe_tokens": bench_bpe_tokens,

@@ -147,14 +147,17 @@ def _iter_members(path: str, blob: bytes, cap: int):
         except (tarfile.TarError, OSError, ValueError, EOFError):
             pass  # not a tar: try lone-stream below
         try:
+            # STREAMED capped reads, never whole-stream decompress: a
+            # compression bomb must hit the cap after cap+1 bytes, not
+            # inflate fully before the size check
             if blob[:2] == b"\x1f\x8b":
                 data = gzip.GzipFile(fileobj=io.BytesIO(blob)).read(
                     cap + 1
                 )
             elif blob[:3] == b"BZh":
-                data = bz2.decompress(blob)
+                data = bz2.BZ2File(io.BytesIO(blob)).read(cap + 1)
             else:
-                data = lzma.decompress(blob)
+                data = lzma.LZMAFile(io.BytesIO(blob)).read(cap + 1)
             if len(data) > cap:
                 yield (
                     "<stream>", None, None,

@@ -150,3 +150,26 @@ def test_plain_tar_and_unknown_bytes(spark, tmp_path):
     ] == [("plain.txt", b"data")]
     q = got.quarantined.collect()
     assert len(q) == 1 and "unrecognized" in q[0]["error"]
+
+
+def test_lone_bz2_xz_streams_and_bombs(spark, tmp_path):
+    """Lone .bz2/.xz streams extract with capped STREAMED reads — a
+    compression bomb stops at cap+1 bytes instead of inflating fully
+    before the size check."""
+    import bz2
+    import lzma
+
+    (tmp_path / "a.txt.bz2").write_bytes(bz2.compress(b"bz2 payload"))
+    (tmp_path / "b.txt.xz").write_bytes(lzma.compress(b"xz payload"))
+    (tmp_path / "bomb.bin.bz2").write_bytes(
+        bz2.compress(b"\x00" * 50_000_000)
+    )
+    got = read_archive_members(
+        spark, str(tmp_path), max_member_bytes=1024
+    )
+    rows = {
+        r["member"]: bytes(r["content"]) for r in got.members.collect()
+    }
+    assert rows == {"a.txt": b"bz2 payload", "b.txt": b"xz payload"}
+    q = got.quarantined.collect()
+    assert len(q) == 1 and "max_member_bytes" in q[0]["error"]
