@@ -25,6 +25,17 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 EXTRA_WARM_PASS = {"minhash_oph_64x16"}
 
 
+def _dumps_compact(obj) -> str:
+    """stdout-line JSON with compact separators: the driver captures a
+    2000-char tail, and at 74 legs the default ', '/': ' padding alone
+    pushed the line past the 1900 guard (r9), collapsing per-leg
+    values to the detail:-1 stub. Compact separators buy ~160 chars
+    with zero information loss; json.loads parses either form."""
+    import json as _json
+
+    return _json.dumps(obj, separators=(",", ":"))
+
+
 def main() -> None:
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -993,6 +1004,52 @@ def main() -> None:
             F.sum(F.length("text")).alias("sum_chars"),
         )
 
+    def bench_cdc_dedup():
+        # r9: FastCDC binary chunk dedup — synthesize ~40KB blobs per
+        # 8th doc (every 4th a shifted near-copy of its neighbor, so
+        # boundary resync has real work), chunk, price the reclaimable
+        # bytes. First recording r9.
+        import numpy as np
+        import pandas as pd
+
+        from pinecone_datasets_spark.operators.cdc import (
+            cdc_chunks,
+            duplicate_chunk_report,
+        )
+        from pinecone_datasets_spark.shipping import ensure_shipped
+
+        ensure_shipped(spark)
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+        def make_blobs(batches):
+            for pdf in batches:
+                ids, blobs = [], []
+                for did in pdf["doc_id"]:
+                    did = int(did)
+                    base = did - (did % 4)
+                    rng = np.random.default_rng(base & 0xFFFFFFFF)
+                    blob = rng.integers(
+                        0, 256, 40_000, dtype=np.uint8
+                    ).tobytes()
+                    if did % 4:
+                        # shifted near-copy: prefix insertion exercises
+                        # the boundary-resync path, not byte equality
+                        blob = bytes([did & 0xFF]) * (did % 4) + blob
+                    ids.append(str(did))
+                    blobs.append(blob)
+                yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+        blobs = (
+            docs.select("doc_id")
+            .where(F.col("doc_id") % 8 < 4)
+            .repartition(int(CPUS))
+            .mapInPandas(make_blobs, "media_id string, content binary")
+        )
+        return duplicate_chunk_report(cdc_chunks(blobs)).agg(
+            F.count(F.lit(1)).alias("dup_chunks"),
+            F.sum("reclaimable").alias("bytes_reclaimable"),
+        )
+
     arch_path = bench_tmp + "/docs_arch"
 
     def bench_archive_ingest():
@@ -1241,6 +1298,7 @@ def main() -> None:
         "jsonl_ingest": bench_jsonl_ingest,
         "warc_ingest": bench_warc_ingest,
         "archive_ingest": bench_archive_ingest,
+        "cdc_dedup": bench_cdc_dedup,
         "html_extract": bench_html_extract,
         "token_shards": bench_token_shards,
         "bpe_tokens": bench_bpe_tokens,
@@ -1560,7 +1618,7 @@ def main() -> None:
             fh.write("\n")
     except OSError:
         pass  # read-only checkout: the stdout line still carries totals
-    line = json.dumps(
+    line = _dumps_compact(
         {
             "metric": "headline_suite_seconds",
             # value = WARM total (steady-state plans); value_cold =
@@ -1579,7 +1637,7 @@ def main() -> None:
     if len(line) > 1900:
         # First relief valve: compact the remeasured triples to their
         # final values (the full triples live in BENCH_DETAIL.json).
-        line = json.dumps(
+        line = _dumps_compact(
             {
                 "metric": "headline_suite_seconds",
                 "value": round(total, 3),
@@ -1600,7 +1658,7 @@ def main() -> None:
         # values are the artifact's whole point (next round's guard
         # priors and the judge's leg comparison both read them). The
         # full triples live in BENCH_DETAIL.json.
-        line = json.dumps(
+        line = _dumps_compact(
             {
                 "metric": "headline_suite_seconds",
                 "value": round(total, 3),
@@ -1619,7 +1677,7 @@ def main() -> None:
         # triples embedded at this stage could themselves re-overflow
         # the tail this guard exists to protect; they live in
         # BENCH_DETAIL.json).
-        line = json.dumps(
+        line = _dumps_compact(
             {
                 "metric": "headline_suite_seconds",
                 "value": round(total, 3),

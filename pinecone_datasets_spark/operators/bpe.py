@@ -381,3 +381,82 @@ def bpe_token_counts(
     gates real cost (packing, mixture sampling, curation)."""
     toks = bpe_tokenize_udf(merges)
     return df.withColumn(out_col, F.size(toks(F.col(text_col))))
+
+
+# ---------------------------------------------------------------------------
+# GPT-2-format interchange (public file formats: merges.txt + vocab.json)
+# ---------------------------------------------------------------------------
+
+
+def save_bpe_files(
+    merges: list[tuple[str, str]],
+    path: str,
+    vocab: Optional[list[str]] = None,
+) -> None:
+    """Write a byte-level tokenizer in the GPT-2 interchange layout a
+    training stack consumes directly: ``merges.txt`` ("#version" line,
+    then one space-separated pair per rank) and ``vocab.json``
+    (token → id, the ``byte_bpe_vocab`` layout unless an explicit
+    vocab is given). Inverse of ``load_bpe_files``."""
+    import json
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    with open(
+        os.path.join(path, "merges.txt"), "w", encoding="utf-8"
+    ) as fh:
+        fh.write("#version: 0.2\n")
+        for a, b in merges:
+            fh.write(f"{a} {b}\n")
+    toks = vocab if vocab is not None else byte_bpe_vocab(merges)
+    with open(
+        os.path.join(path, "vocab.json"), "w", encoding="utf-8"
+    ) as fh:
+        json.dump(
+            {t: i for i, t in enumerate(toks)},
+            fh,
+            ensure_ascii=False,
+        )
+
+
+def load_bpe_files(path: str):
+    """Read a GPT-2-layout tokenizer directory (``merges.txt`` +
+    optional ``vocab.json``) → ``(merges, vocab)`` ready for
+    ``byte_bpe_tokenize_udf(merges, ids=True, vocab=vocab)`` — so an
+    EXISTING tokenizer's exact token counts can gate packing, mixture
+    sampling, and curation budgets instead of the chars/4 estimate.
+    ``vocab`` is None when only merges ship. Malformed merge lines
+    raise (a truncated tokenizer must fail loudly, not re-rank
+    silently)."""
+    import json
+    import os
+
+    merges: list[tuple[str, str]] = []
+    with open(
+        os.path.join(path, "merges.txt"), encoding="utf-8"
+    ) as fh:
+        for ln, line in enumerate(fh):
+            line = line.rstrip("\n")
+            if not line or (ln == 0 and line.startswith("#")):
+                continue
+            parts = line.split(" ")
+            if len(parts) != 2 or not parts[0] or not parts[1]:
+                raise ValueError(
+                    f"malformed merges.txt line {ln + 1}: {line!r}"
+                )
+            merges.append((parts[0], parts[1]))
+    vocab = None
+    vpath = os.path.join(path, "vocab.json")
+    if os.path.exists(vpath):
+        with open(vpath, encoding="utf-8") as fh:
+            mapping = json.load(fh)
+        vocab = [None] * len(mapping)
+        for t, i in mapping.items():
+            if not isinstance(i, int) or not 0 <= i < len(mapping):
+                raise ValueError(f"vocab.json id out of range: {t}={i}")
+            if vocab[i] is not None:
+                raise ValueError(f"vocab.json duplicate id {i}")
+            vocab[i] = t
+        if any(v is None for v in vocab):
+            raise ValueError("vocab.json ids are not contiguous")
+    return merges, vocab

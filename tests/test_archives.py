@@ -173,3 +173,48 @@ def test_lone_bz2_xz_streams_and_bombs(spark, tmp_path):
     assert rows == {"a.txt": b"bz2 payload", "b.txt": b"xz payload"}
     q = got.quarantined.collect()
     assert len(q) == 1 and "max_member_bytes" in q[0]["error"]
+
+
+def test_archive_to_media_pipeline_composition(spark, tmp_path):
+    """Source interop: a zip dump of mixed media unpacks into member
+    rows, probes into the typed MEDIA_SCHEMA frame, and flows through
+    the standard image/audio kernels — the dump-to-dedup path with no
+    loose files ever touching disk."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from pinecone_datasets_spark.operators.media_codecs import (
+        encode_png,
+        encode_wav,
+    )
+    from pinecone_datasets_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        audio_fingerprint,
+        extract_image_features,
+        probe_media,
+    )
+
+    rng = np.random.default_rng(11)
+    png = encode_png(rng.integers(0, 256, (10, 12, 3), dtype=np.uint8))
+    wav = encode_wav(0.3 * np.sin(np.arange(4000) / 7.0), rate=16000)
+    (tmp_path / "dump.zip").write_bytes(
+        _zip_bytes({"img/a.png": png, "snd/b.wav": wav, "junk.bin": b"xx"})
+    )
+    members = read_archive_members(spark, str(tmp_path)).members
+    media = members.select(
+        F.concat_ws("!", "archive", "member").alias("media_id"),
+        F.col("content"),
+    )
+    probed = probe_media(media)
+    fmts = {
+        r["media_id"].split("!")[-1]: r["format"]
+        for r in probed.collect()
+    }
+    assert fmts == {"img/a.png": "png", "snd/b.wav": "wav",
+                    "junk.bin": None}
+    img = extract_image_features(media).where(
+        F.col("width").isNotNull()
+    ).collect()
+    assert len(img) == 1 and (img[0]["width"], img[0]["height"]) == (12, 10)
+    fp = audio_fingerprint(media).where(F.col("afp").isNotNull()).collect()
+    assert len(fp) == 1 and fp[0]["media_id"].endswith("snd/b.wav")

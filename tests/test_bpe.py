@@ -301,3 +301,60 @@ def test_byte_fixture_pretokens_survive_production_regex():
             assert prod.findall(w) == [w], (text, w, prod.findall(w))
             checked += 1
     assert checked > 40
+
+
+def test_gpt2_interchange_roundtrip(tmp_path, spark):
+    """save_bpe_files/load_bpe_files speak the GPT-2 interchange layout
+    (merges.txt + vocab.json): a trained byte-level tokenizer round-
+    trips exactly, the loaded merges+vocab drive the real Arrow
+    encoder to identical ids, and malformed files fail loudly."""
+    import json
+
+    from pinecone_datasets_spark.operators.bpe import (
+        byte_bpe_tokenize_udf,
+        byte_bpe_vocab,
+        byte_pretoken_histogram,
+        load_bpe_files,
+        save_bpe_files,
+        train_byte_bpe,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"the quick brown fox {i} jumps over the lazy dog") for i in range(30)],
+        "doc_id long, text string",
+    )
+    merges = train_byte_bpe(
+        byte_pretoken_histogram(docs, max_words=500), 25
+    )
+    d = str(tmp_path / "tok")
+    save_bpe_files(merges, d)
+    merges2, vocab2 = load_bpe_files(d)
+    assert merges2 == merges
+    assert vocab2 == byte_bpe_vocab(merges)
+
+    # loaded artifacts drive the encoder to identical ids
+    u1 = byte_bpe_tokenize_udf(merges, ids=True)
+    u2 = byte_bpe_tokenize_udf(merges2, ids=True, vocab=vocab2)
+    import pyspark.sql.functions as F
+
+    a = docs.select(u1(F.col("text")).alias("t")).collect()
+    b = docs.select(u2(F.col("text")).alias("t")).collect()
+    assert [r["t"] for r in a] == [r["t"] for r in b]
+
+    # merges-only directory loads with vocab None
+    import os
+
+    os.unlink(os.path.join(d, "vocab.json"))
+    m3, v3 = load_bpe_files(d)
+    assert m3 == merges and v3 is None
+
+    # malformed artifacts fail loudly
+    with open(os.path.join(d, "merges.txt"), "a") as fh:
+        fh.write("threeparts in line\n")
+    with pytest.raises(ValueError, match="malformed"):
+        load_bpe_files(d)
+    save_bpe_files(merges, d)
+    with open(os.path.join(d, "vocab.json"), "w") as fh:
+        json.dump({"a": 0, "b": 2}, fh)
+    with pytest.raises(ValueError, match="contiguous|out of range"):
+        load_bpe_files(d)
