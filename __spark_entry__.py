@@ -3247,12 +3247,62 @@ def q09_q10_conform(spark: SparkSession, sf_dir: str) -> DataFrame:
         _nl("string").alias("filter"),
         _nl("long").alias("top_k"),
     )
+    pdfp = q98_pdf_roundtrip(spark, sf_dir).select(
+        F.lit("pdf").alias("part"),
+        F.col("id"),
+        F.col("n_pages").cast("double").alias("vec_sum"),
+        _nl("int").alias("vec_dim"),
+        F.col("text_md5").alias("metadata"),
+        _nl("string").alias("blob"),
+        _nl("string").alias("filter"),
+        _nl("long").alias("top_k"),
+    )
     return (
         docs.unionByName(qs)
         .unionByName(wr)
         .unionByName(ar)
+        .unionByName(pdfp)
         .orderBy("part", "id", "vec_sum")
     )
+
+
+def q98_pdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF extraction round-trip with a full hash oracle
+    (operators/pdf.py, r9): each document's text becomes a one-page
+    FlateDecode PDF via the writer twin (encode_simple_pdf — real
+    xref, escaped literals, Tj-per-line), read back through the
+    tolerant object scan + content-stream text machinery, and emitted
+    as (doc id, page count, text md5). The oracle digests the parquet
+    text directly, so one broken escape, zlib hiccup, or operator-walk
+    bug breaks every fingerprint."""
+    from pinecone_datasets_spark.operators.pdf import (
+        encode_simple_pdf,
+        extract_pdf_text,
+    )
+
+    doc = _t(spark, sf_dir, "documents")
+
+    def make_pdfs(batches):
+        import pandas as pd
+
+        for pdf_ in batches:
+            ids, blobs = [], []
+            for did, text in zip(pdf_["doc_id"], pdf_["text"]):
+                ids.append(str(int(did)))
+                blobs.append(encode_simple_pdf([text or ""]))
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    pdfs = (
+        doc.select("doc_id", "text")
+        .repartition(8)
+        .mapInPandas(make_pdfs, "media_id string, content binary")
+    )
+    got = extract_pdf_text(pdfs)
+    return got.select(
+        F.col("id"),
+        F.col("n_pages"),
+        F.md5("text").alias("text_md5"),
+    ).orderBy("id")
 
 
 def q97_archive_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8013,6 +8063,11 @@ SELECT 'arch_' || kind.k, CAST(doc_id AS VARCHAR),
        CAST(NULL AS INTEGER), md5(text), CAST(NULL AS VARCHAR),
        CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)
 FROM documents CROSS JOIN (VALUES ('zip'), ('tar')) kind(k)
+UNION ALL
+SELECT 'pdf', CAST(doc_id AS VARCHAR), CAST(1 AS DOUBLE),
+       CAST(NULL AS INTEGER), md5(text), CAST(NULL AS VARCHAR),
+       CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)
+FROM documents
 ORDER BY part, id, vec_sum
 """
     out["q11_q12_filter_compile"] = f"""

@@ -1050,6 +1050,47 @@ def main() -> None:
             F.sum("reclaimable").alias("bytes_reclaimable"),
         )
 
+    pdf_path = bench_tmp + "/docs_pdf"
+
+    def bench_pdf_extract():
+        # r9: PDF corpus ingest — documents packed once into 32
+        # multi-page FlateDecode PDFs (writer twin), then binaryFile
+        # scan + tolerant object scan + content-stream text extraction
+        # + corpus stats. First recording r9.
+        from pinecone_datasets_spark.operators.pdf import (
+            encode_simple_pdf,
+            extract_pdf_text,
+        )
+
+        if not os.path.isdir(pdf_path):
+            os.makedirs(pdf_path)
+            rows = (
+                spark.read.parquet(f"{SF_DIR}/documents.parquet")
+                .select("doc_id", "text")
+                .collect()
+            )
+            groups = [[] for _ in range(32)]
+            for r in rows:
+                groups[r["doc_id"] % 32].append(r["text"] or "")
+            for i, pages in enumerate(groups):
+                if pages:
+                    with open(f"{pdf_path}/part-{i}.pdf", "wb") as f:
+                        f.write(encode_simple_pdf(pages))
+        raw = (
+            spark.read.format("binaryFile")
+            .load(pdf_path)
+            .select(
+                F.col("path").alias("media_id"),
+                F.col("content"),
+            )
+        )
+        got = extract_pdf_text(raw)
+        return got.agg(
+            F.sum("n_pages").alias("n_pages"),
+            F.sum(F.length("text")).alias("sum_chars"),
+            F.count(F.when(F.col("error").isNotNull(), 1)).alias("errs"),
+        )
+
     arch_path = bench_tmp + "/docs_arch"
 
     def bench_archive_ingest():
@@ -1299,6 +1340,7 @@ def main() -> None:
         "warc_ingest": bench_warc_ingest,
         "archive_ingest": bench_archive_ingest,
         "cdc_dedup": bench_cdc_dedup,
+        "pdf_extract": bench_pdf_extract,
         "html_extract": bench_html_extract,
         "token_shards": bench_token_shards,
         "bpe_tokens": bench_bpe_tokens,

@@ -489,6 +489,8 @@ def probe_bytes(
                 dur = total * 1000 // rate if rate else None
                 return "flac", None, None, dur
             return "flac", None, None, None
+        if content.lstrip()[:5] == b"%PDF-":
+            return "pdf", None, None, None
         mp4 = probe_mp4(content)
         if mp4 is not None:
             w, h, dur, _handlers = mp4

@@ -58,6 +58,7 @@ _TYPE_BY_FORMAT = {
     "avif": "image",
     "m4a": "audio",
     "mov": "video",
+    "pdf": "document",
     "avi": "video",
     "mpng": "video",
     "mp4": "video",
