@@ -3257,13 +3257,80 @@ def q09_q10_conform(spark: SparkSession, sf_dir: str) -> DataFrame:
         _nl("string").alias("filter"),
         _nl("long").alias("top_k"),
     )
+    off = q99_office_roundtrip(spark, sf_dir).select(
+        F.concat(F.lit("doc_"), "kind").alias("part"),
+        F.col("id"),
+        _nl("double").alias("vec_sum"),
+        _nl("int").alias("vec_dim"),
+        F.col("text_md5").alias("metadata"),
+        _nl("string").alias("blob"),
+        _nl("string").alias("filter"),
+        _nl("long").alias("top_k"),
+    )
     return (
         docs.unionByName(qs)
         .unionByName(wr)
         .unionByName(ar)
         .unionByName(pdfp)
+        .unionByName(off)
         .orderBy("part", "id", "vec_sum")
     )
+
+
+def q99_office_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Office/ebook extraction round-trip with a full hash oracle
+    (operators/office.py, r9): each document's text packed by the
+    writer twins into DOCX (WordprocessingML run), ODT (ODF
+    paragraph), and EPUB (XHTML chapter), read back through the
+    unified ``document_to_text`` dispatch — zip walk, entity-guarded
+    XML parses, html.parser strip — and emitted as (kind, doc id,
+    text md5) replayed straight from the parquet table."""
+    from pinecone_datasets_spark.operators.office import (
+        encode_simple_docx,
+        encode_simple_epub,
+        encode_simple_odt,
+        extract_document_text,
+    )
+
+    doc = _t(spark, sf_dir, "documents")
+
+    def make_docs(batches):
+        import pandas as pd
+
+        for pdf_ in batches:
+            ids, blobs = [], []
+            for did, text in zip(pdf_["doc_id"], pdf_["text"]):
+                t = text or ""
+                for kind, blob in (
+                    ("docx", encode_simple_docx([t])),
+                    ("odt", encode_simple_odt([t])),
+                    (
+                        "epub",
+                        encode_simple_epub(
+                            ["<html><body><p>"
+                             + t.replace("&", "&amp;").replace(
+                                 "<", "&lt;"
+                             )
+                             + "</p></body></html>"]
+                        ),
+                    ),
+                ):
+                    ids.append(f"{int(did)}:{kind}")
+                    blobs.append(blob)
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    blobs = (
+        doc.select("doc_id", "text")
+        .where(F.col("doc_id") < 100)
+        .repartition(8)
+        .mapInPandas(make_docs, "media_id string, content binary")
+    )
+    got = extract_document_text(blobs)
+    return got.select(
+        F.split(F.col("id"), ":")[0].alias("id"),
+        F.col("kind"),
+        F.md5("text").alias("text_md5"),
+    ).orderBy("kind", "id")
 
 
 def q98_pdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8068,6 +8135,14 @@ SELECT 'pdf', CAST(doc_id AS VARCHAR), CAST(1 AS DOUBLE),
        CAST(NULL AS INTEGER), md5(text), CAST(NULL AS VARCHAR),
        CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)
 FROM documents
+UNION ALL
+SELECT 'doc_' || kind.k, CAST(doc_id AS VARCHAR),
+       CAST(NULL AS DOUBLE),
+       CAST(NULL AS INTEGER), md5(text), CAST(NULL AS VARCHAR),
+       CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)
+FROM documents
+CROSS JOIN (VALUES ('docx'), ('odt'), ('epub')) kind(k)
+WHERE doc_id < 100
 ORDER BY part, id, vec_sum
 """
     out["q11_q12_filter_compile"] = f"""

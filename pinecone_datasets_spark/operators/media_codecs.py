@@ -491,6 +491,11 @@ def probe_bytes(
             return "flac", None, None, None
         if content.lstrip()[:5] == b"%PDF-":
             return "pdf", None, None, None
+        if content[:4] in (b"PK\x03\x04", b"PK\x05\x06"):
+            from .office import sniff_zip_document
+
+            kind = sniff_zip_document(content)
+            return kind or "zip", None, None, None
         mp4 = probe_mp4(content)
         if mp4 is not None:
             w, h, dur, _handlers = mp4

@@ -59,6 +59,10 @@ _TYPE_BY_FORMAT = {
     "m4a": "audio",
     "mov": "video",
     "pdf": "document",
+    "docx": "document",
+    "odt": "document",
+    "epub": "document",
+    "zip": "archive",
     "avi": "video",
     "mpng": "video",
     "mp4": "video",
