@@ -3267,14 +3267,70 @@ def q09_q10_conform(spark: SparkSession, sf_dir: str) -> DataFrame:
         _nl("string").alias("filter"),
         _nl("long").alias("top_k"),
     )
+    subs = q100_subtitle_roundtrip(spark, sf_dir).select(
+        F.concat(F.lit("sub_"), "kind").alias("part"),
+        F.col("id"),
+        F.col("start_ms").cast("double").alias("vec_sum"),
+        F.col("end_ms").cast("int").alias("vec_dim"),
+        F.col("text_md5").alias("metadata"),
+        _nl("string").alias("blob"),
+        _nl("string").alias("filter"),
+        _nl("long").alias("top_k"),
+    )
     return (
         docs.unionByName(qs)
         .unionByName(wr)
         .unionByName(ar)
         .unionByName(pdfp)
         .unionByName(off)
+        .unionByName(subs)
         .orderBy("part", "id", "vec_sum")
     )
+
+
+def q100_subtitle_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subtitle parse round-trip with a full hash oracle
+    (operators/subtitles.py, r9): each document's text becomes one SRT
+    and one WebVTT cue at integer timestamps (start = doc_id seconds,
+    1.5 s long) via the writer twins, parsed back through the real cue
+    machinery (timestamp math, markup strip), and emitted as
+    (kind, id, start_ms, end_ms, text md5) — all SQL arithmetic."""
+    from pinecone_datasets_spark.operators.subtitles import (
+        encode_srt,
+        encode_vtt,
+        extract_subtitle_cues,
+    )
+
+    doc = _t(spark, sf_dir, "documents")
+
+    def make_subs(batches):
+        import pandas as pd
+
+        for pdf_ in batches:
+            ids, blobs = [], []
+            for did, text in zip(pdf_["doc_id"], pdf_["text"]):
+                did = int(did)
+                cue = [(did * 1000, did * 1000 + 1500, text or "")]
+                ids.append(f"{did}:srt")
+                blobs.append(encode_srt(cue))
+                ids.append(f"{did}:vtt")
+                blobs.append(encode_vtt(cue))
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    blobs = (
+        doc.select("doc_id", "text")
+        .where(F.col("doc_id") < 100)
+        .repartition(8)
+        .mapInPandas(make_subs, "media_id string, content binary")
+    )
+    got = extract_subtitle_cues(blobs)
+    return got.select(
+        F.split(F.col("id"), ":")[0].alias("id"),
+        F.col("kind"),
+        F.col("start_ms"),
+        F.col("end_ms"),
+        F.md5("text").alias("text_md5"),
+    ).orderBy("kind", "id")
 
 
 def q99_office_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8142,6 +8198,15 @@ SELECT 'doc_' || kind.k, CAST(doc_id AS VARCHAR),
        CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)
 FROM documents
 CROSS JOIN (VALUES ('docx'), ('odt'), ('epub')) kind(k)
+WHERE doc_id < 100
+UNION ALL
+SELECT 'sub_' || kind.k, CAST(doc_id AS VARCHAR),
+       CAST(doc_id * 1000 AS DOUBLE),
+       CAST(doc_id * 1000 + 1500 AS INTEGER),
+       md5(text), CAST(NULL AS VARCHAR),
+       CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)
+FROM documents
+CROSS JOIN (VALUES ('srt'), ('vtt')) kind(k)
 WHERE doc_id < 100
 ORDER BY part, id, vec_sum
 """
