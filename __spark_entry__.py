@@ -3345,6 +3345,7 @@ def q99_office_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_simple_docx,
         encode_simple_epub,
         encode_simple_odt,
+        encode_simple_rtf,
         extract_document_text,
     )
 
@@ -3360,6 +3361,7 @@ def q99_office_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for kind, blob in (
                     ("docx", encode_simple_docx([t])),
                     ("odt", encode_simple_odt([t])),
+                    ("rtf", encode_simple_rtf([t])),
                     (
                         "epub",
                         encode_simple_epub(
@@ -8197,7 +8199,7 @@ SELECT 'doc_' || kind.k, CAST(doc_id AS VARCHAR),
        CAST(NULL AS INTEGER), md5(text), CAST(NULL AS VARCHAR),
        CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)
 FROM documents
-CROSS JOIN (VALUES ('docx'), ('odt'), ('epub')) kind(k)
+CROSS JOIN (VALUES ('docx'), ('odt'), ('epub'), ('rtf')) kind(k)
 WHERE doc_id < 100
 UNION ALL
 SELECT 'sub_' || kind.k, CAST(doc_id AS VARCHAR),

@@ -491,6 +491,8 @@ def probe_bytes(
             return "flac", None, None, None
         if content.lstrip()[:5] == b"%PDF-":
             return "pdf", None, None, None
+        if content.lstrip()[:5] == b"{\\rtf":
+            return "rtf", None, None, None
         if content[:4] in (b"PK\x03\x04", b"PK\x05\x06"):
             from .office import sniff_zip_document
 

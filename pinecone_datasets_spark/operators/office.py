@@ -46,6 +46,7 @@ from pyspark.sql import functions as F
 from .media_codecs import UnsupportedMediaError
 
 __all__ = [
+    "rtf_to_text",
     "docx_to_text",
     "odt_to_text",
     "epub_to_text",
@@ -272,6 +273,145 @@ def epub_to_text(blob: bytes) -> str:
     return "\f".join(p for p in pages if p)
 
 
+_RTF_CW_RE = re.compile(
+    rb"\\([a-zA-Z]{1,32})(-?\d{1,10})? ?|\\'([0-9a-fA-F]{2})|\\([^a-zA-Z])"
+)
+#: Destinations whose payload is metadata/binary, never body text
+_RTF_SKIP = {
+    b"fonttbl", b"colortbl", b"stylesheet", b"info", b"pict",
+    b"object", b"header", b"footer", b"field", b"themedata",
+    b"colorschememapping", b"datastore", b"latentstyles",
+    b"listtable", b"listoverridetable", b"generator", b"xmlnstbl",
+}
+
+
+def rtf_to_text(blob: bytes) -> str:
+    """RTF bytes → text: a real group-aware control-word walk —
+    ``\\par``/``\\line`` newlines, ``\\tab`` tabs, ``\\'hh`` codepage
+    escapes (cp1252), ``\\uN`` unicode with the ``\\ucN`` fallback-skip
+    rule honored per group, ``{\\*...}`` and table/font/picture
+    destinations skipped whole, ``\\binN`` payloads skipped by length."""
+    if not blob.lstrip().startswith(b"{\\rtf"):
+        raise UnsupportedMediaError("not an RTF document")
+    out: list = []
+    i = 0
+    n = len(blob)
+    skip_depth = 0  # >0 while inside a skipped destination group
+    depth = 0
+    uc_stack = [1]  # \ucN per group
+    pending_uskip = 0
+    while i < n:
+        c = blob[i]
+        if c == 0x7B:  # {
+            depth += 1
+            uc_stack.append(uc_stack[-1])
+            if skip_depth:
+                skip_depth += 1
+            else:
+                # {\* ...} optional destination: skip unless known text
+                if blob[i + 1 : i + 3] == b"\\*":
+                    skip_depth = 1
+                else:
+                    m = _RTF_CW_RE.match(blob, i + 1)
+                    if m and m.group(1) in _RTF_SKIP:
+                        skip_depth = 1
+            i += 1
+            continue
+        if c == 0x7D:  # }
+            depth = max(depth - 1, 0)
+            if len(uc_stack) > 1:
+                uc_stack.pop()
+            if skip_depth:
+                skip_depth -= 1
+            i += 1
+            continue
+        if c == 0x5C:  # backslash
+            m = _RTF_CW_RE.match(blob, i)
+            if not m:
+                i += 1
+                continue
+            i = m.end()
+            word, param, hexb, sym = (
+                m.group(1), m.group(2), m.group(3), m.group(4),
+            )
+            if skip_depth:
+                if word == b"bin" and param:
+                    i += max(int(param), 0)  # binary payload
+                continue
+            if hexb is not None:
+                if pending_uskip:
+                    pending_uskip -= 1
+                else:
+                    out.append(
+                        bytes([int(hexb, 16)]).decode("cp1252", "replace")
+                    )
+                continue
+            if sym is not None:
+                if sym in (b"\\", b"{", b"}"):
+                    out.append(sym.decode())
+                elif sym == b"~":
+                    out.append("\u00a0")
+                elif sym in (b"\n", b"\r"):
+                    out.append("\n")
+                continue
+            if word == b"u" and param:
+                cp = int(param)
+                out.append(chr(cp + 65536 if cp < 0 else cp))
+                pending_uskip = uc_stack[-1]
+            elif word == b"uc" and param:
+                uc_stack[-1] = int(param)
+            elif word in (b"par", b"line", b"sect", b"page"):
+                out.append("\n")
+            elif word == b"tab":
+                out.append("\t")
+            elif word in (b"emdash", b"endash"):
+                out.append("—" if word == b"emdash" else "–")
+            elif word in (b"lquote", b"rquote"):
+                out.append("‘" if word == b"lquote" else "’")
+            elif word == b"bin" and param:
+                i += max(int(param), 0)
+            continue
+        if c in b"\r\n":
+            i += 1
+            continue
+        if skip_depth:
+            i += 1
+            continue
+        if pending_uskip:
+            pending_uskip -= 1
+            i += 1
+            continue
+        out.append(chr(c) if c < 128 else bytes([c]).decode(
+            "cp1252", "replace"
+        ))
+        i += 1
+    text = "".join(out)
+    return re.sub(r"\n{2,}", "\n", text).strip("\n ")
+
+
+def encode_simple_rtf(paragraphs) -> bytes:
+    """``[paragraph_text, ...]`` → minimal RTF (writer twin); non-ASCII
+    escapes as ``\\uN``."""
+    body = []
+    for p in paragraphs:
+        chars = []
+        for ch in p:
+            o = ord(ch)
+            if ch in "\\{}":
+                chars.append("\\" + ch)
+            elif o < 128:
+                chars.append(ch)
+            else:
+                cp = o if o < 32768 else o - 65536
+                chars.append(f"\\u{cp}?")
+        body.append("".join(chars))
+    return (
+        "{\\rtf1\\ansi\\deff0{\\fonttbl{\\f0 Times;}}\\uc1 "
+        + "\\par ".join(body)
+        + "}"
+    ).encode("ascii")
+
+
 # ---------------------------------------------------------------------------
 # Fixture encoder twins (the usual role: spec-shaped containers the
 # extractors above decode for real)
@@ -391,6 +531,8 @@ def document_to_text(blob: bytes) -> tuple[str, str]:
     if blob.lstrip()[:5].startswith(b"%PDF-"):
         text, _n, _d = pdf_to_text(blob)
         return "pdf", text
+    if blob.lstrip().startswith(b"{\\rtf"):
+        return "rtf", rtf_to_text(blob)
     kind = sniff_zip_document(blob)
     if kind == "docx":
         return "docx", docx_to_text(blob)

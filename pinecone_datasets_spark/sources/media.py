@@ -60,6 +60,7 @@ _TYPE_BY_FORMAT = {
     "mov": "video",
     "pdf": "document",
     "docx": "document",
+    "rtf": "document",
     "odt": "document",
     "epub": "document",
     "zip": "archive",

@@ -203,3 +203,36 @@ def test_probe_and_media_source_type_documents(spark, tmp_path):
         "c.epub": ("epub", "document"),
         "d.zip": ("zip", "archive"),
     }
+
+
+def test_rtf_extraction_and_roundtrip():
+    """RTF: group-aware control-word walk — \\'hh cp1252 escapes, \\uN
+    with the \\ucN fallback-skip rule, destination groups (fonttbl,
+    {\\*\\generator}) skipped, \\par/\\tab/\\emdash specials; writer-
+    twin round-trip exact incl. braces, backslashes, and unicode."""
+    from pinecone_datasets_spark.operators.office import (
+        encode_simple_rtf,
+        rtf_to_text,
+    )
+
+    pages = [
+        "Braces {x} and back\\slash survive.",
+        "Unicode: é ü — and beyond BMP stays honest…",
+        "Plain third paragraph.",
+    ]
+    assert rtf_to_text(encode_simple_rtf(pages)) == "\n".join(pages)
+
+    rtf = (
+        b"{\\rtf1\\ansi{\\fonttbl{\\f0 Arial;}}"
+        b"{\\*\\generator Fake 1.0;}{\\info{\\author X}}"
+        b"\\uc2\\f0 Caf\\'e9 time\\par \\u9274ZZ after"
+        b"\\par A\\tab B\\emdash C\\par {\\pict 0011}done}"
+    )
+    got = rtf_to_text(rtf)
+    assert got == "Café time\n␺ after\nA\tB—C\ndone"
+
+    with pytest.raises(UnsupportedMediaError, match="RTF"):
+        rtf_to_text(b"not rtf at all")
+
+    kind, text = document_to_text(encode_simple_rtf(["via dispatch"]))
+    assert (kind, text) == ("rtf", "via dispatch")
