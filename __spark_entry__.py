@@ -3574,6 +3574,54 @@ def q77_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: q95 planted markup templates (r9). Corpus text is markup-inert
+#: (verified: no * _ ` | [ ] { } $ % ~ ^ # \ characters), so the
+#: markdown part replays through the FULL markdown_to_text_sql twin
+#: and the LaTeX part's kernel output is the literal construction
+#: 'Head\nBody ' || text || ' tail café 100% done.'.
+_Q95_MD_PRE = "# Doc\n\n> **intro** quote\n\n- "
+_Q95_MD_SUF = "\n\n```\ncode kept\n```\n\n[a link](http://x) | cell |"
+_Q95_TEX_PRE = (
+    "\\documentclass{article}\n% comment\n\\begin{document}\n"
+    "\\section{Head}\nBody \\textbf{"
+)
+_Q95_TEX_SUF = (
+    "} tail \\cite{x2020} $e=mc^2$ caf\\'e 100\\% "
+    "\\begin{figure}dropped\\end{figure} done.\n\\end{document}"
+)
+
+
+def q95_markup_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markdown + LaTeX extraction fingerprints (functions/markup.py):
+    each doc's text wrapped in deterministic templates exercising
+    fences/links/emphasis/blockquote/table constructs (markdown — the
+    codegen expression chain, FULL SQL-twin replay) and
+    sectioning/commands/math/figure-drop/accents (LaTeX — the Arrow
+    kernel; inert corpus text makes the expected output a literal SQL
+    construction)."""
+    from pinecone_datasets_spark.functions.markup import (
+        latex_to_text,
+        markdown_to_text,
+    )
+
+    doc = _t(spark, sf_dir, "documents")
+    md_planted = F.concat(
+        F.lit(_Q95_MD_PRE), F.col("text"), F.lit(_Q95_MD_SUF)
+    )
+    tex_planted = F.concat(
+        F.lit(_Q95_TEX_PRE), F.col("text"), F.lit(_Q95_TEX_SUF)
+    )
+    md = markdown_to_text(md_planted)
+    return doc.select(
+        "doc_id",
+        F.md5(md).alias("md_fp"),
+        (F.length(md_planted) - F.length(md))
+        .cast("long")
+        .alias("md_chars_removed"),
+        F.md5(latex_to_text(tex_planted)).alias("tex_fp"),
+    ).orderBy("doc_id")
+
+
 def q13_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc text profile: q13 stats + q29 lang-ID + q30 quality + q40
     repetition + q41 PII redaction + q75 boilerplate score + q77
@@ -3592,6 +3640,7 @@ def q13_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(q91_clean_text(spark, sf_dir), "doc_id")
         .join(q92_html_extract(spark, sf_dir), "doc_id")
         .join(q94_structure_stats(spark, sf_dir), "doc_id")
+        .join(q95_markup_extract(spark, sf_dir), "doc_id")
     )
     return out.orderBy("doc_id")
 
@@ -8268,11 +8317,42 @@ ORDER BY part, doc_id
          {_ls["mean_words_per_line"]} AS mean_words_per_line
   FROM (SELECT doc_id, {_q94_planted} AS planted FROM documents)
 """
+    # q95 markup twins: markdown replays through the FULL stage-chain
+    # twin over the same planted expression; LaTeX's kernel output is
+    # a literal construction on inert corpus text (whitespace-collapse
+    # applied so the empty-text edge matches the kernel too).
+    from pinecone_datasets_spark.functions.markup import (
+        markdown_to_text_sql as _md_sql,
+    )
+
+    def _sql_lit(s: str) -> str:
+        return "e'" + (
+            s.replace("\\", "\\\\")
+            .replace("'", "''")
+            .replace("\n", "\\n")
+        ) + "'"
+
+    _q95_md_planted = (
+        f"{_sql_lit(_Q95_MD_PRE)} || text || {_sql_lit(_Q95_MD_SUF)}"
+    )
+    _q95_tex_expected = (
+        "regexp_replace(e'Head\\nBody ' || text"
+        " || e' tail café 100% done.', ' +', ' ', 'g')"
+    )
+    _s95 = f"""
+  SELECT doc_id, md5({_md_sql(_q95_md_planted)}) AS md_fp,
+         (length({_q95_md_planted})
+          - length({_md_sql(_q95_md_planted)}))::BIGINT
+           AS md_chars_removed,
+         md5({_q95_tex_expected}) AS tex_fp
+  FROM documents
+"""
     out["q13_text_profile"] = f"""
 WITH s13 AS ({b['q13_text_stats']}),
 s91 AS ({_s91}),
 s92 AS ({_s92}),
 s94 AS ({_s94}),
+s95 AS ({_s95}),
 s29 AS ({b['q29_lang_detect']}),
 s30 AS ({b['q30_quality_score']}),
 s40 AS ({b['q40_repetition_signals']}),
@@ -8333,7 +8413,8 @@ SELECT s13.doc_id, s13.n_words, s13.n_tokens, s13.n_chars, s13.entropy,
        s92.html_fp, s92.html_chars_removed,
        s94.n_sentences, s94.dup_line_frac, s94.dup_line_char_frac,
        s94.bullet_line_frac, s94.end_punct_line_frac,
-       s94.mean_words_per_line
+       s94.mean_words_per_line,
+       s95.md_fp, s95.md_chars_removed, s95.tex_fp
 FROM s13
 JOIN s29 USING (doc_id)
 JOIN s30 USING (doc_id)
@@ -8344,6 +8425,7 @@ JOIN s77 USING (doc_id)
 JOIN s91 USING (doc_id)
 JOIN s92 USING (doc_id)
 JOIN s94 USING (doc_id)
+JOIN s95 USING (doc_id)
 ORDER BY doc_id
 """
     from pinecone_datasets_spark.operators.sketch import (
