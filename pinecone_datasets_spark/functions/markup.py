@@ -79,8 +79,8 @@ _MD_STAGES: tuple[tuple[str, str], ...] = (
     (r"`", ""),
     (r"\*\*\*|___", ""),
     (r"\*\*|__", ""),
-    (r"(?:^|[ \t\n])\*([^*\n]+)\*", " $1"),
-    (r"(?:^|[ \t\n])_([^_\n]+)_", " $1"),
+    (r"(^|[ \t\n])\*([^*\n]+)\*", "$1$2"),
+    (r"(^|[ \t\n])_([^_\n]+)_", "$1$2"),
     (r"~~", ""),
     # whitespace normalization (the html.py tail)
     (r"[ \t\f\x0B\r]+", " "),
@@ -107,12 +107,9 @@ def markdown_to_text_sql(md_expr: str) -> str:
     expr = md_expr
     for pat, rep in _MD_STAGES:
         p = pat.replace("'", "''")
-        r = (
-            rep.replace("\\", "\\\\")
-            .replace("$1", "\\\\1")
-            .replace("'", "''")
-            .replace("\n", "\\n")
-        )
+        r = rep.replace("\\", "\\\\")
+        r = re.sub(r"\$(\d)", r"\\\\\1", r)  # Java $N -> RE2 \N
+        r = r.replace("'", "''").replace("\n", "\\n")
         expr = f"regexp_replace({expr}, '{p}', e'{r}', 'g')"
     return expr
 

@@ -104,3 +104,19 @@ def test_latex_spark_kernel(spark):
     }
     assert rows[1] == "H\nBody b done."
     assert rows[2] is None
+
+
+def test_emphasis_keeps_line_breaks(spark):
+    """A line STARTING with emphasis must not merge into the previous
+    line (the $1$2 capture keeps whichever whitespace preceded)."""
+    import duckdb
+
+    s = "line1\n*lead emph* rest\nand _tail_ here"
+    df = spark.createDataFrame([(s,)], "t string")
+    got = df.select(markdown_to_text("t").alias("x")).collect()[0]["x"]
+    assert got == "line1\nlead emph rest\nand tail here"
+    con = duckdb.connect()
+    duck = con.execute(
+        f"SELECT {markdown_to_text_sql('t')} FROM (SELECT ? AS t)", [s]
+    ).fetchone()[0]
+    assert duck == got
