@@ -254,14 +254,24 @@ def _parse_number_or_ref(p: _P):
 def _scan_objects(blob: bytes) -> dict:
     """{obj_num: (dict_or_value, stream_bytes_or_None)} — tolerant
     whole-byte scan; LAST definition of an id wins (incremental
-    updates). Streams are cut at the matching ``endstream``."""
+    updates). Streams are cut at the matching ``endstream``.
+
+    The scan is SEQUENTIAL, resuming after each object's extent:
+    compressed stream payloads are arbitrary bytes and can contain
+    ``N 0 obj`` patterns — a naive finditer would let such a payload
+    byte-string SHADOW a real object under the last-wins rule."""
     objs: dict = {}
-    for m in _OBJ_RE.finditer(blob):
+    pos = 0
+    n = len(blob)
+    while pos < n:
+        m = _OBJ_RE.search(blob, pos)
+        if m is None:
+            break
         num = int(m.group(1))
         body_start = m.end()
         end = blob.find(b"endobj", body_start)
         if end < 0:
-            end = len(blob)
+            end = n
         seg = blob[body_start:end]
         sm = re.search(rb"stream\r?\n", seg)
         stream = None
@@ -278,6 +288,7 @@ def _scan_objects(blob: bytes) -> dict:
             seg = seg[: sm.start()]
         val = _parse_value(_P(seg))
         objs[num] = (val, stream)
+        pos = end + 6 if end < n else n
     return objs
 
 

@@ -193,3 +193,26 @@ def test_probe_and_media_source(spark, tmp_path):
     (tmp_path / "doc.pdf").write_bytes(blob)
     r = read_media(spark, str(tmp_path)).collect()[0]
     assert (r["format"], r["media_type"]) == ("pdf", "document")
+
+
+def test_obj_pattern_inside_stream_payload_does_not_shadow():
+    """Compressed stream payloads are arbitrary bytes; a '4 0 obj'
+    byte pattern INSIDE one must not shadow the real object 4 under
+    the last-definition-wins rule (the scan resumes after each
+    object's extent)."""
+    body = b"BT (real text) Tj ET"
+    # craft a raw stream whose payload embeds a fake redefinition
+    evil = b"junk 4 0 obj\n<< >>\nstream\nBT (evil) Tj ET\nendstream junk"
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Count 1 /Kids [3 0 R] >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+        b"5 0 obj\n<< /Length " + str(len(evil)).encode() + b" >>\n"
+        b"stream\n" + evil + b"\nendstream\nendobj\n"
+        b"4 0 obj\n<< /Length " + str(len(body)).encode() + b" >>\n"
+        b"stream\n" + body + b"\nendstream\nendobj\n"
+        b"%%EOF\n"
+    )
+    text, n, _ = pdf_to_text(pdf)
+    assert (text, n) == ("real text", 1)
