@@ -30,7 +30,12 @@ def _dumps_compact(obj) -> str:
     2000-char tail, and at 74 legs the default ', '/': ' padding alone
     pushed the line past the 1900 guard (r9), collapsing per-leg
     values to the detail:-1 stub. Compact separators buy ~160 chars
-    with zero information loss; json.loads parses either form."""
+    with zero information loss; json.loads parses either form.
+
+    HEADROOM NOTE (r9): 76 legs emit ~1866 chars — roughly TWO more
+    legs fit under the guard. Before adding a ~79th leg, introduce a
+    published leg-alias map (short stdout keys, full names in
+    BENCH_DETAIL.json + BASELINE.md) rather than silently stubbing."""
     import json as _json
 
     return _json.dumps(obj, separators=(",", ":"))
@@ -1091,6 +1096,52 @@ def main() -> None:
             F.count(F.when(F.col("error").isNotNull(), 1)).alias("errs"),
         )
 
+    office_path = bench_tmp + "/docs_office"
+
+    def bench_office_extract():
+        # r9: office-dump ingest — every 4th doc packed once as DOCX,
+        # ODT, and EPUB via the writer twins, then binaryFile scan +
+        # the unified document_to_text dispatch (zip walk, guarded XML
+        # parses, html strip) + corpus stats. First recording r9.
+        from pinecone_datasets_spark.operators.office import (
+            encode_simple_docx,
+            encode_simple_epub,
+            encode_simple_odt,
+            extract_document_text,
+        )
+
+        if not os.path.isdir(office_path):
+            os.makedirs(office_path)
+            rows = (
+                spark.read.parquet(f"{SF_DIR}/documents.parquet")
+                .where(F.col("doc_id") % 4 == 0)
+                .select("doc_id", "text")
+                .collect()
+            )
+            for r in rows:
+                t = r["text"] or ""
+                did = r["doc_id"]
+                with open(f"{office_path}/{did}.docx", "wb") as f:
+                    f.write(encode_simple_docx([t]))
+                with open(f"{office_path}/{did}.odt", "wb") as f:
+                    f.write(encode_simple_odt([t]))
+                with open(f"{office_path}/{did}.epub", "wb") as f:
+                    f.write(
+                        encode_simple_epub(
+                            ["<html><body><p>" + t + "</p></body></html>"]
+                        )
+                    )
+        raw = (
+            spark.read.format("binaryFile")
+            .load(office_path)
+            .select(F.col("path").alias("media_id"), F.col("content"))
+        )
+        got = extract_document_text(raw)
+        return got.groupBy("kind").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.length("text")).alias("sum_chars"),
+        )
+
     arch_path = bench_tmp + "/docs_arch"
 
     def bench_archive_ingest():
@@ -1341,6 +1392,7 @@ def main() -> None:
         "archive_ingest": bench_archive_ingest,
         "cdc_dedup": bench_cdc_dedup,
         "pdf_extract": bench_pdf_extract,
+        "office_extract": bench_office_extract,
         "html_extract": bench_html_extract,
         "token_shards": bench_token_shards,
         "bpe_tokens": bench_bpe_tokens,

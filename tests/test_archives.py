@@ -218,3 +218,62 @@ def test_archive_to_media_pipeline_composition(spark, tmp_path):
     assert len(img) == 1 and (img[0]["width"], img[0]["height"]) == (12, 10)
     fp = audio_fingerprint(media).where(F.col("afp").isNotNull()).collect()
     assert len(fp) == 1 and fp[0]["media_id"].endswith("snd/b.wav")
+
+
+def test_dump_to_corpus_composition(spark, tmp_path):
+    """The full dump-to-corpus story in one pipe: a zip holding a PDF,
+    a DOCX, a markdown README, and a PNG unpacks via the archive walk;
+    documents flow through the unified text dispatch, markdown through
+    the codegen stripper, and the image through the media probe — no
+    loose files, no per-format branching outside the library."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from pinecone_datasets_spark.functions.markup import markdown_to_text
+    from pinecone_datasets_spark.operators.media_codecs import encode_png
+    from pinecone_datasets_spark.operators.office import (
+        encode_simple_docx,
+        extract_document_text,
+    )
+    from pinecone_datasets_spark.operators.pdf import encode_simple_pdf
+    from pinecone_datasets_spark.operators.multimodal import probe_media
+
+    (tmp_path / "dump.zip").write_bytes(
+        _zip_bytes(
+            {
+                "paper.pdf": encode_simple_pdf(["pdf body text"]),
+                "memo.docx": encode_simple_docx(["docx body text"]),
+                "README.md": b"# Title\n\nSome **md** text",
+                "logo.png": encode_png(
+                    np.zeros((4, 6, 3), dtype=np.uint8)
+                ),
+            }
+        )
+    )
+    members = read_archive_members(spark, str(tmp_path)).members
+
+    docs = extract_document_text(
+        members.select(F.col("member").alias("media_id"), "content")
+    ).where(F.col("error").isNull())
+    got = {r["id"]: (r["kind"], r["text"]) for r in docs.collect()}
+    assert got == {
+        "paper.pdf": ("pdf", "pdf body text"),
+        "memo.docx": ("docx", "docx body text"),
+    }
+
+    md = (
+        members.where(F.col("member").endswith(".md"))
+        .select(
+            markdown_to_text(
+                F.col("content").cast("string")
+            ).alias("t")
+        )
+        .collect()
+    )
+    assert md[0]["t"] == "Title\nSome md text"
+
+    probed = probe_media(
+        members.select(F.col("member").alias("media_id"), "content")
+    )
+    fmts = {r["media_id"]: r["format"] for r in probed.collect()}
+    assert fmts["logo.png"] == "png"
