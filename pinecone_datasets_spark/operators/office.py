@@ -300,6 +300,7 @@ def rtf_to_text(blob: bytes) -> str:
     depth = 0
     uc_stack = [1]  # \ucN per group
     pending_uskip = 0
+    pending_high = None  # held high surrogate awaiting its pair
     while i < n:
         c = blob[i]
         if c == 0x7B:  # {
@@ -356,7 +357,31 @@ def rtf_to_text(blob: bytes) -> str:
                 continue
             if word == b"u" and param:
                 cp = int(param)
-                out.append(chr(cp + 65536 if cp < 0 else cp))
+                cp = cp + 65536 if cp < 0 else cp
+                # RTF \uN is a SIGNED 16-bit value: astral characters
+                # arrive as UTF-16 surrogate PAIRS — recompose them
+                # (hypothesis-found); stray surrogates become U+FFFD
+                if 0xD800 <= cp <= 0xDBFF:
+                    if pending_high is not None:
+                        out.append("�")
+                    pending_high = cp
+                elif 0xDC00 <= cp <= 0xDFFF:
+                    if pending_high is not None:
+                        out.append(
+                            chr(
+                                0x10000
+                                + ((pending_high - 0xD800) << 10)
+                                + (cp - 0xDC00)
+                            )
+                        )
+                        pending_high = None
+                    else:
+                        out.append("�")
+                else:
+                    if pending_high is not None:
+                        out.append("�")
+                        pending_high = None
+                    out.append(chr(cp))
                 pending_uskip = uc_stack[-1]
             elif word == b"uc" and param:
                 uc_stack[-1] = int(param)
@@ -391,7 +416,10 @@ def rtf_to_text(blob: bytes) -> str:
 
 def encode_simple_rtf(paragraphs) -> bytes:
     """``[paragraph_text, ...]`` → minimal RTF (writer twin); non-ASCII
-    escapes as ``\\uN``."""
+    escapes as ``\\uN``; embedded newlines/tabs become ``\\line``/
+    ``\\tab`` (RTF readers IGNORE raw newline bytes per spec, so a
+    writer that leaves them raw silently loses them — hypothesis
+    found exactly that on the round-trip)."""
     body = []
     for p in paragraphs:
         chars = []
@@ -399,8 +427,20 @@ def encode_simple_rtf(paragraphs) -> bytes:
             o = ord(ch)
             if ch in "\\{}":
                 chars.append("\\" + ch)
+            elif ch == "\n":
+                chars.append("\\line ")
+            elif ch == "\t":
+                chars.append("\\tab ")
+            elif ch == "\r":
+                continue  # not representable; readers ignore raw CR
             elif o < 128:
                 chars.append(ch)
+            elif o > 0xFFFF:
+                # astral plane: UTF-16 surrogate pair, each signed
+                v = o - 0x10000
+                hi = 0xD800 + (v >> 10)
+                lo = 0xDC00 + (v & 0x3FF)
+                chars.append(f"\\u{hi - 65536}?\\u{lo - 65536}?")
             else:
                 cp = o if o < 32768 else o - 65536
                 chars.append(f"\\u{cp}?")

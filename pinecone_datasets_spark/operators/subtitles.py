@@ -59,7 +59,10 @@ def parse_subtitles(blob: bytes) -> Tuple[str, List[tuple]]:
     cue text joins with newlines. Raises the shared typed error for
     bytes that are neither."""
     text = blob.decode("utf-8-sig", "replace")
-    lines = text.splitlines()
+    # spec line breaks are CR/LF only — str.splitlines would ALSO
+    # split on \f \v \x1c-\x1e U+2028/U+2029, corrupting cue text
+    # that legally contains them (hypothesis-found)
+    lines = re.split(r"\r\n|\r|\n", text)
     is_vtt = bool(lines) and lines[0].strip().startswith("WEBVTT")
     if not is_vtt and not any(
         _ARROW_RE.match(ln.strip()) for ln in lines[:50]
