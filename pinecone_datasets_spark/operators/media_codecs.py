@@ -443,7 +443,9 @@ def probe_bytes(
                 with wave.open(io.BytesIO(content)) as wf:
                     dur = wf.getnframes() * 1000 // max(wf.getframerate(), 1)
                 return "wav", None, None, dur
-            except wave.Error:
+            # EOFError = truncated header, RuntimeError = stdlib
+            # Chunk.seek on a lying chunk size (both fuzz-found)
+            except (wave.Error, EOFError, RuntimeError):
                 return "wav", None, None, None
         if content[:4] == b"FORM" and content[8:12] in (b"AIFF", b"AIFC"):
             at = content.find(b"COMM", 12)
@@ -1226,7 +1228,7 @@ def decode_wav(content: bytes) -> Tuple[np.ndarray, int]:
             nch = wf.getnchannels()
             sw = wf.getsampwidth()
             frames = wf.readframes(wf.getnframes())
-    except (wave.Error, EOFError) as e:
+    except (wave.Error, EOFError, RuntimeError) as e:
         raise UnsupportedMediaError(f"bad WAV: {e}") from e
     if sw != 2:
         raise UnsupportedMediaError(f"unsupported WAV sample width {sw}")

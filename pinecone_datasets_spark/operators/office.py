@@ -37,6 +37,7 @@ import io
 import posixpath
 import re
 import zipfile
+import zlib
 from typing import Iterator, Optional
 
 import pandas as pd
@@ -78,14 +79,19 @@ def _safe_xml_root(data: bytes):
 def _open_zip(blob: bytes) -> zipfile.ZipFile:
     try:
         return zipfile.ZipFile(io.BytesIO(blob))
-    except (zipfile.BadZipFile, OSError, ValueError) as e:
+    except (zipfile.BadZipFile, OSError, ValueError, EOFError) as e:
         raise UnsupportedMediaError(f"bad zip container: {e}") from e
 
 
 def _zip_read(zf: zipfile.ZipFile, name: str) -> bytes:
     try:
         return zf.read(name)
-    except (KeyError, zipfile.BadZipFile, OSError, ValueError) as e:
+    # NotImplementedError = exotic compression method, RuntimeError =
+    # encrypted member, zlib.error = damaged deflate (fuzz-found) —
+    # all must cost a typed quarantine, never escape the kernel
+    except (KeyError, zipfile.BadZipFile, OSError, ValueError,
+            NotImplementedError, RuntimeError, zlib.error,
+            EOFError) as e:
         raise UnsupportedMediaError(
             f"zip member unreadable: {name}: {e}"
         ) from e
@@ -558,7 +564,8 @@ def sniff_zip_document(blob: bytes):
         if "META-INF/container.xml" in names:
             return "epub"
         return "zip"
-    except (zipfile.BadZipFile, OSError, ValueError, KeyError):
+    except (zipfile.BadZipFile, OSError, ValueError, KeyError,
+            NotImplementedError, RuntimeError, zlib.error, EOFError):
         return "zip"
 
 

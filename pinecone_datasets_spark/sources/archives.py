@@ -42,6 +42,7 @@ reads only Parquet (dataset_fsreader.py:75-151); Layer-B extension
 from __future__ import annotations
 
 import io
+import zlib
 from dataclasses import dataclass
 from typing import Iterator
 
@@ -76,7 +77,8 @@ def _iter_members(path: str, blob: bytes, cap: int):
     if blob[:4] == b"PK\x03\x04" or blob[:4] == b"PK\x05\x06":
         try:
             zf = zipfile.ZipFile(io.BytesIO(blob))
-        except (zipfile.BadZipFile, OSError, ValueError) as e:
+        except (zipfile.BadZipFile, OSError, ValueError,
+                EOFError) as e:
             yield None, None, None, f"bad zip: {e}"
             return
         for info in zf.infolist():
@@ -100,7 +102,9 @@ def _iter_members(path: str, blob: bytes, cap: int):
                     continue
                 yield info.filename, len(data), data, None
             except (zipfile.BadZipFile, OSError, ValueError,
-                    NotImplementedError) as e:
+                    NotImplementedError, RuntimeError, EOFError,
+                    zlib.error) as e:
+                # RuntimeError = encrypted member (fuzz-found)
                 yield info.filename, None, None, f"bad zip member: {e}"
         return
 
@@ -136,7 +140,8 @@ def _iter_members(path: str, blob: bytes, cap: int):
                         )
                     else:
                         yield info.name, len(data), data, None
-                except (tarfile.TarError, OSError, ValueError) as e:
+                except (tarfile.TarError, OSError, ValueError,
+                        EOFError, zlib.error) as e:
                     yield info.name, None, None, f"bad tar member: {e}"
             if any_member:
                 return
@@ -171,7 +176,7 @@ def _iter_members(path: str, blob: bytes, cap: int):
                         base = base[: -len(suf)]
                         break
                 yield base, len(data), data, None
-        except (OSError, EOFError, ValueError) as e:
+        except (OSError, EOFError, ValueError, zlib.error) as e:
             yield None, None, None, f"bad compressed stream: {e}"
         return
 
