@@ -4176,6 +4176,52 @@ def _probe_fixture_blobs(did: int):
     return out
 
 
+# FastCDC oracle fixture (r10, VERDICT item 1): printable-ASCII blobs
+# built from shared 1 KiB segments, so chunk-level duplicates, the
+# 1-byte-insertion boundary resync, the sub-min tail, and the forced
+# max-size cut are ALL exercised inside one hash-gated part. Bytes are
+# 32..126 so DuckDB's md5(string_agg(chr(byte))) equals hashlib.md5 of
+# the raw chunk bytes (md5(BLOB) is unsupported there). Segment 6 is a
+# constant run: gear('A') % 256 != 0, so no mask hits and every cut is
+# the forced max_size branch. The oracle recomputes EVERYTHING from
+# first principles — splitmix64 GEAR table (split 32-bit multiplies in
+# UBIGINT), low-12-bit windowed gear hash (12 lag terms), and the
+# min/avg/max candidate walk as a recursive CTE — no shipped spans.
+_CDC_SEG_LEN = 1024
+_CDC_MIN, _CDC_AVG, _CDC_MAX = 256, 1024, 4096
+_CDC_PLANS = {
+    0: [(0, _CDC_SEG_LEN), (1, _CDC_SEG_LEN), (2, _CDC_SEG_LEN)],
+    1: [(0, _CDC_SEG_LEN), (1, _CDC_SEG_LEN), (3, _CDC_SEG_LEN)],
+    2: [(4, _CDC_SEG_LEN), (1, _CDC_SEG_LEN), (2, _CDC_SEG_LEN)],
+    # 1-byte insertion after segment 0: boundaries must resync, giving
+    # duplicate chunk hashes at SHIFTED offsets
+    3: [(0, _CDC_SEG_LEN), (9, 1), (1, _CDC_SEG_LEN),
+        (2, _CDC_SEG_LEN)],
+    4: [(5, 200)],  # n <= min_size: single whole-blob span
+    5: [(6, _CDC_SEG_LEN)] * 5 + [(6, 880)],  # forced max-size cuts
+}
+
+
+def _cdc_seg_byte(s: int, p: int) -> int:
+    if s == 6:
+        return 65  # constant run: zero mask hits → forced cuts
+    return 32 + (s * 7919 + p * 104729 + ((p * p) % 65521) * 31) % 95
+
+
+def _cdc_fixture_blobs() -> list:
+    return [
+        (
+            str(i),
+            bytes(
+                _cdc_seg_byte(s, p)
+                for s, ln in plan
+                for p in range(ln)
+            ),
+        )
+        for i, plan in sorted(_CDC_PLANS.items())
+    ]
+
+
 def _ahash_pixels(doc_id: int) -> "np.ndarray":
     """32×32 gray image of 8×8 constant cells, cell value 4×rank with
     rank = (doc_id + k*(1 + 2*(doc_id%32))) % 64 (bijective: the
@@ -4276,7 +4322,11 @@ def q25_q39_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     100, where the full decode chain is pixel-exact — see
     _jpeg_block_pixels); 'ahash'
     = the 64-bit average hash (phash.ahash64 over image_luma of a real
-    PNG decode), integer-predicted from a rank permutation."""
+    PNG decode), integer-predicted from a rank permutation;
+    'cdc'/'cdc_dup' (r10) = FastCDC chunk spans + per-chunk md5 through
+    the real operators/cdc.py kernel plus duplicate_chunk_report, the
+    oracle recomputing gear table, windowed hash, and cut walk from
+    first principles (see _cdc_fixture_blobs / _oracle_cdc_ctes)."""
     from pinecone_datasets_spark.operators.multimodal import (
         audio_fingerprint,
         probe_media,
@@ -4617,6 +4667,40 @@ def q25_q39_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("format").alias("s1"),
     )
 
+    # 'cdc'/'cdc_dup' (r10): FastCDC spans + md5 of every chunk of the
+    # shared-segment fixture through the REAL kernel (operators/cdc.py
+    # cdc_chunks), plus duplicate_chunk_report's copies/n_files/
+    # reclaimable arithmetic — the oracle replays the gear table, the
+    # windowed hash, and the cut walk from first principles in SQL.
+    from pinecone_datasets_spark.operators.cdc import (
+        cdc_chunks,
+        duplicate_chunk_report,
+    )
+
+    cdc_blobs = spark.createDataFrame(
+        _cdc_fixture_blobs(), "media_id string, content binary"
+    )
+    cdc_chunked = cdc_chunks(
+        cdc_blobs,
+        min_size=_CDC_MIN,
+        avg_size=_CDC_AVG,
+        max_size=_CDC_MAX,
+    )
+    cdc = cdc_chunked.select(
+        F.lit("cdc").alias("part"),
+        F.concat_ws(":", "id", "chunk_idx").alias("key"),
+        F.col("offset").alias("h1"),
+        F.col("length").alias("h2"),
+        F.col("chunk_md5").alias("s1"),
+    )
+    cdc_dup = duplicate_chunk_report(cdc_chunked).select(
+        F.lit("cdc_dup").alias("part"),
+        F.concat(F.lit("dup:"), "chunk_md5").alias("key"),
+        F.col("copies").cast("long").alias("h1"),
+        F.col("reclaimable").cast("long").alias("h2"),
+        F.concat_ws("/", "n_files", "length").alias("s1"),
+    )
+
     return (
         fp.unionByName(rt)
         .unionByName(afp)
@@ -4625,6 +4709,8 @@ def q25_q39_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(vframes)
         .unionByName(meta)
         .unionByName(probe_part)
+        .unionByName(cdc)
+        .unionByName(cdc_dup)
         .orderBy("part", "key")
     )
 
@@ -5526,6 +5612,133 @@ FROM lineitem
 ORDER BY zval, l_orderkey, l_linenumber
 LIMIT 200
 """
+
+
+def _sql_mulmod64(x: str, c: int) -> str:
+    """(x * c) mod 2^64 in DuckDB UBIGINT via 32-bit split multiplies
+    — full 64×64 products overflow even HUGEINT, but each 32×32 half
+    fits UBIGINT exactly (the recursive-CTE split-multiply machinery
+    the r9 verdict prescribed for the gear hash)."""
+    ch, cl = c >> 32, c & 0xFFFFFFFF
+    return (
+        f"(((( ({x}) % 4294967296) * {ch}::UBIGINT"
+        f" + (({x}) >> 32) * {cl}::UBIGINT"
+        f" + ((({x}) % 4294967296) * {cl}::UBIGINT >> 32)"
+        f") % 4294967296) * 4294967296::UBIGINT"
+        f" + ((({x}) % 4294967296) * {cl}::UBIGINT) % 4294967296)"
+    )
+
+
+def _oracle_cdc_ctes() -> str:
+    """FastCDC replay CTE block (r10, VERDICT item 1) — recomputes the
+    whole pipeline from first principles in DuckDB, no shipped spans:
+
+    * ``cdc_gear``: the 256-entry splitmix64 GEAR table, closed-form
+      (state_i = seed + (i+1)*C mod 2^64, then the xor-shift/multiply
+      finalizer with split 32-bit multiplies). Only ``gear % 4096`` is
+      kept: both FastCDC masks live in the low 12 bits.
+    * ``cdc_hh``: the windowed gear register's low 12 bits — because
+      H = Σ gear[b_{j-s}]·2^s, bits below 12 only see s<12, so 12 lag
+      terms of (gear % 2^(12-s))·2^s replay cdc._windowed_gear's low
+      bits exactly for every position the walk can use (≥ min_size).
+    * ``cdc_walk``: the min/avg/max normalized-chunking walk as a
+      recursive CTE — strict mask before avg, loose after, forced cut
+      at max, sub-min tail — matching cdc.cdc_chunk_spans branch for
+      branch.
+
+    Requires the enclosing oracle to open with WITH RECURSIVE."""
+    m1, m2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    c64, seed = 0x9E3779B97F4A7C15, 0x9E2026C0FFEE
+    mn, av, mx = _CDC_MIN, _CDC_AVG, _CDC_MAX
+
+    def xs(x: str, s: int) -> str:
+        return f"xor(({x}), ({x}) >> {s})"
+
+    plan_vals = ",\n    ".join(
+        f"({i}, {o}, {s}, {ln})"
+        for i, plan in sorted(_CDC_PLANS.items())
+        for o, (s, ln) in enumerate(plan)
+    )
+    hterms = " + ".join(
+        f"((COALESCE(lag(g12, {s}) OVER w, 0) % {1 << (12 - s)})"
+        f" * {1 << s})"
+        for s in range(12)
+    )
+    return f"""
+cdc_plan(blob, seg_ord, seg, seg_len) AS (VALUES
+    {plan_vals}),
+cdc_seg_off AS (
+  SELECT blob, seg_ord, seg, seg_len,
+         COALESCE(SUM(seg_len) OVER (PARTITION BY blob ORDER BY seg_ord
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS off
+  FROM cdc_plan),
+cdc_bytes AS (
+  SELECT s.blob, (s.off + p.p)::BIGINT AS pos,
+         CASE WHEN s.seg = 6 THEN 65
+              ELSE 32 + (s.seg * 7919 + p.p * 104729
+                         + ((p.p * p.p) % 65521) * 31) % 95 END AS byte
+  FROM cdc_seg_off s JOIN range(0, {_CDC_SEG_LEN}) p(p)
+    ON p.p < s.seg_len),
+cdc_blen AS (
+  SELECT blob, COUNT(*)::BIGINT AS n FROM cdc_bytes GROUP BY blob),
+cdc_g0 AS (
+  SELECT i, CAST((({seed}::HUGEINT + (i + 1) * {c64}::HUGEINT)
+                  % 18446744073709551616) AS UBIGINT) AS x
+  FROM range(0, 256) t(i)),
+cdc_g1 AS (SELECT i, {_sql_mulmod64(xs('x', 30), m1)} AS x FROM cdc_g0),
+cdc_g2 AS (SELECT i, {_sql_mulmod64(xs('x', 27), m2)} AS x FROM cdc_g1),
+cdc_gear AS (
+  SELECT i, (xor(x, x >> 31) % 4096)::BIGINT AS g12 FROM cdc_g2),
+cdc_hb AS (
+  SELECT b.blob, b.pos, b.byte, g.g12
+  FROM cdc_bytes b JOIN cdc_gear g ON g.i = b.byte),
+cdc_hh AS (
+  SELECT blob, pos, ({hterms}) % 4096 AS h12
+  FROM cdc_hb WINDOW w AS (PARTITION BY blob ORDER BY pos)),
+cdc_cand AS (
+  SELECT blob, pos, (h12 % 4096 = 0) AS strict
+  FROM cdc_hh WHERE h12 % 256 = 0),
+cdc_walk(blob, start, cut, it) AS (
+  SELECT blob, 0::BIGINT,
+         CASE WHEN n <= {mn} THEN n ELSE COALESCE(
+           (SELECT MIN(c.pos) + 1 FROM cdc_cand c
+            WHERE c.blob = cdc_blen.blob AND c.pos >= {mn}
+              AND c.pos < LEAST({mx}, n)
+              AND (c.strict OR c.pos >= {av})),
+           LEAST({mx}, n)) END,
+         0
+  FROM cdc_blen
+  UNION ALL
+  SELECT w.blob, w.cut,
+         CASE WHEN b.n - w.cut <= {mn} THEN b.n ELSE COALESCE(
+           (SELECT MIN(c.pos) + 1 FROM cdc_cand c
+            WHERE c.blob = w.blob AND c.pos >= w.cut + {mn}
+              AND c.pos < LEAST(w.cut + {mx}, b.n)
+              AND (c.strict OR c.pos >= w.cut + {av})),
+           LEAST(w.cut + {mx}, b.n)) END,
+         w.it + 1
+  FROM cdc_walk w JOIN cdc_blen b ON b.blob = w.blob
+  WHERE w.cut < b.n),
+cdc_spans AS (
+  SELECT s.blob, s.it AS chunk_idx, s.start AS off,
+         s.cut - s.start AS len,
+         md5(string_agg(chr(b.byte::INTEGER), '' ORDER BY b.pos)) AS h
+  FROM cdc_walk s JOIN cdc_bytes b
+    ON b.blob = s.blob AND b.pos >= s.start AND b.pos < s.cut
+  GROUP BY s.blob, s.it, s.start, s.cut),
+cdc_p AS (
+  SELECT 'cdc' AS part,
+         blob::VARCHAR || ':' || chunk_idx::VARCHAR AS key,
+         off AS h1, len AS h2, h AS s1
+  FROM cdc_spans),
+cdc_dup_p AS (
+  SELECT 'cdc_dup' AS part, 'dup:' || h AS key,
+         COUNT(*)::BIGINT AS h1,
+         ((COUNT(*) - 1) * MAX(len))::BIGINT AS h2,
+         COUNT(DISTINCT blob)::VARCHAR || '/' || MAX(len)::VARCHAR
+           AS s1
+  FROM cdc_spans GROUP BY h HAVING COUNT(*) > 1)"""
 
 
 def _oracle_kmv() -> str:
@@ -8243,6 +8456,10 @@ SELECT 'pdf', CAST(doc_id AS VARCHAR), CAST(1 AS DOUBLE),
        CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)
 FROM documents
 UNION ALL
+-- doc_id < 100: the office/ebook round-trip is a SAMPLED oracle (100
+-- docs x 4 formats) for cost control, not full-corpus coverage — the
+-- full corpus rides the 'pdf'/'warc'/'arch_*' parts above (r9 verdict
+-- hygiene note b)
 SELECT 'doc_' || kind.k, CAST(doc_id AS VARCHAR),
        CAST(NULL AS DOUBLE),
        CAST(NULL AS INTEGER), md5(text), CAST(NULL AS VARCHAR),
@@ -8615,7 +8832,8 @@ ORDER BY metric, query_id, rank
     # LSB-first and repeated across the 4 stationary time segments
     # (bit 63 handled via two's complement to stay in BIGINT).
     out["q25_q39_fingerprints"] = f"""
-WITH sh AS ({_oracle_simhash()}),
+WITH RECURSIVE {_oracle_cdc_ctes()},
+sh AS ({_oracle_simhash()}),
 rh AS ({b['q39_rolling_hash']}),
 rt_pcm AS (
   SELECT d.doc_id, f.fmt, t.t,
@@ -8801,6 +9019,8 @@ UNION ALL SELECT * FROM ahash
 UNION ALL SELECT * FROM vframes
 UNION ALL SELECT * FROM meta
 UNION ALL SELECT * FROM probe_p
+UNION ALL SELECT * FROM cdc_p
+UNION ALL SELECT * FROM cdc_dup_p
 ORDER BY part, key
 """
     from pinecone_datasets_spark.operators.sketch import cm_sql

@@ -208,11 +208,15 @@ def probe_mp4(content: bytes):
             yield btype, body, pos + size
             pos += size
 
-    def walk(lo: int, hi: int, in_trak: bool) -> None:
+    def walk(lo: int, hi: int, in_trak: bool, depth: int) -> None:
         nonlocal dur_ms, width, height
+        if depth >= 6:
+            return  # moov/trak/mdia legitimately nest ≤3 deep; a hostile
+            # blob of nested trak boxes must not exhaust the C stack
+            # (same cap as probe_webm — ADVICE r9 high finding)
         for btype, body, end in boxes(lo, hi):
             if btype in (b"moov", b"trak", b"mdia"):
-                walk(body, end, in_trak or btype == b"trak")
+                walk(body, end, in_trak or btype == b"trak", depth + 1)
             elif btype == b"mvhd" and end - body >= 20:
                 ver = content[body]
                 if ver == 1 and end - body >= 28:
@@ -238,7 +242,7 @@ def probe_mp4(content: bytes):
                         width, height = w16 >> 16, h16 >> 16
 
     try:
-        walk(0, len(content), False)
+        walk(0, len(content), False, 0)
     except (struct.error, IndexError):
         pass
     return width, height, dur_ms, handlers
@@ -537,7 +541,9 @@ def probe_bytes(
         if mp3 is not None:
             _n, dur, _rate, _layer, _nch, _trunc = mp3
             return "mp3", None, None, dur
-    except (struct.error, IndexError):
+    except (struct.error, IndexError, RecursionError):
+        # RecursionError: defense in depth behind the walk depth caps —
+        # one hostile blob must never kill the probe job (ADVICE r9)
         return None, None, None, None
     return None, None, None, None
 
@@ -875,8 +881,11 @@ def decode_avi(content: bytes):
     # each strl list, so "last seen" is the enclosing stream's type.
     cur_stream = [b"    "]
 
-    def walk(lo: int, hi: int) -> None:
+    def walk(lo: int, hi: int, depth: int = 0) -> None:
         nonlocal usec_per_frame, fourcc, dims
+        if depth >= 8:
+            return  # RIFF(AVI){hdrl{strl},movi} nests 3 deep; a hostile
+            # chain of nested LISTs must not exhaust the C stack
         pos = lo
         while pos + 8 <= hi:
             cid = content[pos : pos + 4]
@@ -886,7 +895,7 @@ def decode_avi(content: bytes):
             if cid == b"LIST":
                 if content[data_lo : data_lo + 4] == b"strl":
                     cur_stream[0] = b"    "  # new stream scope
-                walk(data_lo + 4, data_hi)  # skip the list-type fourcc
+                walk(data_lo + 4, data_hi, depth + 1)  # skip list fourcc
             elif cid == b"avih" and size >= 4:
                 (usec_per_frame,) = struct.unpack_from(
                     "<I", content, data_lo
@@ -937,7 +946,9 @@ def decode_avi_audio(content: bytes):
     wfx = {}  # stream index -> (format_tag, nch, rate, bits)
     payload: dict = {}
 
-    def walk(lo: int, hi: int) -> None:
+    def walk(lo: int, hi: int, depth: int = 0) -> None:
+        if depth >= 8:
+            return  # depth cap: see decode_avi (ADVICE r9 high finding)
         pos = lo
         while pos + 8 <= hi:
             cid = content[pos : pos + 4]
@@ -947,7 +958,7 @@ def decode_avi_audio(content: bytes):
             if cid == b"LIST":
                 if content[data_lo : data_lo + 4] == b"strl":
                     stream_types.append(b"    ")
-                walk(data_lo + 4, data_hi)
+                walk(data_lo + 4, data_hi, depth + 1)
             elif cid == b"strh" and size >= 4 and stream_types:
                 stream_types[-1] = content[data_lo : data_lo + 4]
             elif (

@@ -228,7 +228,7 @@ def extract_image_features(
                         lumas.append(float(luma.mean()))
                         feats.append(luma_histogram(luma, feature_dim))
                     except (UnsupportedMediaError, IndexError, ValueError,
-                            struct.error, zlib.error):
+                            struct.error, zlib.error, RecursionError):
                         ws.append(None)
                         hs.append(None)
                         lumas.append(None)
@@ -268,7 +268,7 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
                     zc = np.mean(np.abs(np.diff(np.signbit(samples))))
                     zcrs.append(float(zc))
                 except (UnsupportedMediaError, IndexError, ValueError,
-                        struct.error, zlib.error):
+                        struct.error, zlib.error, RecursionError):
                     rates.append(None)
                     durs.append(None)
                     rmss.append(None)
@@ -367,7 +367,7 @@ def audio_spectral_features(
                         float(freqs[1:][min(ridx, len(freqs) - 2)])
                     )
                 except (UnsupportedMediaError, IndexError, ValueError,
-                        struct.error, zlib.error):
+                        struct.error, zlib.error, RecursionError):
                     out["n_frames"].append(None)
                     out["band_energy"].append(None)
                     out["spectral_centroid_hz"].append(None)
@@ -494,7 +494,7 @@ def audio_fingerprint(
                         fmin, fmax,
                     )
                 except (UnsupportedMediaError, IndexError, ValueError,
-                        struct.error, zlib.error):
+                        struct.error, zlib.error, RecursionError):
                     fp, nf = None, None
                 ids.append(mid)
                 fps.append(fp)
@@ -570,7 +570,7 @@ def extract_container_audio(media: DataFrame) -> DataFrame:
                             wav = encode_wav(samples, rate=rate)
                             dur = len(samples) * 1000 // max(rate, 1)
                 except (UnsupportedMediaError, struct.error, ValueError,
-                        IndexError):
+                        IndexError, RecursionError):
                     wav = None
                     dur = None
                 out["media_id"].append(f"{mid}#audio")

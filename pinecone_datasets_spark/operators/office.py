@@ -83,9 +83,18 @@ def _open_zip(blob: bytes) -> zipfile.ZipFile:
         raise UnsupportedMediaError(f"bad zip container: {e}") from e
 
 
+# Per-member inflate ceiling: a zip bomb inside a DOCX/ODT/EPUB must
+# cost at most this much executor memory, then quarantine — same capped
+# streamed-read stance as archives.max_member_bytes (ADVICE r9 medium).
+MAX_MEMBER_BYTES = 256 * 1024 * 1024
+
+
 def _zip_read(zf: zipfile.ZipFile, name: str) -> bytes:
     try:
-        return zf.read(name)
+        # streamed capped read, never whole-member zf.read: a deflate
+        # bomb hits the cap after MAX_MEMBER_BYTES+1 bytes
+        with zf.open(name) as fh:
+            data = fh.read(MAX_MEMBER_BYTES + 1)
     # NotImplementedError = exotic compression method, RuntimeError =
     # encrypted member, zlib.error = damaged deflate (fuzz-found) —
     # all must cost a typed quarantine, never escape the kernel
@@ -95,6 +104,12 @@ def _zip_read(zf: zipfile.ZipFile, name: str) -> bytes:
         raise UnsupportedMediaError(
             f"zip member unreadable: {name}: {e}"
         ) from e
+    if len(data) > MAX_MEMBER_BYTES:
+        raise UnsupportedMediaError(
+            f"zip member inflates past MAX_MEMBER_BYTES "
+            f"({MAX_MEMBER_BYTES}): {name}"
+        )
+    return data
 
 
 def _local(tag: str) -> str:
@@ -554,7 +569,8 @@ def sniff_zip_document(blob: bytes):
         zf = zipfile.ZipFile(io.BytesIO(blob))
         names = set(zf.namelist())
         if "mimetype" in names:
-            mt = zf.read("mimetype")[:80]
+            with zf.open("mimetype") as fh:  # streamed: bomb-safe
+                mt = fh.read(80)
             if b"opendocument.text" in mt:
                 return "odt"
             if b"epub+zip" in mt:

@@ -56,6 +56,12 @@ _OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
 _WS = b"\x00\t\n\x0c\r "
 _DELIM = b"()<>[]{}/%"
 
+# Per-stream inflate ceiling: a flate bomb (tiny stream, huge expansion)
+# must cost at most this much executor memory, then quarantine — same
+# hostile-input stance as archives.max_member_bytes / MAX_DECODE_PIXELS
+# (ADVICE r9 medium finding).
+MAX_STREAM_BYTES = 256 * 1024 * 1024
+
 
 # ---------------------------------------------------------------------------
 # Minimal PDF object parser (dicts, arrays, names, numbers, strings, refs)
@@ -327,12 +333,20 @@ def _decode_stream(objs: dict, d: dict, raw: bytes) -> Optional[bytes]:
     for name in names:
         if name == "FlateDecode":
             try:
-                data = zlib.decompress(data)
+                # capped streamed inflate (tolerates trailing garbage by
+                # construction): a flate bomb hits the ceiling after
+                # MAX_STREAM_BYTES+1 output bytes instead of inflating
+                # fully in executor memory
+                data = zlib.decompressobj().decompress(
+                    data, MAX_STREAM_BYTES + 1
+                )
             except zlib.error:
-                try:  # tolerate trailing garbage
-                    data = zlib.decompressobj().decompress(data)
-                except zlib.error:
-                    return None
+                return None
+            if len(data) > MAX_STREAM_BYTES:
+                raise UnsupportedMediaError(
+                    "PDF stream inflates past MAX_STREAM_BYTES "
+                    f"({MAX_STREAM_BYTES})"
+                )
         elif name in ("ASCIIHexDecode",):
             hexs = re.sub(rb"[^0-9a-fA-F]", b"", data.split(b">")[0])
             if len(hexs) % 2:
@@ -420,8 +434,22 @@ def _parse_tounicode(data: bytes) -> dict:
 def _page_fonts(objs: dict, page: dict) -> dict:
     """Font resource name → decoder dict {None: width, code: str} or
     {'latin1': True} for simple fonts, {'drop': True} for undecodable
-    CID fonts."""
-    res = _deref(objs, page.get("Resources"))
+    CID fonts. Resources absent on the page itself are inherited from
+    the /Parent /Pages chain (depth-capped), the common real-PDF layout
+    — without this, ToUnicode fonts fall back to latin-1 mojibake
+    (ADVICE r9 low)."""
+    node, depth = page, 0
+    res = _deref(objs, node.get("Resources"))
+    while not isinstance(res, dict) and depth < 32:
+        parent = node.get("Parent")
+        if not (isinstance(parent, tuple) and parent[0] == "ref"):
+            break
+        got = objs.get(parent[1])
+        node = got[0] if got and isinstance(got[0], dict) else None
+        if node is None:
+            break
+        res = _deref(objs, node.get("Resources"))
+        depth += 1
     out: dict = {}
     if not isinstance(res, dict):
         return out

@@ -65,11 +65,15 @@ def _load_manifest(path: str, missing_ok: bool = False):
     try:
         with open(mpath) as fh:
             return json.load(fh)
-    except OSError:
+    # ValueError covers json.JSONDecodeError: a corrupt or mid-write
+    # manifest must degrade the best-effort glob-mode check to None,
+    # not fail a read that doesn't need the manifest (ADVICE r9 low)
+    except (OSError, ValueError) as e:
         if missing_ok:
             return None
         raise FileNotFoundError(
-            f"use_manifest=True but no readable manifest.json in {path}"
+            f"use_manifest=True but no readable manifest.json in"
+            f" {path}: {e}"
         )
 
 

@@ -285,6 +285,29 @@ def read_warc(
             .select("path", "content")
         )
     else:
+        # mirror shards.py: the default glob matches attempt-unique
+        # names (wet-NNNNN-a<id>.warc.wet.gz), so an orphaned loser
+        # attempt from a commit='manifest' write would silently
+        # duplicate every record of its segment — refuse loudly and
+        # direct callers to use_manifest=True (ADVICE r9 medium)
+        import json as _json
+        import os as _os
+
+        try:
+            with open(_os.path.join(path, "manifest.json")) as fh:
+                manifest = _json.load(fh)
+        except (OSError, ValueError):
+            manifest = None  # best-effort: absent/corrupt → glob read
+        if (
+            isinstance(manifest, dict)
+            and manifest.get("commit") == "manifest"
+        ):
+            raise ValueError(
+                "this WARC directory was written with commit='manifest'"
+                " (attempt-unique file names); the glob reader could"
+                " double-read a speculated segment — call"
+                " read_warc(..., use_manifest=True)"
+            )
         raw = (
             spark.read.format("binaryFile")
             .option("pathGlobFilter", glob)

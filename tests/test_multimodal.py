@@ -1241,3 +1241,34 @@ def test_tiff_codec_roundtrip_and_guards(spark):
     r = extract_image_features(df).collect()[0]
     assert (r["width"], r["height"]) == (9, 13)
     assert r["feature"] is not None
+
+
+def test_hostile_nested_containers_never_blow_the_stack():
+    """ADVICE r10 (high): a ~36 KB mp4 of nested trak boxes (or an AVI
+    of nested LISTs) previously escaped as RecursionError and killed
+    the whole probe/audio job. The walks are now depth-capped and the
+    kernels catch RecursionError as defense in depth — one hostile
+    blob must cost a NULL probe / typed quarantine, nothing more."""
+    from pinecone_datasets_spark.operators.media_codecs import (
+        decode_avi,
+        decode_avi_audio,
+        probe_mp4,
+    )
+
+    # nested trak bomb: 4000 deep, ~32 KB
+    inner = b""
+    for _ in range(4000):
+        inner = struct.pack(">I", len(inner) + 8) + b"trak" + inner
+    moov = struct.pack(">I", len(inner) + 8) + b"moov" + inner
+    bomb = struct.pack(">I", 16) + b"ftyp" + b"isom" + b"\x00" * 4 + moov
+    w, h, dur, handlers = probe_mp4(bomb)  # must not raise
+    assert probe_bytes(bomb)[0] == "mp4"
+
+    # nested LIST bomb inside an AVI RIFF shell
+    lst = b""
+    for _ in range(4000):
+        lst = b"LIST" + struct.pack("<I", len(lst) + 4) + b"xxxx" + lst
+    avi = b"RIFF" + struct.pack("<I", len(lst) + 4) + b"AVI " + lst
+    with pytest.raises(UnsupportedMediaError):
+        decode_avi(avi)  # no avih header → typed, NOT RecursionError
+    assert decode_avi_audio(avi) is None  # no audio stream: None

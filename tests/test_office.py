@@ -236,3 +236,31 @@ def test_rtf_extraction_and_roundtrip():
 
     kind, text = document_to_text(encode_simple_rtf(["via dispatch"]))
     assert (kind, text) == ("rtf", "via dispatch")
+
+
+def test_zip_member_bomb_quarantines_not_inflates(monkeypatch):
+    """ADVICE r10 (medium): a DOCX whose document.xml member inflates
+    past MAX_MEMBER_BYTES must cost a typed quarantine at cap+1 bytes
+    (streamed read), never a whole-member inflate in executor memory."""
+    from pinecone_datasets_spark.operators import office as office_mod
+
+    from pinecone_datasets_spark.operators.office import (
+        encode_simple_docx,
+    )
+
+    monkeypatch.setattr(office_mod, "MAX_MEMBER_BYTES", 4096)
+    # document.xml deflates tiny but inflates to ~1 MB
+    big_xml = (
+        b'<?xml version="1.0"?><w:document'
+        b' xmlns:w="http://schemas.openxmlformats.org/wordprocessingml'
+        b'/2006/main"><w:body>'
+        + b"<w:p><w:r><w:t>x</w:t></w:r></w:p>" * 30_000
+        + b"</w:body></w:document>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("word/document.xml", big_xml)
+    with pytest.raises(UnsupportedMediaError, match="MAX_MEMBER_BYTES"):
+        docx_to_text(buf.getvalue())
+    # sane members still extract under the tiny cap
+    assert "hello" in docx_to_text(encode_simple_docx(["hello"]))

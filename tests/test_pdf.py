@@ -216,3 +216,61 @@ def test_obj_pattern_inside_stream_payload_does_not_shadow():
     )
     text, n, _ = pdf_to_text(pdf)
     assert (text, n) == ("real text", 1)
+
+
+def test_flate_bomb_quarantines_not_inflates(monkeypatch):
+    """ADVICE r10 (medium): a tiny FlateDecode stream that inflates
+    past MAX_STREAM_BYTES must cost a typed quarantine at cap+1 bytes,
+    never a full inflate in executor memory."""
+    from pinecone_datasets_spark.operators import pdf as pdf_mod
+
+    monkeypatch.setattr(pdf_mod, "MAX_STREAM_BYTES", 4096)
+    bomb = zlib.compress(b"(A) Tj " * 100_000)  # ~700 KB inflated
+    blob = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Count 1 /Kids [3 0 R] >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\n"
+        b"endobj\n"
+        b"4 0 obj\n<< /Length " + str(len(bomb)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n" + bomb
+        + b"\nendstream\nendobj\n"
+        b"trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+    )
+    with pytest.raises(UnsupportedMediaError, match="MAX_STREAM_BYTES"):
+        pdf_to_text(blob)
+    # sane streams still extract under the tiny cap
+    text, n, _ = pdf_to_text(encode_simple_pdf(["small page"]))
+    assert n == 1 and text == "small page"
+
+
+def test_resources_inherited_from_parent_pages_node():
+    """ADVICE r10 (low): real PDFs commonly hoist /Resources to the
+    parent /Pages node; the font table must be found through the
+    /Parent chain so ToUnicode CMaps apply instead of silent latin-1
+    mojibake on 2-byte CID strings."""
+    cmap = (
+        b"/CIDInit /ProcSet findresource begin\n"
+        b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+        b"2 beginbfchar\n<0041> <0057>\n<0042> <00E9>\nendbfchar\n"
+        b"endcmap\n"
+    )
+    body = b"BT /F9 10 Tf <00410042> Tj ET"
+    blob = (
+        b"%PDF-1.5\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        # Resources live on the PAGES node, not the page
+        b"2 0 obj\n<< /Type /Pages /Count 1 /Kids [3 0 R] /Resources"
+        b" << /Font << /F9 6 0 R >> >> >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\n"
+        b"endobj\n"
+        b"4 0 obj\n<< /Length " + str(len(body)).encode() + b" >>\n"
+        b"stream\n" + body + b"\nendstream\nendobj\n"
+        b"5 0 obj\n<< /Length " + str(len(cmap)).encode() + b" >>\n"
+        b"stream\n" + cmap + b"\nendstream\nendobj\n"
+        b"6 0 obj\n<< /Type /Font /Subtype /Type0 /ToUnicode 5 0 R >>\n"
+        b"endobj\ntrailer\n<< /Root 1 0 R >>\n%%EOF\n"
+    )
+    text, _, dropped = pdf_to_text(blob)
+    assert text == "Wé"
+    assert not dropped

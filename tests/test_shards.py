@@ -299,3 +299,18 @@ def test_bad_commit_mode_rejected(spark, tmp_path):
     _, df = _fixture(spark, n=3)
     with pytest.raises(ValueError, match="commit"):
         write_token_shards(df, str(tmp_path / "x"), commit="yolo")
+
+
+def test_corrupt_manifest_degrades_glob_read(spark, tmp_path):
+    """ADVICE r10 (low): a corrupt/mid-write manifest.json must not
+    fail default glob-mode reads (which don't need it) — the
+    best-effort refusal check degrades to the glob read; the
+    manifest-TRUSTING path still refuses loudly."""
+    rows, df = _fixture(spark, n=4)
+    path = str(tmp_path / "corrupt")
+    write_token_shards(df, path, num_shards=1)
+    with open(os.path.join(path, "manifest.json"), "w") as fh:
+        fh.write('{"commit": "manif')  # truncated mid-write
+    assert read_token_shards(spark, path).count() == len(rows)
+    with pytest.raises(FileNotFoundError, match="manifest.json"):
+        read_token_shards(spark, path, use_manifest=True)

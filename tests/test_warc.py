@@ -411,3 +411,26 @@ def test_write_wet_manifest_commit_ignores_losers(spark, tmp_path):
 
     with _pytest.raises(FileNotFoundError, match="manifest.json"):
         read_warc(spark, path, use_manifest=True)
+
+
+def test_glob_mode_refuses_manifest_committed_directory(spark, tmp_path):
+    """ADVICE r10 (medium): the default glob matches attempt-unique
+    names, so a manifest-committed directory read WITHOUT
+    use_manifest=True could silently double-read a speculated segment
+    — the glob reader must refuse loudly (mirrors read_token_shards)."""
+    from pinecone_datasets_spark.sources.warc import read_warc, write_wet
+
+    df = spark.createDataFrame(
+        [("https://ex.com/a", "body a")], "url string, text string"
+    )
+    path = str(tmp_path / "mdir")
+    man = write_wet(df, path, num_files=1, commit="manifest")
+    assert man["commit"] == "manifest"
+    with pytest.raises(ValueError, match="use_manifest=True"):
+        read_warc(spark, path)
+    # the manifest-trusting read works, and a rename-mode dir still
+    # glob-reads fine (its manifest records commit='rename')
+    assert read_warc(spark, path, use_manifest=True).records.count() > 0
+    path2 = str(tmp_path / "rdir")
+    write_wet(df, path2, num_files=1)
+    assert read_warc(spark, path2).records.count() > 0
