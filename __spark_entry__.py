@@ -4222,6 +4222,22 @@ def _cdc_fixture_blobs() -> list:
     ]
 
 
+# Frozen quality-classifier scoring fixture (r10, VERDICT item 3).
+# Provenance: train_quality_classifier on sf0.01 weak labels
+# (percentile-0.1/0.9 thresholds on functions.text.quality_score,
+# 101 labeled docs, maxIter=30, 2^18 hashed features) produced 31
+# nonzero coefficients; each is quantized to the 1/1024 dyadic grid
+# (memory: dyadic-grid-oracle-trick) so the logit is EXACT in float64
+# and both engines agree on logit*1024 bit-for-bit. Training itself is
+# honestly not SQL-replayable (LBFGS); the frozen vector is the
+# deployment artifact shape (CCNet/fastText filters), and
+# tests/test_quality_model.py proves score_quality_frozen ==
+# score_quality(model) when weights come from a live fitted model.
+_QSCORE_W1024 = {8804: 83, 24645: -1161, 25491: 243, 26777: -40, 27707: 226, 32769: 137, 33358: -42, 69882: -828, 93570: 299, 95889: 3083, 97269: -134, 98586: -325, 105444: 437, 107107: 3851, 107201: -62, 110078: -975, 113503: 491, 114395: -425, 116352: -435, 123499: -294, 141062: 796, 142373: 110, 160735: -477, 162155: -23, 172888: -134, 173558: 993, 209304: -654, 221952: 84, 225814: -313, 235240: 275, 239416: 269}
+_QSCORE_IC1024 = -4567
+_QSCORE_DOCS = 80
+
+
 def _ahash_pixels(doc_id: int) -> "np.ndarray":
     """32×32 gray image of 8×8 constant cells, cell value 4×rank with
     rank = (doc_id + k*(1 + 2*(doc_id%32))) % 64 (bijective: the
@@ -4934,7 +4950,11 @@ def q33_q34_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     (q34), tagged. r8 adds the crawl-side composition (VERDICT r7
     item 4), tagged 'crawl_docs' (per-surviving-doc kept/removed
     sentence counts + clean-text fingerprint) and 'crawl_stages'
-    (per-stage survivor counts) — see ``_crawl_funnel_frames``."""
+    (per-stage survivor counts) — see ``_crawl_funnel_frames``. r10
+    adds 'qscore': the learned quality filter's scoring path with a
+    frozen trained weight vector on the dyadic grid — tokenizer,
+    murmur3 HashingTF bucketing, and the logistic dot product all
+    replayed in SQL (see _QSCORE_W1024 / _oracle_qscore_ctes)."""
     docs = q33_curation_pipeline(spark, sf_dir).select(
         F.lit("docs").alias("part"),
         F.col("doc_id").cast("string").alias("key"),
@@ -4972,10 +4992,43 @@ def q33_q34_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         _nl("long").alias("n_quality_pass"),
         F.col("n").alias("n_curated"),
     )
+    # 'qscore' (r10): the learned quality filter's SCORING path through
+    # the frozen-artifact shape (quality_model.score_quality_frozen —
+    # pytest-proven identical to the live MLlib pipeline): tokenize,
+    # murmur3 HashingTF bucket, dot product with the frozen dyadic
+    # weights, logit*1024 exact. The oracle replays the murmur3 variant
+    # (hashUnsafeBytes2) per word in a recursive CTE and the dot
+    # product as pure integer SQL.
+    from pinecone_datasets_spark.operators.quality_model import (
+        score_quality_frozen,
+    )
+
+    qsample = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < _QSCORE_DOCS)
+        .select("doc_id", "text")
+    )
+    qscore = score_quality_frozen(
+        qsample,
+        {b: q / 1024.0 for b, q in _QSCORE_W1024.items()},
+        _QSCORE_IC1024 / 1024.0,
+    ).select(
+        F.lit("qscore").alias("part"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.col("quality_prob_logit_q").alias("n_words"),
+        _nl("double").alias("quality"),
+        (F.col("quality_prob_logit_q") >= 0)
+        .cast("long")
+        .alias("n_deduped"),
+        _nl("long").alias("n_quality_pass"),
+        _nl("long").alias("n_curated"),
+    )
+
     return (
         docs.unionByName(rep)
         .unionByName(crawl_docs)
         .unionByName(crawl_stages)
+        .unionByName(qscore)
         .orderBy("part", "key")
     )
 
@@ -5739,6 +5792,114 @@ cdc_dup_p AS (
          COUNT(DISTINCT blob)::VARCHAR || '/' || MAX(len)::VARCHAR
            AS s1
   FROM cdc_spans GROUP BY h HAVING COUNT(*) > 1)"""
+
+
+def _oracle_qscore_ctes() -> str:
+    """Frozen quality-scorer replay CTE block (r10, VERDICT item 3).
+
+    Replays score_quality_frozen end-to-end in DuckDB: ``\\W+``
+    lowercase tokenization (RE2 ``\\W`` ≡ Java default ``\\W``, both
+    ASCII-classed; corpus verified all-ASCII), Spark's HashingTF
+    murmur3 (hashUnsafeBytes2 — 4-byte little-endian blocks through
+    mixK1/mixH1 in a recursive CTE, standard tail accumulate, fmix,
+    nonNegativeMod 2^18; 32-bit wraparound via UBIGINT ``% 2^32``, no
+    products overflow because every factor is < 2^32), then the dot
+    product with the frozen dyadic weights as PURE INTEGER arithmetic:
+    logit*1024 = IC1024 + Σ count·w1024. Requires the enclosing oracle
+    to open WITH RECURSIVE."""
+    m32 = 4294967296
+
+    def rotl(x: str, r: int) -> str:
+        return (
+            f"((({x}) % {1 << (32 - r)}) * {1 << r}"
+            f" + (({x}) >> {32 - r}))"
+        )
+
+    def mixk1(k: str) -> str:
+        t1 = f"((({k}) * 3432918353::UBIGINT) % {m32})"
+        return f"((({rotl(t1, 15)}) * 461845907::UBIGINT) % {m32})"
+
+    def mixh1(h: str, k: str) -> str:
+        x = f"xor(({h})::UBIGINT, ({k})::UBIGINT)"
+        return f"((({rotl(x, 13)}) * 5 + 3864292196) % {m32})"
+
+    blk = (
+        "(ord(substr(w, i + 1, 1))::UBIGINT"
+        " + ord(substr(w, i + 2, 1))::UBIGINT * 256"
+        " + ord(substr(w, i + 3, 1))::UBIGINT * 65536"
+        " + ord(substr(w, i + 4, 1))::UBIGINT * 16777216)"
+    )
+    tailk = (
+        "(CASE WHEN length(w) % 4 >= 1 THEN"
+        " ord(substr(w, (length(w) // 4) * 4 + 1, 1))::UBIGINT"
+        " ELSE 0::UBIGINT END"
+        " + CASE WHEN length(w) % 4 >= 2 THEN"
+        " ord(substr(w, (length(w) // 4) * 4 + 2, 1))::UBIGINT * 256"
+        " ELSE 0::UBIGINT END"
+        " + CASE WHEN length(w) % 4 >= 3 THEN"
+        " ord(substr(w, (length(w) // 4) * 4 + 3, 1))::UBIGINT * 65536"
+        " ELSE 0::UBIGINT END)"
+    )
+    wvals = ",\n    ".join(
+        f"({b}, {q})" for b, q in sorted(_QSCORE_W1024.items())
+    )
+    return f"""
+qs_docs AS (
+  SELECT doc_id, lower(text) AS t FROM documents
+  WHERE doc_id < {_QSCORE_DOCS}),
+qs_words AS (
+  SELECT doc_id, w, COUNT(*)::BIGINT AS cnt
+  FROM (SELECT doc_id,
+               unnest(string_split_regex(t, '\\W+')) AS w
+        FROM qs_docs)
+  WHERE w != '' GROUP BY doc_id, w),
+qs_vocab(w) AS (SELECT DISTINCT w FROM qs_words),
+qs_mm(w, i, h) AS (
+  SELECT w, 0::BIGINT, 42::UBIGINT FROM qs_vocab
+  UNION ALL
+  SELECT w, i + 4, {mixh1('h', mixk1(blk))}::UBIGINT
+  FROM qs_mm WHERE i + 4 <= length(w)),
+qs_fin AS (
+  SELECT w, h FROM qs_mm
+  QUALIFY row_number() OVER (PARTITION BY w ORDER BY i DESC) = 1),
+qs_tl AS (
+  SELECT w, CASE WHEN length(w) % 4 > 0
+                 THEN xor(h, {mixk1(tailk)}::UBIGINT)
+                 ELSE h END AS h
+  FROM qs_fin),
+qs_fm AS (
+  SELECT w, xor(h, h >> 16) AS h
+  FROM (SELECT w, (h * 3266489909::UBIGINT) % {m32} AS h
+        FROM (SELECT w, xor(h, h >> 13) AS h
+              FROM (SELECT w, (h * 2246822507::UBIGINT) % {m32} AS h
+                    FROM (SELECT w, xor(h, h >> 16) AS h
+                          FROM (SELECT w, xor(h, length(w)::UBIGINT)
+                                         AS h
+                                FROM qs_tl)))))),
+qs_bucket AS (
+  SELECT w,
+         ((CASE WHEN h >= 2147483648 THEN h::BIGINT - 4294967296
+                ELSE h::BIGINT END % 262144) + 262144) % 262144
+           AS bucket
+  FROM qs_fm),
+qs_w(bucket, w1024) AS (VALUES
+    {wvals}),
+qs_z AS (
+  SELECT d.doc_id,
+         {_QSCORE_IC1024} + COALESCE(SUM(wo.cnt * fw.w1024), 0)
+           AS z1024
+  FROM qs_docs d
+  LEFT JOIN qs_words wo ON wo.doc_id = d.doc_id
+  LEFT JOIN qs_bucket bk ON bk.w = wo.w
+  LEFT JOIN qs_w fw ON fw.bucket = bk.bucket
+  GROUP BY d.doc_id),
+qs_p AS (
+  SELECT 'qscore' AS part, CAST(doc_id AS VARCHAR) AS key,
+         z1024::BIGINT AS n_words, CAST(NULL AS DOUBLE) AS quality,
+         (z1024 >= 0)::BIGINT AS n_deduped,
+         CAST(NULL AS BIGINT) AS n_quality_pass,
+         CAST(NULL AS BIGINT) AS n_curated
+  FROM qs_z)"""
 
 
 def _oracle_kmv() -> str:
@@ -9092,7 +9253,8 @@ ORDER BY part, key
 
     _cf_bullet = _lstats_sql("text")["bullet_line_frac"]
     out["q33_q34_curation"] = f"""
-WITH docs AS ({b['q33_curation_pipeline']}),
+WITH RECURSIVE {_oracle_qscore_ctes()},
+docs AS ({b['q33_curation_pipeline']}),
 rep AS ({b['q34_curation_report']}),
 cf_src AS (
   SELECT doc_id,
@@ -9194,6 +9356,8 @@ FROM (
   SELECT 's5_span_removed',
          coalesce(sum(n_total - len(kept)), 0)::BIGINT FROM cfout
 ) s
+UNION ALL
+SELECT * FROM qs_p
 ORDER BY part, key
 """
     out["q37_q38_order_stats"] = f"""

@@ -1430,6 +1430,21 @@ def main() -> None:
         "curriculum_export": bench_curriculum_export,
     }
 
+    # Probe mode (tools/scale_probe.py): SPARK_GRAFT_ONLY=a,b,c runs a
+    # leg subset — used for the sf1 scaling probe, never by the driver
+    # (which sets neither var). Probe runs skip the slow-leg sweep and
+    # the round-over-round guard: those exist to de-noise PUBLISHED
+    # numbers against prior artifacts, which a different-SF run would
+    # spuriously trip on every leg.
+    _only = os.environ.get("SPARK_GRAFT_ONLY", "").strip()
+    probe_mode = bool(_only)
+    if probe_mode:
+        keep = {n.strip() for n in _only.split(",") if n.strip()}
+        unknown = keep - set(headline)
+        if unknown:
+            raise SystemExit(f"SPARK_GRAFT_ONLY unknown legs: {unknown}")
+        headline = {n: f for n, f in headline.items() if n in keep}
+
     # Warm the JVM once with small representative jobs (parquet reader,
     # whole-stage-codegen agg, noop sink) so the first measured query
     # doesn't absorb one-time class loading + JIT — measured ~5s of the
@@ -1559,7 +1574,7 @@ def main() -> None:
         slowest = sorted(
             (n for n in results if results[n] > 2.0 and n not in failed),
             key=lambda n: -results[n],
-        )[:5]
+        )[: 0 if probe_mode else 5]
         for name in slowest:
             # Up to two min-folded re-runs: a single re-run can itself
             # absorb the same stall it is trying to rule out (r5:
@@ -1609,7 +1624,7 @@ def main() -> None:
         try:
             import glob as _glob
 
-            cands = sorted(
+            cands = [] if probe_mode else sorted(
                 _glob.glob(
                     os.path.join(
                         os.path.dirname(os.path.abspath(__file__)),

@@ -114,3 +114,117 @@ def test_end_to_end_weak_supervision_on_fixture(spark, sf_dir):
     ).collect()[0]
     assert agg.top is not None and agg.bot is not None
     assert agg.top > agg.bot
+
+
+def test_hashing_tf_index_matches_mllib(spark, sf_dir):
+    """hashing_tf_index must reproduce HashingTF.indexOf exactly —
+    corpus words, tails of every length mod 4, multibyte UTF-8 (the
+    tail accumulates BYTES, not codepoints), and both feature sizes."""
+    from pyspark.ml.feature import HashingTF
+
+    from pinecone_datasets_spark.operators.quality_model import (
+        hashing_tf_index,
+    )
+
+    words = {
+        "a", "ab", "abc", "abcd", "abcde", "abcdef", "abcdefg",
+        "the", "committee", "x1", "_", "0", "é", "naïve", "中文字",
+        "ßharp", "emoji🙂tail",
+    }
+    corpus = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(
+            F.explode(
+                F.split(F.lower("text"), r"\W+")
+            ).alias("w")
+        )
+        .where("w != ''")
+        .distinct()
+        .limit(400)
+        .collect()
+    )
+    words |= {r["w"] for r in corpus}
+    for nf in (1 << 16, 1 << 18):
+        tf = HashingTF(inputCol="w", outputCol="f", numFeatures=nf)
+        for w in sorted(words):
+            assert hashing_tf_index(w, nf) == tf.indexOf(w), (w, nf)
+
+
+def test_frozen_scorer_matches_mllib_pipeline(spark, sf_dir):
+    """score_quality_frozen with coefficients EXTRACTED from a real
+    fitted model must reproduce score_quality(model) — same tokenizer,
+    same buckets, same dot product — within float tolerance. This is
+    the parity proof that lets the frozen path carry the SQL oracle
+    for the production MLlib path."""
+    import numpy as np
+
+    from pinecone_datasets_spark.functions.text import quality_score
+    from pinecone_datasets_spark.operators.quality_model import (
+        score_quality,
+        score_quality_frozen,
+        train_quality_classifier,
+        weak_labels,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .withColumn("h", quality_score(F.col("text")))
+    )
+    lo, hi = docs.select(
+        F.expr("percentile(h, 0.2)"), F.expr("percentile(h, 0.8)")
+    ).collect()[0]
+    lab = weak_labels(docs, lo=lo, hi=hi, score_col="h")
+    nf = 1 << 16
+    model = train_quality_classifier(lab, num_features=nf, max_iter=10)
+    lr = model.stages[-1]
+    arr = lr.coefficients.toArray()
+    weights = {int(i): float(arr[i]) for i in np.nonzero(arr)[0]}
+    eval_docs = docs.drop("h").limit(60)
+    want = {
+        r["doc_id"]: r["quality_prob"]
+        for r in score_quality(eval_docs, model).collect()
+    }
+    got = {
+        r["doc_id"]: r["quality_prob"]
+        for r in score_quality_frozen(
+            eval_docs, weights, float(lr.intercept), num_features=nf
+        ).collect()
+    }
+    assert want.keys() == got.keys() and len(want) == 60
+    for k in want:
+        assert abs(want[k] - got[k]) < 1e-9, (k, want[k], got[k])
+
+
+def test_frozen_scorer_dyadic_logit_exact(spark):
+    """Weights on the 1/1024 grid + integer word counts ⇒ the logit is
+    exact in float64, and the emitted *_logit_q long equals the pure
+    integer computation — the invariant the DuckDB oracle hashes."""
+    from pinecone_datasets_spark.operators.quality_model import (
+        hashing_tf_index,
+        score_quality_frozen,
+    )
+
+    texts = [
+        "alpha beta beta gamma!",
+        "Alpha ALPHA delta;delta,delta",
+        "no hits here at all",
+        "",
+    ]
+    vocab = {"alpha": 512, "beta": -256, "delta": 3, "gamma": 1024}
+    weights = {
+        hashing_tf_index(w): q / 1024.0 for w, q in vocab.items()
+    }
+    ic_q = -700
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    got = {
+        r["doc_id"]: r["quality_prob_logit_q"]
+        for r in score_quality_frozen(
+            df, weights, ic_q / 1024.0
+        ).collect()
+    }
+    assert got[0] == ic_q + 512 - 2 * 256 + 1024
+    assert got[1] == ic_q + 2 * 512 + 3 * 3  # lowercased, \W+ split
+    assert got[2] == ic_q
+    assert got[3] == ic_q

@@ -1,0 +1,149 @@
+"""Build a K×-scaled copy of a testdata SF dir for the scaling probe.
+
+The driver's generator (seed=42) only emitted sf0.001/0.01/0.1; the r9
+verdict asked for EMPIRICAL sf1 evidence (item 2), so this tool scales
+sf0.1 by deterministic replication that preserves the distributions the
+operators are sensitive to, without fabricating artificial structure:
+
+* Fact tables (lineitem/orders/customer/supplier/part/events): replica
+  k shifts every entity key by k × (max_key + 1), so DISTINCT key
+  counts scale ×K (how TPC-H itself scales) while low-cardinality
+  dimensions (returnflag, event_type, lang, …) keep their fixed
+  domains. Values/dates/amounts are untouched.
+* documents: replica texts must be NEAR-DUP-NEUTRAL — byte-identical
+  (or rotated) replicas would hand MinHash/SimHash/SemDeDup ~K² planted
+  candidate pairs that the real generator would not produce, making
+  every near-dup leg look super-linear for fixture reasons. Replica k
+  replaces every 3rd word of doc i with words from doc (i + k·977) mod
+  N, so virtually every 3-gram shingle contains a replaced word and
+  cross-replica Jaccard collapses to the corpus background level.
+* embeddings: replica k mixes vector i with vector (i + k·337) mod N
+  (85/15 blend, renormalized) — no exact or ~1.0-cosine duplicates.
+
+Everything is a pure function of (source bytes, k) — no RNG, so two
+runs produce identical parquet and the probe is reproducible.
+
+Usage: python tools/make_scaled_sf.py [K] [SRC_DIR] [DST_DIR]
+Defaults: K=10, SRC=/root/testdata/sf0.1, DST=/tmp/spark_graft_sf1.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+KEY_SHIFTS = {
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "events": ["event_id", "user_id"],
+}
+
+
+def _shift_replicate(tbl: pa.Table, keys: list, k_total: int) -> pa.Table:
+    parts = []
+    shifts = {c: int(pa.compute.max(tbl[c]).as_py()) + 1 for c in keys}
+    for k in range(k_total):
+        cols = {}
+        for name in tbl.column_names:
+            col = tbl[name]
+            if name in shifts and k > 0:
+                arr = col.to_numpy(zero_copy_only=False)
+                col = pa.array(arr + k * shifts[name], type=col.type)
+            cols[name] = col
+        parts.append(pa.table(cols))
+    return pa.concat_tables(parts)
+
+
+def _scale_documents(tbl: pa.Table, k_total: int) -> pa.Table:
+    doc_id = tbl["doc_id"].to_numpy(zero_copy_only=False)
+    text = tbl["text"].to_pylist()
+    lang = tbl["lang"].to_pylist()
+    source = tbl["source"].to_pylist()
+    n = len(text)
+    words = [t.split(" ") for t in text]
+    out_id, out_text, out_lang, out_src = [], [], [], []
+    shift = int(doc_id.max()) + 1
+    for k in range(k_total):
+        for i in range(n):
+            if k == 0:
+                t = text[i]
+            else:
+                w = list(words[i])
+                donor = words[(i + k * 977) % n]
+                for j in range(0, len(w), 3):
+                    w[j] = donor[(j * 7 + k) % len(donor)]
+                t = " ".join(w)
+            out_id.append(int(doc_id[i]) + k * shift)
+            out_text.append(t)
+            out_lang.append(lang[i])
+            out_src.append(source[i])
+    return pa.table(
+        {
+            "doc_id": pa.array(out_id, type=tbl["doc_id"].type),
+            "text": pa.array(out_text),
+            "lang": pa.array(out_lang),
+            "source": pa.array(out_src),
+            "n_chars": pa.array(
+                [len(t) for t in out_text], type=tbl["n_chars"].type
+            ),
+        }
+    )
+
+
+def _scale_embeddings(tbl: pa.Table, k_total: int) -> pa.Table:
+    vec_id = tbl["vec_id"].to_numpy(zero_copy_only=False)
+    emb = np.array(tbl["embedding"].to_pylist(), dtype=np.float64)
+    label = tbl["label"].to_pylist()
+    n = len(vec_id)
+    shift = int(vec_id.max()) + 1
+    ids, vecs, labels = [], [], []
+    for k in range(k_total):
+        if k == 0:
+            v = emb
+        else:
+            donor = emb[(np.arange(n) + k * 337) % n]
+            v = 0.85 * emb + 0.15 * donor
+            v = v / np.linalg.norm(v, axis=1, keepdims=True)
+        ids.extend((vec_id + k * shift).tolist())
+        vecs.extend(v.astype(np.float32).tolist())
+        labels.extend(label)
+    return pa.table(
+        {
+            "vec_id": pa.array(ids, type=tbl["vec_id"].type),
+            "embedding": pa.array(vecs, type=tbl["embedding"].type),
+            "label": pa.array(labels, type=tbl["label"].type),
+        }
+    )
+
+
+def main() -> None:
+    k_total = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    dst = sys.argv[3] if len(sys.argv) > 3 else "/tmp/spark_graft_sf1"
+    os.makedirs(dst, exist_ok=True)
+    for name in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        tbl = pq.read_table(os.path.join(src, f"{name}.parquet"))
+        if name == "documents":
+            out = _scale_documents(tbl, k_total)
+        elif name == "embeddings":
+            out = _scale_embeddings(tbl, k_total)
+        elif name in KEY_SHIFTS:
+            out = _shift_replicate(tbl, KEY_SHIFTS[name], k_total)
+        else:  # region/nation: fixed dimensions, never scaled
+            out = tbl
+        pq.write_table(out, os.path.join(dst, f"{name}.parquet"))
+        print(f"{name}: {tbl.num_rows} -> {out.num_rows}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
