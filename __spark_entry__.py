@@ -1502,7 +1502,26 @@ def _byte_bpe_fixture(spark: SparkSession, sf_dir: str):
     table = bytes_to_unicode()
     bhist = [(_byte_map_str(r["w"], table), r["n"]) for r in hist_rows]
     merges = train_byte_bpe(bhist, n_merges=30)
-    udf = byte_bpe_tokenize_udf(merges, ids=True)
+    # r10 (r9 verdict item 5): the GPT-2 interchange round-trip rides
+    # INSIDE the hash — the encoder below runs off merges + vocab that
+    # went through save_bpe_files → load_bpe_files, so a drifted
+    # merges.txt/vocab.json writer or reader breaks the 'byte_bpe'
+    # oracle, not just a pytest.
+    import tempfile as _tempfile
+
+    from pinecone_datasets_spark.operators.bpe import (
+        load_bpe_files,
+        save_bpe_files,
+    )
+
+    art_dir = _tempfile.mkdtemp(prefix="bpe_interchange_")
+    save_bpe_files(merges, art_dir)
+    merges_rt, vocab_rt = load_bpe_files(art_dir)
+    if merges_rt != merges:
+        raise AssertionError(
+            "GPT-2 interchange drift: reloaded merges differ"
+        )
+    udf = byte_bpe_tokenize_udf(merges_rt, ids=True, vocab=vocab_rt)
     enc = pre.withColumn("toks", udf(F.col("w")))
     ids_df = enc.groupBy("doc_id").agg(
         F.flatten(
@@ -1575,7 +1594,10 @@ def q49_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
       from the real byte_bpe_tokenize_udf applied per pre-token (which
       its internal regex provably keeps whole). The oracle re-derives
       merge training, encoding, AND the GPT-2 byte-unit/merge-rank id
-      layout in recursive CTEs.
+      layout in recursive CTEs. r10: the encoder runs off merges+vocab
+      that round-tripped through save_bpe_files → load_bpe_files, so
+      the GPT-2 interchange (merges.txt + vocab.json) is inside the
+      'byte_bpe' hash, not just pytest (r9 verdict item 5).
     """
     from pinecone_datasets_spark.operators.packing import (
         length_bucketed_batches,
@@ -4342,7 +4364,10 @@ def q25_q39_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     'cdc'/'cdc_dup' (r10) = FastCDC chunk spans + per-chunk md5 through
     the real operators/cdc.py kernel plus duplicate_chunk_report, the
     oracle recomputing gear table, windowed hash, and cut walk from
-    first principles (see _cdc_fixture_blobs / _oracle_cdc_ctes)."""
+    first principles (see _cdc_fixture_blobs / _oracle_cdc_ctes);
+    'cue_join' (r10) = real SRT cues interval-joined to the real
+    sampled frame ticks via the bounded-window range_join + exact
+    residual (r9 verdict item 7)."""
     from pinecone_datasets_spark.operators.multimodal import (
         audio_fingerprint,
         probe_media,
@@ -4589,6 +4614,81 @@ def q25_q39_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("jpeg/"), "s1").alias("s1"),
     )
 
+    # 'cue_join' (r10, r9 verdict item 7): the cross-modal time-range
+    # join the one-row-per-cue schema was built for — REAL SRT cues
+    # (encode_srt → extract_subtitle_cues) interval-joined to the REAL
+    # sampled frame ticks (the 'vframes' sampler output above) with the
+    # q55 bucketed range_join: cue length is bounded (≤60 ms here), so
+    # candidates come from a fixed [-60, 0] window on start_ms and the
+    # exact end_ms > ts residual filters them — the scale-safe pattern
+    # for variable-length intervals with a known bound. Per-cue match
+    # count + matched-tick sum + text, all integer-predicted in SQL.
+    from pinecone_datasets_spark.operators.ranges import range_join
+    from pinecone_datasets_spark.operators.subtitles import (
+        extract_subtitle_cues,
+    )
+
+    def cue_kernel(batches):
+        import pandas as pd
+
+        from pinecone_datasets_spark.operators.subtitles import (
+            encode_srt,
+        )
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                cues = []
+                for j in range(4):
+                    s = j * 40 + (did % 3) * 5
+                    cues.append(
+                        (s, s + 45 + 15 * (j % 2), f"cue {did}:{j}")
+                    )
+                ids.append(str(did))
+                blobs.append(encode_srt(cues))
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    cue_media = docs40.mapInPandas(
+        cue_kernel, "media_id string, content binary"
+    )
+    cues = extract_subtitle_cues(cue_media).where(
+        F.col("error").isNull()
+    )
+    frame_ticks = sampled.select(
+        F.col("media_id").alias("mid"), F.col("ts_ms")
+    )
+    pairs = range_join(
+        frame_ticks,
+        cues.select(
+            F.col("id").alias("mid"), "cue_idx", "start_ms", "end_ms"
+        ),
+        on="mid",
+        left_ts="ts_ms",
+        right_ts="start_ms",
+        lower_us=-60,
+        upper_us=0,
+    ).where(F.col("r_end_ms") > F.col("l_ts_ms_us"))
+    per_cue = pairs.groupBy("mid", "r_cue_idx").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum("l_ts_ms_us").alias("ts_sum"),
+    )
+    cue_join = (
+        cues.join(
+            per_cue,
+            (cues.id == per_cue.mid)
+            & (cues.cue_idx == per_cue.r_cue_idx),
+            "left",
+        )
+        .select(
+            F.lit("cue_join").alias("part"),
+            F.concat_ws(":", "id", "cue_idx").alias("key"),
+            F.coalesce("n_frames", F.lit(0)).cast("long").alias("h1"),
+            F.coalesce("ts_sum", F.lit(0)).cast("long").alias("h2"),
+            F.col("text").alias("s1"),
+        )
+    )
+
     # 'meta' (r9): embedded-metadata envelopes (operators/mediameta.py)
     # — ID3v2 text frames, EXIF IFD0 + GPS rationals (N/S/E/W refs,
     # decimal strings), PNG tEXt — built by the module's encoder twins
@@ -4723,6 +4823,7 @@ def q25_q39_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(img_rt)
         .unionByName(ahash)
         .unionByName(vframes)
+        .unionByName(cue_join)
         .unionByName(meta)
         .unionByName(probe_part)
         .unionByName(cdc)
@@ -9119,6 +9220,27 @@ vframes AS (
                                    ORDER BY y, x, c)) AS s1
   FROM vf_px GROUP BY doc_id, f
 ),
+cue_fix AS (
+  SELECT d.doc_id, j.j AS cue_idx,
+         (j.j * 40 + (d.doc_id % 3) * 5)::BIGINT AS start_ms,
+         (j.j * 40 + (d.doc_id % 3) * 5 + 45 + 15 * (j.j % 2))::BIGINT
+           AS end_ms,
+         'cue ' || d.doc_id::VARCHAR || ':' || j.j::VARCHAR AS txt
+  FROM (SELECT DISTINCT doc_id FROM documents
+        WHERE doc_id < {_IMG_DOCS}) d
+  CROSS JOIN range(0, 4) j(j)
+),
+cue_join_p AS (
+  SELECT 'cue_join' AS part,
+         c.doc_id::VARCHAR || ':' || c.cue_idx::VARCHAR AS key,
+         COUNT(fr.t)::BIGINT AS h1,
+         COALESCE(SUM(fr.t), 0)::BIGINT AS h2,
+         MAX(c.txt) AS s1
+  FROM cue_fix c
+  LEFT JOIN (SELECT f * 40 AS t FROM range(0, 3) fr(f)) fr
+    ON fr.t >= c.start_ms AND fr.t < c.end_ms
+  GROUP BY c.doc_id, c.cue_idx
+),
 meta_kv AS (
   SELECT d.doc_id, kv.kind, kv.k, kv.v
   FROM (SELECT DISTINCT doc_id FROM documents
@@ -9178,6 +9300,7 @@ UNION ALL SELECT * FROM afp
 UNION ALL SELECT * FROM img_rt
 UNION ALL SELECT * FROM ahash
 UNION ALL SELECT * FROM vframes
+UNION ALL SELECT * FROM cue_join_p
 UNION ALL SELECT * FROM meta
 UNION ALL SELECT * FROM probe_p
 UNION ALL SELECT * FROM cdc_p

@@ -769,3 +769,47 @@ rewritten AS (
 SELECT doc_id, clean_text FROM rewritten ORDER BY doc_id
 """).fetchall()
     assert got == dict(exp)
+
+
+def test_read_curriculum_refuses_planted_duplicate_part(spark, tmp_path):
+    """r9 verdict item 6: a speculative-twin part file (an orphaned
+    loser attempt landing after the commit) must NOT double-feed
+    read_curriculum — the manifest/directory reconciliation refuses
+    loudly, the curriculum-export analogue of test_shards.py's
+    loser-attempt test. Removing the orphan restores the exact-order
+    replay."""
+    import os
+    import shutil
+
+    from pinecone_datasets_spark.operators.mixing import (
+        interleave_by_weights,
+        read_curriculum,
+        write_curriculum,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = interleave_by_weights(docs, {"src0": 2.0, "src1": 1.0})
+    path = str(tmp_path / "cur_dup")
+    manifest = write_curriculum(out, path, num_files=3)
+
+    # plant a duplicate: copy one committed part under a new
+    # attempt-style name (what a zombie speculative task leaves on an
+    # object store with no atomic rename)
+    victim = manifest[0]["file"]
+    twin = victim.replace(".parquet", "") + "-attempt2.parquet"
+    shutil.copyfile(os.path.join(path, victim), os.path.join(path, twin))
+
+    with pytest.raises(ValueError, match="manifest/directory mismatch"):
+        read_curriculum(spark, path).collect()
+
+    os.unlink(os.path.join(path, twin))
+    got = read_curriculum(spark, path)
+    expect = [
+        (r["source"], r["doc_id"])
+        for r in out.select("source", "doc_id").collect()
+    ]
+    assert [
+        (r["source"], r["doc_id"])
+        for r in got.select("source", "doc_id").collect()
+    ] == expect
+    assert sum(m["rows"] for m in manifest) == len(expect)
