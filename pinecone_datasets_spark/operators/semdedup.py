@@ -92,6 +92,23 @@ def cell_census(
     )
 
 
+def auto_bits(n_rows: int, target_cell_rows: int = 200) -> int:
+    """Cell-count sizing rule: bits = ceil(log2(N / target_cell_rows)),
+    so expected cell size stays ~constant as the corpus grows and the
+    within-cell quadratic term stays O(N · target) instead of O(N²/C).
+
+    This is the scale knob the r10 sf1 probe showed must NOT be static:
+    with bits pinned at 6, a 10× corpus costs ~100× pair work
+    (measured exponent 1.69, SCALE.md "Empirical scaling probe");
+    with bits from this rule the probe re-measures ~linear. Clamped to
+    [1, 30]; one count() is the only cost."""
+    import math
+
+    n = max(int(n_rows), 1)
+    t = max(int(target_cell_rows), 1)
+    return min(max(math.ceil(math.log2(max(n / t, 2.0))), 1), 30)
+
+
 def semantic_dedup_pairs(
     df: DataFrame,
     threshold: float = 0.95,
@@ -99,9 +116,10 @@ def semantic_dedup_pairs(
     vector_col: str = "embedding",
     cell_col: Optional[str] = None,
     dim: int = 64,
-    bits: int = 6,
+    bits: Optional[int] = 6,
     seed: int = 13,
     max_cell_rows: Optional[int] = None,
+    target_cell_rows: int = 200,
 ) -> DataFrame:
     """(id_a < id_b, cosine) pairs with cosine ≥ threshold **within the
     same cell**. With ``cell_col`` given, cells are taken as stored
@@ -119,6 +137,11 @@ def semantic_dedup_pairs(
     silent truncation, ever). One extra tiny aggregate job when enabled.
     """
     if cell_col is None:
+        if bits is None:
+            # bits=None → size cells to the corpus (auto_bits): the
+            # constant-cell-count quadratic trap is the one scale
+            # failure the sf1 probe measured in this module
+            bits = auto_bits(df.count(), target_cell_rows)
         cell_col = "__sem_cell"
         df = srp_cells(df, vector_col, dim, bits, seed, cell_col)
     if max_cell_rows is not None:
@@ -166,7 +189,7 @@ def semantic_dedup(
     vector_col: str = "embedding",
     cell_col: Optional[str] = None,
     dim: int = 64,
-    bits: int = 6,
+    bits: Optional[int] = 6,
     seed: int = 13,
 ) -> DataFrame:
     """The kept rows: drop every row with a smaller-id same-cell

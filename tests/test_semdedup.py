@@ -199,3 +199,51 @@ def test_quadratic_guard_fails_loud_on_hot_cell(spark, corpus):
         small, threshold=0.95, bits=BITS, seed=SEED, max_cell_rows=1000
     )
     assert out.count() >= 0
+
+
+def test_auto_bits_keeps_cell_size_constant():
+    """r10 sf1 probe finding: bits pinned at 6 makes the within-cell
+    pair work quadratic in the corpus (measured exponent 1.69). The
+    auto_bits rule must scale cell COUNT with N so expected cell size
+    stays ~target across decades."""
+    from pinecone_datasets_spark.operators.semdedup import auto_bits
+
+    for n in (100, 2_000, 20_000, 200_000, 2_000_000, 10**11):
+        b = auto_bits(n, target_cell_rows=200)
+        assert 1 <= b <= 30
+        if n > 400:
+            expected_cell = n / (1 << b)
+            assert expected_cell <= 200  # never bigger than target
+            assert expected_cell > 50   # not absurdly over-split
+    # each 10x in N adds ~log2(10) ≈ 3.3 bits
+    assert auto_bits(20_000) - auto_bits(2_000) in (3, 4)
+    assert auto_bits(1) == 1 and auto_bits(0) == 1  # degenerate clamps
+
+
+def test_semantic_dedup_bits_none_autosizes(spark):
+    """bits=None routes through auto_bits and still produces the same
+    keep/drop DECISIONS as explicit bits on a corpus with planted
+    near-identical pairs (near-dups survive any cell split only if
+    they land together — identical vectors always do)."""
+    import numpy as np
+
+    from pinecone_datasets_spark.operators.semdedup import (
+        semantic_dedup,
+    )
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for i in range(300):
+        v = rng.normal(size=16)
+        v /= np.linalg.norm(v)
+        rows.append((i, v.tolist()))
+        if i % 10 == 0:  # plant an exact duplicate under a higher id
+            rows.append((1000 + i, v.tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kept_auto = {
+        r["vec_id"]
+        for r in semantic_dedup(df, dim=16, bits=None).collect()
+    }
+    # every planted duplicate (id >= 1000) dropped, all originals kept
+    assert all(i < 1000 for i in kept_auto)
+    assert set(range(300)) == kept_auto
