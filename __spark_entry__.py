@@ -2109,11 +2109,93 @@ def q57_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("day")
 
 
+_STREAM_RUN_SEQ: list[int] = []
+
+
+def _stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Execute the Structured Streaming windowed aggregation
+    (``streaming/ingest.windowed_event_counts``) FOR REAL and return its
+    final result as a batch DataFrame — the streaming engine's
+    incremental state maintenance, not a batch twin, feeds the entry
+    hash.
+
+    Shape: the events table is staged as a 4-file parquet directory
+    (the nanos-ts fixture normalized through ``read_events`` on the
+    way), the file-stream source consumes it 2 files per micro-batch
+    under an ``availableNow`` trigger (so the aggregation state really
+    is built up across >=2 increments), with a 2-hour watermark and a
+    complete-mode memory sink. Complete mode + memory sink is the
+    bounded-replay PROOF harness (final emission == the full
+    aggregation, driver-held state bounded by hours x event types);
+    the unbounded production shape is append mode + a file sink, which
+    the streaming test suite covers. Checkpoint is fresh per run —
+    reusing one against a re-staged directory would double-count the
+    re-written files into the persisted state."""
+    import shutil as _shutil
+
+    from pinecone_datasets_spark.streaming.ingest import (
+        windowed_event_counts,
+    )
+
+    run = len(_STREAM_RUN_SEQ)
+    _STREAM_RUN_SEQ.append(run)
+    staged = _session_index_path(f"events_stream_src_{run}")
+    ckpt = os.path.join(
+        _session_index_path(f"events_stream_ckpt_{run}"), "ckpt"
+    )
+    _shutil.rmtree(ckpt, ignore_errors=True)
+    _t(spark, sf_dir, "events").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(staged)
+    schema = spark.read.parquet(staged).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(staged)
+    )
+    agg = windowed_event_counts(
+        stream, window_duration="1 hour", watermark="2 hours"
+    )
+    name = f"stream_hourly_{os.getpid()}_{run}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def q22_q57_event_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merged events entry: pushdown scan-filter (q22, part 'scan' —
     predicate + 4-of-6-column projection reach the parquet scan) +
     explicit-value-list pivot (q57, part 'pivot' — one pass, no
-    distinct-values pre-job), union-tagged on a common schema."""
+    distinct-values pre-job), union-tagged on a common schema.
+
+    r10 adds part 'stream': the §2.8 streaming windowed aggregation
+    executed through the real streaming engine (file-stream source in
+    >=2 micro-batches, availableNow, watermark, memory sink — see
+    ``_stream_hourly_counts``), putting Structured Streaming inside the
+    hash gate for the first time; the oracle replays the tumbling
+    1-hour window as ``GROUP BY date_trunc('hour', ts)`` — exactly the
+    window-start semantics of ``F.window(ts, '1 hour')``."""
+    stream = _stream_hourly_counts(spark, sf_dir).select(
+        F.lit("stream").alias("part"),
+        F.concat_ws(
+            "|",
+            F.col("event_type"),
+            F.unix_micros("window_start").cast("string"),
+        ).alias("key"),
+        F.col("n_events").cast("long").alias("n1"),
+        F.unix_micros("window_start").alias("n2"),
+        _nl("long").alias("n3"),
+        _nl("long").alias("n4"),
+        _nl("long").alias("n5"),
+        F.round("sum_value", 2).alias("d1"),
+    )
     scan = q22_event_scan_filter(spark, sf_dir).select(
         F.lit("scan").alias("part"),
         F.col("event_id").cast("string").alias("key"),
@@ -2134,7 +2216,9 @@ def q22_q57_event_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_view").cast("long").alias("n5"),
         _nl("double").alias("d1"),
     )
-    return scan.unionByName(piv).orderBy("part", "key")
+    return (
+        scan.unionByName(piv).unionByName(stream).orderBy("part", "key")
+    )
 
 
 def q90_profile_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9329,6 +9413,17 @@ UNION ALL
 SELECT 'pivot', day, n_click, n_error, n_purchase, n_signup, n_view,
        CAST(NULL AS DOUBLE)
 FROM pv
+UNION ALL
+SELECT 'stream',
+       event_type || '|' || CAST(hour_us AS VARCHAR),
+       n_events, hour_us,
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       sum_value
+FROM (
+  SELECT event_type,
+         epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS hour_us,
+         count(*) AS n_events, round(sum(value), 2) AS sum_value
+  FROM events GROUP BY 1, 2)
 ORDER BY part, key
 """
     from pinecone_datasets_spark.operators.profile import profile_sql

@@ -361,3 +361,44 @@ def test_ivf_cell_assignment_composes_with_streams(
         for r in assign_cells(batch, centroids, vector_col="v").collect()
     }
     assert got == want and got
+
+
+def test_entry_stream_part_runs_incrementally(spark, sf_dir):
+    """The q22_q57 'stream' oracle part (r10) must execute through the
+    real streaming engine — >=2 micro-batches of state increments, not
+    a single-batch disguise — and its final emission must equal the
+    batch tumbling-window aggregation."""
+    import glob
+    import os
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry
+
+    got = {
+        (r["event_type"], r["window_start"]): (
+            r["n_events"],
+            round(r["sum_value"], 2),
+        )
+        for r in entry._stream_hourly_counts(spark, sf_dir).collect()
+    }
+    ev = read_events(spark, f"{sf_dir}/events.parquet")
+    want = {
+        (r["event_type"], r["hour"]): (r["n"], round(r["s"], 2))
+        for r in ev.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert got == want and got
+
+    # >=2 committed micro-batches: the checkpoint's offsets log has one
+    # file per batch (4 staged files at 2 per trigger)
+    run = entry._STREAM_RUN_SEQ[-1]
+    ckpt = os.path.join(
+        entry._session_index_path(f"events_stream_ckpt_{run}"),
+        "ckpt",
+        "offsets",
+    )
+    assert len(glob.glob(os.path.join(ckpt, "*"))) >= 2
