@@ -637,7 +637,82 @@ def q22_event_scan_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _stream_closed_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the CUSTOM STATEFUL streaming operator
+    (``streaming/sessions.streaming_sessionize`` —
+    ``applyInPandasWithState``) for real and return its emissions as a
+    batch DataFrame: per-user session state carried across >=2
+    micro-batches, sessions closing only when a later event crosses the
+    30-minute gap.
+
+    Determinism: the stream emits exactly the CLOSED sessions — every
+    session of a user except the last (open at end-of-stream) — which
+    is a pure function of the event set, PROVIDED each user's events
+    arrive in global time order across micro-batches. The staging
+    guarantees that: ``repartitionByRange(4, ts)`` makes the four files
+    hold disjoint ascending time ranges (part-00000 = earliest; equal
+    ts keys land in one partition), and each file's mtime is staggered
+    so the file-stream source — which feeds oldest files first — replays
+    them range order = time order, 2 per trigger. Users are subset
+    (user_id % 5 == 0) to bound state-group count; the oracle applies
+    the same predicate."""
+    from pinecone_datasets_spark.streaming.sessions import (
+        streaming_sessionize,
+    )
+
+    run = len(_STREAM_RUN_SEQ)
+    _STREAM_RUN_SEQ.append(run)
+    staged = _session_index_path(f"sessions_stream_src_{run}")
+    ckpt = os.path.join(
+        _session_index_path(f"sessions_stream_ckpt_{run}"), "ckpt"
+    )
+    import shutil as _shutil
+
+    _shutil.rmtree(ckpt, ignore_errors=True)
+    (
+        _t(spark, sf_dir, "events")
+        .where(F.col("user_id") % 5 == 0)
+        .select("user_id", "ts", "event_id")
+        .repartitionByRange(4, F.col("ts"))
+        .write.mode("overwrite")
+        .parquet(staged)
+    )
+    parts = sorted(
+        f for f in os.listdir(staged) if f.endswith(".parquet")
+    )
+    base = os.stat(staged).st_mtime
+    for i, f in enumerate(parts):
+        os.utime(os.path.join(staged, f), (base + i, base + i))
+    schema = spark.read.parquet(staged).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(staged)
+    )
+    sessions = streaming_sessionize(
+        stream, gap_minutes=30, use_timeout=False
+    )
+    name = f"stream_sessions_{os.getpid()}_{run}"
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def q26_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization, part-tagged. 'batch' = the lag+cumsum batch
+    sessionizer (operators/windows.py). 'stream' (r10) = the custom
+    stateful streaming operator (applyInPandasWithState) executed
+    through the real engine across >=2 micro-batches — see
+    ``_stream_closed_sessions``; its emissions are exactly the closed
+    sessions, which the oracle replays as "every session but each
+    user's last" over the same user subset."""
     from pinecone_datasets_spark.operators.windows import sessionize
 
     ev = _t(spark, sf_dir, "events")
@@ -645,13 +720,25 @@ def q26_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Session bounds as epoch-micro BIGINTs: raw TIMESTAMP cells leave the
     # value hash hostage to the harness's datetime rendering; integers
     # canonicalize identically everywhere.
-    return out.select(
-        "user_id",
+    batch = out.select(
+        F.lit("batch").alias("part"),
+        F.col("user_id"),
         F.col("session_idx").cast("long").alias("session_idx"),
         F.unix_micros("session_start").alias("session_start_us"),
         F.unix_micros("session_end").alias("session_end_us"),
         F.col("n_events"),
-    ).orderBy("user_id", "session_idx")
+    )
+    stream = _stream_closed_sessions(spark, sf_dir).select(
+        F.lit("stream").alias("part"),
+        F.col("user_id"),
+        _nl("long").alias("session_idx"),
+        F.unix_micros("session_start").alias("session_start_us"),
+        F.unix_micros("session_end").alias("session_end_us"),
+        F.col("n_events"),
+    )
+    return batch.unionByName(stream).orderBy(
+        "part", "user_id", "session_idx", "session_start_us"
+    )
 
 
 def q27_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8157,7 +8244,6 @@ def oracle_sql() -> dict[str, str]:
         "q06_part_type_stats",
         "q18_minhash_bands",
         "q24_ann_lsh",
-        "q26_sessionize",
         "q27_running_revenue",
         "q31_stored_filter_search",
         "q35_ivf_topk",
@@ -9401,6 +9487,44 @@ ORDER BY part, key
         depth=4,
         width=256,
     )
+    # q26 (r10): 'batch' = the plain sessionize oracle; 'stream' = the
+    # applyInPandasWithState emissions — exactly the CLOSED sessions of
+    # the user_id % 5 == 0 subset, i.e. every session but each user's
+    # last (open at end-of-stream, never emitted).
+    out["q26_sessionize"] = f"""
+WITH bs AS ({b['q26_sessionize']}),
+sub_marked AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(CAST(ts AS TIMESTAMP))
+                   - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP)) > 1800000000
+              THEN 1 ELSE 0 END AS is_start
+  FROM events WHERE user_id % 5 = 0
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sub_sess AS (
+  SELECT user_id, ts,
+         sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING)::BIGINT AS session_idx
+  FROM sub_marked
+), sub AS (
+  SELECT user_id, session_idx,
+         epoch_us(min(ts)) AS session_start_us,
+         epoch_us(max(ts)) AS session_end_us,
+         count(*) AS n_events
+  FROM sub_sess GROUP BY user_id, session_idx
+)
+SELECT 'batch' AS part, user_id, session_idx,
+       session_start_us, session_end_us, n_events
+FROM bs
+UNION ALL
+SELECT 'stream', sub.user_id, CAST(NULL AS BIGINT),
+       session_start_us, session_end_us, n_events
+FROM sub JOIN (SELECT user_id, max(session_idx) AS mx
+               FROM sub GROUP BY user_id) lastx
+     ON sub.user_id = lastx.user_id
+WHERE sub.session_idx < lastx.mx
+ORDER BY part, user_id, session_idx, session_start_us
+"""
     out["q22_q57_event_queries"] = f"""
 WITH sc AS ({b['q22_event_scan_filter']}),
 pv AS ({b['q57_pivot_events']})

@@ -72,3 +72,46 @@ def test_streaming_sessions_match_batch(spark, sf_dir, tmp_path_factory):
         for rows in by_user.values()
     }
     assert extra <= last_sessions
+
+
+def test_entry_stream_sessions_cross_batch_state(spark, sf_dir):
+    """The q26 'stream' oracle part (r10) must carry per-user session
+    state across REAL micro-batch boundaries: >=2 committed batches in
+    the checkpoint, and the emitted set exactly equal to the batch
+    sessionizer's closed sessions (all but each user's last) over the
+    same user subset — a session straddling the time-range boundary
+    between micro-batches must neither split nor double-emit."""
+    import glob
+    import os
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry
+
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in entry._stream_closed_sessions(spark, sf_dir).collect()
+    }
+
+    ev = read_events(spark, f"{sf_dir}/events.parquet").where(
+        F.col("user_id") % 5 == 0
+    )
+    by_user = {}
+    for r in sessionize(ev, gap_minutes=30).collect():
+        by_user.setdefault(r["user_id"], []).append(r)
+    want = set()
+    for user, rows in by_user.items():
+        rows.sort(key=lambda r: r["session_idx"])
+        for r in rows[:-1]:
+            want.add(
+                (user, r["session_start"], r["session_end"], r["n_events"])
+            )
+    assert got == want and want
+
+    run = entry._STREAM_RUN_SEQ[-1]
+    offsets = os.path.join(
+        entry._session_index_path(f"sessions_stream_ckpt_{run}"),
+        "ckpt",
+        "offsets",
+    )
+    assert len(glob.glob(os.path.join(offsets, "*"))) >= 2
