@@ -1343,6 +1343,15 @@ def main() -> None:
             "doc_id", F.round(char_entropy("text"), 6).alias("entropy")
         )
 
+    def bench_stream_agg():
+        # §2.8 throughput leg: the REAL streaming engine end-to-end —
+        # stage events as a 4-file directory, replay it 2 files per
+        # micro-batch under availableNow through the watermark+window
+        # aggregation into the memory sink (the same execution the q22
+        # 'stream' oracle part hashes). make() runs the stream itself;
+        # the noop sink then drains the final emission.
+        return em._stream_hourly_counts(spark, SF_DIR)
+
     headline = {
         "q01_scan_agg": lambda: em.q01_pricing_summary(spark, SF_DIR),
         "q02_join_topn": lambda: em.q02_top_customers(spark, SF_DIR),
@@ -1422,6 +1431,7 @@ def main() -> None:
         "snapshot_diff": bench_snapshot_diff,
         "bm25_merge": bench_bm25_merge,
         "hourly_anomaly": bench_hourly_anomaly,
+        "stream_agg": bench_stream_agg,
         "quality_classifier": bench_quality_classifier,
         "dsir_select": bench_dsir,
         "xe_rerank_100q": bench_xe_rerank,
