@@ -8,9 +8,18 @@ from .curate import (
     stream_crawl_extract,
     stream_curate,
 )
-from .sketch import stream_heavy_hitters, stream_hll_registers
+from .joins import stream_interval_join
+from .sessions import streaming_sessionize
+from .sketch import (
+    stream_cm_sketch,
+    stream_heavy_hitters,
+    stream_hll_registers,
+)
 
 __all__ = [
+    "stream_cm_sketch",
+    "stream_interval_join",
+    "streaming_sessionize",
     "stream_documents",
     "stream_exact_dedup",
     "stream_heavy_hitters",
