@@ -8820,7 +8820,13 @@ FROM sem
 UNION ALL
 SELECT 'c4', doc_id, CAST(n_total - len(kept) AS DOUBLE),
        CAST(len(kept) AS DOUBLE),
-       CAST(('0x' || substr(md5(array_to_string(kept, ' ')), 1, 8))::BIGINT
+       -- coalesce: a FULLY-stripped doc keeps zero sentences and
+       -- DuckDB's array_to_string([]) is NULL, but the operator's
+       -- rewrite of such a doc is the EMPTY STRING (Spark hashes
+       -- md5('')). First seen at sf0.1 — sf0.01 never fully strips a
+       -- doc (r10 sweep finding).
+       CAST(('0x' || substr(md5(coalesce(array_to_string(kept, ' '), '')),
+                            1, 8))::BIGINT
             AS DOUBLE)
 FROM c4out
 ORDER BY part, doc_id, c1

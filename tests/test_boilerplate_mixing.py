@@ -813,3 +813,27 @@ def test_read_curriculum_refuses_planted_duplicate_part(spark, tmp_path):
         for r in got.select("source", "doc_id").collect()
     ] == expect
     assert sum(m["rows"] for m in manifest) == len(expect)
+
+
+def test_remove_duplicated_sentence_spans_fully_stripped_is_empty_string(
+    spark,
+):
+    """A doc whose EVERY sentence dies must come back as the EMPTY
+    STRING, not NULL — Spark's concat_ws over zero kept sentences is ''
+    (the r10 sf0.1 sweep caught the SQL twin diverging here: DuckDB's
+    array_to_string([]) is NULL and needed a coalesce)."""
+    from pinecone_datasets_spark.operators.boilerplate import (
+        remove_duplicated_sentence_spans,
+    )
+
+    shared = "Alpha one. Beta two. Gamma three."
+    df = spark.createDataFrame(
+        [(1, shared), (2, shared), (3, "Something else entirely here.")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_removed_sentences"])
+        for r in remove_duplicated_sentence_spans(df, n=3).collect()
+    }
+    assert out[1] == ("", 3) and out[2] == ("", 3)
+    assert out[3][1] == 0
