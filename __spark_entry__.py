@@ -3398,8 +3398,65 @@ def q05_q08_window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.unionByName(users).orderBy("part", "grp", "rn", "item_id")
 
 
+def q101_dataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layer-A writer→reader round-trip inside the hash gate (r10):
+    the reference-shaped documents frame is saved through the dataset
+    writer (``writer.py`` via ``Catalog.save_dataset`` — parquet sink,
+    metadata.json last) and reloaded through the catalog/reader
+    (``catalog.py``/``reader.py`` — glob scan, schema conformance), and
+    the reloaded table's per-doc digest must equal the digest computed
+    straight from the source parquet: the oracle replays the SOURCE
+    side in SQL, so a corrupted byte in the sink, a dropped row, or a
+    conformance drift in the reader breaks the entry hash. Previously
+    this pair (S7/S10 → S1/S2) was pytest-only (golden round-trip)."""
+    from pinecone_datasets_spark.catalog import Catalog
+    from pinecone_datasets_spark.dataset import Dataset
+    from pinecone_datasets_spark.metadata import DatasetMetadata
+
+    emb = _t(spark, sf_dir, "embeddings")
+    doc = _t(spark, sf_dir, "documents")
+    src = emb.join(doc, emb.vec_id == doc.doc_id).select(
+        F.col("vec_id").cast("string").alias("id"),
+        F.col("embedding").alias("values"),
+        F.to_json(
+            F.struct(F.col("lang"), F.col("source"), F.col("n_chars"))
+        ).alias("metadata"),
+        F.to_json(F.struct(F.col("text"))).alias("blob"),
+    )
+    base = _session_index_path("dataset_rt")
+    meta = DatasetMetadata(
+        name="rt-ds",
+        documents=src.count(),
+        queries=0,
+        dense_model={"name": "fixture", "dimension": 64},
+    )
+    ds = Dataset.from_dataframe(spark, documents=src, metadata=meta)
+    cat = Catalog(spark, base_path=base)
+    cat.save_dataset(ds)
+    back = cat.load_dataset("rt-ds").documents
+    return back.select(
+        "id",
+        *_vec_digest("values", "values"),
+        "metadata",
+        "blob",
+    )
+
+
 def q09_q10_conform(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Documents + queries schema conformance (Layer A core), tagged."""
+    """Documents + queries schema conformance (Layer A core), tagged.
+    r10 adds part 'rt': the dataset writer→reader round-trip digest
+    (``q101_dataset_roundtrip``) — same columns as 'documents' but
+    computed from the RELOADED dataset, oracled against the source."""
+    rt = q101_dataset_roundtrip(spark, sf_dir).select(
+        F.lit("rt").alias("part"),
+        F.col("id"),
+        F.col("values_sum").alias("vec_sum"),
+        F.col("values_dim").alias("vec_dim"),
+        F.col("metadata"),
+        F.col("blob"),
+        _nl("string").alias("filter"),
+        _nl("long").alias("top_k"),
+    )
     docs = q09_docs_conform(spark, sf_dir).select(
         F.lit("documents").alias("part"),
         F.col("id"),
@@ -3477,6 +3534,7 @@ def q09_q10_conform(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(pdfp)
         .unionByName(off)
         .unionByName(subs)
+        .unionByName(rt)
         .orderBy("part", "id", "vec_sum")
     )
 
@@ -8872,6 +8930,13 @@ SELECT 'documents' AS part, id, values_sum AS vec_sum,
        values_dim AS vec_dim, CAST(metadata AS VARCHAR) AS metadata,
        blob,
        CAST(NULL AS VARCHAR) AS filter, CAST(NULL AS BIGINT) AS top_k
+FROM d
+UNION ALL
+-- 'rt' (r10): the Spark side computes these digests from the dataset
+-- WRITTEN by writer.py and RELOADED by catalog/reader.py; the oracle
+-- replays the SOURCE, so the hash proves the round-trip is lossless.
+SELECT 'rt', id, values_sum, values_dim, CAST(metadata AS VARCHAR),
+       blob, CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)
 FROM d
 UNION ALL
 SELECT 'queries', CAST(NULL AS VARCHAR), vector_sum, vector_dim,
