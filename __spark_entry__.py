@@ -1594,14 +1594,15 @@ def _byte_bpe_fixture(spark: SparkSession, sf_dir: str):
     # went through save_bpe_files → load_bpe_files, so a drifted
     # merges.txt/vocab.json writer or reader breaks the 'byte_bpe'
     # oracle, not just a pytest.
-    import tempfile as _tempfile
-
     from pinecone_datasets_spark.operators.bpe import (
         load_bpe_files,
         save_bpe_files,
     )
 
-    art_dir = _tempfile.mkdtemp(prefix="bpe_interchange_")
+    # one stable per-process dir (save_bpe_files overwrites), removed at
+    # exit — a mkdtemp per invocation leaked one dir per bench pass /
+    # oracle evaluation, the exact class _session_index_path exists for
+    art_dir = _session_index_path("bpe_interchange")
     save_bpe_files(merges, art_dir)
     merges_rt, vocab_rt = load_bpe_files(art_dir)
     if merges_rt != merges:

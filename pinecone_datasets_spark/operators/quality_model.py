@@ -208,6 +208,19 @@ def score_quality_frozen(
         w, b0, nf = bw.value
         cache: dict = {}
 
+        def sigmoid(z: float) -> float:
+            # Branch-stable: the naive 1/(1+exp(-z)) raises
+            # OverflowError past z ≈ -709 (a junk doc repeating one
+            # negative-weight token hundreds of times is exactly what a
+            # quality filter is pointed at), where MLlib's Scala exp
+            # saturates to 0.0 instead. Compute exp of a NON-POSITIVE
+            # argument on both branches so this kernel saturates
+            # identically and can never overflow.
+            if z >= 0.0:
+                return 1.0 / (1.0 + math.exp(-z))
+            e = math.exp(z)
+            return e / (1.0 + e)
+
         def z_of(text) -> float:
             z = b0
             if text:
@@ -222,9 +235,15 @@ def score_quality_frozen(
             return z
 
         for pdf in batches:
+            if len(cache) > 1_000_000:
+                # bounded memo: on web-scale corpora a long-lived task
+                # would otherwise accrue one entry per distinct token
+                # ever seen; a flush keeps the hit rate for the common
+                # head without unbounded growth
+                cache.clear()
             zs = [z_of(t) for t in pdf[text_col]]
             out = pdf.copy()
-            out[out_col] = [1.0 / (1.0 + math.exp(-z)) for z in zs]
+            out[out_col] = [sigmoid(z) for z in zs]
             out[out_col + "_logit_q"] = pd.array(
                 [int(round(z * 1024.0)) for z in zs], dtype="Int64"
             )

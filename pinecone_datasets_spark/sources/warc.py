@@ -263,25 +263,31 @@ def read_warc(
     only the files it lists are opened, so orphaned loser attempts
     (speculative twins, zombies that died mid-write) are never read —
     the object-store-safe read path (``taskio.py``)."""
+    # manifest I/O goes through the FS facade (fs.py): read_warc's
+    # paths may be object-store URIs (s3a/gs), and a local open() there
+    # raises OSError — which would make use_manifest fail and the glob
+    # guard silently no-op EXACTLY where non-atomic-rename stores make
+    # both matter (r10 code-review finding).
+    from ..fs import FS, join as _fsjoin
+
+    _fs = FS(spark)
     if use_manifest:
         import json as _json
-        import os as _os
 
-        mpath = _os.path.join(path, "manifest.json")
+        mpath = _fsjoin(path, "manifest.json")
         try:
-            with open(mpath) as fh:
-                manifest = _json.load(fh)
-        except OSError:
+            manifest = _json.loads(_fs.read_text(mpath))
+        except Exception as exc:
             raise FileNotFoundError(
                 f"use_manifest=True but no readable manifest.json in"
-                f" {path}"
+                f" {path}: {exc}"
             )
         names = [f["name"] for f in manifest.get("files", [])]
         if not names:
             raise ValueError(f"manifest lists no files: {mpath}")
         raw = (
             spark.read.format("binaryFile")
-            .load([_os.path.join(path, n) for n in names])
+            .load([_fsjoin(path, n) for n in names])
             .select("path", "content")
         )
     else:
@@ -291,12 +297,12 @@ def read_warc(
         # duplicate every record of its segment — refuse loudly and
         # direct callers to use_manifest=True (ADVICE r9 medium)
         import json as _json
-        import os as _os
 
         try:
-            with open(_os.path.join(path, "manifest.json")) as fh:
-                manifest = _json.load(fh)
-        except (OSError, ValueError):
+            manifest = _json.loads(
+                _fs.read_text(_fsjoin(path, "manifest.json"))
+            )
+        except Exception:
             manifest = None  # best-effort: absent/corrupt → glob read
         if (
             isinstance(manifest, dict)

@@ -228,3 +228,35 @@ def test_frozen_scorer_dyadic_logit_exact(spark):
     assert got[1] == ic_q + 2 * 512 + 3 * 3  # lowercased, \W+ split
     assert got[2] == ic_q
     assert got[3] == ic_q
+
+
+def test_frozen_scorer_extreme_logits_saturate_not_crash(spark):
+    """A junk doc repeating one strongly-weighted token must SATURATE
+    the probability (0.0 / 1.0, matching MLlib's Scala exp behavior),
+    never raise — the naive 1/(1+exp(-z)) form overflows past |z|~709
+    and would kill the whole scoring job on one degenerate doc (r10
+    code-review finding)."""
+    from pinecone_datasets_spark.operators.quality_model import (
+        hashing_tf_index,
+        score_quality_frozen,
+    )
+
+    weights = {
+        hashing_tf_index("junkword"): -5.0,
+        hashing_tf_index("goodword"): 5.0,
+    }
+    df = spark.createDataFrame(
+        [
+            (0, " ".join(["junkword"] * 500)),   # z = -2500
+            (1, " ".join(["goodword"] * 500)),   # z = +2500
+            (2, "junkword goodword"),            # z = 0
+        ],
+        "doc_id int, text string",
+    )
+    got = {
+        r["doc_id"]: r["quality_prob"]
+        for r in score_quality_frozen(df, weights, 0.0).collect()
+    }
+    assert got[0] == 0.0
+    assert got[1] == 1.0
+    assert abs(got[2] - 0.5) < 1e-12

@@ -36,8 +36,28 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+# column → the ENTITY it keys. Every column of one entity shifts by the
+# SAME per-entity stride (max over ALL tables referencing it, +1), so
+# referential integrity holds in every replica: replica-k lineitems
+# reference replica-k parts/suppliers/orders, never the originals.
+# (r10 code review: the original per-table shifts left l_partkey /
+# l_suppkey unshifted — 10x join fan-in onto the original parts, replica
+# parts unreferenced — and derived o_custkey's stride from orders alone,
+# which dangles if the max custkey happens to place no orders.)
+ENTITY_OF = {
+    "l_orderkey": "orderkey",
+    "o_orderkey": "orderkey",
+    "o_custkey": "custkey",
+    "c_custkey": "custkey",
+    "s_suppkey": "suppkey",
+    "l_suppkey": "suppkey",
+    "p_partkey": "partkey",
+    "l_partkey": "partkey",
+    "event_id": "event_id",
+    "user_id": "user_id",
+}
 KEY_SHIFTS = {
-    "lineitem": ["l_orderkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
     "orders": ["o_orderkey", "o_custkey"],
     "customer": ["c_custkey"],
     "supplier": ["s_suppkey"],
@@ -46,9 +66,25 @@ KEY_SHIFTS = {
 }
 
 
-def _shift_replicate(tbl: pa.Table, keys: list, k_total: int) -> pa.Table:
+def _entity_strides(src: str) -> dict:
+    """One stride per entity: max key value across every table that
+    references the entity, +1."""
+    mx: dict = {}
+    for tname, cols in KEY_SHIFTS.items():
+        tbl = pq.read_table(
+            os.path.join(src, f"{tname}.parquet"), columns=cols
+        )
+        for c in cols:
+            e = ENTITY_OF[c]
+            mx[e] = max(mx.get(e, 0), int(pa.compute.max(tbl[c]).as_py()))
+    return {e: v + 1 for e, v in mx.items()}
+
+
+def _shift_replicate(
+    tbl: pa.Table, keys: list, k_total: int, strides: dict
+) -> pa.Table:
     parts = []
-    shifts = {c: int(pa.compute.max(tbl[c]).as_py()) + 1 for c in keys}
+    shifts = {c: strides[ENTITY_OF[c]] for c in keys}
     for k in range(k_total):
         cols = {}
         for name in tbl.column_names:
@@ -128,6 +164,7 @@ def main() -> None:
     src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     dst = sys.argv[3] if len(sys.argv) > 3 else "/tmp/spark_graft_sf1"
     os.makedirs(dst, exist_ok=True)
+    strides = _entity_strides(src)
     for name in (
         "region nation customer supplier part orders lineitem events "
         "documents embeddings"
@@ -138,7 +175,7 @@ def main() -> None:
         elif name == "embeddings":
             out = _scale_embeddings(tbl, k_total)
         elif name in KEY_SHIFTS:
-            out = _shift_replicate(tbl, KEY_SHIFTS[name], k_total)
+            out = _shift_replicate(tbl, KEY_SHIFTS[name], k_total, strides)
         else:  # region/nation: fixed dimensions, never scaled
             out = tbl
         pq.write_table(out, os.path.join(dst, f"{name}.parquet"))

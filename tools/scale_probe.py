@@ -70,11 +70,26 @@ def main() -> None:
     args = sys.argv[1:]
     k = int(args[0]) if args and not args[0].startswith("--") else 10
     legs = DEFAULT_LEGS
-    for a in args:
-        if a.startswith("--legs"):
+    for i, a in enumerate(args):
+        if a.startswith("--legs="):
             legs = a.split("=", 1)[1].split(",")
+        elif a == "--legs":
+            # the docstring's space-separated form
+            if i + 1 >= len(args):
+                raise SystemExit("--legs needs a comma-separated value")
+            legs = args[i + 1].split(",")
     big_dir = "/tmp/spark_graft_sf1"
-    if not os.path.exists(os.path.join(big_dir, "lineitem.parquet")):
+    marker = os.path.join(big_dir, ".scale_k")
+    cached_k = None
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            cached_k = fh.read().strip()
+    # rebuild unless the cached fixture was built with THIS K — reusing
+    # a 10x fixture for a K=5 probe would inflate every exponent by
+    # log(10)/log(5) (r10 code-review finding)
+    if cached_k != str(k) or not os.path.exists(
+        os.path.join(big_dir, "lineitem.parquet")
+    ):
         subprocess.run(
             [
                 sys.executable,
@@ -85,6 +100,9 @@ def main() -> None:
             ],
             check=True,
         )
+        os.makedirs(big_dir, exist_ok=True)
+        with open(marker, "w") as fh:
+            fh.write(str(k))
     print(f"probe: {len(legs)} legs at sf0.1 ...", file=sys.stderr)
     t1 = run_bench("/root/testdata/sf0.1", legs)
     print(f"probe: {len(legs)} legs at sf1 (K={k}) ...", file=sys.stderr)
