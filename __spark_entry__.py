@@ -648,61 +648,29 @@ def _stream_closed_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: the stream emits exactly the CLOSED sessions — every
     session of a user except the last (open at end-of-stream) — which
     is a pure function of the event set, PROVIDED each user's events
-    arrive in global time order across micro-batches. The staging
-    guarantees that: ``repartitionByRange(4, ts)`` makes the four files
-    hold disjoint ascending time ranges (part-00000 = earliest; equal
-    ts keys land in one partition), and each file's mtime is staggered
-    so the file-stream source — which feeds oldest files first — replays
-    them range order = time order, 2 per trigger. Users are subset
-    (user_id % 5 == 0) to bound state-group count; the oracle applies
-    the same predicate."""
+    arrive in global time order across micro-batches — which the
+    harness's ``range_col="ts"`` staging guarantees (disjoint ascending
+    time ranges, mtime-staggered so the oldest-first source replays
+    range order = time order; equal ts keys land in one partition).
+    Users are subset (user_id % 5 == 0) to bound state-group count; the
+    oracle applies the same predicate. Harness mechanics:
+    ``_run_available_now``."""
     from pinecone_datasets_spark.streaming.sessions import (
         streaming_sessionize,
     )
 
-    run = len(_STREAM_RUN_SEQ)
-    _STREAM_RUN_SEQ.append(run)
-    staged = _session_index_path(f"sessions_stream_src_{run}")
-    ckpt = os.path.join(
-        _session_index_path(f"sessions_stream_ckpt_{run}"), "ckpt"
-    )
-    import shutil as _shutil
-
-    _shutil.rmtree(ckpt, ignore_errors=True)
-    (
+    return _run_available_now(
+        spark,
         _t(spark, sf_dir, "events")
         .where(F.col("user_id") % 5 == 0)
-        .select("user_id", "ts", "event_id")
-        .repartitionByRange(4, F.col("ts"))
-        .write.mode("overwrite")
-        .parquet(staged)
+        .select("user_id", "ts", "event_id"),
+        lambda s: streaming_sessionize(
+            s, gap_minutes=30, use_timeout=False
+        ),
+        "sessions_stream",
+        "append",
+        range_col="ts",
     )
-    parts = sorted(
-        f for f in os.listdir(staged) if f.endswith(".parquet")
-    )
-    base = os.stat(staged).st_mtime
-    for i, f in enumerate(parts):
-        os.utime(os.path.join(staged, f), (base + i, base + i))
-    schema = spark.read.parquet(staged).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 2)
-        .parquet(staged)
-    )
-    sessions = streaming_sessionize(
-        stream, gap_minutes=30, use_timeout=False
-    )
-    name = f"stream_sessions_{os.getpid()}_{run}"
-    q = (
-        sessions.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
 
 
 def q26_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2197,64 +2165,94 @@ def q57_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("day")
 
 
-_STREAM_RUN_SEQ: list[int] = []
+def _run_available_now(
+    spark: SparkSession,
+    staged_df: DataFrame,
+    transform,
+    prefix: str,
+    output_mode: str,
+    range_col: "str | None" = None,
+) -> DataFrame:
+    """Shared harness for the streaming oracle parts: stage
+    ``staged_df`` as a 4-file parquet directory, replay it through the
+    file-stream source 2 files per micro-batch (so operator state
+    really builds across >=2 increments), run ``transform`` (stream →
+    stream) under an ``availableNow`` trigger into a memory sink, and
+    return the final emission as a batch DataFrame.
 
+    Staging dir and memory-sink name are STABLE per prefix — overwrite
+    semantics plus ``dropTempView``, so re-invocations replace rather
+    than accumulate staged copies and sink tables (r10 code review; the
+    `_session_index_path` contract). Only the CHECKPOINT is cleared
+    each run: reusing one against a re-staged directory would
+    double-count the re-written files into the persisted state.
 
-def _stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Execute the Structured Streaming windowed aggregation
-    (``streaming/ingest.windowed_event_counts``) FOR REAL and return its
-    final result as a batch DataFrame — the streaming engine's
-    incremental state maintenance, not a batch twin, feeds the entry
-    hash.
-
-    Shape: the events table is staged as a 4-file parquet directory
-    (the nanos-ts fixture normalized through ``read_events`` on the
-    way), the file-stream source consumes it 2 files per micro-batch
-    under an ``availableNow`` trigger (so the aggregation state really
-    is built up across >=2 increments), with a 2-hour watermark and a
-    complete-mode memory sink. Complete mode + memory sink is the
-    bounded-replay PROOF harness (final emission == the full
-    aggregation, driver-held state bounded by hours x event types);
-    the unbounded production shape is append mode + a file sink, which
-    the streaming test suite covers. Checkpoint is fresh per run —
-    reusing one against a re-staged directory would double-count the
-    re-written files into the persisted state."""
+    ``range_col``: repartitionByRange on it and stagger file mtimes so
+    the source (oldest-first) replays range order across micro-batches
+    — the cross-batch event-time-order guarantee stateful operators
+    need for deterministic output."""
     import shutil as _shutil
 
-    from pinecone_datasets_spark.streaming.ingest import (
-        windowed_event_counts,
-    )
-
-    run = len(_STREAM_RUN_SEQ)
-    _STREAM_RUN_SEQ.append(run)
-    staged = _session_index_path(f"events_stream_src_{run}")
-    ckpt = os.path.join(
-        _session_index_path(f"events_stream_ckpt_{run}"), "ckpt"
-    )
+    staged = _session_index_path(f"{prefix}_src")
+    ckpt = os.path.join(_session_index_path(f"{prefix}_ckpt"), "ckpt")
     _shutil.rmtree(ckpt, ignore_errors=True)
-    _t(spark, sf_dir, "events").repartition(4).write.mode(
-        "overwrite"
-    ).parquet(staged)
+    wr = (
+        staged_df.repartitionByRange(4, F.col(range_col))
+        if range_col is not None
+        else staged_df.repartition(4)
+    )
+    wr.write.mode("overwrite").parquet(staged)
+    if range_col is not None:
+        parts = sorted(
+            f for f in os.listdir(staged) if f.endswith(".parquet")
+        )
+        base = os.stat(staged).st_mtime
+        for i, f in enumerate(parts):
+            os.utime(os.path.join(staged, f), (base + i, base + i))
     schema = spark.read.parquet(staged).schema
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 2)
         .parquet(staged)
     )
-    agg = windowed_event_counts(
-        stream, window_duration="1 hour", watermark="2 hours"
-    )
-    name = f"stream_hourly_{os.getpid()}_{run}"
+    name = f"{prefix}_{os.getpid()}"
+    spark.catalog.dropTempView(name)
     q = (
-        agg.writeStream.format("memory")
+        transform(stream)
+        .writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def _stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Execute the Structured Streaming windowed aggregation
+    (``streaming/ingest.windowed_event_counts``) FOR REAL and return
+    its final result as a batch DataFrame — the streaming engine's
+    incremental state maintenance, not a batch twin, feeds the entry
+    hash. Complete mode + memory sink is the bounded-replay PROOF
+    harness (final emission == the full aggregation, driver-held state
+    bounded by hours x event types); the unbounded production shape is
+    append mode + a file sink, which the streaming test suite covers.
+    Harness mechanics: ``_run_available_now``."""
+    from pinecone_datasets_spark.streaming.ingest import (
+        windowed_event_counts,
+    )
+
+    return _run_available_now(
+        spark,
+        _t(spark, sf_dir, "events"),
+        lambda s: windowed_event_counts(
+            s, window_duration="1 hour", watermark="2 hours"
+        ),
+        "events_stream",
+        "complete",
+    )
 
 
 def q22_q57_event_queries(spark: SparkSession, sf_dir: str) -> DataFrame:

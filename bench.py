@@ -1728,15 +1728,20 @@ def main() -> None:
         "insuite": insuite,
         "sf": sf_val,
     }
-    try:
-        detail_path = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-        )
-        with open(detail_path, "w") as fh:
-            json.dump(detail, fh, indent=1)
-            fh.write("\n")
-    except OSError:
-        pass  # read-only checkout: the stdout line still carries totals
+    if not probe_mode:
+        # probe runs (scale_probe subsets at other SFs) must not clobber
+        # the committed published artifact — the same published-numbers
+        # rule that gates the slow-leg sweep above (r10 code review)
+        try:
+            detail_path = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "BENCH_DETAIL.json",
+            )
+            with open(detail_path, "w") as fh:
+                json.dump(detail, fh, indent=1)
+                fh.write("\n")
+        except OSError:
+            pass  # read-only checkout: stdout still carries totals
     line = _dumps_compact(
         {
             "metric": "headline_suite_seconds",

@@ -116,7 +116,7 @@ def semantic_dedup_pairs(
     vector_col: str = "embedding",
     cell_col: Optional[str] = None,
     dim: int = 64,
-    bits: Optional[int] = 6,
+    bits: Optional[int] = None,
     seed: int = 13,
     max_cell_rows: Optional[int] = None,
     target_cell_rows: int = 200,
@@ -189,7 +189,7 @@ def semantic_dedup(
     vector_col: str = "embedding",
     cell_col: Optional[str] = None,
     dim: int = 64,
-    bits: Optional[int] = 6,
+    bits: Optional[int] = None,
     seed: int = 13,
 ) -> DataFrame:
     """The kept rows: drop every row with a smaller-id same-cell

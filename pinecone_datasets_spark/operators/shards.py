@@ -57,18 +57,23 @@ _MAGIC = b"TOKIDX01"
 _DTYPES = {"uint16": 2, "uint32": 4}
 
 
-def _load_manifest(path: str, missing_ok: bool = False):
-    """Driver-side ``manifest.json`` load. ``missing_ok`` returns None
-    when absent or unreadable (the glob reader's best-effort
-    manifest-mode refusal check); otherwise raises loudly."""
-    mpath = os.path.join(path, "manifest.json")
+def _load_manifest(path: str, missing_ok: bool = False, spark=None):
+    """Driver-side ``manifest.json`` load through the FS facade
+    (``fs.py``) so it works on object-store URIs — where non-atomic
+    rename makes the commit='manifest' refusal matter — not just local
+    paths (r10 code review; same fix as ``sources/warc.py``).
+    ``missing_ok`` returns None when absent or unreadable (the glob
+    reader's best-effort refusal check); otherwise raises loudly."""
+    from ..fs import FS, join as _fsjoin
+
+    mpath = _fsjoin(path, "manifest.json")
     try:
-        with open(mpath) as fh:
-            return json.load(fh)
-    # ValueError covers json.JSONDecodeError: a corrupt or mid-write
-    # manifest must degrade the best-effort glob-mode check to None,
-    # not fail a read that doesn't need the manifest (ADVICE r9 low)
-    except (OSError, ValueError) as e:
+        return json.loads(FS(spark).read_text(mpath))
+    # broad catch: local reads raise OSError/ValueError, remote reads
+    # raise Py4J errors — a corrupt or mid-write manifest must degrade
+    # the best-effort glob-mode check to None, not fail a read that
+    # doesn't need the manifest (ADVICE r9 low)
+    except Exception as e:
         if missing_ok:
             return None
         raise FileNotFoundError(
@@ -273,7 +278,7 @@ def read_token_shards(
     would read both attempts of a speculated shard) — pass
     ``use_manifest=True`` for those."""
     if use_manifest:
-        manifest = _load_manifest(path)
+        manifest = _load_manifest(path, spark=spark)
         stems = [s["name"] for s in manifest["shards"]]
         if not stems:
             raise ValueError(f"manifest lists no shards: {path}")
@@ -282,7 +287,7 @@ def read_token_shards(
         idx = spark.read.format("binaryFile").load(idx_paths)
         bin_ = spark.read.format("binaryFile").load(bin_paths)
     else:
-        manifest = _load_manifest(path, missing_ok=True)
+        manifest = _load_manifest(path, missing_ok=True, spark=spark)
         if manifest is not None and manifest.get("commit") == "manifest":
             raise ValueError(
                 "this shard directory was written with"

@@ -395,9 +395,8 @@ def test_entry_stream_part_runs_incrementally(spark, sf_dir):
 
     # >=2 committed micro-batches: the checkpoint's offsets log has one
     # file per batch (4 staged files at 2 per trigger)
-    run = entry._STREAM_RUN_SEQ[-1]
     ckpt = os.path.join(
-        entry._session_index_path(f"events_stream_ckpt_{run}"),
+        entry._session_index_path("events_stream_ckpt"),
         "ckpt",
         "offsets",
     )

@@ -108,9 +108,8 @@ def test_entry_stream_sessions_cross_batch_state(spark, sf_dir):
             )
     assert got == want and want
 
-    run = entry._STREAM_RUN_SEQ[-1]
     offsets = os.path.join(
-        entry._session_index_path(f"sessions_stream_ckpt_{run}"),
+        entry._session_index_path("sessions_stream_ckpt"),
         "ckpt",
         "offsets",
     )

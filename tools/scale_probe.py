@@ -57,10 +57,18 @@ def run_bench(sf_dir: str, legs: list) -> dict:
         text=True,
         timeout=3600,
     )
-    line = [
+    lines = [
         ln for ln in out.stdout.splitlines() if ln.startswith("{")
-    ][-1]
-    doc = json.loads(line)
+    ]
+    if out.returncode != 0 or not lines:
+        # surface the real failure instead of a bare IndexError with
+        # the stderr discarded (r10 code review)
+        sys.stderr.write(out.stderr[-4000:])
+        raise SystemExit(
+            f"bench.py failed at {sf_dir} (rc={out.returncode},"
+            f" {len(lines)} JSON lines) — stderr tail above"
+        )
+    doc = json.loads(lines[-1])
     if doc.get("failed"):
         raise SystemExit(f"failed legs at {sf_dir}: {doc['failed']}")
     return doc["queries"]
