@@ -3925,7 +3925,34 @@ def q14_q36_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q15_q16_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: duplicate-group census (q15) + kept-docs selection
-    (q16), tagged."""
+    (q16), tagged.
+
+    r10 adds part 'stream': the STREAMING exact dedup
+    (``streaming/dedup.stream_exact_dedup`` — stateful dropDuplicates
+    on the content fingerprint) executed through the real engine across
+    >=2 micro-batches (``_run_available_now``). Input rows are
+    projected to text only, so rows sharing a fingerprint are identical
+    and the first-arrival emission is deterministic AS A SET — exactly
+    the distinct fingerprints, which the oracle replays as SELECT
+    DISTINCT over the same duplicated corpus."""
+    from pinecone_datasets_spark.functions.text import doc_fingerprint
+    from pinecone_datasets_spark.streaming.dedup import (
+        stream_exact_dedup,
+    )
+
+    survivors = _run_available_now(
+        spark,
+        _docs_with_dups(spark, sf_dir).select("text"),
+        lambda s: stream_exact_dedup(s, text_col="text"),
+        "dedup_stream",
+        "append",
+    )
+    stream = survivors.select(
+        F.lit("stream").alias("part"),
+        doc_fingerprint(F.col("text")).alias("fingerprint"),
+        _nl("long").alias("n_members"),
+        _nl("long").alias("doc_id"),
+    )
     groups = q15_dedup_exact_groups(spark, sf_dir).select(
         F.lit("group").alias("part"),
         F.col("fingerprint"),
@@ -3938,7 +3965,11 @@ def q15_q16_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         _nl("long").alias("n_members"),
         F.col("doc_id"),
     )
-    return groups.unionByName(keep).orderBy("part", "doc_id")
+    return (
+        groups.unionByName(keep)
+        .unionByName(stream)
+        .orderBy("part", "doc_id", "fingerprint")
+    )
 
 
 def q17_q21_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9173,12 +9204,18 @@ ORDER BY lang
 """
     out["q15_q16_dedup_exact"] = f"""
 WITH g AS ({b['q15_dedup_exact_groups']}),
-k AS ({b['q16_dedup_exact_keep']})
+k AS ({b['q16_dedup_exact_keep']}),
+sc AS ({_DUP_CORPUS})
 SELECT 'group' AS part, fingerprint, n_members, representative AS doc_id
 FROM g
 UNION ALL
 SELECT 'keep', CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), doc_id FROM k
-ORDER BY part, doc_id
+UNION ALL
+-- 'stream' (r10): the streaming stateful dedup's first-arrival
+-- emissions over identical-payload rows == the distinct fingerprints
+SELECT 'stream', fingerprint, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+FROM (SELECT DISTINCT {_FP} AS fingerprint FROM sc) dfp
+ORDER BY part, doc_id, fingerprint
 """
     out["q17_q21_neardup_pairs"] = f"""
 WITH jac AS ({b['q17_ngram_jaccard']}),
