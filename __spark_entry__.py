@@ -247,16 +247,14 @@ def q87_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "hour")
 
 
-def q89_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling z-score anomaly detection
-    (operators/timeseries.py:rolling_zscore) over the LOCF-filled
-    hourly series: each bucket against the mean/stddev of its previous
-    24 buckets (current excluded), flagged at |z| > 2.5. Warm-up
-    (<6 trailing values) and zero variance yield NULL, not false."""
+def _locf_hourly_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LOCF-filled 2dp hourly series shared by the batch z-score
+    (q89) and the r10 streaming z-score part: rounding on the way in
+    means every engine (Spark window, Python stateful kernel, DuckDB
+    window) sees identical doubles entering the window stats."""
     from pinecone_datasets_spark.operators.timeseries import (
         gapfill,
         locf,
-        rolling_zscore,
     )
 
     ev = _t(spark, sf_dir, "events")
@@ -264,11 +262,22 @@ def q89_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.date_trunc("hour", "ts").alias("bucket")
     ).agg(F.round(F.sum("value"), 6).alias("v"))
     filled = gapfill(base, "bucket", ["v"], ["event_type"])
-    # z-scores run on the 2dp-rounded LOCF values so both engines see
-    # identical doubles entering the window stats
-    s = locf(filled, "bucket", ["v"], ["event_type"]).select(
+    return locf(filled, "bucket", ["v"], ["event_type"]).select(
         "event_type", "bucket", F.round("v", 2).alias("v")
     )
+
+
+def q89_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection
+    (operators/timeseries.py:rolling_zscore) over the LOCF-filled
+    hourly series: each bucket against the mean/stddev of its previous
+    24 buckets (current excluded), flagged at |z| > 2.5. Warm-up
+    (<6 trailing values) and zero variance yield NULL, not false."""
+    from pinecone_datasets_spark.operators.timeseries import (
+        rolling_zscore,
+    )
+
+    s = _locf_hourly_series(spark, sf_dir)
     z = rolling_zscore(
         s, "bucket", "v", ["event_type"],
         window=24, min_periods=6, tau=2.5, round_to=4,
@@ -284,7 +293,36 @@ def q89_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q07_q87_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merged event-time series entry, tagged: 'hourly' = the tumbling
     window aggregate (q07), 'gapfill' = its densified + filled series
-    (q87), 'anomaly' = trailing z-scores over the LOCF series (q89)."""
+    (q87), 'anomaly' = trailing z-scores over the LOCF series (q89).
+
+    r10 adds part 'stream_z': the STREAMING rolling z-score
+    (``streaming/anomaly.stream_rolling_zscore`` — per-key bounded
+    state via applyInPandasWithState) over the SAME LOCF series,
+    replayed in bucket order across >=2 micro-batches
+    (``_run_available_now`` with ``range_col='bucket'``); its scores
+    equal the batch window formulation on identical 2dp inputs, so the
+    'anomaly' oracle SQL gates the streaming numeric path too."""
+    from pinecone_datasets_spark.streaming.anomaly import (
+        stream_rolling_zscore,
+    )
+
+    sz = _run_available_now(
+        spark,
+        _locf_hourly_series(spark, sf_dir),
+        lambda s: stream_rolling_zscore(
+            s, window=24, min_periods=6, tau=2.5
+        ),
+        "anomaly_stream",
+        "append",
+        range_col="bucket",
+    ).select(
+        F.lit("stream_z").alias("part"),
+        F.col("bucket").alias("hour"),
+        F.col("key").alias("event_type"),
+        F.round("zscore", 4).alias("c1"),
+        _nl("double").alias("c2"),
+        F.col("is_anomaly").cast("long").alias("c3"),
+    )
     hourly = q07_events_hourly(spark, sf_dir).select(
         F.lit("hourly").alias("part"),
         F.col("hour"),
@@ -312,6 +350,7 @@ def q07_q87_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         hourly.unionByName(gf)
         .unionByName(an)
+        .unionByName(sz)
         .orderBy("part", "event_type", "hour")
     )
 
@@ -8490,6 +8529,13 @@ UNION ALL
 SELECT 'gapfill', hour, event_type, v_locf, v_interp, is_gap FROM gf
 UNION ALL
 SELECT 'anomaly', hour, event_type, z, CAST(NULL AS DOUBLE),
+       CAST(abs(z) > 2.5 AS BIGINT)
+FROM anz
+UNION ALL
+-- 'stream_z' (r10): the streaming stateful z-score kernel over the
+-- same LOCF series, replayed in bucket order — identical inputs, so
+-- the same window formulation gates it
+SELECT 'stream_z', hour, event_type, z, CAST(NULL AS DOUBLE),
        CAST(abs(z) > 2.5 AS BIGINT)
 FROM anz
 ORDER BY part, event_type, hour
