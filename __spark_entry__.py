@@ -2307,6 +2307,39 @@ def q22_q57_event_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash gate for the first time; the oracle replays the tumbling
     1-hour window as ``GROUP BY date_trunc('hour', ts)`` — exactly the
     window-start semantics of ``F.window(ts, '1 hour')``."""
+    # 'stream_join' (r10): the stream-STREAM interval self-join
+    # (streaming/joins.stream_interval_join — watermark-bounded join
+    # state on both sides) over the time-range-staged events replay;
+    # inner-join emission is the full match set (±300 s window is far
+    # inside the 1 h watermark horizon), so the oracle is the plain
+    # SQL interval self-join.
+    from pinecone_datasets_spark.streaming.joins import (
+        stream_interval_join,
+    )
+
+    sjoin = _run_available_now(
+        spark,
+        _t(spark, sf_dir, "events").select("user_id", "ts", "event_id"),
+        lambda s: stream_interval_join(
+            s, s, on="user_id", lower_seconds=-300, upper_seconds=0
+        ).where(F.col("l_event_id") != F.col("r_event_id")),
+        "ivjoin_stream",
+        "append",
+        range_col="ts",
+    ).select(
+        F.lit("stream_join").alias("part"),
+        F.concat_ws(
+            "|",
+            F.col("l_event_id").cast("string"),
+            F.col("r_event_id").cast("string"),
+        ).alias("key"),
+        F.col("l_event_id").cast("long").alias("n1"),
+        F.col("r_event_id").cast("long").alias("n2"),
+        F.unix_micros("l_ts").alias("n3"),
+        F.unix_micros("r_ts").alias("n4"),
+        _nl("long").alias("n5"),
+        _nl("double").alias("d1"),
+    )
     stream = _stream_hourly_counts(spark, sf_dir).select(
         F.lit("stream").alias("part"),
         F.concat_ws(
@@ -2342,7 +2375,10 @@ def q22_q57_event_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
         _nl("double").alias("d1"),
     )
     return (
-        scan.unionByName(piv).unionByName(stream).orderBy("part", "key")
+        scan.unionByName(piv)
+        .unionByName(stream)
+        .unionByName(sjoin)
+        .orderBy("part", "key")
     )
 
 
@@ -2943,7 +2979,55 @@ def q28_q69_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("est_count").cast("double").alias("est"),
         F.col("n_exact").cast("long").alias("n_exact"),
     )
-    return kmv.unionByName(hll).unionByName(cm).orderBy("part", "key")
+    # 'stream_hll' / 'stream_cm' (r10): the LIVE sketches — pure
+    # streaming stateful aggregations (state bounded at m-per-group /
+    # d×w cells forever) run through the real engine across >=2
+    # micro-batches; max() and count() are commutative, so the final
+    # complete-mode emission is batch-exact and the md5 register/bucket
+    # arithmetic replays in SQL cell by cell.
+    from pinecone_datasets_spark.streaming.sketch import (
+        stream_cm_sketch,
+        stream_hll_registers,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    shll = _run_available_now(
+        spark,
+        ev.select("event_type", "user_id"),
+        lambda s: stream_hll_registers(s, "user_id", "event_type", p=6),
+        "hll_stream",
+        "complete",
+    ).select(
+        F.lit("stream_hll").alias("part"),
+        F.concat_ws(
+            "|", "event_type", F.col("reg").cast("string")
+        ).alias("key"),
+        F.col("rho").cast("double").alias("est"),
+        _nl("long").alias("n_exact"),
+    )
+    scm = _run_available_now(
+        spark,
+        ev.select("user_id"),
+        lambda s: stream_cm_sketch(s, "user_id", depth=4, width=256),
+        "cm_stream",
+        "complete",
+    ).select(
+        F.lit("stream_cm").alias("part"),
+        F.concat_ws(
+            "|",
+            F.col("row").cast("string"),
+            F.col("bucket").cast("string"),
+        ).alias("key"),
+        F.col("c").cast("double").alias("est"),
+        _nl("long").alias("n_exact"),
+    )
+    return (
+        kmv.unionByName(hll)
+        .unionByName(cm)
+        .unionByName(shll)
+        .unionByName(scm)
+        .orderBy("part", "key")
+    )
 
 
 def q70_cube_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9701,6 +9785,19 @@ FROM (
          epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS hour_us,
          count(*) AS n_events, round(sum(value), 2) AS sum_value
   FROM events GROUP BY 1, 2)
+UNION ALL
+-- 'stream_join' (r10): the stream-stream interval self-join's full
+-- inner emission == the plain interval self-join
+SELECT 'stream_join',
+       CAST(l.event_id AS VARCHAR) || '|' || CAST(r.event_id AS VARCHAR),
+       l.event_id, r.event_id,
+       epoch_us(CAST(l.ts AS TIMESTAMP)), epoch_us(CAST(r.ts AS TIMESTAMP)),
+       CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
+FROM events l JOIN events r
+  ON l.user_id = r.user_id
+ AND CAST(r.ts AS TIMESTAMP) >= CAST(l.ts AS TIMESTAMP) - INTERVAL 300 SECONDS
+ AND CAST(r.ts AS TIMESTAMP) <= CAST(l.ts AS TIMESTAMP)
+ AND l.event_id <> r.event_id
 ORDER BY part, key
 """
     from pinecone_datasets_spark.operators.profile import profile_sql
@@ -9724,6 +9821,32 @@ SELECT 'cm' AS part, CAST(cm.user_id AS VARCHAR) AS key,
        CAST(est_count AS DOUBLE) AS est, ex.n_exact
 FROM cm JOIN (SELECT user_id, count(*) AS n_exact
               FROM events GROUP BY user_id) ex USING (user_id)
+UNION ALL
+-- 'stream_hll' (r10): the live HLL register table (p=6: m=64,
+-- rmax=47) — same md5 register/rho arithmetic as hll_sql
+SELECT 'stream_hll',
+       event_type || '|' || CAST(hv % 64 AS VARCHAR),
+       CAST(max(CASE WHEN hv // 64 = 0 THEN 47
+                     ELSE 47 - length(bin(hv // 64)) END) AS DOUBLE),
+       CAST(NULL AS BIGINT)
+FROM (SELECT event_type,
+             CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 13))
+                  AS BIGINT) AS hv
+      FROM events WHERE user_id IS NOT NULL)
+GROUP BY 1, 2
+UNION ALL
+-- 'stream_cm' (r10): the live CM sketch's cells (depth=4, width=256)
+-- — same md5 bucket hash as cm_sql
+SELECT 'stream_cm',
+       CAST(seeds.r AS VARCHAR) || '|' ||
+       CAST(CAST(concat('0x', substr(md5(CAST(seeds.r AS VARCHAR) || ':' ||
+                                     CAST(user_id AS VARCHAR)), 1, 13))
+                 AS BIGINT) % 256 AS VARCHAR),
+       CAST(count(*) AS DOUBLE),
+       CAST(NULL AS BIGINT)
+FROM events CROSS JOIN (SELECT unnest(range(4)) AS r) seeds
+WHERE user_id IS NOT NULL
+GROUP BY 1, 2
 ORDER BY part, key
 """
     # 'crawl_docs'/'crawl_stages': the composed crawl funnel — rebuild
