@@ -302,13 +302,21 @@ def q07_q87_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``_run_available_now`` with ``range_col='bucket'``); its scores
     equal the batch window formulation on identical 2dp inputs, so the
     'anomaly' oracle SQL gates the streaming numeric path too."""
+    from pinecone_datasets_spark.operators.timeseries import (
+        rolling_zscore,
+    )
     from pinecone_datasets_spark.streaming.anomaly import (
         stream_rolling_zscore,
     )
 
+    # ONE LOCF series feeds both z-score parts (the share-the-expensive-
+    # stage rule): the harness stages it to parquet for the stream, and
+    # the batch part reads that staged copy back instead of re-running
+    # the groupBy + gapfill + LOCF window chain a second time.
+    series = _locf_hourly_series(spark, sf_dir)
     sz = _run_available_now(
         spark,
-        _locf_hourly_series(spark, sf_dir),
+        series,
         lambda s: stream_rolling_zscore(
             s, window=24, min_periods=6, tau=2.5
         ),
@@ -321,7 +329,11 @@ def q07_q87_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("key").alias("event_type"),
         F.round("zscore", 4).alias("c1"),
         _nl("double").alias("c2"),
-        F.col("is_anomaly").cast("long").alias("c3"),
+        # flag derived from the ROUNDED z, matching the oracle (and the
+        # batch rolling_zscore, which also flags on rounded z): the
+        # kernel's own flag uses unrounded z and would diverge when |z|
+        # lands inside (2.5, 2.50005) — a false gate failure class
+        (F.abs(F.round("zscore", 4)) > 2.5).cast("long").alias("c3"),
     )
     hourly = q07_events_hourly(spark, sf_dir).select(
         F.lit("hourly").alias("part"),
@@ -339,13 +351,19 @@ def q07_q87_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v_interp").alias("c2"),
         F.col("is_gap").alias("c3"),
     )
-    an = q89_hourly_anomaly(spark, sf_dir).select(
+    staged_series = spark.read.parquet(
+        _session_index_path("anomaly_stream_src")
+    )
+    an = rolling_zscore(
+        staged_series, "bucket", "v", ["event_type"],
+        window=24, min_periods=6, tau=2.5, round_to=4,
+    ).select(
         F.lit("anomaly").alias("part"),
-        F.col("hour"),
+        F.col("bucket").alias("hour"),
         F.col("event_type"),
         F.col("zscore").alias("c1"),
         _nl("double").alias("c2"),
-        F.col("is_anomaly").alias("c3"),
+        F.col("is_anomaly").cast("long").alias("c3"),
     )
     return (
         hourly.unionByName(gf)

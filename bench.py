@@ -1728,10 +1728,15 @@ def main() -> None:
         "insuite": insuite,
         "sf": sf_val,
     }
-    if not probe_mode:
-        # probe runs (scale_probe subsets at other SFs) must not clobber
-        # the committed published artifact — the same published-numbers
-        # rule that gates the slow-leg sweep above (r10 code review)
+    published_sf = os.path.realpath(SF_DIR) == os.path.realpath(
+        "/root/testdata/sf0.1"
+    )
+    if not probe_mode and published_sf:
+        # probe runs (scale_probe subsets) AND full runs at any other
+        # SF must not clobber the committed published artifact, which
+        # is the sf0.1 full-suite record — the same published-numbers
+        # rule that gates the slow-leg sweep above (r10 code review,
+        # both passes)
         try:
             detail_path = os.path.join(
                 os.path.dirname(os.path.abspath(__file__)),

@@ -191,13 +191,36 @@ def semantic_dedup(
     dim: int = 64,
     bits: Optional[int] = None,
     seed: int = 13,
+    max_cell_rows: Optional[int] = None,
+    target_cell_rows: int = 200,
 ) -> DataFrame:
     """The kept rows: drop every row with a smaller-id same-cell
     neighbor at cosine ≥ threshold (one anti-join against the pair
     set's ``id_b`` side). Returns ``df``'s rows and columns unchanged
-    minus the dropped ones."""
+    minus the dropped ones.
+
+    ``bits=None`` (the default) auto-sizes the cell count to the
+    corpus — the scale-safe choice (constant expected cell size ⇒
+    O(N·target) pair work), at two costs callers should know about:
+    one extra ``count()`` scan of ``df`` to size the cells, and
+    SIZE-SENSITIVE cell ids — when the corpus crosses an ``auto_bits``
+    power-of-two boundary, every row's cell changes and with it which
+    near-dup pairs are discovered. Pin ``bits`` explicitly when
+    run-to-run pair stability across growing corpora matters more than
+    auto scaling. ``target_cell_rows`` tunes the sizing rule;
+    ``max_cell_rows`` enables the fail-loud hot-cell guard (both
+    forwarded to ``semantic_dedup_pairs``)."""
     pairs = semantic_dedup_pairs(
-        df, threshold, id_col, vector_col, cell_col, dim, bits, seed
+        df,
+        threshold,
+        id_col,
+        vector_col,
+        cell_col,
+        dim,
+        bits,
+        seed,
+        max_cell_rows=max_cell_rows,
+        target_cell_rows=target_cell_rows,
     )
     dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(dropped, id_col, "left_anti")

@@ -62,23 +62,41 @@ def _load_manifest(path: str, missing_ok: bool = False, spark=None):
     (``fs.py``) so it works on object-store URIs — where non-atomic
     rename makes the commit='manifest' refusal matter — not just local
     paths (r10 code review; same fix as ``sources/warc.py``).
-    ``missing_ok`` returns None when absent or unreadable (the glob
-    reader's best-effort refusal check); otherwise raises loudly."""
+
+    Error taxonomy matters here (second r10 review): ABSENT degrades
+    to None under ``missing_ok`` (plain directories have no manifest),
+    and a CORRUPT/mid-write manifest likewise degrades the best-effort
+    glob-mode check (ADVICE r9 low) — but a TRANSIENT read error on a
+    file that exists (throttle, credentials) RAISES in both modes:
+    letting it degrade would silently bypass the commit='manifest'
+    double-read refusal on exactly the storage class where transient
+    errors are routine."""
     from ..fs import FS, join as _fsjoin
 
+    fs = FS(spark)
     mpath = _fsjoin(path, "manifest.json")
-    try:
-        return json.loads(FS(spark).read_text(mpath))
-    # broad catch: local reads raise OSError/ValueError, remote reads
-    # raise Py4J errors — a corrupt or mid-write manifest must degrade
-    # the best-effort glob-mode check to None, not fail a read that
-    # doesn't need the manifest (ADVICE r9 low)
-    except Exception as e:
+    if not fs.exists(mpath):
         if missing_ok:
             return None
         raise FileNotFoundError(
-            f"use_manifest=True but no readable manifest.json in"
-            f" {path}: {e}"
+            f"use_manifest=True but no manifest.json in {path}"
+        )
+    try:
+        text = fs.read_text(mpath)
+    except Exception as e:
+        raise IOError(
+            f"manifest.json exists in {path} but could not be read"
+            f" (transient storage error? will not silently fall back"
+            f" to the glob reader): {e}"
+        )
+    try:
+        return json.loads(text)
+    except ValueError as e:
+        if missing_ok:
+            return None  # mid-write/corrupt: degrade the glob check
+        raise FileNotFoundError(
+            f"use_manifest=True but manifest.json in {path} is not"
+            f" valid JSON: {e}"
         )
 
 

@@ -275,12 +275,23 @@ def read_warc(
         import json as _json
 
         mpath = _fsjoin(path, "manifest.json")
-        try:
-            manifest = _json.loads(_fs.read_text(mpath))
-        except Exception as exc:
+        if not _fs.exists(mpath):
             raise FileNotFoundError(
-                f"use_manifest=True but no readable manifest.json in"
-                f" {path}: {exc}"
+                f"use_manifest=True but no manifest.json in {path}"
+            )
+        try:
+            _mtext = _fs.read_text(mpath)
+        except Exception as exc:
+            raise IOError(
+                f"manifest.json exists in {path} but could not be"
+                f" read: {exc}"
+            )
+        try:
+            manifest = _json.loads(_mtext)
+        except ValueError as exc:
+            raise FileNotFoundError(
+                f"use_manifest=True but manifest.json in {path} is"
+                f" not valid JSON: {exc}"
             )
         names = [f["name"] for f in manifest.get("files", [])]
         if not names:
@@ -298,12 +309,24 @@ def read_warc(
         # direct callers to use_manifest=True (ADVICE r9 medium)
         import json as _json
 
-        try:
-            manifest = _json.loads(
-                _fs.read_text(_fsjoin(path, "manifest.json"))
-            )
-        except Exception:
-            manifest = None  # best-effort: absent/corrupt → glob read
+        mpath = _fsjoin(path, "manifest.json")
+        manifest = None
+        # exists() distinguishes ABSENT (plain dir: glob read proceeds)
+        # from a present-but-unreadable manifest — the latter RAISES,
+        # because silently degrading on a transient storage error would
+        # bypass the commit='manifest' double-read refusal exactly
+        # where it matters (second r10 review)
+        if _fs.exists(mpath):
+            try:
+                manifest = _json.loads(_fs.read_text(mpath))
+            except ValueError:
+                manifest = None  # mid-write/corrupt: degrade
+            except Exception as exc:
+                raise IOError(
+                    f"manifest.json exists in {path} but could not be"
+                    f" read (will not silently fall back to the glob"
+                    f" reader): {exc}"
+                )
         if (
             isinstance(manifest, dict)
             and manifest.get("commit") == "manifest"

@@ -141,7 +141,10 @@ def stream_cm_sketch(
 
     if depth < 1 or width < 2:
         raise ValueError(f"need depth >= 1, width >= 2; got {depth}, {width}")
-    pairs = stream.select(
+    # NULL values are dropped exactly like batch cm_sketch — the
+    # "equals batch cell-for-cell" contract (and the SQL twin's WHERE
+    # value IS NOT NULL) requires both sides to agree on NULL handling
+    pairs = stream.where(F.col(value_col).isNotNull()).select(
         F.col(value_col).cast("string").alias("__v"),
         F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row"),
     )
