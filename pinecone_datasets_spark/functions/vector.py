@@ -57,7 +57,15 @@ def l2_norm(a: ColumnOrName) -> Column:
 
 
 def cosine_similarity(a: ColumnOrName, b: ColumnOrName) -> Column:
-    return dot_product(a, b) / (l2_norm(a) * l2_norm(b))
+    # greatest(norm, 1e-30): a zero vector (failed embedding, padding)
+    # must score 0.0, not raise DIVIDE_BY_ZERO under Spark 4's default
+    # ANSI mode and kill the job — the same guard the Arrow twin
+    # (make_batch_cosine_udf) has always applied; for any nonzero
+    # vector the guard is the identity, so scores are unchanged.
+    denom = F.greatest(l2_norm(a), F.lit(1e-30)) * F.greatest(
+        l2_norm(b), F.lit(1e-30)
+    )
+    return dot_product(a, b) / denom
 
 
 def l2_distance(a: ColumnOrName, b: ColumnOrName) -> Column:

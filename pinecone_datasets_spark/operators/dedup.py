@@ -215,11 +215,20 @@ def _rolling_hashed(
     )
 
     def window_hash(i: Column) -> Column:
+        # modulus applied PER STEP, not once at the end: the end-only
+        # form overflows long under ANSI at k >= 8 (2^21-max code
+        # points x 257^(k-1)) and killed the job; per-step reduction is
+        # congruent mod p, so every k <= 7 value — and thus every
+        # existing oracle hash — is unchanged, while any k is now safe
+        # (h < 2^31 entering each step, h*257 + c < 2^40).
         h = F.coalesce(F.get(F.col("_c"), i), F.lit(0)).cast("long")
         for j in range(1, k):
-            h = h * F.lit(B) + F.coalesce(
-                F.get(F.col("_c"), i + F.lit(j)), F.lit(0)
-            )
+            h = (
+                h * F.lit(B)
+                + F.coalesce(
+                    F.get(F.col("_c"), i + F.lit(j)), F.lit(0)
+                )
+            ) % F.lit(_MERSENNE31)
         return h % F.lit(_MERSENNE31)
 
     # outer + null filter: see _norm_shingled on InferFiltersFromGenerate.
@@ -386,17 +395,7 @@ def minhash_lsh_candidates(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.col("signature")[b * rows_per_band + r].cast(
-                                "string"
-                            )
-                            for r in range(rows_per_band)
-                        ],
-                    )
-                ).alias("bucket"),
+                _band_bucket_md5(b, rows_per_band).alias("bucket"),
             )
             for b in range(bands)
         ]
@@ -704,6 +703,24 @@ def embedding_neardup_pairs(
 MINHASH_META_FILE = "minhash_index.json"
 
 
+def _band_bucket_md5(b: int, rows_per_band: int) -> Column:
+    """md5 bucket of band ``b``'s signature slice — the ONE band-
+    bucketing expression shared by the in-plan candidates
+    (``minhash_lsh_candidates``) and the persisted index
+    (``_band_keys``). A separator or cast tweak to one copy would
+    silently desynchronize index probes from in-plan candidates; this
+    helper is why there is only one copy (r10 review)."""
+    return F.md5(
+        F.concat_ws(
+            ",",
+            *[
+                F.col("signature")[b * rows_per_band + r].cast("string")
+                for r in range(rows_per_band)
+            ],
+        )
+    )
+
+
 def _band_keys(
     sigs: DataFrame, num_hashes: int, bands: int, id_col: str
 ) -> DataFrame:
@@ -720,17 +737,7 @@ def _band_keys(
             F.concat_ws(
                 ":",
                 F.lit(b),
-                F.md5(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.col("signature")[b * rows_per_band + r].cast(
-                                "string"
-                            )
-                            for r in range(rows_per_band)
-                        ],
-                    )
-                ),
+                _band_bucket_md5(b, rows_per_band),
             )
             for b in range(bands)
         ]
@@ -899,7 +906,13 @@ def minhash_index_neardup(
         "left_semi",
     )
     agree = (
-        pairs.join(F.broadcast(bsigs_hit), batch_id_col)
+        # no forced broadcast of bsigs_hit: it is bounded only by the
+        # BATCH size (every batch row with >= 1 band collision survives
+        # the semi-join — the common case for crawl re-ingestion), and
+        # forcing it past autoBroadcastJoinThreshold onto the driver is
+        # an OOM at exactly the batch sizes this path targets. Left to
+        # AQE, which broadcasts when it really is small (r10 review).
+        pairs.join(bsigs_hit, batch_id_col)
         .join(isigs, "index_id")
         .select(
             batch_id_col,

@@ -118,6 +118,13 @@ def topk_search(
         q = q.withColumn("top_k", F.lit(5))
         max_k = 5
     else:
+        # A NULL top_k cell gets the declared default (5) — without the
+        # coalesce, rank <= NULL filters every row and the query
+        # silently returns ZERO results (reference semantics: a missing
+        # top_k column back-fills 5; a missing value must too).
+        q = q.withColumn(
+            "top_k", F.coalesce(F.col("top_k"), F.lit(5))
+        )
         # Literal rank bound from the small queries side (driver-side agg,
         # one tiny job). Spark's InferWindowGroupLimit only fires on a
         # rank <= LITERAL predicate; with only the per-row
@@ -140,9 +147,15 @@ def topk_search(
     if metric == "cosine":
         docs = docs.withColumn("__dnorm", l2_norm(doc_vector_col))
         q = q.withColumn("__qnorm", l2_norm(query_vector_col))
+        # greatest(norm, 1e-30): zero vectors score 0.0 instead of
+        # raising DIVIDE_BY_ZERO under ANSI (same guard as the Arrow
+        # twin); identity for any nonzero vector.
         score_col = dot_product(
             F.col(doc_vector_col), F.col(query_vector_col)
-        ) / (F.col("__dnorm") * F.col("__qnorm"))
+        ) / (
+            F.greatest(F.col("__dnorm"), F.lit(1e-30))
+            * F.greatest(F.col("__qnorm"), F.lit(1e-30))
+        )
     else:
         score_col = _score(
             metric, F.col(doc_vector_col), F.col(query_vector_col)
@@ -150,6 +163,20 @@ def topk_search(
 
     joined = docs.crossJoin(F.broadcast(q))
 
+    if apply_stored_filters and (
+        "filter" not in q.columns or metadata_col is None
+    ):
+        # fail loud: silently searching UNFILTERED would return wrong,
+        # over-broad top-k lists with no signal distinguishing it from
+        # filters that legitimately matched everything
+        missing = (
+            "queries has no 'filter' column"
+            if "filter" not in q.columns
+            else "metadata_col is None"
+        )
+        raise ValueError(
+            f"apply_stored_filters=True but {missing}"
+        )
     if apply_stored_filters and metadata_col is not None and "filter" in q.columns:
         if stored_filter_mode == "compile":
             joined = joined.where(
@@ -229,6 +256,12 @@ def _matches_filter_series(metadata: pd.Series, filt: pd.Series) -> pd.Series:
             # Same contract as the compiled path: a corrupt stored filter
             # is an error, not silently match-everything.
             raise ValueError(f"Malformed stored filter JSON: {f!r}") from e
+        if fd is None:
+            # the string 'null' parses to None: same as no filter
+            # (compiled path: null/empty filter matches everything)
+            return True
+        if not isinstance(fd, Mapping):
+            raise ValueError(f"Malformed stored filter JSON: {f!r}")
         md = {}
         if m:
             try:
@@ -267,13 +300,21 @@ def _eval_filter(node: Mapping[str, Any], md: Mapping[str, Any]) -> bool:
         elif key == "$or":
             if not any(_eval_filter(n, md) for n in value):
                 return False
+        elif key.startswith("$"):
+            # same contract as the compiled path: $not etc. raise, they
+            # are NOT field names (a '$not' literal-field $eq would
+            # silently match nothing)
+            raise ValueError(f"Unsupported top-level operator: {key}")
         elif isinstance(value, Mapping):
             field_val = md.get(key)
             for op, rhs in value.items():
                 if not _eval_leaf(field_val, op, rhs):
                     return False
         else:
-            if md.get(key) != value:
+            # implicit-$eq shorthand routes through the SAME typed
+            # equality as explicit $eq: Python's True == 1 must not
+            # make interpret mode match rows compile mode rejects
+            if not _json_eq(md.get(key), value):
                 return False
     return True
 
@@ -294,7 +335,17 @@ def _json_eq(val: Any, rhs: Any) -> bool:
     return isinstance(val, str) and val == rhs
 
 
+_LEAF_OPS = frozenset(
+    ("$exists", "$in", "$nin", "$eq", "$ne", "$gt", "$gte", "$lt", "$lte")
+)
+
+
 def _eval_leaf(val: Any, op: str, rhs: Any) -> bool:
+    # validate the operator BEFORE the absent-field short-circuit: an
+    # unknown op must raise for every row (compiled-path contract), not
+    # only for rows that happen to carry the field
+    if op not in _LEAF_OPS:
+        raise ValueError(f"Unsupported filter operator: {op}")
     if op == "$exists":
         return (val is not None) == bool(rhs)
     if op == "$in":
@@ -467,7 +518,10 @@ def ann_lsh_topk(
             F.col(doc_id_col),
             (
                 dot_product(doc_vector_col, query_vector_col)
-                / (F.col("_dnorm") * F.col("_qnorm"))
+                / (
+                    F.greatest(F.col("_dnorm"), F.lit(1e-30))
+                    * F.greatest(F.col("_qnorm"), F.lit(1e-30))
+                )
             ).alias("score"),
         )
         .groupBy(query_id_col, doc_id_col)
@@ -753,7 +807,10 @@ def lsh_index_topk(
             F.col(id_col),
             (
                 dot_product("vector", "_qvec")
-                / (F.col("norm") * F.col("_qnorm"))
+                / (
+                    F.greatest(F.col("norm"), F.lit(1e-30))
+                    * F.greatest(F.col("_qnorm"), F.lit(1e-30))
+                )
             ).alias("score"),
         )
     )

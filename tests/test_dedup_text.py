@@ -537,3 +537,24 @@ def test_mh_probe_session_same_rows_as_plain_probe(spark, mh_index):
     with minhash_probe_session(spark, path, batch, threshold=0.5) as out:
         managed = sorted(map(tuple, out.collect()))
     assert managed == plain
+
+
+def test_rolling_shingles_large_k_no_ansi_overflow(spark):
+    """shingle_k >= 8 overflowed the long accumulator under ANSI (the
+    modulus was applied only after the full fold) and killed the job;
+    per-step reduction is congruent mod p so k <= 7 hashes are
+    unchanged while any k now works (r10 review, runtime-confirmed)."""
+    from pinecone_datasets_spark.operators.dedup import (
+        minhash_signatures,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog again"),
+         (2, "completely different words across this row \U0001F600")],
+        "doc_id long, text string",
+    )
+    for k in (8, 12):
+        out = minhash_signatures(
+            df, num_hashes=4, shingle_k=k, hash_fn="rolling"
+        ).collect()
+        assert len(out) == 2 and all(len(r["signature"]) == 4 for r in out)

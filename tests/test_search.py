@@ -193,3 +193,103 @@ def test_ann_lsh_recall(spark, docs_df, queries_df, vectors):
         got = by_q.get(qi, set())
         recalls.append(len(exact & got) / 5)
     assert sum(recalls) / len(recalls) >= 0.6, recalls
+
+
+def test_zero_vector_scores_zero_not_divide_by_zero(spark):
+    """A zero document vector (failed embedding / padding) must score
+    0.0 under cosine, not raise DIVIDE_BY_ZERO under Spark 4's default
+    ANSI mode and kill the job (r10 review, runtime-confirmed)."""
+    docs = spark.createDataFrame(
+        [("d0", [0.0, 0.0]), ("d1", [1.0, 0.0])],
+        "id string, values array<double>",
+    )
+    qs = spark.createDataFrame(
+        [("q0", [1.0, 0.0])], "query_id string, vector array<double>"
+    )
+    got = {
+        r["id"]: r["score"]
+        for r in topk_search(
+            docs, qs, metric="cosine", k=2, metadata_col=None
+        ).collect()
+    }
+    assert got["d1"] == pytest.approx(1.0)
+    assert got["d0"] == pytest.approx(0.0)
+
+
+def test_null_top_k_defaults_to_five(spark):
+    """A NULL top_k cell must back-fill the declared default (5) like a
+    missing column does — rank <= NULL silently returned ZERO rows for
+    that query (r10 review, runtime-confirmed)."""
+    docs = spark.createDataFrame(
+        [(f"d{i}", [float(i), 1.0]) for i in range(8)],
+        "id string, values array<double>",
+    )
+    qs = spark.createDataFrame(
+        [("q0", [1.0, 0.0], None), ("q1", [1.0, 0.0], 2)],
+        "query_id string, vector array<double>, top_k int",
+    )
+    out = topk_search(docs, qs, metric="cosine", metadata_col=None)
+    counts = {
+        r["query_id"]: r["n"]
+        for r in out.groupBy("query_id").count().withColumnRenamed(
+            "count", "n"
+        ).collect()
+    }
+    assert counts == {"q0": 5, "q1": 2}
+
+
+def test_interpret_mode_typed_equality_matches_compile(spark):
+    """The implicit-$eq shorthand must use the typed JSON equality in
+    BOTH modes: {'x': 1} must NOT match metadata {'x': true} in
+    interpret mode (Python's True == 1) when compile mode rejects it
+    (r10 review, runtime-confirmed divergence)."""
+    docs = spark.createDataFrame(
+        [
+            ("bool", [1.0, 0.0], '{"x": true}'),
+            ("int", [1.0, 0.0], '{"x": 1}'),
+        ],
+        "id string, values array<double>, metadata string",
+    )
+    qs = spark.createDataFrame(
+        [("q0", [1.0, 0.0], '{"x": 1}')],
+        "query_id string, vector array<double>, filter string",
+    )
+    for mode in ("compile", "interpret"):
+        ids = {
+            r["id"]
+            for r in topk_search(
+                docs,
+                qs,
+                metric="cosine",
+                k=5,
+                apply_stored_filters=True,
+                stored_filter_mode=mode,
+            ).collect()
+        }
+        assert ids == {"int"}, mode
+
+
+def test_interpret_mode_rejects_malformed_like_compile(spark):
+    """Unknown operators and $-prefixed top-level keys must raise in
+    interpret mode for EVERY row — not only rows carrying the field —
+    and regardless of field presence (r10 review)."""
+    from pinecone_datasets_spark.operators.search import (
+        _eval_filter,
+    )
+
+    with pytest.raises(ValueError, match="Unsupported filter operator"):
+        _eval_filter({"price": {"$gt_typo": 5}}, {})  # field ABSENT
+    with pytest.raises(ValueError, match="Unsupported top-level"):
+        _eval_filter({"$not": {"x": 1}}, {"x": 1})
+
+
+def test_apply_stored_filters_requires_filter_column(spark):
+    docs = spark.createDataFrame(
+        [("d0", [1.0], '{"x": 1}')],
+        "id string, values array<double>, metadata string",
+    )
+    qs = spark.createDataFrame(
+        [("q0", [1.0])], "query_id string, vector array<double>"
+    )
+    with pytest.raises(ValueError, match="no 'filter' column"):
+        topk_search(docs, qs, k=1, apply_stored_filters=True)
