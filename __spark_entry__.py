@@ -7087,8 +7087,9 @@ WITH RECURSIVE t AS (
            ORDER BY n_tokens, doc_id)::BIGINT AS rank_in_bucket
   FROM bk
 ), warr AS (
+  -- ORIGINAL-case words: chunk_text preserves document casing (r10)
   SELECT doc_id,
-         list_filter(string_split_regex(lower(trim(text)), '[ \\t\\n\\r\\f\\x0B]+'),
+         list_filter(string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+'),
                      x -> len(x) > 0) AS w
   FROM documents
 ), rag0 AS (

@@ -44,10 +44,18 @@ def mixture_edges(
     availability. ``edge = floor(min(1, budget*w/tokens) * BUCKETS)`` —
     floor (not round) so the arithmetic is identical in any IEEE-754
     engine. Driver-side collect is one row per domain (bounded)."""
+    import math as _math
+
     if not weights:
         raise ValueError("weights must name at least one domain")
-    if any(w < 0 for w in weights.values()):
-        raise ValueError(f"weights must be >= 0: {dict(weights)}")
+    # isfinite: NaN passes `w < 0` (False) but poisons total_w, and
+    # Python's min(1.0, NaN) returns 1.0 — every rate silently uncaps
+    # and the token budget is ignored (r10 review; same guard
+    # interleave_by_weights has always had)
+    if any(not _math.isfinite(w) or w < 0 for w in weights.values()):
+        raise ValueError(
+            f"weights must be finite and >= 0: {dict(weights)}"
+        )
     total_w = float(sum(weights.values()))
     if total_w <= 0:
         raise ValueError("weights must sum to > 0")
@@ -60,7 +68,13 @@ def mixture_edges(
         )
         .collect()
     )
-    avail = {r[domain_col]: (int(r["n_docs"]), int(r["n_tokens"])) for r in rows}
+    # `or 0`: SUM over an all-NULL token column is NULL — that domain
+    # has zero countable tokens, which the edge-0 branch handles; an
+    # unguarded int(None) was an opaque driver TypeError (r10 review)
+    avail = {
+        r[domain_col]: (int(r["n_docs"]), int(r["n_tokens"] or 0))
+        for r in rows
+    }
     out: dict[str, tuple[int, int, int]] = {}
     for d, w in weights.items():
         n_docs, n_tokens = avail.get(d, (0, 0))
@@ -80,13 +94,18 @@ def domain_mixture_sample(
     token_col: str = "n_chars",
     key_col: str = "doc_id",
     seed: int = 7,
+    edges: "dict[str, tuple[int, int, int]] | None" = None,
 ) -> DataFrame:
     """Rows surviving the mixture draw: domain in ``weights`` and
-    ``bucket(seed, key) < edge_domain``. Map-only over the corpus."""
-    edges = mixture_edges(
-        documents, weights, token_budget,
-        domain_col=domain_col, token_col=token_col,
-    )
+    ``bucket(seed, key) < edge_domain``. Map-only over the corpus.
+    ``edges`` accepts a precomputed ``mixture_edges`` result so callers
+    that already hold one (``mixture_report``) don't pay the
+    scan+aggregate twice."""
+    if edges is None:
+        edges = mixture_edges(
+            documents, weights, token_budget,
+            domain_col=domain_col, token_col=token_col,
+        )
     edge_expr = None
     for d, (edge, _, _) in edges.items():
         cond = F.col(domain_col) == F.lit(d)
@@ -125,7 +144,7 @@ def mixture_report(
         domain_mixture_sample(
             documents, weights, token_budget,
             domain_col=domain_col, token_col=token_col,
-            key_col=key_col, seed=seed,
+            key_col=key_col, seed=seed, edges=edges,
         )
         .groupBy(domain_col)
         .agg(

@@ -246,7 +246,10 @@ def chunk_text(
     overlap). Returns one row per chunk:
     ``(id, chunk_idx, chunk_text, chunk_n_tokens)``; the final chunk may
     be short, a document shorter than one window yields exactly one
-    chunk, and an empty/whitespace document yields none.
+    chunk, and an empty/whitespace document yields none. ``chunk_text``
+    preserves the document's casing; whitespace runs (including
+    newlines) collapse to single spaces — the chunk is a
+    space-joined token window, not a byte slice.
 
     Map-only: the word array is materialized once per row (attribute
     column — Catalyst does not CSE into higher-order-function lambdas,
@@ -261,8 +264,14 @@ def chunk_text(
             f"overlap must be in [0, chunk_tokens): {overlap}"
         )
     stride = chunk_tokens - overlap
+    # ORIGINAL-case words: chunk boundaries depend only on whitespace
+    # splitting (case never changes token count), and the chunk text a
+    # RAG pipeline embeds and serves must be the document's own casing
+    # — the old F.lower here silently lowercased every served chunk
+    # (r10 review). Whitespace runs still collapse to single spaces
+    # (the join separator), which IS disclosed below.
     words = F.filter(
-        F.split(F.lower(F.trim(F.col(text_col))), WS_RUN),
+        F.split(F.trim(F.col(text_col)), WS_RUN),
         lambda w: F.length(w) > 0,
     )
     # chunk starts: 0, stride, 2*stride, ... while start < n_tokens
@@ -296,8 +305,12 @@ def chunk_text(
 
 def batch_summary(batches: DataFrame, batch_size: int) -> DataFrame:
     """Per-batch padding economics from a ``length_bucketed_batches``
-    layout: ``pad_efficiency`` = real tokens / (rows × padded length).
-    One small hash aggregate — the dashboard for choosing edges."""
+    layout: ``pad_efficiency`` = real tokens / (rows × padded length),
+    plus ``is_partial`` = fewer rows than the layout's ``batch_size``
+    (each bucket's tail batch; a partial batch wastes accelerator slots
+    even at perfect pad efficiency — the r10 review flagged the param
+    as previously accepted-but-unused). One small hash aggregate — the
+    dashboard for choosing edges."""
     return (
         batches.groupBy("bucket", "batch_id")
         .agg(
@@ -312,6 +325,9 @@ def batch_summary(batches: DataFrame, batch_size: int) -> DataFrame:
                 / (F.col("n_docs") * F.col("pad_len")),
                 4,
             ),
+        )
+        .withColumn(
+            "is_partial", F.col("n_docs") < F.lit(int(batch_size))
         )
     )
 

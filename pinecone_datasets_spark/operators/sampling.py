@@ -146,8 +146,10 @@ def leakage_safe_split(
       groups are the connected components, split key = the component's
       min id.
     * ``group_col`` — a precomputed group label (e.g. the exact-dedup
-      fingerprint): split key = the group's min id (one tiny aggregate,
-      broadcast back).
+      fingerprint): split key = the group's min id (one key-only
+      groupBy + join; rows with a NULL label are their OWN group —
+      collapsing them into one shared partition would route the entire
+      unlabeled majority of a corpus into a single split).
     * neither — plain ``hash_split`` (no duplicate knowledge).
 
     The split hashes the group REPRESENTATIVE's id, not the row's, so
@@ -167,12 +169,26 @@ def leakage_safe_split(
         rep = labels.select(
             F.col("node").alias(key_col), F.col("cluster_id").alias("__rep")
         )
-        keyed = df.join(F.broadcast(rep), key_col, "left").withColumn(
+        # no forced broadcast: the label frame is O(duplicated docs)
+        # — billions of rows on a high-dup web corpus; AQE broadcasts
+        # when it really is small (r10 review)
+        keyed = df.join(rep, key_col, "left").withColumn(
             "__rep", F.coalesce("__rep", F.col(key_col))
         )
     elif group_col is not None:
-        w = Window.partitionBy(group_col)
-        keyed = df.withColumn("__rep", F.min(key_col).over(w))
+        # key-only groupBy + join (the shape the docstring promises) —
+        # a min() over Window.partitionBy(group_col) shuffled the FULL
+        # corpus and funneled any skewed group through one task; NULL
+        # labels fall back to the row's own key instead of collapsing
+        # into one giant pseudo-group (r10 review)
+        reps = (
+            df.where(F.col(group_col).isNotNull())
+            .groupBy(group_col)
+            .agg(F.min(key_col).alias("__rep"))
+        )
+        keyed = df.join(reps, group_col, "left").withColumn(
+            "__rep", F.coalesce("__rep", F.col(key_col))
+        )
     else:
         keyed = df.withColumn("__rep", F.col(key_col))
     out = hash_split(
@@ -217,8 +233,10 @@ def weighted_sample(
     sampling: the key is map-side arithmetic, so the selection is a
     plain top-n.
 
-    Rows with null or non-positive weight are excluded (they have zero
-    sampling mass). With ``group_cols``, n rows per group via the
+    Rows with null, non-positive, or NaN weight are excluded (zero
+    sampling mass; Spark treats NaN as greater than any number AND as
+    the largest sort key, so an unfiltered NaN weight would both pass
+    ``w > 0`` and deterministically crowd out every legitimate row). With ``group_cols``, n rows per group via the
     ``WindowGroupLimit`` shape (shuffle carries ≤ n rows per task-group);
     without, a global ``TakeOrderedAndProject`` top-n (each task ships
     only its local top n). Deterministic for fixed (seed, keys), stable
@@ -229,7 +247,9 @@ def weighted_sample(
         raise ValueError(f"n must be positive: {n}")
     w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
     es = F.log(hash_unit(F.col(key_col), seed=seed)) / w
-    weighted = df.where(w.isNotNull() & (w > 0)).withColumn("_es", es)
+    weighted = df.where(
+        w.isNotNull() & ~F.isnan(w) & (w > 0)
+    ).withColumn("_es", es)
     if group_cols is not None:
         out = cap_per_group(
             weighted,

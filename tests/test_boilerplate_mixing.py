@@ -837,3 +837,20 @@ def test_remove_duplicated_sentence_spans_fully_stripped_is_empty_string(
     }
     assert out[1] == ("", 3) and out[2] == ("", 3)
     assert out[3][1] == 0
+
+
+def test_mixture_rejects_nan_weight_and_survives_null_tokens(spark):
+    """A NaN weight must be rejected up front (it silently uncapped
+    every rate: min(1.0, NaN) is 1.0 in Python), and an all-NULL token
+    column must yield the clean edge-0 path, not int(None) (r10
+    review)."""
+    from pinecone_datasets_spark.operators.mixing import mixture_edges
+
+    df = spark.createDataFrame(
+        [("web", 1, None), ("web", 2, None)],
+        "source string, doc_id long, n_chars long",
+    )
+    with pytest.raises(ValueError, match="finite"):
+        mixture_edges(df, {"web": float("nan")}, 100)
+    edges = mixture_edges(df, {"web": 1.0}, 100)
+    assert edges["web"] == (0, 2, 0)

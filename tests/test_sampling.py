@@ -332,3 +332,46 @@ def test_leakage_split_no_groups_equals_hash_split(spark, docs):
         leakage_safe_split(
             docs, {"x": 1.0}, dup_pairs=docs, group_col="lang"
         )
+
+
+def test_weighted_sample_excludes_nan_weights(spark):
+    """NaN weights pass `w > 0` in Spark (NaN compares greater) and
+    sort FIRST under desc — unfiltered they deterministically crowd out
+    every legitimate row (r10 review)."""
+    from pinecone_datasets_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(1, float("nan")), (2, float("nan")), (3, 1.0), (4, 2.0)],
+        "doc_id long, w double",
+    )
+    got = {r["doc_id"] for r in weighted_sample(df, 2, "w").collect()}
+    assert got == {3, 4}
+
+
+def test_leakage_safe_split_null_groups_stay_independent(spark):
+    """Rows with a NULL group label are their OWN group: collapsing
+    them into one window partition routed the entire unlabeled majority
+    into a single split (r10 review)."""
+    from pinecone_datasets_spark.operators.sampling import (
+        leakage_safe_split,
+    )
+
+    rows = [(i, None) for i in range(200)] + [(1000, "g"), (1001, "g")]
+    df = spark.createDataFrame(rows, "doc_id long, fp string")
+    out = leakage_safe_split(
+        df, {"train": 0.5, "test": 0.5}, group_col="fp"
+    )
+    by_split = {
+        r["split"]: r["n"]
+        for r in out.groupBy("split").count().withColumnRenamed(
+            "count", "n"
+        ).collect()
+    }
+    # unlabeled rows spread over BOTH splits (they would all land in
+    # one if NULLs collapsed into a shared group)
+    assert len(by_split) == 2 and min(by_split.values()) >= 50
+    # the labeled pair still travels together
+    g = {r["split"] for r in out.where("fp = 'g'").collect()}
+    assert len(g) == 1
