@@ -135,6 +135,17 @@ def semantic_dedup_pairs(
     — when set, a hot cell raises with its size instead of silently
     melting a reducer (raise ``bits`` or retrain the codebook; no
     silent truncation, ever). One extra tiny aggregate job when enabled.
+
+    **Behavior change (r10) / reproducibility caveat**: the default is
+    now ``bits=None`` (auto-sized via :func:`auto_bits`) instead of the
+    former pinned ``bits=6``. Auto-sizing is the scale-safe default —
+    pinned bits make within-cell pair work O(N²/C) with constant C —
+    but it makes cell ids (and therefore WHICH near-dup pairs fall in
+    the same cell) corpus-size-sensitive: growing the corpus across a
+    power-of-two boundary changes the partitioning. Callers that need
+    bit-stable results across corpus sizes (regression baselines,
+    incremental runs diffed against old output) should pin ``bits``
+    explicitly.
     """
     if cell_col is None:
         if bits is None:

@@ -94,7 +94,10 @@ def _load_manifest(path: str, missing_ok: bool = False, spark=None):
     except ValueError as e:
         if missing_ok:
             return None  # mid-write/corrupt: degrade the glob check
-        raise FileNotFoundError(
+        # ValueError, NOT FileNotFoundError (ADVICE r10): callers that
+        # catch FileNotFoundError to mean "absent" must not misclassify
+        # a corrupt/mid-write manifest as missing.
+        raise ValueError(
             f"use_manifest=True but manifest.json in {path} is not"
             f" valid JSON: {e}"
         )

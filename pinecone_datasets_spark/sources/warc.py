@@ -289,7 +289,11 @@ def read_warc(
         try:
             manifest = _json.loads(_mtext)
         except ValueError as exc:
-            raise FileNotFoundError(
+            # ValueError, NOT FileNotFoundError (ADVICE r10): absent
+            # and corrupt are different failure classes — callers
+            # catching FileNotFoundError to mean "absent" must not see
+            # a mid-write/corrupt manifest classified as missing.
+            raise ValueError(
                 f"use_manifest=True but manifest.json in {path} is"
                 f" not valid JSON: {exc}"
             )

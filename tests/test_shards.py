@@ -312,5 +312,7 @@ def test_corrupt_manifest_degrades_glob_read(spark, tmp_path):
     with open(os.path.join(path, "manifest.json"), "w") as fh:
         fh.write('{"commit": "manif')  # truncated mid-write
     assert read_token_shards(spark, path).count() == len(rows)
-    with pytest.raises(FileNotFoundError, match="manifest.json"):
+    # corrupt != absent (ADVICE r10): strict mode raises ValueError so
+    # a caller catching FileNotFoundError-as-absent can't misclassify
+    with pytest.raises(ValueError, match="not valid JSON"):
         read_token_shards(spark, path, use_manifest=True)

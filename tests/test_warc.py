@@ -5,6 +5,7 @@ text extraction."""
 from __future__ import annotations
 
 import gzip
+import os
 
 import pytest
 
@@ -434,3 +435,21 @@ def test_glob_mode_refuses_manifest_committed_directory(spark, tmp_path):
     path2 = str(tmp_path / "rdir")
     write_wet(df, path2, num_files=1)
     assert read_warc(spark, path2).records.count() > 0
+
+
+def test_warc_corrupt_manifest_strict_mode_valueerror(spark, tmp_path):
+    """ADVICE r10 (low): use_manifest=True on a PRESENT-but-corrupt
+    manifest.json raises ValueError, never FileNotFoundError — absent
+    and corrupt are different failure classes for callers that catch
+    FileNotFoundError to mean 'absent'."""
+    from pinecone_datasets_spark.sources.warc import read_warc, write_wet
+
+    df = spark.createDataFrame(
+        [("https://ex.com/a", "body a")], "url string, text string"
+    )
+    path = str(tmp_path / "cdir")
+    write_wet(df, path, num_files=1, commit="manifest")
+    with open(os.path.join(path, "manifest.json"), "w") as fh:
+        fh.write('{"commit": "manif')  # truncated mid-write
+    with pytest.raises(ValueError, match="not valid JSON"):
+        read_warc(spark, path, use_manifest=True)

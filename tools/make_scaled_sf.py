@@ -97,7 +97,22 @@ def _shift_replicate(
     return pa.concat_tables(parts)
 
 
-def _scale_documents(tbl: pa.Table, k_total: int) -> pa.Table:
+def _doc_vec_stride(src: str) -> int:
+    """ONE shared stride for the document/vector entity (ADVICE r10):
+    documents.doc_id and embeddings.vec_id key the same logical entity
+    in the fixtures (vec_id i embeds doc i), so replica-k vec_ids must
+    align with replica-k doc_ids. Deriving independent strides from
+    max(doc_id)+1 vs max(vec_id)+1 silently dangles the FK whenever
+    the two maxima differ — the exact class the ENTITY_OF refactor
+    fixed for the TPC-H keys."""
+    mx = 0
+    for tname, col in (("documents", "doc_id"), ("embeddings", "vec_id")):
+        tbl = pq.read_table(os.path.join(src, f"{tname}.parquet"), columns=[col])
+        mx = max(mx, int(pa.compute.max(tbl[col]).as_py()))
+    return mx + 1
+
+
+def _scale_documents(tbl: pa.Table, k_total: int, shift: int) -> pa.Table:
     doc_id = tbl["doc_id"].to_numpy(zero_copy_only=False)
     text = tbl["text"].to_pylist()
     lang = tbl["lang"].to_pylist()
@@ -105,7 +120,6 @@ def _scale_documents(tbl: pa.Table, k_total: int) -> pa.Table:
     n = len(text)
     words = [t.split(" ") for t in text]
     out_id, out_text, out_lang, out_src = [], [], [], []
-    shift = int(doc_id.max()) + 1
     for k in range(k_total):
         for i in range(n):
             if k == 0:
@@ -133,12 +147,11 @@ def _scale_documents(tbl: pa.Table, k_total: int) -> pa.Table:
     )
 
 
-def _scale_embeddings(tbl: pa.Table, k_total: int) -> pa.Table:
+def _scale_embeddings(tbl: pa.Table, k_total: int, shift: int) -> pa.Table:
     vec_id = tbl["vec_id"].to_numpy(zero_copy_only=False)
     emb = np.array(tbl["embedding"].to_pylist(), dtype=np.float64)
     label = tbl["label"].to_pylist()
     n = len(vec_id)
-    shift = int(vec_id.max()) + 1
     ids, vecs, labels = [], [], []
     for k in range(k_total):
         if k == 0:
@@ -165,15 +178,16 @@ def main() -> None:
     dst = sys.argv[3] if len(sys.argv) > 3 else "/tmp/spark_graft_sf1"
     os.makedirs(dst, exist_ok=True)
     strides = _entity_strides(src)
+    dv_stride = _doc_vec_stride(src)
     for name in (
         "region nation customer supplier part orders lineitem events "
         "documents embeddings"
     ).split():
         tbl = pq.read_table(os.path.join(src, f"{name}.parquet"))
         if name == "documents":
-            out = _scale_documents(tbl, k_total)
+            out = _scale_documents(tbl, k_total, dv_stride)
         elif name == "embeddings":
-            out = _scale_embeddings(tbl, k_total)
+            out = _scale_embeddings(tbl, k_total, dv_stride)
         elif name in KEY_SHIFTS:
             out = _shift_replicate(tbl, KEY_SHIFTS[name], k_total, strides)
         else:  # region/nation: fixed dimensions, never scaled
