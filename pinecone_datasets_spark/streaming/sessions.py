@@ -43,35 +43,48 @@ def _session_fn(gap_minutes: int, use_timeout: bool):
 
         (user_id,) = key
         rows = pd.concat(list(pdfs), ignore_index=True)
-        ts_us = (
-            rows["ts"].astype("int64") // 1000
-        ).sort_values().tolist()  # ns -> µs, event-time order
+        # NULL event times MUST be dropped before the ns->µs cast: NaT's
+        # int64 sentinel (-2^63) otherwise becomes a year-1677 "event"
+        # whose closing session overflows pd.to_datetime — one poison
+        # record would kill the whole streaming query (r11 fuzz).
+        ts = rows["ts"].dropna()
+        ts_us = (ts.astype("int64") // 1000).sort_values().tolist()
 
+        # Interval-merge sweep instead of a last_us-only fold: the open
+        # session from state is just another interval, and each event a
+        # point interval. Sorting by start and merging where the gap to
+        # the previous interval's END is <= gap handles out-of-order
+        # arrivals ACROSS micro-batches — the old fold set
+        # last_us = t unconditionally, so one late event regressed the
+        # session end and a following on-time event spuriously split
+        # the session (r11 fuzz). Late chains that bridge into the open
+        # session merge correctly for the same reason.
+        intervals = []
         if state.exists:
-            start_us, last_us, n_events = state.get
-        else:
-            start_us = last_us = None
-            n_events = 0
-
-        closed = []
-        for t in ts_us:
-            if start_us is None:
-                start_us, last_us, n_events = t, t, 1
-            elif t - last_us > gap_us:
-                closed.append((user_id, start_us, last_us, n_events))
-                start_us, last_us, n_events = t, t, 1
+            s0, e0, n0 = state.get
+            intervals.append((s0, e0, n0))
+        intervals.extend((t, t, 1) for t in ts_us)
+        intervals.sort()
+        merged: list = []
+        for s, e, n in intervals:
+            if merged and s - merged[-1][1] <= gap_us:
+                ms, me, mn = merged[-1]
+                merged[-1] = (ms, max(me, e), mn + n)
             else:
-                last_us = t
-                n_events += 1
+                merged.append((s, e, n))
 
+        closed = [(user_id, s, e, n) for s, e, n in merged[:-1]]
         if use_timeout and state.hasTimedOut:
-            if start_us is not None:
-                closed.append((user_id, start_us, last_us, n_events))
+            if merged:
+                s, e, n = merged[-1]
+                closed.append((user_id, s, e, n))
             state.remove()
-        else:
-            state.update((start_us, last_us, n_events))
+        elif merged:
+            state.update(merged[-1])
             if use_timeout:
                 state.setTimeoutDuration(gap_minutes * 60 * 1000)
+        # (merged empty = no prior state AND only-NULL timestamps this
+        # batch: leave the key stateless, nothing to emit)
 
         if closed:
             yield pd.DataFrame(

@@ -114,3 +114,200 @@ def test_entry_stream_sessions_cross_batch_state(spark, sf_dir):
         "offsets",
     )
     assert len(glob.glob(os.path.join(offsets, "*"))) >= 2
+
+
+# ---------------------------------------------------------------------------
+# r11 hostile-state fuzz (verdict item 4): the applyInPandasWithState
+# function is the one per-group Python crossing inside the hash gate —
+# NULL event times, out-of-order duplicates, cross-batch late arrivals,
+# and gap-boundary timestamps must not crash it or corrupt its state.
+# ---------------------------------------------------------------------------
+
+import pandas as pd
+
+from pinecone_datasets_spark.streaming.sessions import _session_fn
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for driving the state function
+    directly (the engine-level paths are covered by the tests above and
+    the q26 oracle; this pins per-call semantics precisely)."""
+
+    def __init__(self, value=None, timed_out=False):
+        self._v = value
+        self.hasTimedOut = timed_out
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+    def remove(self):
+        self._v = None
+
+    def setTimeoutDuration(self, ms):
+        pass
+
+
+def _us(s):
+    return int(pd.Timestamp(s).value // 1000)
+
+
+def _drive(fn, state, *ts_batches):
+    outs = []
+    for ts in ts_batches:
+        pdf = pd.DataFrame({"ts": pd.to_datetime(list(ts))})
+        for o in fn((7,), iter([pdf]), state):
+            outs.extend(o.itertuples(index=False))
+    return [tuple(r) for r in outs]
+
+
+def test_session_fn_null_ts_is_not_a_poison_pill():
+    """A NULL event time must be dropped, not cast: NaT's int64
+    sentinel (-2^63) previously became a year-1677 pseudo-event whose
+    closing session overflowed pd.to_datetime and KILLED the whole
+    streaming query (r11 fuzz, OutOfBoundsDatetime)."""
+    fn = _session_fn(30, False)
+    st = _FakeState()
+    closed = _drive(
+        fn, st, ["2024-01-01 10:00:00", None, "2024-01-01 10:05:00"]
+    )
+    assert closed == []
+    assert st.get == (_us("2024-01-01 10:00:00"), _us("2024-01-01 10:05:00"), 2)
+
+
+def test_session_fn_all_null_batch_stays_stateless():
+    fn = _session_fn(30, False)
+    st = _FakeState()
+    assert _drive(fn, st, [None, None]) == []
+    assert not st.exists
+
+
+def test_session_fn_late_event_does_not_regress_session_end():
+    """Cross-batch out-of-order: a late 10:05 event arriving after the
+    open session reaches 10:29 previously REGRESSED last_us to 10:05,
+    so an on-time 10:40 event (true gap 11 min) spuriously closed the
+    session with a corrupted end bound (r11 fuzz)."""
+    fn = _session_fn(30, False)
+    st = _FakeState()
+    closed = _drive(
+        fn,
+        st,
+        ["2024-01-01 10:00:00", "2024-01-01 10:29:00"],
+        ["2024-01-01 10:05:00"],  # late, inside the open session
+        ["2024-01-01 10:40:00"],  # on time: 11 min after true end
+    )
+    assert closed == []  # one session, still open
+    assert st.get == (_us("2024-01-01 10:00:00"), _us("2024-01-01 10:40:00"), 4)
+
+
+def test_session_fn_late_chain_bridges_into_open_session():
+    """Two late events where only the second is within gap of the open
+    session: the first closes as its own singleton session, the second
+    merges into the open session (interval sweep, not last_us fold)."""
+    fn = _session_fn(30, False)
+    st = _FakeState()
+    closed = _drive(
+        fn,
+        st,
+        ["2024-01-01 12:00:00"],
+        ["2024-01-01 11:00:00", "2024-01-01 11:45:00"],
+    )
+    assert closed == [
+        (
+            7,
+            pd.Timestamp("2024-01-01 11:00:00"),
+            pd.Timestamp("2024-01-01 11:00:00"),
+            1,
+        )
+    ]
+    assert st.get == (_us("2024-01-01 11:45:00"), _us("2024-01-01 12:00:00"), 2)
+
+
+def test_session_fn_gap_boundary_and_duplicates():
+    """gap == threshold stays one session (strict > split, matching the
+    batch twin); exact-duplicate timestamps each count as an event."""
+    fn = _session_fn(30, False)
+    st = _FakeState()
+    closed = _drive(
+        fn,
+        st,
+        [
+            "2024-01-01 10:00:00",
+            "2024-01-01 10:00:00",  # duplicate
+            "2024-01-01 10:30:00",  # exactly gap after first: same session
+            "2024-01-01 11:00:01",  # gap + 1s: splits
+        ],
+    )
+    assert closed == [
+        (
+            7,
+            pd.Timestamp("2024-01-01 10:00:00"),
+            pd.Timestamp("2024-01-01 10:30:00"),
+            3,
+        )
+    ]
+    assert st.get == (_us("2024-01-01 11:00:01"), _us("2024-01-01 11:00:01"), 1)
+
+
+def test_session_fn_timeout_closes_merged_open_session():
+    fn = _session_fn(30, True)
+    st = _FakeState(
+        value=(_us("2024-01-01 10:00:00"), _us("2024-01-01 10:10:00"), 3),
+        timed_out=True,
+    )
+    closed = _drive(fn, st, [])
+    assert closed == [
+        (
+            7,
+            pd.Timestamp("2024-01-01 10:00:00"),
+            pd.Timestamp("2024-01-01 10:10:00"),
+            3,
+        )
+    ]
+    assert not st.exists
+
+
+def test_streaming_sessions_null_ts_through_engine(spark, tmp_path_factory):
+    """Engine-level poison-pill regression: a NULL ts row in a real
+    micro-batch must not kill the query, and the non-null events must
+    still sessionize. (Function-level twin above pins the semantics;
+    this pins the wiring: schema, Arrow transport, state codec.)"""
+    src_dir = str(tmp_path_factory.mktemp("ev_nullts"))
+    rows = [
+        (1, "2024-01-01 10:00:00"),
+        (1, None),
+        (1, "2024-01-01 10:05:00"),
+        (1, "2024-01-01 11:00:00"),  # > gap: closes the first session
+        (2, None),  # a user with ONLY null ts
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts_s string").select(
+        "user_id", F.col("ts_s").cast("timestamp").alias("ts")
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(src_dir)
+
+    schema = spark.read.parquet(src_dir).schema
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    sessions = streaming_sessionize(stream, gap_minutes=30, use_timeout=False)
+    ckpt = str(tmp_path_factory.mktemp("ckpt_nullts"))
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("stream_sessions_nullts")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None, q.exception()
+    got = [
+        (r["user_id"], str(r["session_start"]), str(r["session_end"]), r["n_events"])
+        for r in spark.sql("SELECT * FROM stream_sessions_nullts").collect()
+    ]
+    assert got == [(1, "2024-01-01 10:00:00", "2024-01-01 10:05:00", 2)], got
