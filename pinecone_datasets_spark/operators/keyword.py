@@ -44,6 +44,22 @@ def _tokens(text_col: str) -> "F.Column":
     return F.split(F.lower(F.trim(F.col(text_col))), WS_RUN)
 
 
+_MAX_ISIN_LITERALS = 1000
+
+
+def _filtered_postings(postings, col, values, values_df):
+    """``postings WHERE col IN values`` — literal ``isin`` (pushed into
+    the parquet scan, row-group skipping on the term-sorted layout)
+    while the list is small; broadcast LEFT SEMI join on ``values_df``
+    once the list would bloat the Catalyst plan. (Lives here rather
+    than prf.py since r11: bm25_index_topk shares it — its literal IN
+    was previously unbounded, so a 10k-query batch produced tens of
+    thousands of literals and blew up analysis/codegen time.)"""
+    if len(values) <= _MAX_ISIN_LITERALS:
+        return postings.where(F.col(col).isin(values))
+    return postings.join(F.broadcast(values_df), col, "left_semi")
+
+
 def _tf_frames(docs: DataFrame, id_col: str, text_col: str):
     """(tf, dl, stats): the per-(doc, term) counts, per-doc lengths and
     corpus scalars every BM25 variant scores from. Build these ONCE per
@@ -179,11 +195,12 @@ def build_bm25_index(
 
     from ..fs import FS, join as _join
 
-    toks = docs.select(
-        F.col(id_col), F.explode(_tokens(text_col)).alias("term")
-    ).where(F.col("term") != "")
-    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    # reuse _tf_frames: same tokenize/tf/dl pipeline AND its widen()
+    # guard — the corpus tokenize explode is the build's dominant cost
+    # and an under-split input (one dense parquet file) would run it
+    # serially without the pre-split (r11 review: this body was an
+    # inline copy that omitted the guard)
+    tf, dl, stats = _tf_frames(docs, id_col, text_col)
     df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     postings = tf.join(dl, id_col).join(df_t, "term").select(
         "term", id_col, "tf", "dl", "df"
@@ -194,9 +211,7 @@ def build_bm25_index(
         .write.mode("overwrite")
         .parquet(path)
     )
-    row = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
-    ).collect()[0]
+    row = stats.collect()[0]
     FS(docs.sparkSession).write_text(
         _join(path, BM25_STATS_FILE),
         _json.dumps(
@@ -324,7 +339,12 @@ def bm25_index_topk(
         .distinct()
     )
     term_list = [r["term"] for r in qterms.select("term").distinct().collect()]
-    postings = spark.read.parquet(path).where(F.col("term").isin(term_list))
+    postings = _filtered_postings(
+        spark.read.parquet(path),
+        "term",
+        term_list,
+        qterms.select("term").distinct(),
+    )
     scored = (
         postings.join(F.broadcast(qterms), "term")
         .select(

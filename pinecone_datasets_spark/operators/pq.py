@@ -420,6 +420,10 @@ def build_ivfpq_index(
                 "cell_col": cell_col,
                 "code_col": code_col,
                 "doc_id_col": doc_id_col,
+                # pre-OPQ name: refine re-scores RAW vectors, so the
+                # search must select the column the index was built
+                # from, not assume "values" (r11 review)
+                "vector_col": orig_vector_col,
                 "centroids": cents.tolist(),
                 "codebooks": books.tolist(),
                 "opq_rotation": (
@@ -510,6 +514,26 @@ def ivfpq_index_topk(
     m, n_codes, dsub = books.shape
 
     qrows = queries.select(query_id_col, query_vector_col).collect()
+    if not qrows:
+        # an upstream filter matching nothing must yield an empty
+        # result frame, not a np.stack crash (r11 review)
+        from pyspark.sql import types as T
+
+        return spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField(
+                        query_id_col, queries.schema[query_id_col].dataType
+                    ),
+                    T.StructField(
+                        doc_id_col, coded.schema[doc_id_col].dataType
+                    ),
+                    T.StructField("score", T.DoubleType()),
+                    T.StructField("rank", T.IntegerType()),
+                ]
+            ),
+        )
     qmat = np.asarray(
         [np.asarray(r[query_vector_col], dtype=np.float64) for r in qrows]
     )
@@ -602,19 +626,22 @@ def ivfpq_index_topk(
     shortlist = ranked.where(F.col("rank") <= int(refine) * k).drop(
         "rank", "score"
     )
+    # the column the index was built from (pre-OPQ name); older
+    # sidecars lack the key, for which "values" was the only choice
+    doc_vec_col = meta.get("vector_col", "values")
     qvec_df = queries.select(query_id_col, query_vector_col)
     exact = (
         shortlist.join(
-            documents.select(doc_id_col, "values"), doc_id_col
+            documents.select(doc_id_col, doc_vec_col), doc_id_col
         )
         .join(F.broadcast(qvec_df), query_id_col)
         .select(
             F.col(query_id_col),
             F.col(doc_id_col),
             (
-                cosine_similarity("values", query_vector_col)
+                cosine_similarity(doc_vec_col, query_vector_col)
                 if metric == "cosine"
-                else dot_product("values", query_vector_col)
+                else dot_product(doc_vec_col, query_vector_col)
             ).alias("score"),
         )
     )

@@ -36,23 +36,29 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .keyword import _bm25_scores, _tf_frames, _tokens
+from .keyword import (
+    _bm25_scores,
+    _filtered_postings,
+    _tf_frames,
+    _tokens,
+)
 
 # Above this many values, a literal IN list stops being a cheap pushed
 # scan filter and starts bloating the Catalyst plan (large query sets:
 # Q·fb_k ids / Q·n_terms terms). Past it, filter via a broadcast
 # semi-join instead — no pushdown, but plan size stays O(1).
-_MAX_ISIN_LITERALS = 1000
-
-
-def _filtered_postings(postings, col, values, values_df):
-    """``postings WHERE col IN values`` — literal ``isin`` (pushed into
-    the parquet scan, row-group skipping on the term-sorted layout)
-    while the list is small; broadcast LEFT SEMI join on ``values_df``
-    once the list would bloat the plan."""
-    if len(values) <= _MAX_ISIN_LITERALS:
-        return postings.where(F.col(col).isin(values))
-    return postings.join(F.broadcast(values_df), col, "left_semi")
+def _validate_rm3(fb_k: int, n_terms: int, orig_weight: float) -> None:
+    """Shared by all three RM3 entry points: out-of-range parameters
+    (e.g. orig_weight=1.5) would otherwise produce silently-wrong
+    rankings — the interpolation turns expansion weights negative and
+    the weight>0 filter drops them without any error (r11 review: the
+    search paths skipped the validation rm3_query_model enforced)."""
+    if fb_k < 1:
+        raise ValueError(f"fb_k must be >= 1: {fb_k}")
+    if n_terms < 1:
+        raise ValueError(f"n_terms must be >= 1: {n_terms}")
+    if not (0.0 <= orig_weight <= 1.0):
+        raise ValueError(f"orig_weight must be in [0, 1]: {orig_weight}")
 
 
 def rm3_query_model(
@@ -71,12 +77,7 @@ def rm3_query_model(
     """The interpolated RM3 query model: ``(query_id, term, weight)``
     with weights summing to ~1 per query (exactly 1 when the original
     and expansion vocabularies are both non-empty)."""
-    if fb_k < 1:
-        raise ValueError(f"fb_k must be >= 1: {fb_k}")
-    if n_terms < 1:
-        raise ValueError(f"n_terms must be >= 1: {n_terms}")
-    if not (0.0 <= orig_weight <= 1.0):
-        raise ValueError(f"orig_weight must be in [0, 1]: {orig_weight}")
+    _validate_rm3(fb_k, n_terms, orig_weight)
     qid = query_id_col
     return _rm3_model_from_frames(
         *_tf_frames(docs, id_col, text_col),
@@ -303,6 +304,9 @@ def rm3_search(
     frame is unwelcome, the answer is not this operator —
     ``rm3_index_search`` reads a persisted index and never tokenizes at
     query time."""
+    _validate_rm3(fb_k, n_terms, orig_weight)
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
     tf, dl, stats = _tf_frames(docs, id_col, text_col)
     if materialize_model and persist_tf:
         from pyspark import StorageLevel
@@ -362,6 +366,9 @@ def rm3_index_search(
     rows — collected and re-planned as literals like every query-side
     artifact in this engine. Results match ``rm3_search`` on the same
     corpus bit-for-bit (equivalence-tested)."""
+    _validate_rm3(fb_k, n_terms, orig_weight)
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
     import json as _json
 
     from ..fs import FS, join as _join

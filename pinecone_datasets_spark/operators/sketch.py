@@ -53,6 +53,23 @@ def _u01(col: str) -> "F.Column":
     )
 
 
+def _reject_float_hash_col(df: DataFrame, col: str, fn: str) -> None:
+    """Every sketch here hashes ``CAST(col AS STRING)`` so the DuckDB
+    SQL twins can replay it bit-for-bit — but double→string formats
+    differently across engines (Java ``1.0E7`` vs DuckDB
+    ``10000000.0``), so a float/double column would silently produce a
+    DIFFERENT sketch than the twin with no error. ``quantile_sketch``
+    already fails loudly on this; the hash-based sketches must too
+    (r11 review)."""
+    vt = df.schema[col].dataType.simpleString()
+    if vt in ("float", "double"):
+        raise ValueError(
+            f"{fn}: hashing a {vt} column is not engine-portable"
+            " (double->string rendering differs across engines);"
+            " cast to string/long first or hash a non-float key column"
+        )
+
+
 def kmv_distinct(
     df: DataFrame,
     value_col: str,
@@ -74,6 +91,7 @@ def kmv_distinct(
         if isinstance(group_cols, str)
         else list(group_cols)
     )
+    _reject_float_hash_col(df, value_col, "kmv_distinct")
     hashed = (
         df.where(F.col(value_col).isNotNull())
         .select(*groups, _u01(value_col).alias("__u"))
@@ -181,6 +199,7 @@ def cm_sketch(
     """
     if depth < 1 or width < 2:
         raise ValueError(f"need depth >= 1, width >= 2; got {depth}, {width}")
+    _reject_float_hash_col(df, value_col, "cm_sketch")
     pairs = df.where(F.col(value_col).isNotNull()).select(
         F.col(value_col).cast("string").alias("__v"),
         F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row"),
@@ -210,6 +229,7 @@ def cm_estimate(
     a zero counter, hence the left join + coalesce — an unseen key
     estimates 0, not null.
     """
+    _reject_float_hash_col(keys, key_col, "cm_estimate")
     probes = keys.select(
         F.col(key_col),
         F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row"),
@@ -295,8 +315,14 @@ def mg_heavy_hitters(
 
     ``err_bound`` rides on every row so downstream can decide whether
     the gap matters; ``min_share`` (fraction of total rows) filters the
-    merged output by the LOWER estimate — conservative: nothing above
-    the threshold is dropped, borderline items may survive.
+    merged output by the UPPER estimate (``est_count + err_bound``) —
+    conservative in the recall direction: since estimates undercount by
+    at most ``err_bound``, any value whose TRUE share meets the
+    threshold satisfies the filter, so nothing above the threshold is
+    dropped; borderline items whose true share is just below may
+    survive (check ``est_count``/``err_bound`` downstream to tighten).
+    Filtering by the lower estimate would silently drop true heavy
+    hitters undercounted by up to ``err_bound`` (r11 review).
 
     Output: (value_col, est_count, err_bound, n_total), value column
     keeping its input type.
@@ -377,7 +403,7 @@ def mg_heavy_hitters(
     )
     if min_share > 0.0:
         merged = merged.where(
-            F.col("est_count")
+            (F.col("est_count") + F.col("err_bound"))
             >= F.lit(min_share) * F.col("n_total")
         )
     return merged
@@ -444,6 +470,7 @@ def bloom_build(
             f"need n_bits >= {_BLOOM_WORD}, n_hashes >= 1; "
             f"got {n_bits}, {n_hashes}"
         )
+    _reject_float_hash_col(df, value_col, "bloom_build")
     pos = df.select(
         F.col(value_col).cast("string").alias("__v"),
         F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("__s"),
@@ -477,6 +504,7 @@ def bloom_might_contain(
     group (one row per distinct key comes back, mirroring
     ``cm_estimate``). A word the build never touched has no row — the
     left join's null word reads as all-zero."""
+    _reject_float_hash_col(probes, key_col, "bloom_might_contain")
     pr = probes.select(
         F.col(key_col),
         F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("__s"),
@@ -581,6 +609,7 @@ def hll_registers(
     """
     if not 4 <= p <= 16:
         raise ValueError(f"p must be in [4, 16], got {p}")
+    _reject_float_hash_col(df, value_col, "hll_registers")
     m = 1 << p
     rmax = 52 - p + 1  # rho when the whole suffix is zero
     groups = (

@@ -137,25 +137,14 @@ def stream_cm_sketch(
     hash, so snapshots stay DuckDB-replayable. Point estimates: run
     ``operators.sketch.cm_estimate`` over any emitted snapshot.
     """
-    from ..operators.sketch import _cm_bucket
+    # delegate to the batch operator, exactly like stream_hll_registers:
+    # the plan is identical (streaming-legal built-ins only), and a
+    # divergent inline copy could silently drift from the "equals batch
+    # cell-for-cell" contract if the batch hash or NULL handling ever
+    # changed (r11 review)
+    from ..operators.sketch import cm_sketch
 
-    if depth < 1 or width < 2:
-        raise ValueError(f"need depth >= 1, width >= 2; got {depth}, {width}")
-    # NULL values are dropped exactly like batch cm_sketch — the
-    # "equals batch cell-for-cell" contract (and the SQL twin's WHERE
-    # value IS NOT NULL) requires both sides to agree on NULL handling
-    pairs = stream.where(F.col(value_col).isNotNull()).select(
-        F.col(value_col).cast("string").alias("__v"),
-        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row"),
-    )
-    return (
-        pairs.select(
-            "row",
-            _cm_bucket(F.col("__v"), F.col("row"), width).alias("bucket"),
-        )
-        .groupBy("row", "bucket")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+    return cm_sketch(stream, value_col, depth, width)
 
 
 def stream_hll_registers(

@@ -221,3 +221,38 @@ def test_rrf_fuse_sums_and_ranks(spark):
 def test_rrf_fuse_requires_input(spark):
     with pytest.raises(ValueError):
         rrf_fuse([])
+
+
+def test_bm25_index_topk_semi_join_path_matches_literal(
+    spark, tmp_path, monkeypatch
+):
+    """r11 review: bm25_index_topk's literal term IN list was unbounded
+    (the plan-bloat pathology _MAX_ISIN_LITERALS exists for). It now
+    routes through _filtered_postings; forcing the broadcast-semi-join
+    branch must give identical results to the literal branch."""
+    from pinecone_datasets_spark.operators import keyword as kw
+
+    docs = spark.createDataFrame(
+        [
+            ("d1", "alpha beta gamma"),
+            ("d2", "beta gamma delta"),
+            ("d3", "epsilon zeta alpha"),
+        ],
+        "doc_id string, text string",
+    )
+    queries = spark.createDataFrame(
+        [("q1", "alpha beta"), ("q2", "delta zeta")],
+        "query_id string, query_text string",
+    )
+    path = str(tmp_path / "bm25_semi")
+    kw.build_bm25_index(docs, path)
+    lit = {
+        (r.query_id, r.doc_id, r.rank, round(r.score, 9))
+        for r in kw.bm25_index_topk(spark, path, queries, k=3).collect()
+    }
+    monkeypatch.setattr(kw, "_MAX_ISIN_LITERALS", 1)
+    semi = {
+        (r.query_id, r.doc_id, r.rank, round(r.score, 9))
+        for r in kw.bm25_index_topk(spark, path, queries, k=3).collect()
+    }
+    assert lit == semi and lit

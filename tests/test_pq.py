@@ -330,3 +330,41 @@ def test_train_pq_inplan_empty_codes_drop(spark):
     )
     assert all(np.isfinite(v).all() for _, _, v in [(s, c, np.asarray(v)) for s, c, v in books])
     assert codes.count() == 24
+
+
+def test_ivfpq_refine_honors_custom_vector_col(spark, corpus, qmat, tmp_path):
+    """r11 review: the refine path hardcoded documents."values" — an
+    index built with vector_col="embedding" then refined against the
+    same frame crashed with UNRESOLVED_COLUMN (or silently re-scored a
+    wrong column if one named "values" happened to exist)."""
+    ids, mat = qmat
+    renamed = corpus.select(
+        "id", F.col("values").alias("embedding")
+    )
+    path = str(tmp_path / "ivfpq_vc")
+    build_ivfpq_index(
+        renamed, path, n_centroids=4, m=8, n_codes=16,
+        vector_col="embedding",
+    )
+    queries = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in zip(ids[:5], mat[:5])],
+        "query_id long, vector array<double>",
+    )
+    refined = ivfpq_index_topk(
+        spark, path, queries, k=3, nprobe=4, refine=3, documents=renamed
+    )
+    assert refined.columns == ["query_id", "id", "score", "rank"]
+    assert refined.count() == 5 * 3
+
+
+def test_ivfpq_empty_queries_returns_empty_frame(spark, corpus, tmp_path):
+    """r11 review: an empty query frame (upstream filter matched
+    nothing) crashed np.stack instead of returning zero rows."""
+    path = str(tmp_path / "ivfpq_empty")
+    build_ivfpq_index(corpus, path, n_centroids=4, m=8, n_codes=16)
+    queries = spark.createDataFrame(
+        [], "query_id long, vector array<double>"
+    )
+    res = ivfpq_index_topk(spark, path, queries, k=3, nprobe=2)
+    assert res.columns == ["query_id", "id", "score", "rank"]
+    assert res.count() == 0

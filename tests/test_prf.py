@@ -117,3 +117,29 @@ def test_index_path_matches_inplan(spark, tmp_path):
     c = sorted((r.query_id, r.doc_id, round(r.score, 9), r.rank)
                for r in idx.collect())
     assert a == c
+
+
+def test_rm3_search_validates_parameters(spark):
+    """r11 review: the search entry points skipped rm3_query_model's
+    validation, so orig_weight=1.5 silently produced a non-RM3 ranking
+    (negative expansion weights dropped by the weight>0 filter)."""
+    docs, queries = _corpus(spark), _queries(spark)
+    with pytest.raises(ValueError, match="orig_weight"):
+        rm3_search(docs, queries, orig_weight=1.5)
+    with pytest.raises(ValueError, match="fb_k"):
+        rm3_search(docs, queries, fb_k=0)
+    with pytest.raises(ValueError, match="n_terms"):
+        rm3_search(docs, queries, n_terms=0)
+    with pytest.raises(ValueError, match="k must be"):
+        rm3_search(docs, queries, k=0)
+
+
+def test_rm3_index_search_validates_parameters(spark, tmp_path):
+    from pinecone_datasets_spark.operators.keyword import build_bm25_index
+    from pinecone_datasets_spark.operators.prf import rm3_index_search
+
+    docs, queries = _corpus(spark), _queries(spark)
+    path = str(tmp_path / "bm25_val")
+    build_bm25_index(docs, path)
+    with pytest.raises(ValueError, match="orig_weight"):
+        rm3_index_search(spark, path, queries, orig_weight=-0.1)

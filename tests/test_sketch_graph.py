@@ -164,10 +164,16 @@ def test_mg_min_share_keeps_everything_above_threshold(spark):
     rows = out.collect()
     got = {r["tok"] for r in rows}
     err = rows[0]["err_bound"] if rows else 0
-    # conservative: every token with true share > min_share + err/n kept
+    # the DOCUMENTED guarantee (r11 review fixed the filter to use the
+    # upper estimate): every token whose TRUE share meets the threshold
+    # is kept — no err/n slack needed
     for tok, true_n in exact.items():
-        if true_n / n_total > 0.01 + err / n_total:
-            assert tok in got, (tok, true_n / n_total)
+        if true_n / n_total >= 0.01:
+            assert tok in got, (tok, true_n / n_total, err)
+    # and the filter still prunes: anything kept has upper estimate
+    # over the threshold
+    for r in rows:
+        assert r["est_count"] + r["err_bound"] >= 0.01 * n_total
 
 
 def test_mg_exact_when_capacity_exceeds_keys(spark):

@@ -106,3 +106,41 @@ def test_bottomk_is_subset_and_deterministic(xs):
     assert [v for _, v in got] == [v for _, v in py_bottomk(list(xs), 32)]
     assert all(v in xs for _, v in got)
     assert len(got) == min(32, len(xs))
+
+
+def test_hash_sketches_reject_float_columns(spark):
+    """r11 review: every sketch hashes CAST(col AS STRING); double →
+    string renders differently in Spark vs DuckDB ('1.0E7' vs
+    '10000000.0'), so a float column silently broke the SQL-twin
+    reproducibility contract. quantile_sketch already failed loudly —
+    the hash-based sketches must too."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from pinecone_datasets_spark.operators.sketch import (
+        bloom_build,
+        bloom_might_contain,
+        cm_estimate,
+        cm_sketch,
+        hll_registers,
+        kmv_distinct,
+    )
+
+    dbl = spark.range(10).select((F.col("id") * 1.5).alias("v"))
+    with _pytest.raises(ValueError, match="not engine-portable"):
+        kmv_distinct(dbl, "v")
+    with _pytest.raises(ValueError, match="not engine-portable"):
+        hll_registers(dbl, "v")
+    with _pytest.raises(ValueError, match="not engine-portable"):
+        cm_sketch(dbl, "v")
+    with _pytest.raises(ValueError, match="not engine-portable"):
+        bloom_build(dbl, "v")
+    ints = spark.range(10).select(F.col("id").alias("v"))
+    sk = cm_sketch(ints, "v")
+    with _pytest.raises(ValueError, match="not engine-portable"):
+        cm_estimate(sk, dbl, "v")
+    bl = bloom_build(ints, "v")
+    with _pytest.raises(ValueError, match="not engine-portable"):
+        bloom_might_contain(bl, dbl, "v")
+    # long / string columns still work
+    assert kmv_distinct(ints, "v").count() == 1
