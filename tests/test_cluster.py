@@ -88,3 +88,91 @@ def test_cluster_representatives_keep_best(spark):
         ).collect()
     }
     assert reps == {1: (2, 3), 4: (4, 1), 5: (5, 1)}
+
+
+# --- r11: alternating small-star / large-star (Kiveris et al. SoCC'14) ---
+
+
+def test_star_matches_label_on_fixtures(spark, chain_pairs):
+    from pinecone_datasets_spark.operators.cluster import (
+        connected_components_star,
+    )
+
+    want = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(chain_pairs).collect()
+    }
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components_star(chain_pairs).collect()
+    }
+    assert got == want
+
+
+def test_star_matches_label_on_random_graph(spark):
+    import random
+
+    from pinecone_datasets_spark.operators.cluster import (
+        connected_components_star,
+    )
+
+    rng = random.Random(1311)
+    nodes = list(range(200))
+    rows = [
+        (rng.choice(nodes), rng.choice(nodes)) for _ in range(150)
+    ]
+    rows = [(a, b) for a, b in rows if a != b]
+    pairs = spark.createDataFrame(rows, "id_a long, id_b long")
+    want = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(pairs, max_iter=50).collect()
+    }
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components_star(pairs).collect()
+    }
+    assert got == want
+
+
+def test_star_collapses_planted_1000_node_path(spark):
+    """The case the star variant exists for (r10 verdict item 5): a
+    1000-node path has diameter 999, so min-label propagation would
+    need ~999 rounds (its default max_iter=20 leaves it unconverged) —
+    small-star/large-star must collapse it to one component within its
+    default O(log n) iteration budget."""
+    from pinecone_datasets_spark.operators.cluster import (
+        connected_components_star,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(999)], "id_a long, id_b long"
+    )
+    out = connected_components_star(pairs).collect()
+    assert len(out) == 1000
+    assert {r["cluster_id"] for r in out} == {0}
+    assert {r["node"] for r in out} == set(range(1000))
+
+
+def test_star_via_algorithm_param_and_strings(spark):
+    pairs = spark.createDataFrame(
+        [("b", "c"), ("a", "b"), ("x", "y"), ("c", "c")],
+        "id_a string, id_b string",
+    )
+    out = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(pairs, algorithm="star").collect()
+    }
+    assert out == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+    with pytest.raises(ValueError, match="algorithm"):
+        connected_components(pairs, algorithm="bogus")
+
+
+def test_dedup_clusters_star_passthrough(spark, chain_pairs):
+    df = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 4, 5, 10, 11, 100]], "doc_id long"
+    )
+    out = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup_clusters(df, chain_pairs, algorithm="star").collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 100: 100}
