@@ -5558,18 +5558,36 @@ def q37_q38_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return yearly.unionByName(seg).orderBy("part", "k1", "k2")
 
 
+#: q42_q52 twin cost bound (r10 verdict item 6): the DuckDB twin replays
+#: the transitive closure as a recursive CTE — single-threaded SQL that
+#: took 39 minutes at sf0.1 (5000 docs). Corpora at or below
+#: _Q42_FULL_COVERAGE_MAX docs replay IN FULL (the driver's sf0.01 gate,
+#: 500 docs, keeps complete coverage); larger corpora are bounded to the
+#: doc_id < _Q42_SLICE_CAP slice ON BOTH SIDES (Spark entry and twin),
+#: so the sf0.1 re-sweep stays hash-exact while its closure replay costs
+#: minutes, not most of an hour. The OPERATOR is never sliced — only
+#: this oracle entry's fixture; full-scale clustering is exercised by
+#: the bench legs and the scaling probe.
+_Q42_FULL_COVERAGE_MAX = 2000
+_Q42_SLICE_CAP = 1500
+
+
 def q42_q52_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash candidates → connected components → per-doc cluster label
     (q42) AND per-cluster representative (q52), from ONE clustering —
     r3's registry computed the minhash+closure twice with different
     bandings (19.7s + 13.7s at sf0.01); the shared frame is cached so the
-    heavy subtree runs once."""
+    heavy subtree runs once. At corpora above ``_Q42_FULL_COVERAGE_MAX``
+    docs the entry (and its twin, identically) bounds the fixture to
+    ``doc_id < _Q42_SLICE_CAP`` — see the constants' comment."""
     from pinecone_datasets_spark.operators.cluster import (
         cluster_representatives,
         dedup_clusters,
     )
 
     doc = _t(spark, sf_dir, "documents")
+    if doc.count() > _Q42_FULL_COVERAGE_MAX:
+        doc = doc.where(F.col("doc_id") < _Q42_SLICE_CAP)
     pairs = minhash_lsh_candidates(
         doc, num_hashes=8, bands=4, shingle_k=5, hash_fn="md5"
     )
@@ -6640,11 +6658,26 @@ ORDER BY id_a, id_b
 """
 
 
+#: DuckDB-side mirror of the q42 fixture bound: full corpus at/below
+#: _Q42_FULL_COVERAGE_MAX docs (the count subquery is a constant scalar,
+#: evaluated once), the doc_id slice above it — textually substituted
+#: for every `documents` reference in the q42_q52 twin so BOTH engines
+#: cluster the identical fixture.
+_Q42_SLICE_SUBQ = (
+    "(SELECT * FROM documents WHERE"
+    f" (SELECT count(*) FROM documents) <= {_Q42_FULL_COVERAGE_MAX}"
+    f" OR doc_id < {_Q42_SLICE_CAP})"
+)
+
+
 def _oracle_clusters_with_reps(num_hashes: int = 8, bands: int = 4,
                                k: int = 5) -> str:
     """q42_q52 twin: the recursive-CTE minhash clusters, then every doc
     row annotated with its cluster's representative (longest text, id
-    tiebreak) and member count — one clustering feeding both outputs."""
+    tiebreak) and member count — one clustering feeding both outputs.
+    Every ``documents`` reference is swapped for ``_Q42_SLICE_SUBQ`` so
+    the twin clusters exactly the (possibly bounded) fixture the Spark
+    entry uses."""
     clusters = _oracle_clusters(num_hashes, bands, k).replace(
         "ORDER BY d.doc_id", ""
     )
@@ -6662,7 +6695,16 @@ SELECT cl.doc_id, cl.cluster_id, r.doc_id AS rep_doc_id,
        r.n_members::BIGINT AS n_members
 FROM cl JOIN ranked r ON cl.cluster_id = r.cluster_id AND r.rk = 1
 ORDER BY cl.doc_id
-"""
+""".replace(
+        "FROM documents d",
+        f"FROM {_Q42_SLICE_SUBQ} d",
+    ).replace(
+        "JOIN documents d",
+        f"JOIN {_Q42_SLICE_SUBQ} d",
+    ).replace(
+        "FROM documents\n",
+        f"FROM {_Q42_SLICE_SUBQ} documents\n",
+    )
 
 
 def _base_oracle_sql() -> dict[str, str]:
