@@ -65,7 +65,11 @@ def asof_join(
             c for c in right.columns if c not in keys and c != right_ts
         ]
     if tiebreak is None:
-        tiebreak = right_cols[0]
+        # a right frame carrying ONLY keys + timestamp (e.g. "when did
+        # this key last update?") has no payload column to break ties
+        # with — fall back to the timestamp itself instead of
+        # IndexError-ing on right_cols[0] (r11 review)
+        tiebreak = right_cols[0] if right_cols else right_ts
     carried = list(dict.fromkeys([right_ts, *right_cols]))
 
     payload = F.struct(*[F.col(c) for c in carried])

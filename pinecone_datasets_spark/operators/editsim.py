@@ -47,8 +47,11 @@ def edit_distance_pairs(
     q: int = 3,
 ) -> DataFrame:
     """(id_a < id_b, distance) for every pair within ``max_distance``
-    Levenshtein edits. Strings shorter than ``q`` chars fall back to a
-    length-banded candidate block (their gram set is empty)."""
+    Levenshtein edits. Strings with at most ``q·max_distance`` distinct
+    grams (this includes everything shorter than ``q`` chars, whose
+    gram set is empty) fall back to a length-banded candidate block —
+    the prefix filter's pigeonhole guarantee needs ``q·d + 1`` distinct
+    grams to survive ``d`` edits."""
     if max_distance < 0:
         raise ValueError(f"max_distance must be >= 0: {max_distance}")
     if q < 1:
@@ -90,36 +93,52 @@ def edit_distance_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    # short strings (no q-grams) block by length band instead — their
-    # gram prefix is empty so the main filter can't see them
-    shorts = base.where(F.col("__len") < q).select("__id", "__len")
-    if max_distance > 0:
-        # non-equi length-band condition -> BroadcastNestedLoopJoin;
-        # pin the broadcast to the shorts side (strings < q chars are
-        # rare by construction) so the corpus stays on the streamed side
-        sa, sb = F.broadcast(shorts).alias("sa"), base.alias("sb")
-        short_cand = (
-            sa.join(
-                sb,
-                (F.col("sa.__id") != F.col("sb.__id"))
-                & (
-                    F.abs(F.col("sa.__len") - F.col("sb.__len"))
-                    <= max_distance
-                ),
-            )
-            .select(
-                F.least(
-                    F.col("sa.__id"), F.col("sb.__id")
-                ).alias("id_a"),
-                F.greatest(
-                    F.col("sa.__id"), F.col("sb.__id")
-                ).alias("id_b"),
-            )
-            .dropDuplicates(["id_a", "id_b"])
+    # GRAM-POOR strings fall back to a length-banded candidate block.
+    # The pigeonhole guarantee needs >= q·d + 1 DISTINCT grams — d
+    # edits destroy at most q·d grams, so a string with fewer can lose
+    # its entire gram set and share nothing with a true near-neighbor
+    # (r11 review: the original fallback only covered length < q, so
+    # e.g. 'abcde'/'azcze' at distance 2 with zero common 3-grams were
+    # silently missed; note distinct-gram count, not length, is the
+    # right test — 'aaaa…a' of ANY length has ONE distinct gram). At
+    # max_distance=0 the band still covers gramless (< q char) strings,
+    # whose identical twins the gram join cannot see (r11 review: the
+    # old `if max_distance > 0` guard skipped them entirely).
+    gcnt = grams.groupBy("__id").agg(F.count(F.lit(1)).alias("__ng"))
+    shorts = (
+        base.join(gcnt, "__id", "left")
+        .where(
+            F.coalesce(F.col("__ng"), F.lit(0))
+            <= F.lit(int(q * max_distance))
         )
-        cand = cand.unionByName(short_cand).dropDuplicates(
-            ["id_a", "id_b"]
+        .select("__id", "__len")
+    )
+    # non-equi length-band condition -> BroadcastNestedLoopJoin; pin
+    # the broadcast to the shorts side (gram-poor strings are rare in
+    # natural text) so the corpus stays on the streamed side
+    sa, sb = F.broadcast(shorts).alias("sa"), base.alias("sb")
+    short_cand = (
+        sa.join(
+            sb,
+            (F.col("sa.__id") != F.col("sb.__id"))
+            & (
+                F.abs(F.col("sa.__len") - F.col("sb.__len"))
+                <= max_distance
+            ),
         )
+        .select(
+            F.least(
+                F.col("sa.__id"), F.col("sb.__id")
+            ).alias("id_a"),
+            F.greatest(
+                F.col("sa.__id"), F.col("sb.__id")
+            ).alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    cand = cand.unionByName(short_cand).dropDuplicates(
+        ["id_a", "id_b"]
+    )
     la = base.select(
         F.col("__id").alias("id_a"),
         F.col("__t").alias("__ta"),

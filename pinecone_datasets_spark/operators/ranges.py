@@ -51,6 +51,10 @@ def range_join(
     """
     if lower_us > upper_us:
         raise ValueError(f"lower_us ({lower_us}) > upper_us ({upper_us})")
+    # coerce to int: the docstring's own -300e6 example is a float, and
+    # a float literal in the bucket expression makes SQL `div` fail
+    # analysis (IntegralDivide rejects double operands) — r11 review
+    lower_us, upper_us = int(lower_us), int(upper_us)
     keys = [on] if isinstance(on, str) else list(on)
     width = max(upper_us - lower_us, 1)
 

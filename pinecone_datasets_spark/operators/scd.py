@@ -54,7 +54,13 @@ def changelog_apply(
         .drop("__rn")
     )
     if op_col is not None:
-        latest = latest.where(~F.col(op_col).isin(*delete_ops))
+        # NULL-safe: feeds that only tag deletes leave op NULL on
+        # upserts; a bare NOT IN evaluates to NULL there and WHERE
+        # silently dropped the entire snapshot (r11 review). Only an
+        # EXPLICIT delete op drops a row.
+        latest = latest.where(
+            F.col(op_col).isNull() | ~F.col(op_col).isin(*delete_ops)
+        )
     return latest
 
 
@@ -90,11 +96,18 @@ def scd2_history(
     w = Window.partitionBy(*key_list).orderBy(*order)
 
     # First row per key must survive even if its state is null-equal to
-    # the (absent) predecessor: detect it via lag(ts) IS NULL.
-    first_row = F.lag(ts_col).over(w).isNull()
-    changes = changelog.withColumn(
-        "__chg", first_row | _any_change(states, w)
-    ).where(F.col("__chg"))
+    # the (absent) predecessor. row_number()==1, NOT lag(ts).isNull():
+    # with a NULL ts in the changelog (sorted first), the row AFTER it
+    # also saw lag(ts) NULL and was kept despite an unchanged state —
+    # duplicate validity intervals (r11 review).
+    changes = (
+        changelog.withColumn("__rn", F.row_number().over(w))
+        .withColumn(
+            "__chg", (F.col("__rn") == 1) | _any_change(states, w)
+        )
+        .where(F.col("__chg"))
+        .drop("__rn")
+    )
 
     out = (
         changes.withColumn(valid_from, F.col(ts_col))

@@ -81,11 +81,22 @@ def key_skew_profile(
     """Diagnostic: per-key row counts and share of total for the heaviest
     keys — the number you look at before choosing ``salts``."""
     keys = [on] if isinstance(on, str) else list(on)
-    total = df.count()
+    # total from the (tiny) per-key aggregate via an empty-frame window
+    # sum — the separate df.count() action scanned the full table a
+    # second time just for the denominator (r11 review)
+    from pyspark.sql import Window
+
     return (
         df.groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("n_rows"))
-        .withColumn("share", F.round(F.col("n_rows") / F.lit(total), 6))
+        .withColumn(
+            "share",
+            F.round(
+                F.col("n_rows")
+                / F.sum("n_rows").over(Window.partitionBy()),
+                6,
+            ),
+        )
         .orderBy(F.col("n_rows").desc(), *keys)
         .limit(top)
     )

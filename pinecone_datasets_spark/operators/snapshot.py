@@ -54,22 +54,32 @@ def snapshot_diff(
     digest instead (e.g. a stored content hash, skipping the text
     scan)."""
 
-    def fp(df: DataFrame, alias: str) -> DataFrame:
+    def fp(df: DataFrame, alias: str, marker: str) -> DataFrame:
         c: Column = (
             F.col(fingerprint_col)
             if fingerprint_col
             else doc_fingerprint(F.col(text_col))
         )
-        return df.select(F.col(id_col), c.alias(alias))
+        # presence marker, NOT fingerprint nullness: a present row with
+        # NULL text yields a NULL fingerprint, and deciding added/
+        # removed from the fingerprint misclassified it — a REMOVED
+        # null-text doc reported as 'added' in a takedown-audit surface
+        # (r11 review; same _observed-marker pattern as
+        # timeseries.gapfill)
+        return df.select(
+            F.col(id_col), c.alias(alias), F.lit(1).alias(marker)
+        )
 
-    j = fp(old, "old_fingerprint").join(
-        fp(new, "new_fingerprint"), id_col, "full_outer"
+    j = fp(old, "old_fingerprint", "__old_p").join(
+        fp(new, "new_fingerprint", "__new_p"), id_col, "full_outer"
     )
     status = (
-        F.when(F.col("old_fingerprint").isNull(), F.lit("added"))
-        .when(F.col("new_fingerprint").isNull(), F.lit("removed"))
+        F.when(F.col("__old_p").isNull(), F.lit("added"))
+        .when(F.col("__new_p").isNull(), F.lit("removed"))
         .when(
-            F.col("old_fingerprint") != F.col("new_fingerprint"),
+            # null-safe: NULL→'x' and 'x'→NULL are real content changes;
+            # NULL→NULL is unchanged
+            ~F.col("old_fingerprint").eqNullSafe(F.col("new_fingerprint")),
             F.lit("changed"),
         )
         .otherwise(F.lit("unchanged"))

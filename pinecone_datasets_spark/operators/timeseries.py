@@ -46,7 +46,15 @@ def gapfill(
     missing buckets carrying NULL values and ``is_gap = true``.
 
     ``series`` must already be aggregated to one row per (key, bucket)
-    — this operator fills holes, it does not re-aggregate."""
+    — this operator fills holes, it does not re-aggregate.
+
+    Observed buckets that do NOT land on the ``step`` grid anchored at
+    the key's min bucket (e.g. a 00:30 row under the default 1-hour
+    step) are KEPT as their own rows (``is_gap = false``) via the
+    full-outer join — the previous left join silently dropped their
+    values while reporting the neighboring grid rows as gaps (r11
+    review). If downstream needs strict regular spacing, re-bucket the
+    series to the step first."""
     if not value_cols:
         raise ValueError("value_cols must name at least one column")
     keys = list(key_cols or [])
@@ -66,7 +74,7 @@ def gapfill(
             )
         ).alias(bucket_col),
     )
-    joined = grid.join(series, keys + [bucket_col], "left")
+    joined = grid.join(series, keys + [bucket_col], "full_outer")
     return joined.select(
         *keys,
         bucket_col,

@@ -84,6 +84,13 @@ def zorder_value(
     buckets = []
     for c in cols:
         lo, hi = bounds[c]
+        if lo is None or hi is None:
+            # all-NULL clustered column: min/max collect as None and
+            # float(None) raised an opaque TypeError (r11 review).
+            # Treat like a constant column — every row lands in bucket
+            # 0 on this dimension, the same thing span<=0 does.
+            buckets.append(F.lit(0))
+            continue
         span = float(hi) - float(lo)
         if span <= 0:
             buckets.append(F.lit(0))

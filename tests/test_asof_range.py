@@ -196,3 +196,37 @@ def test_asof_join_matches_bruteforce(spark, lrows, rrows):
         ]
         want[i] = max(cands)[1] if cands else None
     assert got == want
+
+
+def test_asof_right_frame_with_only_keys_and_ts(spark):
+    """r11 review: right_cols defaults to [] when the right frame is
+    just (key, ts) — 'when did this key last update?' — and
+    right_cols[0] raised IndexError before any Spark work."""
+    from pinecone_datasets_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100), (1, 200)], "k long, lts long"
+    )
+    right = spark.createDataFrame(
+        [(1, 50), (1, 150)], "k long, rts long"
+    )
+    out = {
+        r["lts"]: r["rts_matched"]
+        for r in asof_join(left, right, "k", "lts", "rts").collect()
+    }
+    assert out == {100: 50, 200: 150}, out
+
+
+def test_range_join_accepts_float_bounds(spark):
+    """r11 review: the docstring's own example passes lower=-300e6 (a
+    float), which made the SQL div bucket expression fail analysis."""
+    from pinecone_datasets_spark.operators.ranges import range_join
+
+    left = spark.createDataFrame([(1, 1_000_000_000)], "k long, lts long")
+    right = spark.createDataFrame(
+        [(1, 800_000_000), (1, 1_200_000_000)], "k long, rts long"
+    )
+    out = range_join(
+        left, right, "k", "lts", "rts", lower_us=-300e6, upper_us=0.0
+    ).collect()
+    assert len(out) == 1 and out[0]["r_rts_us"] == 800_000_000

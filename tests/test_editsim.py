@@ -125,3 +125,80 @@ def test_no_cartesian_in_plan(spark, sf_dir):
         .toString()
     )
     assert "CartesianProduct" not in plan
+
+
+def test_gram_poor_strings_within_distance_are_found(spark):
+    """r11 review: the pigeonhole guarantee needs >= q*d+1 DISTINCT
+    grams. 'abcde' vs 'azcze' are at distance 2 but share zero 3-grams
+    — the old length<q fallback missed them entirely."""
+    from pinecone_datasets_spark.operators.editsim import edit_distance_pairs
+
+    df = spark.createDataFrame(
+        [(1, "abcde"), (2, "azcze")], "doc_id long, text string"
+    )
+    out = {
+        (r.id_a, r.id_b, r.distance)
+        for r in edit_distance_pairs(df, max_distance=2).collect()
+    }
+    assert out == {(1, 2, 2)}
+
+
+def test_repeated_char_strings_any_length_are_found(spark):
+    """'aaaaaaa' has ONE distinct 3-gram regardless of length, so two
+    edits can destroy its whole gram set — distinct-gram count, not
+    string length, decides the fallback band."""
+    from pinecone_datasets_spark.operators.editsim import edit_distance_pairs
+
+    df = spark.createDataFrame(
+        [(1, "aaaaaaa"), (2, "aabaaba")], "doc_id long, text string"
+    )
+    out = {
+        (r.id_a, r.id_b, r.distance)
+        for r in edit_distance_pairs(df, max_distance=2).collect()
+    }
+    assert (1, 2, 2) in out
+
+
+def test_identical_short_strings_at_distance_zero(spark):
+    """r11 review: max_distance=0 skipped the short-string fallback, so
+    identical <q-char strings were never paired."""
+    from pinecone_datasets_spark.operators.editsim import edit_distance_pairs
+
+    df = spark.createDataFrame(
+        [(1, "ab"), (2, "ab"), (3, "cd")], "doc_id long, text string"
+    )
+    out = {
+        (r.id_a, r.id_b, r.distance)
+        for r in edit_distance_pairs(df, max_distance=0).collect()
+    }
+    assert out == {(1, 2, 0)}
+
+
+def test_prefix_filter_still_lossless_vs_brute_force(spark):
+    """Sweep a small mixed corpus (short, repeated-char, and normal
+    strings) against brute force at several (q, d) settings."""
+    from pyspark.sql import functions as F
+
+    from pinecone_datasets_spark.operators.editsim import edit_distance_pairs
+
+    rows = [
+        (1, "abcde"), (2, "azcze"), (3, "abcdef"), (4, "abcxef"),
+        (5, "aaaa"), (6, "aaba"), (7, "xy"), (8, "xy"), (9, "xz"),
+        (10, "hello world"), (11, "hello world"), (12, "completely diff"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = df.select(F.col("doc_id").alias("id_a"), F.col("text").alias("ta"))
+    b = df.select(F.col("doc_id").alias("id_b"), F.col("text").alias("tb"))
+    for d in (0, 1, 2):
+        brute = {
+            (r.id_a, r.id_b, r.d)
+            for r in a.join(b, F.col("id_a") < F.col("id_b"))
+            .withColumn("d", F.levenshtein("ta", "tb"))
+            .where(F.col("d") <= d)
+            .collect()
+        }
+        got = {
+            (r.id_a, r.id_b, r.distance)
+            for r in edit_distance_pairs(df, max_distance=d).collect()
+        }
+        assert got == brute, (d, got ^ brute)

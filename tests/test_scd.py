@@ -112,3 +112,44 @@ def test_scd2_single_shuffle(changelog):
     exchanges = re.findall(r"\(\d+\) Exchange", plan)
     sorts = re.findall(r"\(\d+\) Sort", plan)
     assert len(exchanges) == 1 and len(sorts) == 1, plan
+
+
+def test_changelog_null_op_rows_survive(spark):
+    """r11 review: feeds that only tag deletes leave op NULL on
+    upserts; NOT isin(...) is NULL for them and WHERE dropped the whole
+    snapshot."""
+    from pinecone_datasets_spark.operators.scd import changelog_apply
+
+    rows = [
+        (1, 1, None, "a"),
+        (1, 2, None, "b"),
+        (2, 1, None, "x"),
+        (2, 2, "D", "x"),
+        (3, 1, "D", "y"),
+    ]
+    df = spark.createDataFrame(rows, "k long, seq long, op string, v string")
+    out = {
+        r["k"]: r["v"]
+        for r in changelog_apply(df, "k", "seq", op_col="op").collect()
+    }
+    assert out == {1: "b"}, out
+
+
+def test_scd2_first_row_detection_immune_to_null_ts(spark):
+    """r11 review: first-row detection via lag(ts).isNull() also fired
+    on the row AFTER a NULL-ts row, keeping an unchanged state as a
+    duplicate validity interval."""
+    from pinecone_datasets_spark.operators.scd import scd2_history
+
+    rows = [
+        (1, None, "a"),
+        (1, "2024-01-01 01:00:00", "a"),   # unchanged: must be dropped
+        (1, "2024-01-01 02:00:00", "b"),
+    ]
+    df = spark.createDataFrame(rows, "k long, ts_s string, state string").select(
+        "k", F.col("ts_s").cast("timestamp").alias("ts"), "state"
+    )
+    out = scd2_history(df, "k", "state", "ts").collect()
+    states = [(r["state"], r["ts"] is None) for r in sorted(out, key=lambda r: (r["ts"] is not None, r["ts"]))]
+    assert len(out) == 2, out            # NULL-ts 'a' row + the 'b' change
+    assert [s for s, _ in states] == ["a", "b"]

@@ -121,3 +121,31 @@ def test_domain_report_invariants(spark, rows):
         assert r.corpus_share == pytest.approx(r.n_docs / n, abs=1e-6)
         share_total += r.corpus_share
     assert share_total == pytest.approx(1.0, abs=1e-4)
+
+
+def test_null_text_rows_classified_by_presence_not_fingerprint(spark):
+    """r11 review: a present row with NULL text has a NULL fingerprint;
+    deciding added/removed from fingerprint nullness reported a REMOVED
+    null-text doc as 'added' (and a NULL->text transition as 'added'
+    instead of 'changed') — in a takedown-audit surface."""
+    from pinecone_datasets_spark.operators.snapshot import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, None), (2, None), (3, "same"), (4, None)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(2, "now text"), (3, "same"), (4, None), (5, None)],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["status"]
+        for r in snapshot_diff(old, new, include_unchanged=True).collect()
+    }
+    assert out == {
+        1: "removed",     # null-text doc really gone — NOT 'added'
+        2: "changed",     # NULL -> text is a content change
+        3: "unchanged",
+        4: "unchanged",   # NULL -> NULL
+        5: "added",
+    }, out

@@ -171,3 +171,29 @@ def test_fixture_events_roundtrip(spark, sf_dir):
     )
     assert joined.where(F.col("v") != F.col("v0")).count() == 0
     assert joined.count() == n_obs
+
+
+def test_gapfill_keeps_off_grid_observed_rows(spark):
+    """r11 review: an observed bucket off the step grid (00:30 under a
+    1-hour step anchored at 00:00) silently lost its values in the old
+    left join while neighbors reported is_gap=true."""
+    from pinecone_datasets_spark.operators.timeseries import gapfill
+
+    rows = [
+        ("2024-01-01 00:00:00", 1.0),
+        ("2024-01-01 00:30:00", 9.0),   # off-grid
+        ("2024-01-01 02:00:00", 3.0),
+    ]
+    df = spark.createDataFrame(rows, "b_s string, v double").select(
+        F.col("b_s").cast("timestamp").alias("bucket"), "v"
+    )
+    out = {
+        str(r["bucket"]): (r["v"], r["is_gap"])
+        for r in gapfill(df, "bucket", ["v"]).collect()
+    }
+    assert out == {
+        "2024-01-01 00:00:00": (1.0, False),
+        "2024-01-01 00:30:00": (9.0, False),   # kept, not a gap
+        "2024-01-01 01:00:00": (None, True),
+        "2024-01-01 02:00:00": (3.0, False),
+    }, out

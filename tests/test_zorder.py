@@ -146,3 +146,17 @@ def test_write_zordered_roundtrip_is_lossless(spark, tmp_path):
     assert sorted(tuple(r) for r in back.collect()) == sorted(
         tuple(r) for r in df.collect()
     )
+
+
+def test_zorder_all_null_column_treated_as_constant(spark):
+    """r11 review: an all-NULL clustered column collected (None, None)
+    bounds and float(None) raised an opaque TypeError."""
+    from pinecone_datasets_spark.operators.zorder import zorder_value
+
+    df = spark.createDataFrame(
+        [(1, None), (5, None), (9, None)], "a long, b double"
+    )
+    out = zorder_value(df, ["a", "b"]).collect()
+    assert len(out) == 3
+    zv = {r["a"]: r["zval"] for r in out}
+    assert zv[1] < zv[5] < zv[9]  # 'a' still orders; 'b' constant
