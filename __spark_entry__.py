@@ -9048,11 +9048,15 @@ cov AS (
 ),
 cvl AS (SELECT doc_id, list(cp) AS cps FROM cov GROUP BY doc_id),
 strip AS (
+  -- untouched marker mirrors the Spark side (r11): span-free docs
+  -- keep their ORIGINAL text verbatim; only stripped docs rebuild
+  -- from the surviving normalized positions
   SELECT wrd.doc_id,
          list_filter(words,
                      (x, i) -> NOT list_contains(
                        coalesce(cps, []::BIGINT[]), i)) AS kept,
-         len(words) AS n_words
+         len(words) AS n_words,
+         cvl.doc_id IS NULL AS untouched
   FROM wrd LEFT JOIN cvl USING (doc_id)
 ),
 sem AS (
@@ -9087,11 +9091,13 @@ SELECT 'spans', doc_id, CAST(s AS DOUBLE), CAST(e AS DOUBLE),
        CAST(e - s + 1 AS DOUBLE)
 FROM spans
 UNION ALL
-SELECT 'strip', doc_id, CAST(len(kept) AS DOUBLE),
+SELECT 'strip', st.doc_id, CAST(len(kept) AS DOUBLE),
        CAST(n_words - len(kept) AS DOUBLE),
-       CAST(('0x' || substr(md5(coalesce(array_to_string(kept, ' '), '')),
+       CAST(('0x' || substr(md5(CASE WHEN untouched THEN co.text
+                                 ELSE coalesce(array_to_string(kept, ' '), '')
+                                 END),
                             1, 8))::BIGINT AS DOUBLE)
-FROM strip
+FROM strip st JOIN corpus co ON st.doc_id = co.doc_id
 UNION ALL
 SELECT 'semantic', doc_id, mc, CAST(ng AS DOUBLE),
        CAST(CASE WHEN ng > 0 THEN 1 ELSE 0 END AS DOUBLE)
@@ -10241,7 +10247,9 @@ rep AS (
          sum(length(text)) AS total_chars,
          count(DISTINCT lang) AS n_langs,
          count(DISTINCT md5(regexp_replace(lower(trim(text)),
-                                           '[ \t\n\r\f\x0B]+', ' ', 'g'))) AS n_unique
+                                           '[ \t\n\r\f\x0B]+', ' ', 'g'))) AS n_unique,
+         count(md5(regexp_replace(lower(trim(text)),
+                                  '[ \t\n\r\f\x0B]+', ' ', 'g'))) AS n_fp
   FROM documents GROUP BY 1
 ),
 fpo AS (
@@ -10263,16 +10271,18 @@ fpn AS (
 ),
 dif AS (
   SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
-         CASE WHEN o.f IS NULL THEN 'added'
-              WHEN n.f IS NULL THEN 'removed'
-              WHEN o.f != n.f THEN 'changed'
+         CASE WHEN o.doc_id IS NULL THEN 'added'
+              WHEN n.doc_id IS NULL THEN 'removed'
+              WHEN o.f IS DISTINCT FROM n.f THEN 'changed'
               ELSE 'unchanged' END AS status,
          o.f AS old_f, n.f AS new_f
   FROM fpo o FULL OUTER JOIN fpn n ON o.doc_id = n.doc_id
 )
 SELECT 'domains' AS part, domain AS key,
        n_docs AS n1, n_unique AS n2, n_langs AS n3,
-       round(1.0 - CAST(n_unique AS DOUBLE) / n_docs, 6) AS d1,
+       CASE WHEN n_fp > 0
+            THEN round(1.0 - CAST(n_unique AS DOUBLE) / n_fp, 6)
+            ELSE 0.0 END AS d1,
        round(CAST(n_docs AS DOUBLE) / sum(n_docs) OVER (), 6) AS d2,
        CAST(total_chars AS VARCHAR) AS s1, CAST(NULL AS VARCHAR) AS s2
 FROM rep

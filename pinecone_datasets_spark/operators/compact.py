@@ -13,8 +13,13 @@ Plan shape: ONE distributed read → repartition (round-robin for plain
 compaction, ``repartitionByRange`` for clustered layout) → one write.
 Target file count derives from the measured input bytes, not a guess.
 The rewrite goes to a sibling temp directory first and swaps in only
-after the new directory's row count is verified equal — a crash leaves
-either the old or the new complete directory, never a mix.
+after the new directory's row count is verified equal. Crash safety
+(r11): a crash before the swap leaves the original untouched; a crash
+BETWEEN the two renames leaves the data complete in ``__pre_compact``
+(nothing at the live path), and the next run restores it before doing
+anything else; a crash after the swap leaves a stale backup the next
+run discards. No crash point loses data or leaves a mixed directory,
+and no stale state can wedge later compactions.
 """
 
 from __future__ import annotations
@@ -58,6 +63,20 @@ def compact_parquet_dir(
         )
     local = _local_path(norm)
 
+    tmp = local.rstrip("/") + "__compacting"
+    backup = local.rstrip("/") + "__pre_compact"
+    # Crash recovery BEFORE anything else (r11 review): a prior run
+    # dying between the two renames leaves the data stranded in
+    # __pre_compact with nothing at `local` — restore it; a prior run
+    # dying after the swap but before cleanup leaves a stale backup
+    # that would make this run's os.rename(local, backup) fail with
+    # ENOTEMPTY — drop it (the live dir is the one that counts).
+    if os.path.isdir(backup):
+        if not os.path.isdir(local):
+            os.rename(backup, local)
+        else:
+            shutil.rmtree(backup)
+
     parts = [
         os.path.join(dp, f)
         for dp, _, files in os.walk(local)
@@ -77,8 +96,6 @@ def compact_parquet_dir(
         else df.repartition(n_files)
     )
 
-    tmp = local.rstrip("/") + "__compacting"
-    backup = local.rstrip("/") + "__pre_compact"
     shutil.rmtree(tmp, ignore_errors=True)
     out.write.mode("overwrite").parquet(tmp)
 

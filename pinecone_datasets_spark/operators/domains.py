@@ -98,9 +98,11 @@ def domain_report(
 
     ``n_unique`` counts distinct exact-dedup fingerprints
     (``functions.text.doc_fingerprint``) so ``dup_rate = 1 -
-    n_unique/n_docs`` is the domain's internal exact-duplicate load —
-    boilerplate-heavy domains surface immediately. ``corpus_share`` is
-    the domain's fraction of all docs."""
+    n_unique / count(non-null fingerprints)`` is the domain's internal
+    exact-duplicate load — boilerplate-heavy domains surface
+    immediately (NULL-text docs carry no content evidence and are
+    excluded from the rate; 0.0 when a domain has no text at all).
+    ``corpus_share`` is the domain's fraction of all docs."""
     agg = (
         docs.select(
             F.col(domain_col).alias("domain"),
@@ -118,6 +120,12 @@ def domain_report(
                 else [F.lit(None).cast("long").alias("n_langs")]
             ),
             F.countDistinct("_fp").alias("n_unique"),
+            # non-null fingerprints only: countDistinct skips NULLs, so
+            # dividing by n_docs counted every NULL-text doc as a
+            # duplicate (an all-null-text domain read dup_rate=1.0) —
+            # absence of text is absence of evidence (r11 review; same
+            # stance as dedup_by_url)
+            F.count("_fp").alias("_n_fp"),
         )
     )
     # denominator over the aggregated frame (one row per domain), not a
@@ -132,9 +140,14 @@ def domain_report(
         ),
         "n_langs",
         "n_unique",
-        F.round(1.0 - F.col("n_unique") / F.col("n_docs"), round_to).alias(
-            "dup_rate"
-        ),
+        F.when(
+            F.col("_n_fp") > 0,
+            F.round(
+                1.0 - F.col("n_unique") / F.col("_n_fp"), round_to
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_rate"),
         F.round(F.col("n_docs") / total, round_to).alias("corpus_share"),
     )
 
@@ -242,7 +255,14 @@ def normalize_url(
     query = F.regexp_extract(c, _URL_SPLIT_PATTERN, 4)
 
     userinfo = F.regexp_extract(auth, r"^([^@]*@)", 1)
-    host = F.lower(F.regexp_extract(auth, r"^(?:[^@]*@)?([^:]*)", 1))
+    # bracketed alternative first: an IPv6 literal host ([::1],
+    # [2001:db8::1]) contains colons, so the bare [^:]* form truncated
+    # it at the first colon and collapsed DIFFERENT hosts to one
+    # canonical key — wrongful dedup deletion (r11 review; mirrored in
+    # normalize_url_sql)
+    host = F.lower(
+        F.regexp_extract(auth, r"^(?:[^@]*@)?(\[[^\]]*\]|[^:]*)", 1)
+    )
     if strip_www:
         host = F.regexp_replace(host, r"^www\.", "")
     port = F.regexp_extract(auth, r":([0-9]+)$", 1)
@@ -289,7 +309,11 @@ def normalize_url_sql(
     path = f"regexp_extract({u}, '{split}', 3)"
     query = f"regexp_extract({u}, '{split}', 4)"
     userinfo = f"regexp_extract({auth}, '^([^@]*@)', 1)"
-    host = f"lower(regexp_extract({auth}, '^(?:[^@]*@)?([^:]*)', 1))"
+    # same IPv6-literal alternative as normalize_url (r11 review)
+    host = (
+        f"lower(regexp_extract({auth},"
+        " '^(?:[^@]*@)?(\\[[^\\]]*\\]|[^:]*)', 1))"
+    )
     if strip_www:
         host = f"regexp_replace({host}, '^www\\.', '')"
     port = f"regexp_extract({auth}, ':([0-9]+)$', 1)"

@@ -109,8 +109,15 @@ def embedding_drift(
             F.abs(F.col("mean_b") - F.col("mean_c")) < 1e-12, F.lit(0.0)
         ).otherwise(F.lit(float(z_threshold)))
     )
+    # full outer, not inner (r11 review): a batch re-embedded at a
+    # DIFFERENT dimensionality — the model-upgrade scenario this module
+    # exists for — puts dims on only one side; an inner join dropped
+    # exactly those rows, so the grossest drift class (wrong embedding
+    # width) produced NO drifted rows. One-sided dims carry NULL stats
+    # for the missing side and drifted=1.
+    one_sided = F.col("n_c").isNull() | F.col("n_b").isNull()
     return (
-        c.join(b, "dim")
+        c.join(b, "dim", "full_outer")
         .select(
             F.col("dim").cast("long").alias("dim"),
             F.col("n_c").cast("long").alias("n_c"),
@@ -118,7 +125,12 @@ def embedding_drift(
             F.round("mean_c", round_to).alias("mean_c"),
             F.round("mean_b", round_to).alias("mean_b"),
             F.round("std_c", round_to).alias("std_c"),
-            F.round(z, round_to).alias("z"),
-            (F.abs(z) >= z_threshold).cast("long").alias("drifted"),
+            F.when(one_sided, F.lit(None).cast("double"))
+            .otherwise(F.round(z, round_to))
+            .alias("z"),
+            F.when(one_sided, F.lit(1))
+            .otherwise((F.abs(z) >= z_threshold).cast("long"))
+            .cast("long")
+            .alias("drifted"),
         )
     )

@@ -147,6 +147,7 @@ def _stage_flags(
     neardup_jaccard: Optional[float],
     benchmark: Optional[DataFrame],
     decontam_n: int,
+    neardup_max_df: Optional[int] = None,
 ) -> DataFrame:
     """Annotate every row with one boolean per curation stage. The
     join-based stages (dedup, near-dup, decontamination) become
@@ -171,13 +172,17 @@ def _stage_flags(
         kept_exact, ann[id_col] == F.col("__ke"), "left"
     ).withColumn("k_exact", F.col("__ke").isNotNull()).drop("__ke")
     # near-dup flag: smaller-id keep rule over verified Jaccard pairs
-    # (LSH-banded at scale — ngram_jaccard_pairs takes max_df; the
-    # verified-pair frame is tiny relative to N, broadcast)
+    # (the verified-pair frame is tiny relative to N, broadcast).
+    # neardup_max_df is the hot-shingle skew cap — without it a common
+    # shingle contributes d² self-join rows (r11 review: the comment
+    # claimed the knob existed but nothing plumbed it through)
     if neardup_jaccard is not None:
         drops = (
             ngram_jaccard_pairs(
                 df, threshold=neardup_jaccard,
                 text_col=text_col, id_col=id_col,
+                **({"max_df": neardup_max_df}
+                   if neardup_max_df is not None else {}),
             )
             .select(F.col("id_b").alias("__nd"))
             .distinct()
@@ -237,6 +242,7 @@ def curate_corpus_full(
     url_col: Optional[str] = None,
     sentence_span_n: Optional[int] = None,
     line_gates: Optional[dict] = None,
+    neardup_max_df: Optional[int] = None,
 ) -> DataFrame:
     """The full curation chain as ONE declarative composition:
     [URL-key dedup] → [C4 sentence-span removal] → [line gates] →
@@ -266,6 +272,13 @@ def curate_corpus_full(
     would read ~0 and ``mean_words_per_line`` would read the whole-doc
     word count, silently disabling the FineWeb/Gopher thresholds.
     """
+    if mixture_weights is not None and mixture_budget is None:
+        # fail BEFORE the corpus pass: domain_mixture_sample would
+        # otherwise crash on float(None) only after the full curation
+        # scan has already run (r11 review)
+        raise ValueError(
+            "mixture_weights requires mixture_budget (token budget)"
+        )
     if url_col is not None:
         from .domains import dedup_by_url
 
@@ -291,6 +304,7 @@ def curate_corpus_full(
     ann = _stage_flags(
         df, text_col, id_col, min_quality, min_words,
         max_boilerplate, neardup_jaccard, benchmark, decontam_n,
+        neardup_max_df=neardup_max_df,
     )
     kept = ann.where(
         F.col("k_exact")
@@ -328,6 +342,7 @@ def curation_funnel(
     neardup_jaccard: Optional[float] = None,
     benchmark: Optional[DataFrame] = None,
     decontam_n: int = 3,
+    neardup_max_df: Optional[int] = None,
 ) -> DataFrame:
     """Stage-by-stage survival counts for ``curate_corpus_full``'s gate
     order — the dashboard that says which stage is eating the corpus.
@@ -336,6 +351,7 @@ def curation_funnel(
     ann = _stage_flags(
         df, text_col, id_col, min_quality, min_words,
         max_boilerplate, neardup_jaccard, benchmark, decontam_n,
+        neardup_max_df=neardup_max_df,
     )
     stages = [
         ("exact_dedup", F.col("k_exact")),

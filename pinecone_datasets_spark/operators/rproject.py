@@ -72,6 +72,19 @@ def project_vectors(
 
     @F.pandas_udf(ArrayType(DoubleType()))
     def _proj(v: pd.Series) -> pd.Series:
+        # empty Arrow batches and NULL vector cells both crash
+        # np.stack (r11 review) — guard like every other Arrow kernel
+        # (functions/vector.py, lateinteraction.py); NULL in → NULL out
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        mask = v.notna()
+        if not mask.all():
+            out = pd.Series([None] * len(v), dtype=object)
+            if mask.any():
+                M = np.stack(v[mask].to_numpy())
+                P = M.astype(np.float64) @ R.T
+                out[mask] = list(P)
+            return out
         M = np.stack(v.to_numpy())  # (batch, dim)
         P = M.astype(np.float64) @ R.T  # one GEMM per Arrow batch
         return pd.Series(list(P))
@@ -159,7 +172,12 @@ def _rescore(
             doc_id_col,
             (
                 dot_product(F.col(doc_vector_col), F.col("__qvec"))
-                / (F.col("__dnorm") * F.col("__qnorm"))
+                # greatest(·, 1e-30): a zero vector raised ANSI
+                # DIVIDE_BY_ZERO (identity for nonzero norms) — same
+                # guard as every other cosine path (r11 review)
+                / F.greatest(
+                    F.col("__dnorm") * F.col("__qnorm"), F.lit(1e-30)
+                )
             ).alias("score"),
         )
     )

@@ -205,9 +205,12 @@ def strip_repeated_spans(
     """The corpus with every repeated span removed (ALL occurrences, as
     in Lee et al. — the repeated material itself is what's toxic to
     train on): ``(id, <original non-text cols...>, text, n_tokens_kept,
-    n_tokens_removed)`` where ``text`` is rebuilt from the surviving
-    word positions of the *normalized* token stream. Documents with no
-    repeated spans pass through with ``n_tokens_removed = 0``. Pass a
+    n_tokens_removed)``. Documents with no repeated spans pass through
+    with their ORIGINAL text untouched and ``n_tokens_removed = 0``;
+    documents that lost a span get ``text`` rebuilt from the surviving
+    word positions of the *normalized* token stream (the
+    representation the span indices are defined on — casing/whitespace
+    of stripped docs is normalized, untouched docs are verbatim). Pass a
     precomputed ``spans`` frame (``repeated_spans`` output, or any
     (id, span_start, span_end) table) to strip against it instead of
     re-deriving — the span-detect stage is the expensive one, and a
@@ -224,7 +227,11 @@ def strip_repeated_spans(
         ).alias("_spans")
     )
     passthrough = [c for c in df.columns if c != text_col]
-    words = df.select(*passthrough, _words(text_col).alias("_w"))
+    words = df.select(
+        *passthrough,
+        F.col(text_col).alias("_orig"),
+        _words(text_col).alias("_w"),
+    )
     joined = words.join(per_doc, id_col, "left")
     covered = lambda i: F.exists(  # noqa: E731 — 1-based position i
         F.col("_spans"), lambda sp: (sp["s"] <= i) & (i <= sp["e"])
@@ -234,9 +241,18 @@ def strip_repeated_spans(
     ).otherwise(
         F.filter(F.col("_w"), lambda wd, i: ~covered(i + F.lit(1)))
     )
+    # span-free docs keep their ORIGINAL text verbatim — the rebuild
+    # from normalized words destroyed casing/newlines corpus-wide for
+    # the (vast) untouched majority (r11 review). Docs that DID lose a
+    # span are rebuilt from the surviving normalized positions, which
+    # is the representation the span indices are defined on
+    # (documented asymmetry).
+    out_text = F.when(
+        F.col("_spans").isNull(), F.col("_orig")
+    ).otherwise(F.concat_ws(" ", kept))
     return joined.select(
         *passthrough,
-        F.concat_ws(" ", kept).alias(text_col),
+        out_text.alias(text_col),
         F.size(kept).cast("long").alias("n_tokens_kept"),
         (F.size("_w") - F.size(kept)).cast("long").alias(
             "n_tokens_removed"

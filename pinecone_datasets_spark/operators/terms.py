@@ -75,16 +75,24 @@ def tf_idf(
         .agg(F.count(F.lit(1)).alias("df"))
         .where(F.col("df") >= min_df)
     )
-    n_docs = df.count()
-    return term_counts.join(F.broadcast(doc_freq), "term").select(
-        F.col(id_col),
-        F.col("term"),
-        F.col("tf"),
-        F.col("df"),
-        (
-            F.col("tf")
-            * F.log((1.0 + float(n_docs)) / (1.0 + F.col("df")))
-        ).alias("tf_idf"),
+    # N rides along lazily as a broadcast single-row cross join (the
+    # unigram_logprob pattern) — df.count() here launched a full corpus
+    # scan at PLAN-CONSTRUCTION time, before any action on the result,
+    # and added an extra corpus pass per invocation (r11 review)
+    ndf = df.agg(F.count(F.lit(1)).cast("double").alias("__n_docs"))
+    return (
+        term_counts.join(F.broadcast(doc_freq), "term")
+        .crossJoin(F.broadcast(ndf))
+        .select(
+            F.col(id_col),
+            F.col("term"),
+            F.col("tf"),
+            F.col("df"),
+            (
+                F.col("tf")
+                * F.log((1.0 + F.col("__n_docs")) / (1.0 + F.col("df")))
+            ).alias("tf_idf"),
+        )
     )
 
 

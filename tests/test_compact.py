@@ -94,3 +94,33 @@ def test_compact_empty_dir_raises(spark, tmp_path):
     empty.mkdir()
     with pytest.raises(ValueError, match="No parquet files"):
         compact_parquet_dir(spark, str(empty))
+
+
+def test_compact_recovers_from_stale_backup_and_stranded_data(
+    spark, tmp_path
+):
+    """r11 review: a crash between the two swap renames stranded the
+    data in __pre_compact (nothing at the live path, next run raised
+    'No parquet files'); a crash after the swap left a stale backup
+    that wedged every later run with ENOTEMPTY."""
+    import os
+    import shutil
+
+    from pinecone_datasets_spark.operators.compact import compact_parquet_dir
+
+    path = str(tmp_path / "tbl")
+    spark.range(100).repartition(8).write.parquet(path)
+
+    # simulate crash-between-renames: data only in __pre_compact
+    os.rename(path, path + "__pre_compact")
+    n = compact_parquet_dir(spark, path, target_file_bytes=1 << 30)
+    assert n >= 1
+    assert spark.read.parquet(path).count() == 100
+    assert not os.path.exists(path + "__pre_compact")
+
+    # simulate crash-after-swap: stale backup next to a live dir
+    shutil.copytree(path, path + "__pre_compact")
+    n = compact_parquet_dir(spark, path, target_file_bytes=1 << 30)
+    assert n >= 1
+    assert spark.read.parquet(path).count() == 100
+    assert not os.path.exists(path + "__pre_compact")

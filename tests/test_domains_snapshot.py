@@ -370,3 +370,49 @@ def test_normalize_url_generated_parity_sweep(spark):
     once = df.select(normalize_url("url").alias("url"))
     twice = [r[0] for r in once.select(normalize_url("url")).collect()]
     assert twice == got
+
+
+def test_normalize_url_ipv6_hosts_stay_distinct(spark):
+    """r11 review: the [^:]* host regex truncated bracketed IPv6
+    literals at the first colon, collapsing DIFFERENT hosts to one
+    canonical key — wrongful dedup deletion."""
+    import duckdb
+
+    from pinecone_datasets_spark.operators.domains import (
+        normalize_url,
+        normalize_url_sql,
+    )
+
+    urls = ["http://[::1]/a", "http://[2001:db8::1]/a", "http://[::1]:8080/a"]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = [
+        r["n"] for r in df.select(normalize_url("url").alias("n")).collect()
+    ]
+    assert got == urls  # nothing to normalize: all distinct, intact
+    # SQL twin agrees
+    con = duckdb.connect()
+    sql = normalize_url_sql("url")
+    twin = [
+        con.execute(f"SELECT {sql} FROM (SELECT ? AS url)", [u]).fetchone()[0]
+        for u in urls
+    ]
+    assert twin == got
+
+
+def test_domain_report_null_text_not_counted_as_duplicate(spark):
+    """r11 review: countDistinct skips NULL fingerprints, so NULL-text
+    docs inflated dup_rate (an all-null domain read 1.0)."""
+    from pinecone_datasets_spark.operators.domains import domain_report
+
+    rows = (
+        [("a.com", "unique %d" % i) for i in range(5)]
+        + [("a.com", None)] * 5
+        + [("b.com", None)] * 3
+    )
+    df = spark.createDataFrame(rows, "source string, text string")
+    rep = {
+        r["domain"]: r["dup_rate"]
+        for r in domain_report(df, lang_col=None).collect()
+    }
+    assert rep["a.com"] == 0.0   # five uniques + five no-evidence rows
+    assert rep["b.com"] == 0.0   # no text at all: no dup evidence

@@ -81,3 +81,20 @@ def test_zero_variance_dimension(spark):
     assert ok == {0: 0, 1: 0}
     bad = {r["dim"]: r["drifted"] for r in embedding_drift(corpus, moved).collect()}
     assert bad == {0: 0, 1: 1}
+
+
+def test_drift_flags_dimension_mismatch(spark):
+    """r11 review: an inner join on dim silently dropped dimensions
+    present on only one side — a batch re-embedded at a different
+    width (the module's motivating scenario) produced NO drifted rows."""
+    corpus = spark.createDataFrame(
+        [([1.0, 2.0, 3.0, 4.0],)] * 6, "embedding array<double>"
+    )
+    batch = spark.createDataFrame(
+        [([1.0, 2.0],)] * 4, "embedding array<double>"
+    )
+    out = {r["dim"]: r for r in embedding_drift(corpus, batch).collect()}
+    assert set(out) == {0, 1, 2, 3}
+    assert out[2]["drifted"] == 1 and out[2]["n_b"] is None
+    assert out[3]["drifted"] == 1 and out[3]["n_b"] is None
+    assert out[0]["drifted"] == 0  # shared dims still compare normally

@@ -286,3 +286,43 @@ def test_line_gates_see_pre_rewrite_text(spark):
         line_gates={"max_dup_line_frac": 0.3},
     )
     assert sorted(r["doc_id"] for r in out.collect()) == [2]
+
+
+def test_mixture_weights_without_budget_fails_upfront(spark):
+    """r11 review: weights-without-budget crashed on float(None) deep
+    inside mixing, AFTER the full curation scan — it must fail before
+    any Spark work."""
+    import pytest as _pytest
+
+    from pinecone_datasets_spark.operators.pipeline import curate_corpus_full
+
+    df = spark.createDataFrame(
+        [(1, "some text here", "s0", 10)],
+        "doc_id long, text string, source string, n_chars long",
+    )
+    with _pytest.raises(ValueError, match="mixture_budget"):
+        curate_corpus_full(df, mixture_weights={"s0": 1.0})
+
+
+def test_neardup_max_df_is_plumbed_through(spark):
+    """r11 review: the comment claimed ngram_jaccard_pairs takes
+    max_df but nothing passed it; the hot-shingle cap must now be
+    settable from the pipeline entry points."""
+    from pinecone_datasets_spark.operators.pipeline import curation_funnel
+
+    text = "the quick brown fox jumps over the lazy dog again and again ok"
+    df = spark.createDataFrame(
+        [(i, text + f" tail{i}") for i in range(6)],
+        "doc_id long, text string",
+    )
+    # without the cap, near-identical texts get dropped as near-dups
+    base = curation_funnel(
+        df, min_words=3, min_quality=0.0, neardup_jaccard=0.2,
+    ).collect()[0]
+    assert base["n_neardup"] < base["n_exact_dedup"]
+    # max_df=1 drops every shared shingle -> no near-dup candidates
+    capped = curation_funnel(
+        df, min_words=3, min_quality=0.0,
+        neardup_jaccard=0.2, neardup_max_df=1,
+    ).collect()[0]
+    assert capped["n_neardup"] == capped["n_exact_dedup"] == 6

@@ -129,3 +129,36 @@ def test_projected_topk_validates_candidates(spark, emb_frames):
     docs, queries = emb_frames
     with pytest.raises(ValueError):
         projected_topk(docs, queries, k=10, candidates=5)
+
+
+def test_project_vectors_null_and_rescore_zero_vector(spark):
+    """r11 review: a NULL vector cell crashed np.stack in the
+    projection kernel, and a zero vector in the rescore stage raised
+    ANSI DIVIDE_BY_ZERO (the guard every other cosine path has)."""
+    from pinecone_datasets_spark.operators.rproject import (
+        project_vectors,
+        projected_topk,
+    )
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, None),
+        (4, [0.0, 0.0, 0.0, 0.0]),  # zero vector
+    ]
+    df = spark.createDataFrame(rows, "id long, values array<double>")
+    proj = {
+        r["id"]: r["proj"]
+        for r in project_vectors(df, "values", 4, 2).collect()
+    }
+    assert proj[3] is None and len(proj[1]) == 2
+
+    q = spark.createDataFrame(
+        [(10, [1.0, 0.0, 0.0, 0.0])], "query_id long, vector array<double>"
+    )
+    out = projected_topk(
+        df.where(F.col("values").isNotNull()), q, k=2, candidates=3,
+        dim=4, out_dim=2,
+    ).collect()
+    assert len(out) == 2  # no crash; zero vector scored, not fatal
+    assert out[0]["id"] == 1  # self-match ranks first

@@ -126,3 +126,26 @@ def test_bad_args(spark):
         repeated_spans(df, window=1)
     with pytest.raises(ValueError):
         repeated_spans(df, window=8, hash_fn="sha1")
+
+
+def test_span_free_docs_keep_original_text(spark):
+    """r11 review: docs with NO repeated spans were rebuilt from the
+    normalized (lowercased, whitespace-collapsed) word stream — a
+    corpus-wide quality regression for the untouched majority."""
+    from pinecone_datasets_spark.operators.spans import strip_repeated_spans
+
+    w = " ".join(f"w{i}" for i in range(16))
+    rows = [
+        (1, "Unique CASED\ttext  with   Structure kept verbatim here ok"),
+        (2, w + " MARKER one"),
+        (3, w + " MARKER two"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["text"], r["n_tokens_removed"])
+        for r in strip_repeated_spans(df, window=8).collect()
+    }
+    # untouched doc: byte-identical original text
+    assert out[1] == (rows[0][1], 0)
+    # stripped docs actually lost the repeated window
+    assert out[2][1] > 0 and out[3][1] > 0

@@ -171,3 +171,25 @@ def test_bigram_logprob_scrambled_text_scores_lower(spark):
         for r in bigram_logprob(df).collect()
     }
     assert big[1] > big[6]
+
+
+def test_tf_idf_is_lazy_no_plan_time_job(spark):
+    """r11 review: tf_idf ran a full df.count() at plan-construction
+    time. It must not launch ANY job until the result is acted on."""
+    from pinecone_datasets_spark.operators.terms import tf_idf
+
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or []) + len(
+        [j for j in (tracker.getJobIdsForGroup() or [])]
+    )
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "b c d")], "doc_id long, text string"
+    )
+    frame = tf_idf(df)  # plan only
+    after = len([j for j in (tracker.getJobIdsForGroup() or [])])
+    # no new jobs from building the plan (widen() may probe partitions
+    # lazily via semanticHash -> allow zero-job delta strictly)
+    rows = {(r["doc_id"], r["term"]): round(r["tf_idf"], 9) for r in frame.collect()}
+    import math
+    assert rows[(1, "a")] == round(math.log(3.0 / 2.0), 9)
