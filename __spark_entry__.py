@@ -872,8 +872,10 @@ def q31_stored_filter_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q32_sparse_dot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sparse vector search: dense embeddings sparsified (elements > 0.8,
-    1-based indices), scored with the map-based sparse dot product."""
+    """Sparse vector search: dense embeddings sparsified
+    (abs(element) > 0.8, 1-based indices — magnitude, so signed
+    components survive), scored with the map-based sparse dot
+    product."""
     from pinecone_datasets_spark.functions.vector import (
         dense_to_sparse,
         sparse_dot_product,
@@ -6572,8 +6574,8 @@ _FP = "md5(regexp_replace(lower(trim(text)), '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'))
 _ANNOTATE = """
 annotated AS (
   SELECT doc_id, lang,
-         (CASE WHEN trim(text) = '' THEN 0
-               ELSE len(trim(text)) - len(replace(trim(text), ' ', '')) + 1
+         (CASE WHEN trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g')) = '' THEN 0
+               ELSE len(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g'))) - len(replace(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g')), ' ', '')) + 1
           END)::BIGINT AS n_words,
          (CASE WHEN len(text) < 20 THEN len(text) / 20.0
                ELSE least(1.0, 2000.0 / greatest(len(text), 1)) END
@@ -6817,13 +6819,13 @@ ORDER BY doc_id
 """,
         "q13_text_stats": f"""
 SELECT doc_id,
-       CASE WHEN trim(text) = '' THEN 0
-            ELSE len(trim(text)) - len(replace(trim(text), ' ', '')) + 1
+       CASE WHEN trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g')) = '' THEN 0
+            ELSE len(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g'))) - len(replace(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g')), ' ', '')) + 1
        END::BIGINT AS n_words,
        greatest(
          ceil(len(text) / 4.0)::BIGINT,
-         (CASE WHEN trim(text) = '' THEN 0
-               ELSE len(trim(text)) - len(replace(trim(text), ' ', '')) + 1
+         (CASE WHEN trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g')) = '' THEN 0
+               ELSE len(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g'))) - len(replace(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g')), ' ', '')) + 1
           END)::BIGINT) AS n_tokens,
        n_chars,
        round(({_q13_entropy_sql}), 6) AS entropy
@@ -6832,8 +6834,8 @@ FROM documents
         "q14_corpus_stats": """
 SELECT lang, count(*) AS n_docs,
        round(avg(n_chars), 2) AS avg_chars,
-       round(avg(CASE WHEN trim(text) = '' THEN 0
-                 ELSE len(trim(text)) - len(replace(trim(text), ' ', '')) + 1
+       round(avg(CASE WHEN trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g')) = '' THEN 0
+                 ELSE len(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g'))) - len(replace(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g')), ' ', '')) + 1
                  END), 2) AS avg_words
 FROM documents GROUP BY lang ORDER BY lang
 """,
@@ -8214,7 +8216,7 @@ GROUP BY lang ORDER BY lang
 WITH sparse AS (
   SELECT vec_id,
          list_filter(generate_series(1, len(embedding)),
-                     i -> embedding[i] > 0.8) AS idx,
+                     i -> abs(embedding[i]) > 0.8) AS idx,
          embedding::DOUBLE[] AS emb
   FROM embeddings
 ), q AS (

@@ -144,8 +144,15 @@ _TEX_DROP_ENVS = {
 _TEX_ACCENTS = {
     "'e": "é", "'a": "á", "'o": "ó", "'u": "ú", "'i": "í",
     '"a': "ä", '"o': "ö", '"u': "ü", "`e": "è", "`a": "à",
-    "^e": "ê", "^o": "ô", "~n": "ñ", "c c": "ç", "ss": "ß",
+    "^e": "ê", "^o": "ô", "~n": "ñ",
 }
+
+#: letter-COMMAND accents (\ss, \c c): these spell with [a-zA-Z]+ so
+#: the control-symbol pair table above can never see them — they are
+#: consumed by the letter-command branch (r11 review: the old "c c"/
+#: "ss" pair-table entries were unreachable for every input)
+_TEX_LETTER_ACCENTS = {"ss": "ß", "SS": "SS"}
+_TEX_CEDILLA = {"c": "ç", "C": "Ç"}
 
 
 def latex_to_text_str(src: str) -> str:
@@ -189,8 +196,27 @@ def latex_to_text_str(src: str) -> str:
                     if bm:
                         i += bm.end()
                     continue
-                if name in ("par", "\\"):
+                if name == "par":
+                    # (a literal \\ is a control SYMBOL, handled in
+                    # the non-letter branch below — it can never spell
+                    # as an [a-zA-Z]+ name)
                     out.append("\n")
+                    continue
+                if name in _TEX_LETTER_ACCENTS:
+                    if not env_drop:
+                        out.append(_TEX_LETTER_ACCENTS[name])
+                    continue
+                if name == "c":
+                    # cedilla: \c c or \c{c}
+                    bm = re.match(r"\{?([a-zA-Z])\}?", src[i:])
+                    if bm:
+                        i += bm.end()
+                        if not env_drop:
+                            out.append(
+                                _TEX_CEDILLA.get(
+                                    bm.group(1), bm.group(1)
+                                )
+                            )
                     continue
                 if name in _TEX_KEEP:
                     # keep the braced argument's content: emit nothing

@@ -20,9 +20,16 @@ def _c(col: ColumnOrName) -> Column:
 
 
 def word_count(text: ColumnOrName) -> Column:
-    """Whitespace-token count, defined as spaces+1 on the trimmed string
-    (identical semantics in Spark and ANSI SQL — no regex dialect risk)."""
-    t = F.trim(_c(text))
+    """Whitespace-token count: every whitespace RUN is first collapsed
+    to one space (simple character-class regexp, same semantics in Java
+    regex and RE2), then the count is spaces+1 on the trimmed result —
+    still replayable in any SQL dialect. The original spaces-only
+    formula counted a 500-line newline-separated document as ONE word,
+    silently failing the min_words curation gate, and counted 'a  b'
+    as three (r11 review)."""
+    t = F.trim(
+        F.regexp_replace(_c(text), WHITESPACE_RUN_PATTERN, " ")
+    )
     spaces = F.length(t) - F.length(F.replace(t, F.lit(" "), F.lit("")))
     return F.when(F.length(t) == 0, F.lit(0)).otherwise(spaces + 1)
 
@@ -600,7 +607,11 @@ def line_stats_sql(text_expr: str) -> dict:
         f"len(list_filter({lines},"
         f" l -> regexp_matches(l, '{endp_pat}')))"
     )
-    ws = WHITESPACE_RUN_PATTERN.replace("\\", "\\").replace("'", "''")
+    # DuckDB standard strings pass backslashes through raw, so the
+    # pattern needs NO backslash doubling — only quote escaping. (An
+    # earlier `.replace("\\", "\\")` here was a no-op that read as if
+    # it doubled them; doubling would actually break the RE2 class.)
+    ws = WHITESPACE_RUN_PATTERN.replace("'", "''")
     words = (
         f"coalesce(list_sum(list_transform({lines},"
         f" l -> len(list_filter(string_split_regex(l, '{ws}'),"

@@ -133,15 +133,24 @@ def int8_dot(
 def sparse_dot_product(a: ColumnOrName, b: ColumnOrName) -> Column:
     """Dot product of two sparse vectors (struct{indices, values}).
 
-    Builds a map from the smaller-cardinality side and sums matches —
-    pure built-in expressions (``map_from_arrays`` + ``aggregate``), no UDF.
-    Sparse struct layout per reference ``MAINTAINERS.md:97``.
+    Builds a lookup map from side ``a`` and sums matches over side
+    ``b`` — pure built-in expressions (``map_from_arrays`` +
+    ``aggregate``), no UDF. Put the lower-cardinality vector on the
+    ``a`` side when the choice is free (the map is per-row transient
+    either way). Sparse struct layout per reference
+    ``MAINTAINERS.md:97``.
+
+    Malformed rows whose ``a.indices`` contain DUPLICATES yield NULL
+    (quarantine) instead of killing the whole job with
+    DUPLICATED_MAP_KEY under Spark's default dedup policy (r11
+    review); duplicate indices on the ``b`` side simply contribute one
+    term each, i.e. their values sum — standard sparse semantics.
     """
     a, b = _c(a), _c(b)
     a_map = F.map_from_arrays(
         a["indices"], a["values"].cast("array<double>")
     )
-    return F.aggregate(
+    dot = F.aggregate(
         F.zip_with(
             b["indices"],
             b["values"].cast("array<double>"),
@@ -150,6 +159,8 @@ def sparse_dot_product(a: ColumnOrName, b: ColumnOrName) -> Column:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    has_dup = F.size(a["indices"]) != F.size(F.array_distinct(a["indices"]))
+    return F.when(has_dup, F.lit(None).cast("double")).otherwise(dot)
 
 
 def sign_bits(vec: ColumnOrName, dim: int) -> Column:
@@ -207,15 +218,21 @@ def hamming_distance(a: ColumnOrName, b: ColumnOrName) -> Column:
 def dense_to_sparse(
     vec: ColumnOrName, threshold: float = 0.0, one_based: bool = True
 ) -> Column:
-    """Dense array → sparse struct{indices, values}, keeping elements with
-    value > threshold. Pure built-ins (filter + transform + element_at);
-    index base configurable (1-based matches SQL engines' list indexing,
-    easing oracle parity). Sparse struct layout per reference
-    ``MAINTAINERS.md:97``."""
+    """Dense array → sparse struct{indices, values}, keeping elements
+    with ``abs(value) > threshold``. Magnitude, not signed value (r11
+    review): the signed form silently dropped every NEGATIVE component,
+    so the sparse form of a signed embedding reconstructed the wrong
+    dot product — with the default threshold 0.0 it now keeps exactly
+    the nonzero elements. Pure built-ins (filter + transform +
+    element_at); index base configurable (1-based matches SQL engines'
+    list indexing, easing oracle parity). Sparse struct layout per
+    reference ``MAINTAINERS.md:97``."""
     v = _c(vec)
     n = F.size(v)
     base = F.sequence(F.lit(1), n)
-    keep = F.filter(base, lambda i: F.element_at(v, i) > F.lit(threshold))
+    keep = F.filter(
+        base, lambda i: F.abs(F.element_at(v, i)) > F.lit(threshold)
+    )
     indices = keep if one_based else F.transform(keep, lambda i: i - 1)
     values = F.transform(keep, lambda i: F.element_at(v, i))
     return F.struct(

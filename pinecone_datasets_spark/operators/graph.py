@@ -44,6 +44,10 @@ def pagerank(
         F.count(F.lit(1)).alias("__outdeg")
     )
     n_nodes = nodes.count()  # one scalar, driver-side (like P6)
+    if n_nodes == 0:
+        # empty edge frame (upstream filter matched nothing): an empty
+        # (node, rank) result, not a bare ZeroDivisionError (r11 review)
+        return nodes.withColumn("rank", F.lit(0.0))
     base = (1.0 - damping) / n_nodes
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))

@@ -302,15 +302,22 @@ def png_text_fields(content: bytes) -> dict:
                     k.decode("latin-1", "replace"),
                     v.decode("latin-1", "replace"),
                 )
-            elif ctype == b"iTXt":
-                parts = body.split(b"\x00", 4)
-                # keyword NUL comp_flag comp_method NUL lang NUL
-                # translated NUL text — only uncompressed (flag 0)
-                if len(parts) == 5 and parts[1][:1] == b"\x00":
-                    out.setdefault(
-                        parts[0].decode("latin-1", "replace"),
-                        parts[4].decode("utf-8", "replace"),
-                    )
+            elif ctype == b"iTXt" and b"\x00" in body:
+                # spec layout: keyword NUL comp_flag(1B) comp_method(1B)
+                # lang NUL translated NUL text. The flag/method bytes
+                # are RAW bytes, not NUL-terminated fields — the old
+                # 5-way NUL split consumed the 0x00 flag byte as a
+                # separator, so the uncompressed check could never pass
+                # and iTXt was silently unreachable for every input
+                # (r11 review, verified by simulation).
+                k, rest = body.split(b"\x00", 1)
+                if len(rest) >= 2 and rest[0] == 0:  # uncompressed
+                    p = rest[2:].split(b"\x00", 2)
+                    if len(p) == 3:
+                        out.setdefault(
+                            k.decode("latin-1", "replace"),
+                            p[2].decode("utf-8", "replace"),
+                        )
             elif ctype == b"IEND":
                 break
             pos += 12 + ln

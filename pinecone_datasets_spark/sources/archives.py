@@ -113,44 +113,66 @@ def _iter_members(path: str, blob: bytes, cap: int):
     ) or (len(blob) > 262 and blob[257:262] == b"ustar")
     if tar_magics:
         # a lone compressed NON-tar file is also common (dump.json.gz):
-        # try tar first, fall back to single-member decompression
+        # try tar first, fall back to single-member decompression.
+        # The open/iterate split matters (r11 review): once tarfile
+        # OPENS, the blob IS a tar — an error during ITERATION
+        # (corrupt header after member 1) must quarantine, not fall
+        # through to the lone-stream path, which would re-emit the
+        # whole decompressed tar as a bogus extra member. Likewise an
+        # EMPTY tar (compressed or not) yields nothing, not its own
+        # zero-block framing as a "member".
+        tf = None
         try:
             tf = tarfile.open(fileobj=io.BytesIO(blob), mode="r:*")
-            any_member = False
-            for info in tf:
-                if not info.isfile():
-                    continue
-                any_member = True
-                if info.size > cap:
-                    yield (
-                        info.name, int(info.size), None,
-                        f"member exceeds max_member_bytes ({cap})",
-                    )
-                    continue
-                try:
-                    fh = tf.extractfile(info)
-                    data = fh.read(cap + 1) if fh is not None else None
-                    if data is None:
-                        yield info.name, None, None, "unreadable member"
-                    elif len(data) > cap:
+        except (tarfile.TarError, OSError, ValueError, EOFError):
+            tf = None  # not a tar: try lone-stream below
+        if tf is not None:
+            n_done = 0
+            any_rows = False
+            try:
+                for info in tf:
+                    if not info.isfile():
+                        continue
+                    if info.size > cap:
                         yield (
                             info.name, int(info.size), None,
-                            "member inflates past max_member_bytes"
-                            f" ({cap})",
+                            f"member exceeds max_member_bytes ({cap})",
                         )
-                    else:
-                        yield info.name, len(data), data, None
-                except (tarfile.TarError, OSError, ValueError,
-                        EOFError, zlib.error) as e:
-                    yield info.name, None, None, f"bad tar member: {e}"
-            if any_member:
+                        n_done += 1
+                        any_rows = True
+                        continue
+                    try:
+                        fh = tf.extractfile(info)
+                        data = fh.read(cap + 1) if fh is not None else None
+                        if data is None:
+                            yield info.name, None, None, "unreadable member"
+                        elif len(data) > cap:
+                            yield (
+                                info.name, int(info.size), None,
+                                "member inflates past max_member_bytes"
+                                f" ({cap})",
+                            )
+                        else:
+                            yield info.name, len(data), data, None
+                    except (tarfile.TarError, OSError, ValueError,
+                            EOFError, zlib.error) as e:
+                        yield info.name, None, None, f"bad tar member: {e}"
+                    n_done += 1
+                    any_rows = True
+            except (tarfile.TarError, OSError, ValueError, EOFError,
+                    zlib.error) as e:
+                yield (
+                    "<tar>", None, None,
+                    f"corrupt tar after {n_done} member(s): {e}",
+                )
                 return
-            # empty tar: fall through to lone-stream attempt only for
-            # compressed blobs (a genuinely empty .tar yields nothing)
-            if blob[257:262] == b"ustar":
+            if any_rows:
                 return
-        except (tarfile.TarError, OSError, ValueError, EOFError):
-            pass  # not a tar: try lone-stream below
+            # ZERO members: an all-zeros stream "opens" as an empty tar
+            # (end-of-archive framing is just zero blocks), so this may
+            # equally be a lone compressed non-tar file — fall through
+            # to the lone-stream path, which suppresses pure zero-block
+            # framing below instead of emitting it as a bogus member
         try:
             # STREAMED capped reads, never whole-stream decompress: a
             # compression bomb must hit the cap after cap+1 bytes, not
@@ -168,6 +190,16 @@ def _iter_members(path: str, blob: bytes, cap: int):
                     "<stream>", None, None,
                     f"member inflates past max_member_bytes ({cap})",
                 )
+            elif (
+                data
+                and len(data) % 512 == 0
+                and not data.strip(b"\x00")
+            ):
+                # pure 512-aligned zero blocks = an EMPTY tar's
+                # end-of-archive framing: no members, no rows (r11
+                # review — this used to surface as a 10 KiB all-zeros
+                # pseudo-member)
+                pass
             else:
                 # member name = archive basename minus the codec suffix
                 base = path.rsplit("/", 1)[-1]

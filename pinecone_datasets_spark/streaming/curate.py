@@ -92,7 +92,13 @@ def dsir_score(
         def one(t):
             if t is None:
                 return 0.0
-            toks = [w for w in ws.split(str(t).lower().strip()) if w]
+            # .strip(" "), not .strip(): the batch twin's F.trim strips
+            # ASCII space only, while bare str.strip() also removes
+            # Unicode whitespace (NBSP, U+0085, ideographic space) the
+            # ASCII split class keeps attached to tokens — a doc with a
+            # leading NBSP would tokenize (and hash-bucket) differently
+            # across the two engines (r11 review)
+            toks = [w for w in ws.split(str(t).lower().strip(" ")) if w]
             if len(toks) < n:
                 return 0.0
             counts: dict[int, int] = {}

@@ -277,3 +277,49 @@ def test_dump_to_corpus_composition(spark, tmp_path):
     )
     fmts = {r["media_id"]: r["format"] for r in probed.collect()}
     assert fmts["logo.png"] == "png"
+
+
+def test_corrupt_tar_after_member_quarantines_not_duplicates(spark, tmp_path):
+    """r11 review: a tar that breaks AFTER yielding member 1 fell
+    through to the lone-stream path and emitted the whole decompressed
+    tar as a bogus extra member (duplicating member 1's bytes inside
+    tar framing); it must quarantine instead."""
+    import gzip as _gzip
+    import io as _io
+    import tarfile as _tarfile
+
+    buf = _io.BytesIO()
+    with _tarfile.open(fileobj=buf, mode="w") as tf:
+        data = b"member one bytes"
+        info = _tarfile.TarInfo("a.txt")
+        info.size = len(data)
+        tf.addfile(info, _io.BytesIO(data))
+    tar = bytearray(buf.getvalue())
+    # truncate AFTER member 1's data but before the end-of-archive
+    # blocks -> ReadError ("unexpected end of data") mid-iteration
+    (tmp_path / "broken.tar.gz").write_bytes(
+        _gzip.compress(bytes(tar[:700]))
+    )
+
+    got = read_archive_members(spark, str(tmp_path))
+    members = got.members.collect()
+    assert len(members) == 1  # NO bogus whole-tar member
+    assert bytes(members[0]["content"]) == b"member one bytes"
+    q = got.quarantined.collect()
+    assert len(q) == 1 and "corrupt tar" in q[0]["error"]
+
+
+def test_empty_tar_gz_yields_nothing(spark, tmp_path):
+    """r11 review: an empty .tar.gz fell through to the lone-stream
+    path and emitted its 10 KiB zero-block framing as a 'member'."""
+    import gzip as _gzip
+    import io as _io
+    import tarfile as _tarfile
+
+    buf = _io.BytesIO()
+    with _tarfile.open(fileobj=buf, mode="w"):
+        pass
+    (tmp_path / "empty.tar.gz").write_bytes(_gzip.compress(buf.getvalue()))
+    got = read_archive_members(spark, str(tmp_path))
+    assert got.members.count() == 0
+    assert got.quarantined.count() == 0

@@ -558,3 +558,45 @@ def test_rolling_shingles_large_k_no_ansi_overflow(spark):
             df, num_hashes=4, shingle_k=k, hash_fn="rolling"
         ).collect()
         assert len(out) == 2 and all(len(r["signature"]) == 4 for r in out)
+
+
+def test_sparse_dot_duplicate_indices_quarantine_and_signed_sparsify(spark):
+    """r11 review: duplicate indices in the map side killed the whole
+    job with DUPLICATED_MAP_KEY (now NULL-quarantined per row), and
+    dense_to_sparse dropped NEGATIVE components (now magnitude-based),
+    so signed embeddings sparsified to the wrong dot product."""
+    from pyspark.sql import functions as F
+
+    from pinecone_datasets_spark.functions.vector import (
+        dense_to_sparse,
+        sparse_dot_product,
+    )
+
+    dense = spark.createDataFrame(
+        [(1, [0.5, -0.7, 0.2]), (2, [0.5, -0.7, 0.2])],
+        "id long, v array<double>",
+    )
+    sp = dense.select("id", dense_to_sparse("v").alias("sv"))
+    pair = (
+        sp.where(F.col("id") == 1)
+        .select(F.col("sv").alias("a"))
+        .crossJoin(sp.where(F.col("id") == 2).select(F.col("sv").alias("b")))
+    )
+    got = pair.select(
+        F.round(sparse_dot_product("a", "b"), 6).alias("d")
+    ).collect()[0]["d"]
+    assert got == round(0.25 + 0.49 + 0.04, 6), got  # negatives kept
+
+    # malformed duplicate-index row -> NULL, not a dead job
+    bad = spark.createDataFrame(
+        [
+            (
+                ([3, 3], [1.0, 2.0]),
+                ([3], [1.0]),
+            )
+        ],
+        "a struct<indices: array<bigint>, values: array<float>>, "
+        "b struct<indices: array<bigint>, values: array<float>>",
+    )
+    out = bad.select(sparse_dot_product("a", "b").alias("d")).collect()
+    assert out[0]["d"] is None

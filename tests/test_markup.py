@@ -120,3 +120,15 @@ def test_emphasis_keeps_line_breaks(spark):
         f"SELECT {markdown_to_text_sql('t')} FROM (SELECT ? AS t)", [s]
     ).fetchone()[0]
     assert duck == got
+
+
+def test_latex_letter_command_accents():
+    """r11 review: \\ss and \\c c spell as letter commands, so the
+    control-symbol accent table could never see them — they were
+    silently dropped despite the table advertising support."""
+    from pinecone_datasets_spark.functions.markup import latex_to_text_str
+
+    assert latex_to_text_str(r"stra\ss e") == "straße"
+    assert latex_to_text_str(r"fa\c cade") == "façade"
+    assert latex_to_text_str(r"fa\c{c}ade") == "façade"
+    assert latex_to_text_str(r"Fran\c Cois") == "FranÇois"

@@ -125,3 +125,38 @@ def test_extract_media_metadata_spark(spark):
 def test_gps_west_south_signs():
     got = exif_fields(exif_jpeg({}, gps=(-33.9, -70.6)))
     assert float(got["gps_lat"]) < 0 and float(got["gps_lon"]) < 0
+
+
+def test_png_itxt_uncompressed_is_parsed():
+    """r11 review: the 5-way NUL split consumed the 0x00 compression
+    flag byte as a separator, so the uncompressed check could never
+    pass — iTXt was unreachable for EVERY input."""
+    import zlib as _zlib
+
+    from pinecone_datasets_spark.operators.mediameta import png_text_fields
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", _zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    # keyword NUL flag(0) method(0) lang NUL translated NUL text
+    body = b"Title\x00\x00\x00en\x00Titre\x00caf\xc3\xa9 text"
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0))
+        + chunk(b"iTXt", body)
+        + chunk(b"IEND", b"")
+    )
+    out = png_text_fields(png)
+    assert out == {"Title": "café text"}, out
+    # compressed flag (1) still skipped
+    body_c = b"K\x00\x01\x00en\x00T\x00zzz"
+    png_c = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0))
+        + chunk(b"iTXt", body_c)
+        + chunk(b"IEND", b"")
+    )
+    assert png_text_fields(png_c) == {}

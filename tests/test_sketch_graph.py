@@ -410,3 +410,14 @@ def test_qsk_rejects_float_value_without_sample_by(spark):
     quantile_sketch(df, "v", None, k=8, sample_by="v")  # explicit opt-in
     ints = spark.range(10).select(F.col("id").alias("v"))
     quantile_sketch(ints, "v", None, k=8)
+
+
+def test_pagerank_empty_edges_returns_empty(spark):
+    """r11 review: zero edge rows crashed with ZeroDivisionError on
+    the driver."""
+    from pinecone_datasets_spark.operators.graph import pagerank
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    out = pagerank(empty, iterations=1)
+    assert out.columns == ["node", "rank"]
+    assert out.count() == 0

@@ -141,3 +141,40 @@ def test_stream_curate_available_now_equals_batch(
     # every emitted doc passes every gate
     assert got.where(word_count(F.col("text")) < 5).count() == 0
     assert got.where(quality_score(F.col("text")) < 0.1).count() == 0
+
+
+def test_dsir_score_unicode_whitespace_parity(spark, ratios):
+    """r11 review: bare str.strip() removed Unicode whitespace (NBSP,
+    ideographic space) that the batch ASCII tokenizer keeps attached to
+    tokens — a leading NBSP hashed to a DIFFERENT bucket stream-side.
+    Parity must hold on hostile whitespace too: replay the stream
+    scorer's sum with the batch expression tokenizer over the SAME
+    ratio table."""
+    from pinecone_datasets_spark.operators.dsir import doc_bucket_counts
+
+    hostile = spark.createDataFrame(
+        [
+            (900001, "\u00a0foo bar baz qux quux corge"),
+            (900002, "\u3000ideographic lead word word word word"),
+            (900003, "tab\tand newline\nseparated words here ok"),
+            (900004, "plain spaced words for the control row"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.log_weight
+        for r in dsir_score(hostile, ratios, n=2, n_buckets=500).collect()
+    }
+    want = {
+        r["doc_id"]: r["w"]
+        for r in doc_bucket_counts(hostile, n=2, n_buckets=500)
+        .join(ratios, "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("cnt") * F.col("log_ratio")).alias("w")
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-9), k

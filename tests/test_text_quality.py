@@ -421,3 +421,27 @@ def test_badword_fraction(one, spark):
     assert one("", col) == 0.0
     with pytest.raises(ValueError):
         badword_fraction(F.col("t"), [])
+
+
+def test_word_count_any_whitespace_separator(spark):
+    """r11 review: the spaces+1 formula counted a newline-separated
+    document as ONE word (silently failing the min_words gate) and
+    'a  b' (double space) as three."""
+    from pyspark.sql import functions as F
+
+    from pinecone_datasets_spark.functions.text import word_count
+
+    rows = [
+        (1, "\n".join(["word"] * 10)),   # newline-separated: 10
+        (2, "a  b"),                       # run of spaces: 2
+        (3, "a\tb\r\nc"),                  # mixed: 3
+        (4, "   "),                        # whitespace only: 0
+        (5, ""),                           # empty: 0
+        (6, "one two three"),              # plain: 3
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        r["id"]: r["n"]
+        for r in df.select("id", word_count("text").alias("n")).collect()
+    }
+    assert got == {1: 10, 2: 2, 3: 3, 4: 0, 5: 0, 6: 3}, got
