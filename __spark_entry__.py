@@ -7151,7 +7151,9 @@ WITH RECURSIVE t AS (
                            least(i * 48 + 64, len(w))], ' ')
            AS chunk_text,
          (least(i * 48 + 64, len(w)) - i * 48)::BIGINT AS chunk_n
-  FROM rag0 WHERE i * 48 < len(w)
+  -- i = 0 OR start + overlap < len: drop a final chunk fully
+  -- contained in its predecessor (r11, mirrors packing.chunk_text)
+  FROM rag0 WHERE i * 48 < len(w) AND (i = 0 OR i * 48 + 16 < len(w))
 ),
 -- ---- BPE training + encoding + token-shard round-trip replay ----
 -- (r8: VERDICT r7 items 2-3.) Replays operators/bpe.py exactly:

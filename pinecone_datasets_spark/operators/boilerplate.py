@@ -97,6 +97,67 @@ def frequent_ngrams(
     )
 
 
+def _position_frame(documents, id_col, units: Column, k: int):
+    """(id, pos, ngram) — one row per position-gram of the unit array
+    (words or sentences). The shared first stage of duplicated_spans /
+    remove_duplicated_spans / remove_duplicated_sentence_spans (r11
+    review collapsed three verbatim copies: a fix here reaches all
+    three)."""
+    return (
+        documents.select(F.col(id_col), units.alias("__u"))
+        .select(
+            F.col(id_col),
+            F.posexplode_outer(
+                _position_grams(F.col("__u"), k)
+            ).alias("pos", "ngram"),
+        )
+        .where(F.col("ngram").isNotNull())
+    )
+
+
+def _strip_by_hits(
+    documents,
+    hit_arrays,
+    id_col: str,
+    units: Column,
+    k: int,
+    out_col: str,
+    removed_col: str,
+):
+    """Rewrite scaffold shared by both strip operators: join the per-doc
+    sorted hit-position arrays, drop every unit covered by a hit span
+    of length ``k``, emit the joined text + removed count."""
+    kept = F.expr(
+        "filter(__ui, s -> NOT exists(__hits,"
+        f" p -> p <= s.i AND s.i <= p + {int(k) - 1}))"
+    )
+    out = (
+        documents.join(hit_arrays, id_col, "left")
+        .withColumn(
+            "__hits",
+            F.coalesce(
+                F.col("__hits"), F.expr("CAST(array() AS ARRAY<INT>)")
+            ),
+        )
+        .withColumn("__u", units)
+        .withColumn(
+            "__ui",
+            F.expr(
+                "transform(__u, (u, i) -> named_struct('u', u, 'i', i))"
+            ),
+        )
+        .withColumn("__kept", kept)
+        .withColumn(
+            out_col, F.concat_ws(" ", F.expr("transform(__kept, s -> s.u)"))
+        )
+        .withColumn(
+            removed_col,
+            (F.size("__u") - F.size("__kept")).cast("long"),
+        )
+    )
+    return out.drop("__hits", "__u", "__ui", "__kept")
+
+
 def duplicated_spans(
     documents: DataFrame,
     k: int = 5,
@@ -127,18 +188,7 @@ def duplicated_spans(
         raise ValueError(f"k must be >= 1: {k}")
     from pyspark.sql import Window
 
-    pos = (
-        documents.select(
-            F.col(id_col), _words(text_col).alias("__w")
-        )
-        .select(
-            F.col(id_col),
-            F.posexplode_outer(
-                _position_grams(F.col("__w"), k)
-            ).alias("pos", "ngram"),
-        )
-        .where(F.col("ngram").isNotNull())
-    )
+    pos = _position_frame(documents, id_col, _words(text_col), k)
     repeated = (
         pos.select(id_col, "ngram")
         .distinct()
@@ -212,18 +262,7 @@ def remove_duplicated_spans(
     """
     if k < 1:
         raise ValueError(f"k must be >= 1: {k}")
-    pos = (
-        documents.select(
-            F.col(id_col), _words(text_col).alias("__w")
-        )
-        .select(
-            F.col(id_col),
-            F.posexplode_outer(
-                _position_grams(F.col("__w"), k)
-            ).alias("pos", "ngram"),
-        )
-        .where(F.col("ngram").isNotNull())
-    )
+    pos = _position_frame(documents, id_col, _words(text_col), k)
     repeated = (
         pos.select(id_col, "ngram")
         .distinct()
@@ -237,35 +276,10 @@ def remove_duplicated_spans(
         .groupBy(id_col)
         .agg(F.sort_array(F.collect_set("pos")).alias("__hits"))
     )
-    words_kept = F.expr(
-        "filter(__wi, s -> NOT exists(__hits,"
-        f" p -> p <= s.i AND s.i <= p + {int(k) - 1}))"
+    return _strip_by_hits(
+        documents, hit_arrays, id_col, _words(text_col), k,
+        out_col, "n_removed_words",
     )
-    out = (
-        documents.join(hit_arrays, id_col, "left")
-        .withColumn(
-            "__hits",
-            F.coalesce(
-                F.col("__hits"), F.expr("CAST(array() AS ARRAY<INT>)")
-            ),
-        )
-        .withColumn("__w", _words(text_col))
-        .withColumn(
-            "__wi",
-            F.expr(
-                "transform(__w, (w, i) -> named_struct('w', w, 'i', i))"
-            ),
-        )
-        .withColumn("__kept", words_kept)
-        .withColumn(
-            out_col, F.concat_ws(" ", F.expr("transform(__kept, s -> s.w)"))
-        )
-        .withColumn(
-            "n_removed_words",
-            (F.size("__w") - F.size("__kept")).cast("long"),
-        )
-    )
-    return out.drop("__hits", "__w", "__wi", "__kept")
 
 
 def boilerplate_profile(
@@ -391,16 +405,8 @@ def remove_duplicated_sentence_spans(
     from ..functions.text import split_sentences
 
     sents = split_sentences(F.col(text_col))
-    pos = (
-        documents.select(F.col(id_col), sents.alias("__s"))
-        .select(
-            F.col(id_col),
-            F.posexplode_outer(
-                _position_grams(F.col("__s"), n)
-            ).alias("pos", "span"),
-        )
-        .where(F.col("span").isNotNull())
-        .select(F.col(id_col), "pos", F.md5("span").alias("__h"))
+    pos = _position_frame(documents, id_col, sents, n).select(
+        F.col(id_col), "pos", F.md5("ngram").alias("__h")
     )
     repeated = (
         pos.groupBy("__h")
@@ -413,32 +419,7 @@ def remove_duplicated_sentence_spans(
         .groupBy(id_col)
         .agg(F.sort_array(F.collect_set("pos")).alias("__hits"))
     )
-    kept = F.expr(
-        "filter(__si, s -> NOT exists(__hits,"
-        f" p -> p <= s.i AND s.i <= p + {int(n) - 1}))"
+    return _strip_by_hits(
+        documents, hit_arrays, id_col, sents, n,
+        out_col, "n_removed_sentences",
     )
-    out = (
-        documents.join(hit_arrays, id_col, "left")
-        .withColumn(
-            "__hits",
-            F.coalesce(
-                F.col("__hits"), F.expr("CAST(array() AS ARRAY<INT>)")
-            ),
-        )
-        .withColumn("__s", sents)
-        .withColumn(
-            "__si",
-            F.expr(
-                "transform(__s, (s, i) -> named_struct('s', s, 'i', i))"
-            ),
-        )
-        .withColumn("__kept", kept)
-        .withColumn(
-            out_col, F.concat_ws(" ", F.expr("transform(__kept, x -> x.s)"))
-        )
-        .withColumn(
-            "n_removed_sentences",
-            (F.size("__s") - F.size("__kept")).cast("long"),
-        )
-    )
-    return out.drop("__hits", "__s", "__si", "__kept")

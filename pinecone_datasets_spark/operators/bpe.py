@@ -107,13 +107,25 @@ def train_bpe(
             continue
         words[tuple(w) + tail] = words.get(tuple(w) + tail, 0) + n
 
+    # Incremental pair bookkeeping (Sennrich's learn_bpe shape, r11
+    # review): pair counts are built ONCE, and each merge touches only
+    # the words that actually contain the merged pair (tracked in
+    # `where`) instead of recounting every pair over the whole
+    # histogram and rebuilding every word per iteration — orders of
+    # magnitude less driver work at the documented defaults
+    # (100k words × 1000 merges), with a bit-identical merge sequence
+    # (the counts are exact, the (-count, pair) argmin unchanged;
+    # equivalence pinned in tests and the q49 oracle replay).
+    pairs: dict[tuple[str, str], int] = {}
+    where: dict[tuple[str, str], set] = {}
+    for sym, n in words.items():
+        for i in range(len(sym) - 1):
+            p = (sym[i], sym[i + 1])
+            pairs[p] = pairs.get(p, 0) + n
+            where.setdefault(p, set()).add(sym)
+
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
-        pairs: dict[tuple[str, str], int] = {}
-        for sym, n in words.items():
-            for i in range(len(sym) - 1):
-                p = (sym[i], sym[i + 1])
-                pairs[p] = pairs.get(p, 0) + n
         if not pairs:
             break
         best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
@@ -121,8 +133,22 @@ def train_bpe(
             break  # nothing repeats: further merges are memorization
         merges.append(best)
         merged = best[0] + best[1]
-        new_words: dict[tuple[str, ...], int] = {}
-        for sym, n in words.items():
+        # `where` sets may hold stale keys (words already rewritten by
+        # earlier merges) — words.pop() returning None skips them
+        for sym in list(where.get(best, ())):
+            n = words.pop(sym, None)
+            if n is None:
+                continue
+            for i in range(len(sym) - 1):
+                p = (sym[i], sym[i + 1])
+                c = pairs.get(p, 0) - n
+                if c > 0:
+                    pairs[p] = c
+                else:
+                    pairs.pop(p, None)
+                ws = where.get(p)
+                if ws is not None:
+                    ws.discard(sym)
             out = []
             i = 0
             while i < len(sym):
@@ -137,8 +163,11 @@ def train_bpe(
                     out.append(sym[i])
                     i += 1
             key = tuple(out)
-            new_words[key] = new_words.get(key, 0) + n
-        words = new_words
+            words[key] = words.get(key, 0) + n
+            for i in range(len(key) - 1):
+                p = (key[i], key[i + 1])
+                pairs[p] = pairs.get(p, 0) + n
+                where.setdefault(p, set()).add(key)
     return merges
 
 
@@ -370,16 +399,47 @@ def byte_bpe_decode(tokens: Iterable[str]) -> str:
     return bytes(inv[c] for c in "".join(tokens)).decode("utf-8")
 
 
+def _merges_look_byte_level(merges) -> bool:
+    """True when any merge symbol carries a byte→unicode map character
+    (the GPT-2 private range starting U+0100, e.g. 'Ġ' for space) —
+    the signature of a byte-level tokenizer like everything
+    ``load_bpe_files`` reads."""
+    for a, b in merges[:256]:
+        for ch in a + b:
+            if 0x100 <= ord(ch) <= 0x1FF:
+                return True
+    return False
+
+
 def bpe_token_counts(
     df: DataFrame,
     merges: list[tuple[str, str]],
     text_col: str = "text",
     out_col: str = "bpe_tokens",
+    byte_level: bool = False,
 ) -> DataFrame:
     """Exact trained-tokenizer token count per document (map-only) — the
     drop-in upgrade for the chars/4 estimate wherever a token budget
-    gates real cost (packing, mixture sampling, curation)."""
-    toks = bpe_tokenize_udf(merges)
+    gates real cost (packing, mixture sampling, curation).
+
+    ``byte_level=True`` counts with the GPT-2 byte-level encoder — the
+    mode every ``load_bpe_files`` tokenizer needs. Feeding byte-level
+    merges through the word-level counter is refused loudly: the
+    word-level pre-tokenizer's symbols never match byte-mapped merge
+    symbols ('Ġthe'), so nearly no merge applies and every budget
+    driven by the counts silently inflates ~4× (r11 review)."""
+    if not byte_level and _merges_look_byte_level(merges):
+        raise ValueError(
+            "bpe_token_counts: merges contain byte-mapped symbols"
+            " (GPT-2 byte-level tokenizer, e.g. from load_bpe_files) —"
+            " pass byte_level=True; counting them word-level would"
+            " silently inflate every token budget ~4x"
+        )
+    toks = (
+        byte_bpe_tokenize_udf(merges)
+        if byte_level
+        else bpe_tokenize_udf(merges)
+    )
     return df.withColumn(out_col, F.size(toks(F.col(text_col))))
 
 

@@ -128,7 +128,12 @@ def ngram_contamination(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).cast("long").alias("n_hit_ngrams"))
     )
-    out = stats.join(F.broadcast(hits), id_col, "left").select(
+    # no forced broadcast of hits: it is one row per CONTAMINATED doc,
+    # unbounded by construction — with default n=3 a large fraction of
+    # any web corpus matches common benchmark 3-grams, and a forced
+    # broadcast would hit the 8 GB limit / OOM the driver at scale; AQE
+    # broadcasts when it really is small (r11 review)
+    out = stats.join(hits, id_col, "left").select(
         id_col,
         "n_doc_ngrams",
         F.coalesce("n_hit_ngrams", F.lit(0)).cast("long").alias(
@@ -168,9 +173,9 @@ def decontaminate(
         bench_text_col=bench_text_col,
         join_on_hash=join_on_hash,
     ).where(F.col("contamination_rate") > max_rate)
-    return corpus.join(
-        F.broadcast(flagged.select(id_col)), id_col, "left_anti"
-    )
+    # flagged is unbounded for the same reason as hits above — let AQE
+    # pick broadcast-anti when the flagged slice is genuinely small
+    return corpus.join(flagged.select(id_col), id_col, "left_anti")
 
 
 #: Byte budget for the collected benchmark matrix. The matrix lives in

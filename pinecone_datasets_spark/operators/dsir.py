@@ -46,7 +46,7 @@ _TWO_52 = float(1 << 52)
 #: — changing bucket counts, weights, and potentially the Gumbel
 #: keep-set. Same convention as functions/text.py
 #: WHITESPACE_RUN_PATTERN and the streaming dsir_score kernel.
-_WS_RUN = r"[ \t\n\r\f\x0B]+"
+from ..functions.text import WHITESPACE_RUN_PATTERN as _WS_RUN  # noqa: E402
 
 
 def _tokens(text_col: str) -> "F.Column":

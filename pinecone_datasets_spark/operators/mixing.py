@@ -75,6 +75,13 @@ def mixture_edges(
         r[domain_col]: (int(r["n_docs"]), int(r["n_tokens"] or 0))
         for r in rows
     }
+    if token_budget is None or float(token_budget) <= 0:
+        # loud, early, and typed: None previously crashed as an opaque
+        # float(None) TypeError and a negative budget silently sampled
+        # every domain to zero rows (r11 review)
+        raise ValueError(
+            f"token_budget must be a positive number: {token_budget!r}"
+        )
     out: dict[str, tuple[int, int, int]] = {}
     for d, w in weights.items():
         n_docs, n_tokens = avail.get(d, (0, 0))

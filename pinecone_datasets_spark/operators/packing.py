@@ -50,13 +50,19 @@ from ..functions.text import WHITESPACE_RUN_PATTERN as WS_RUN
 def whitespace_token_count(text_col: str) -> Column:
     """Token count = number of non-empty whitespace-separated words of
     the lower/trimmed text. Matches the q49 oracle's DuckDB formulation
-    token for token."""
-    return F.size(
-        F.filter(
-            F.split(F.lower(F.trim(F.col(text_col))), WS_RUN),
-            lambda w: F.length(w) > 0,
-        )
-    ).cast("long")
+    token for token. NULL text counts as 0 tokens — without the
+    coalesce, one NULL doc poisoned the packing window sums and emitted
+    rows with NULL global_start/chunk_id the loader cannot place, and
+    silently mis-bucketed in length_bucketed_batches (r11 review)."""
+    return F.coalesce(
+        F.size(
+            F.filter(
+                F.split(F.lower(F.trim(F.col(text_col))), WS_RUN),
+                lambda w: F.length(w) > 0,
+            )
+        ).cast("long"),
+        F.lit(0).cast("long"),
+    )
 
 
 def pack_documents(
@@ -85,7 +91,9 @@ def pack_documents(
         raise ValueError(f"max_tokens must be positive: {max_tokens}")
     order = order_col or id_col
     tokens = (
-        F.col(token_count_col).cast("long")
+        # NULL-safe like whitespace_token_count: a NULL count must not
+        # poison the layout's window sums (r11 review)
+        F.coalesce(F.col(token_count_col).cast("long"), F.lit(0))
         if token_count_col
         else whitespace_token_count(text_col)
     )
@@ -182,7 +190,9 @@ def length_bucketed_batches(
             f"bucket_edges must be non-empty ascending: {bucket_edges}"
         )
     tokens = (
-        F.col(token_count_col).cast("long")
+        # NULL-safe like whitespace_token_count: a NULL count must not
+        # poison the layout's window sums (r11 review)
+        F.coalesce(F.col(token_count_col).cast("long"), F.lit(0))
         if token_count_col
         else whitespace_token_count(text_col)
     )
@@ -279,9 +289,16 @@ def chunk_text(
         f"transform(sequence(0, greatest(CAST(ceil((size(__w) - 1) /"
         f" {stride}) AS INT), 0)), i -> i * {stride})"
     )
+    # a start survives iff its chunk contributes at least one NEW token
+    # beyond the previous chunk's coverage (which ends at s + overlap):
+    # with overlap > 0 the plain s < n filter emitted a final chunk
+    # fully contained in its predecessor whenever n - s <= overlap — a
+    # pure-duplicate sub-chunk stored and retrieved for every doc whose
+    # length mod stride lands in [1, overlap] (r11 review)
     chunks = (
         f"CASE WHEN size(__w) > 0 THEN"
-        f" transform(filter({starts}, s -> s < size(__w)),"
+        f" transform(filter({starts},"
+        f" s -> s = 0 OR s + {int(overlap)} < size(__w)),"
         f" s -> slice(__w, s + 1, {int(chunk_tokens)}))"
         " ELSE CAST(array() AS ARRAY<ARRAY<STRING>>) END"
     )
@@ -320,11 +337,15 @@ def batch_summary(batches: DataFrame, batch_size: int) -> DataFrame:
         )
         .withColumn(
             "pad_efficiency",
-            F.round(
+            # pad_len 0 = a batch of zero-token docs (empty texts):
+            # nothing real, nothing padded — efficiency 1.0 by
+            # convention rather than an ANSI DIVIDE_BY_ZERO that kills
+            # the summary job (r11 review)
+            F.when(F.col("pad_len") > 0, F.round(
                 F.col("real_tokens")
                 / (F.col("n_docs") * F.col("pad_len")),
                 4,
-            ),
+            )).otherwise(F.lit(1.0)),
         )
         .withColumn(
             "is_partial", F.col("n_docs") < F.lit(int(batch_size))

@@ -165,7 +165,13 @@ def leakage_safe_split(
     if dup_pairs is not None:
         from .cluster import connected_components
 
-        labels = connected_components(dup_pairs)
+        # algorithm="star": label propagation needs rounds = component
+        # DIAMETER, so a near-dup chain longer than its default budget
+        # silently left tail revisions with a different representative
+        # — train/test leakage, the exact failure this function exists
+        # to prevent (r11 review). Small-star/large-star converges in
+        # O(log n) regardless of diameter.
+        labels = connected_components(dup_pairs, algorithm="star")
         rep = labels.select(
             F.col("node").alias(key_col), F.col("cluster_id").alias("__rep")
         )

@@ -358,3 +358,97 @@ def test_gpt2_interchange_roundtrip(tmp_path, spark):
         json.dump({"a": 0, "b": 2}, fh)
     with pytest.raises(ValueError, match="contiguous|out of range"):
         load_bpe_files(d)
+
+
+def test_train_bpe_incremental_matches_naive_reference():
+    """r11 review replaced the full-recount trainer with incremental
+    pair bookkeeping (Sennrich's learn_bpe shape) — the merge sequence
+    must stay bit-identical to the naive formulation (which the q49
+    oracle replays in SQL)."""
+    import random
+
+    from pinecone_datasets_spark.operators.bpe import EOW, train_bpe
+
+    def naive(histogram, n_merges, eow):
+        tail = (EOW,) if eow else ()
+        words = {}
+        for w, n in histogram:
+            if not w:
+                continue
+            words[tuple(w) + tail] = words.get(tuple(w) + tail, 0) + n
+        merges = []
+        for _ in range(n_merges):
+            pairs = {}
+            for sym, n in words.items():
+                for i in range(len(sym) - 1):
+                    p = (sym[i], sym[i + 1])
+                    pairs[p] = pairs.get(p, 0) + n
+            if not pairs:
+                break
+            best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            if pairs[best] < 2:
+                break
+            merges.append(best)
+            merged = best[0] + best[1]
+            nw = {}
+            for sym, n in words.items():
+                out, i = [], 0
+                while i < len(sym):
+                    if (
+                        i < len(sym) - 1
+                        and sym[i] == best[0]
+                        and sym[i + 1] == best[1]
+                    ):
+                        out.append(merged)
+                        i += 2
+                    else:
+                        out.append(sym[i])
+                        i += 1
+                k = tuple(out)
+                nw[k] = nw.get(k, 0) + n
+            words = nw
+        return merges
+
+    rng = random.Random(7)
+    hist = [
+        (
+            "".join(rng.choice("abcde") for _ in range(rng.randint(1, 10))),
+            rng.randint(1, 40),
+        )
+        for _ in range(800)
+    ] + [("aaaa", 25), ("aaab", 15), ("", 3)]
+    for eow in (True, False):
+        assert train_bpe(hist, 120, eow) == naive(hist, 120, eow)
+
+
+def test_bpe_token_counts_byte_level_mode_and_guard(spark):
+    """r11 review: counting with byte-level merges through the
+    word-level pre-tokenizer matched almost no merge (counts inflated
+    ~4x, silently). Byte merges are refused word-level and counted
+    correctly with byte_level=True."""
+    from pinecone_datasets_spark.operators.bpe import (
+        bpe_token_counts,
+        byte_bpe_tokenize_udf,
+        byte_pretoken_histogram,
+        train_byte_bpe,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "the the the")],
+        "doc_id long, text string",
+    )
+    merges = train_byte_bpe(byte_pretoken_histogram(df), n_merges=50)
+    with pytest.raises(ValueError, match="byte_level=True"):
+        bpe_token_counts(df, merges)
+    got = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in bpe_token_counts(df, merges, byte_level=True).collect()
+    }
+    tok = byte_bpe_tokenize_udf(merges)
+    want = {
+        r["doc_id"]: r["n"]
+        for r in df.select(
+            "doc_id", F.size(tok(F.col("text"))).alias("n")
+        ).collect()
+    }
+    assert got == want

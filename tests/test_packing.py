@@ -219,12 +219,13 @@ def test_chunk_text_known_answer(spark):
         (r["doc_id"], r["chunk_idx"]): (r["chunk_text"], r["chunk_n_tokens"])
         for r in chunk_text(df, chunk_tokens=3, overlap=1).collect()
     }
-    # stride 2: starts 0,2,4,6
+    # stride 2: starts 0,2,4 — start 6's chunk ("g") is fully contained
+    # in chunk 2 ("e f g") and is dropped since r11 (no pure-duplicate
+    # tail sub-chunks)
     assert got == {
         (1, 0): ("a b c", 3),
         (1, 1): ("c d e", 3),
         (1, 2): ("e f g", 3),
-        (1, 3): ("g", 1),
         (2, 0): ("x", 1),
     }
 
@@ -281,3 +282,69 @@ def test_chunk_text_validates(spark, docs):
         chunk_text(docs, 0)
     with pytest.raises(ValueError):
         chunk_text(docs, 10, overlap=10)
+
+
+def test_chunk_text_no_fully_contained_tail_chunk(spark):
+    """r11 review: with overlap > 0, a doc whose length mod stride
+    lands in [1, overlap] emitted a final chunk fully contained in the
+    previous one — a pure-duplicate RAG sub-chunk."""
+    from pinecone_datasets_spark.operators.packing import chunk_text
+
+    words9 = " ".join(f"w{i}" for i in range(1, 10))
+    df = spark.createDataFrame(
+        [(1, words9), (2, "w1 w2 w3"), (3, " ".join(f"v{i}" for i in range(1, 13)))],
+        "doc_id long, text string",
+    )
+    out = {}
+    for r in chunk_text(df, chunk_tokens=8, overlap=4).collect():
+        out.setdefault(r["doc_id"], []).append(r["chunk_text"])
+    # 9 words, stride 4: chunks [1-8], [5-9] — NOT a third [9-9]
+    assert out[1] == ["w1 w2 w3 w4 w5 w6 w7 w8", "w5 w6 w7 w8 w9"]
+    # shorter than one window: exactly one chunk
+    assert out[2] == ["w1 w2 w3"]
+    # 12 words: [1-8], [5-12] — start 8 adds tokens 9-12 via... stride 4
+    # starts 0,4,8: s=8 -> 8+4 < 12? no -> dropped; s=4 covers 5-12
+    assert out[3] == [
+        "v1 v2 v3 v4 v5 v6 v7 v8",
+        "v5 v6 v7 v8 v9 v10 v11 v12",
+    ]
+    # every token of every doc is still covered by some chunk
+    for doc_id, chunks in out.items():
+        toks = set()
+        for c in chunks:
+            toks.update(c.split(" "))
+        n = {1: 9, 2: 3, 3: 12}[doc_id]
+        assert len(toks) == n
+
+
+def test_pack_documents_null_text_counts_zero(spark):
+    """r11 review: a NULL-text doc poisoned the window sums and came
+    out with NULL global_start/chunk_id; it now packs as 0 tokens."""
+    from pinecone_datasets_spark.operators.packing import pack_documents
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, None), (3, "d e")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in pack_documents(df, max_tokens=4).collect()}
+    assert out[2]["n_tokens"] == 0
+    assert out[2]["global_start"] is not None
+    assert all(r["chunk_id"] is not None for r in out.values())
+
+
+def test_batch_summary_zero_token_batch_no_crash(spark):
+    """r11 review: a batch of zero-token docs made pad_len 0 and the
+    efficiency division died with ANSI DIVIDE_BY_ZERO."""
+    from pinecone_datasets_spark.operators.packing import (
+        batch_summary,
+        length_bucketed_batches,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "") for i in range(4)] + [(9, "a b c")],
+        "doc_id long, text string",
+    )
+    batches = length_bucketed_batches(df, 4, [2])
+    summ = batch_summary(batches, batch_size=4).collect()
+    assert all(r["pad_efficiency"] is not None for r in summ)
+    zero = [r for r in summ if r["pad_len"] == 0]
+    assert zero and zero[0]["pad_efficiency"] == 1.0
