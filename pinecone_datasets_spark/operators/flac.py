@@ -189,6 +189,15 @@ def _rice_residual(bits: _Bits, n: int, pred_order: int, method: int):
         # spec: the block size must divide evenly into partitions (the
         # first partition is then shorter by the predictor order)
         raise UnsupportedMediaError("FLAC: bad partition order")
+    if pred_order > n:
+        # e.g. blocksize 1 with LPC order 32: np.empty(n - pred_order)
+        # raised a raw ValueError('negative dimensions') before the
+        # per-partition cnt check could fire — an untyped leak past the
+        # documented UnsupportedMediaError-only contract (r11 review,
+        # repro'd)
+        raise UnsupportedMediaError(
+            "FLAC: predictor order exceeds block size"
+        )
     out = np.empty(n - pred_order, dtype=np.int64)
     k = 0
     for p in range(n_part):
@@ -316,7 +325,12 @@ def decode_flac_pcm(content: bytes):
         (length,) = struct.unpack(">I", b"\x00" + content[pos + 1 : pos + 4])
         body = content[pos + 4 : pos + 4 + length]
         if btype == 0:
-            if length < 34:
+            # check the ACTUAL body length, not the declared one: a
+            # truncated stream whose header claims 34 bytes but carries
+            # fewer passed the old check and raised a raw IndexError on
+            # body[10..17] — an untyped leak past the documented
+            # UnsupportedMediaError-only contract (r11 review, repro'd)
+            if length < 34 or len(body) < 34:
                 raise UnsupportedMediaError("FLAC: short STREAMINFO")
             sr = (body[10] << 12) | (body[11] << 4) | (body[12] >> 4)
             ch = ((body[12] >> 1) & 0x07) + 1

@@ -511,9 +511,15 @@ def _build_huffman(freqs: dict) -> tuple[list[int], list[int]]:
         i -= 1
     if i > 0:
         bits[i] -= 1  # remove the reserved code point
+    # range(1, 33), NOT 17: the length-limit fold above only adjusts
+    # bits[] — symbols whose PRE-fold code size exceeded 16 still carry
+    # codesize > 16 and must be emitted (in their original depth order)
+    # or bits/huffval go inconsistent and _canonical_codes IndexErrors
+    # on sufficiently skewed symbol distributions (r11 review, repro'd;
+    # jchuff.c iterates to MAX_CLEN=32 for exactly this reason)
     huffval = [
         v
-        for size in range(1, 17)
+        for size in range(1, 33)
         for v in range(256)
         if codesize[v] == size
     ]
@@ -942,6 +948,11 @@ def _decode_jpeg(content: bytes) -> np.ndarray:
     fh, fw, comps = sof
     if fh < 1 or fw < 1:
         raise UnsupportedMediaError("empty JPEG frame")
+    if any(hi < 1 or vi < 1 for _, hi, vi, _ in comps):
+        # a corrupt SOF with zero sampling factors previously escaped
+        # as a raw ZeroDivisionError no kernel catches — one hostile
+        # JPEG row killed the whole job (r11 review, repro'd)
+        raise UnsupportedMediaError("zero sampling factor in SOF")
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     if hmax > 2 or vmax > 2:
@@ -980,11 +991,8 @@ def _decode_jpeg(content: bytes) -> np.ndarray:
 
     mcus_x = -(-fw // (8 * hmax))
     mcus_y = -(-fh // (8 * vmax))
-    per_mcu = {cid: hi * vi for cid, hi, vi, _ in comps}
     coefs = {
-        cid: np.zeros(
-            (mcus_y * vi * 8 // 8 * (mcus_x * hi), 64), dtype=np.float64
-        ).reshape(mcus_y * vi, mcus_x * hi, 64)
+        cid: np.zeros((mcus_y * vi, mcus_x * hi, 64), dtype=np.float64)
         for cid, hi, vi, _ in comps
     }
     comp_by_id = {cid: (hi, vi, tq) for cid, hi, vi, tq in comps}

@@ -911,7 +911,13 @@ def decode_avi(content: bytes):
                 if cur_stream[0] == b"vids":
                     w, h = struct.unpack_from("<ii", content, data_lo + 4)
                     if w and dims == (0, 0):
-                        dims = (w, abs(h))
+                        # KEEP the sign: negative biHeight = top-down
+                        # DIB rows. abs() here made bmp_wrap re-declare
+                        # the frame bottom-up and every sampled frame
+                        # decoded vertically FLIPPED — silently wrong
+                        # pixels, wrong pHash (r11 review). decode_bmp
+                        # handles the signed height correctly.
+                        dims = (w, h)
             elif cid[2:4] in (b"db", b"dc"):
                 frames.append(content[data_lo:data_hi])
             pos = data_lo + size + (size % 2)
@@ -1017,8 +1023,10 @@ def decode_avi_audio(content: bytes):
 
 
 def bmp_wrap(dib_rows: bytes, width: int, height: int) -> bytes:
-    """Raw bottom-up 24-bpp BGR DIB rows → standalone BMP bytes that
-    ``decode_bmp`` (and anything else) accepts."""
+    """Raw 24-bpp BGR DIB rows → standalone BMP bytes that
+    ``decode_bmp`` (and anything else) accepts. ``height`` is SIGNED
+    per the BMP spec: positive = bottom-up rows, negative = top-down
+    (pass it through from the AVI strf header unchanged)."""
     header_size = 14 + 40
     info = struct.pack(
         "<IiiHHIIiiII",
@@ -1322,6 +1330,11 @@ def encode_aiff(samples: np.ndarray, rate: int = 16000) -> bytes:
         ">i2"
     )
     nframes = len(pcm)
+    if int(rate) <= 0:
+        # mant = 0 would never satisfy the normalization shift below —
+        # an infinite loop instead of an error (r11 review); mirrors
+        # decode_aiff's guard
+        raise ValueError(f"rate must be positive: {rate}")
     # 80-bit extended float for the rate
     exp = 16383 + 63
     mant = int(rate)

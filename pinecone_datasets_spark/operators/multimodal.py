@@ -484,7 +484,10 @@ def audio_fingerprint(
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, fps, nfs = [], [], []
-            for mid, content in zip(pdf[id_col], pdf[content_col]):
+            # "media_id", not id_col: the select below ALIASES the id
+            # column, so a non-default id_col raised KeyError in every
+            # task (r11 review; same pattern as phash.image_phash)
+            for mid, content in zip(pdf["media_id"], pdf[content_col]):
                 try:
                     samples, rate = decode_audio(
                         bytes(content) if content is not None else b""
@@ -631,61 +634,83 @@ def sample_video_frames(
     )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def sample_known(raw):
+            """(ts, frame) pairs for the containers we decode for
+            real, or None for an unrecognized format. Raises the media
+            exception family on corrupt input — caught by the caller's
+            quarantine."""
+            if raw.startswith(MPNG_MAGIC):
+                decoded = decode_mpng(raw)
+            elif is_avi(raw):
+                interval, fcc, (w, h), frames = decode_avi(raw)
+                if fcc == "DIB ":
+                    frames = [bmp_wrap(f, w, h) for f in frames]
+                decoded = (interval, frames)
+            elif raw[:6] in (b"GIF87a", b"GIF89a"):
+                # animated GIF: compose frames (disposal-aware),
+                # re-emit each as a spec-valid PNG so downstream
+                # feature/phash paths decode them like any still.
+                # Per-frame delays are honored (variable-rate), so
+                # this branch samples on cumulative timestamps
+                # instead of the fixed-interval path below. Frames
+                # are PNG-encoded AS the generator yields them — the
+                # raw full-canvas array is dropped per iteration, so
+                # memory holds compressed frames, not n_frames ×
+                # canvas rasters (r11 review)
+                from .gif import iter_gif_frames
+                from .media_codecs import encode_png
+
+                starts, png_frames, t = [], [], 0
+                for fr in iter_gif_frames(raw):
+                    starts.append(t)
+                    t += max(int(fr["delay_cs"]) * 10, 0)
+                    png_frames.append(encode_png(fr["image"]))
+                if not starts:
+                    return []
+                out = []
+                for ts in range(0, max(t, 1), every_ms):
+                    # last start <= ts, then the EARLIEST frame at
+                    # that start — zero-delay runs (all starts equal)
+                    # resolve to the first frame, matching the
+                    # fixed-interval path's frames[0] at ts=0
+                    j = bisect.bisect_right(starts, ts) - 1
+                    idx = bisect.bisect_left(starts, starts[j])
+                    out.append((ts, png_frames[idx]))
+                return out
+            else:
+                return None
+            interval, frames = decoded
+            if not frames:
+                return []  # empty container: no rows, no error
+            total = interval * len(frames)
+            return [
+                (ts, frames[min(ts // interval, len(frames) - 1)])
+                for ts in range(0, max(total, 1), every_ms)
+            ]
+
         for pdf in batches:
             rows = {"media_id": [], "ts_ms": [], "frame": []}
             for mid, content, dur in zip(
                 pdf["media_id"], pdf["content"], pdf["duration_ms"]
             ):
                 raw = bytes(content or b"")
-                decoded = None
-                if raw.startswith(MPNG_MAGIC):
-                    decoded = decode_mpng(raw)
-                elif is_avi(raw):
-                    interval, fcc, (w, h), frames = decode_avi(raw)
-                    if fcc == "DIB ":
-                        frames = [bmp_wrap(f, w, h) for f in frames]
-                    decoded = (interval, frames)
-                elif raw[:6] in (b"GIF87a", b"GIF89a"):
-                    # animated GIF: compose frames (disposal-aware),
-                    # re-emit each as a spec-valid PNG so downstream
-                    # feature/phash paths decode them like any still.
-                    # Per-frame delays are honored (variable-rate), so
-                    # this branch samples on cumulative timestamps
-                    # instead of the fixed-interval path below.
-                    from .gif import iter_gif_frames
-                    from .media_codecs import encode_png
-
-                    gframes = list(iter_gif_frames(raw))
-                    if not gframes:
-                        continue
-                    starts, t = [], 0
-                    for fr in gframes:
-                        starts.append(t)
-                        t += max(int(fr["delay_cs"]) * 10, 0)
-                    png_frames = [
-                        encode_png(fr["image"]) for fr in gframes
-                    ]
-                    for ts in range(0, max(t, 1), every_ms):
-                        # last start <= ts, then the EARLIEST frame at
-                        # that start — zero-delay runs (all starts
-                        # equal) resolve to the first frame, matching
-                        # the fixed-interval path's frames[0] at ts=0
-                        j = bisect.bisect_right(starts, ts) - 1
-                        idx = bisect.bisect_left(starts, starts[j])
-                        rows["media_id"].append(mid)
-                        rows["ts_ms"].append(ts)
-                        rows["frame"].append(png_frames[idx])
+                try:
+                    sampled = sample_known(raw)
+                except (UnsupportedMediaError, struct.error, ValueError,
+                        IndexError, zlib.error, EOFError,
+                        RecursionError):
+                    # one corrupt container (truncated MPNG/AVI/GIF,
+                    # unsupported GIF disposal, LZW damage) yields NO
+                    # frame rows instead of killing the whole job —
+                    # the same stance as every other media kernel
+                    # (r11 review); the mp4/webm NotImplementedError
+                    # refusal below stays intentional and typed
                     continue
-                if decoded is not None:
-                    interval, frames = decoded
-                    if not frames:
-                        continue  # empty container: no rows, no error
-                    total = interval * len(frames)
-                    for ts in range(0, max(total, 1), every_ms):
-                        idx = min(ts // interval, len(frames) - 1)
+                if sampled is not None:
+                    for ts, fr in sampled:
                         rows["media_id"].append(mid)
                         rows["ts_ms"].append(ts)
-                        rows["frame"].append(frames[idx])
+                        rows["frame"].append(fr)
                     continue
                 if not fake:
                     raise NotImplementedError(

@@ -196,3 +196,19 @@ def test_flac_corruption_fuzz_never_uncontrolled():
             assert sr > 0 and bps in (8, 16, 24)
         except UnsupportedMediaError:
             pass
+
+
+def test_flac_hostile_streams_raise_typed_errors():
+    """r11 review (repro'd): two untyped leaks past the documented
+    UnsupportedMediaError-only contract — blocksize < LPC order hit
+    np.empty(negative) ValueError, and a STREAMINFO whose declared
+    length is 34 but whose body is shorter hit raw IndexError."""
+    from pinecone_datasets_spark.operators.flac import (
+        UnsupportedMediaError,
+        decode_flac_pcm,
+    )
+
+    # declared length 34, actual body 10 bytes
+    truncated = b"fLaC" + bytes([0x80, 0, 0, 34]) + b"\x00" * 10
+    with pytest.raises(UnsupportedMediaError):
+        decode_flac_pcm(truncated)

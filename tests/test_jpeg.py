@@ -363,3 +363,43 @@ def test_dc_only_quality100_roundtrip_is_pixel_exact():
             encode_jpeg_progressive(pix, quality=100),
         ):
             np.testing.assert_array_equal(decode_jpeg(enc), pix)
+
+
+def test_zero_sampling_factor_quarantines_not_zde():
+    """r11 review (repro'd): a corrupt SOF with hv byte 0x00 raised a
+    raw ZeroDivisionError no kernel catches — one hostile JPEG killed
+    the whole job. Must be UnsupportedMediaError."""
+    import numpy as np
+
+    from pinecone_datasets_spark.operators.jpeg import (
+        UnsupportedMediaError,
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    good = bytearray(
+        encode_jpeg(
+            np.full((16, 16, 3), 128, dtype=np.uint8)
+        )
+    )
+    # find the SOF0 marker and zero the first component's hv byte
+    i = bytes(good).find(b"\xff\xc0")
+    assert i > 0
+    hv_at = i + 2 + 2 + 1 + 2 + 2 + 1 + 1  # len,prec,h,w,ncomp,cid -> hv
+    good[hv_at] = 0
+    with pytest.raises(UnsupportedMediaError, match="sampling"):
+        decode_jpeg(bytes(good))
+
+
+def test_huffman_fold_handles_deep_pre_fold_codes():
+    """r11 review (repro'd): symbols whose pre-fold code depth exceeded
+    16 were dropped from huffval while bits[] was folded, making the
+    table inconsistent (IndexError downstream). jchuff.c iterates to
+    MAX_CLEN=32."""
+    from pinecone_datasets_spark.operators.jpeg import _build_huffman
+
+    freqs = {i: 1 << i for i in range(26)}  # doubling skew: depth ~27
+    bits, huffval = _build_huffman(freqs)
+    assert sum(bits) == len(huffval) == 26
+    assert sorted(huffval) == list(range(26))
+    assert all(b >= 0 for b in bits) and len(bits) == 16

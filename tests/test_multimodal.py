@@ -1272,3 +1272,56 @@ def test_hostile_nested_containers_never_blow_the_stack():
     with pytest.raises(UnsupportedMediaError):
         decode_avi(avi)  # no avih header → typed, NOT RecursionError
     assert decode_avi_audio(avi) is None  # no audio stream: None
+
+
+def test_audio_fingerprint_custom_id_col(spark):
+    """r11 review: the kernel read pdf[id_col] but the select aliases
+    the id to 'media_id' — any non-default id_col raised KeyError in
+    every task."""
+    import numpy as np
+
+    from pinecone_datasets_spark.operators.media_codecs import encode_wav
+    from pinecone_datasets_spark.operators.multimodal import (
+        audio_fingerprint,
+    )
+
+    wav = encode_wav(0.4 * np.sin(np.arange(8000) / 9.0), rate=16000)
+    media = spark.createDataFrame(
+        [("a1", bytearray(wav))], "doc_id string, content binary"
+    )
+    out = audio_fingerprint(media, id_col="doc_id").collect()
+    assert len(out) == 1 and out[0]["afp"] is not None
+
+
+def test_sample_video_frames_quarantines_corrupt_containers(spark):
+    """r11 review: a corrupt GIF/AVI/MPNG row killed the whole job —
+    it must yield zero frame rows while good rows still sample."""
+    import numpy as np
+
+    from pinecone_datasets_spark.operators.media_codecs import (
+        encode_mpng,
+        encode_png,
+    )
+    from pinecone_datasets_spark.operators.multimodal import (
+        sample_video_frames,
+    )
+
+    rng = np.random.default_rng(3)
+    frames = [
+        rng.integers(0, 256, (8, 8, 3), dtype=np.uint8) for _ in range(3)
+    ]
+    good = encode_mpng(frames, interval_ms=100)
+    corrupt_mpng = good[:40]  # truncated container
+    corrupt_gif = b"GIF89a" + b"\x01\x02"  # truncated header
+    media = spark.createDataFrame(
+        [
+            ("good", bytearray(good), 300),
+            ("bad1", bytearray(corrupt_mpng), 300),
+            ("bad2", bytearray(corrupt_gif), 300),
+        ],
+        "media_id string, content binary, duration_ms long",
+    )
+    rows = sample_video_frames(media, every_ms=100).collect()
+    ids = {r["media_id"] for r in rows}
+    assert ids == {"good"}, ids
+    assert len(rows) == 3
