@@ -44,13 +44,20 @@ def ensure_anonymous_access(spark: Any, path: str) -> bool:
 
     * GCS: ``fs.gs.auth.type=UNAUTHENTICATED`` (gcs-connector ≥ 2.2; the
       pre-2.2 ``fs.gs.auth.null.enabled=true`` pair is set too).
+      **Session-global caveat (r11)**: the GCS connector has no
+      per-bucket credential scoping (unlike S3A), so these keys affect
+      every ``gs://`` read in the session — a ``UserWarning`` is
+      emitted when they are applied; sessions that also read private
+      GCS buckets should use a separate SparkSession for the public
+      catalog.
     * S3A: the per-bucket ``fs.s3a.bucket.<name>.aws.credentials.provider``
       is pointed at ``AnonymousAWSCredentialsProvider`` — scoped so other
       buckets keep the user's credential chain.
 
-    Only applies when ``path`` is under the public catalog endpoint
-    (``cfg.catalog_base_path()`` default) — credentials for any other
-    location are untouched. Returns True when configs were applied.
+    Only applies when ``path`` IS the public catalog endpoint or lies
+    strictly under it (path-segment boundary — a sibling bucket whose
+    name merely shares the prefix does not match; r11 review).
+    Returns True when configs were applied.
     Offline note: no object store is reachable from the test environment;
     this sets the documented connector keys and is covered by
     config-assertion tests only.
@@ -58,13 +65,27 @@ def ensure_anonymous_access(spark: Any, path: str) -> bool:
     from .cfg import DEFAULT_CATALOG_BASE_PATH
 
     norm = normalize_uri(path)
-    endpoint = normalize_uri(DEFAULT_CATALOG_BASE_PATH)
-    if not norm.startswith(endpoint):
+    endpoint = normalize_uri(DEFAULT_CATALOG_BASE_PATH).rstrip("/")
+    # exact endpoint or a path-segment child: a bare startswith matched
+    # unrelated buckets sharing the name prefix (…-dev-backup) and
+    # anonymized them too (r11 review)
+    if norm.rstrip("/") != endpoint and not norm.startswith(endpoint + "/"):
         return False
     if spark is None:
         return False
     conf = spark._jsc.hadoopConfiguration()
     if norm.startswith("gs://"):
+        import warnings
+
+        warnings.warn(
+            "enabling UNAUTHENTICATED GCS auth for the public dataset"
+            " endpoint: the GCS connector has no per-bucket credential"
+            " scoping, so private gs:// reads in THIS session will also"
+            " go unauthenticated — use a separate SparkSession for"
+            " credentialed GCS access",
+            UserWarning,
+            stacklevel=2,
+        )
         conf.set("fs.gs.auth.type", "UNAUTHENTICATED")
         conf.set("fs.gs.auth.null.enabled", "true")
         conf.set("fs.gs.auth.service.account.enable", "false")
@@ -121,15 +142,14 @@ class _HadoopFS:
     def read_text(self, path: str) -> str:
         stream = self._fs.open(self._path_cls(path))
         try:
-            out = bytearray()
-            buf_cls = getattr(self._jvm, "byte[]", None)
-            # Read via the JVM IOUtils to avoid byte[] plumbing from Python.
+            # JVM IOUtils does all the byte plumbing — no manual byte[]
+            # handling from Python is needed (r11: dropped a dead
+            # bytearray and an unused getattr round-trip here)
             baos = self._jvm.java.io.ByteArrayOutputStream()
             self._jvm.org.apache.hadoop.io.IOUtils.copyBytes(
                 stream, baos, self._conf, False
             )
-            out = baos.toByteArray()
-            return bytes(out).decode("utf-8")
+            return bytes(baos.toByteArray()).decode("utf-8")
         finally:
             stream.close()
 

@@ -37,6 +37,7 @@ import io
 import posixpath
 import re
 import zipfile
+import struct
 import zlib
 from typing import Iterator, Optional
 
@@ -171,8 +172,11 @@ def odt_to_text(blob: bytes) -> str:
         for child in el:
             ctag = _local(child.tag)
             if ctag == "s":
-                n = int(child.get(_q("text", "c"), "1") or "1")
-                parts.append(" " * max(n, 1))
+                try:
+                    n = int(child.get(_q("text", "c"), "1") or "1")
+                except ValueError:
+                    n = 1  # malformed repeat count: one space (r11)
+                parts.append(" " * max(min(n, 1 << 20), 1))
             elif ctag == "tab":
                 parts.append("\t")
             elif ctag == "line-break":
@@ -273,6 +277,13 @@ def epub_to_text(blob: bytes) -> str:
                     posixpath.normpath(posixpath.join(base, href))
                 )
     except UnsupportedMediaError:
+        docs = []
+    if not docs:
+        # the fallback covers BOTH broken-OPF classes: a parse error
+        # above AND an OPF that parses but resolves to zero spine
+        # documents (itemref idrefs not matching manifest ids — a
+        # common breakage the old code quarantined despite extractable
+        # chapters existing; r11 review)
         docs = sorted(
             n for n in names if n.endswith((".xhtml", ".html", ".htm"))
         )
@@ -379,6 +390,13 @@ def rtf_to_text(blob: bytes) -> str:
             if word == b"u" and param:
                 cp = int(param)
                 cp = cp + 65536 if cp < 0 else cp
+                if cp > 0x10FFFF:
+                    # hostile \uN with an out-of-range parameter (the
+                    # regex admits 10 digits): U+FFFD, not a chr()
+                    # ValueError escaping the kernel (r11 review)
+                    out.append("�")
+                    pending_uskip = uc_stack[-1]
+                    continue
                 # RTF \uN is a SIGNED 16-bit value: astral characters
                 # arrive as UTF-16 surrogate PAIRS — recompose them
                 # (hypothesis-found); stray surrogates become U+FFFD
@@ -630,7 +648,16 @@ def extract_document_text(
                     kinds.append(kind)
                     texts.append(text)
                     errs.append(None)
-                except (UnsupportedMediaError, RecursionError) as e:
+                # the full quarantine family, not just the typed
+                # refusal: hand-written format parsers over hostile
+                # bytes can leak stdlib exceptions (chr() range,
+                # int() parses, odd-length hex...) and ONE such row
+                # must cost a quarantine row, never the job (r11
+                # review found reachable ValueError paths in both
+                # extractors)
+                except (UnsupportedMediaError, RecursionError,
+                        ValueError, KeyError, IndexError, struct.error,
+                        zlib.error, EOFError) as e:
                     kinds.append(None)
                     texts.append(None)
                     errs.append(str(e))

@@ -41,6 +41,7 @@ has no document-format surface; Layer-B extension (SURVEY.md §2
 from __future__ import annotations
 
 import re
+import struct
 import zlib
 from typing import Iterator, Optional
 
@@ -278,21 +279,46 @@ def _scan_objects(blob: bytes) -> dict:
         end = blob.find(b"endobj", body_start)
         if end < 0:
             end = n
-        seg = blob[body_start:end]
-        sm = re.search(rb"stream\r?\n", seg)
+        # the stream keyword (in the object DICT region) is located
+        # BEFORE trusting the endobj position: compressed payload bytes
+        # can contain the ASCII substring 'endobj', and cutting there
+        # truncated the object and resumed the scan INSIDE the payload
+        # — re-enabling the payload-shadowing this sequential scan
+        # exists to prevent (r11 review). With a stream present, the
+        # payload extent comes from a direct /Length when the dict has
+        # one (the spec-trusting path), else the next 'endstream', and
+        # endobj is searched only after the payload.
+        sm = re.compile(rb"stream\r?\n").search(blob, body_start, end)
         stream = None
         if sm:
-            se = seg.find(b"endstream", sm.end())
+            seg = blob[body_start : sm.start()]
+            val = _parse_value(_P(seg))
+            length = (
+                val.get("Length") if isinstance(val, dict) else None
+            )
+            se = -1
+            if isinstance(length, int) and 0 <= length <= n:
+                cand = sm.end() + length
+                # trust /Length only when endstream actually follows
+                tail = blob[cand : cand + 16]
+                if b"endstream" in tail:
+                    se = cand
             if se < 0:
-                se = len(seg)
-            stream = seg[sm.end() : se]
+                se = blob.find(b"endstream", sm.end())
+                if se < 0:
+                    se = n
+            stream = blob[sm.end() : se]
             # spec: EOL may precede endstream and is not stream data
             if stream.endswith(b"\r\n"):
                 stream = stream[:-2]
             elif stream.endswith(b"\n") or stream.endswith(b"\r"):
                 stream = stream[:-1]
-            seg = seg[: sm.start()]
-        val = _parse_value(_P(seg))
+            end = blob.find(b"endobj", se)
+            if end < 0:
+                end = n
+        else:
+            seg = blob[body_start:end]
+            val = _parse_value(_P(seg))
         objs[num] = (val, stream)
         pos = end + 6 if end < n else n
     return objs
@@ -409,6 +435,8 @@ def _parse_tounicode(data: bytes) -> dict:
         for src, dst in re.findall(
             rb"<([0-9a-fA-F]+)>\s*<([0-9a-fA-F]+)>", m.group(1)
         ):
+            if len(dst) % 2:
+                continue  # malformed odd-length hex: skip the entry
             code = int(src, 16)
             width = max(width, len(src) // 2)
             cmap[code] = (
@@ -422,11 +450,31 @@ def _parse_tounicode(data: bytes) -> dict:
             rb"<([0-9a-fA-F]+)>\s*<([0-9a-fA-F]+)>\s*<([0-9a-fA-F]+)>",
             body,
         ):
+            if len(dst) % 2:
+                continue
             lo_i, hi_i = int(lo, 16), int(hi, 16)
             width = max(width, len(lo) // 2)
-            base = int(dst, 16)
-            for k in range(min(hi_i - lo_i + 1, 65536)):
-                cmap[lo_i + k] = chr(base + k)
+            dst_b = bytes.fromhex(dst.decode())
+            if len(dst_b) <= 2:
+                # single UTF-16 unit destination; masked increment so
+                # the old chr(base + k) can never leave chr()'s range
+                # (the fi-ligature class <00660069> previously raised
+                # an uncaught ValueError — r11 review)
+                base = int(dst, 16)
+                for k in range(min(hi_i - lo_i + 1, 65536)):
+                    cmap[lo_i + k] = chr((base + k) & 0xFFFF)
+            else:
+                # multi-unit destination (ligatures, astral pairs):
+                # UTF-16BE string whose LAST code unit increments
+                # across the range, per the CMap spec
+                prefix, last = dst_b[:-2], int.from_bytes(
+                    dst_b[-2:], "big"
+                )
+                for k in range(min(hi_i - lo_i + 1, 65536)):
+                    unit = ((last + k) & 0xFFFF).to_bytes(2, "big")
+                    cmap[lo_i + k] = (prefix + unit).decode(
+                        "utf-16-be", "replace"
+                    )
     cmap[None] = width
     return cmap
 
@@ -693,7 +741,16 @@ def extract_pdf_text(
                     npages.append(n)
                     drops.append(dr)
                     errs.append(None)
-                except (UnsupportedMediaError, RecursionError) as e:
+                # the full quarantine family, not just the typed
+                # refusal: hand-written format parsers over hostile
+                # bytes can leak stdlib exceptions (chr() range,
+                # int() parses, odd-length hex...) and ONE such row
+                # must cost a quarantine row, never the job (r11
+                # review found reachable ValueError paths in both
+                # extractors)
+                except (UnsupportedMediaError, RecursionError,
+                        ValueError, KeyError, IndexError, struct.error,
+                        zlib.error, EOFError) as e:
                     texts.append(None)
                     npages.append(None)
                     drops.append(None)

@@ -58,6 +58,26 @@ def _local_path(uri: str) -> str | None:
     return None
 
 
+_BYTE_SUFFIXES = {
+    "b": 1, "k": 1 << 10, "kb": 1 << 10, "m": 1 << 20, "mb": 1 << 20,
+    "g": 1 << 30, "gb": 1 << 30, "t": 1 << 40, "tb": 1 << 40,
+}
+
+
+def _parse_bytes(v: str) -> int:
+    """Spark byte-string conf values: '134217728', '128m', '64MB' —
+    a bare int() crashed every widen()-using operator the moment a
+    user set the documented suffixed form (r11 review)."""
+    s = str(v).strip().lower()
+    for suf in sorted(_BYTE_SUFFIXES, key=len, reverse=True):
+        if s.endswith(suf) and s[: -len(suf)].strip().isdigit():
+            return int(s[: -len(suf)].strip()) * _BYTE_SUFFIXES[suf]
+    try:
+        return int(s)
+    except ValueError:
+        return 128 * 1024 * 1024  # unparseable: Spark's default
+
+
 def _scan_splits_at_least(df: DataFrame, target: int) -> bool:
     """Driver-metadata-only lower bound: True if the frame is a scan of
     local files whose byte size guarantees >= ``target`` input splits.
@@ -79,7 +99,9 @@ def _scan_splits_at_least(df: DataFrame, target: int) -> bool:
         except OSError:
             return False
     conf = df.sparkSession.conf
-    max_split = int(conf.get("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024)))
+    max_split = _parse_bytes(
+        conf.get("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+    )
     # Spark packs small files together (openCostInBytes padding) — the
     # byte-derived count is a lower bound on splits only when each file
     # alone exceeds the split size; the safe, simple bound is

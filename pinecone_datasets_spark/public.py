@@ -20,14 +20,26 @@ _global_catalog: Optional[Catalog] = None
 
 def _get_catalog(spark: Optional[SparkSession] = None) -> Catalog:
     global _global_catalog
-    if _global_catalog is None:
-        if spark is None:
-            spark = SparkSession.getActiveSession()
-        if spark is None:
-            raise RuntimeError(
-                "No active SparkSession; pass spark= explicitly"
-            )
-        _global_catalog = Catalog(spark)
+    if _global_catalog is not None:
+        cached = _global_catalog._spark
+        # an explicitly passed session always wins, and a cached
+        # catalog bound to a STOPPED session is discarded — previously
+        # list_datasets(spark=fresh) silently returned the dead-session
+        # catalog and failed with a py4j error (r11 review)
+        stale = (
+            (spark is not None and spark is not cached)
+            or getattr(cached.sparkContext, "_jsc", None) is None
+        )
+        if not stale:
+            return _global_catalog
+        _global_catalog = None
+    if spark is None:
+        spark = SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError(
+            "No active SparkSession; pass spark= explicitly"
+        )
+    _global_catalog = Catalog(spark)
     return _global_catalog
 
 

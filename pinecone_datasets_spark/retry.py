@@ -81,7 +81,13 @@ def with_retry(func: F) -> F:
     def wrapper(*args: Any, **kwargs: Any) -> Any:
         if os.environ.get(ENV_DISABLE, "").lower() in ("1", "true", "yes"):
             return func(*args, **kwargs)
-        attempts = int(_env_number(ENV_MAX_ATTEMPTS, _LEGACY_MAX_ATTEMPTS, 3))
+        # clamp to >= 1: attempts=0 (or negative) from the env var
+        # previously skipped the loop and hit `raise last` with
+        # last=None — a TypeError that never ran the function and never
+        # mentioned the env var (r11 review)
+        attempts = max(
+            int(_env_number(ENV_MAX_ATTEMPTS, _LEGACY_MAX_ATTEMPTS, 3)), 1
+        )
         backoff_min = _env_number(ENV_MIN_WAIT, _LEGACY_BACKOFF_MIN, 2.0)
         backoff_max = _env_number(ENV_MAX_WAIT, _LEGACY_BACKOFF_MAX, 10.0)
         last: BaseException | None = None

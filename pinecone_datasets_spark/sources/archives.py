@@ -82,7 +82,11 @@ def _iter_members(path: str, blob: bytes, cap: int):
             yield None, None, None, f"bad zip: {e}"
             return
         for info in zf.infolist():
-            if info.is_dir():
+            # endswith, not info.is_dir(): a mutated central directory
+            # can yield an EMPTY filename, and is_dir() does
+            # filename[-1] — an uncaught IndexError that killed the
+            # walk (r11 corruption fuzz)
+            if info.filename.endswith("/"):
                 continue
             if info.file_size > cap:
                 yield (
@@ -103,8 +107,9 @@ def _iter_members(path: str, blob: bytes, cap: int):
                 yield info.filename, len(data), data, None
             except (zipfile.BadZipFile, OSError, ValueError,
                     NotImplementedError, RuntimeError, EOFError,
-                    zlib.error) as e:
-                # RuntimeError = encrypted member (fuzz-found)
+                    zlib.error, KeyError, IndexError) as e:
+                # RuntimeError = encrypted member; KeyError/IndexError
+                # = mutated central directory (both fuzz-found)
                 yield info.filename, None, None, f"bad zip member: {e}"
         return
 

@@ -77,3 +77,31 @@ def test_widen_scan_estimate_short_circuits(tmp_path, spark, monkeypatch):
             restore()
     finally:
         spark.conf.unset("spark.sql.files.maxPartitionBytes")
+
+
+def test_parse_bytes_suffixed_conf_values():
+    """r11 review: widen() parsed spark.sql.files.maxPartitionBytes
+    with a bare int(), crashing for the documented '128m'/'64MB'
+    suffixed forms."""
+    from pinecone_datasets_spark.parallel import _parse_bytes
+
+    assert _parse_bytes("134217728") == 134217728
+    assert _parse_bytes("128m") == 128 << 20
+    assert _parse_bytes("64MB") == 64 << 20
+    assert _parse_bytes(" 2g ") == 2 << 30
+    assert _parse_bytes("1k") == 1024
+    assert _parse_bytes("garbage") == 128 << 20  # Spark default
+
+
+def test_widen_with_suffixed_max_partition_bytes(spark, tmp_path):
+    from pinecone_datasets_spark.parallel import widen
+
+    p = str(tmp_path / "t")
+    spark.range(100).write.parquet(p)
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "64m")
+        df = widen(spark.read.parquet(p), "id")
+        assert df.count() == 100  # no ValueError at plan build
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)

@@ -178,3 +178,56 @@ def test_catalog_auto_stays_sequential_on_local_paths(spark, tmp_path, monkeypat
     )
     cat = catmod.Catalog(spark, base_path=str(tmp_path))
     assert len(cat.load().list_datasets()) == 5
+
+
+def test_retry_attempts_env_clamped_to_one(monkeypatch):
+    """r11 review: PINECONE_DATASETS_MAX_RETRY_ATTEMPTS=0 skipped the
+    retry loop and raised a bare TypeError (raise None) without ever
+    calling the function."""
+    from pinecone_datasets_spark import retry as retry_mod
+
+    monkeypatch.setenv(retry_mod.ENV_MAX_ATTEMPTS, "0")
+    calls = []
+
+    @retry_mod.with_retry
+    def fn():
+        calls.append(1)
+        return 42
+
+    assert fn() == 42
+    assert calls == [1]
+
+
+def test_anonymous_access_prefix_boundary(spark):
+    """r11 review: a bare startswith matched sibling buckets whose
+    name merely shares the public endpoint's prefix."""
+    from pinecone_datasets_spark.cfg import DEFAULT_CATALOG_BASE_PATH
+    from pinecone_datasets_spark.fs import ensure_anonymous_access
+
+    sibling = DEFAULT_CATALOG_BASE_PATH.rstrip("/") + "-backup/x"
+    assert ensure_anonymous_access(spark, sibling) is False
+
+
+def test_get_catalog_prefers_explicit_fresh_session(spark):
+    """r11 review: the module-level catalog cache ignored an
+    explicitly passed SparkSession once populated."""
+    from pinecone_datasets_spark import public as pub
+
+    c1 = pub._get_catalog(spark)
+    assert pub._get_catalog(spark) is c1  # same live session: cached
+    # a DIFFERENT explicitly-passed session must not get c1 back;
+    # simulate by planting a catalog bound to a sentinel object
+    class _DeadCtx:
+        _jsc = None
+
+    class _DeadSpark:
+        sparkContext = _DeadCtx()
+
+    c1_backup = pub._global_catalog
+    try:
+        pub._global_catalog = type(c1)(spark, base_path=c1.base_path)
+        pub._global_catalog._spark = _DeadSpark()  # stale session
+        c2 = pub._get_catalog(spark)
+        assert c2._spark is spark  # stale cache discarded
+    finally:
+        pub._global_catalog = c1_backup
