@@ -6575,7 +6575,7 @@ _ANNOTATE = """
 annotated AS (
   SELECT doc_id, lang,
          (CASE WHEN trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g')) = '' THEN 0
-               ELSE len(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g'))) - len(replace(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g')), ' ', '')) + 1
+               ELSE len(list_filter(string_split_regex(trim(text), '[ \t\n\r\f\x0B]+'), x -> len(x) > 0))
           END)::BIGINT AS n_words,
          (CASE WHEN len(text) < 20 THEN len(text) / 20.0
                ELSE least(1.0, 2000.0 / greatest(len(text), 1)) END
@@ -6820,12 +6820,12 @@ ORDER BY doc_id
         "q13_text_stats": f"""
 SELECT doc_id,
        CASE WHEN trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g')) = '' THEN 0
-            ELSE len(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g'))) - len(replace(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g')), ' ', '')) + 1
+            ELSE len(list_filter(string_split_regex(trim(text), '[ \t\n\r\f\x0B]+'), x -> len(x) > 0))
        END::BIGINT AS n_words,
        greatest(
          ceil(len(text) / 4.0)::BIGINT,
          (CASE WHEN trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g')) = '' THEN 0
-               ELSE len(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g'))) - len(replace(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g')), ' ', '')) + 1
+               ELSE len(list_filter(string_split_regex(trim(text), '[ \t\n\r\f\x0B]+'), x -> len(x) > 0))
           END)::BIGINT) AS n_tokens,
        n_chars,
        round(({_q13_entropy_sql}), 6) AS entropy
@@ -6835,7 +6835,7 @@ FROM documents
 SELECT lang, count(*) AS n_docs,
        round(avg(n_chars), 2) AS avg_chars,
        round(avg(CASE WHEN trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g')) = '' THEN 0
-                 ELSE len(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g'))) - len(replace(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g')), ' ', '')) + 1
+                 ELSE len(list_filter(string_split_regex(trim(text), '[ \t\n\r\f\x0B]+'), x -> len(x) > 0))
                  END), 2) AS avg_words
 FROM documents GROUP BY lang ORDER BY lang
 """,
