@@ -17,8 +17,11 @@ from __future__ import annotations
 from typing import Mapping, Optional
 
 from pyspark.errors import AnalysisException
+import warnings
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .cfg import SCHEMAS_BY_KIND, ColumnSpec
 
@@ -65,11 +68,31 @@ def conform(
     projection: list[Column] = []
     for spec in cols:
         if spec.name in present:
-            if _can_cast(df, spec.name, spec):
+            src_t = df.schema[spec.name].dataType
+            if isinstance(
+                src_t, (T.StructType, T.MapType, T.ArrayType)
+            ) and isinstance(spec.dtype, T.StringType):
+                # externally-written datasets commonly store metadata
+                # as a Parquet STRUCT; a bare cast(struct->string) is
+                # LEGAL but emits Spark's '{1, foo}' rendering, not
+                # JSON — iter_documents' json.loads then failed
+                # silently corpus-wide (r11 review, confirmed).
+                # to_json preserves the reference's dict semantics.
+                projection.append(
+                    F.to_json(F.col(spec.name)).alias(spec.name)
+                )
+            elif _can_cast(df, spec.name, spec):
                 projection.append(
                     F.col(spec.name).cast(spec.dtype).alias(spec.name)
                 )
             elif spec.nullable:
+                # tolerated (reference NaN-fill semantics) but no
+                # longer SILENT: the column's data is being dropped
+                warnings.warn(
+                    f"conform({kind!r}): column {spec.name!r} has "
+                    f"incompatible type {src_t.simpleString()}; "
+                    f"replacing with its default (data not carried)"
+                )
                 projection.append(_default_column(spec).alias(spec.name))
             else:
                 raise ValueError(

@@ -15,7 +15,6 @@ Spark-first: tables are Spark ``DataFrame`` handles — plan-lazy by nature
 from __future__ import annotations
 
 import json
-import warnings
 from typing import Any, Iterator, Mapping, Optional, Union
 
 import pandas as pd
@@ -31,23 +30,6 @@ from .conform import conform
 from .fs import FS, normalize_uri
 from .metadata import DatasetMetadata
 from . import reader as _reader
-
-
-def deprecated(reason: str):
-    """Reference utils.py:5-15 parity: warn-and-run wrapper."""
-
-    def _wrap(func):
-        def _inner(*args: Any, **kwargs: Any):
-            warnings.warn(
-                f"{func.__name__} is deprecated: {reason}",
-                DeprecationWarning,
-                stacklevel=2,
-            )
-            return func(*args, **kwargs)
-
-        return _inner
-
-    return _wrap
 
 
 def _row_to_dict(row: Any, json_cols: tuple[str, ...]) -> dict[str, Any]:
@@ -227,15 +209,24 @@ class Dataset:
         """
         if n_rows <= self.ARROW_EGRESS_MAX_ROWS:
             table = df.toArrow()
-            for d in table.to_pylist():
-                for c in json_cols:
-                    v = d.get(c)
-                    if isinstance(v, str):
-                        try:
-                            d[c] = json.loads(v)
-                        except json.JSONDecodeError:
-                            pass
-                yield d
+            # per-record-batch to_pylist, NOT the whole table at once:
+            # one shot expanded every row into Python objects
+            # simultaneously (768-dim float lists blow up ~30x over
+            # their Arrow footprint), OOM-ing the driver on wide-vector
+            # datasets that are well under the row threshold (r11
+            # review). The Arrow table itself stays resident either way
+            # (the reference holds the whole table too); only the
+            # Python-object expansion is now batch-bounded.
+            for rb in table.to_batches(max_chunksize=16_384):
+                for d in rb.to_pylist():
+                    for c in json_cols:
+                        v = d.get(c)
+                        if isinstance(v, str):
+                            try:
+                                d[c] = json.loads(v)
+                            except json.JSONDecodeError:
+                                pass
+                    yield d
         else:
             for row in df.toLocalIterator(prefetchPartitions=True):
                 yield _row_to_dict(row, json_cols)

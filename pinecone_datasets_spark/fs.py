@@ -163,6 +163,9 @@ class _HadoopFS:
     def mkdirs(self, path: str) -> None:
         self._fs.mkdirs(self._path_cls(path))
 
+    def delete(self, path: str, recursive: bool = True) -> None:
+        self._fs.delete(self._path_cls(path), recursive)
+
 
 class FS:
     """Unified driver-side FS facade: local fast-path, Hadoop for remote."""
@@ -193,6 +196,20 @@ class FS:
         if is_local(pattern):
             return sorted(_glob.glob(_local_path(pattern)))
         return sorted(self._hadoop(pattern).glob(pattern))
+
+    def delete(self, path: str, recursive: bool = True) -> None:
+        """Remove a file or directory tree (no-op when absent)."""
+        path = normalize_uri(path)
+        if is_local(path):
+            lp = _local_path(path)
+            if os.path.isdir(lp):
+                import shutil
+
+                shutil.rmtree(lp) if recursive else os.rmdir(lp)
+            elif os.path.exists(lp):
+                os.remove(lp)
+            return
+        self._hadoop(path).delete(path, recursive)
 
     def read_json(self, path: str) -> Any:
         return json.loads(self.read_text(path))

@@ -397,6 +397,18 @@ def probe_bytes(
         if content[:8] == _PNG_MAGIC:
             w, h = struct.unpack(">II", content[16:24])
             return "png", w, h, None
+        if content[:5] == MPNG_MAGIC:
+            # our own motion-PNG fixture container — previously the
+            # _TYPE_BY_FORMAT 'mpng' entry was unreachable because the
+            # prober never emitted it (r11 review): header is
+            # MPNG\x01 | u32 n_frames | u32 interval_ms | (u32 len +
+            # png)*, dims from the first frame's IHDR
+            n_frames, interval = struct.unpack_from(">II", content, 5)
+            w = h = None
+            first = content[17 : 17 + 24]
+            if first[:8] == _PNG_MAGIC:
+                w, h = struct.unpack(">II", first[16:24])
+            return "mpng", w, h, n_frames * interval
         if content[:2] == b"BM":
             w, h = struct.unpack("<ii", content[18:26])
             return "bmp", w, abs(h), None

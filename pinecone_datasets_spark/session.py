@@ -16,6 +16,17 @@ from typing import Optional
 from pyspark.sql import SparkSession
 
 
+def _preconfigured_keys() -> set:
+    """Conf keys already supplied by spark-submit / spark-defaults /
+    env (visible via SparkConf before any session exists)."""
+    try:
+        from pyspark import SparkConf
+
+        return {k for k, _ in SparkConf().getAll()}
+    except Exception:
+        return set()
+
+
 def get_spark_session(
     app_name: str = "pinecone-datasets-spark",
     master: Optional[str] = None,
@@ -23,11 +34,22 @@ def get_spark_session(
     extra_conf: Optional[dict[str, str]] = None,
 ) -> SparkSession:
     cpus = os.cpu_count() or 8
-    master = master or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or cpus
+    b = SparkSession.builder
+    # set a master ONLY when the caller asked for one or none is
+    # configured: unconditionally forcing local[N] silently overrode a
+    # spark-submit --master yarn/k8s and ran the "100 TB" job in local
+    # mode on the driver (r11 review). spark.master from submit/env
+    # wins when present.
+    if master is not None:
+        b = b.master(master)
+    elif (
+        os.environ.get("SPARK_MASTER") is None
+        and "spark.master" not in _preconfigured_keys()
+    ):
+        b = b.master(f"local[{cpus}]")
     b = (
-        SparkSession.builder.master(master)
-        .appName(app_name)
+        b.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -131,8 +131,11 @@ def _split(lines: DataFrame, parsed: Column, schema: StructType) -> CorpusRead:
     bad = F.col("_parsed").isNull() | F.col(
         f"_parsed.{CORRUPT_COL}"
     ).isNotNull()
+    # bracket access, not F.col("_parsed.<name>"): a schema field whose
+    # name CONTAINS a dot ('user.id' — legal JSON) parsed as a path and
+    # failed analysis with FIELD_NOT_FOUND (r11 review, confirmed)
     good = tagged.where(~bad).select(
-        *[F.col(f"_parsed.{f.name}").alias(f.name) for f in schema.fields]
+        *[F.col("_parsed")[f.name].alias(f.name) for f in schema.fields]
     )
     quarantined = tagged.where(bad).select(
         F.col("source_file"), F.col("value").alias("raw_record")
@@ -270,11 +273,9 @@ def stream_jsonl(
         .text(path)
         .where(F.length(F.trim(F.col("value"))) > 0)
     )
+    # reuse _split so the batch/stream "identical parse expression,
+    # identical verdicts" promise holds by construction, not copy-paste
+    # (r11 review); streaming just drops the quarantine projection and
+    # the batch-only source_file column
     parsed = F.from_json(F.col("value"), _with_corrupt(schema), _PARSE_OPTS)
-    tagged = lines.select(parsed.alias("_parsed"))
-    bad = F.col("_parsed").isNull() | F.col(
-        f"_parsed.{CORRUPT_COL}"
-    ).isNotNull()
-    return tagged.where(~bad).select(
-        *[F.col(f"_parsed.{f.name}").alias(f.name) for f in schema.fields]
-    )
+    return _split(lines, parsed, schema).good

@@ -86,9 +86,21 @@ def _probe_kernel(batches: "Iterator[pd.DataFrame]"):
             "duration_ms": [],
             "format": [],
         }
+        def _i32(v):
+            # a hostile header can declare dims past int32 (e.g. PNG
+            # IHDR width 0xFFFFFFFF): pd.array(dtype='Int32') then
+            # raised TypeError and killed the probe job, violating the
+            # never-a-dead-job contract (r11 review, confirmed). Out of
+            # range -> NULL, like any other unprobeable attribute.
+            return v if v is not None and -(1 << 31) <= v < (1 << 31) else None
+
+        def _i64(v):
+            return v if v is not None and -(1 << 63) <= v < (1 << 63) else None
+
         for p, content in zip(pdf["path"], pdf["content"]):
             blob = bytes(content) if content is not None else None
             fmt, w, h, dur = probe_bytes(blob)
+            w, h, dur = _i32(w), _i32(h), _i64(dur)
             out["media_id"].append(str(p))
             out["media_type"].append(_TYPE_BY_FORMAT.get(fmt, "unknown"))
             out["content"].append(blob)

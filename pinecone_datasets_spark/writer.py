@@ -58,11 +58,27 @@ def write_documents(
 
 
 def write_queries(df: DataFrame, dataset_path: str, single_file: bool = False) -> None:
-    """S8: skip + warn when empty (dataset_fswriter.py:60-61)."""
+    """S8: skip + warn when empty (dataset_fswriter.py:60-61). When the
+    TARGET already holds a queries/ dir (overwriting an older version),
+    the stale dir is removed — skipping silently left v1's queries
+    under v2's metadata, and read-back served them as current (r11
+    review)."""
     if df.isEmpty():
-        warnings.warn(
-            f"Queries dataframe is empty; skipping write to {dataset_path}"
-        )
+        from .fs import FS
+
+        qdir = join(dataset_path, "queries")
+        fs = FS(df.sparkSession)
+        if fs.exists(qdir):
+            warnings.warn(
+                "Queries dataframe is empty; REMOVING the existing"
+                f" queries dir at {qdir} (a skip would leave the old"
+                " version's queries under the new metadata)"
+            )
+            fs.delete(qdir)
+        else:
+            warnings.warn(
+                f"Queries dataframe is empty; skipping write to {dataset_path}"
+            )
         return
     _write_table(df, join(dataset_path, "queries"), single_file)
 

@@ -316,3 +316,25 @@ def test_stream_media_availablenow_equals_batch(spark, tmp_path):
         assert got[k].asDict() == batch[k].asDict(), k
     assert got["junk.bin"]["media_type"] == "unknown"
     assert got["a.png"]["width"] == 7 and got["a.png"]["height"] == 5
+
+
+def test_jsonl_dotted_field_names(spark, tmp_path):
+    """r11 review (confirmed): a schema field containing a dot
+    ('user.id' — legal JSON) parsed as a struct path and failed
+    analysis."""
+    from pyspark.sql import types as T
+
+    from pinecone_datasets_spark.sources.corpus import read_jsonl
+
+    p = tmp_path / "t.jsonl"
+    p.write_text('{"user.id": "u1", "v": 2}\n{"user.id": "u2", "v": 3}\n')
+    schema = T.StructType(
+        [
+            T.StructField("user.id", T.StringType()),
+            T.StructField("v", T.IntegerType()),
+        ]
+    )
+    got = read_jsonl(spark, str(p), schema)
+    rows = {r["user.id"]: r["v"] for r in got.good.collect()}
+    assert rows == {"u1": 2, "u2": 3}
+    assert got.quarantined.count() == 0

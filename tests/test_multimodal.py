@@ -1325,3 +1325,49 @@ def test_sample_video_frames_quarantines_corrupt_containers(spark):
     ids = {r["media_id"] for r in rows}
     assert ids == {"good"}, ids
     assert len(rows) == 3
+
+
+def test_probe_hostile_dims_and_mpng(spark, tmp_path):
+    """r11 review (confirmed): a PNG IHDR declaring width 0xFFFFFFFF
+    crashed the probe kernel's Int32 conversion (dead job); and
+    probe_bytes never emitted 'mpng' despite the type table listing it."""
+    import struct as _struct
+    import zlib as _zlib
+
+    import numpy as np
+
+    from pinecone_datasets_spark.operators.media_codecs import (
+        encode_mpng,
+        encode_png,
+        probe_bytes,
+    )
+    from pinecone_datasets_spark.sources.media import read_media
+
+    def chunk(ctype, body):
+        return (
+            _struct.pack(">I", len(body)) + ctype + body
+            + _struct.pack(">I", _zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    hostile = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", _struct.pack(">IIBBBBB", 0xFFFFFFFF, 3, 8, 2, 0, 0, 0))
+    )
+    frames = [np.zeros((4, 6, 3), dtype=np.uint8)] * 3
+    mpng = encode_mpng(frames, interval_ms=50)
+    assert probe_bytes(mpng) == ("mpng", 6, 4, 150)
+
+    d = tmp_path / "media"
+    d.mkdir()
+    (d / "hostile.png").write_bytes(hostile)
+    (d / "anim.mpng").write_bytes(mpng)
+    (d / "ok.png").write_bytes(
+        encode_png(np.zeros((2, 2, 3), dtype=np.uint8))
+    )
+    rows = {r["media_id"].rsplit("/", 1)[-1]: r for r in read_media(
+        spark, str(d)
+    ).collect()}
+    assert rows["hostile.png"]["width"] is None  # clamped, not a crash
+    assert rows["hostile.png"]["format"] == "png"
+    assert rows["anim.mpng"]["media_type"] == "video"
+    assert rows["ok.png"]["width"] == 2
