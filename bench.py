@@ -1701,7 +1701,12 @@ def main() -> None:
                 flush=True,
             )
             if final < first:
-                insuite[name] = first
+                # setdefault: when the slow-leg sweep already folded
+                # this leg, insuite[name] holds the TRUE in-suite
+                # original — overwriting it with the already-folded
+                # `first` hid the real measurement the publish-both-
+                # sides-of-the-fold rule exists to keep (r11 review)
+                insuite.setdefault(name, first)
                 total += final - first
                 results[name] = final
     finally:

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import glob
 import json
+import os
 import sys
 
 
@@ -30,14 +31,22 @@ def load(path: str):
         doc = doc["parsed"] or {}
     warm = doc.get("queries") or {}
     cold = doc.get("queries_cold")
+    series = "two-pass"
     if cold is None:
-        # r1-era single-pass artifacts: the one series is a cold pass
-        cold, warm = warm, {}
-    return path, warm, cold
+        # single-series artifact. r1/r3/r4 emitted a COLD pass; r5+
+        # emit a WARM one (verified against the artifacts) — labeling
+        # both 'cold' silently mixed warm and cold numbers in one
+        # ratio table (r11 review). Tag the series honestly and let
+        # main() print what it is actually comparing.
+        cold, warm, series = warm, {}, "single(warm r5+/cold r1-r4)"
+    return path, warm, cold, series
 
 
 def main() -> int:
-    paths = sys.argv[1:] or sorted(glob.glob("BENCH_r*.json"))
+    # anchor the default glob at the repo root, not the cwd (r11
+    # review: running from tools/ found zero artifacts)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    paths = sys.argv[1:] or sorted(glob.glob(os.path.join(repo, "BENCH_r*.json")))
     runs = []
     for p in paths:
         try:
@@ -47,10 +56,16 @@ def main() -> int:
     if len(runs) < 2:
         print("need >= 2 readable bench artifacts")
         return 1
-    base_label, _, base_cold = runs[0]
-    cur_label, cur_warm, cur_cold = runs[-1]
+    base_label, _, base_cold, base_series = runs[0]
+    cur_label, cur_warm, cur_cold, cur_series = runs[-1]
     names = sorted(set(base_cold) & set(cur_cold))
-    print(f"cold-vs-cold: {cur_label} / {base_label}")
+    print(
+        f"series ratio: {cur_label} [{cur_series}] /"
+        f" {base_label} [{base_series}]"
+    )
+    if base_series != cur_series:
+        print("WARNING: the two artifacts carry DIFFERENT series kinds"
+              " — ratios mix warm and cold measurements")
     print(f"{'query':<28} {'base':>8} {'cur':>8} {'ratio':>6}   warm")
     tb = tc = 0.0
     for n in names:

@@ -8,9 +8,11 @@ Usage: python tools/dump_plans.py [sf_dir]
 
 from __future__ import annotations
 
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
 HEADLINE = [
     ("q01_pricing_summary", "scan + pushed filter + hash agg"),
@@ -368,6 +370,12 @@ def main() -> None:
     }
     qs.update(entrymod.queries())
     qs.update(_extra_builders(spark, sf_dir))
+    missing = [name for name, _ in HEADLINE if name not in qs]
+    if missing:
+        # fail BEFORE minutes of plan building, not with a bare
+        # KeyError at emission time (r11 review)
+        spark.stop()
+        raise SystemExit(f"HEADLINE names missing from registry: {missing}")
 
     out = [
         "# PLANS — formatted physical plans for headline operators",
@@ -377,17 +385,19 @@ def main() -> None:
         "properties mechanically.",
         "",
     ]
-    for name, note in HEADLINE:
-        plan = formatted_plan(qs[name](spark, sf_dir))
-        out.append(f"## {name} — {note}\n")
-        out.append("```")
-        out.append(plan.rstrip())
-        out.append("```")
-        out.append("")
-    with open("/root/repo/PLANS.md", "w") as f:
-        f.write("\n".join(out))
-    print("wrote PLANS.md")
-    spark.stop()
+    try:
+        for name, note in HEADLINE:
+            plan = formatted_plan(qs[name](spark, sf_dir))
+            out.append(f"## {name} — {note}\n")
+            out.append("```")
+            out.append(plan.rstrip())
+            out.append("```")
+            out.append("")
+        with open(os.path.join(REPO, "PLANS.md"), "w") as f:
+            f.write("\n".join(out))
+        print("wrote PLANS.md")
+    finally:
+        spark.stop()
 
 
 if __name__ == "__main__":

@@ -78,7 +78,14 @@ def _cost(path: str, learned: dict[str, float]) -> float:
         return learned[base]
     if base in MEASURED_COST:
         return float(MEASURED_COST[base])
-    return os.path.getsize(path) / 1024.0 * 0.7
+    # resolve against the repo root: a subset run launched from
+    # elsewhere crashed on the cwd-relative getsize even though the
+    # pytest child (cwd=REPO) would find the file (r11 review)
+    full = path if os.path.isabs(path) else os.path.join(REPO, path)
+    try:
+        return os.path.getsize(full) / 1024.0 * 0.7
+    except OSError:
+        return 30.0  # unknown file: mid-weight guess
 
 
 def _parse_durations(log_path: str) -> dict[str, float]:

@@ -98,6 +98,13 @@ def main() -> None:
     if cached_k != str(k) or not os.path.exists(
         os.path.join(big_dir, "lineitem.parquet")
     ):
+        # invalidate BEFORE rebuilding: an interrupted rebuild must not
+        # leave a stale marker that makes the next run silently measure
+        # a mixed-K fixture (r11 review)
+        try:
+            os.remove(marker)
+        except FileNotFoundError:
+            pass
         subprocess.run(
             [
                 sys.executable,
@@ -121,6 +128,15 @@ def main() -> None:
         if a and b and a > 0 and b > 0:
             e = math.log(b / a) / math.log(k)
             rows.append((leg, a, b, round(e, 2)))
+        else:
+            # no silent truncation: a leg whose 2-decimal stdout time
+            # rounds to 0.00 (or is missing) must be visibly dropped,
+            # not vanish from the exponent table (r11 review)
+            print(
+                f"probe: leg {leg} dropped (t_sf0.1={a}, t_sf1={b} —"
+                " sub-0.01s or missing)",
+                file=sys.stderr,
+            )
     rows.sort(key=lambda r: -r[3])
     print("| leg | t_sf0.1 (s) | t_sf1 (s) | exponent |")
     print("|---|---|---|---|")

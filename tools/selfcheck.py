@@ -19,13 +19,17 @@ from __future__ import annotations
 
 import hashlib
 import math
+import os
 import sys
 import time
 
 import duckdb
 import pandas as pd
 
-sys.path.insert(0, "/root/repo")
+# derive the repo from THIS file so a second checkout/worktree checks
+# its own tree, not /root/repo's (r11 review)
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
 TABLES = (
     "region nation customer supplier part orders lineitem events "
@@ -88,6 +92,13 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        # a mistyped key previously filtered out EVERY entry and the
+        # harness exited 0 with "FAILURES: 0" — green with zero checks
+        # run (r11 review; bench.py validates SPARK_GRAFT_ONLY the
+        # same way)
+        raise SystemExit(f"unknown query key(s): {sorted(unknown)}")
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:
