@@ -873,9 +873,13 @@ def q31_stored_filter_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q32_sparse_dot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sparse vector search: dense embeddings sparsified
-    (abs(element) > 0.8, 1-based indices — magnitude, so signed
-    components survive), scored with the map-based sparse dot
-    product."""
+    (abs(element) > 0.15, 1-based indices — magnitude, so signed
+    components survive), scored with the map-based sparse dot product.
+    Threshold note (r11): the fixture embeddings' max |element| is
+    ~0.53, so the former 0.8 threshold made EVERY sparse vector empty
+    and every score 0.0 — a broken sparse dot product would have
+    hash-passed; 0.15 keeps a real (nonzero, per-row-varying) sparse
+    structure on both sides of the gate."""
     from pinecone_datasets_spark.functions.vector import (
         dense_to_sparse,
         sparse_dot_product,
@@ -883,7 +887,7 @@ def q32_sparse_dot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     sparse = emb.select(
-        "vec_id", dense_to_sparse("embedding", threshold=0.8).alias("sv")
+        "vec_id", dense_to_sparse("embedding", threshold=0.15).alias("sv")
     )
     docs = sparse.select(
         F.col("vec_id").alias("doc_id"), F.col("sv").alias("doc_sv")
@@ -1482,8 +1486,13 @@ def q95_c4_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_replace(F.col("text"), " the ", ". "),
             F.when(
                 F.col("doc_id") % 4 == 0,
+                # LEADING period (r11): without it split_sentences
+                # merged 'Boiler one alpha.' into the carrier's final
+                # unpunctuated salad sentence, so the trio never formed
+                # a repeated 3-span and the strip assertion was dead —
+                # a no-op remover hash-passed
                 F.lit(
-                    " Boiler one alpha. Boiler two beta."
+                    ". Boiler one alpha. Boiler two beta."
                     " Boiler three gamma."
                 ),
             ).otherwise(F.lit("")),
@@ -2040,8 +2049,27 @@ def q53_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     doc = _t(spark, sf_dir, "documents")
-    batch = doc.where(F.col("doc_id") % 5 == 0)
     corpus = doc.where(F.col("doc_id") % 5 != 0)
+    # planted dup structure (r11): the raw fixture has ZERO batch/corpus
+    # or within-batch duplicate fingerprints, so exact_new/bloom_new
+    # were constant TRUE and the rejection branches were dead — an
+    # incremental_dedup that admits everything hash-passed. Clones of
+    # corpus docs (ids +1e6) exercise seen-before rejection (and the
+    # no-false-negative Bloom contract); second clones (+2e6) of a
+    # subset exercise the within-batch first-in dedup.
+    cols = ["text", "lang", "source", "n_chars"]
+    clones = corpus.where(F.col("doc_id") % 10 == 1).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), *cols
+    )
+    clones2 = corpus.where(F.col("doc_id") % 20 == 1).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"), *cols
+    )
+    batch = (
+        doc.where(F.col("doc_id") % 5 == 0)
+        .select("doc_id", *cols)
+        .unionByName(clones)
+        .unionByName(clones2)
+    )
     admitted = incremental_dedup(batch, corpus).select(
         "doc_id", F.lit(True).alias("exact_new")
     )
@@ -2117,9 +2145,22 @@ def q54_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases = ev.where(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts"
     )
-    clicks = ev.where(F.col("event_type") == "click").select(
+    base_clicks = ev.where(F.col("event_type") == "click").select(
         "user_id", "ts", "event_id", "value"
     )
+    # planted equal-ts ties (r11): the fixture has ZERO duplicate
+    # (user_id, ts) click pairs, so the documented tiebreak=event_id
+    # (max wins) rule was never exercised — a broken or
+    # nondeterministic tiebreak hash-passed. Every 7th click gets a
+    # same-timestamp twin with a LARGER event_id and shifted value;
+    # the twin must win every tie.
+    twins = base_clicks.where(F.col("event_id") % 7 == 0).select(
+        "user_id",
+        "ts",
+        (F.col("event_id") + 10000000).alias("event_id"),
+        (F.col("value") + 0.5).alias("value"),
+    )
+    clicks = base_clicks.unionByName(twins)
     out = asof_join(
         purchases,
         clicks,
@@ -3076,7 +3117,15 @@ def q71_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered event funnel signup -> click -> purchase: each stage's
     entry time must follow the previous stage's (min-ts per user,
     stage-gated joins). Stage relations shrink to user cardinality after
-    the first aggregate, so the gating joins are broadcast-scale."""
+    the first aggregate, so the gating joins are broadcast-scale.
+
+    Stage event subsets (r11): with every click/purchase eligible, the
+    fixture's ~30-60 events per user made every user pass every stage —
+    conv_rate was pinned at 1.0 and the ordering gates were DEAD (an
+    inverted or deleted ts condition hash-passed). Qualifying clicks
+    are event_id % 3 == 0 and qualifying purchases event_id % 4 == 0,
+    which makes the ordering constraint binding for a real fraction of
+    users at both graded scales."""
     ev = _t(spark, sf_dir, "events")
     s1 = (
         ev.where(F.col("event_type") == "signup")
@@ -3084,14 +3133,20 @@ def q71_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("ts").alias("ts1"))
     )
     s2 = (
-        ev.where(F.col("event_type") == "click")
+        ev.where(
+            (F.col("event_type") == "click")
+            & (F.col("event_id") % 3 == 0)
+        )
         .join(s1, "user_id")
         .where(F.col("ts") >= F.col("ts1"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("ts2"))
     )
     s3 = (
-        ev.where(F.col("event_type") == "purchase")
+        ev.where(
+            (F.col("event_type") == "purchase")
+            & (F.col("event_id") % 4 == 0)
+        )
         .join(s2, "user_id")
         .where(F.col("ts") >= F.col("ts2"))
         .groupBy("user_id")
@@ -5920,7 +5975,12 @@ def q88_domains_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pinecone_datasets_spark.operators.snapshot import snapshot_diff
 
     doc = _t(spark, sf_dir, "documents")
-    rep = domain_report(doc).select(
+    # _docs_with_dups (r11): the raw corpus has zero exact duplicates,
+    # which pinned dup_rate at 0.0 and n_unique == n_docs for every
+    # domain — a broken dup_rate/n_unique computation hash-passed.
+    # The planted %10 clones give the clone-carrying domains a real,
+    # per-domain-varying dup rate on both sides of the gate.
+    rep = domain_report(_docs_with_dups(spark, sf_dir)).select(
         F.lit("domains").alias("part"),
         F.col("domain").alias("key"),
         F.col("n_docs").alias("n1"),
@@ -6970,11 +7030,21 @@ ORDER BY doc_id, rank
         # Bloom replay: same md5 positions (seed:value, 52 bits, mod
         # 2^14), same 63-bit words as operators/sketch.py:bloom_build.
         "q53_incremental_dedup": """
-WITH fp AS (
+WITH aug AS (
+  -- planted dup structure, mirroring the Spark entry (r11): corpus
+  -- clones at +1e6 (seen-before) and +2e6 (within-batch dup)
+  SELECT doc_id, lang, source, n_chars, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, lang, source, n_chars, text
+  FROM documents WHERE doc_id % 5 != 0 AND doc_id % 10 = 1
+  UNION ALL
+  SELECT doc_id + 2000000, lang, source, n_chars, text
+  FROM documents WHERE doc_id % 5 != 0 AND doc_id % 20 = 1
+), fp AS (
   SELECT doc_id, lang, source, n_chars,
          md5(regexp_replace(lower(trim(text)), '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')) AS f,
-         (doc_id % 5 = 0) AS is_batch
-  FROM documents
+         (doc_id >= 1000000 OR doc_id % 5 = 0) AS is_batch
+  FROM aug
 ), batch AS (
   SELECT * FROM fp WHERE is_batch
 ), first_in AS (
@@ -7008,7 +7078,7 @@ bpos AS (
 )
 , mh_norm AS (
   SELECT doc_id, regexp_replace(lower(trim(text)), '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g') AS t
-  FROM documents
+  FROM aug
 ), mh_sh AS (
   SELECT doc_id, list_distinct(list_transform(
     generate_series(1, greatest(len(t) - 4, 1)),
@@ -7024,7 +7094,8 @@ bpos AS (
   SELECT DISTINCT a.doc_id AS bid, b.doc_id AS iid
   FROM mh_bands a JOIN mh_bands b
     ON a.band = b.band AND a.bucket = b.bucket
-  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 != 0
+  WHERE (a.doc_id >= 1000000 OR a.doc_id % 5 = 0)
+    AND (b.doc_id < 1000000 AND b.doc_id % 5 != 0)
 ), mh_est AS (
   SELECT bid, iid,
     round(list_sum(list_transform(generate_series(1, 8),
@@ -7550,16 +7621,31 @@ WITH p AS (
   SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
   FROM events WHERE event_type = 'purchase'
 ), c AS (
+  -- planted equal-ts twins mirror the Spark entry (r11): every 7th
+  -- click gains a same-ts twin with a larger event_id
   SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
   FROM events WHERE event_type = 'click'
+  UNION ALL
+  SELECT event_id + 10000000, user_id, CAST(ts AS TIMESTAMP)
+  FROM events WHERE event_type = 'click' AND event_id % 7 = 0
+), ranked AS (
+  -- explicit window formulation, NOT native ASOF JOIN: DuckDB's ASOF
+  -- carries no tiebreak, so on planted ties it would be arbitrary —
+  -- this encodes the operator's documented rule (latest ts, then MAX
+  -- event_id) exactly
+  SELECT p.event_id AS purchase_id, p.user_id,
+         epoch_us(p.ts) AS ts_us,
+         c.event_id AS click_id,
+         epoch_us(c.ts) AS click_ts_us,
+         row_number() OVER (
+           PARTITION BY p.event_id
+           ORDER BY c.ts DESC, c.event_id DESC) AS rk
+  FROM p LEFT JOIN c
+    ON p.user_id = c.user_id AND c.ts <= p.ts
 )
-SELECT p.event_id AS purchase_id, p.user_id,
-       epoch_us(p.ts) AS ts_us,
-       c.event_id AS click_id,
-       epoch_us(c.ts) AS click_ts_us,
-       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
-FROM p ASOF LEFT JOIN c
-  ON p.user_id = c.user_id AND p.ts >= c.ts
+SELECT purchase_id, user_id, ts_us, click_id, click_ts_us,
+       ts_us - click_ts_us AS gap_us
+FROM ranked WHERE rk = 1
 ORDER BY purchase_id
 """,
         "q55_range_join": """
@@ -7862,12 +7948,14 @@ WITH s1 AS (
 ), s2 AS (
   SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS ts2
   FROM events e JOIN s1 ON e.user_id = s1.user_id
-  WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) >= s1.ts1
+  WHERE e.event_type = 'click' AND e.event_id % 3 = 0
+    AND CAST(e.ts AS TIMESTAMP) >= s1.ts1
   GROUP BY e.user_id
 ), s3 AS (
   SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS ts3
   FROM events e JOIN s2 ON e.user_id = s2.user_id
-  WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) >= s2.ts2
+  WHERE e.event_type = 'purchase' AND e.event_id % 4 = 0
+    AND CAST(e.ts AS TIMESTAMP) >= s2.ts2
   GROUP BY e.user_id
 ), staged AS (
   SELECT user_id, 1 AS stage FROM s1
@@ -8218,7 +8306,7 @@ GROUP BY lang ORDER BY lang
 WITH sparse AS (
   SELECT vec_id,
          list_filter(generate_series(1, len(embedding)),
-                     i -> abs(embedding[i]) > 0.8) AS idx,
+                     i -> abs(embedding[i]) > 0.15) AS idx,
          embedding::DOUBLE[] AS emb
   FROM embeddings
 ), q AS (
@@ -8973,7 +9061,7 @@ c4src AS (
   SELECT doc_id,
          regexp_replace(text, ' the ', '. ', 'g') ||
          (CASE WHEN doc_id % 4 = 0
-               THEN ' Boiler one alpha. Boiler two beta. Boiler three gamma.'
+               THEN '. Boiler one alpha. Boiler two beta. Boiler three gamma.'
                ELSE '' END) AS text
   FROM documents
 ),
@@ -10026,7 +10114,11 @@ FROM rep
 UNION ALL
 SELECT 'crawl_docs', CAST(doc_id AS VARCHAR),
        len(kept)::BIGINT, CAST(NULL AS DOUBLE),
-       ('0x' || substr(md5(array_to_string(kept, ' ')), 1, 8))::BIGINT,
+       -- coalesce('') (r11): array_to_string([]) is NULL in DuckDB vs
+       -- Spark concat_ws's '' — the exact empty-strip edge the 'c4'
+       -- twin already fixed; propagated so a fully-stripped crawl doc
+       -- cannot desync the twins at a future fixture/scale
+       ('0x' || substr(md5(coalesce(array_to_string(kept, ' '), '')), 1, 8))::BIGINT,
        (n_total - len(kept))::BIGINT, CAST(NULL AS BIGINT)
 FROM cfout
 UNION ALL
@@ -10247,6 +10339,7 @@ uout AS (
         FROM ugrp u)
 ),
 rep AS (
+  -- planted %10 clones mirror the Spark entry's _docs_with_dups (r11)
   SELECT source AS domain, count(*) AS n_docs,
          sum(length(text)) AS total_chars,
          count(DISTINCT lang) AS n_langs,
@@ -10254,7 +10347,10 @@ rep AS (
                                            '[ \t\n\r\f\x0B]+', ' ', 'g'))) AS n_unique,
          count(md5(regexp_replace(lower(trim(text)),
                                   '[ \t\n\r\f\x0B]+', ' ', 'g'))) AS n_fp
-  FROM documents GROUP BY 1
+  FROM (SELECT * FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text, lang, source, n_chars
+        FROM documents WHERE doc_id % 10 = 0) GROUP BY 1
 ),
 fpo AS (
   SELECT doc_id,
