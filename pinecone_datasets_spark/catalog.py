@@ -78,11 +78,24 @@ class Catalog:
                 scheme in _OBJECT_STORE_SCHEMES
                 and len(paths) >= _PARALLEL_LIST_THRESHOLD
             )
-        texts = (
-            self._read_metadata_parallel(paths)
-            if parallel
-            else self._read_metadata_driver(fs, paths)
-        )
+        if parallel:
+            # The distributed read fails the WHOLE job on any per-file
+            # error other than vanished-between-list-and-read (perms, a
+            # transient object-store fault on one file), whereas the
+            # driver loop warns and skips per file. Degrade to the
+            # driver loop so an auto-selected parallel load keeps the
+            # skip-invalid contract on unclean stores (r11 ADVICE).
+            try:
+                texts = self._read_metadata_parallel(paths)
+            except Exception as e:  # Py4J wraps the job failure
+                warnings.warn(
+                    "Parallel catalog load failed"
+                    f" ({type(e).__name__}); falling back to the"
+                    " per-file driver loop"
+                )
+                texts = self._read_metadata_driver(fs, paths)
+        else:
+            texts = self._read_metadata_driver(fs, paths)
         collected: list[DatasetMetadata] = []
         for meta_path, text in texts:
             try:

@@ -166,6 +166,9 @@ class _HadoopFS:
     def delete(self, path: str, recursive: bool = True) -> None:
         self._fs.delete(self._path_cls(path), recursive)
 
+    def rename(self, src: str, dst: str) -> bool:
+        return self._fs.rename(self._path_cls(src), self._path_cls(dst))
+
 
 class FS:
     """Unified driver-side FS facade: local fast-path, Hadoop for remote."""
@@ -237,3 +240,12 @@ class FS:
             os.makedirs(_local_path(path), exist_ok=True)
             return
         self._hadoop(path).mkdirs(path)
+
+    def rename(self, src: str, dst: str) -> None:
+        """Move a file or directory tree (dst must not exist)."""
+        src, dst = normalize_uri(src), normalize_uri(dst)
+        if is_local(src) and is_local(dst):
+            os.replace(_local_path(src), _local_path(dst))
+            return
+        if not self._hadoop(src).rename(src, dst):
+            raise OSError(f"rename failed: {src!r} -> {dst!r}")

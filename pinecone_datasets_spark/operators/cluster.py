@@ -178,8 +178,15 @@ def connected_components_star(
             break
         prev_count = n
         edges = small
-    labels = edges.select(
-        F.col("src").alias("node"), F.col("dst").alias("cluster_id")
+    # The star shape (exactly one edge per non-root node) is only
+    # guaranteed AT fixpoint; if max_iter truncated the loop a node may
+    # still carry several edges, which would duplicate rows through
+    # dedup_clusters/leakage_safe_split. Collapse to min so truncation
+    # degrades to a wrong-but-unique label instead of row duplication.
+    labels = (
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("cluster_id"))
+        .select(F.col("src").alias("node"), "cluster_id")
     )
     roots = all_nodes.join(
         labels, "node", "left_anti"

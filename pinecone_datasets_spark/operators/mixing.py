@@ -59,6 +59,14 @@ def mixture_edges(
     total_w = float(sum(weights.values()))
     if total_w <= 0:
         raise ValueError("weights must sum to > 0")
+    if token_budget is None or float(token_budget) <= 0:
+        # validated BEFORE the availability aggregate so an invalid
+        # budget fails loud without paying a full corpus scan first
+        # (r11 ADVICE; curate_corpus_full pre-validates but direct
+        # callers didn't get the early failure)
+        raise ValueError(
+            f"token_budget must be a positive number: {token_budget!r}"
+        )
     rows = (
         documents.where(F.col(domain_col).isin(list(weights)))
         .groupBy(domain_col)
@@ -75,13 +83,6 @@ def mixture_edges(
         r[domain_col]: (int(r["n_docs"]), int(r["n_tokens"] or 0))
         for r in rows
     }
-    if token_budget is None or float(token_budget) <= 0:
-        # loud, early, and typed: None previously crashed as an opaque
-        # float(None) TypeError and a negative budget silently sampled
-        # every domain to zero rows (r11 review)
-        raise ValueError(
-            f"token_budget must be a positive number: {token_budget!r}"
-        )
     out: dict[str, tuple[int, int, int]] = {}
     for d, w in weights.items():
         n_docs, n_tokens = avail.get(d, (0, 0))

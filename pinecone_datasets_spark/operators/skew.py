@@ -81,22 +81,17 @@ def key_skew_profile(
     """Diagnostic: per-key row counts and share of total for the heaviest
     keys — the number you look at before choosing ``salts``."""
     keys = [on] if isinstance(on, str) else list(on)
-    # total from the (tiny) per-key aggregate via an empty-frame window
-    # sum — the separate df.count() action scanned the full table a
-    # second time just for the denominator (r11 review)
-    from pyspark.sql import Window
-
+    # total from the (tiny) per-key aggregate — but NOT via an
+    # unpartitioned window (that funnels every distinct key through one
+    # task, the very bottleneck this diagnostic hunts); instead a
+    # broadcast single-row crossJoin of the aggregate's own sum, the
+    # tf_idf/unigram_logprob pattern. Still one scan of the base table.
+    per_key = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_rows"))
+    total = per_key.agg(F.sum("n_rows").alias("_total"))
     return (
-        df.groupBy(*keys)
-        .agg(F.count(F.lit(1)).alias("n_rows"))
-        .withColumn(
-            "share",
-            F.round(
-                F.col("n_rows")
-                / F.sum("n_rows").over(Window.partitionBy()),
-                6,
-            ),
-        )
+        per_key.crossJoin(F.broadcast(total))
+        .withColumn("share", F.round(F.col("n_rows") / F.col("_total"), 6))
+        .drop("_total")
         .orderBy(F.col("n_rows").desc(), *keys)
         .limit(top)
     )

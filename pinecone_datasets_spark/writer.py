@@ -60,21 +60,29 @@ def write_documents(
 def write_queries(df: DataFrame, dataset_path: str, single_file: bool = False) -> None:
     """S8: skip + warn when empty (dataset_fswriter.py:60-61). When the
     TARGET already holds a queries/ dir (overwriting an older version),
-    the stale dir is removed — skipping silently left v1's queries
-    under v2's metadata, and read-back served them as current (r11
-    review)."""
+    the stale dir is renamed aside to ``queries__stale`` — skipping
+    silently left v1's queries under v2's metadata and read-back served
+    them as current (r11 review), while DELETING was destructive: an
+    upstream bug that accidentally emptied the queries frame during a
+    re-save would destroy the previously saved queries with only a
+    warning (r11 ADVICE). The rename keeps the bytes recoverable and
+    still hides them from the reader (which only loads ``queries/``)."""
     if df.isEmpty():
         from .fs import FS
 
         qdir = join(dataset_path, "queries")
         fs = FS(df.sparkSession)
         if fs.exists(qdir):
+            stale = join(dataset_path, "queries__stale")
             warnings.warn(
-                "Queries dataframe is empty; REMOVING the existing"
-                f" queries dir at {qdir} (a skip would leave the old"
-                " version's queries under the new metadata)"
+                "Queries dataframe is empty; renaming the existing"
+                f" queries dir aside to {stale} (a skip would leave the"
+                " old version's queries under the new metadata; a delete"
+                " would be unrecoverable if the empty frame is an"
+                " upstream bug)"
             )
-            fs.delete(qdir)
+            fs.delete(stale)
+            fs.rename(qdir, stale)
         else:
             warnings.warn(
                 f"Queries dataframe is empty; skipping write to {dataset_path}"

@@ -854,3 +854,22 @@ def test_mixture_rejects_nan_weight_and_survives_null_tokens(spark):
         mixture_edges(df, {"web": float("nan")}, 100)
     edges = mixture_edges(df, {"web": 1.0}, 100)
     assert edges["web"] == (0, 2, 0)
+
+
+def test_mixture_edges_invalid_budget_fails_before_scan(spark):
+    """r11 ADVICE: token_budget was validated only AFTER the per-domain
+    aggregate collect, so an invalid budget still paid a full corpus
+    scan. Prove the check fires before any Spark action: the documents
+    frame here EXPLODES if executed (ANSI division by zero), so a
+    ValueError — not a Spark error — means validation came first."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    poisoned = spark.range(10).select(
+        F.lit("web").alias("source"),
+        (F.lit(1) / (F.col("id") - F.col("id"))).alias("n_chars"),
+        F.col("id").alias("doc_id"),
+    )
+    for bad in (None, 0, -5):
+        with pytest.raises(ValueError, match="token_budget"):
+            mixture_edges(poisoned, {"web": 1.0}, token_budget=bad)

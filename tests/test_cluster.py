@@ -176,3 +176,21 @@ def test_dedup_clusters_star_passthrough(spark, chain_pairs):
         for r in dedup_clusters(df, chain_pairs, algorithm="star").collect()
     }
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 100: 100}
+
+
+def test_star_truncated_still_one_label_per_node(spark):
+    """r11 ADVICE: the star shape (one edge per non-root node) is only
+    guaranteed AT fixpoint — a max_iter-truncated run could emit
+    several (node, cluster_id) rows per node and duplicate rows through
+    dedup_clusters. Truncation must degrade to a possibly-wrong but
+    UNIQUE label per node."""
+    from pinecone_datasets_spark.operators.cluster import (
+        connected_components_star,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(199)], "id_a long, id_b long"
+    )
+    out = connected_components_star(pairs, max_iter=1).collect()
+    nodes = [r["node"] for r in out]
+    assert len(nodes) == len(set(nodes)) == 200

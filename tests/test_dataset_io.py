@@ -285,3 +285,33 @@ def test_write_dataset_overwrite_removes_stale_queries(spark, tmp_path):
         _warnings.simplefilter("always")
         ds2.to_path(path)
     assert Dataset.from_path(spark, path).queries.count() == 0
+
+
+def test_empty_queries_resave_renames_aside_not_delete(spark, tmp_path):
+    """r11 ADVICE: an empty queries frame re-saved over a dataset that
+    HAS queries must not destroy them — the stale dir is renamed to
+    queries__stale (recoverable) and the reader serves no queries."""
+    import os
+
+    src = make_vector_dataset(tmp_path, spark, with_queries=True)
+    ds = Dataset.from_path(spark, src)
+    out = str(tmp_path / "rt_stale")
+    ds.to_path(out)
+    assert os.path.isdir(os.path.join(out, "queries"))
+
+    empty_q = ds.queries.limit(0)
+    ds2 = Dataset.from_path(spark, out)
+    ds2._queries = empty_q
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        ds2.to_path(out)
+    assert any("renaming" in str(x.message).lower() for x in w)
+    assert not os.path.exists(os.path.join(out, "queries"))
+    stale = os.path.join(out, "queries__stale")
+    assert os.path.isdir(stale)
+    # old bytes are recoverable from the stale dir
+    recovered = spark.read.parquet(stale)
+    assert recovered.count() == ds.queries.count()
+    # and a fresh read serves an empty queries frame, not the old one
+    ds3 = Dataset.from_path(spark, out)
+    assert ds3.queries.count() == 0

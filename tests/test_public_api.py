@@ -231,3 +231,28 @@ def test_get_catalog_prefers_explicit_fresh_session(spark):
         assert c2._spark is spark  # stale cache discarded
     finally:
         pub._global_catalog = c1_backup
+
+
+def test_catalog_parallel_failure_falls_back_to_driver_loop(
+    spark, tmp_path, monkeypatch
+):
+    """r11 ADVICE: the distributed catalog read fails the WHOLE job on
+    any per-file error other than vanished files, while the driver loop
+    warns and skips per file. A forced-parallel load whose Spark job
+    dies must degrade to the driver loop, not error."""
+    from pinecone_datasets_spark import catalog as catmod
+
+    _make_catalog_dirs(tmp_path, 4)
+
+    def _boom(self, paths):
+        raise RuntimeError("simulated object-store job failure")
+
+    monkeypatch.setattr(catmod.Catalog, "_read_metadata_parallel", _boom)
+    cat = catmod.Catalog(spark, base_path=str(tmp_path))
+    import warnings
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        names = cat.load(parallel=True).list_datasets()
+    assert len(names) == 4
+    assert any("falling back" in str(x.message) for x in w)

@@ -103,3 +103,22 @@ def test_key_skew_profile_single_scan_and_share(spark):
     ]
     assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-9
     assert rows[0]["share"] == 0.6
+
+
+def test_key_skew_profile_no_global_window(spark):
+    """r11 ADVICE: the share denominator used an unpartitioned window
+    over the per-key aggregate — a single-reducer funnel for exactly
+    the high-cardinality-key case this diagnostic targets. It must now
+    come from a broadcast single-row crossJoin: no Window operator in
+    the physical plan at all."""
+    from pinecone_datasets_spark.operators.skew import key_skew_profile
+
+    df = spark.createDataFrame(
+        [(k,) for k in ["a"] * 6 + ["b"] * 3 + ["c"]], "k string"
+    )
+    prof = key_skew_profile(df, "k", top=10)
+    plan = prof._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    rows = prof.collect()
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-9
