@@ -27,7 +27,7 @@ from .metadata import (
 )
 from .functions.filters import compile_filter
 from .public import list_datasets, load_dataset
-from .cache import clear_cache, get_cache_info
+from .cache import cache_info, clear_cache, get_cache_info, set_cache_dir
 from .session import get_spark_session
 
 __all__ = [
@@ -45,7 +45,9 @@ __all__ = [
     "list_datasets",
     "load_dataset",
     "get_cache_info",
+    "cache_info",
     "clear_cache",
+    "set_cache_dir",
     "get_spark_session",
     "__version__",
 ]

