@@ -161,12 +161,18 @@ def q04_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q05_top_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Window top-k per group (WindowGroupLimit partial top-k path)."""
+    """Window top-k per group (WindowGroupLimit partial top-k path).
+
+    Ranks on the THOUSANDS-coarsened price so the o_orderkey tiebreak
+    decides real ties at the top-3 boundary — mutcheck r12 found the
+    raw-price ranking never tied, leaving the tiebreak untested (a
+    flipped/dropped tiebreak hash-passed). The raw price is still the
+    emitted metric."""
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     j = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
     w = Window.partitionBy("c_mktsegment").orderBy(
-        F.desc("o_totalprice"), F.col("o_orderkey")
+        F.desc(F.round(F.col("o_totalprice"), -3)), F.col("o_orderkey")
     )
     return (
         j.withColumn("rn", F.row_number().over(w).cast("long"))
@@ -479,7 +485,7 @@ def _docs_with_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q11_filter_eq_gt(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs_with_meta(spark, sf_dir)
-    pred = compile_filter({"lang": {"$eq": "en"}, "n_chars": {"$gt": 500}})
+    pred = compile_filter({"lang": {"$eq": "en"}, "n_chars": {"$gt": 246}})
     return d.where(pred).select("doc_id").orderBy("doc_id")
 
 
@@ -489,7 +495,7 @@ def q12_filter_in_or(spark: SparkSession, sf_dir: str) -> DataFrame:
         {
             "$or": [
                 {"lang": {"$in": ["de", "fr"]}},
-                {"n_chars": {"$lte": 100}},
+                {"n_chars": {"$lte": 59}},
             ]
         }
     )
@@ -508,6 +514,13 @@ def q13_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc.select(
         F.col("doc_id"),
         word_count("text").cast("long").alias("n_words"),
+        # the same count over a text whose spaces became newline PAIRS:
+        # equal to n_words iff tokenization splits on whitespace RUNS,
+        # not just spaces (mutcheck r12 made this distinction live —
+        # the fixture itself carries no non-space whitespace)
+        word_count(
+            F.replace(F.col("text"), F.lit(" "), F.lit("\n\n"))
+        ).cast("long").alias("n_words_wrapped"),
         token_count("text").cast("long").alias("n_tokens"),
         F.col("n_chars"),
         F.round(char_entropy("text"), 6).alias("entropy"),
@@ -6828,7 +6841,7 @@ FROM (
   SELECT c_mktsegment, o_orderkey, o_totalprice,
          row_number() OVER (
            PARTITION BY c_mktsegment
-           ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           ORDER BY round(o_totalprice, -3) DESC, o_orderkey) AS rn
   FROM orders JOIN customer ON o_custkey = c_custkey)
 WHERE rn <= 3
 ORDER BY c_mktsegment, rn
@@ -6869,12 +6882,12 @@ FROM embeddings WHERE vec_id % 50 = 0
 """,
         "q11_filter_eq_gt": """
 SELECT doc_id FROM documents
-WHERE lang = 'en' AND n_chars > 500
+WHERE lang = 'en' AND n_chars > 246
 ORDER BY doc_id
 """,
         "q12_filter_in_or": """
 SELECT doc_id, lang FROM documents
-WHERE lang IN ('de', 'fr') OR n_chars <= 100
+WHERE lang IN ('de', 'fr') OR n_chars <= 59
 ORDER BY doc_id
 """,
         "q13_text_stats": f"""
@@ -6882,6 +6895,9 @@ SELECT doc_id,
        CASE WHEN trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g')) = '' THEN 0
             ELSE len(list_filter(string_split_regex(trim(text), '[ \t\n\r\f\x0B]+'), x -> len(x) > 0))
        END::BIGINT AS n_words,
+       CASE WHEN trim(regexp_replace(replace(text, ' ', chr(10) || chr(10)), '[ \t\n\r\f\x0B]+', ' ', 'g')) = '' THEN 0
+            ELSE len(list_filter(string_split_regex(trim(replace(text, ' ', chr(10) || chr(10))), '[ \t\n\r\f\x0B]+'), x -> len(x) > 0))
+       END::BIGINT AS n_words_wrapped,
        greatest(
          ceil(len(text) / 4.0)::BIGINT,
          (CASE WHEN trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g')) = '' THEN 0
@@ -9441,7 +9457,7 @@ s77 AS (
               ELSE 0.0 END AS dup_frac
   FROM warr77 w0 LEFT JOIN agg77 a USING (doc_id)
 )
-SELECT s13.doc_id, s13.n_words, s13.n_tokens, s13.n_chars, s13.entropy,
+SELECT s13.doc_id, s13.n_words, s13.n_words_wrapped, s13.n_tokens, s13.n_chars, s13.entropy,
        s29.detected, s29.lang, s30.quality,
        s40.dup_word_frac, s40.top_bigram_frac,
        s41.redacted_fp, s41.chars_removed,
