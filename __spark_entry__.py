@@ -634,7 +634,35 @@ def q19_topk_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q20_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine top-k with the metric's semantics made LIVE (mutcheck
+    r12): the fixture embeddings are unit-norm, so on the raw table
+    cosine degenerates to dot and a dropped/broken norm factor
+    hash-passes. Vectors are rescaled by POWERS OF TWO (docs 2^(id%3),
+    queries 2^(id%2)) — exact in IEEE double, so correct cosine is
+    bit-identical to the unscaled run on BOTH engines while any norm
+    defect now shifts scores. Duplicate docs (id%25==0 re-inserted
+    under id+5000000 with the identical vector) create EXACT score
+    ties inside top-5, making the doc-id tiebreak live too."""
     docs, queries = _emb_docs_queries(spark, sf_dir)
+    dscale = F.pow(F.lit(2.0), (F.col("doc_id") % 3).cast("double"))
+    docs = docs.select(
+        "doc_id",
+        F.transform(
+            "values", lambda x: x.cast("double") * dscale
+        ).alias("values"),
+    )
+    docs = docs.unionByName(
+        docs.where(F.col("doc_id") % 25 == 0).select(
+            (F.col("doc_id") + 5000000).alias("doc_id"), "values"
+        )
+    )
+    qscale = F.pow(F.lit(2.0), (F.col("query_id") % 2).cast("double"))
+    queries = queries.select(
+        "query_id",
+        F.transform(
+            "vector", lambda x: x.cast("double") * qscale
+        ).alias("vector"),
+    )
     out = topk_search(
         docs,
         queries,
@@ -696,7 +724,7 @@ def q22_event_scan_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet scan; only 4 of 6 columns are read)."""
     ev = _t(spark, sf_dir, "events")
     return (
-        ev.where((F.col("event_type") == "click") & (F.col("value") > 50))
+        ev.where((F.col("event_type") == "click") & (F.col("value") > 57.96))
         .select("event_id", "user_id", "ts", "value")
         .orderBy("event_id")
     )
@@ -732,14 +760,33 @@ def _stream_closed_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_available_now(
         spark,
         _t(spark, sf_dir, "events")
-        .where(F.col("user_id") % 5 == 0)
-        .select("user_id", "ts", "event_id"),
+        .select("user_id", "ts", "event_id")
+        .unionByName(_planted_gap_events(spark))
+        .where(F.col("user_id") % 5 == 0),
         lambda s: streaming_sessionize(
             s, gap_minutes=30, use_timeout=False
         ),
         "sessions_stream",
         "append",
         range_col="ts",
+    )
+
+
+def _planted_gap_events(spark: SparkSession) -> DataFrame:
+    """Three events for user -5 with the FIRST gap exactly 30 minutes:
+    under the correct strictly-greater gap rule they sessionize as
+    [00:00-00:30] + [02:00]; a >=-flipped boundary splits the first
+    pair. mutcheck r12: no two fixture events of one user are exactly
+    1800.000000 s apart, so the boundary comparison was dead."""
+    return spark.createDataFrame(
+        [
+            (-1, "2024-01-01 00:00:00", -5),
+            (-2, "2024-01-01 00:30:00", -5),
+            (-3, "2024-01-01 02:00:00", -5),
+        ],
+        "event_id long, ts_s string, user_id long",
+    ).select(
+        "user_id", F.col("ts_s").cast("timestamp").alias("ts"), "event_id"
     )
 
 
@@ -753,7 +800,11 @@ def q26_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     user's last" over the same user subset."""
     from pinecone_datasets_spark.operators.windows import sessionize
 
-    ev = _t(spark, sf_dir, "events")
+    ev = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id")
+        .unionByName(_planted_gap_events(spark))
+    )
     out = sessionize(ev, gap_minutes=30)
     # Session bounds as epoch-micro BIGINTs: raw TIMESTAMP cells leave the
     # value hash hostage to the harness's datetime rendering; integers
@@ -4211,8 +4262,25 @@ def q17_q21_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cosine").alias("sim"),
     )
     corpus = _planted_neardup_corpus(spark, sf_dir)
+    # MEDIUM-similarity plants (vec_id%100==5 -> +2000000, element-wise
+    # x*(1+0.3*(i%5-2)), cosine 0.90-0.94, several same-cell): the 0.95
+    # threshold excludes them while a broken threshold admits them —
+    # mutcheck r12 found the fixture had NO same-cell pair between the
+    # natural ceiling (~0.51) and the planted twins (~0.99999), so any
+    # threshold in that whole band hash-passed. Sem parts only; q21's
+    # LSH corpus stays unchanged (its recall-1.0 contract is tuned to
+    # the near-1 plants).
+    emb_med = _t(spark, sf_dir, "embeddings")
+    med = emb_med.where(F.col("vec_id") % 100 == 5).select(
+        (F.col("vec_id") + 2000000).alias("vec_id"),
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x, i: x * (F.lit(1.0) + F.lit(0.3) * (i % 5 - F.lit(2))),
+        ).alias("embedding"),
+    )
+    sem_corpus = corpus.unionByName(med)
     sem_pairs = semantic_dedup_pairs(
-        corpus, threshold=0.95, dim=64, bits=6, seed=13
+        sem_corpus, threshold=0.95, dim=64, bits=6, seed=13
     )
     sem = sem_pairs.select(
         F.lit("semantic").alias("part"),
@@ -4221,7 +4289,7 @@ def q17_q21_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         _nl("long").alias("n_common"),
         F.round("cosine", 4).alias("sim"),
     )
-    kept = corpus.join(
+    kept = sem_corpus.join(
         sem_pairs.select(F.col("id_b").alias("vec_id")).distinct(),
         "vec_id",
         "left_anti",
@@ -4311,11 +4379,25 @@ def q83_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs, queries = _emb_docs_queries(spark, sf_dir)
+    # Exact-duplicate twins (id%10==0 -> +1000000) plus the twin AS A
+    # LABELED POSITIVE for query 0: with two positives occupying ranks
+    # 1-2, ``overfetch`` is finally live (mutcheck r12: with positives
+    # never inside the fetch window, overfetch=1 hash-passed) and the
+    # positive floor anchors a real margin.
+    docs = docs.unionByName(
+        docs.where(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "values"
+        )
+    )
     positives = queries.select(
         "query_id", F.col("query_id").alias("doc_id")
     ).unionByName(
         queries.select(
             "query_id", (F.col("query_id") + 100).alias("doc_id")
+        )
+    ).unionByName(
+        queries.where(F.col("query_id") % 10 == 0).select(
+            "query_id", (F.col("query_id") + 1000000).alias("doc_id")
         )
     )
     out = mine_hard_negatives(
@@ -6945,14 +7027,31 @@ WHERE rank <= 5
 ORDER BY query_id, rank
 """,
         "q20_topk_cosine": """
+WITH dbase AS (
+  SELECT vec_id AS doc_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> x * pow(2.0, vec_id % 3)) AS v
+  FROM embeddings
+),
+ddocs AS (
+  SELECT doc_id, v FROM dbase
+  UNION ALL
+  SELECT doc_id + 5000000, v FROM dbase WHERE doc_id % 25 = 0
+),
+qq AS (
+  SELECT vec_id AS query_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> x * pow(2.0, vec_id % 2)) AS v
+  FROM embeddings WHERE vec_id < 10
+)
 SELECT query_id, doc_id, round(score, 4) AS score, rank FROM (
-  SELECT q.vec_id AS query_id, d.vec_id AS doc_id,
-         list_cosine_similarity(d.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS score,
+  SELECT qq.query_id, d.doc_id,
+         list_cosine_similarity(d.v, qq.v) AS score,
          row_number() OVER (
-           PARTITION BY q.vec_id
-           ORDER BY list_cosine_similarity(d.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
-                    d.vec_id) AS rank
-  FROM embeddings d, embeddings q WHERE q.vec_id < 10)
+           PARTITION BY qq.query_id
+           ORDER BY list_cosine_similarity(d.v, qq.v) DESC,
+                    d.doc_id) AS rank
+  FROM ddocs d, qq)
 WHERE rank <= 5
 ORDER BY query_id, rank
 """,
@@ -6975,7 +7074,7 @@ ORDER BY id_a, id_b
 """,
         "q22_event_scan_filter": """
 SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
-WHERE event_type = 'click' AND value > 50
+WHERE event_type = 'click' AND value > 57.96
 ORDER BY event_id
 """,
         # q24's LSH is tuned to recall 1.00/1.00 at the graded scale, so
@@ -8043,13 +8142,20 @@ WITH fwd AS (
 SELECT node, round(rank, 9) AS rank FROM r2 ORDER BY node
 """,
         "q26_sessionize": """
-WITH marked AS (
-  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+WITH ev26 AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+  UNION ALL
+  SELECT * FROM (VALUES
+    (-5, -1, TIMESTAMP '2024-01-01 00:00:00'),
+    (-5, -2, TIMESTAMP '2024-01-01 00:30:00'),
+    (-5, -3, TIMESTAMP '2024-01-01 02:00:00')) t(user_id, event_id, ts)
+), marked AS (
+  SELECT user_id, event_id, ts,
          CASE WHEN lag(ts) OVER w IS NULL
-                OR epoch_us(CAST(ts AS TIMESTAMP))
-                   - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP)) > 1800000000
+                OR epoch_us(ts)
+                   - epoch_us(lag(ts) OVER w) > 1800000000
               THEN 1 ELSE 0 END AS is_start
-  FROM events
+  FROM ev26
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), sess AS (
   SELECT user_id, ts,
@@ -9534,6 +9640,14 @@ corpus AS (
            AS embedding
   FROM embeddings WHERE vec_id % 10 = 0
 ),
+semcorpus AS (
+  SELECT * FROM corpus
+  UNION ALL
+  SELECT vec_id + 2000000,
+         list_transform(generate_series(1, len(embedding)),
+           i -> embedding[i]::DOUBLE * (1.0 + 0.3 * ((i - 1) % 5 - 2)))
+  FROM embeddings WHERE vec_id % 100 = 5
+),
 -- SemDeDup cells: the repo's portable md5-parity +/-1 projection
 -- (semdedup.srp_cells, bits=6 seed=13); bit j of the cell id is the
 -- sign of projection j
@@ -9545,7 +9659,7 @@ R AS (
 ),
 v AS (
   SELECT vec_id, i.i, embedding[i.i + 1] AS x
-  FROM corpus, generate_series(0, 63) i(i)
+  FROM semcorpus, generate_series(0, 63) i(i)
 ),
 p AS (
   SELECT v.vec_id, R.j, sum(v.x * R.s) AS p
@@ -9558,7 +9672,7 @@ cells AS (
 ),
 cc AS (
   SELECT c.vec_id, c.embedding, cl.cell
-  FROM corpus c JOIN cells cl USING (vec_id)
+  FROM semcorpus c JOIN cells cl USING (vec_id)
 ),
 semp AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -9567,7 +9681,7 @@ semp AS (
   WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
 ),
 semk AS (
-  SELECT vec_id FROM corpus
+  SELECT vec_id FROM semcorpus
   WHERE vec_id NOT IN (SELECT id_b FROM semp)
 ),
 ecorp AS (
@@ -9620,18 +9734,26 @@ ORDER BY part, id_a, id_b
     out["q19_q20_topk_metrics"] = f"""
 WITH dotq AS ({b['q19_topk_dot']}),
 cosq AS ({b['q20_topk_cosine']}),
+hn_docs AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 10 = 0
+),
 hn_pos AS (
   SELECT vec_id AS query_id, vec_id AS doc_id
   FROM embeddings WHERE vec_id < 10
   UNION ALL
   SELECT vec_id AS query_id, vec_id + 100 AS doc_id
   FROM embeddings WHERE vec_id < 10
+  UNION ALL
+  SELECT vec_id AS query_id, vec_id + 1000000 AS doc_id
+  FROM embeddings WHERE vec_id < 10 AND vec_id % 10 = 0
 ),
 hn_cand AS (
   SELECT q.vec_id AS query_id, d.vec_id AS doc_id,
          list_cosine_similarity(d.embedding::DOUBLE[],
                                 q.embedding::DOUBLE[]) AS score
-  FROM embeddings d, embeddings q WHERE q.vec_id < 10
+  FROM hn_docs d, embeddings q WHERE q.vec_id < 10
   QUALIFY row_number() OVER (
     PARTITION BY q.vec_id ORDER BY score DESC, d.vec_id) <= 10
 ),
@@ -9649,7 +9771,7 @@ hn_floor AS (
          min(list_cosine_similarity(d.embedding::DOUBLE[],
                                     q.embedding::DOUBLE[])) AS pos_min
   FROM hn_pos p
-  JOIN embeddings d ON d.vec_id = p.doc_id
+  JOIN hn_docs d ON d.vec_id = p.doc_id
   JOIN embeddings q ON q.vec_id = p.query_id
   GROUP BY p.query_id
 )
@@ -9905,13 +10027,20 @@ ORDER BY part, key
     # last (open at end-of-stream, never emitted).
     out["q26_sessionize"] = f"""
 WITH bs AS ({b['q26_sessionize']}),
-sub_marked AS (
-  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+sev26 AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+  UNION ALL
+  SELECT * FROM (VALUES
+    (-5, -1, TIMESTAMP '2024-01-01 00:00:00'),
+    (-5, -2, TIMESTAMP '2024-01-01 00:30:00'),
+    (-5, -3, TIMESTAMP '2024-01-01 02:00:00')) t(user_id, event_id, ts)
+), sub_marked AS (
+  SELECT user_id, event_id, ts,
          CASE WHEN lag(ts) OVER w IS NULL
-                OR epoch_us(CAST(ts AS TIMESTAMP))
-                   - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP)) > 1800000000
+                OR epoch_us(ts)
+                   - epoch_us(lag(ts) OVER w) > 1800000000
               THEN 1 ELSE 0 END AS is_start
-  FROM events WHERE user_id % 5 = 0
+  FROM sev26 WHERE user_id % 5 = 0
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), sub_sess AS (
   SELECT user_id, ts,

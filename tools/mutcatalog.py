@@ -276,3 +276,258 @@ MUTATIONS: list[Mut] = [
         new='.where(F.col("n_members") >= 1)',
     ),
 ]
+
+SEARCH = "pinecone_datasets_spark/operators/search.py"
+WINDOWS = "pinecone_datasets_spark/operators/windows.py"
+
+MUTATIONS += [
+    # ------------------------------------------------------ q17_q21
+    Mut(
+        key="q17_q21_neardup_pairs",
+        name="jaccard_threshold_nudged",
+        path=ENTRY,
+        old="out = ngram_jaccard_pairs(\n        doc, threshold=0.3, shingle_k=5, max_df=100_000_000\n    )",
+        new="out = ngram_jaccard_pairs(\n        doc, threshold=0.35, shingle_k=5, max_df=100_000_000\n    )",
+    ),
+    Mut(
+        key="q17_q21_neardup_pairs",
+        name="semantic_threshold_nudged",
+        path=ENTRY,
+        old="semantic_dedup_pairs(\n        sem_corpus, threshold=0.95, dim=64, bits=6, seed=13\n    )",
+        new="semantic_dedup_pairs(\n        sem_corpus, threshold=0.9, dim=64, bits=6, seed=13\n    )",
+    ),
+    Mut(
+        key="q17_q21_neardup_pairs",
+        name="edit_bound_below_plant",
+        path=ENTRY,
+        old="edit_distance_pairs(\n        ebase.unionByName(epert), max_distance=4\n    )",
+        new="edit_distance_pairs(\n        ebase.unionByName(epert), max_distance=3\n    )",
+    ),
+    Mut(
+        key="q17_q21_neardup_pairs",
+        name="hamming_bound_below_plant",
+        path=ENTRY,
+        old="hamming_neardup_pairs(\n        hcorp, max_hamming=4, id_col=\"doc_id\", hash_col=\"phash\",\n        hash_bits=52,\n    )",
+        new="hamming_neardup_pairs(\n        hcorp, max_hamming=2, id_col=\"doc_id\", hash_col=\"phash\",\n        hash_bits=52,\n    )",
+    ),
+    # ---------------------------------------------------------- q18
+    Mut(
+        key="q18_minhash_bands",
+        name="bands_halved",
+        path=ENTRY,
+        old="num_hashes=8,\n        bands=4,",
+        new="num_hashes=8,\n        bands=2,",
+    ),
+    Mut(
+        key="q18_minhash_bands",
+        name="shingle_k_nudged",
+        path=ENTRY,
+        old="bands=4,\n        shingle_k=5,\n        hash_fn=\"md5\",",
+        new="bands=4,\n        shingle_k=4,\n        hash_fn=\"md5\",",
+    ),
+    # ------------------------------------------------------ q19_q20
+    Mut(
+        key="q19_q20_topk_metrics",
+        name="k_off_by_one",
+        path=ENTRY,
+        old="metric=\"dot\",\n        k=5,",
+        new="metric=\"dot\",\n        k=4,",
+    ),
+    Mut(
+        key="q19_q20_topk_metrics",
+        name="search_tiebreak_flipped",
+        path=SEARCH,
+        old="F.desc(\"score\"), F.col(doc_id_col)\n    )\n    return (\n        scored.withColumn(\"rank\", F.row_number().over(w))",
+        new="F.desc(\"score\"), F.desc(doc_id_col)\n    )\n    return (\n        scored.withColumn(\"rank\", F.row_number().over(w))",
+    ),
+    Mut(
+        key="q19_q20_topk_metrics",
+        name="qnorm_dropped",
+        path=SEARCH,
+        old="* F.greatest(F.col(\"__qnorm\"), F.lit(1e-30))",
+        new="* F.lit(1.0)",
+    ),
+    Mut(
+        key="q19_q20_topk_metrics",
+        name="hardneg_overfetch_dropped",
+        path=ENTRY,
+        old="k=5,\n        overfetch=5,",
+        new="k=5,\n        overfetch=1,",
+    ),
+    # ------------------------------------------------------ q22_q57
+    Mut(
+        key="q22_q57_event_queries",
+        name="scan_boundary_flip",
+        path=ENTRY,
+        old="(F.col(\"event_type\") == \"click\") & (F.col(\"value\") > 57.96)",
+        new="(F.col(\"event_type\") == \"click\") & (F.col(\"value\") >= 57.96)",
+    ),
+    Mut(
+        key="q22_q57_event_queries",
+        name="interval_join_widened",
+        path=ENTRY,
+        old="s, s, on=\"user_id\", lower_seconds=-300, upper_seconds=0",
+        new="s, s, on=\"user_id\", lower_seconds=-360, upper_seconds=0",
+    ),
+    Mut(
+        key="q22_q57_event_queries",
+        name="stream_window_halved",
+        path=ENTRY,
+        old="s, window_duration=\"1 hour\", watermark=\"2 hours\"",
+        new="s, window_duration=\"30 minutes\", watermark=\"2 hours\"",
+    ),
+    # ------------------------------------------------------ q23_q62
+    Mut(
+        key="q23_q62_setops_subquery",
+        name="except_bag_semantics",
+        path=ENTRY,
+        old="without = cust.subtract(rich_supp)",
+        new="without = cust.exceptAll(rich_supp)",
+    ),
+    Mut(
+        key="q23_q62_setops_subquery",
+        name="subquery_threshold_nudged",
+        path=ENTRY,
+        old="(F.avg(\"l_quantity\") * 0.2).alias(\"qty_threshold\")",
+        new="(F.avg(\"l_quantity\") * 0.25).alias(\"qty_threshold\")",
+    ),
+    Mut(
+        key="q23_q62_setops_subquery",
+        name="acctbal_boundary_flip",
+        path=ENTRY,
+        old=".where(F.col(\"s_acctbal\") > 7000)",
+        new=".where(F.col(\"s_acctbal\") >= 7000)",
+        adjudicated=(
+            "s_acctbal is a continuous 2-dp uniform column; no supplier"
+            " sits at exactly 7000.00 in any driver fixture and the"
+            " tables cannot be re-generated to plant one. The >-vs->="
+            " distinction is structurally untestable on this column;"
+            " subquery_threshold_nudged and except_bag_semantics cover"
+            " the entry's live semantics."
+        ),
+    ),
+    # ---------------------------------------------------------- q24
+    Mut(
+        key="q24_ann_lsh",
+        name="ann_bands_collapsed",
+        path=ENTRY,
+        old="ann = ann_lsh_topk(\n        docs, queries, k=5, bands=64, bits=4, dim=64, seed=42\n    )",
+        new="ann = ann_lsh_topk(\n        docs, queries, k=5, bands=2, bits=4, dim=64, seed=42\n    )",
+    ),
+    Mut(
+        key="q24_ann_lsh",
+        name="index_probe_k_off_by_one",
+        path=ENTRY,
+        old="probe = lsh_index_topk(spark, idx_path, queries, k=5)",
+        new="probe = lsh_index_topk(spark, idx_path, queries, k=4)",
+    ),
+    Mut(
+        key="q24_ann_lsh",
+        name="index_build_seed_drift",
+        path=ENTRY,
+        old="build_lsh_index(\n        docs, idx_path, bands=64, bits=4, dim=64, seed=42,",
+        new="build_lsh_index(\n        docs, idx_path, bands=64, bits=4, dim=64, seed=43,",
+        adjudicated=(
+            "TRUE EQUIVALENT MUTANT: the probe derives its hyperplanes"
+            " from the seed persisted IN the index metadata, so build"
+            " and probe stay consistent under any seed; with recall"
+            " pinned at 1.0 by (bands=64, bits=4) the top-k equals the"
+            " exact twin for every seed — which is the entry's"
+            " contract. A build/probe plane MISMATCH defect (the real"
+            " failure mode) is pinned by the in-plan-vs-index"
+            " candidate-equivalence test in tests/test_lsh_index.py."
+        ),
+    ),
+    # ------------------------------------------------------ q25_q39
+    Mut(
+        key="q25_q39_fingerprints",
+        name="rolling_hash_base_drift",
+        path=TEXT,
+        old="_RH_BASE = 1000003",
+        new="_RH_BASE = 1000033",
+    ),
+    Mut(
+        key="q25_q39_fingerprints",
+        name="simhash_nonportable_hash",
+        path=ENTRY,
+        old="return simhash64(doc, hash_fn=\"md5\").orderBy(\"doc_id\")",
+        new="return simhash64(doc, hash_fn=\"xxhash64\").orderBy(\"doc_id\")",
+    ),
+    Mut(
+        key="q25_q39_fingerprints",
+        name="cdc_min_size_doubled",
+        path=ENTRY,
+        old="cdc_blobs,\n        min_size=_CDC_MIN,",
+        new="cdc_blobs,\n        min_size=_CDC_MIN * 2,",
+        adjudicated=(
+            "the designed segment blobs have NO gear cut candidate in"
+            " [256,512) (this survivor is the proof), so doubling the"
+            " skip region is invisible on this fixture BY CONSTRUCTION"
+            " — the fixture's cut layout is itself the oracle contract"
+            " and cannot carry arbitrary extra cuts. min-skip semantics"
+            " on dense-candidate input is pinned by tests/test_cdc.py::"
+            "test_spans_partition_exactly_and_respect_bounds (200 KB"
+            " random blob: every non-final span in [min,max]), and the"
+            " cut walk itself is live here (cdc_avg_mask_doubled"
+            " kills)."
+        ),
+    ),
+    Mut(
+        key="q25_q39_fingerprints",
+        name="cdc_avg_mask_doubled",
+        path=ENTRY,
+        old="min_size=_CDC_MIN,\n        avg_size=_CDC_AVG,",
+        new="min_size=_CDC_MIN,\n        avg_size=_CDC_AVG * 2,",
+    ),
+    # ---------------------------------------------------------- q26
+    Mut(
+        key="q26_sessionize",
+        name="gap_boundary_flip",
+        path=WINDOWS,
+        old="                (F.unix_micros(F.col(\"__s\")) - F.unix_micros(prev_end))\n                > gap_us",
+        new="                (F.unix_micros(F.col(\"__s\")) - F.unix_micros(prev_end))\n                >= gap_us",
+    ),
+    Mut(
+        key="q26_sessionize",
+        name="batch_gap_nudged",
+        path=ENTRY,
+        old="out = sessionize(ev, gap_minutes=30)",
+        new="out = sessionize(ev, gap_minutes=29)",
+    ),
+    Mut(
+        key="q26_sessionize",
+        name="stream_gap_nudged",
+        path=ENTRY,
+        old="lambda s: streaming_sessionize(\n            s, gap_minutes=30, use_timeout=False\n        )",
+        new="lambda s: streaming_sessionize(\n            s, gap_minutes=29, use_timeout=False\n        )",
+    ),
+    Mut(
+        key="q26_sessionize",
+        name="stream_gap_boundary_flip",
+        path="pinecone_datasets_spark/streaming/sessions.py",
+        old="if merged and s - merged[-1][1] <= gap_us:",
+        new="if merged and s - merged[-1][1] < gap_us:",
+    ),
+    Mut(
+        key="q26_sessionize",
+        name="session_end_min_not_max",
+        path=WINDOWS,
+        old="F.max(end_expr).alias(\"session_end\"),",
+        new="F.min(end_expr).alias(\"session_end\"),",
+    ),
+    # ---------------------------------------------------------- q27
+    Mut(
+        key="q27_running_revenue",
+        name="cumsum_excludes_current",
+        path=WINDOWS,
+        old="    w = (\n        Window.partitionBy(partition_col)\n        .orderBy(*order_cols)\n        .rowsBetween(Window.unboundedPreceding, Window.currentRow)\n    )",
+        new="    w = (\n        Window.partitionBy(partition_col)\n        .orderBy(*order_cols)\n        .rowsBetween(Window.unboundedPreceding, -1)\n    )",
+    ),
+    Mut(
+        key="q27_running_revenue",
+        name="order_tiebreak_flipped",
+        path=ENTRY,
+        old="order_cols=[\"o_orderdate\", \"o_orderkey\"],",
+        new="order_cols=[\"o_orderdate\", F.desc(\"o_orderkey\")],",
+    ),
+]
