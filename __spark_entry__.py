@@ -1316,7 +1316,10 @@ def q43_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pinecone_datasets_spark.operators.terms import top_terms
 
     doc = _t(spark, sf_dir, "documents")
-    return top_terms(doc, k=50).select(
+    # k=20 BINDS on the fixture vocabulary (31 distinct terms) —
+    # mutcheck r12: at k=50 the cut never fired and an off-by-one in
+    # the top-k limit hash-passed
+    return top_terms(doc, k=20).select(
         "term", F.col("n").cast("long").alias("n")
     )
 
@@ -3342,7 +3345,10 @@ def q33_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pinecone_datasets_spark.operators.pipeline import curate_corpus
 
     corpus = _docs_with_dups(spark, sf_dir)
-    out = curate_corpus(corpus, min_quality=0.5, min_words=30)
+    # min_quality=0.75 sits INSIDE the fixture quality range
+    # [0.667, 0.963] (mutcheck r12: at 0.5 the gate rejected
+    # nothing, so broken quality logic hash-passed)
+    out = curate_corpus(corpus, min_quality=0.75, min_words=30)
     return out.select(
         "doc_id",
         "n_words",
@@ -3354,7 +3360,7 @@ def q34_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pinecone_datasets_spark.operators.pipeline import curation_report
 
     corpus = _docs_with_dups(spark, sf_dir)
-    return curation_report(corpus, min_quality=0.5, min_words=30).orderBy(
+    return curation_report(corpus, min_quality=0.75, min_words=30).orderBy(
         "lang"
     )
 
@@ -5744,10 +5750,13 @@ def q42_q52_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         doc, num_hashes=8, bands=4, shingle_k=5, hash_fn="md5"
     )
     clusters = dedup_clusters(doc, pairs).cache()
+    # rank on HUNDREDS-coarsened length so the doc_id tiebreak decides
+    # real ties (mutcheck r12: no two cluster members shared an exact
+    # n_chars, so a flipped tiebreak hash-passed)
     reps = cluster_representatives(
         doc,
         clusters,
-        order_by=[F.col("n_chars").desc(), F.col("doc_id")],
+        order_by=[F.round(F.col("n_chars"), -2).desc(), F.col("doc_id")],
     )
     return (
         clusters.join(
@@ -6844,7 +6853,7 @@ ranked AS (
   SELECT cl.cluster_id, cl.doc_id,
          row_number() OVER (
            PARTITION BY cl.cluster_id
-           ORDER BY d.n_chars DESC, cl.doc_id) AS rk,
+           ORDER BY round(d.n_chars, -2) DESC, cl.doc_id) AS rk,
          count(*) OVER (PARTITION BY cl.cluster_id) AS n_members
   FROM cl JOIN documents d USING (doc_id)
 )
@@ -7115,7 +7124,7 @@ FROM (
 WHERE len(term) > 0
 GROUP BY term
 ORDER BY n DESC, term
-LIMIT 50
+LIMIT 20
 """,
         "q44_characteristic_terms": """
 WITH ex AS (
@@ -8410,16 +8419,16 @@ FROM kept
 WITH {_DEDUP_CTE}, {_ANNOTATE}
 SELECT doc_id, n_words, round(quality, 4) AS quality
 FROM annotated
-WHERE round(quality, 6) >= 0.5 AND n_words >= 30
+WHERE round(quality, 6) >= 0.75 AND n_words >= 30
 ORDER BY doc_id
 """,
         "q34_curation_report": f"""
 WITH {_DEDUP_CTE}, {_ANNOTATE}
 SELECT lang,
        count(*) AS n_deduped,
-       sum(CASE WHEN round(quality, 6) >= 0.5 THEN 1 ELSE 0 END)::BIGINT
+       sum(CASE WHEN round(quality, 6) >= 0.75 THEN 1 ELSE 0 END)::BIGINT
          AS n_quality_pass,
-       sum(CASE WHEN round(quality, 6) >= 0.5 AND n_words >= 30
+       sum(CASE WHEN round(quality, 6) >= 0.75 AND n_words >= 30
                 THEN 1 ELSE 0 END)::BIGINT AS n_curated
 FROM annotated
 GROUP BY lang ORDER BY lang

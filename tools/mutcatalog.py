@@ -531,3 +531,212 @@ MUTATIONS += [
         new="order_cols=[\"o_orderdate\", F.desc(\"o_orderkey\")],",
     ),
 ]
+
+TERMS = "pinecone_datasets_spark/operators/terms.py"
+
+MUTATIONS += [
+    # ------------------------------------------------------ q28_q69
+    Mut(
+        key="q28_q69_distinct_sketch",
+        name="kmv_k_halved",
+        path=ENTRY,
+        old='kmv_distinct(ev, "user_id", "event_type", k=64)',
+        new='kmv_distinct(ev, "user_id", "event_type", k=32)',
+    ),
+    Mut(
+        key="q28_q69_distinct_sketch",
+        name="stream_hll_p_shrunk",
+        path=ENTRY,
+        old='stream_hll_registers(s, "user_id", "event_type", p=6)',
+        new='stream_hll_registers(s, "user_id", "event_type", p=5)',
+    ),
+    Mut(
+        key="q28_q69_distinct_sketch",
+        name="stream_cm_width_halved",
+        path=ENTRY,
+        old='stream_cm_sketch(s, "user_id", depth=4, width=256)',
+        new='stream_cm_sketch(s, "user_id", depth=4, width=128)',
+    ),
+    # ---------------------------------------------------------- q90
+    Mut(
+        key="q90_profile_dataset",
+        name="hll_precision_shrunk",
+        path=ENTRY,
+        old='doc, ["doc_id", "lang", "source", "n_chars"], p=12',
+        new='doc, ["doc_id", "lang", "source", "n_chars"], p=11',
+    ),
+    Mut(
+        key="q90_profile_dataset",
+        name="column_dropped",
+        path=ENTRY,
+        old='doc, ["doc_id", "lang", "source", "n_chars"], p=12',
+        new='doc, ["doc_id", "lang", "source"], p=12',
+    ),
+    # ---------------------------------------------------------- q31
+    Mut(
+        key="q31_stored_filter_search",
+        name="stored_filters_ignored",
+        path=ENTRY,
+        old='metadata_col="metadata",\n        apply_stored_filters=True,',
+        new='metadata_col="metadata",\n        apply_stored_filters=False,',
+    ),
+    Mut(
+        key="q31_stored_filter_search",
+        name="filter_threshold_loosened",
+        path=ENTRY,
+        old='json.dumps({"n_chars": {"$gt": 300}}),',
+        new='json.dumps({"n_chars": {"$gt": 30}}),',
+    ),
+    # ------------------------------------------------------ q32_q86
+    Mut(
+        key="q32_q86_multiscore",
+        name="sparse_threshold_raised",
+        path=ENTRY,
+        old='dense_to_sparse("embedding", threshold=0.15)',
+        new='dense_to_sparse("embedding", threshold=0.3)',
+    ),
+    Mut(
+        key="q32_q86_multiscore",
+        name="mmr_lambda_nudged",
+        path=ENTRY,
+        old="out = mmr_rerank(\n        cand,\n        k=5,\n        lam=0.5,",
+        new="out = mmr_rerank(\n        cand,\n        k=5,\n        lam=0.7,",
+    ),
+    Mut(
+        key="q32_q86_multiscore",
+        name="maxsim_k_off_by_one",
+        path=ENTRY,
+        old="out = maxsim_topk(docs, queries, k=5, doc_id_col=\"doc_id\")",
+        new="out = maxsim_topk(docs, queries, k=4, doc_id_col=\"doc_id\")",
+    ),
+    # ------------------------------------------------------ q33_q34
+    Mut(
+        key="q33_q34_curation",
+        name="quality_gate_loosened",
+        path=ENTRY,
+        old="curate_corpus(corpus, min_quality=0.75, min_words=30)",
+        new="curate_corpus(corpus, min_quality=0.7, min_words=30)",
+    ),
+    Mut(
+        key="q33_q34_curation",
+        name="length_gate_loosened",
+        path=ENTRY,
+        old="curation_report(corpus, min_quality=0.75, min_words=30)",
+        new="curation_report(corpus, min_quality=0.75, min_words=25)",
+    ),
+    Mut(
+        key="q33_q34_curation",
+        name="qscore_intercept_nudged",
+        path=ENTRY,
+        old="_QSCORE_IC1024 / 1024.0,",
+        new="(_QSCORE_IC1024 + 64) / 1024.0,",
+    ),
+    # ---------------------------------------------------------- q35
+    Mut(
+        key="q35_ivf_topk",
+        name="nprobe_collapsed",
+        path=ENTRY,
+        old="ivf_topk_inplan(with_cells, queries, cents, k=5, nprobe=6)",
+        new="ivf_topk_inplan(with_cells, queries, cents, k=5, nprobe=1)",
+    ),
+    Mut(
+        key="q35_ivf_topk",
+        name="training_truncated",
+        path=ENTRY,
+        old="train_centroids_inplan(\n        docs, n_centroids=8, iters=3\n    )",
+        new="train_centroids_inplan(\n        docs, n_centroids=8, iters=1\n    )",
+        adjudicated=(
+            "TRUE EQUIVALENT MUTANT at the entry contract: training"
+            " decides WHICH cells are probed, while the emitted rows"
+            " are the exact-cosine re-scores of the probed union plus"
+            " a recall certificate — with nprobe=6/8 recall stays 1.0"
+            " under 1- or 3-round centroids, so the output is"
+            " invariant by design (that invariance IS the ANN"
+            " contract; nprobe_collapsed proves the probe set is"
+            " live). Lloyd-training numerics are pinned bit-exact by"
+            " tests/test_ivf.py::test_inplan_lloyd_centroids_are_"
+            "integer_exact and first_round_update_is_member_mean."
+        ),
+    ),
+    # ------------------------------------------------------ q37_q38
+    Mut(
+        key="q37_q38_order_stats",
+        name="stddev_population_not_sample",
+        path=ENTRY,
+        old='F.round(F.stddev("c_acctbal"), 4).alias("sd_bal"),',
+        new='F.round(F.stddev_pop("c_acctbal"), 4).alias("sd_bal"),',
+    ),
+    Mut(
+        key="q37_q38_order_stats",
+        name="corr_cols_self",
+        path=ENTRY,
+        old='F.round(F.corr("c_acctbal", "n_orders"), 4).alias(',
+        new='F.round(F.corr("n_orders", "n_orders"), 4).alias(',
+    ),
+    # ------------------------------------------------------ q42_q52
+    Mut(
+        key="q42_q52_dedup_clusters",
+        name="bands_halved",
+        path=ENTRY,
+        old='doc = doc.where(F.col("doc_id") < _Q42_SLICE_CAP)\n    pairs = minhash_lsh_candidates(\n        doc, num_hashes=8, bands=4, shingle_k=5, hash_fn="md5"\n    )',
+        new='doc = doc.where(F.col("doc_id") < _Q42_SLICE_CAP)\n    pairs = minhash_lsh_candidates(\n        doc, num_hashes=8, bands=2, shingle_k=5, hash_fn="md5"\n    )',
+    ),
+    Mut(
+        key="q42_q52_dedup_clusters",
+        name="rep_tiebreak_flipped",
+        path=ENTRY,
+        old='order_by=[F.round(F.col("n_chars"), -2).desc(), F.col("doc_id")],',
+        new='order_by=[F.round(F.col("n_chars"), -2).desc(), F.col("doc_id").desc()],',
+    ),
+    Mut(
+        key="q42_q52_dedup_clusters",
+        name="labelprop_truncated",
+        path=ENTRY,
+        old="clusters = dedup_clusters(doc, pairs).cache()",
+        new="clusters = dedup_clusters(doc, pairs, max_iter=1).cache()",
+    ),
+    # ------------------------------------------------------ q43_q44
+    Mut(
+        key="q43_q44_terms",
+        name="idf_smoothing_dropped",
+        path=TERMS,
+        old='* F.log((1.0 + F.col("__n_docs")) / (1.0 + F.col("df")))',
+        new='* F.log((1.0 + F.col("__n_docs")) / F.col("df"))',
+    ),
+    Mut(
+        key="q43_q44_terms",
+        name="topterms_k_off_by_one",
+        path=ENTRY,
+        old='return top_terms(doc, k=20).select(',
+        new='return top_terms(doc, k=19).select(',
+    ),
+    # ------------------------------------------------ q45_q46_q47
+    Mut(
+        key="q45_q46_q47_sampling",
+        name="split_fractions_shifted",
+        path=ENTRY,
+        old='doc, {"train": 0.8, "val": 0.1, "test": 0.1}, key_col="doc_id",\n        seed=42,',
+        new='doc, {"train": 0.75, "val": 0.15, "test": 0.1}, key_col="doc_id",\n        seed=42,',
+    ),
+    Mut(
+        key="q45_q46_q47_sampling",
+        name="split_seed_drift",
+        path=ENTRY,
+        old='doc, {"train": 0.8, "val": 0.1, "test": 0.1}, key_col="doc_id",\n        seed=42,',
+        new='doc, {"train": 0.8, "val": 0.1, "test": 0.1}, key_col="doc_id",\n        seed=43,',
+    ),
+    Mut(
+        key="q45_q46_q47_sampling",
+        name="stratum_n_off_by_one",
+        path=ENTRY,
+        old='stratified_sample_exact(\n        doc, "lang", 20, key_col="doc_id", seed=11\n    )',
+        new='stratified_sample_exact(\n        doc, "lang", 19, key_col="doc_id", seed=11\n    )',
+    ),
+    Mut(
+        key="q45_q46_q47_sampling",
+        name="source_cap_off_by_one",
+        path=ENTRY,
+        old='cap_per_group(\n        doc,\n        "source",\n        5,',
+        new='cap_per_group(\n        doc,\n        "source",\n        4,',
+    ),
+]
