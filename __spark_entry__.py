@@ -1411,6 +1411,35 @@ def q48_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_contamination(doc, bench, n=3).orderBy("doc_id")
 
 
+def _spans_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """_docs_with_dups plus four planted docs whose only cross-doc
+    repeats are a shared run of EXACTLY 8 words (A/B) and EXACTLY 7
+    words (C/D). mutcheck r12: the dup-seeded corpus repeats only as
+    FULL clones, whose merged span extent is window-size-invariant —
+    window=7/8/9 all hash-passed. The boundary-length runs make the
+    window parameter live in both directions: window 9 loses the A/B
+    span, window 7 gains the C/D span. Planted tokens are disjoint
+    from the fixture's 31-term vocabulary."""
+    base = _docs_with_dups(spark, sf_dir)
+    kinds = dict(base.dtypes)
+    rows = [
+        (-11, "alpha bravo charlie delta echo foxtrot golf hotel zzaone zzatwo"),
+        (-12, "zzbone alpha bravo charlie delta echo foxtrot golf hotel zzbtwo"),
+        (-13, "kilo lima mike november oscar papa quebec zzcone zzctwo zzcthree"),
+        (-14, "zzdone zzdtwo kilo lima mike november oscar papa quebec zzdthree"),
+    ]
+    planted = spark.createDataFrame(
+        rows, "doc_id long, text string"
+    ).select(
+        F.col("doc_id").cast(kinds["doc_id"]),
+        "text",
+        F.lit("xx").cast(kinds["lang"]).alias("lang"),
+        F.lit("plant").cast(kinds["source"]).alias("source"),
+        F.length("text").cast(kinds["n_chars"]).alias("n_chars"),
+    )
+    return base.unionByName(planted)
+
+
 def q81_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact repeated-substring spans (operators/spans.py): maximal
     merged extents of 8-word windows that occur more than once
@@ -1421,7 +1450,7 @@ def q81_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts back — corpus text never crosses an exchange."""
     from pinecone_datasets_spark.operators.spans import repeated_spans
 
-    corpus = _docs_with_dups(spark, sf_dir)
+    corpus = _spans_corpus(spark, sf_dir)
     return repeated_spans(corpus, window=8, hash_fn="md5").orderBy(
         "doc_id", "span_start"
     )
@@ -1436,7 +1465,7 @@ def q82_strip_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         strip_repeated_spans,
     )
 
-    corpus = _docs_with_dups(spark, sf_dir)
+    corpus = _spans_corpus(spark, sf_dir)
     out = strip_repeated_spans(corpus, window=8, hash_fn="md5")
     return out.select(
         "doc_id",
@@ -1474,7 +1503,7 @@ def q48_q81_decontam_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE spans frame feeds both parts (VERDICT r3 item 2's share-the-
     # expensive-stage rule): identical subplans collapse to a
     # ReusedExchange, and strip gets the frame explicitly.
-    corpus = _docs_with_dups(spark, sf_dir)
+    corpus = _spans_corpus(spark, sf_dir)
     spans_df = repeated_spans(corpus, window=8, hash_fn="md5")
     spans = spans_df.select(
         F.lit("spans").alias("part"),
@@ -9228,6 +9257,13 @@ corpus AS (
   UNION ALL
   SELECT doc_id + 1000000 AS doc_id, text
   FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT * FROM (VALUES
+    (-11, 'alpha bravo charlie delta echo foxtrot golf hotel zzaone zzatwo'),
+    (-12, 'zzbone alpha bravo charlie delta echo foxtrot golf hotel zzbtwo'),
+    (-13, 'kilo lima mike november oscar papa quebec zzcone zzctwo zzcthree'),
+    (-14, 'zzdone zzdtwo kilo lima mike november oscar papa quebec zzdthree')
+  ) t(doc_id, text)
 ),
 wrd AS (
   SELECT doc_id,

@@ -740,3 +740,198 @@ MUTATIONS += [
         new='cap_per_group(\n        doc,\n        "source",\n        4,',
     ),
 ]
+
+ASOF = "pinecone_datasets_spark/operators/asof.py"
+SKEW = "pinecone_datasets_spark/operators/skew.py"
+SCD = "pinecone_datasets_spark/operators/scd.py"
+WRITER = "pinecone_datasets_spark/writer.py"
+KEYWORD = "pinecone_datasets_spark/operators/keyword.py"
+
+MUTATIONS += [
+    # ------------------------------------------------------ q09_q10
+    Mut(
+        key="q09_q10_conform",
+        name="metadata_field_dropped",
+        path=ENTRY,
+        old='F.to_json(\n                F.struct(\n                    F.col("lang"), F.col("source"), F.col("n_chars")\n                )\n            ).alias("metadata"),',
+        new='F.to_json(\n                F.struct(\n                    F.col("lang"), F.col("source")\n                )\n            ).alias("metadata"),',
+    ),
+    Mut(
+        key="q09_q10_conform",
+        name="writer_wrong_table_dir",
+        path=WRITER,
+        old='_write_table(df, join(dataset_path, "documents"), single_file, partition_by)',
+        new='_write_table(df, join(dataset_path, "docs"), single_file, partition_by)',
+    ),
+    Mut(
+        key="q09_q10_conform",
+        name="queries_subset_shifted",
+        path=ENTRY,
+        old='raw = emb.where(F.col("vec_id") % 50 == 0).select(',
+        new='raw = emb.where(F.col("vec_id") % 50 == 1).select(',
+    ),
+    # ------------------------------------------------------ q48_q81
+    Mut(
+        key="q48_q81_decontam_spans",
+        name="contam_ngram_shrunk",
+        path=ENTRY,
+        old="return ngram_contamination(doc, bench, n=3).orderBy",
+        new="return ngram_contamination(doc, bench, n=2).orderBy",
+    ),
+    Mut(
+        key="q48_q81_decontam_spans",
+        name="span_window_shrunk",
+        path=ENTRY,
+        old='spans_df = repeated_spans(corpus, window=8, hash_fn="md5")',
+        new='spans_df = repeated_spans(corpus, window=7, hash_fn="md5")',
+    ),
+    Mut(
+        key="q48_q81_decontam_spans",
+        name="span_window_grown",
+        path=ENTRY,
+        old='spans_df = repeated_spans(corpus, window=8, hash_fn="md5")',
+        new='spans_df = repeated_spans(corpus, window=9, hash_fn="md5")',
+    ),
+    Mut(
+        key="q48_q81_decontam_spans",
+        name="strip_keeps_span_start",
+        path="pinecone_datasets_spark/operators/spans.py",
+        old='F.col("_spans"), lambda sp: (sp["s"] <= i) & (i <= sp["e"])',
+        new='F.col("_spans"), lambda sp: (sp["s"] < i) & (i <= sp["e"])',
+    ),
+    # ---------------------------------------------------------- q49
+    Mut(
+        key="q49_pack_chunks",
+        name="pack_budget_off_by_one",
+        path=ENTRY,
+        old="chunks = pack_documents(doc, max_tokens=512).select(",
+        new="chunks = pack_documents(doc, max_tokens=511).select(",
+    ),
+    Mut(
+        key="q49_pack_chunks",
+        name="rag_overlap_halved",
+        path=ENTRY,
+        old="rag = chunk_text(doc, chunk_tokens=64, overlap=16).select(",
+        new="rag = chunk_text(doc, chunk_tokens=64, overlap=8).select(",
+    ),
+    # ---------------------------------------------------------- q50
+    Mut(
+        key="q50_quantized_topk",
+        name="int8_scale_shrunk",
+        path="pinecone_datasets_spark/functions/vector.py",
+        old='F.when(amax > 0, F.lit(127.0) / amax).otherwise(F.lit(1.0)),',
+        new='F.when(amax > 0, F.lit(126.0) / amax).otherwise(F.lit(1.0)),',
+    ),
+    Mut(
+        key="q50_quantized_topk",
+        name="pq_subspaces_halved",
+        path=ENTRY,
+        old="m=4,\n        n_codes=8,",
+        new="m=2,\n        n_codes=8,",
+    ),
+    # ---------------------------------------------------------- q51
+    Mut(
+        key="q51_quantile_filter",
+        name="quantile_nudged",
+        path=ENTRY,
+        old='filter_by_quantile(scored, "quality", 0.75, keep="above")',
+        new='filter_by_quantile(scored, "quality", 0.7, keep="above")',
+    ),
+    Mut(
+        key="q51_quantile_filter",
+        name="keep_side_flipped",
+        path=ENTRY,
+        old='filter_by_quantile(scored, "quality", 0.75, keep="above")',
+        new='filter_by_quantile(scored, "quality", 0.75, keep="below")',
+    ),
+    Mut(
+        key="q51_quantile_filter",
+        name="buckets_off_by_one",
+        path=ENTRY,
+        old='quantile_bucket_by_group(\n        scored, "quality", "source", n_buckets=4\n    )',
+        new='quantile_bucket_by_group(\n        scored, "quality", "source", n_buckets=5\n    )',
+    ),
+    # ---------------------------------------------------------- q53
+    Mut(
+        key="q53_incremental_dedup",
+        name="bloom_bits_shrunk",
+        path=ENTRY,
+        old="n_bits=1 << 14,",
+        new="n_bits=1 << 8,",
+        count=2,  # build + probe stay consistent; the oracle replays 1<<14
+    ),
+    Mut(
+        key="q53_incremental_dedup",
+        name="admission_inverted",
+        path=DEDUP,
+        old='first_in_batch.join(F.broadcast(collisions), "_fp", "left_anti")',
+        new='first_in_batch.join(F.broadcast(collisions), "_fp", "left_semi")',
+    ),
+    Mut(
+        key="q53_incremental_dedup",
+        name="mh_probe_threshold_nudged",
+        path=ENTRY,
+        old="spark, idx_path, batch, threshold=0.5, batch_id_col=\"doc_id\"",
+        new="spark, idx_path, batch, threshold=0.75, batch_id_col=\"doc_id\"",
+    ),
+    # ---------------------------------------------------------- q54
+    Mut(
+        key="q54_asof_join",
+        name="asof_tiebreak_min_wins",
+        path=ASOF,
+        old='.orderBy(_TS, _TAG, "__asof_tb")',
+        new='.orderBy(_TS, _TAG, F.desc("__asof_tb"))',
+    ),
+    Mut(
+        key="q54_asof_join",
+        name="asof_twin_plant_removed",
+        path=ENTRY,
+        old='twins = base_clicks.where(F.col("event_id") % 7 == 0).select(',
+        new='twins = base_clicks.where(F.col("event_id") % 7 == 99).select(',
+    ),
+    # ---------------------------------------------------------- q55
+    Mut(
+        key="q55_range_join",
+        name="lower_bound_halved",
+        path=ENTRY,
+        old="lower_us=-86_400_000_000,",
+        new="lower_us=-43_200_000_000,",
+    ),
+    Mut(
+        key="q55_range_join",
+        name="upper_bound_widened",
+        path=ENTRY,
+        old="lower_us=-86_400_000_000,\n        upper_us=0,",
+        new="lower_us=-86_400_000_000,\n        upper_us=3_600_000_000,",
+    ),
+    # ------------------------------------------------------ q56_q61
+    Mut(
+        key="q56_q61_rollup",
+        name="rollup_to_cube",
+        path=ENTRY,
+        old='joined.rollup("r_name", "n_name")',
+        new='joined.cube("r_name", "n_name")',
+    ),
+    Mut(
+        key="q56_q61_rollup",
+        name="partial_fold_avg_wrong_denominator",
+        path=ENTRY,
+        old='F.round(F.round(F.sum("sum_v"), 2) / F.sum("n"), 3).alias(',
+        new='F.round(F.round(F.sum("sum_v"), 2) / F.count("n"), 3).alias(',
+    ),
+    # ---------------------------------------------------------- q58
+    Mut(
+        key="q58_unigram_lm",
+        name="jm_lambda_nudged",
+        path=ENTRY,
+        old="big = bigram_logprob(doc, lam=0.8, round_to=4)",
+        new="big = bigram_logprob(doc, lam=0.7, round_to=4)",
+    ),
+    Mut(
+        key="q58_unigram_lm",
+        name="unigram_round_coarsened",
+        path=ENTRY,
+        old="uni = unigram_logprob(doc, round_to=4)",
+        new="uni = unigram_logprob(doc, round_to=3)",
+    ),
+]

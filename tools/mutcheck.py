@@ -108,6 +108,20 @@ def _import_entry():
 
 def run_with_mutation(mut: Mut | None, key: str, spark, sf_dir: str):
     """Returns (pandas_df | None, error_str | None)."""
+    # The entry module keeps a PID-stable scratch root for persisted
+    # indexes / round-trip datasets (_session_index_path). A stale
+    # artifact from the PREVIOUS in-process run can mask a mutation —
+    # e.g. a writer mutated to write the wrong directory "survived"
+    # because the reader found the prior run's correct output. The
+    # driver runs each gate in a fresh process; replicate that by
+    # wiping the root before every run.
+    import shutil
+    import tempfile
+
+    shutil.rmtree(
+        os.path.join(tempfile.gettempdir(), f"spark_graft_idx_{os.getpid()}"),
+        ignore_errors=True,
+    )
     finder = None
     if mut is not None:
         abspath = os.path.join(REPO, mut.path)
