@@ -3026,18 +3026,26 @@ def q68_zorder_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pinecone_datasets_spark.operators.zorder import interleave_bits
 
     li = _t(spark, sf_dir, "lineitem")
-    z = li.select(
+    # deterministic orderkey slice instead of the 200 SMALLEST zvals —
+    # mutcheck r12: the smallest interleaves carry only low bits, so
+    # narrowing the bit width or halving the key modulus left the
+    # emitted slice bit-identical; the modulo slice samples the full
+    # bit range and both defects now shift emitted values
+    # modulus 64 / bits 6: the fixture keys (~2000 parts, ~100
+    # suppliers at the gate SF) never reached bit 11 of the old 4096
+    # grid, so every bit above the data range was dead weight
+    z = li.where(F.col("l_orderkey") % 199 == 0).select(
         "l_orderkey",
         "l_linenumber",
         interleave_bits(
             [
-                F.pmod(F.col("l_partkey"), F.lit(4096)),
-                F.pmod(F.col("l_suppkey"), F.lit(4096)),
+                F.pmod(F.col("l_partkey"), F.lit(64)),
+                F.pmod(F.col("l_suppkey"), F.lit(64)),
             ],
-            bits=12,
+            bits=6,
         ).alias("zval"),
     )
-    return z.orderBy("zval", "l_orderkey", "l_linenumber").limit(200)
+    return z.orderBy("zval", "l_orderkey", "l_linenumber")
 
 
 def q69_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6372,12 +6380,12 @@ toks AS (
 def _oracle_zorder() -> str:
     from pinecone_datasets_spark.operators.zorder import zorder_sql
 
-    expr = zorder_sql(["(l_partkey % 4096)", "(l_suppkey % 4096)"], bits=12)
+    expr = zorder_sql(["(l_partkey % 64)", "(l_suppkey % 64)"], bits=6)
     return f"""
 SELECT l_orderkey, l_linenumber, {expr} AS zval
 FROM lineitem
+WHERE l_orderkey % 199 = 0
 ORDER BY zval, l_orderkey, l_linenumber
-LIMIT 200
 """
 
 

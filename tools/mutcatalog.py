@@ -935,3 +935,197 @@ MUTATIONS += [
         new="uni = unigram_logprob(doc, round_to=3)",
     ),
 ]
+
+GRAPH = "pinecone_datasets_spark/operators/graph.py"
+DOMAINS = "pinecone_datasets_spark/operators/domains.py"
+SNAPSHOT = "pinecone_datasets_spark/operators/snapshot.py"
+
+MUTATIONS += [
+    # ---------------------------------------------------------- q59
+    Mut(
+        key="q59_label_centroids",
+        name="centroid_round_coarsened",
+        path=ENTRY,
+        old='F.round(F.avg("val"), 5).alias("centroid"),',
+        new='F.round(F.avg("val"), 4).alias("centroid"),',
+    ),
+    Mut(
+        key="q59_label_centroids",
+        name="drift_threshold_nudged",
+        path=ENTRY,
+        old="drift = embedding_drift(dbl, batch, z_threshold=3.0).select(",
+        new="drift = embedding_drift(dbl, batch, z_threshold=300.0).select(",
+    ),
+    Mut(
+        key="q59_label_centroids",
+        name="drift_plant_removed",
+        path=ENTRY,
+        old='" (x, i) -> IF(i = 3, x + CAST(0.5 AS DOUBLE), x))"',
+        new='" (x, i) -> IF(i = 3, x + CAST(0.0 AS DOUBLE), x))"',
+    ),
+    # ------------------------------------------------------ q63_q64
+    Mut(
+        key="q63_q64_scd",
+        name="scd2_change_detect_inverted",
+        path=SCD,
+        old="[~F.col(c).eqNullSafe(F.lag(c).over(w)) for c in state_cols],",
+        new="[F.col(c).eqNullSafe(F.lag(c).over(w)) for c in state_cols],",
+    ),
+    Mut(
+        key="q63_q64_scd",
+        name="delete_ops_widened",
+        path=ENTRY,
+        old='delete_ops=("error",),',
+        new='delete_ops=("error", "click"),',
+    ),
+    # ---------------------------------------------------------- q65
+    Mut(
+        key="q65_salted_join",
+        name="build_side_salt_missing",
+        path=SKEW,
+        old="F.explode(F.array(*[F.lit(i).cast(\"long\") for i in range(salts)])),",
+        new="F.explode(F.array(*[F.lit(i).cast(\"long\") for i in range(salts - 1)])),",
+    ),
+    Mut(
+        key="q65_salted_join",
+        name="salt_dropped_from_join_keys",
+        path=SKEW,
+        old="out = p.join(b, on=[*keys, _SALT], how=how)",
+        new="out = p.join(b, on=[*keys], how=how)",
+    ),
+    # ------------------------------------------------------ q66_q85
+    Mut(
+        key="q66_q85_bm25_rm3",
+        name="bm25_k_off_by_one",
+        path=ENTRY,
+        old="out = bm25_topk(docs, queries, k=10)",
+        new="out = bm25_topk(docs, queries, k=9)",
+    ),
+    Mut(
+        key="q66_q85_bm25_rm3",
+        name="rm3_orig_weight_nudged",
+        path=ENTRY,
+        old="docs, queries, k=10, fb_k=5, n_terms=8, orig_weight=0.5",
+        new="docs, queries, k=10, fb_k=5, n_terms=8, orig_weight=0.6",
+    ),
+    Mut(
+        key="q66_q85_bm25_rm3",
+        name="bm25_length_norm_dropped",
+        path=KEYWORD,
+        old="    b: float = 0.75,",
+        new="    b: float = 0.0,",
+        count=2,  # bm25_topk + the weighted re-search share the constant
+    ),
+    # ------------------------------------------------------ q67_q84
+    Mut(
+        key="q67_q84_hybrid_eval",
+        name="rrf_topk_off_by_one",
+        path=ENTRY,
+        old='fused = rrf_fuse([dense, bm.select("query_id", "doc_id", "rank")], topk=10)',
+        new='fused = rrf_fuse([dense, bm.select("query_id", "doc_id", "rank")], topk=9)',
+    ),
+    Mut(
+        key="q67_q84_hybrid_eval",
+        name="rrf_k_constant_nudged",
+        path=KEYWORD,
+        old="    rrf_k: int = 60,",
+        new="    rrf_k: int = 59,",
+    ),
+    # ---------------------------------------------------------- q68
+    Mut(
+        key="q68_zorder_values",
+        name="interleave_bits_shrunk",
+        path=ENTRY,
+        old="bits=6,\n        ).alias(\"zval\"),",
+        new="bits=5,\n        ).alias(\"zval\"),",
+    ),
+    Mut(
+        key="q68_zorder_values",
+        name="key_modulus_halved",
+        path=ENTRY,
+        old='F.pmod(F.col("l_partkey"), F.lit(64)),',
+        new='F.pmod(F.col("l_partkey"), F.lit(32)),',
+    ),
+    # ---------------------------------------------------------- q70
+    Mut(
+        key="q70_cube_docs",
+        name="cube_to_rollup",
+        path=ENTRY,
+        old='doc.cube("lang", "source")',
+        new='doc.rollup("lang", "source")',
+    ),
+    Mut(
+        key="q70_cube_docs",
+        name="avg_round_coarsened",
+        path=ENTRY,
+        old='F.round(F.avg("n_chars"), 2).alias("avg_chars"),\n            F.grouping_id().alias("level"),',
+        new='F.round(F.avg("n_chars"), 1).alias("avg_chars"),\n            F.grouping_id().alias("level"),',
+    ),
+    # ------------------------------------------------------ q71_q72
+    Mut(
+        key="q71_q72_funnel_cohort",
+        name="funnel_order_gate_dropped",
+        path=ENTRY,
+        old='.join(s1, "user_id")\n        .where(F.col("ts") >= F.col("ts1"))',
+        new='.join(s1, "user_id")',
+    ),
+    Mut(
+        key="q71_q72_funnel_cohort",
+        name="funnel_stage_subset_shifted",
+        path=ENTRY,
+        old='(F.col("event_type") == "click")\n            & (F.col("event_id") % 3 == 0)',
+        new='(F.col("event_type") == "click")\n            & (F.col("event_id") % 3 == 1)',
+    ),
+    Mut(
+        key="q71_q72_funnel_cohort",
+        name="cohort_horizon_off_by_one",
+        path=ENTRY,
+        old='.where(F.col("week_offset") <= 4)',
+        new='.where(F.col("week_offset") <= 3)',
+    ),
+    # ---------------------------------------------------------- q73
+    Mut(
+        key="q73_pagerank2",
+        name="damping_nudged",
+        path=ENTRY,
+        old="ranks = pagerank(edges, iterations=2, damping=0.85)",
+        new="ranks = pagerank(edges, iterations=2, damping=0.8)",
+    ),
+    Mut(
+        key="q73_pagerank2",
+        name="iterations_truncated",
+        path=ENTRY,
+        old="ranks = pagerank(edges, iterations=2, damping=0.85)",
+        new="ranks = pagerank(edges, iterations=1, damping=0.85)",
+    ),
+    # ---------------------------------------------------------- q74
+    Mut(
+        key="q74_minhash_oph",
+        name="oph_bands_halved",
+        path=ENTRY,
+        old='doc, num_hashes=8, bands=4, shingle_k=5, hash_fn="oph"',
+        new='doc, num_hashes=8, bands=2, shingle_k=5, hash_fn="oph"',
+    ),
+    Mut(
+        key="q74_minhash_oph",
+        name="oph_shingle_nudged",
+        path=ENTRY,
+        old='doc, num_hashes=8, bands=4, shingle_k=5, hash_fn="oph"',
+        new='doc, num_hashes=8, bands=4, shingle_k=4, hash_fn="oph"',
+    ),
+    # ---------------------------------------------------------- q88
+    Mut(
+        key="q88_domains_snapshot",
+        name="dup_rate_counts_rows",
+        path=DOMAINS,
+        old='F.countDistinct("_fp").alias("n_unique"),',
+        new='F.count("_fp").alias("n_unique"),',
+    ),
+    Mut(
+        key="q88_domains_snapshot",
+        name="v2_rewrite_marker_changed",
+        path=ENTRY,
+        old='F.concat(F.col("text"), F.lit(" v2")),',
+        new='F.concat(F.col("text"), F.lit(" v3")),',
+    ),
+]
