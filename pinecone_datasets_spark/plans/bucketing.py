@@ -26,6 +26,10 @@ def write_bucketed(
     on ``bucket_cols`` against tables with the same bucket spec skip the
     exchange (and with ``sort_cols``, the sort).
     """
+    if not bucket_cols:
+        raise ValueError("bucket_cols must name at least one column")
+    if num_buckets < 1:
+        raise ValueError(f"num_buckets must be >= 1: {num_buckets}")
     writer = df.write.mode("overwrite").bucketBy(
         num_buckets, *bucket_cols
     )

@@ -42,6 +42,5 @@ def scan_read_schema(df: DataFrame) -> list[str]:
 
 
 def has_broadcast_join(df: DataFrame) -> bool:
-    return "BroadcastHashJoin" in formatted_plan(df) or (
-        "BroadcastNestedLoopJoin" in formatted_plan(df)
-    )
+    plan = formatted_plan(df)  # one explain round-trip, not two
+    return "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan

@@ -29,9 +29,14 @@ def ensure_shipped(spark) -> None:
         tempfile.gettempdir(), f"{pkg_name}-{os.getpid()}.zip"
     )
     if not os.path.exists(zip_path):
-        with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
+        # build at a temp name and publish with os.replace: a process
+        # killed mid-zip (or a second session racing this one) must
+        # never leave a PARTIAL zip that a later exists() check ships
+        # to every executor as the package (r12 review)
+        tmp_path = f"{zip_path}.building-{os.getpid()}"
+        with zipfile.ZipFile(tmp_path, "w", zipfile.ZIP_DEFLATED) as zf:
             for root, _dirs, files in os.walk(pkg_dir):
-                for fname in files:
+                for fname in sorted(files):
                     if not fname.endswith(".py"):
                         continue
                     full = os.path.join(root, fname)
@@ -39,5 +44,6 @@ def ensure_shipped(spark) -> None:
                         pkg_name, os.path.relpath(full, pkg_dir)
                     )
                     zf.write(full, rel)
+        os.replace(tmp_path, zip_path)
     spark.sparkContext.addPyFile(zip_path)
     _SHIPPED_SESSIONS.add(key)

@@ -105,3 +105,34 @@ def test_widen_with_suffixed_max_partition_bytes(spark, tmp_path):
         assert df.count() == 100  # no ValueError at plan build
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+def test_ensure_shipped_publishes_atomically(spark, tmp_path, monkeypatch):
+    """r12 review: the package zip must be built at a temp name and
+    os.replace-published — a process killed mid-zip left a PARTIAL zip
+    that a later exists() check would ship to every executor. After a
+    fresh build: the zip exists, is a valid zip containing the package,
+    and no .building-* temp remains."""
+    import os
+    import tempfile
+    import zipfile
+
+    import pinecone_datasets_spark.shipping as shipping
+
+    pkg = "pinecone_datasets_spark"
+    zip_path = os.path.join(
+        tempfile.gettempdir(), f"{pkg}-{os.getpid()}.zip"
+    )
+    if os.path.exists(zip_path):
+        os.unlink(zip_path)
+    shipping._SHIPPED_SESSIONS.clear()
+    shipping.ensure_shipped(spark)
+    assert os.path.exists(zip_path)
+    with zipfile.ZipFile(zip_path) as zf:
+        assert zf.testzip() is None
+        assert any(n.startswith(pkg + "/") for n in zf.namelist())
+    leftovers = [
+        n for n in os.listdir(tempfile.gettempdir())
+        if n.startswith(f"{pkg}-") and ".building-" in n
+    ]
+    assert leftovers == []

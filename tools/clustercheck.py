@@ -17,7 +17,19 @@ exercised.
 
 Usage:
     python tools/clustercheck.py [sf_dir] [key ...]   # parent: compare
+    python tools/clustercheck.py --constrained [sf_dir] [key ...]
     python tools/clustercheck.py --child MASTER SF KEY...  # internal
+
+``--constrained`` (r11 verdict item 4 — the memory-pressure profile):
+the cluster side becomes ``local-cluster[2,1,512]`` — two 512 MiB
+single-core executors — with ``spark.memory.fraction=0.3`` (a ~150 MiB
+unified region per executor) and ``spark.sql.shuffle.partitions=4``
+(fat partitions), and the key set adds the two explode-heaviest
+entries (q18, q74). The proof: the squeezed run must SPILL, not OOM,
+and every hash must still equal the roomy ``local[4]`` run — the
+failure mode this exercises (an executor that dies instead of
+spilling, or a kernel whose results change under partial aggregation
+pressure) is exactly what 100 TB inputs do to fixed-size executors.
 
 Defaults: sf_dir=/root/testdata/sf0.001 (executors get 1 GiB), keys =
 one entry per surface class:
@@ -55,15 +67,21 @@ DEFAULT_KEYS = [
     "q33_q34_curation",
 ]
 MASTERS = ["local[4]", "local-cluster[2,2,1024]"]
+CONSTRAINED_MASTERS = ["local[4]", "local-cluster[2,1,512]"]
+CONSTRAINED_EXTRA_KEYS = ["q18_minhash_bands", "q74_minhash_oph"]
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_child(master: str, sf_dir: str, keys: list[str]) -> dict:
+def run_child(
+    master: str, sf_dir: str, keys: list[str], constrained: bool = False
+) -> dict:
     """Run entries under ``master`` in a fresh process, cwd=/tmp so the
     executors (and, in local mode, the forked Python workers) cannot
     resolve the package from the working directory by accident."""
     env = dict(os.environ)
     env.pop("PYTHONPATH", None)  # must ship, not inherit
+    if constrained and master.startswith("local-cluster"):
+        env["SPARK_GRAFT_CONSTRAINED"] = "1"
     out = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--child", master, sf_dir]
         + keys,
@@ -100,8 +118,15 @@ def child_main(master: str, sf_dir: str, keys: list[str]) -> None:
         # fresh Python worker per task batch: worker-reuse can mask
         # import/state bugs behind a warm process
         .config("spark.python.worker.reuse", "false")
-        .getOrCreate()
     )
+    if os.environ.get("SPARK_GRAFT_CONSTRAINED") == "1":
+        # squeeze the unified memory region so the shuffle-heavy
+        # entries must spill; fat partitions raise per-task pressure
+        spark = (
+            spark.config("spark.memory.fraction", "0.3")
+            .config("spark.sql.shuffle.partitions", "4")
+        )
+    spark = spark.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     # ship the package (the kernels' cloudpickle-by-reference target)
     # and the entry module itself — the spark-submit equivalent of
@@ -137,14 +162,23 @@ def main() -> int:
     if len(sys.argv) > 1 and sys.argv[1] == "--child":
         child_main(sys.argv[2], sys.argv[3], sys.argv[4:])
         return 0
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    keys = sys.argv[2:] or DEFAULT_KEYS
+    args = sys.argv[1:]
+    constrained = "--constrained" in args
+    if constrained:
+        args = [a for a in args if a != "--constrained"]
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    keys = args[1:] or (
+        DEFAULT_KEYS + CONSTRAINED_EXTRA_KEYS if constrained else DEFAULT_KEYS
+    )
+    masters = CONSTRAINED_MASTERS if constrained else MASTERS
     results = {}
-    for master in MASTERS:
+    for master in masters:
         t0 = time.time()
-        results[master] = run_child(master, sf_dir, keys)
+        results[master] = run_child(
+            master, sf_dir, keys, constrained=constrained
+        )
         print(f"{master}: done in {time.time()-t0:.0f}s", flush=True)
-    local, cluster = (results[m] for m in MASTERS)
+    local, cluster = (results[m] for m in masters)
     failures = 0
     for key in keys:
         a, b = local.get(key, {}), cluster.get(key, {})

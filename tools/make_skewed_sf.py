@@ -89,7 +89,7 @@ COPY (
            WHEN doc_id % 10 = 7 THEN '{dup}'
            WHEN doc_id % 10 IN (2, 5, 8) THEN text || ' {boiler}'
            ELSE text
-         END) AS INTEGER) AS n_chars
+         END) AS BIGINT) AS n_chars
   FROM '{src}/documents.parquet'
 ) TO '{out}/documents.parquet' (FORMAT PARQUET)
 """

@@ -198,6 +198,12 @@ def main() -> int:
         raise SystemExit(f"unknown query key(s): {sorted(unknown)}")
 
     muts = [m for m in MUTATIONS if not only or m.key in only]
+    drifted = sorted({m.key for m in muts} - set(all_keys))
+    if drifted:
+        # a renamed/removed entry must fail loud, not crash in .index
+        raise SystemExit(
+            f"mutation catalog names keys not in queries(): {drifted}"
+        )
     keys = sorted({m.key for m in muts}, key=all_keys.index)
 
     # oracle hash once per key — the gate's actual reference point
