@@ -121,9 +121,12 @@ def child_main(master: str, sf_dir: str, keys: list[str]) -> None:
     )
     if os.environ.get("SPARK_GRAFT_CONSTRAINED") == "1":
         # squeeze the unified memory region so the shuffle-heavy
-        # entries must spill; fat partitions raise per-task pressure
+        # entries must spill; fat partitions raise per-task pressure.
+        # executor.memory must fit the 512 MiB worker grant (the
+        # default ask is 1 GiB and the cluster refuses to launch).
         spark = (
-            spark.config("spark.memory.fraction", "0.3")
+            spark.config("spark.executor.memory", "512m")
+            .config("spark.memory.fraction", "0.3")
             .config("spark.sql.shuffle.partitions", "4")
         )
     spark = spark.getOrCreate()
