@@ -299,9 +299,11 @@ def test_empty_queries_resave_renames_aside_not_delete(spark, tmp_path):
     ds.to_path(out)
     assert os.path.isdir(os.path.join(out, "queries"))
 
-    empty_q = ds.queries.limit(0)
-    ds2 = Dataset.from_path(spark, out)
-    ds2._queries = empty_q
+    # re-save FROM THE SOURCE dataset (writing a dataset onto the very
+    # directory it lazily reads would race the overwrite) with an
+    # accidentally-emptied queries frame
+    ds2 = Dataset.from_path(spark, src)
+    ds2._queries = ds.queries.limit(0)
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
         ds2.to_path(out)

@@ -93,8 +93,13 @@ def test_entry_stream_sessions_cross_batch_state(spark, sf_dir):
         for r in entry._stream_closed_sessions(spark, sf_dir).collect()
     }
 
-    ev = read_events(spark, f"{sf_dir}/events.parquet").where(
-        F.col("user_id") % 5 == 0
+    # include the entry's planted exact-gap user (-5, r12 mutcheck):
+    # the stream part sessionizes the planted events too
+    ev = (
+        read_events(spark, f"{sf_dir}/events.parquet")
+        .select("user_id", "ts", "event_id")
+        .unionByName(entry._planted_gap_events(spark))
+        .where(F.col("user_id") % 5 == 0)
     )
     by_user = {}
     for r in sessionize(ev, gap_minutes=30).collect():
