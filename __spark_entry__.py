@@ -1178,11 +1178,16 @@ def q41_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pinecone_datasets_spark.functions.text import redact_pii
 
     doc = _t(spark, sf_dir, "documents")
+    # the email local part and the URL path carry LONG digit runs, so
+    # the documented pattern ORDER (emails before URLs before bare
+    # numbers) is load-bearing: a reversed order mangles the email
+    # into user<NUM>@... and the redacted fingerprint breaks (mutcheck
+    # r12 — with short ids in those positions the order was dead)
     planted = F.concat(
         F.col("text"),
-        F.lit(" contact user"),
+        F.lit(" contact user9990001112223x"),
         F.col("doc_id").cast("string"),
-        F.lit("@mail.example.com via https://example.com/u/"),
+        F.lit("@mail.example.com via https://example.com/u/8880001112223/"),
         F.col("doc_id").cast("string"),
         F.lit(" ref 9990001112223"),
     )
@@ -8354,8 +8359,8 @@ ORDER BY doc_id
         "q41_pii_redact": """
 WITH planted AS (
   SELECT doc_id,
-         text || ' contact user' || doc_id
-              || '@mail.example.com via https://example.com/u/' || doc_id
+         text || ' contact user9990001112223x' || doc_id
+              || '@mail.example.com via https://example.com/u/8880001112223/' || doc_id
               || ' ref 9990001112223' AS t
   FROM documents
 ), red AS (

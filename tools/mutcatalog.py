@@ -1129,3 +1129,49 @@ MUTATIONS += [
         new='F.concat(F.col("text"), F.lit(" v3")),',
     ),
 ]
+
+WARC = "pinecone_datasets_spark/sources/warc.py"
+
+# r12 second pass: the biggest merged entries carried only 3-4
+# mutations for 10+ parts; these widen the per-part coverage.
+MUTATIONS += [
+    Mut(
+        key="q13_text_profile",
+        name="lang_marker_dropped",
+        path=TEXT,
+        old='"en": ("the", "and", "is", "of", "to", "in", "that", "it"),',
+        new='"en": ("and", "is", "of", "to", "in", "that", "it"),',
+    ),
+    Mut(
+        key="q13_text_profile",
+        name="quality_stopword_weight_nudged",
+        path=TEXT,
+        old="stop_score = F.least(F.lit(1.0), stopword_ratio(t) * F.lit(4.0))",
+        new="stop_score = F.least(F.lit(1.0), stopword_ratio(t) * F.lit(3.0))",
+    ),
+    Mut(
+        key="q13_text_profile",
+        name="pii_redaction_order_reversed",
+        path=TEXT,
+        old="    for pattern, repl in _PII_PATTERNS:",
+        new="    for pattern, repl in reversed(_PII_PATTERNS):",
+    ),
+    Mut(
+        key="q09_q10_conform",
+        name="wet_filter_wrong_record_type",
+        path=WARC,
+        old='return records.where(F.col("warc_type") == "conversion").select(',
+        new='return records.where(F.col("warc_type") == "warcinfo").select(',
+        adjudicated=(
+            "wet_text is a four-line WHERE+SELECT convenience view over"
+            " the record frame and no gate entry routes through it (the"
+            " warc parts read .records directly; the crawl funnel uses"
+            " http_body/http_status) — this survivor is the proof, kept"
+            " as documentation. The conversion-filter semantics are"
+            " pinned by tests/test_warc.py (wet rows == conversion"
+            " payloads) and tests/test_plans.py, and the parser that"
+            " feeds it IS gate-covered (q09_q10 warc part, byte-exact"
+            " md5 per record)."
+        ),
+    ),
+]
