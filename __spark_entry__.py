@@ -8418,19 +8418,27 @@ ORDER BY g.doc_id
         # 10000) — FLOOR, not CAST (DuckDB's double->int cast rounds);
         # kept set replays the portable salted-md5 bucket at seed 7.
         "q76_mixture": """
-WITH avail AS (
+WITH wts AS (
+  SELECT * FROM (VALUES ('src0', 0.4), ('src1', 0.35), ('src2', 0.25))
+         w(source, wt)
+), avail AS (
   SELECT source, count(*)::BIGINT AS avail_docs,
          sum(n_chars)::BIGINT AS avail_tokens
   FROM documents WHERE source IN ('src0', 'src1', 'src2') GROUP BY source
 ), edges AS (
-  SELECT source,
-         CAST(FLOOR(LEAST(1.0, (10000.0 *
-           CASE source WHEN 'src0' THEN 0.4
-                       WHEN 'src1' THEN 0.35
-                       ELSE 0.25 END) / avail_tokens)
-           * 10000) AS BIGINT) AS rate_edge,
-         avail_docs, avail_tokens
-  FROM avail
+  -- anchored on the REQUESTED weight list, not the corpus: a requested
+  -- domain with zero corpus presence must surface as a loud zero row
+  -- (mixture_edges emits edge 0 for it), not vanish from the report —
+  -- the skewed-fixture sweep (r12) caught the corpus-derived version
+  -- dropping exactly that row
+  SELECT w.source,
+         CASE WHEN coalesce(a.avail_tokens, 0) <= 0 THEN 0
+              ELSE CAST(FLOOR(LEAST(1.0, (10000.0 * w.wt)
+                     / a.avail_tokens) * 10000) AS BIGINT)
+         END AS rate_edge,
+         coalesce(a.avail_docs, 0) AS avail_docs,
+         coalesce(a.avail_tokens, 0) AS avail_tokens
+  FROM wts w LEFT JOIN avail a USING (source)
 ), kept AS (
   SELECT d.doc_id, d.source, d.n_chars
   FROM documents d JOIN edges e USING (source)
