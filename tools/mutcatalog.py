@@ -1058,8 +1058,8 @@ MUTATIONS += [
         key="q70_cube_docs",
         name="avg_round_coarsened",
         path=ENTRY,
-        old='F.round(F.avg("n_chars"), 2).alias("avg_chars"),\n            F.grouping_id().alias("level"),',
-        new='F.round(F.avg("n_chars"), 1).alias("avg_chars"),\n            F.grouping_id().alias("level"),',
+        old='F.round(F.avg("n_chars") + F.lit(1e-9), 2).alias("avg_chars"),\n            F.grouping_id().alias("level"),',
+        new='F.round(F.avg("n_chars") + F.lit(1e-9), 1).alias("avg_chars"),\n            F.grouping_id().alias("level"),',
     ),
     # ------------------------------------------------------ q71_q72
     Mut(
