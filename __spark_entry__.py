@@ -2432,6 +2432,20 @@ def _run_available_now(
         .start()
     )
     q.awaitTermination()
+    # the ">=2 real micro-batches" claim is ASSERTED, not assumed: a
+    # regression that collapses the replay into one trigger (bigger
+    # maxFilesPerTrigger, staging to fewer files) would keep the hash
+    # green — availableNow output equals batch by design — while
+    # silently voiding the cross-batch state-building proof (r12
+    # mutcheck liveness pass)
+    n_batches = sum(
+        1 for p in (q.recentProgress or []) if p.numInputRows > 0
+    )
+    if n_batches < 2:
+        raise AssertionError(
+            f"{prefix}: streaming part replayed in {n_batches}"
+            " micro-batch(es); the >=2-increment contract is broken"
+        )
     return spark.table(name)
 
 

@@ -1175,3 +1175,13 @@ MUTATIONS += [
         ),
     ),
 ]
+
+MUTATIONS += [
+    Mut(
+        key="q26_sessionize",
+        name="stream_collapsed_to_one_batch",
+        path=ENTRY,
+        old='.option("maxFilesPerTrigger", 2)',
+        new='.option("maxFilesPerTrigger", 4)',
+    ),
+]
