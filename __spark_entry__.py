@@ -1844,7 +1844,10 @@ def q49_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("spans_boundary").cast("long").alias("c4"),
     )
     batches = length_bucketed_batches(
-        doc, batch_size=16, bucket_edges=[100, 200, 400]
+        # edges inside the live token range (12-139 at the gate SF):
+        # mutcheck r12 found [100,200,400] left two buckets empty and
+        # the upper edges dead
+        doc, batch_size=16, bucket_edges=[50, 90, 120]
     ).select(
         F.lit("batches").alias("part"),
         F.col("doc_id"),
@@ -2572,8 +2575,23 @@ def q90_profile_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pinecone_datasets_spark.operators.profile import profile_dataset
 
     doc = _t(spark, sf_dir, "documents")
+    # three planted rows carrying one NULL each: the fixture has ZERO
+    # nulls, so n_nulls/null_frac were constant 0 and a broken non-null
+    # count hash-passed (mutcheck r12) — the plant makes the null
+    # accounting live for three of the four profiled columns
+    planted = spark.createDataFrame(
+        [
+            (-1, None, "plant", 11),
+            (-2, "xx", None, 12),
+            (-3, "xx", "plant", None),
+        ],
+        "doc_id long, lang string, source string, n_chars long",
+    )
+    prof_in = doc.select(
+        "doc_id", "lang", "source", "n_chars"
+    ).unionByName(planted)
     return profile_dataset(
-        doc, ["doc_id", "lang", "source", "n_chars"], p=12
+        prof_in, ["doc_id", "lang", "source", "n_chars"], p=12
     )
 
 
@@ -7381,7 +7399,7 @@ WITH RECURSIVE t AS (
   FROM t
 ), bk AS (
   SELECT doc_id, n_tokens,
-         len(list_filter([100, 200, 400], e -> e < n_tokens))::BIGINT
+         len(list_filter([50, 90, 120], e -> e < n_tokens))::BIGINT
            AS bucket
   FROM t
 ), br AS (
@@ -10195,7 +10213,14 @@ ORDER BY part, key
     from pinecone_datasets_spark.operators.profile import profile_sql
 
     out["q90_profile_dataset"] = profile_sql(
-        ["doc_id", "lang", "source", "n_chars"], "documents", p=12
+        ["doc_id", "lang", "source", "n_chars"],
+        "(SELECT doc_id, lang, source, n_chars FROM documents"
+        " UNION ALL SELECT * FROM (VALUES"
+        " (-1, NULL, 'plant', 11),"
+        " (-2, 'xx', NULL, 12),"
+        " (-3, 'xx', 'plant', NULL))"
+        " t(doc_id, lang, source, n_chars)) prof",
+        p=12,
     )
     out["q28_q69_distinct_sketch"] = f"""
 WITH kmv AS ({b['q69_kmv_distinct']}),

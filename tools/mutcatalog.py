@@ -562,15 +562,15 @@ MUTATIONS += [
         key="q90_profile_dataset",
         name="hll_precision_shrunk",
         path=ENTRY,
-        old='doc, ["doc_id", "lang", "source", "n_chars"], p=12',
-        new='doc, ["doc_id", "lang", "source", "n_chars"], p=11',
+        old='prof_in, ["doc_id", "lang", "source", "n_chars"], p=12',
+        new='prof_in, ["doc_id", "lang", "source", "n_chars"], p=11',
     ),
     Mut(
         key="q90_profile_dataset",
         name="column_dropped",
         path=ENTRY,
-        old='doc, ["doc_id", "lang", "source", "n_chars"], p=12',
-        new='doc, ["doc_id", "lang", "source"], p=12',
+        old='prof_in, ["doc_id", "lang", "source", "n_chars"], p=12',
+        new='prof_in, ["doc_id", "lang", "source"], p=12',
     ),
     # ---------------------------------------------------------- q31
     Mut(
@@ -1183,5 +1183,63 @@ MUTATIONS += [
         path=ENTRY,
         old='.option("maxFilesPerTrigger", 2)',
         new='.option("maxFilesPerTrigger", 4)',
+    ),
+]
+
+# r12 third pass: part-coverage for entries still at the 2-probe floor.
+MUTATIONS += [
+    Mut(
+        key="q49_pack_chunks",
+        name="bpe_merges_truncated",
+        path=ENTRY,
+        old="merges = train_bpe(hist, n_merges=40)",
+        new="merges = train_bpe(hist, n_merges=39)",
+    ),
+    Mut(
+        key="q49_pack_chunks",
+        name="byte_bpe_merges_truncated",
+        path=ENTRY,
+        old="merges = train_byte_bpe(bhist, n_merges=30)",
+        new="merges = train_byte_bpe(bhist, n_merges=29)",
+    ),
+    Mut(
+        key="q49_pack_chunks",
+        name="batch_bucket_edge_nudged",
+        path=ENTRY,
+        old="doc, batch_size=16, bucket_edges=[50, 90, 120]",
+        new="doc, batch_size=16, bucket_edges=[50, 95, 120]",
+    ),
+    Mut(
+        key="q54_asof_join",
+        name="right_before_left_tag_flipped",
+        path=ASOF,
+        old='.orderBy(_TS, _TAG, "__asof_tb")',
+        new='.orderBy(_TS, F.desc(_TAG), "__asof_tb")',
+        adjudicated=(
+            "right rows sort BEFORE left at equal (ts, user) so an"
+            " at-the-same-instant click is matchable; flipping the tag"
+            " changes output ONLY when a purchase and a matching click"
+            " share an exact microsecond timestamp, which no fixture"
+            " event pair does and the planted equal-ts twins are"
+            " click/click, not click/purchase. The inclusive at-or-"
+            "before semantics (vs strictly-before) is pinned by"
+            " tests/test_asof_range.py equal-ts cases; the tiebreak"
+            " WITHIN the right side is gate-live (asof_tiebreak_min_"
+            "wins kills)."
+        ),
+    ),
+    Mut(
+        key="q88_domains_snapshot",
+        name="diff_removed_docs_dropped",
+        path=ENTRY,
+        old='doc.where(F.col("doc_id") % 7 != 0)',
+        new='doc.where(F.col("doc_id") % 7 != 1)',
+    ),
+    Mut(
+        key="q90_profile_dataset",
+        name="nonnull_count_counts_rows",
+        path="pinecone_datasets_spark/operators/profile.py",
+        old='aggs.append(F.count(F.col(c)).alias(f"__nn_{c}"))',
+        new='aggs.append(F.count(F.lit(1)).alias(f"__nn_{c}"))',
     ),
 ]
