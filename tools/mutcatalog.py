@@ -1243,3 +1243,38 @@ MUTATIONS += [
         new='aggs.append(F.count(F.lit(1)).alias(f"__nn_{c}"))',
     ),
 ]
+
+MUTATIONS += [
+    Mut(
+        key="q58_unigram_lm",
+        name="unigram_log_base_flip",
+        path=TERMS,
+        old='logp = F.log10(F.col("n") / F.col("total"))',
+        new='logp = F.log(F.col("n") / F.col("total"))',
+    ),
+    Mut(
+        key="q63_q64_scd",
+        name="valid_to_skips_successor",
+        path=SCD,
+        old=".withColumn(valid_to, F.lead(ts_col).over(w))",
+        new=".withColumn(valid_to, F.lead(ts_col, 2).over(w))",
+    ),
+    Mut(
+        key="q65_salted_join",
+        name="salts_collapsed_to_one",
+        path=ENTRY,
+        old="on=\"c_custkey\",\n        salts=8,",
+        new="on=\"c_custkey\",\n        salts=1,",
+        adjudicated=(
+            "TRUE EQUIVALENT MUTANT, and deliberately so: salted_join's"
+            " contract is row-identity to the plain join for EVERY salt"
+            " count — salting only reshapes the physical shuffle, and"
+            " the oracle twin IS the unsalted join, so no salt count"
+            " can ever diverge the gate. The mechanisms that could"
+            " break row-identity are gate-live via the library probes"
+            " (build_side_salt_missing and salt_dropped_from_join_keys"
+            " both kill); the salts-invariance property itself is"
+            " pinned by tests/test_skew.py equivalence cases."
+        ),
+    ),
+]
