@@ -45,7 +45,15 @@ def clear_cache(
     cache by glob; Spark's block-manager cache has no per-file
     identity, so a non-None pattern clears everything and warns. A
     SparkSession passed as the first positional arg (the pre-r12 local
-    signature) is still accepted."""
+    signature) is still accepted.
+
+    The returned count is an APPROXIMATION of the reference's
+    removed-files count: it is taken from ``getRDDStorageInfo()``,
+    which lists only RDDs with materialized blocks — a frame that was
+    ``.cache()``d but never acted on is cleared without being counted
+    (there is nothing in the block manager yet to count). Callers
+    needing "did anything get cleared" semantics should treat the
+    return as a lower bound (r12 ADVICE)."""
     if isinstance(pattern, SparkSession):  # pre-r12 positional caller
         pattern, spark = None, pattern
     if pattern is not None:

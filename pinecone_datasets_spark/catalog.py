@@ -8,6 +8,7 @@ only materialize a Spark DataFrame when ``as_df=True`` is requested.
 
 from __future__ import annotations
 
+import logging
 import warnings
 from typing import Any, Optional, Union
 
@@ -18,6 +19,8 @@ from .dataset import Dataset
 from .fs import FS, join, normalize_uri
 from .metadata import DatasetMetadata, MetadataValidationError
 from .retry import with_retry
+
+_logger = logging.getLogger(__name__)
 
 
 #: Auto-selection facts for Catalog.load, measured at 10k datasets on
@@ -88,10 +91,16 @@ class Catalog:
             try:
                 texts = self._read_metadata_parallel(paths)
             except Exception as e:  # Py4J wraps the job failure
+                _logger.warning(
+                    "Parallel catalog load failed; falling back to the"
+                    " per-file driver loop",
+                    exc_info=True,
+                )
                 warnings.warn(
                     "Parallel catalog load failed"
-                    f" ({type(e).__name__}); falling back to the"
-                    " per-file driver loop"
+                    f" ({type(e).__name__}: {e}); falling back to the"
+                    " per-file driver loop over"
+                    f" {len(paths)} metadata files"
                 )
                 texts = self._read_metadata_driver(fs, paths)
         else:

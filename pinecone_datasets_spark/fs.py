@@ -245,7 +245,19 @@ class FS:
         """Move a file or directory tree (dst must not exist)."""
         src, dst = normalize_uri(src), normalize_uri(dst)
         if is_local(src) and is_local(dst):
-            os.replace(_local_path(src), _local_path(dst))
+            dst_local = _local_path(dst)
+            # Hadoop's rename refuses an existing destination; keep the
+            # local fast-path on the same contract instead of letting
+            # os.replace silently clobber (r12 ADVICE). The check-then-
+            # replace window is fine: callers stage under attempt-unique
+            # names, so a racing dst appearing here is itself a bug we
+            # want loud.
+            if os.path.exists(dst_local):
+                raise OSError(
+                    f"rename failed, destination exists: {src!r} ->"
+                    f" {dst!r}"
+                )
+            os.replace(_local_path(src), dst_local)
             return
         if not self._hadoop(src).rename(src, dst):
             raise OSError(f"rename failed: {src!r} -> {dst!r}")

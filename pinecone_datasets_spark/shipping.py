@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import os
 import tempfile
+import uuid
 import zipfile
 
 _SHIPPED_SESSIONS: set[int] = set()
@@ -32,8 +33,12 @@ def ensure_shipped(spark) -> None:
         # build at a temp name and publish with os.replace: a process
         # killed mid-zip (or a second session racing this one) must
         # never leave a PARTIAL zip that a later exists() check ships
-        # to every executor as the package (r12 review)
-        tmp_path = f"{zip_path}.building-{os.getpid()}"
+        # to every executor as the package (r12 review). The uuid keeps
+        # two THREADS of one process from interleaving writes into the
+        # same temp file (a PID alone doesn't) — both then publish a
+        # complete zip and the second os.replace is a harmless no-op
+        # swap of identical content (r12 ADVICE).
+        tmp_path = f"{zip_path}.building-{os.getpid()}-{uuid.uuid4().hex}"
         with zipfile.ZipFile(tmp_path, "w", zipfile.ZIP_DEFLATED) as zf:
             for root, _dirs, files in os.walk(pkg_dir):
                 for fname in sorted(files):

@@ -215,3 +215,26 @@ def test_curriculum_manifest_drift_fails_loud(spark, tmp_path):
     shutil.copyfile(files[0], str(path / "part-orphan-attempt.parquet"))
     with pytest.raises(ValueError):
         read_curriculum(spark, str(path), pos_col="pos").count()
+
+
+def test_fs_rename_local_refuses_existing_destination(spark, tmp_path):
+    """FS.rename's local fast-path must match the Hadoop branch's
+    contract (dst must not exist): a silent os.replace clobber would
+    let a racing second writer destroy a committed dataset dir with no
+    error anywhere (r12 ADVICE)."""
+    from pinecone_datasets_spark.fs import FS
+
+    fs = FS(spark)
+    src = tmp_path / "src.txt"
+    dst = tmp_path / "dst.txt"
+    src.write_text("new")
+    dst.write_text("committed")
+    with pytest.raises(OSError, match="destination exists"):
+        fs.rename(str(src), str(dst))
+    # the committed bytes survived and the source was not consumed
+    assert dst.read_text() == "committed"
+    assert src.read_text() == "new"
+    # and the happy path still moves
+    fs.rename(str(src), str(tmp_path / "moved.txt"))
+    assert (tmp_path / "moved.txt").read_text() == "new"
+    assert not src.exists()
