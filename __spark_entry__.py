@@ -4135,7 +4135,14 @@ def q96_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q11_q12_filter_compile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pinecone filter compiler: $eq/$gt AND + $in/$lte under $or, tagged."""
+    """Pinecone filter compiler: $eq/$gt AND + $in/$lte under $or, tagged.
+
+    'ne_missing' (r13): $ne on a field ABSENT from every third doc's
+    metadata — Pinecone $ne matches only when the field exists and
+    differs, so the compiled predicate's presence guard is load-bearing
+    here (the r13 library-mutation sweep showed the q11/q12 fixtures
+    alone, where every metadata field is always present, can never see
+    it dropped)."""
     a = q11_filter_eq_gt(spark, sf_dir).select(
         F.lit("eq_gt").alias("part"),
         F.col("doc_id"),
@@ -4144,7 +4151,26 @@ def q11_q12_filter_compile(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = q12_filter_in_or(spark, sf_dir).select(
         F.lit("in_or").alias("part"), F.col("doc_id"), F.col("lang")
     )
-    return a.unionByName(b).orderBy("part", "doc_id")
+    doc = _t(spark, sf_dir, "documents")
+    holey = doc.withColumn(
+        "metadata",
+        F.when(
+            F.col("doc_id") % 3 != 0,
+            F.to_json(
+                F.struct(F.col("lang"), F.col("source"), F.col("n_chars"))
+            ),
+        ).otherwise(
+            F.to_json(F.struct(F.col("lang"), F.col("n_chars")))
+        ),
+    )
+    c = holey.where(
+        compile_filter({"source": {"$ne": "src0"}})
+    ).select(
+        F.lit("ne_missing").alias("part"),
+        F.col("doc_id"),
+        _nl("string").alias("lang"),
+    )
+    return a.unionByName(b).unionByName(c).orderBy("part", "doc_id")
 
 
 def q75_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9534,6 +9560,10 @@ c AS ({b['q12_filter_in_or']})
 SELECT 'eq_gt' AS part, doc_id, CAST(NULL AS VARCHAR) AS lang FROM a
 UNION ALL
 SELECT 'in_or', doc_id, lang FROM c
+UNION ALL
+SELECT 'ne_missing', doc_id, CAST(NULL AS VARCHAR)
+FROM documents
+WHERE (doc_id % 3) != 0 AND source != 'src0'
 ORDER BY part, doc_id
 """
     from pinecone_datasets_spark.functions.text import clean_text_sql

@@ -191,7 +191,12 @@ def write_token_shards(
         sort_keys = ["__ord", "doc_id"]
 
     def write_one(pdf: pd.DataFrame) -> pd.DataFrame:
-        from ..taskio import attempt_stem, attempt_tmp_path, commit_file
+        from ..taskio import (
+            attempt_stem,
+            attempt_tmp_path,
+            chaos_failpoint,
+            commit_file,
+        )
 
         shard = int(pdf["shard"].iloc[0])
         pdf = pdf.sort_values(sort_keys, kind="mergesort")
@@ -239,6 +244,11 @@ def write_token_shards(
         if commit != "manifest":
             commit_file(bin_tmp, bin_path)
             commit_file(idx_tmp, idx_path)
+        # chaos (tools/chaoscheck.py): a task that dies HERE has fully
+        # written its attempt's files but never reports to the driver —
+        # the retry must win (rename: last-complete-wins; manifest: the
+        # dead attempt's files are never listed, hence never read)
+        chaos_failpoint("shards-post-write")
         return pd.DataFrame(
             {
                 "shard": [shard],

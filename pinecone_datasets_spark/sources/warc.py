@@ -498,7 +498,12 @@ def write_wet(
     _URI_SAFE = ":/?#[]@!$&'()*+,;=%~-._"
 
     def write_one(pdf: _pd.DataFrame) -> _pd.DataFrame:
-        from ..taskio import attempt_stem, attempt_tmp_path, commit_file
+        from ..taskio import (
+            attempt_stem,
+            attempt_tmp_path,
+            chaos_failpoint,
+            commit_file,
+        )
 
         seg = int(pdf["seg"].iloc[0])
         pdf = pdf.sort_values(["uri", "text"], kind="mergesort")
@@ -555,6 +560,9 @@ def write_wet(
             fh.write(blob)
         if commit != "manifest":
             commit_file(tmp, final)
+        # chaos (tools/chaoscheck.py): dying here = segment fully
+        # written but never reported; the retry's attempt must win
+        chaos_failpoint("wet-post-write")
         return _pd.DataFrame(
             {
                 "seg": [seg],

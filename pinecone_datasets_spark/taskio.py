@@ -54,6 +54,30 @@ def attempt_stem(stem: str) -> str:
     return f"{stem}-a{task_attempt_id()}"
 
 
+def chaos_failpoint(point: str) -> None:
+    """Fault-injection point for ``tools/chaoscheck.py`` / the retry
+    tests: when ``SPARK_GRAFT_CHAOS_WRITE`` is set in the worker's
+    environment, the FIRST attempt of every task that reaches this
+    point dies here — simulating a task lost between staging its
+    output and committing it (the failure mode ``spark.task.
+    maxFailures`` retries and speculative execution re-race daily on a
+    1000-executor cluster). Production cost is one ``os.environ.get``;
+    outside a task (driver-side tests) it never fires, so the planted
+    death only ever exercises the REAL task-retry path."""
+    if not os.environ.get("SPARK_GRAFT_CHAOS_WRITE"):
+        return
+    from pyspark import TaskContext
+
+    tc = TaskContext.get()
+    if tc is not None and tc.attemptNumber() == 0:
+        raise RuntimeError(
+            f"chaos failpoint {point!r}: planted task death"
+            f" (stage={tc.stageId()} partition={tc.partitionId()}"
+            " attempt=0)"
+        )
+
+
 def commit_file(tmp_path: str, final_path: str) -> None:
     """Atomically publish a fully-written temp file (rename mode)."""
+    chaos_failpoint("pre-commit")
     os.replace(tmp_path, final_path)

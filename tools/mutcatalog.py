@@ -1278,3 +1278,203 @@ MUTATIONS += [
         ),
     ),
 ]
+
+
+# --------------------------------------------------------------------
+# Library-level sampling (r12 verdict item 3): the 148 entries above
+# target entry-file call sites; these ~21 target the LOAD-BEARING
+# OPERATOR INTERNALS themselves (keep-rules, boundary predicates,
+# formula terms, prefix-sum shapes) across the eight most load-bearing
+# modules. Gate is unchanged: the named entry's oracle must break.
+# Driver-side plan construction is what every one of these lines does,
+# so the in-memory meta-path mutation reaches them all.
+
+PACKING = "pinecone_datasets_spark/operators/packing.py"
+CONFORM = "pinecone_datasets_spark/conform.py"
+SKETCH = "pinecone_datasets_spark/operators/sketch.py"
+
+MUTATIONS += [
+    # ------------------------------------------------ dedup.py
+    Mut(
+        key="q15_q16_dedup_exact",
+        name="lib_keep_rule_max",
+        path=DEDUP,
+        old='keep = fp.groupBy("_fp").agg(F.min(id_col).alias(id_col))',
+        new='keep = fp.groupBy("_fp").agg(F.max(id_col).alias(id_col))',
+    ),
+    Mut(
+        key="q53_incremental_dedup",
+        name="lib_admit_inverted",
+        path=DEDUP,
+        old='first_in_batch.join(F.broadcast(collisions), "_fp", "left_anti")',
+        new='first_in_batch.join(F.broadcast(collisions), "_fp", "left_semi")',
+    ),
+    Mut(
+        key="q18_minhash_bands",
+        name="lib_shingle_off_by_one",
+        path=DEDUP,
+        # _norm_shingled: the LIVE shingle extent (md5/xxhash minhash +
+        # ngram-jaccard). First cut targeted char_shingles, which only
+        # the public-API pytest exercises (test_dedup_text.py:59 pins
+        # its exact output) - gate-invisible by construction.
+        old='F.lit(1), F.greatest(F.col("_n") - F.lit(k - 1), F.lit(1))',
+        new='F.lit(1), F.greatest(F.col("_n") - F.lit(k), F.lit(1))',
+    ),
+    Mut(
+        key="q74_minhash_oph",
+        name="lib_rolling_extent_off",
+        path=DEDUP,
+        # _rolling_hashed: the OPH/rolling fast path's window extent
+        old='F.lit(0), F.greatest(F.col("_n") - F.lit(k), F.lit(0))',
+        new='F.lit(0), F.greatest(F.col("_n") - F.lit(k - 1), F.lit(0))',
+    ),
+    # ----------------------------------------------- search.py
+    Mut(
+        key="q19_q20_topk_metrics",
+        name="lib_rank_off_by_one",
+        path=SEARCH,
+        old='& (F.col("rank") <= F.col("top_k"))',
+        new='& (F.col("rank") < F.col("top_k"))',
+    ),
+    Mut(
+        key="q19_q20_topk_metrics",
+        name="lib_tiebreak_desc",
+        path=SEARCH,
+        old='w = Window.partitionBy(query_id_col).orderBy(\n        F.desc("score"), F.col(doc_id_col)\n    )',
+        new='w = Window.partitionBy(query_id_col).orderBy(\n        F.desc("score"), F.desc(doc_id_col)\n    )',
+        count=2,  # exact topk + rescore share the tie rule
+    ),
+    Mut(
+        key="q19_q20_topk_metrics",
+        name="lib_norm_swap",
+        path=SEARCH,
+        old='F.greatest(F.col("__qnorm"), F.lit(1e-30))',
+        new='F.greatest(F.col("__dnorm"), F.lit(1e-30))',
+    ),
+    # ---------------------------------------------- keyword.py
+    Mut(
+        key="q66_q85_bm25_rm3",
+        name="lib_idf_smoothing",
+        path=KEYWORD,
+        old='+ (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)',
+        new='+ (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 1.5)',
+    ),
+    Mut(
+        key="q66_q85_bm25_rm3",
+        name="lib_lennorm_dropped",
+        path=KEYWORD,
+        old='/ (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))',
+        new='/ (F.col("tf") + k1)',
+    ),
+    Mut(
+        key="q66_q85_bm25_rm3",
+        name="lib_tf_saturation",
+        path=KEYWORD,
+        old='* (F.col("tf") * (k1 + 1.0))',
+        new="* (F.col(\"tf\") * k1)",
+        count=2,  # live path + index path share the numerator
+    ),
+    # ---------------------------------------------- packing.py
+    Mut(
+        key="q49_pack_chunks",
+        name="lib_prefix_inclusive",
+        path=PACKING,
+        old='(F.sum("_t").over(wp) - F.col("_t")).alias("_offset"),',
+        new='(F.sum("_t").over(wp)).alias("_offset"),',
+    ),
+    Mut(
+        key="q49_pack_chunks",
+        name="lib_globalstart_off",
+        path=PACKING,
+        old='gs = (F.col("_offset") + F.col("_cum") - F.col("n_tokens")).alias(',
+        new='gs = (F.col("_offset") + F.col("_cum")).alias(',
+    ),
+    Mut(
+        key="q49_pack_chunks",
+        name="lib_batch_rank_fencepost",
+        path=PACKING,
+        old='F.expr(f"(rank_in_bucket - 1) div {int(batch_size)}").cast("long"),',
+        new='F.expr(f"rank_in_bucket div {int(batch_size)}").cast("long"),',
+    ),
+    # ---------------------------------------------- filters.py
+    Mut(
+        key="q11_q12_filter_compile",
+        name="lib_gt_boundary",
+        path=FILTERS,
+        old="return lhs > rhs",
+        new="return lhs >= rhs",
+    ),
+    Mut(
+        key="q11_q12_filter_compile",
+        name="lib_ne_missing_field",
+        path=FILTERS,
+        old="return present & ~_null_safe_eq(lhs, rhs)",
+        new="return ~_null_safe_eq(lhs, rhs)",
+    ),
+    Mut(
+        key="q11_q12_filter_compile",
+        name="lib_in_nin_swap",
+        path=FILTERS,
+        old='return any_eq if op == "$in" else (present & ~any_eq)',
+        new='return (present & ~any_eq) if op == "$in" else any_eq',
+    ),
+    # ----------------------------------------------- conform.py
+    Mut(
+        key="q09_q10_conform",
+        name="lib_default_backfill_null",
+        path=CONFORM,
+        old="return F.lit(spec.default).cast(spec.dtype)",
+        new="return F.lit(None).cast(spec.dtype)",
+        adjudicated=(
+            "TRUE EQUIVALENT MUTANT by reference parity: only NULLABLE"
+            " columns are ever back-filled (reference"
+            " dataset_fsreader.py:128-139), and every nullable spec in"
+            " cfg.py declares default=None — so F.lit(spec.default) is"
+            " F.lit(None) on every reachable path. The one non-None"
+            " default (top_k=5, cfg.py:34) belongs to a REQUIRED column"
+            " that raises instead of back-filling (pinned by"
+            " tests/test_conform.py), and the NULL-top_k-cell -> 5"
+            " semantics live in topk_search's coalesce, which the"
+            " q19_q20 lib mutations gate."
+        ),
+    ),
+    Mut(
+        key="q09_q10_conform",
+        name="lib_cast_probe_wired_false",
+        path=CONFORM,
+        old="elif _can_cast(df, spec.name, spec):",
+        new="elif False and _can_cast(df, spec.name, spec):",
+    ),
+    # ------------------------------------------------ sketch.py
+    Mut(
+        key="q28_q69_distinct_sketch",
+        name="lib_kmv_rank_bound",
+        path=SKETCH,
+        old='.where(F.col("__rn") <= F.lit(k))',
+        new='.where(F.col("__rn") < F.lit(k))',
+        count=2,  # kmv + its grouped variant share the bound
+    ),
+    Mut(
+        key="q28_q69_distinct_sketch",
+        name="lib_cm_width_off",
+        path=SKETCH,
+        old="return F.pmod(h, F.lit(width))",
+        new="return F.pmod(h, F.lit(width - 1))",
+    ),
+    # ----------------------------------------------- windows.py
+    Mut(
+        key="q26_sessionize",
+        name="lib_gap_boundary",
+        path=WINDOWS,
+        old="> gap_us",
+        new=">= gap_us",
+        count=2,  # event level + salted-merge level share the gap rule
+    ),
+    Mut(
+        key="q26_sessionize",
+        name="lib_session_end_min",
+        path=WINDOWS,
+        old='F.max(end_expr).alias("session_end"),',
+        new='F.min(end_expr).alias("session_end"),',
+    ),
+]

@@ -168,6 +168,11 @@ def main() -> int:
             print("below floor:", " ".join(missing))
         return 1 if missing else 0
 
+    name_prefix = None
+    if "--name-prefix" in args:
+        i = args.index("--name-prefix")
+        name_prefix = args[i + 1]
+        del args[i : i + 2]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
 
@@ -198,6 +203,8 @@ def main() -> int:
         raise SystemExit(f"unknown query key(s): {sorted(unknown)}")
 
     muts = [m for m in MUTATIONS if not only or m.key in only]
+    if name_prefix:
+        muts = [m for m in muts if m.name.startswith(name_prefix)]
     drifted = sorted({m.key for m in muts} - set(all_keys))
     if drifted:
         # a renamed/removed entry must fail loud, not crash in .index
