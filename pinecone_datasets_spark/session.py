@@ -54,6 +54,19 @@ def get_spark_session(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Broadcast only on RUNTIME sizes. Catalyst's static size
+        # estimates are unreliable for derived frames (explode/agg/
+        # union chains — shingle dictionaries, per-doc size maps, LSH
+        # signature tables), and a statically mis-planned broadcast of
+        # a corpus-scale intermediate kills the driver no matter how
+        # big it is (observed: the sf1 hash sweep OOMed exactly there,
+        # r13). Static auto-broadcast OFF; AQE re-promotes any join
+        # whose REAL post-shuffle size is under 10 MiB, so small dims
+        # still broadcast — now from measured bytes, not guesses.
+        # Explicit F.broadcast() hints on known-bounded frames are
+        # unaffected.
+        .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+        .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "10485760")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.files.maxPartitionBytes", "134217728")

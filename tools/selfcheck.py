@@ -74,17 +74,40 @@ def main() -> int:
 
     import __spark_entry__ as entrymod
 
-    spark = (
+    builder = (
         SparkSession.builder.master("local[8]")
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.session.timeZone", "UTC")
-        .getOrCreate()
     )
+    # sf1 sweeps (r12 verdict item 2) need more than the 1g default
+    # driver heap — a local[8] JVM holds driver AND all executors, so
+    # at sf1 the default OOMs mid-entry and every later entry reports
+    # "Connection refused" against the dead JVM. Off by default so the
+    # sf0.01 gate keeps running in exactly the driver's profile.
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if mem:
+        builder = builder.config("spark.driver.memory", mem)
+        # big-fixture profile also adopts the engine session's broadcast
+        # discipline (session.py): static auto-broadcast OFF, AQE
+        # promotes from measured sizes. Without it the sf1 sweep dies in
+        # a statically mis-planned broadcast of a corpus-derived frame
+        # (the r13 q17 finding) before correctness is even tested.
+        builder = builder.config(
+            "spark.sql.autoBroadcastJoinThreshold", "-1"
+        ).config(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold", "10485760"
+        )
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     con = duckdb.connect()
+    # bound the oracle too: the sf1 pair-enumeration twins (q17/q22/
+    # q42) can eat the whole host when several selfchecks share it
+    dmem = os.environ.get("SPARK_GRAFT_DUCKDB_MEM")
+    if dmem:
+        con.execute(f"SET memory_limit='{dmem}'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
