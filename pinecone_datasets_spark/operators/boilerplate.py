@@ -197,7 +197,11 @@ def duplicated_spans(
         .where(F.col("__d") >= 2)
         .select("ngram")
     )
-    hits = pos.join(F.broadcast(repeated), "ngram").select(id_col, "pos")
+    # `repeated` (n-grams with df >= 2) is corpus-derived — boilerplate-
+    # heavy corpora make it vocabulary-scale, so no broadcast hint (r13
+    # audit); AQE promotes from measured size when it genuinely fits.
+    # Same rule at every repeated/freq join below.
+    hits = pos.join(repeated, "ngram").select(id_col, "pos")
     w = Window.partitionBy(id_col).orderBy("pos")
     runs = (
         hits.withColumn("__rn", F.row_number().over(w))
@@ -272,7 +276,7 @@ def remove_duplicated_spans(
         .select("ngram")
     )
     hit_arrays = (
-        pos.join(F.broadcast(repeated), "ngram")
+        pos.join(repeated, "ngram")
         .groupBy(id_col)
         .agg(F.sort_array(F.collect_set("pos")).alias("__hits"))
     )
@@ -335,7 +339,7 @@ def boilerplate_profile(
         .select("ngram")
     )
     hits = (
-        per_doc.join(F.broadcast(freq), "ngram")
+        per_doc.join(freq, "ngram")
         .groupBy(id_col)
         .agg(F.sum("__cnt").alias("n_boiler"))
     )
@@ -415,7 +419,7 @@ def remove_duplicated_sentence_spans(
         .select("__h")
     )
     hit_arrays = (
-        pos.join(F.broadcast(repeated), "__h")
+        pos.join(repeated, "__h")
         .groupBy(id_col)
         .agg(F.sort_array(F.collect_set("pos")).alias("__hits"))
     )

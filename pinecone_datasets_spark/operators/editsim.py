@@ -113,25 +113,51 @@ def edit_distance_pairs(
         )
         .select("__id", "__len")
     )
-    # non-equi length-band condition -> BroadcastNestedLoopJoin; pin
-    # the broadcast to the shorts side (gram-poor strings are rare in
-    # natural text) so the corpus stays on the streamed side
-    sa, sb = F.broadcast(shorts).alias("sa"), base.alias("sb")
+    # Length-banded EQUI-join, not a broadcast nested-loop: the r13
+    # broadcast audit demoted the old F.broadcast(shorts) BNLJ because
+    # "gram-poor strings are rare in natural text" is a corpus
+    # assumption, not a bound — a 100 TB corpus of tiny/repetitive
+    # strings makes `shorts` corpus-scale and the broadcast fatal.
+    # Bands of width d+1 make the non-equi |len_a − len_b| <= d
+    # condition an equi-key: any in-range partner's band differs by at
+    # most 1, so exploding the shorts side to its 3 adjacent bands and
+    # hash-joining on the band key is lossless; the exact length filter
+    # then prunes the corner rows. Everything shuffles on a bounded
+    # integer key (AQE skew-split absorbs a hot band of same-length
+    # strings) and nothing is ever collected or broadcast.
+    width = max_distance + 1
+    sa = (
+        shorts.select(
+            F.col("__id").alias("__sid"),
+            F.col("__len").alias("__slen"),
+            F.explode(
+                F.array(
+                    F.floor(F.col("__len") / width) - 1,
+                    F.floor(F.col("__len") / width),
+                    F.floor(F.col("__len") / width) + 1,
+                )
+            ).alias("__band"),
+        )
+    ).alias("sa")
+    sb = base.withColumn(
+        "__band", F.floor(F.col("__len") / width)
+    ).alias("sb")
     short_cand = (
         sa.join(
             sb,
-            (F.col("sa.__id") != F.col("sb.__id"))
+            (F.col("sa.__band") == F.col("sb.__band"))
+            & (F.col("sa.__sid") != F.col("sb.__id"))
             & (
-                F.abs(F.col("sa.__len") - F.col("sb.__len"))
+                F.abs(F.col("sa.__slen") - F.col("sb.__len"))
                 <= max_distance
             ),
         )
         .select(
             F.least(
-                F.col("sa.__id"), F.col("sb.__id")
+                F.col("sa.__sid"), F.col("sb.__id")
             ).alias("id_a"),
             F.greatest(
-                F.col("sa.__id"), F.col("sb.__id")
+                F.col("sa.__sid"), F.col("sb.__id")
             ).alias("id_b"),
         )
         .dropDuplicates(["id_a", "id_b"])

@@ -187,8 +187,11 @@ def _stage_flags(
             .select(F.col("id_b").alias("__nd"))
             .distinct()
         )
+        # drop-id set scales with the corpus's duplicate fraction — a
+        # crawl corpus can put half its ids here, so no broadcast hint
+        # (r13 audit; AQE promotes when small). Ditto `flagged` below.
         ann = ann.join(
-            F.broadcast(drops), ann[id_col] == F.col("__nd"), "left"
+            drops, ann[id_col] == F.col("__nd"), "left"
         ).withColumn("k_neardup", F.col("__nd").isNull()).drop("__nd")
     else:
         ann = ann.withColumn("k_neardup", F.lit(True))
@@ -217,7 +220,7 @@ def _stage_flags(
             .select(F.col(id_col).alias("__ct"))
         )
         ann = ann.join(
-            F.broadcast(flagged), ann[id_col] == F.col("__ct"), "left"
+            flagged, ann[id_col] == F.col("__ct"), "left"
         ).withColumn("k_decontam", F.col("__ct").isNull()).drop("__ct")
     else:
         ann = ann.withColumn("k_decontam", F.lit(True))

@@ -43,12 +43,14 @@ Scale shapes (the parts that must survive 100 TB):
   partial counts — the shuffle carries (hash, partial_count) pairs, not
   text. Window *strings* never leave the map side: they are hashed in
   the same projection that builds them.
-* The repeated-window set is a sliver by construction (a window only
-  qualifies by having a global twin); it is **broadcast** back onto a
-  re-derived position frame, so corpus rows never shuffle for the probe.
-  ``broadcast_hits=False`` degrades to a shuffle semi-join for
-  pathological corpora where the repeated set itself exceeds the
-  broadcast budget (e.g. a corpus that is mostly copies).
+* The repeated-window set is usually a sliver (a window only qualifies
+  by having a global twin) but it is CORPUS-DERIVED — a corpus that is
+  mostly copies makes it corpus-scale — so the default is a plain
+  semi-join and the runtime (AQE) promotes it to broadcast from the
+  measured size when it genuinely fits (r13 broadcast audit; the same
+  rule as every corpus-derived frame in this package).
+  ``broadcast_hits=True`` force-broadcasts for callers who KNOW their
+  repeated set is bounded.
 * Span merging shuffles only the *flagged* (id, pos) rows, partitioned
   by document id — the classic gaps-and-islands window, O(1) state per
   row in WindowExec.
@@ -126,13 +128,14 @@ def repeated_window_positions(
     text_col: str = "text",
     id_col: str = "doc_id",
     hash_fn: str = "md5",
-    broadcast_hits: bool = True,
+    broadcast_hits: bool = False,
 ) -> DataFrame:
     """(id, pos) of every word position whose ``window``-word slice
     occurs more than once corpus-wide (self-repeats within one document
     count). The count aggregate sees only (hash, partial_count) pairs;
-    the repeated-hash sliver is broadcast back onto the position frame
-    (``broadcast_hits=False`` for a shuffle semi-join instead)."""
+    the repeated-hash sliver semi-joins back onto the position frame —
+    AQE broadcasts it when its measured size fits
+    (``broadcast_hits=True`` force-broadcasts a known-bounded set)."""
     pos = _position_window_hashes(df, text_col, id_col, window, hash_fn)
     hits = (
         pos.groupBy("_h")
@@ -151,7 +154,7 @@ def repeated_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     hash_fn: str = "md5",
-    broadcast_hits: bool = True,
+    broadcast_hits: bool = False,
 ) -> DataFrame:
     """Maximal repeated spans per document:
     ``(id, span_start, span_end, span_tokens)`` in 1-based word
@@ -199,7 +202,7 @@ def strip_repeated_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     hash_fn: str = "md5",
-    broadcast_hits: bool = True,
+    broadcast_hits: bool = False,
     spans: DataFrame | None = None,
 ) -> DataFrame:
     """The corpus with every repeated span removed (ALL occurrences, as

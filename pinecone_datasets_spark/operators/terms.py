@@ -80,8 +80,13 @@ def tf_idf(
     # scan at PLAN-CONSTRUCTION time, before any action on the result,
     # and added an extra corpus pass per invocation (r11 review)
     ndf = df.agg(F.count(F.lit(1)).cast("double").alias("__n_docs"))
+    # doc_freq is VOCABULARY-scale — corpus-derived, min_df shrinks it
+    # but bounds nothing (r13 broadcast audit). No broadcast hint: both
+    # sides arrive hash-partitioned on `term` from their groupBys, and
+    # AQE promotes to broadcast from measured size when the vocabulary
+    # genuinely fits.
     return (
-        term_counts.join(F.broadcast(doc_freq), "term")
+        term_counts.join(doc_freq, "term")
         .crossJoin(F.broadcast(ndf))
         .select(
             F.col(id_col),
