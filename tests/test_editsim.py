@@ -202,3 +202,23 @@ def test_prefix_filter_still_lossless_vs_brute_force(spark):
             for r in edit_distance_pairs(df, max_distance=d).collect()
         }
         assert got == brute, (d, got ^ brute)
+
+
+def test_gram_poor_cross_band_lengths_are_found(spark):
+    """r13: the gram-poor fallback is a length-band EQUI-join (width
+    d+1, shorts exploded to the 3 adjacent bands) instead of a
+    broadcast nested-loop. The pair below sits in ADJACENT bands
+    (d=2 -> width 3: len 4 -> band 1, len 6 -> band 2), so dropping
+    the +/-1 band explode silently loses it."""
+    from pinecone_datasets_spark.operators.editsim import edit_distance_pairs
+
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "aaaaaa"), (3, "zzzzzzzzzz")],
+        "doc_id long, text string",
+    )
+    out = {
+        (r.id_a, r.id_b, r.distance)
+        for r in edit_distance_pairs(df, max_distance=2).collect()
+    }
+    assert (1, 2, 2) in out
+    assert not any(3 in (a, b) for a, b, _ in out)
