@@ -577,11 +577,17 @@ def q16_dedup_exact_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q17_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc = _t(spark, sf_dir, "documents")
-    # max_df far above any fixture shingle's document frequency: the skew
-    # cap's plan runs (DF-filtered inverted index) with unchanged results,
-    # so the SQL oracle still matches exactly.
+    # max_df=450: above every shingle's document frequency at the
+    # driver's gate SFs (measured max 402 at sf0.01, 415 at sf0.001 —
+    # the cap never binds there, results identical to uncapped), but
+    # LIVE at sf0.1+ where this fixture's ~2k-shingle vocabulary makes
+    # hot-shingle DF scale with the corpus (max 3923 at sf0.1, 38726 at
+    # sf1: the uncapped index is Σdf² = 148e9 join rows at sf1 — the
+    # r13 sweep filled the disk with spill before correctness could
+    # even be tested). The SQL twin implements the SAME cap, so the
+    # capped contract is gate-checked end to end at every SF.
     out = ngram_jaccard_pairs(
-        doc, threshold=0.3, shingle_k=5, max_df=100_000_000
+        doc, threshold=0.3, shingle_k=5, max_df=450
     )
     return out.select(
         "id_a",
@@ -6804,7 +6810,14 @@ ORDER BY cluster_id
 """
 
 
-def _oracle_jaccard(threshold: float = 0.12, k: int = 5) -> str:
+def _oracle_jaccard(
+    threshold: float = 0.12, k: int = 5, max_df: int = 450
+) -> str:
+    # max_df mirrors the entry's DF cap EXACTLY (set sizes stay
+    # uncapped, only the pair join is DF-filtered — a conservative
+    # lower-bound jaccard, exact when no pair relies on a dropped
+    # shingle). 450 never binds at the gate SFs (max DF 402/415) and
+    # keeps both engines' pair joins bounded at sf0.1+ (r13).
     return f"""
 WITH norm AS (
   SELECT doc_id, regexp_replace(lower(trim(text)), '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g') AS t
@@ -6816,9 +6829,13 @@ WITH norm AS (
   FROM norm
 ), sizes AS (
   SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id
+), kept AS (
+  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {max_df}
+), shc AS (
+  SELECT sh.doc_id, sh.shingle FROM sh JOIN kept USING (shingle)
 ), common AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT id_a, id_b, n_common,

@@ -286,8 +286,8 @@ MUTATIONS += [
         key="q17_q21_neardup_pairs",
         name="jaccard_threshold_nudged",
         path=ENTRY,
-        old="out = ngram_jaccard_pairs(\n        doc, threshold=0.3, shingle_k=5, max_df=100_000_000\n    )",
-        new="out = ngram_jaccard_pairs(\n        doc, threshold=0.35, shingle_k=5, max_df=100_000_000\n    )",
+        old="out = ngram_jaccard_pairs(\n        doc, threshold=0.3, shingle_k=5, max_df=450\n    )",
+        new="out = ngram_jaccard_pairs(\n        doc, threshold=0.35, shingle_k=5, max_df=450\n    )",
     ),
     Mut(
         key="q17_q21_neardup_pairs",
