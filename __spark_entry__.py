@@ -26,8 +26,8 @@ from pinecone_datasets_spark.functions.vector import (
 )
 from pinecone_datasets_spark.operators.dedup import (
     char_shingles,
-    embedding_lsh_candidate_pairs,
     embedding_neardup_pairs,
+    embedding_srp_band_pairs,
     exact_dup_groups,
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
@@ -710,17 +710,25 @@ def _planted_neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q21_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup via the scale path: random-hyperplane LSH band
-    candidates → exact cosine re-score over candidates ONLY — no crossJoin
-    anywhere in the plan. Near-duplicates are planted deterministically
-    (every vec_id % 10 == 0 re-inserted under vec_id + 1000000 with a
-    small element-wise perturbation, cosine ≈ 0.99999); natural pairs in
-    the fixture top out near cosine 0.51, so at threshold 0.9 the exact
-    SQL oracle's pair set equals the planted set, and at cosine ≈ 1 the
-    16×8-bit LSH signatures agree with near-certainty (verified at both
-    fixture SFs)."""
+    """Embedding near-dup via the scale path: PORTABLE sign-projection
+    band candidates → exact cosine re-score over candidates ONLY — no
+    crossJoin anywhere in the plan. Near-duplicates are planted
+    deterministically (every vec_id % 10 == 0 re-inserted under
+    vec_id + 1000000 with a small perturbation, cosine ≈ 0.99999).
+
+    r13: the banding moved to ``embedding_srp_band_pairs`` (md5-parity
+    ±1 hyperplanes, ``rproject.sign_matrix``) and the SQL twin now
+    REPLAYS the projections, signatures, and band join instead of
+    brute-forcing all pairs. The old twin's premise — LSH recall is
+    exactly 1 on everything ≥ threshold — held on fixtures whose only
+    ≥0.9 pairs were the ≈1.0 plants, but the sf1 scaled fixture has
+    ~70k NATURAL pairs at cosine ≈ 0.956 (its 85/15 blend replicas),
+    where any finite banding misses a ~7e-5 fraction; the sweep caught
+    exactly one such miss. The contract is now 'band-candidate AND
+    cosine ≥ t', exact at every SF, and the banding itself became
+    mutation-killable (seed/band/bit drift flips the hash)."""
     corpus = _planted_neardup_corpus(spark, sf_dir)
-    cands = embedding_lsh_candidate_pairs(
+    cands = embedding_srp_band_pairs(
         corpus, bands=16, bits=8, dim=64, seed=42
     )
     out = embedding_neardup_pairs(corpus, threshold=0.9, candidates=cands)
@@ -7189,6 +7197,12 @@ SELECT query_id, doc_id, round(score, 4) AS score, rank FROM (
 WHERE rank <= 5
 ORDER BY query_id, rank
 """,
+        # r13: REPLAYS the portable SRP banding (md5-parity ±1 planes,
+        # seed 42, 16 bands × 8 bits — rproject.sign_matrix) instead of
+        # brute-forcing all pairs: the contract is 'shares ≥1 band AND
+        # cosine ≥ 0.9', exact at every SF (the brute-force twin's
+        # recall-is-1 premise broke on the sf1 fixture's natural 0.956
+        # pairs, where any finite banding misses a ~7e-5 fraction).
         "q21_embedding_neardup": """
 WITH corpus AS (
   SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings
@@ -7198,12 +7212,37 @@ WITH corpus AS (
            i -> embedding[i]::DOUBLE * (1.0 + 0.002 * ((i - 1) % 7 - 3)))
            AS embedding
   FROM embeddings WHERE vec_id % 10 = 0
+),
+R21 AS (
+  SELECT j, i,
+         CASE WHEN ('0x' || substr(md5('42|' || i || '|' || j), 1, 8))::BIGINT
+                   % 2 = 0 THEN 1.0 ELSE -1.0 END AS s
+  FROM generate_series(0, 127) t1(j), generate_series(0, 63) t2(i)
+),
+v21 AS (
+  SELECT vec_id, i.i, embedding[i.i + 1] AS x
+  FROM corpus, generate_series(0, 63) i(i)
+),
+p21 AS (
+  SELECT v21.vec_id, R21.j, sum(v21.x * R21.s) AS p
+  FROM v21 JOIN R21 USING (i) GROUP BY v21.vec_id, R21.j
+),
+sig21 AS (
+  SELECT vec_id, j // 8 AS band,
+         sum(CASE WHEN p >= 0 THEN 1 << (j % 8) ELSE 0 END)::BIGINT AS sig
+  FROM p21 GROUP BY vec_id, j // 8
+),
+cand21 AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM sig21 a JOIN sig21 b
+    ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
 )
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cosine
-FROM corpus a, corpus b
-WHERE a.vec_id < b.vec_id
-  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.9
+SELECT c.id_a, c.id_b,
+       round(list_cosine_similarity(ca.embedding, cb.embedding), 4) AS cosine
+FROM cand21 c
+JOIN corpus ca ON ca.vec_id = c.id_a
+JOIN corpus cb ON cb.vec_id = c.id_b
+WHERE list_cosine_similarity(ca.embedding, cb.embedding) >= 0.9
 ORDER BY id_a, id_b
 """,
         "q22_event_scan_filter": """

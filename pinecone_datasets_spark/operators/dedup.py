@@ -666,6 +666,66 @@ def embedding_lsh_candidate_pairs(
     )
 
 
+def embedding_srp_band_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    bands: int = 16,
+    bits: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate (id_a < id_b) pairs sharing ≥1 PORTABLE sign-random-
+    projection band. Same banding shape as
+    ``embedding_lsh_candidate_pairs`` but the hyperplanes are the repo's
+    engine-portable ±1 md5-parity matrix (``rproject.sign_matrix``)
+    instead of an opaque numpy Gaussian draw — so a SQL oracle can
+    reconstruct the EXACT projections, signatures, and candidate set,
+    and the whole banding pipeline (not just the rescored output) sits
+    inside the hash gate. Added in r13 after the sf1 sweep caught the
+    un-replayable variant's statistical recall miss (a fixture pair at
+    cosine 0.9564 missed by all 16 bands — probability ~7e-5, but the
+    'oracle equals exact brute force' premise cannot survive data with
+    natural pairs between threshold and ~1.0; with the band structure
+    REPLAYED in the oracle, the contract is exact at every SF).
+    """
+    from .rproject import project_vectors
+
+    out_dim = bands * bits
+    proj = project_vectors(
+        df.select(id_col, vector_col),
+        vector_col, dim, out_dim, seed, out_col="__p",
+    )
+    # pack each band's `bits` sign bits into one BIGINT signature,
+    # JVM-side (one transform over the projected array; ties p == 0
+    # count as bit set, matching srp_cells)
+    sig = F.expr(
+        f"transform(sequence(0, {bands - 1}), b ->"
+        f" aggregate(sequence(0, {bits - 1}), CAST(0 AS BIGINT),"
+        f" (acc, j) -> acc + IF(element_at(__p, b * {bits} + j + 1)"
+        " >= CAST(0 AS DOUBLE),"
+        " shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT))))"
+    )
+    sigs = proj.select(F.col(id_col), sig.alias("_sigs"))
+    buckets = sigs.select(
+        F.col(id_col), F.posexplode_outer("_sigs").alias("band", "sig")
+    ).where(F.col("sig").isNotNull())
+    a, b = buckets.alias("a"), buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.95,
