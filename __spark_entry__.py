@@ -725,8 +725,12 @@ def q21_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~70k NATURAL pairs at cosine ≈ 0.956 (its 85/15 blend replicas),
     where any finite banding misses a ~7e-5 fraction; the sweep caught
     exactly one such miss. The contract is now 'band-candidate AND
-    cosine ≥ t', exact at every SF, and the banding itself became
-    mutation-killable (seed/band/bit drift flips the hash)."""
+    cosine ≥ t' — exact at every SF because the twin replays the same
+    bands, never because recall is assumed. (Banding-parameter drift is
+    still not hash-visible at sf0.01 — the only ≥0.9 pairs there are
+    the ≈1.0 plants, which every config catches with p ≈ 1-1e-31; it
+    becomes visible exactly at data shapes with recall-sensitive pairs,
+    which is how the sf1 sweep caught the old contract.)"""
     corpus = _planted_neardup_corpus(spark, sf_dir)
     cands = embedding_srp_band_pairs(
         corpus, bands=16, bits=8, dim=64, seed=42
