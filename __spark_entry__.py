@@ -3043,22 +3043,32 @@ def q67_q84_hybrid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ndcg_at_k").alias("c4"),
         F.col("n_relevant").alias("n_rel"),
     )
-    # 'xe' part: every 100th doc plays a query; the candidate set is a
-    # broadcast-small-side stub (5 queries x the 1/3 corpus slice) —
-    # test-scale stand-in for any first-stage output, which is what the
-    # operator takes at 100 TB. xe_score is unrounded: overlap ratio
-    # and md5 tiebreak are bit-identical across engines by construction.
+    # 'xe' part: a BOUNDED candidate stub standing in for a first-stage
+    # output — which is the only thing a cross-encoder ever scores at
+    # 100 TB. r13: both dims are now capped (query ids < 500 → the same
+    # 5 queries at every SF; candidate ids < 15000) because the old
+    # every-100th/every-3rd stub grew with the corpus: at sf1 it was
+    # 500 queries × 16.7k docs = 8.3M pairs, each tokenizing two full
+    # texts on BOTH engines — the oracle alone burned >2 CPU-hours
+    # before timing out. Caps never bind at the gate SFs (doc ids < 500
+    # there), so gate hashes are unchanged. xe_score is unrounded:
+    # overlap ratio and md5 tiebreak are bit-identical across engines
+    # by construction.
     from pinecone_datasets_spark.operators.rerank import (
         crossencoder_rerank,
     )
 
     doc = _t(spark, sf_dir, "documents")
-    xe_queries = doc.where(F.col("doc_id") % 100 == 0).select(
+    xe_queries = doc.where(
+        (F.col("doc_id") % 100 == 0) & (F.col("doc_id") < 500)
+    ).select(
         F.col("doc_id").alias("query_id"),
         F.col("text").alias("query_text"),
     )
     cands = F.broadcast(xe_queries.select("query_id")).crossJoin(
-        doc.where(F.col("doc_id") % 3 == 0).select("doc_id")
+        doc.where(
+            (F.col("doc_id") % 3 == 0) & (F.col("doc_id") < 15000)
+        ).select("doc_id")
     )
     xe = crossencoder_rerank(
         cands, xe_queries, doc.select("doc_id", "text"), k=10
@@ -9281,10 +9291,11 @@ ORDER BY part, query_id, rank
     _xe_inner = crossencoder_rerank_sql(
         "(SELECT q.query_id, d.doc_id"
         " FROM (SELECT doc_id AS query_id FROM documents"
-        "       WHERE doc_id % 100 = 0) q,"
-        "      (SELECT doc_id FROM documents WHERE doc_id % 3 = 0) d)",
+        "       WHERE doc_id % 100 = 0 AND doc_id < 500) q,"
+        "      (SELECT doc_id FROM documents"
+        "       WHERE doc_id % 3 = 0 AND doc_id < 15000) d)",
         "(SELECT doc_id AS query_id, text AS query_text FROM documents"
-        " WHERE doc_id % 100 = 0)",
+        " WHERE doc_id % 100 = 0 AND doc_id < 500)",
         "documents",
         k=10,
     )
