@@ -16,6 +16,7 @@ Spark-first divergences (documented per SURVEY.md §7 hard-parts):
 
 from __future__ import annotations
 
+import threading
 import warnings
 from typing import TYPE_CHECKING
 
@@ -96,11 +97,28 @@ def _write_metadata_json(fs: FS, dataset_path: str, meta_json: str) -> None:
     fs.write_text(join(dataset_path, "metadata.json"), meta_json)
 
 
+# Two in-process threads re-saving the SAME dataset path interleave their
+# mode("overwrite") table writes: each clears the dir, both add their own
+# uniquely-named part files, and the survivor holds the UNION of both
+# versions' rows (observed: 50-row v1 + two racing 60-row v2 saves ->
+# 120 rows). Serialize whole-dataset saves per normalized path; different
+# paths stay fully parallel. Cross-PROCESS races are out of scope here —
+# that is the object-store commit protocol's job (manifest sinks).
+_path_locks: dict[str, threading.Lock] = {}
+_path_locks_guard = threading.Lock()
+
+
+def _save_lock(path: str) -> threading.Lock:
+    with _path_locks_guard:
+        return _path_locks.setdefault(path, threading.Lock())
+
+
 def write_dataset(dataset: "Dataset", dataset_path: str, single_file: bool = False) -> None:
     """S10 orchestration: documents → queries → metadata (commit marker)."""
     dataset_path = normalize_uri(dataset_path)
-    fs = FS(dataset._spark)
-    fs.mkdirs(dataset_path)
-    write_documents(dataset.documents, dataset_path, single_file)
-    write_queries(dataset.queries, dataset_path, single_file)
-    _write_metadata_json(fs, dataset_path, dataset.metadata.to_json())
+    with _save_lock(dataset_path):
+        fs = FS(dataset._spark)
+        fs.mkdirs(dataset_path)
+        write_documents(dataset.documents, dataset_path, single_file)
+        write_queries(dataset.queries, dataset_path, single_file)
+        _write_metadata_json(fs, dataset_path, dataset.metadata.to_json())
