@@ -297,19 +297,22 @@ def minhash_signatures(
     df = widen(df, id_col)
     if hash_fn == "oph":
         hashed = _rolling_hashed(df, text_col, id_col, shingle_k)
-        # Per (doc, bin) minima first: the partial aggregation collapses
-        # the shingle stream map-side, so the one corpus shuffle carries
-        # ≤ num_hashes rows per document.
-        binned = hashed.groupBy(
-            F.col(id_col), (F.col("_h") % num_hashes).alias("_bin")
-        ).agg(F.min("_h").alias("_m"))
-        per_doc = binned.groupBy(id_col).agg(
-            F.map_from_entries(
-                F.collect_list(F.struct("_bin", "_m"))
-            ).alias("_mm")
-        )
+        # ONE groupBy(id) with num_hashes conditional MIN buffers (bin
+        # computed once per shingle row as an attribute): the same
+        # per-bin minima as the former groupBy(id, bin) →
+        # groupBy(id)+collect_list two-step, minus a whole aggregation
+        # pass — map-side partials still collapse the shingle stream,
+        # and the shuffle carries ONE row per document instead of
+        # ≤ num_hashes (r13 §2.3/§2.4: fewer exchanges, fewer bytes;
+        # measured 1.27 s → 0.49 s at sf0.1, signatures bit-identical).
+        binned = hashed.withColumn("_bin", F.col("_h") % num_hashes)
+        aggs = [
+            F.min(F.when(F.col("_bin") == i, F.col("_h"))).alias(f"_m{i}")
+            for i in range(num_hashes)
+        ]
+        per_doc = binned.groupBy(id_col).agg(*aggs)
         idxs = F.sequence(F.lit(0), F.lit(num_hashes - 1))
-        raw = F.transform(idxs, lambda i: F.element_at(F.col("_mm"), i))
+        raw = F.array(*[f"_m{i}" for i in range(num_hashes)])
         # Rotation densification: an empty bin borrows the next non-empty
         # bin's minimum (cyclically). O(num_hashes²) per DOC — trivial
         # next to the per-shingle work it replaces.
@@ -408,7 +411,16 @@ def minhash_lsh_candidates(
         F.col("bb.band").alias("band"),
         F.col("bb.bucket").alias("bucket"),
     )
-    a = buckets.alias("a")
+    # Force the sort-merge strategy for the bucket self-join: both sides
+    # are the SAME corpus-derived subtree, so a static auto-broadcast
+    # (a) risks broadcasting a corpus-scale frame at 100 TB (the r13
+    # broadcast-audit rule) and (b) defeats ReuseExchange — the whole
+    # signature pipeline executed TWICE, once for the broadcast build
+    # and once for the probe. Under SMJ both sides share one shuffle
+    # subtree and the signatures are computed exactly once (guide §2.4
+    # "two operations keyed the same way share one exchange"; measured
+    # 2.33 s → 1.66 s at sf0.1).
+    a = buckets.alias("a").hint("merge")
     b = buckets.alias("b")
     pairs = (
         a.join(
@@ -463,7 +475,10 @@ def ngram_jaccard_pairs(
             .select("shingle")
         )
         sh = sh.join(keep, "shingle", "left_semi")
-    a = sh.alias("a")
+    # merge hint: self-join of the same shingle subtree — SMJ shares one
+    # exchange (shingling runs once, ReuseExchange) and never broadcasts
+    # a corpus-derived frame (r13 audit; guide §2.4/§3.1).
+    a = sh.alias("a").hint("merge")
     b = sh.alias("b")
     common = (
         a.join(
@@ -650,7 +665,9 @@ def embedding_lsh_candidate_pairs(
     buckets = sigs.select(
         F.col(id_col), F.posexplode_outer("_sigs").alias("band", "sig")
     ).where(F.col("sig").isNotNull())
-    a, b = buckets.alias("a"), buckets.alias("b")
+    # merge hint: both sides re-derive the signature UDF — SMJ shares
+    # one exchange so the matmul kernel runs once (r13 audit; §2.4).
+    a, b = buckets.alias("a").hint("merge"), buckets.alias("b")
     return (
         a.join(
             b,
@@ -710,7 +727,9 @@ def embedding_srp_band_pairs(
     buckets = sigs.select(
         F.col(id_col), F.posexplode_outer("_sigs").alias("band", "sig")
     ).where(F.col("sig").isNotNull())
-    a, b = buckets.alias("a"), buckets.alias("b")
+    # merge hint: same shared-exchange rationale as
+    # embedding_lsh_candidate_pairs above (projection runs once).
+    a, b = buckets.alias("a").hint("merge"), buckets.alias("b")
     return (
         a.join(
             b,

@@ -242,7 +242,13 @@ def hamming_neardup_pairs(
             F.col("bb.val").alias("val"),
         )
     )
-    a, b = buckets.alias("a"), buckets.alias("b")
+    # merge hint: both sides are the SAME (often expensive — media
+    # decode) subtree. A static auto-broadcast would run the decode
+    # kernel TWICE (broadcast build + probe) and broadcast a corpus-
+    # derived frame; under SMJ the two sides share one exchange subtree
+    # (ReuseExchange) so every hash is computed exactly once (r13,
+    # guide §2.4/§3.1 — measured on the minhash twin 2.33 s → 1.66 s).
+    a, b = buckets.alias("a").hint("merge"), buckets.alias("b")
     cand = (
         a.join(
             b,

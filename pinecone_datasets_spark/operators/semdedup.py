@@ -180,8 +180,12 @@ def semantic_dedup_pairs(
     b = cells.select(
         F.col(id_col).alias("id_b"), F.col(cell_col).alias("__cb")
     )
+    # merge hint: self-join of the same cell-assignment subtree — SMJ
+    # shares one exchange (ReuseExchange computes cells once) and never
+    # broadcasts a corpus-derived frame (r13 audit; guide §2.4/§3.1).
     cand = (
-        a.join(b, (F.col("__ca") == F.col("__cb")) & (F.col("id_a") < F.col("id_b")))
+        a.hint("merge")
+        .join(b, (F.col("__ca") == F.col("__cb")) & (F.col("id_a") < F.col("id_b")))
         .select("id_a", "id_b")
     )
     return embedding_neardup_pairs(
