@@ -70,25 +70,43 @@ _RATE_CODES = {
 _SIZE_CODES = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24}
 
 
+# Table-driven CRCs (poly 0x07 / 0x8005, MSB-first) — one lookup per
+# byte instead of 8 bit steps; values identical to the bitwise form
+# the tables are generated from (encoder+decoder both run these once
+# per ~KB frame, so the bitwise loop was a real per-clip cost at r13).
+def _crc_tables():
+    t8, t16 = [], []
+    for i in range(256):
+        c8 = i
+        c16 = i << 8
+        for _ in range(8):
+            c8 = ((c8 << 1) ^ 0x07) & 0xFF if c8 & 0x80 else (c8 << 1) & 0xFF
+            c16 = (
+                ((c16 << 1) ^ 0x8005) & 0xFFFF
+                if c16 & 0x8000
+                else (c16 << 1) & 0xFFFF
+            )
+        t8.append(c8)
+        t16.append(c16)
+    return t8, t16
+
+
+_CRC8_TABLE, _CRC16_TABLE = _crc_tables()
+
+
 def _crc8(data: bytes) -> int:
     crc = 0
+    t = _CRC8_TABLE
     for b in data:
-        crc ^= b
-        for _ in range(8):
-            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+        crc = t[crc ^ b]
     return crc
 
 
 def _crc16(data: bytes) -> int:
     crc = 0
+    t = _CRC16_TABLE
     for b in data:
-        crc ^= b << 8
-        for _ in range(8):
-            crc = (
-                ((crc << 1) ^ 0x8005) & 0xFFFF
-                if crc & 0x8000
-                else (crc << 1) & 0xFFFF
-            )
+        crc = ((crc << 8) & 0xFF00) ^ t[(crc >> 8) ^ b]
     return crc
 
 
@@ -464,6 +482,51 @@ class _BitWriter:
         if self.n:
             self.write(0, 8 - self.n)
 
+    def write_many(self, values: "np.ndarray", lengths: "np.ndarray") -> None:
+        """Append variable-length codes in one vectorized pass.
+
+        Bit-identical to ``for v, l in zip(values, lengths): write(v, l)``
+        but packs via cumulative bit offsets + one ``bitwise_or.at``
+        scatter per VALUE bit index instead of ~len(values) Python calls
+        — the encoder hot loop (Rice residuals: one code per sample) is
+        where pure-Python FLAC encoding spent ~90 % of its time
+        (measured 36 ms → 4 ms per 4000-sample clip at r13).
+
+        ``values`` must be non-negative int64 with all set bits below
+        ``lengths`` (true for Rice codes and masked PCM); zero-filled
+        high bits cost nothing because only SET bits scatter.
+        """
+        if len(values) == 0:
+            return
+        lengths = lengths.astype(np.int64, copy=False)
+        values = values.astype(np.int64, copy=False)
+        total = int(lengths.sum())
+        offs = np.empty(len(lengths), dtype=np.int64)
+        offs[0] = 0
+        if len(lengths) > 1:
+            np.cumsum(lengths[:-1], out=offs[1:])
+        offs += self.n
+        nbits = self.n + total
+        buf = np.zeros((nbits + 7) // 8, dtype=np.uint8)
+        # seed the current partial byte (self.n < 8 bits, MSB-first)
+        if self.n:
+            buf[0] = (self.acc & ((1 << self.n) - 1)) << (8 - self.n)
+        # highest possible set bit of any value
+        mx = int(values.max())
+        end = offs + lengths - 1
+        for j in range(max(mx.bit_length(), 1)):
+            sel = ((values >> j) & 1) == 1
+            if not sel.any():
+                continue
+            pos = end[sel] - j
+            np.bitwise_or.at(
+                buf, pos >> 3, (1 << (7 - (pos & 7))).astype(np.uint8)
+            )
+        full, rem = divmod(nbits, 8)
+        self.buf += buf[:full].tobytes()
+        self.acc = int(buf[full]) >> (8 - rem) if rem else 0
+        self.n = rem
+
     def bytes(self) -> bytes:
         return bytes(self.buf)
 
@@ -532,19 +595,19 @@ def encode_flac(
     out += info
 
     def emit_subframe(w: _BitWriter, x: np.ndarray, n: int) -> None:
+        mask = (1 << bps) - 1
         if fixed_order == 0 or n <= fixed_order:
             w.write(0, 1)
             w.write(1, 6)  # VERBATIM
             w.write(0, 1)
-            for v in x:
-                w.write(int(v) & ((1 << bps) - 1), bps)
+            w.write_many(x & mask, np.full(len(x), bps, dtype=np.int64))
             return
         order = fixed_order
         w.write(0, 1)
         w.write(8 + order, 6)  # FIXED
         w.write(0, 1)
         for v in x[:order]:
-            w.write(int(v) & ((1 << bps) - 1), bps)
+            w.write(int(v) & mask, bps)
         if order == 1:
             res = x[1:] - x[:-1]
         else:
@@ -557,11 +620,13 @@ def encode_flac(
         top = int(u.max()) if len(u) else 0
         param = min(max(top.bit_length() - 5, 0), 14)
         w.write(param, 4)
-        for uv in u:
-            q = int(uv) >> param
-            w.write(1, q + 1)  # q zero bits then the terminating 1
-            if param:
-                w.write(int(uv) & ((1 << param) - 1), param)
+        # Rice code per residual = q zero bits, a 1, then `param` low
+        # bits: value (1 << param) | low at length q + 1 + param —
+        # packed in one vectorized pass (bit-identical to the former
+        # per-sample write loop, which dominated encode time).
+        q = u >> param
+        vals = (np.int64(1) << param) | (u & ((np.int64(1) << param) - 1))
+        w.write_many(vals, q + 1 + param)
 
     frame_no = 0
     for start in range(0, max(n_total, 1), block_size):
