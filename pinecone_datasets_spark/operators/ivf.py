@@ -48,7 +48,14 @@ def _nearest(m: np.ndarray, c: np.ndarray) -> np.ndarray:
     no clamp). Same ordering in exact arithmetic; the hot path for
     Lloyd assignment and PQ encoding, where (rows, k) is the cost."""
     c2 = (c * c).sum(axis=1)
-    return np.argmin(c2 - 2.0 * (m @ c.T), axis=1)
+    # -2x + c2 in place of c2 - 2x: negation is exact and IEEE addition
+    # is commutative, so the scores (and every argmin tie) are BITWISE
+    # identical — but the (rows, k) float64 buffer is written once
+    # in-place instead of materializing a second temporary (this is
+    # pure memory traffic at Lloyd/encode shapes; r13).
+    s = np.multiply(m @ c.T, -2.0)
+    np.add(s, c2, out=s)
+    return np.argmin(s, axis=1)
 
 
 def _assign_udf(centroids: np.ndarray, normalize: bool):

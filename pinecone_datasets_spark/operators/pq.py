@@ -94,6 +94,7 @@ def train_pq_codebooks(
     sample_cap: Optional[int] = None,
     seed: int = 42,
     max_iter: int = 20,
+    n_rows: Optional[int] = None,
 ) -> np.ndarray:
     """Per-subspace codebooks, shape ``(m, n_codes, dim//m)``.
 
@@ -107,10 +108,17 @@ def train_pq_codebooks(
     10k) — FAISS's own training guidance (~39–256 points per centroid);
     more sample buys nothing but Lloyd time because every subspace
     problem has only ``n_codes`` degrees of freedom.
+
+    ``n_rows``: the frame's row count, when the caller already knows it
+    from a cheaper source. The count only sizes the sample fraction,
+    but counting ``documents`` itself forces a full evaluation of its
+    plan — for the IVF-PQ residual frame that meant one whole
+    assign-cells UDF + residual pass spent on a row count the raw
+    corpus scan answers from parquet metadata (r13, guide §1.4/§5).
     """
     if sample_cap is None:
         sample_cap = max(10_000, 64 * n_codes)
-    n = documents.count()
+    n = documents.count() if n_rows is None else int(n_rows)
     frac = min(1.0, sample_cap / max(n, 1))
     src = documents.select(F.col(vector_col).alias("_v"))
     if frac < 1.0:
@@ -383,8 +391,14 @@ def build_ivfpq_index(
                 F.expr(f"zip_with({vector_col}, __cent, (x, c) -> x - c)"),
             )
         )
+        # row count for the sample fraction comes from the RAW corpus
+        # (parquet metadata count) — the residual frame has the same
+        # cardinality (broadcast inner join on an always-present cell
+        # key), and counting it directly would run the assign UDF +
+        # residual zip once just to size the sample (r13).
         books = train_pq_codebooks(
-            res_frame, m=m, n_codes=n_codes, vector_col="_res", seed=seed
+            res_frame, m=m, n_codes=n_codes, vector_col="_res", seed=seed,
+            n_rows=documents.count(),
         )
         coded = assigned.withColumn(
             code_col,
