@@ -869,14 +869,31 @@ def build_minhash_index(
     )
     sigs.persist()
     try:
-        (
-            _band_keys(sigs, num_hashes, bands, id_col)
-            .repartitionByRange("bb")
-            .sortWithinPartitions("bb")
-            .write.mode("overwrite")
-            .parquet(_join(path, "bands"))
-        )
-        sigs.write.mode("overwrite").parquet(_join(path, "signatures"))
+        # The two table writes only share the persisted signature frame
+        # — neither reads the other's output — so they are submitted as
+        # concurrent jobs (guide §2.6): the map-only signatures write
+        # back-fills executor slots freed by the bands write's
+        # range-shuffle tail instead of waiting for it. The cache
+        # guarantees each signature partition is computed once (the
+        # second job's tasks block on the block lock, then read).
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _write_bands():
+            (
+                _band_keys(sigs, num_hashes, bands, id_col)
+                .repartitionByRange("bb")
+                .sortWithinPartitions("bb")
+                .write.mode("overwrite")
+                .parquet(_join(path, "bands"))
+            )
+
+        def _write_sigs():
+            sigs.write.mode("overwrite").parquet(_join(path, "signatures"))
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            futs = [pool.submit(_write_bands), pool.submit(_write_sigs)]
+            for f in futs:
+                f.result()
     finally:
         sigs.unpersist()
     FS(docs.sparkSession).write_text(
