@@ -666,21 +666,34 @@ def build_lsh_index(
         )
         .where(F.col("sig").isNotNull())
     )
-    (
-        sigs.repartitionByRange("band", "sig")
-        .sortWithinPartitions("band", "sig")
-        .write.mode("overwrite")
-        .parquet(_join(path, "signatures"))
-    )
-    (
-        documents.select(
-            F.col(id_col),
-            F.col(vector_col).alias("vector"),
-            l2_norm(vector_col).alias("norm"),
+    # the signatures rewrite (range shuffle) and the vectors copy
+    # (map-only) read the same source but not each other — submitted as
+    # concurrent jobs so the copy back-fills the shuffle's idle tail
+    # (guide §2.6; same pattern as dedup.build_minhash_index)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _write_sigs():
+        (
+            sigs.repartitionByRange("band", "sig")
+            .sortWithinPartitions("band", "sig")
+            .write.mode("overwrite")
+            .parquet(_join(path, "signatures"))
         )
-        .write.mode("overwrite")
-        .parquet(_join(path, "vectors"))
-    )
+
+    def _write_vectors():
+        (
+            documents.select(
+                F.col(id_col),
+                F.col(vector_col).alias("vector"),
+                l2_norm(vector_col).alias("norm"),
+            )
+            .write.mode("overwrite")
+            .parquet(_join(path, "vectors"))
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        for f in [pool.submit(_write_sigs), pool.submit(_write_vectors)]:
+            f.result()
     FS(documents.sparkSession).write_text(
         _join(path, LSH_META_FILE),
         _json.dumps(
