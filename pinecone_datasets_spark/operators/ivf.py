@@ -93,7 +93,12 @@ def _assign_udf(centroids: np.ndarray, normalize: bool):
 
     from pyspark.sql.types import IntegerType
 
-    return F.pandas_udf(kernel, IntegerType())
+    # asNondeterministic: deterministic in fact, but the marker stops the
+    # optimizer from pushing join-key isnotnull filters below the
+    # projection and evaluating the assignment matmul twice per row
+    # (two ArrowEvalPython nodes in the IVF-PQ residual-training subtree;
+    # r13, guide §4.4). Output values are unchanged.
+    return F.pandas_udf(kernel, IntegerType()).asNondeterministic()
 
 
 def train_centroids(
@@ -133,6 +138,7 @@ def train_centroids_local(
     sample_cap: int = 100_000,
     seed: int = 42,
     max_iter: int = 20,
+    n_rows: Optional[int] = None,
 ) -> np.ndarray:
     """KMeans centroids via seeded NumPy Lloyd iterations on a driver-side
     sample.
@@ -145,8 +151,11 @@ def train_centroids_local(
     driver-coordinated job per iteration — ~20 jobs of fixed overhead
     that dwarf the actual math at any corpus size. Deterministic for a
     fixed (seed, sample): init picks ``n_centroids`` distinct sample rows.
+
+    ``n_rows``: the frame's row count when the caller already knows it
+    (sizes the sample fraction only) — saves the count job (r13).
     """
-    n = documents.count()
+    n = documents.count() if n_rows is None else int(n_rows)
     frac = min(1.0, sample_cap / max(n, 1))
     src = documents.select(F.col(vector_col).alias("_v"))
     if frac < 1.0:

@@ -96,6 +96,7 @@ def train_pq_codebooks(
     seed: int = 42,
     max_iter: int = 20,
     n_rows: Optional[int] = None,
+    sample_fraction: Optional[float] = None,
 ) -> np.ndarray:
     """Per-subspace codebooks, shape ``(m, n_codes, dim//m)``.
 
@@ -116,14 +117,24 @@ def train_pq_codebooks(
     plan — for the IVF-PQ residual frame that meant one whole
     assign-cells UDF + residual pass spent on a row count the raw
     corpus scan answers from parquet metadata (r13, guide §1.4/§5).
+
+    ``sample_fraction``: the caller has already decided (or applied) the
+    sampling — skip the count entirely and use this fraction as-is
+    (``1.0`` = train on every row of ``documents``). This is how
+    ``build_ivfpq_index`` pushes the Bernoulli sample BELOW its
+    assign-cells UDF: it samples the raw corpus first and hands the
+    (already bounded) residual frame here with ``sample_fraction=1.0``,
+    so training never evaluates the UDF on unsampled rows (r13,
+    guide §1.2 — don't compute things you throw away).
     """
     if sample_cap is None:
         sample_cap = max(10_000, 64 * n_codes)
-    n = documents.count() if n_rows is None else int(n_rows)
-    frac = min(1.0, sample_cap / max(n, 1))
+    if sample_fraction is None:
+        n = documents.count() if n_rows is None else int(n_rows)
+        sample_fraction = min(1.0, sample_cap / max(n, 1))
     src = documents.select(F.col(vector_col).alias("_v"))
-    if frac < 1.0:
-        src = src.sample(fraction=frac, seed=seed)
+    if sample_fraction < 1.0:
+        src = src.sample(fraction=sample_fraction, seed=seed)
     sample = np.asarray(
         [np.asarray(v, dtype=np.float64) for (v,) in src.collect()]
     )
@@ -373,8 +384,13 @@ def build_ivfpq_index(
             out_col="__rotv",
         ).drop(vector_col)
         vector_col = "__rotv"
+    # ONE count job sizes every training sample below (raw parquet
+    # metadata count — r13; previously the coarse trainer and the PQ
+    # trainer each ran their own).
+    n_rows = documents.count()
     cents = train_centroids_local(
-        documents, n_centroids=n_centroids, vector_col=vector_col, seed=seed
+        documents, n_centroids=n_centroids, vector_col=vector_col,
+        seed=seed, n_rows=n_rows,
     )
     assigned = assign_cells(
         documents, cents, vector_col=vector_col, metric=metric,
@@ -382,26 +398,38 @@ def build_ivfpq_index(
     )
     if residual:
         # train the PQ books on residuals: broadcast the (tiny) centroid
-        # table, subtract per row, sample inside train_pq_codebooks
+        # table and subtract per row — but sample the RAW corpus FIRST,
+        # so the assign-cells UDF + residual zip only ever run on the
+        # bounded training sliver, not the whole corpus (r13, guide
+        # §1.2/§5: the full-corpus evaluation happens exactly once, in
+        # the encode pass that actually needs it). The Bernoulli sampler
+        # draws per row in partition order, which map-only transforms
+        # and a broadcast inner join on an always-present key preserve —
+        # so pre- and post-UDF sampling select the SAME rows and the
+        # codebooks are unchanged.
+        pq_cap = max(10_000, 64 * n_codes)
+        frac = min(1.0, pq_cap / max(n_rows, 1))
+        train_src = documents
+        if frac < 1.0:
+            train_src = documents.sample(fraction=frac, seed=seed)
         cent_df = documents.sparkSession.createDataFrame(
             [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
             f"{cell_col} int, __cent array<double>",
         )
         res_frame = (
-            assigned.join(F.broadcast(cent_df), cell_col)
+            assign_cells(
+                train_src, cents, vector_col=vector_col, metric=metric,
+                cell_col=cell_col,
+            )
+            .join(F.broadcast(cent_df), cell_col)
             .withColumn(
                 "_res",
                 F.expr(f"zip_with({vector_col}, __cent, (x, c) -> x - c)"),
             )
         )
-        # row count for the sample fraction comes from the RAW corpus
-        # (parquet metadata count) — the residual frame has the same
-        # cardinality (broadcast inner join on an always-present cell
-        # key), and counting it directly would run the assign UDF +
-        # residual zip once just to size the sample (r13).
         books = train_pq_codebooks(
             res_frame, m=m, n_codes=n_codes, vector_col="_res", seed=seed,
-            n_rows=documents.count(),
+            sample_fraction=1.0,
         )
         coded = assigned.withColumn(
             code_col,
@@ -411,7 +439,8 @@ def build_ivfpq_index(
         )
     else:
         books = train_pq_codebooks(
-            documents, m=m, n_codes=n_codes, vector_col=vector_col, seed=seed
+            documents, m=m, n_codes=n_codes, vector_col=vector_col,
+            seed=seed, n_rows=n_rows,
         )
         coded = pq_encode(
             assigned, books, vector_col=vector_col, code_col=code_col

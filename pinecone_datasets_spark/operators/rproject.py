@@ -89,7 +89,16 @@ def project_vectors(
         P = M.astype(np.float64) @ R.T  # one GEMM per Arrow batch
         return pd.Series(list(P))
 
-    return df.withColumn(out_col, _proj(F.col(vec_col)))
+    # asNondeterministic: the function IS deterministic, but without the
+    # marker the optimizer pushes join-key null checks derived from the
+    # projected column BELOW this projection and re-evaluates the GEMM +
+    # a second Python crossing for every corpus row — observed as two
+    # ArrowEvalPython nodes per join side in the semdedup / SRP-band
+    # candidate plans (r13, guide §4.4). Values are unchanged; only the
+    # optimizer's licence to duplicate/reorder the call is revoked.
+    return df.withColumn(
+        out_col, _proj.asNondeterministic()(F.col(vec_col))
+    )
 
 
 def projected_topk(

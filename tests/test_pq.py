@@ -368,3 +368,53 @@ def test_ivfpq_empty_queries_returns_empty_frame(spark, corpus, tmp_path):
     res = ivfpq_index_topk(spark, path, queries, k=3, nprobe=2)
     assert res.columns == ["query_id", "id", "score", "rank"]
     assert res.count() == 0
+
+
+def test_training_sample_pushdown_selects_same_rows(spark, corpus):
+    """r13: ``build_ivfpq_index`` samples the RAW corpus before the
+    assign-cells UDF instead of sampling the residual frame after it
+    (so training never evaluates the UDF on rows it throws away). The
+    rewrite is only sound because Bernoulli sampling commutes with
+    map-only transforms and broadcast inner joins on an always-present
+    key: the per-partition draw sequence is identical either side, so
+    the SAME rows are selected. Pin that commutation at two fractions."""
+    from pinecone_datasets_spark.operators.ivf import (
+        assign_cells,
+        train_centroids_local,
+    )
+
+    cents = train_centroids_local(
+        corpus, n_centroids=4, vector_col="values", seed=42
+    )
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "ivf_cell int, __cent array<double>",
+    )
+
+    def residuals(frame):
+        return (
+            assign_cells(
+                frame, cents, vector_col="values", metric="cosine",
+                cell_col="ivf_cell",
+            )
+            .join(F.broadcast(cent_df), "ivf_cell")
+            .withColumn(
+                "_res", F.expr("zip_with(values, __cent, (x, c) -> x - c)")
+            )
+        )
+
+    for frac in (0.5, 0.1):
+        post = sorted(
+            r["id"]
+            for r in residuals(corpus)
+            .sample(fraction=frac, seed=42)
+            .select("id")
+            .collect()
+        )
+        pre = sorted(
+            r["id"]
+            for r in residuals(corpus.sample(fraction=frac, seed=42))
+            .select("id")
+            .collect()
+        )
+        assert pre == post and len(pre) > 0
