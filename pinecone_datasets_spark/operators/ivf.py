@@ -323,6 +323,12 @@ def train_centroids_inplan(
     ``(cell_id, centroid_list)`` for the final codebook.
     """
     spark = documents.sparkSession
+    from ..parallel import widen
+
+    # Per-round assignment folds multiply work ×n_centroids per input
+    # byte — widen so a single-file scan doesn't run them on one core
+    # (r14; no-op on any real corpus).
+    documents = widen(documents, id_col)
     qdocs = documents.select(
         F.col(id_col),
         F.col(vector_col),
@@ -331,6 +337,14 @@ def train_centroids_inplan(
             f" x -> CAST(round(x * {scale}) AS BIGINT))"
         ).alias("__qv"),
     )
+    if iters > 0:
+        # qdocs feeds every round's collect plus the final assignment
+        # join — persist so the scan+quantize runs once, not iters+1
+        # times (r14; values untouched, bit-replay contract holds; the
+        # ContextCleaner unpersists when the returned frame is GC'd).
+        from pyspark import StorageLevel
+
+        qdocs = qdocs.persist(StorageLevel.MEMORY_AND_DISK)
     init = (
         qdocs.orderBy(id_col)
         .limit(n_centroids)

@@ -739,6 +739,13 @@ def train_pq_inplan(
         raise ValueError(f"bad n_codes/iters: {n_codes}/{iters}")
     subdim = dim // m
     spark = documents.sparkSession
+    from ..parallel import widen
+
+    # The per-round assignment folds (sequential cosine over every
+    # (row, codeword) pair) multiply work ×(m·n_codes) per input byte —
+    # a single-file scan would run them on one core (r14; no-op on any
+    # real corpus, same guard as topk_search/ngram paths).
+    documents = widen(documents, id_col)
     subs = (
         documents.select(
             F.col(id_col),
@@ -757,6 +764,19 @@ def train_pq_inplan(
             ),
         )
     )
+    if iters > 0:
+        # The exploded/sliced/quantized frame feeds iters round-collects
+        # PLUS the final assignment — without a persist each of those
+        # actions re-scans the corpus and re-runs the explode+quantize
+        # (r14, guide §5: reuse > recompute when the frame is hot in the
+        # same plan family). Values are untouched, so the bit-replay
+        # contract holds. The returned `codes` frame is lazy and still
+        # reads this cache; the ContextCleaner unpersists it when the
+        # frame is garbage-collected (same ownership model as
+        # prf.rm3_search's persist_tf).
+        from pyspark import StorageLevel
+
+        subs = subs.persist(StorageLevel.MEMORY_AND_DISK)
     # Init = the n_codes smallest doc ids per subspace. Every doc
     # carries every subspace, so those are the n_codes globally
     # smallest ids: a TakeOrdered limit (driver-side heap over scan
