@@ -499,16 +499,25 @@ def _pair_score_udf(
     nluts: Optional[np.ndarray],
     dot_bias: np.ndarray,
     norm_bias: Optional[np.ndarray],
+    pair_qi: np.ndarray,
+    pair_ci: Optional[np.ndarray],
 ):
     """(codes, pair_id) -> ADC score under that (query, cell) pair.
 
     Residual scoring decomposed into pure lookups:
-      dot(q, c + r)   = [q·c]            + Σ_j qlut[pair, j, code_j]
-      ||c + r||²      = [||c||²]         + Σ_j nlut[pair, j, code_j]
-    where nlut folds 2·c·r + ||r||² per codeword. The bracketed biases
-    and both tables are precomputed per (query, cell) probe pair —
-    P·m·n_codes doubles, a few MB for hundreds of queries — and ride
-    into tasks as the UDF closure.
+      dot(q, c + r)   = [q·c]            + Σ_j qlut[query, j, code_j]
+      ||c + r||²      = [||c||²]         + Σ_j nlut[cell, j, code_j]
+    where nlut folds 2·c·r + ||r||² per codeword. The dot table is per
+    QUERY and the norm table per PROBED CELL (not per (query, cell)
+    pair): a pair's tables are pure functions of its query resp. cell,
+    so shipping Q + C tables plus two tiny pair→index arrays carries
+    the same floats as the former P = Q·nprobe pair-stacked tables at
+    ~nprobe× less closure weight — the closure is pickled into every
+    task binary, and at 100 queries × nprobe 4 the pair-stacked form
+    was ~26 MB per query session (r14, guide §4.1: control how many
+    bytes cross the boundary). Lookup indirection only; every float
+    value and accumulation order is unchanged, so scores are BITWISE
+    identical.
     """
     ql = np.ascontiguousarray(qluts, dtype=np.float64)
     _, m, _ = ql.shape
@@ -518,13 +527,15 @@ def _pair_score_udf(
         if len(arr) == 0:
             return pd.Series([], dtype="float64")
         pid = np.asarray(pairs, dtype=np.int64)
+        qi = pair_qi[pid]
         dots = dot_bias[pid].copy()
         for j in range(m):
-            dots += ql[pid, j, arr[:, j]]
+            dots += ql[qi, j, arr[:, j]]
         if nluts is not None:
+            ci = pair_ci[pid]
             norms = norm_bias[pid].copy()
             for j in range(m):
-                norms += nluts[pid, j, arr[:, j]]
+                norms += nluts[ci, j, arr[:, j]]
             dots /= np.maximum(np.sqrt(np.maximum(norms, 0.0)), 1e-30)
         return pd.Series(dots)
 
@@ -610,28 +621,38 @@ def ivfpq_index_topk(
     cw_norm2 = (books * books).sum(axis=2)  # (m, n_codes)
     cent_dot = np.einsum("kjd,jcd->kjc", csub, books)  # (cells, m, n_codes)
 
-    pair_rows = []
-    qluts, nluts, dot_bias, norm_bias = [], [], [], []
     need_norm = metric == "cosine"
+    # Per-cell norm tables, computed once per DISTINCT probed cell (the
+    # value depends only on the cell; same expression, same operand
+    # order as the former per-pair copy — bitwise identical).
+    probed_sorted = sorted({int(c) for row in probe_cells for c in row})
+    cell_slot = {c: i for i, c in enumerate(probed_sorted)}
+    nluts_arr = None
+    if need_norm:
+        nluts_arr = np.stack(
+            [
+                (cw_norm2 + 2.0 * cent_dot[c]) if residual else cw_norm2
+                for c in probed_sorted
+            ]
+        )
+    pair_rows = []
+    pair_qi, pair_ci, dot_bias, norm_bias = [], [], [], []
     for qi, r in enumerate(qrows):
         for cell in probe_cells[qi]:
             pid = len(pair_rows)
             pair_rows.append((r[query_id_col], int(cell), pid))
-            qluts.append(base_qlut[qi])
+            pair_qi.append(qi)
+            pair_ci.append(cell_slot[int(cell)])
             dot_bias.append(
                 float(qn[qi] @ cents[cell]) if residual else 0.0
             )
             if need_norm:
-                nl = cw_norm2.copy()
-                if residual:
-                    nl = nl + 2.0 * cent_dot[cell]
-                nluts.append(nl)
                 norm_bias.append(
                     float(cents[cell] @ cents[cell]) if residual else 0.0
                 )
-    qluts = np.stack(qluts)
+    pair_qi = np.asarray(pair_qi, dtype=np.int64)
+    pair_ci_arr = np.asarray(pair_ci, dtype=np.int64) if need_norm else None
     dot_bias = np.asarray(dot_bias)
-    nluts_arr = np.stack(nluts) if need_norm else None
     norm_bias_arr = np.asarray(norm_bias) if need_norm else None
 
     from pyspark.sql import types as T
@@ -647,17 +668,17 @@ def ivfpq_index_topk(
             ]
         ),
     )
-    probed = sorted({int(c) for row in probe_cells for c in row})
     # isin over the stored partition column → directory-level pruning
-    candidates = coded.where(F.col(cell_col).isin(probed)).join(
+    candidates = coded.where(F.col(cell_col).isin(probed_sorted)).join(
         F.broadcast(probe_df), cell_col
     )
     scored = candidates.select(
         F.col(query_id_col),
         F.col(doc_id_col),
-        _pair_score_udf(qluts, nluts_arr, dot_bias, norm_bias_arr)(
-            F.col(code_col), F.col("_pair")
-        ).alias("score"),
+        _pair_score_udf(
+            base_qlut, nluts_arr, dot_bias, norm_bias_arr,
+            pair_qi, pair_ci_arr,
+        )(F.col(code_col), F.col("_pair")).alias("score"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("score"), F.col(doc_id_col)
