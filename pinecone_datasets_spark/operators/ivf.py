@@ -254,11 +254,6 @@ def ivf_topk(
         + [T.StructField(cell_col, T.IntegerType(), False)]
     )
     q_exp = spark.createDataFrame(probe_rows, schema=probe_schema)
-    score = (
-        cosine_similarity(doc_vector_col, query_vector_col)
-        if metric == "cosine"
-        else dot_product(doc_vector_col, query_vector_col)
-    )
     if prune_cells:
         # Static pruning: the probed cell set is known driver-side. Only
         # worth it when the cell column is STORED (partitioned layout →
@@ -268,6 +263,27 @@ def ivf_topk(
         documents_with_cells = documents_with_cells.where(
             F.col(cell_col).isin(probed_cells)
         )
+    if metric == "cosine":
+        # Cosine factored exactly as topk_search (r14): each norm
+        # depends on one side only, so compute ||d|| once per corpus row
+        # and ||q|| once per probe row BEFORE the join — a candidate
+        # pair then pays ONE interpreted fold (the dot), not three.
+        # Identical double ops in the same order as cosine_similarity,
+        # so scores are bit-identical (q35's twin replays them).
+        from ..functions.vector import l2_norm
+
+        documents_with_cells = documents_with_cells.withColumn(
+            "__dnorm", l2_norm(doc_vector_col)
+        )
+        q_exp = q_exp.withColumn("__qnorm", l2_norm(query_vector_col))
+        score = dot_product(
+            F.col(doc_vector_col), F.col(query_vector_col)
+        ) / (
+            F.greatest(F.col("__dnorm"), F.lit(1e-30))
+            * F.greatest(F.col("__qnorm"), F.lit(1e-30))
+        )
+    else:
+        score = dot_product(doc_vector_col, query_vector_col)
     candidates = documents_with_cells.join(
         F.broadcast(q_exp), on=cell_col
     ).select(
@@ -432,12 +448,28 @@ def ivf_topk_inplan(
             F.col("cell").alias(cell_col),
         )
     )
-    candidates = documents_with_cells.join(
-        F.broadcast(probe), cell_col
+    # Cosine factored exactly as ivf_topk/topk_search (r14): one
+    # interpreted fold (the dot) per candidate pair instead of three;
+    # same double ops in the same order as cosine_similarity, so the
+    # scores the SQL oracle replays are bit-identical.
+    from ..functions.vector import dot_product, l2_norm
+
+    docs_n = documents_with_cells.withColumn(
+        "__dnorm", l2_norm(doc_vector_col)
+    )
+    probe_n = probe.withColumn("__qnorm", l2_norm(query_vector_col))
+    candidates = docs_n.join(
+        F.broadcast(probe_n), cell_col
     ).select(
         F.col(query_id_col),
         F.col(doc_id_col),
-        cosine_similarity(doc_vector_col, query_vector_col).alias("score"),
+        (
+            dot_product(F.col(doc_vector_col), F.col(query_vector_col))
+            / (
+                F.greatest(F.col("__dnorm"), F.lit(1e-30))
+                * F.greatest(F.col("__qnorm"), F.lit(1e-30))
+            )
+        ).alias("score"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("score"), F.col(doc_id_col)
