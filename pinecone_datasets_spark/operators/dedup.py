@@ -876,7 +876,7 @@ def build_minhash_index(
         # range-shuffle tail instead of waiting for it. The cache
         # guarantees each signature partition is computed once (the
         # second job's tasks block on the block lock, then read).
-        from concurrent.futures import ThreadPoolExecutor
+        from ..parallel import concurrent_actions
 
         def _write_bands():
             (
@@ -890,10 +890,11 @@ def build_minhash_index(
         def _write_sigs():
             sigs.write.mode("overwrite").parquet(_join(path, "signatures"))
 
-        with ThreadPoolExecutor(max_workers=2) as pool:
-            futs = [pool.submit(_write_bands), pool.submit(_write_sigs)]
-            for f in futs:
-                f.result()
+        concurrent_actions(
+            docs.sparkSession,
+            [_write_bands, _write_sigs],
+            "minhash index build: bands + signatures",
+        )
     finally:
         sigs.unpersist()
     FS(docs.sparkSession).write_text(

@@ -669,8 +669,10 @@ def build_lsh_index(
     # the signatures rewrite (range shuffle) and the vectors copy
     # (map-only) read the same source but not each other — submitted as
     # concurrent jobs so the copy back-fills the shuffle's idle tail
-    # (guide §2.6; same pattern as dedup.build_minhash_index)
-    from concurrent.futures import ThreadPoolExecutor
+    # (guide §2.6; same pattern as dedup.build_minhash_index).
+    # Overlap re-verified r14: sequential 3.1-4.4 s vs concurrent
+    # 1.9-2.5 s isolated at sf0.1, alternating same-window runs.
+    from ..parallel import concurrent_actions
 
     def _write_sigs():
         (
@@ -691,9 +693,11 @@ def build_lsh_index(
             .parquet(_join(path, "vectors"))
         )
 
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        for f in [pool.submit(_write_sigs), pool.submit(_write_vectors)]:
-            f.result()
+    concurrent_actions(
+        documents.sparkSession,
+        [_write_sigs, _write_vectors],
+        "lsh index build: signatures + vectors",
+    )
     FS(documents.sparkSession).write_text(
         _join(path, LSH_META_FILE),
         _json.dumps(

@@ -136,3 +136,62 @@ def widen(df: DataFrame, *key_cols: str, factor: int = 1) -> DataFrame:
     if key_cols:
         return df.repartition(target, *[F.col(c) for c in key_cols])
     return df.repartition(target)
+
+
+def concurrent_actions(spark, fns, description: str) -> None:
+    """Run independent Spark actions from a small thread pool so the
+    next job's tasks back-fill executors freed by the current job's
+    straggler tail (guide §2.6) — with Spark-aware thread semantics:
+
+    * each worker is wrapped in ``pyspark.inheritable_thread_target``,
+      so it inherits the caller's job group/description (UI labels stay
+      correct and a caller-initiated ``cancelJobGroup`` reaches these
+      jobs — plain pool threads would NOT inherit the thread-local
+      properties, r13 ADVICE);
+    * the first failure cancels the sibling jobs via the shared group
+      instead of letting them run to completion, then re-raises.
+    """
+    import uuid
+    from concurrent.futures import (
+        FIRST_EXCEPTION,
+        ThreadPoolExecutor,
+        wait,
+    )
+
+    from pyspark import inheritable_thread_target
+
+    sc = spark.sparkContext
+    group = f"concurrent-actions-{uuid.uuid4().hex[:8]}"
+    sc.setJobGroup(group, description, interruptOnCancel=True)
+    try:
+        with ThreadPoolExecutor(max_workers=max(2, len(fns))) as pool:
+            futs = [
+                pool.submit(inheritable_thread_target(fn)) for fn in fns
+            ]
+            done, not_done = wait(futs, return_when=FIRST_EXCEPTION)
+            first_exc = next(
+                (f.exception() for f in done if f.exception() is not None),
+                None,
+            )
+            if first_exc is not None:
+                try:
+                    sc.cancelJobGroup(group)
+                except Exception:  # noqa: BLE001 — best-effort cancel
+                    pass
+                for f in not_done:
+                    try:
+                        f.result()
+                    except Exception:  # noqa: BLE001 — cancelled sibling
+                        pass
+                raise first_exc
+            for f in futs:
+                f.result()
+    finally:
+        # clear the group so later jobs on this thread aren't tagged
+        # with (or cancellable via) a finished build's group id
+        for prop in (
+            "spark.jobGroup.id",
+            "spark.job.description",
+            "spark.job.interruptOnCancel",
+        ):
+            sc.setLocalProperty(prop, None)

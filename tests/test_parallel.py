@@ -136,3 +136,59 @@ def test_ensure_shipped_publishes_atomically(spark, tmp_path, monkeypatch):
         if n.startswith(f"{pkg}-") and ".building-" in n
     ]
     assert leftovers == []
+
+
+def test_concurrent_actions_runs_all_and_inherits_group(spark):
+    """r14: index builds submit their independent writes through
+    concurrent_actions — every fn must run, worker threads must inherit
+    the caller's job group (plain pool threads would not), and the
+    group property must be cleared afterwards so later jobs on the
+    calling thread aren't tagged with a finished build's group."""
+    import threading
+
+    from pinecone_datasets_spark.parallel import concurrent_actions
+
+    seen = {}
+
+    def probe_a():
+        seen["a_group"] = spark.sparkContext.getLocalProperty(
+            "spark.jobGroup.id"
+        )
+        seen["a_thread"] = threading.get_ident()
+        spark.range(10).count()
+
+    def probe_b():
+        seen["b_group"] = spark.sparkContext.getLocalProperty(
+            "spark.jobGroup.id"
+        )
+        spark.range(10).count()
+
+    concurrent_actions(spark, [probe_a, probe_b], "test build")
+    assert seen["a_group"] is not None
+    assert seen["a_group"] == seen["b_group"]
+    assert seen["a_group"].startswith("concurrent-actions-")
+    assert seen["a_thread"] != threading.get_ident()
+    # group cleared on the calling thread after the pool exits
+    assert (
+        spark.sparkContext.getLocalProperty("spark.jobGroup.id") is None
+    )
+
+
+def test_concurrent_actions_first_failure_propagates(spark):
+    """The first worker failure is re-raised (not swallowed, not
+    replaced by a sibling's cancellation error)."""
+    import pytest
+
+    from pinecone_datasets_spark.parallel import concurrent_actions
+
+    def boom():
+        raise RuntimeError("write failed")
+
+    def ok():
+        spark.range(5).count()
+
+    with pytest.raises(RuntimeError, match="write failed"):
+        concurrent_actions(spark, [boom, ok], "failing build")
+    assert (
+        spark.sparkContext.getLocalProperty("spark.jobGroup.id") is None
+    )
