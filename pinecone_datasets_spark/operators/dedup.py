@@ -985,6 +985,16 @@ def minhash_index_neardup(
         .select(batch_id_col, "index_id")
         .distinct()
     )
+    if persist_batch:
+        # `pairs` feeds THREE subtrees below (two broadcast semi-join
+        # builds + the verify join) whose differing projections defeat
+        # exchange reuse — without a persist the band scan (with its
+        # pushed literal-IN) and the candidate join execute three times
+        # per probe (r14, guide §5). Query-proportional by construction;
+        # same cache-ownership contract as bsigs above.
+        pairs.persist()
+        if _persisted is not None:
+            _persisted.append(pairs)
 
     # verification: slot agreement over candidate pairs only — BOTH
     # signature tables restricted by broadcast semi-joins on candidate
