@@ -60,6 +60,9 @@ def main() -> None:
         "minhash_lsh_candidates": lambda: minhash_lsh_candidates(
             docs, num_hashes=64, bands=16, id_col="doc_id"
         ),
+        "minhash_oph_candidates": lambda: minhash_lsh_candidates(
+            docs, num_hashes=64, bands=16, id_col="doc_id", hash_fn="oph"
+        ),
         "srp_band_pairs": lambda: embedding_srp_band_pairs(
             emb.select("vec_id", "embedding"), bands=16, bits=8, dim=64
         ),
