@@ -4421,9 +4421,13 @@ def q17_q21_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("embedding"),
     )
     sem_corpus = corpus.unionByName(med)
+    # Persist: the pair set feeds BOTH the 'semantic' part and the
+    # 'sem_keep' anti-join below — without it the entire banded
+    # projection/self-join subtree (the _proj UDF pipeline) executes
+    # twice per action (guide §2.4; r13 verdict item 5).
     sem_pairs = semantic_dedup_pairs(
         sem_corpus, threshold=0.95, dim=64, bits=6, seed=13
-    )
+    ).persist()
     sem = sem_pairs.select(
         F.lit("semantic").alias("part"),
         F.col("id_a"),
@@ -5080,6 +5084,11 @@ def q25_q39_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     rt_media, afp_media = _audio_media_frames(spark, sf_dir)
+    # Persist: rt_media feeds both the decode kernel and probe_media —
+    # without it the WAV/AIFF/FLAC/AVI Python encoders run twice per
+    # action (guide §2.4, §4; r13 verdict item 5). Same pattern for the
+    # image/video fixture frames below.
+    rt_media = rt_media.persist()
 
     def rt_decode_kernel(batches):
         import hashlib
@@ -5140,6 +5149,8 @@ def q25_q39_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     img_media, ahash_media = _image_media_frames(spark, sf_dir)
+    img_media = img_media.persist()
+    ahash_media = ahash_media.persist()
 
     def img_decode_kernel(batches):
         import hashlib
@@ -5262,7 +5273,9 @@ def q25_q39_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     avi_media = docs40.mapInPandas(
         avi_kernel, "media_id string, content binary"
     ).withColumn("duration_ms", _nl("long"))
-    sampled = sample_video_frames(avi_media, every_ms=40)
+    # Persist: sampled frames feed both the 'vframes' hash kernel and
+    # the 'cue_join' frame ticks — one AVI encode + container walk.
+    sampled = sample_video_frames(avi_media, every_ms=40).persist()
 
     def frame_hash_kernel(batches):
         import hashlib
@@ -5490,12 +5503,14 @@ def q25_q39_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     cdc_blobs = spark.createDataFrame(
         _cdc_fixture_blobs(), "media_id string, content binary"
     )
+    # Persist: the chunk frame feeds both 'cdc' and 'cdc_dup' — one
+    # FastCDC cut walk + md5 pass instead of two.
     cdc_chunked = cdc_chunks(
         cdc_blobs,
         min_size=_CDC_MIN,
         avg_size=_CDC_AVG,
         max_size=_CDC_MAX,
-    )
+    ).persist()
     cdc = cdc_chunked.select(
         F.lit("cdc").alias("part"),
         F.concat_ws(":", "id", "chunk_idx").alias("key"),
@@ -5698,9 +5713,13 @@ def _crawl_funnel_frames(spark: SparkSession, sf_dir: str):
             F.col("f_url")
             & (bullet_line_fraction(F.col("text")) <= 0.05),
         )
+        # Persist: flags feeds the stage-count aggregate AND the
+        # span-dedup survivors (docs_df + the s5 stage) — one WARC
+        # parse + html_to_text pass instead of three (guide §2.4).
+        .persist()
     )
     gated = flags.where("f_gate").select("doc_id", "text")
-    clean = remove_duplicated_sentence_spans(gated, n=3)
+    clean = remove_duplicated_sentence_spans(gated, n=3).persist()
     docs_df = clean.select(
         "doc_id",
         (
