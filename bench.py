@@ -1476,6 +1476,32 @@ def main() -> None:
         _noop(F.col("id"))
     ).write.format("noop").mode("overwrite").save()
 
+    # Noise anchor (r14, VERDICT r13 item 7): a fixed pure-JVM,
+    # data-independent calibration job — range → xxhash64 → bit_count →
+    # sum, whole-stage codegen, zero I/O — timed min-of-3 at suite
+    # start and again at suite end. Row count scales with CPUS (256M
+    # rows/core ≈ 1.5 s wall) so the anchor reads per-core throughput
+    # and comparisons across same-CPUS runs can be drift-normalized:
+    # the r12→r13 driver runs moved 15–27% common-mode with untouched
+    # code, and without an in-run anchor every per-leg verdict inherits
+    # that ambiguity. Published as the additive "calib":[start, end]
+    # key; all leg series and the JSON contract are unchanged.
+    def _calib() -> float:
+        n = 256_000_000 * _n
+        best = None
+        for _ in range(3):
+            t0 = time.time()
+            spark.range(0, n, 1, _n).select(
+                F.sum(F.bit_count(F.xxhash64(F.col("id"))))
+            ).write.format("noop").mode("overwrite").save()
+            took = round(time.time() - t0, 3)
+            best = took if best is None else min(best, took)
+        return best
+
+    calib_start = _calib()
+    print(f"bench: calib start {calib_start}s", file=sys.stderr, flush=True)
+    calib_end = -1.0
+
     # Crash-isolated: one broken entry records -1 and the suite keeps
     # going — a partial BENCH json beats no json at all (r2's run died
     # at entry 19/22 and lost 18 good measurements).
@@ -1709,6 +1735,10 @@ def main() -> None:
                 insuite.setdefault(name, first)
                 total += final - first
                 results[name] = final
+        calib_end = _calib()
+        print(
+            f"bench: calib end {calib_end}s", file=sys.stderr, flush=True
+        )
     finally:
         shutil.rmtree(bench_tmp, ignore_errors=True)
 
@@ -1719,6 +1749,7 @@ def main() -> None:
     # 2000-char tail of the run output, and round 4's line (49 queries
     # x 2 series, ~3.5 KB) overflowed it -> BENCH_r04 "parsed": null.
     # The parsed line must fit entirely inside that tail.
+    calib = [calib_start, calib_end]
     detail = {
         "metric": "headline_suite_seconds",
         "value": round(total, 3),
@@ -1731,6 +1762,9 @@ def main() -> None:
         # in-suite originals for every value a re-measure replaced
         # (ADVICE r6: publish both sides of the min-fold)
         "insuite": insuite,
+        # noise anchor: [suite-start, suite-end] min-of-3 seconds of
+        # the fixed pure-JVM calibration job (256M rows/core)
+        "calib": calib,
         "sf": sf_val,
     }
     published_sf = os.path.realpath(SF_DIR) == os.path.realpath(
@@ -1765,6 +1799,7 @@ def main() -> None:
             "failed": failed,
             # round-over-round re-measures: {leg: [prev, first, final]}
             "remeasured": remeasured_rr,
+            "calib": calib,
             "sf": sf_val,
         }
     )
@@ -1782,6 +1817,7 @@ def main() -> None:
                 "remeasured": {
                     k: v[2] for k, v in remeasured_rr.items()
                 },
+                "calib": calib,
                 "sf": sf_val,
             }
         )
@@ -1801,6 +1837,7 @@ def main() -> None:
                 "queries": {k: round(v, 2) for k, v in results.items()},
                 "failed": failed,
                 "remeasured": {},
+                "calib": calib,
                 "sf": sf_val,
             }
         )
@@ -1820,6 +1857,7 @@ def main() -> None:
                 "queries": {"detail": -1.0},
                 "failed": failed,
                 "remeasured": {},
+                "calib": calib,
                 "sf": sf_val,
             }
         )
