@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import threading
 import warnings
+from contextlib import contextmanager
 from typing import TYPE_CHECKING
 
 from pyspark.sql import DataFrame
@@ -102,15 +103,28 @@ def _write_metadata_json(fs: FS, dataset_path: str, meta_json: str) -> None:
 # uniquely-named part files, and the survivor holds the UNION of both
 # versions' rows (observed: 50-row v1 + two racing 60-row v2 saves ->
 # 120 rows). Serialize whole-dataset saves per normalized path; different
-# paths stay fully parallel. Cross-PROCESS races are out of scope here —
-# that is the object-store commit protocol's job (manifest sinks).
-_path_locks: dict[str, threading.Lock] = {}
+# paths stay fully parallel. Entries are refcounted and evicted when the
+# last holder releases, so long-lived sessions saving many distinct
+# paths do not leak a lock per path (r13 ADVICE). Cross-PROCESS races
+# are out of scope here — that is the object-store commit protocol's
+# job (manifest sinks).
+_path_locks: dict[str, list] = {}  # path -> [lock, holders]
 _path_locks_guard = threading.Lock()
 
 
-def _save_lock(path: str) -> threading.Lock:
+@contextmanager
+def _save_lock(path: str):
     with _path_locks_guard:
-        return _path_locks.setdefault(path, threading.Lock())
+        entry = _path_locks.setdefault(path, [threading.Lock(), 0])
+        entry[1] += 1
+    try:
+        with entry[0]:
+            yield
+    finally:
+        with _path_locks_guard:
+            entry[1] -= 1
+            if entry[1] == 0:
+                _path_locks.pop(path, None)
 
 
 def write_dataset(dataset: "Dataset", dataset_path: str, single_file: bool = False) -> None:

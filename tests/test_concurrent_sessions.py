@@ -161,3 +161,38 @@ def test_concurrent_read_while_rewrite_same_location(spark, tmp_path):
     assert n in (50, 60), n
     meta = json.load(open(os.path.join(path, "metadata.json")))
     assert meta["name"] == "hot"
+
+
+def test_save_lock_entries_evicted_after_release():
+    """The per-path save-lock registry must not grow per unique path
+    (r13 ADVICE): holders are refcounted and the entry is evicted when
+    the last one releases, while two concurrent holders of the SAME
+    path still serialize on one shared lock."""
+    import threading
+    import time
+
+    from pinecone_datasets_spark import writer as w
+
+    assert "p1" not in w._path_locks
+    with w._save_lock("p1"):
+        assert w._path_locks["p1"][1] == 1
+    assert "p1" not in w._path_locks  # evicted on release
+
+    # two contenders: same entry, serialized, evicted when both done
+    order = []
+
+    def hold(tag, dwell):
+        with w._save_lock("p2"):
+            order.append(tag)
+            time.sleep(dwell)
+
+    t1 = threading.Thread(target=hold, args=("a", 0.2))
+    t1.start()
+    time.sleep(0.05)  # t1 holds the lock; t2 must wait on the SAME one
+    assert w._path_locks["p2"][1] == 1
+    t2 = threading.Thread(target=hold, args=("b", 0.0))
+    t2.start()
+    t1.join()
+    t2.join()
+    assert order == ["a", "b"]
+    assert "p2" not in w._path_locks
