@@ -254,6 +254,13 @@ def _shingle_hash(shingle: Column, seed: int, hash_fn: str) -> Column:
 # shingle ONCE regardless of num_hashes — the textbook Carter-Wegman trick.
 _MERSENNE31 = 2147483647  # 2^31 - 1
 
+# Widest OPH signature the single-groupBy conditional-MIN form may use:
+# its aggregate row has num_hashes buffers + the key, and rows wider
+# than spark.sql.codegen.maxFields (default 100) drop whole-stage
+# codegen for interpreted evaluation (r13 ADVICE). Above this the
+# operator keeps the two-step (doc, bin) aggregation.
+_OPH_WIDE_AGG_MAX_BINS = 96
+
 
 def _affine_params(num_hashes: int, seed: int = 42):
     import numpy as np
@@ -305,14 +312,35 @@ def minhash_signatures(
         # and the shuffle carries ONE row per document instead of
         # ≤ num_hashes (r13 §2.3/§2.4: fewer exchanges, fewer bytes;
         # measured 1.27 s → 0.49 s at sf0.1, signatures bit-identical).
-        binned = hashed.withColumn("_bin", F.col("_h") % num_hashes)
-        aggs = [
-            F.min(F.when(F.col("_bin") == i, F.col("_h"))).alias(f"_m{i}")
-            for i in range(num_hashes)
-        ]
-        per_doc = binned.groupBy(id_col).agg(*aggs)
         idxs = F.sequence(F.lit(0), F.lit(num_hashes - 1))
-        raw = F.array(*[f"_m{i}" for i in range(num_hashes)])
+        if num_hashes <= _OPH_WIDE_AGG_MAX_BINS:
+            binned = hashed.withColumn("_bin", F.col("_h") % num_hashes)
+            aggs = [
+                F.min(
+                    F.when(F.col("_bin") == i, F.col("_h"))
+                ).alias(f"_m{i}")
+                for i in range(num_hashes)
+            ]
+            per_doc = binned.groupBy(id_col).agg(*aggs)
+            raw = F.array(*[f"_m{i}" for i in range(num_hashes)])
+        else:
+            # Above the codegen-friendly width (spark.sql.codegen.
+            # maxFields defaults to 100 — a wider aggregate row falls
+            # back to interpreted evaluation, regressing the exact path
+            # the wide form optimizes; r13 ADVICE): keep the former
+            # two-step shape, whose shuffle carries ≤ num_hashes rows
+            # per document. Bit-identical signatures either way.
+            binned = hashed.groupBy(
+                F.col(id_col), (F.col("_h") % num_hashes).alias("_bin")
+            ).agg(F.min("_h").alias("_m"))
+            per_doc = binned.groupBy(id_col).agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct("_bin", "_m"))
+                ).alias("_mm")
+            )
+            raw = F.transform(
+                idxs, lambda i: F.element_at(F.col("_mm"), i)
+            )
         # Rotation densification: an empty bin borrows the next non-empty
         # bin's minimum (cyclically). O(num_hashes²) per DOC — trivial
         # next to the per-shingle work it replaces.

@@ -189,6 +189,34 @@ def test_minhash_oph_densifies_short_docs(spark):
     assert None not in sig["signature"]
 
 
+def test_minhash_oph_wide_and_two_step_forms_identical(
+    dup_docs, monkeypatch
+):
+    """Above _OPH_WIDE_AGG_MAX_BINS the operator switches from the
+    single-groupBy conditional-MIN aggregate to the two-step (doc, bin)
+    form (codegen row-width limit, r13 ADVICE) — the two forms must
+    produce bit-identical signatures. num_hashes=128 takes the two-step
+    branch by default; forcing the cap up replays the wide branch."""
+    from pinecone_datasets_spark.operators import dedup as d
+
+    def sigs():
+        return {
+            r["doc_id"]: list(r["signature"])
+            for r in minhash_signatures(
+                dup_docs, num_hashes=128, shingle_k=3, hash_fn="oph"
+            ).collect()
+        }
+
+    assert d._OPH_WIDE_AGG_MAX_BINS < 128
+    two_step = sigs()
+    monkeypatch.setattr(d, "_OPH_WIDE_AGG_MAX_BINS", 1024)
+    wide = sigs()
+    assert wide == two_step
+    assert all(
+        len(s) == 128 and None not in s for s in two_step.values()
+    )
+
+
 def test_simhash_md5_portable_variant(dup_docs):
     out = {
         r["doc_id"]: r["simhash"]
