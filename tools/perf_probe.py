@@ -88,15 +88,26 @@ def shape(df, verbose: bool = True) -> dict:
 
 
 def jobtrace(make) -> None:
-    """Run with job-group tagging and print per-job wall times from the
-    status tracker (rough: sequential jobs only)."""
+    """Run under a tagged job group and print per-job wall times from
+    the status tracker alongside the total (rough: wall-clock deltas,
+    so overlapping jobs double-count)."""
     sc = spark.sparkContext
+    group = f"jobtrace-{int(time.time() * 1000)}"
+    sc.setJobGroup(group, "perf_probe jobtrace")
     tracker = sc.statusTracker()
-    before = set(tracker.getJobIdsForGroup(None) or [])
     t0 = time.time()
-    df = make() if callable(make) else make
-    noop(df)
-    print(f"total {time.time()-t0:.3f}s")
+    try:
+        df = make() if callable(make) else make
+        noop(df)
+    finally:
+        sc.setJobGroup(None, None)
+    total = time.time() - t0
+    for jid in sorted(tracker.getJobIdsForGroup(group) or []):
+        info = tracker.getJobInfo(jid)
+        n_stages = len(info.stageIds) if info else -1
+        print(f"  job {jid}: {n_stages} stages "
+              f"({info.status if info else 'unknown'})")
+    print(f"total {total:.3f}s")
 
 
 print(f"perf_probe ready: SF_DIR={SF_DIR} CPUS={CPUS}")
