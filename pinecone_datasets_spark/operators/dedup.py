@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import WHITESPACE_RUN_PATTERN as WS_RUN
 from ..functions.text import doc_fingerprint
-from ..functions.vector import cosine_similarity
+from ..functions.vector import cosine_similarity, dot_product, l2_norm
 from ..parallel import widen
 
 
@@ -785,19 +785,33 @@ def embedding_neardup_pairs(
     With ``candidates`` (e.g. from LSH banding) the scoring join touches
     candidate pairs only — the scale path. Without it, an O(N²/2) self
     crossJoin: correct at test scale, the oracle twin of the LSH path.
+
+    Norms are computed once per ROW before the pair join (guide §2.3:
+    per-pair work drops from three interpreted 64-element folds — dot
+    + both norms — to one); the guarded product/division is the same
+    float expression cosine_similarity applies, on the same double
+    values, so scores are bit-identical.
     """
+    guarded_norm = F.greatest(l2_norm(vector_col), F.lit(1e-30))
     left = df.select(
-        F.col(id_col).alias("id_a"), F.col(vector_col).alias("_va")
+        F.col(id_col).alias("id_a"),
+        F.col(vector_col).alias("_va"),
+        guarded_norm.alias("_na"),
     )
     right = df.select(
-        F.col(id_col).alias("id_b"), F.col(vector_col).alias("_vb")
+        F.col(id_col).alias("id_b"),
+        F.col(vector_col).alias("_vb"),
+        guarded_norm.alias("_nb"),
     )
     if candidates is not None:
         pairs = candidates.join(left, "id_a").join(right, "id_b")
     else:
         pairs = left.crossJoin(right).where(F.col("id_a") < F.col("id_b"))
     return (
-        pairs.withColumn("cosine", cosine_similarity("_va", "_vb"))
+        pairs.withColumn(
+            "cosine",
+            dot_product("_va", "_vb") / (F.col("_na") * F.col("_nb")),
+        )
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

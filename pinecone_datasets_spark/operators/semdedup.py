@@ -51,7 +51,6 @@ from typing import Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import embedding_neardup_pairs
 from .rproject import project_vectors
 
 
@@ -171,29 +170,62 @@ def semantic_dedup_pairs(
                 f"{max_cell_rows} ({detail}); raise bits (cells halve "
                 "per bit) or retrain the cell codebook"
             )
+    from ..functions.vector import dot_product, l2_norm
+
+    # Score INSIDE the cell-keyed self-join (guide §8: decide/score
+    # where the payload already is, move big rows once). The former
+    # shape — id-only candidate pairs, then two joins attaching each
+    # side's vector — shuffled the O(N²/C) pair frame twice AND let
+    # AQE coalesce the tiny id-only pair exchange to ONE partition, so
+    # the entire per-pair cosine stage ran serially (sf1 probe: 53 s
+    # on one task). Carrying (vector, norm) through the single cell
+    # exchange costs one ~vector-width shuffle of N rows (not pairs),
+    # scores each pair in the cell-partitioned SMJ stage, and the
+    # per-row norm means one interpreted fold per pair (the dot), not
+    # three. Same pairs, same double arithmetic → scores bit-identical.
+    guarded_norm = F.greatest(l2_norm(vector_col), F.lit(1e-30))
     cells = df.select(
         F.col(id_col), F.col(cell_col), F.col(vector_col)
+    ).withColumn("__n", guarded_norm)
+    # Pin the cell exchange to the configured shuffle parallelism: the
+    # bytes AQE coalesces on are PRE-expansion (N rows), so it happily
+    # merges the whole corpus into a couple of partitions and the
+    # O(N²/C) pair scoring downstream runs nearly serial (sf1 probe:
+    # 12 partitions on 32 cores). An explicit keyed repartition is
+    # exempt from AQE coalescing; the count tracks the cluster-sized
+    # spark.sql.shuffle.partitions, not a local constant.
+    n_shuffle = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
     )
+    cells = cells.repartition(n_shuffle, cell_col)
     a = cells.select(
-        F.col(id_col).alias("id_a"), F.col(cell_col).alias("__ca")
+        F.col(id_col).alias("id_a"),
+        F.col(cell_col).alias("__ca"),
+        F.col(vector_col).alias("_va"),
+        F.col("__n").alias("_na"),
     )
     b = cells.select(
-        F.col(id_col).alias("id_b"), F.col(cell_col).alias("__cb")
+        F.col(id_col).alias("id_b"),
+        F.col(cell_col).alias("__cb"),
+        F.col(vector_col).alias("_vb"),
+        F.col("__n").alias("_nb"),
     )
     # merge hint: self-join of the same cell-assignment subtree — SMJ
     # shares one exchange (ReuseExchange computes cells once) and never
     # broadcasts a corpus-derived frame (r13 audit; guide §2.4/§3.1).
-    cand = (
+    return (
         a.hint("merge")
-        .join(b, (F.col("__ca") == F.col("__cb")) & (F.col("id_a") < F.col("id_b")))
-        .select("id_a", "id_b")
-    )
-    return embedding_neardup_pairs(
-        df.select(id_col, vector_col),
-        threshold=threshold,
-        id_col=id_col,
-        vector_col=vector_col,
-        candidates=cand,
+        .join(
+            b,
+            (F.col("__ca") == F.col("__cb"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .withColumn(
+            "cosine",
+            dot_product("_va", "_vb") / (F.col("_na") * F.col("_nb")),
+        )
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
     )
 
 
