@@ -38,6 +38,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..parallel import widen
 from .decontaminate import _ngrams_of, _words
 
 
@@ -68,6 +69,12 @@ def frequent_ngrams(
     """
     if not 0 < min_df_frac <= 1:
         raise ValueError(f"min_df_frac must be in (0, 1]: {min_df_frac}")
+    # No widen() here or in boilerplate_profile: measured A/B at sf0.1
+    # (fresh-session bench methodology) shows the extra per-subtree
+    # exchanges cost more than the parallelism buys for these light
+    # gram counts — unlike the span operators below, whose per-byte
+    # work (position windows, run chains) pays for the shuffle at
+    # every scale. On low-split inputs these passes stay scan-bound.
     # materialize the word array BEFORE the n-gram lambda references it:
     # Catalyst does not CSE into higher-order-function lambdas, so an
     # inlined _words() re-tokenizes the text per gram position —
@@ -188,6 +195,7 @@ def duplicated_spans(
         raise ValueError(f"k must be >= 1: {k}")
     from pyspark.sql import Window
 
+    documents = widen(documents, id_col)  # see frequent_ngrams
     pos = _position_frame(documents, id_col, _words(text_col), k)
     repeated = (
         pos.select(id_col, "ngram")
@@ -266,6 +274,7 @@ def remove_duplicated_spans(
     """
     if k < 1:
         raise ValueError(f"k must be >= 1: {k}")
+    documents = widen(documents, id_col)  # see frequent_ngrams
     pos = _position_frame(documents, id_col, _words(text_col), k)
     repeated = (
         pos.select(id_col, "ngram")
@@ -408,6 +417,7 @@ def remove_duplicated_sentence_spans(
         raise ValueError(f"min_count must be >= 2: {min_count}")
     from ..functions.text import split_sentences
 
+    documents = widen(documents, id_col)  # see frequent_ngrams
     sents = split_sentences(F.col(text_col))
     pos = _position_frame(documents, id_col, sents, n).select(
         F.col(id_col), "pos", F.md5("ngram").alias("__h")

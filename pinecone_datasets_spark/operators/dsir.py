@@ -47,6 +47,7 @@ _TWO_52 = float(1 << 52)
 #: keep-set. Same convention as functions/text.py
 #: WHITESPACE_RUN_PATTERN and the streaming dsir_score kernel.
 from ..functions.text import WHITESPACE_RUN_PATTERN as _WS_RUN  # noqa: E402
+from ..parallel import widen  # noqa: E402
 
 
 def _tokens(text_col: str) -> "F.Column":
@@ -216,6 +217,13 @@ def dsir_weights(
     """
     if smoothing <= 0:
         raise ValueError(f"smoothing must be > 0, got {smoothing}")
+    # The tokenize/explode/partial-agg work all runs in the SCAN stage,
+    # so its parallelism is capped by the input's split count — a
+    # single-row-group parquet file serializes the whole pass (sf1
+    # probe: 17 s on one task, core count irrelevant). widen() is a
+    # no-op whenever the scan already splits enough (guide §2.5).
+    raw_docs = widen(raw_docs)
+    target_docs = widen(target_docs)
     per_doc = doc_bucket_counts(raw_docs, id_col, text_col, n, n_buckets)
     raw_c = per_doc.groupBy("bucket").agg(F.sum("cnt").alias("c_r"))
     tgt_c = _corpus_bucket_counts(target_docs, text_col, n, n_buckets, "c_t")

@@ -158,6 +158,12 @@ def _stage_flags(
     from .boilerplate import boilerplate_profile
     from .dedup import exact_dedup, ngram_jaccard_pairs
 
+    # No widen() of df here: the funnel fans df into three subtrees
+    # with different pruned columns, so a widen exchange is not reused
+    # across them and the measured fresh-session A/B at sf0.1 shows
+    # the extra shuffles losing more than the parallelism gains (the
+    # heavy sub-operators that profit widen internally already do).
+
     ann = (
         df.withColumn("n_words", word_count(text_col).cast("long"))
         .withColumn("quality", quality_score(text_col))
