@@ -243,9 +243,14 @@ def extract_image_features(
                     }
                 )
 
-    return media.select("media_id", "content").mapInPandas(
-        kernel, IMAGE_FEATURES_SCHEMA
-    )
+    # Rebalance before the decode kernel: fused into a low-split
+    # producing stage it would inherit single-task parallelism (same
+    # guard as image_phash; no-op on well-split inputs).
+    from ..parallel import widen
+
+    return widen(
+        media.select("media_id", "content"), "media_id"
+    ).mapInPandas(kernel, IMAGE_FEATURES_SCHEMA)
 
 
 def extract_audio_features(media: DataFrame) -> DataFrame:

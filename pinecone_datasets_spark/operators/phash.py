@@ -129,9 +129,15 @@ def image_phash(
     """
     if method not in ("dhash", "ahash"):
         raise ValueError(f"method must be 'dhash' or 'ahash', got {method!r}")
+    from ..parallel import widen
     from .multimodal import _real_decode, _ship
 
     _ship(media)
+    # The decode+hash kernel otherwise fuses into the media frame's
+    # producing stage, inheriting its (possibly single-split) task
+    # count; one image decode per row is exactly the work-per-byte
+    # profile that pays for a rebalance (no-op on well-split inputs).
+    media = widen(media, id_col)
     hash_fn = dhash64 if method == "dhash" else ahash64
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
